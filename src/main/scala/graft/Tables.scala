@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Every query receives the scale-factor directory at call time, so plans
+  * are built against whichever SF the driver (or bench) points at. Reads
+  * are plain parquet scans: Catalyst pushes filters/column pruning into
+  * the scan, which is the behavior we rely on at 100 TB — never cache or
+  * materialize here.
+  */
+object Tables {
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 has no native
+    * type for. Read nanos as long (legacy conf) and truncate to a µs
+    * timestamp with integer division — double-based division would lose
+    * precision above 2^53 ns.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}

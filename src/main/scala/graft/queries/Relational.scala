@@ -1,0 +1,247 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface (SURVEY.md §2.7/§2.8).
+  *
+  * The reference has no SQL engine; this module is the declared relational
+  * surface our Spark engine exposes over the same data shapes: grouped
+  * aggregation, hash/broadcast/semi/anti joins, window functions, top-k,
+  * set ops, rollup/cube, sorts/limits. Each query has a DuckDB oracle in
+  * [[Oracles.relational]].
+  *
+  * Scale notes (100 TB design stance):
+  *  - dims (region/nation/customer/supplier/part) are broadcast; only the
+  *    fact tables (lineitem/orders/events) ever shuffle.
+  *  - aggregates are expressed on grouped columns so Catalyst plans
+  *    partial (map-side) aggregation before the exchange.
+  *  - double-typed aggregates are rounded in BOTH engines so results are
+  *    insensitive to summation order (floating addition is
+  *    non-associative; a 1000-executor sum has no fixed order).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Money arithmetic in exact DECIMAL, surfaced as double. Double sums are
+    * order-dependent (a 1000-executor sum has no fixed order) and the two
+    * engines' round() disagree on half-way values; summing an exact decimal
+    * and casting once to double is deterministic in both. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumMoney(c: Column): Column = sum(dec(c)).cast("double")
+  private def avgMoney(c: Column): Column = (sum(dec(c)).cast("double") / count(lit(1)))
+  /** extendedprice * (1 - discount), exact. */
+  private def discPrice: Column =
+    dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+
+  /** TPC-H Q1-style pricing summary: groupBy with map-side partial agg. */
+  val q1Agg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        avgMoney(col("l_quantity")).as("avg_qty"),
+        avgMoney(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Filtered join fact⋈fact with a broadcast dim: shuffle only on o_orderkey. */
+  val q3Join: Q = (s, d) => {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
+  /** Multi-way join through the dim chain region→nation→customer→orders→lineitem.
+    * All dims broadcast; the only exchange is lineitem⋈orders on orderkey. */
+  val q5Join: Q = (s, d) => {
+    val reg = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(s, d)
+    val cust = Tables.customer(s, d)
+    val ord = Tables.orders(s, d)
+    val li = Tables.lineitem(s, d)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
+  /** Left-semi join = EXISTS: customers with at least one open order. */
+  val qSemiJoin: Q = (s, d) => {
+    val open = Tables.orders(s, d).filter(col("o_orderstatus") === "O")
+    Tables.customer(s, d)
+      .join(open, col("c_custkey") === open("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** Left-anti join = NOT EXISTS: customers with no orders at all. */
+  val qAntiJoin: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    Tables.customer(s, d)
+      .join(ord, col("c_custkey") === ord("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  /** Window ranking + frame: top-3 orders by price per customer. */
+  val qTopkWindow: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+  }
+
+  /** Running-sum frame over event time per user (unbounded preceding → current). */
+  val qRunningSum: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("running_value", round(sum("value").over(w), 2))
+      .select("user_id", "event_id", "running_value")
+  }
+
+  /** lag/lead: inter-event gap seconds per user. */
+  val qEventGaps: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_s", col("ts").cast("long") - col("prev_ts").cast("long"))
+      .select("user_id", "event_id", "gap_s")
+  }
+
+  /** Sessionization: 30-min inactivity gap starts a new session (batch form
+    * of the streaming session_window — same semantics, oracle-checkable). */
+  val qSessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+  }
+
+  /** Tumbling event-time window (batch equivalent of streaming window()).
+    * The bucket is emitted as a formatted string so the oracle compare is
+    * independent of timestamp physical precision (ns vs µs). */
+  val qHourlyWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+
+  /** Exact distinct + grouped distinct counts. */
+  val qDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  /** Set ops: users seen in purchases UNION/INTERSECT/EXCEPT errors. */
+  val qSetOps: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val buyers = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+    val errorers = ev.filter(col("event_type") === "error").select("user_id").distinct()
+    buyers.intersect(errorers).withColumn("set_kind", lit("both"))
+      .unionByName(buyers.except(errorers).withColumn("set_kind", lit("purchase_only")))
+      .select("set_kind", "user_id")
+  }
+
+  /** ROLLUP aggregation over the nation→mktsegment hierarchy. */
+  val qRollup: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+  }
+
+  /** Sort + limit (global top-k without a window): most expensive orders. */
+  val qSortLimit: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(25)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** Scalar function battery over one table: string/date/math builtins used
+    * by the collector projections (SURVEY §2.7 "scalar functions"). */
+  val qScalarFns: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        upper(col("o_orderpriority")).as("prio_upper"),
+        substring(col("o_orderstatus"), 1, 1).as("status_c"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        (dec(col("o_totalprice")) * lit(new java.math.BigDecimal("0.1"))).cast("double").as("tithe"),
+        when(col("o_totalprice") > 200000, "big").otherwise("small").as("bucket"))
+
+  /** As-of join (reference lacks it; DuckDB has ASOF JOIN): latest order at
+    * or before each event's timestamp for the matching user/custkey.
+    * Implemented shuffle-once: union-tag both sides, one sort per key, and
+    * a last_value window carries the most recent order forward — the
+    * classic piecewise merge that scales linearly (no O(n·m) range join). */
+  val qAsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("k"), col("ts"), col("event_id"))
+      .withColumn("side", lit(1))
+      .withColumn("o_orderkey", lit(null).cast("long"))
+    val ordPrep = Tables.orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_orderdate").cast("timestamp").as("ts"),
+        lit(null).cast("long").as("event_id"), lit(0).as("side"), col("o_orderkey"))
+    val merged = ev.select("k", "ts", "event_id", "side", "o_orderkey")
+      .unionByName(ordPrep)
+    // Within (k, ts) order: orders sort before events at equal ts (side 0<1),
+    // ties among orders broken by o_orderkey desc so the max key wins.
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts").asc, col("side").asc, col("o_orderkey").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
+  }
+
+  /** Correlated-aggregate pattern: orders above their customer's average. */
+  val qAboveAvg: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+    val avgs = ord.groupBy(col("o_custkey").as("ck")).agg(avg("o_totalprice").as("avg_price"))
+    ord.join(avgs, ord("o_custkey") === avgs("ck"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_join" -> q3Join,
+    "q5_join" -> q5Join,
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin,
+    "q_topk_window" -> qTopkWindow,
+    "q_running_sum" -> qRunningSum,
+    "q_event_gaps" -> qEventGaps,
+    "q_sessionize" -> qSessionize,
+    "q_hourly_window" -> qHourlyWindow,
+    "q_distinct" -> qDistinct,
+    "q_set_ops" -> qSetOps,
+    "q_rollup" -> qRollup,
+    "q_sort_limit" -> qSortLimit,
+    "q_scalar_fns" -> qScalarFns,
+    "q_asof_join" -> qAsofJoin,
+    "q_above_avg" -> qAboveAvg,
+  )
+}

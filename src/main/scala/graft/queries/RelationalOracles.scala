@@ -1,0 +1,150 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[Relational]] — one entry per query, same column
+  * names/aliases as the Spark side (the driver sorts columns by name and
+  * hashes values). Doubles are rounded identically in both engines.
+  * Timestamp arithmetic uses floor(epoch(ts)) to match Spark's
+  * cast(timestamp AS long) truncation.
+  */
+object RelationalOracles {
+  val all: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_topk_window" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                         ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        |FROM events""".stripMargin,
+
+    "q_event_gaps" ->
+      """SELECT user_id, event_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT)
+        |    - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+        |                                     ORDER BY ts ASC, event_id ASC))) AS BIGINT) AS gap_s
+        |FROM events""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS new_session FROM g),
+        |s AS (
+        |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_hourly_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+        |errs AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |SELECT 'both' AS set_kind, user_id FROM
+        |  (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errs) t1
+        |UNION ALL
+        |SELECT 'purchase_only' AS set_kind, user_id FROM
+        |  (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errs) t2""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
+
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin,
+
+    "q_scalar_fns" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS prio_upper,
+        |  substring(o_orderstatus, 1, 1) AS status_c,
+        |  year(o_orderdate) AS o_year,
+        |  month(o_orderdate) AS o_month,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 0.1 AS DOUBLE) AS tithe,
+        |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
+        |FROM orders""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH merged AS (
+        |  SELECT user_id AS k, ts, event_id, 1 AS side, NULL::BIGINT AS o_orderkey
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey AS k, CAST(o_orderdate AS TIMESTAMP) AS ts,
+        |    NULL::BIGINT AS event_id, 0 AS side, o_orderkey
+        |  FROM orders),
+        |marked AS (
+        |  SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY ts ASC, side ASC, o_orderkey DESC NULLS LAST
+        |    ROWS UNBOUNDED PRECEDING) AS asof_orderkey
+        |  FROM merged)
+        |SELECT event_id, k AS user_id, asof_orderkey FROM marked WHERE side = 1""".stripMargin,
+
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
+        |      FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
+        |WHERE o_totalprice > avg_price""".stripMargin,
+  )
+}
