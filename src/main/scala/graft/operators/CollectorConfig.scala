@@ -1,0 +1,64 @@
+package graft.operators
+
+/** Engine configuration — the Spark analog of the reference's pureconfig
+  * model (reference `core/.../model.scala:54-298`). Only the knobs that
+  * affect dataflow semantics live here; HTTP-tier settings are out of
+  * engine scope (SURVEY.md §7.1).
+  *
+  * @param appName          collector application name
+  * @param appVersion       collector version
+  * @param sinkName         logical sink name; `collector` payload field is
+  *                         "name-version-sink" (reference `CollectorService.scala:85-86`)
+  * @param cookieName       name of the network-user-id cookie (reference
+  *                         `model.scala:79`; test value "sp")
+  * @param dntCookieName    do-not-track cookie name (reference `model.scala:69-72`)
+  * @param dntCookieValue   regex the DNT cookie value must match to suppress
+  *                         the event (reference `CollectorRoute.scala:182-191`)
+  * @param paths            path-remap table (reference `CollectorService.scala:102-108`)
+  * @param redirectDomains  allowlist for `/r/...` targets (reference
+  *                         `CollectorService.scala:390-399`)
+  * @param maxBytes         per-record size cap; larger events become
+  *                         SizeViolation bad rows (reference `SplitBatch.scala:87-88`)
+  * @param useIpAsPartitionKey partition key = client IP when true, else a
+  *                         generated id (reference `CollectorService.scala:525-532`)
+  */
+final case class CollectorConfig(
+    appName: String = "graft",
+    appVersion: String = "0.1.0",
+    sinkName: String = "spark",
+    cookieName: String = "sp",
+    dntCookieName: String = "sp-dnt",
+    dntCookieValue: String = "true|yes",
+    paths: Map[String, String] = CollectorConfig.defaultPaths,
+    redirectDomains: Set[String] = Set("example.com"),
+    maxBytes: Int = 1000000,
+    useIpAsPartitionKey: Boolean = true,
+) {
+  def collectorName: String = s"$appName-$appVersion-$sinkName"
+}
+
+object CollectorConfig {
+  /** Schema URI stamped on every payload (reference `CollectorService.scala:289`). */
+  val PayloadSchemaUri =
+    "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0"
+  /** Nil UUID used under SP-Anonymous (reference `CollectorService.scala:100`). */
+  val NilUuid = "00000000-0000-0000-0000-000000000000"
+  /** tp2 canonical path. */
+  val Tp2Path = "/com.snowplowanalytics.snowplow/tp2"
+
+  /** Mirror of the reference's test path mappings (`TestUtils.scala:24-28`). */
+  val defaultPaths: Map[String, String] = Map(
+    "/com.acme/track" -> Tp2Path,
+    "/com.acme/redirect" -> "/r/tp2",
+    "/com.acme/iglu" -> "/com.snowplowanalytics.iglu/v1",
+  )
+
+  /** Test-scale config: tiny maxBytes so size routing exercises both
+    * branches on the synthetic bodies (tp2 3-element bodies span ~228-246
+    * bytes, amplitude 3-element ~255-270 — a 240 cap cuts through both). */
+  val testScale: CollectorConfig = CollectorConfig(maxBytes = 240)
+
+  /** maxBytes for the split-batch query surface: 2 tracker elements per
+    * sub-batch at the synthetic element sizes. */
+  val SplitMaxBytes = 200
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The collector dataflow (reference semantics, Spark-first shapes).
+  *
+  * Input: the request-envelope DataFrame from
+  * [[graft.sources.EventEnvelopeAdapter]] (columns: event_id, method, path,
+  * querystring, body, content_type, user_agent, referer, hostname,
+  * remote_ip, sp_anonymous, cookie_sp, cookie_dnt, headers, timestamp_ms).
+  *
+  * Every transform here is a pure column expression (no UDFs), so the whole
+  * payload build stays inside one WholeStageCodegen span fused into the
+  * source scan — at 100 TB this stage is a narrow map with zero shuffles.
+  *
+  * Reference citations (see SURVEY.md §2):
+  *  - P1 buildEvent        reference `core/.../CollectorService.scala:251-305`
+  *  - P3 query params      `CollectorService.scala:198-199`
+  *  - P4 header filter     `CollectorService.scala:466-478`
+  *  - P5 ip/partition key  `CollectorService.scala:520-532`
+  *  - P6 networkUserId     `CollectorService.scala:534-547`
+  *  - P7 path remap        `CollectorService.scala:102-108`
+  *  - F1 do-not-track      `CollectorRoute.scala:182-191`
+  *  - F3 SP-Anonymous      `CollectorRoute.scala:33-38` + P4/P5/P6
+  *  - F4 redirect allowlist `CollectorService.scala:390-399`
+  *  - F7 bad querystring   `CollectorService.scala:184-195`
+  */
+object CollectorPipeline {
+
+  /** Deterministic UUID from any string column: md5 hex → 8-4-4-4-12.
+    * Stand-in for the reference's `UUID.randomUUID` (SURVEY §7.4
+    * "Randomness") — prod config would swap in `uuid()`. */
+  def uuidify(c: Column): Column = {
+    val h = md5(c)
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** One &-separated querystring token: `key` or `key=value`. The charset
+    * is the conservative urlencoded alphabet; '%' is allowed bare (the
+    * reference's URI parser is similarly lenient about stray escapes in
+    * VALUES but rejects empty tokens / bare '='). */
+  private val TokenRe = "^[A-Za-z0-9_.~%+-]+(=[A-Za-z0-9_.~%+:/-]*)?$"
+
+  /** F7: does the querystring parse? Empty/null is fine; every token must
+    * match [[TokenRe]]. Failures become GenericError bad rows. */
+  def qsValid(qs: Column): Column =
+    qs.isNull || qs === "" ||
+      forall(split(qs, "&"), t => t.rlike(TokenRe))
+
+  /** P3: querystring → map. Guarded by [[qsValid]] at call sites (CaseWhen
+    * only evaluates the taken branch, so malformed rows never hit
+    * str_to_map's duplicate-key error). */
+  def qsMap(qs: Column): Column = str_to_map(qs, lit("&"), lit("="))
+
+  /** A single query param, null when the string is malformed or absent. */
+  def qp(qs: Column, key: String): Column =
+    when(qsValid(qs), element_at(qsMap(qs), key)).otherwise(lit(null))
+
+  /** F1: drop the event when the DNT cookie value matches the configured
+    * regex (full match, as the reference's `matches`). */
+  def dntSuppressed(cfg: CollectorConfig): Column =
+    col("cookie_dnt").isNotNull &&
+      col("cookie_dnt").rlike("^(?:" + cfg.dntCookieValue + ")$")
+
+  /** F3: SP-Anonymous header present. */
+  def anon: Column = col("sp_anonymous").isNotNull
+
+  /** P5a: payload IP — "unknown" when absent or anonymized. */
+  def ip: Column =
+    when(anon, lit("unknown")).otherwise(coalesce(col("remote_ip"), lit("unknown")))
+
+  /** P5b: partition key = client IP, else a generated id (deterministic
+    * here; `uuid()` in prod). Anonymous events never key by IP. */
+  def partitionKey(cfg: CollectorConfig): Column =
+    if (cfg.useIpAsPartitionKey)
+      when(!anon && col("remote_ip").isNotNull, col("remote_ip"))
+        .otherwise(uuidify(concat(lit("pk"), col("event_id"))))
+    else uuidify(concat(lit("pk"), col("event_id")))
+
+  /** P6: network user id — nil UUID when anonymous; else `nuid` query
+    * param, else the `sp` cookie, else a fresh (deterministic) id. */
+  def networkUserId: Column =
+    when(anon, lit(CollectorConfig.NilUuid))
+      .otherwise(coalesce(
+        qp(col("querystring"), "nuid"),
+        col("cookie_sp"),
+        uuidify(concat(lit("nuid-gen"), col("event_id")))))
+
+  /** P7: config-driven path remap. The map is tiny (a handful of routes) so
+    * a chained CASE beats a broadcast join — zero extra plan nodes. */
+  def remappedPath(cfg: CollectorConfig): Column =
+    cfg.paths.foldLeft(col("path")) { case (acc, (from, to)) =>
+      when(col("path") === from, lit(to)).otherwise(acc)
+    }
+
+  /** P4: header redaction — Remote-Address / Raw-Request-URI always
+    * dropped; X-Forwarded-For / X-Real-Ip / Cookie also dropped under
+    * SP-Anonymous. Pure higher-order `filter`, no UDF. */
+  def filteredHeaders: Column =
+    filter(col("headers"), h =>
+      !h.startsWith("Remote-Address:") && !h.startsWith("Raw-Request-URI:") &&
+        (!anon || (!h.startsWith("X-Forwarded-For:") &&
+          !h.startsWith("X-Real-Ip:") && !h.startsWith("Cookie:"))))
+
+  /** Routes that produce a tracking payload (everything the adapter emits
+    * is trackable; ops endpoints are out of engine scope). */
+  def isPixel: Column = col("path").isin("/i", "/ice.png")
+  def isRedirect: Column = col("path").startsWith("/r/")
+  def isAmplitude: Column = col("path").startsWith("/com.amplitude/")
+
+  /** P1: the full CollectorPayload projection over an envelope DataFrame.
+    * Good rows only: DNT-suppressed (F1) and malformed-querystring (F7)
+    * rows are excluded (the latter surface in [[badRows]]). */
+  def payloads(env: DataFrame, cfg: CollectorConfig): DataFrame =
+    env
+      .filter(!dntSuppressed(cfg) && qsValid(col("querystring")))
+      .select(
+        col("event_id"),
+        lit(CollectorConfig.PayloadSchemaUri).as("schema_uri"),
+        ip.as("ip"),
+        col("timestamp_ms"),
+        lit("UTF-8").as("encoding"),
+        lit(cfg.collectorName).as("collector"),
+        col("querystring"),
+        col("body"),
+        remappedPath(cfg).as("path"),
+        col("user_agent"),
+        col("referer").as("referer_uri"),
+        col("hostname"),
+        networkUserId.as("network_userid"),
+        col("content_type"),
+        partitionKey(cfg).as("partition_key"),
+        array_join(filteredHeaders, "|").as("headers_str"))
+
+  /** Bad-row routing: GenericError for malformed querystrings (F7) and
+    * SizeViolation for oversized payloads (F6), which keep a
+    * `maxBytes / 10`-character prefix of the original (reference
+    * `SplitBatch.scala:132-145`). One pass, one scan. */
+  def badRows(env: DataFrame, cfg: CollectorConfig): DataFrame = {
+    val qsBad = !qsValid(col("querystring"))
+    val oversize = col("body").isNotNull && octet_length(col("body")) > cfg.maxBytes
+    env
+      .filter(qsBad || oversize)
+      .select(
+        col("event_id"),
+        when(qsBad, lit("GenericError")).otherwise(lit("SizeViolation")).as("bad_row_type"),
+        when(qsBad, col("querystring"))
+          .otherwise(substring(col("body"), 1, cfg.maxBytes / 10)).as("payload_prefix"),
+        when(qsBad, octet_length(col("querystring")))
+          .otherwise(octet_length(col("body"))).cast("long").as("actual_size"))
+  }
+
+  /** S4/F4: redirect resolution for `/r/...` rows — decode `u`, substitute
+    * the `${SP_NUID}` macro with the resolved network user id, and gate on
+    * the domain allowlist. `location` is null when rejected. */
+  def redirects(env: DataFrame, cfg: CollectorConfig): DataFrame = {
+    val uEnc = qp(col("querystring"), "u")
+    val target = expr("url_decode(u_enc)")
+    val host = expr("parse_url(target, 'HOST')")
+    val allowed = cfg.redirectDomains
+      .map(d => host === d || host.endsWith("." + d))
+      .reduce(_ || _)
+    env
+      .filter(isRedirect)
+      .withColumn("u_enc", uEnc)
+      .withColumn("target", target)
+      .withColumn("allowed", when(col("target").isNotNull, allowed).otherwise(lit(false)))
+      .select(
+        col("event_id"),
+        col("target"),
+        col("allowed"),
+        when(col("allowed"),
+          regexp_replace(col("target"), lit("\\$\\{SP_NUID\\}"),
+            networkUserId)).otherwise(lit(null)).as("location"))
+  }
+
+  /** Response-kind projection (SURVEY §7.4 hard part 2: per-request
+    * response semantics as columns, served by an out-of-scope HTTP tier).
+    * DNT suppression changes sinking, not the response. */
+  def responses(env: DataFrame, cfg: CollectorConfig): DataFrame = {
+    val uEnc = qp(col("querystring"), "u")
+    val target = expr("url_decode(u_enc)")
+    val host = expr("parse_url(target, 'HOST')")
+    val allowed = cfg.redirectDomains
+      .map(d => host === d || host.endsWith("." + d))
+      .reduce(_ || _)
+    env
+      .withColumn("u_enc", uEnc)
+      .withColumn("target", target)
+      .select(
+        col("event_id"),
+        when(isPixel, lit("gif"))
+          .when(isRedirect && col("target").isNotNull && allowed, lit("302"))
+          .when(isRedirect, lit("400"))
+          .when(isAmplitude, lit("json"))
+          .otherwise(lit("ok")).as("response_kind"))
+  }
+}

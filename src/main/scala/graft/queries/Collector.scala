@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.operators.{Bridges, CollectorConfig, CollectorPipeline, SplitBatch}
+import graft.sources.EventEnvelopeAdapter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Collector-parity query surface (SURVEY §2.2-2.4, §2.8): the reference's
+  * per-request pipeline re-expressed as oracle-checkable DataFrame queries
+  * over the deterministic envelope stream. The Spark side does the real
+  * work (str_to_map, from_json, posexplode, HOF filters, mapPartitions
+  * packing); the DuckDB oracle recomputes expected outputs analytically
+  * from the same event rows ([[CollectorOracles]]).
+  */
+object Collector {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val cfg = CollectorConfig.testScale
+
+  private def env(s: SparkSession, d: String): DataFrame =
+    EventEnvelopeAdapter.envelopes(s, d)
+
+  /** The envelope projection itself (scalar columns) — locks the adapter
+    * and the oracle's mirror of it to the same values. */
+  val cEnvelopes: Q = (s, d) =>
+    env(s, d).select("event_id", "method", "path", "querystring", "body",
+      "content_type", "user_agent", "referer", "hostname", "remote_ip",
+      "sp_anonymous", "cookie_sp", "cookie_dnt", "timestamp_ms")
+
+  /** P1-P7 + F1/F3/F7: the full CollectorPayload build. */
+  val cPayload: Q = (s, d) => CollectorPipeline.payloads(env(s, d), cfg)
+
+  /** P3: str_to_map param extraction on parseable querystrings. */
+  val cQsParams: Q = (s, d) =>
+    env(s, d)
+      .filter(CollectorPipeline.qsValid(col("querystring")))
+      .select(
+        col("event_id"),
+        CollectorPipeline.qp(col("querystring"), "e").as("e_param"),
+        CollectorPipeline.qp(col("querystring"), "aid").as("aid"),
+        CollectorPipeline.qp(col("querystring"), "nuid").as("nuid_param"))
+
+  /** F6/F7: bad-row routing with SizeViolation payload truncation. */
+  val cBadRows: Q = (s, d) => CollectorPipeline.badRows(env(s, d), cfg)
+
+  /** S4/F4: redirect target resolution + allowlist + macro substitution. */
+  val cRedirect: Q = (s, d) => CollectorPipeline.redirects(env(s, d), cfg)
+
+  /** Response-kind projection (pixel GIF / 302 / 400 / bridge json / ok). */
+  val cResponse: Q = (s, d) => CollectorPipeline.responses(env(s, d), cfg)
+
+  /** P5 distributional check: events per partition key. */
+  val cPartitionCounts: Q = (s, d) =>
+    env(s, d)
+      .groupBy(CollectorPipeline.partitionKey(cfg).as("partition_key"))
+      .agg(count(lit(1)).as("n"))
+
+  /** tp2 body explode (from_json + posexplode). */
+  val cTp2Events: Q = (s, d) => Bridges.tp2Events(env(s, d))
+
+  /** Amplitude bridge explode incl. $remote IP substitution. */
+  val cAmplitude: Q = (s, d) => Bridges.amplitudeEvents(env(s, d))
+
+  /** A1/A2: greedy size-capped split of tp2 bodies (typed mapPartitions). */
+  val cSplitBatches: Q = (s, d) =>
+    SplitBatch.splitTp2(env(s, d), CollectorConfig.SplitMaxBytes).toDF()
+
+  val all: Map[String, Q] = Map(
+    "c_envelopes" -> cEnvelopes,
+    "c_payload" -> cPayload,
+    "c_qs_params" -> cQsParams,
+    "c_bad_rows" -> cBadRows,
+    "c_redirect" -> cRedirect,
+    "c_response" -> cResponse,
+    "c_partition_counts" -> cPartitionCounts,
+    "c_tp2_events" -> cTp2Events,
+    "c_amplitude" -> cAmplitude,
+    "c_split_batches" -> cSplitBatches,
+  )
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+/** DuckDB oracles for [[Collector]].
+  *
+  * The envelope stream is a pure function of the `events` table
+  * ([[graft.sources.EventEnvelopeAdapter]]), so each oracle recomputes the
+  * expected output *analytically* from the raw event columns — no JSON
+  * functions needed DuckDB-side, while the Spark queries must do the real
+  * parsing/explode work. The `env`/`env2` CTEs below are the SQL mirror of
+  * the adapter; keep the two in lockstep.
+  */
+object CollectorOracles {
+
+  /** md5-derived deterministic UUID — mirror of CollectorPipeline.uuidify. */
+  private def uu(e: String): String =
+    s"substr(md5($e),1,8) || '-' || substr(md5($e),9,4) || '-' || " +
+      s"substr(md5($e),13,4) || '-' || substr(md5($e),17,4) || '-' || substr(md5($e),21,12)"
+
+  private val NilUuid = "00000000-0000-0000-0000-000000000000"
+  private val Tp2Prefix =
+    """{"schema":"iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4","data":["""
+
+  /** One tp2 tracker element, exactly as the adapter concatenates it. */
+  private def tp2Elem(idx: String): String =
+    s"""'{"e":"' || event_type || '","aid":"app' || (user_id % 5) || '","idx":' || $idx || ',"p":' || props || '}'"""
+
+  /** Same element after a JSON parse→re-serialize round trip (Jackson drops
+    * the space in `{"k": N}`). Used for split-batch size arithmetic. */
+  private def tp2ElemNorm(idx: String): String =
+    s"""'{"e":"' || event_type || '","aid":"app' || (user_id % 5) || '","idx":' || $idx || ',"p":' || replace(props, ' ', '') || '}'"""
+
+  private def ampElem(idx: String): String =
+    s"""'{"device_id":"d' || user_id || '","event_type":"' || event_type || '","time":' || timestamp_ms || ',"ip":"' || (CASE WHEN event_id % 2 = ($idx) % 2 THEN '$$remote' ELSE '1.2.3.4' END) || '"}'"""
+
+  private val tp2Body =
+    s"""'$Tp2Prefix' || ${tp2Elem("0")} ||""" +
+      s""" CASE WHEN n_elems >= 2 THEN ',' || ${tp2Elem("1")} ELSE '' END ||""" +
+      s""" CASE WHEN n_elems >= 3 THEN ',' || ${tp2Elem("2")} ELSE '' END || ']}'"""
+
+  private val ampBody =
+    s"""'{"api_key":"test-key","events":[' || ${ampElem("0")} ||""" +
+      s""" CASE WHEN n_elems >= 2 THEN ',' || ${ampElem("1")} ELSE '' END ||""" +
+      s""" CASE WHEN n_elems >= 3 THEN ',' || ${ampElem("2")} ELSE '' END || ']}'"""
+
+  /** SQL mirror of the envelope adapter. */
+  private val Env =
+    s"""WITH env AS (
+       |  SELECT event_id, user_id, event_type, props,
+       |    event_id % 20 AS m,
+       |    epoch_ms(CAST(ts AS TIMESTAMP)) AS timestamp_ms,
+       |    (event_id % 17 = 0) AS qs_bad,
+       |    (event_id % 11 = 0) AS anon,
+       |    (event_id % 13 = 0) AS dnt,
+       |    1 + (event_id % 3) AS n_elems,
+       |    CASE WHEN event_id % 7 = 0 THEN NULL
+       |         ELSE '10.' || (user_id % 250) || '.0.' || (event_id % 250) END AS remote_ip,
+       |    CASE WHEN user_id % 4 <> 0 THEN ${uu("'sp' || user_id")} ELSE NULL END AS cookie_sp,
+       |    'Mozilla/5.0 (agent ' || (user_id % 10) || ')' AS user_agent,
+       |    CASE WHEN event_id % 5 = 0
+       |         THEN 'https://referrer.example.com/p' || (event_id % 50) ELSE NULL END AS referer,
+       |    'collector-' || (user_id % 3) || '.example.com' AS hostname
+       |  FROM events
+       |),
+       |env2 AS (
+       |  SELECT *,
+       |    CASE WHEN m <= 11 THEN '/com.snowplowanalytics.snowplow/tp2'
+       |         WHEN m <= 14 THEN '/i'
+       |         WHEN m = 15 THEN '/ice.png'
+       |         WHEN m = 16 THEN '/r/tp2'
+       |         WHEN m <= 18 THEN '/com.acme/track'
+       |         ELSE '/com.amplitude/2/httpapi' END AS path,
+       |    CASE WHEN m <= 11 OR m >= 17 THEN 'POST' ELSE 'GET' END AS method,
+       |    CASE WHEN qs_bad THEN 'e=%%bad&&=='
+       |         ELSE 'e=' || event_type || '&aid=app' || (user_id % 5) ||
+       |           CASE WHEN event_id % 3 = 0 THEN '&nuid=' || ${uu("'nuid' || user_id")} ELSE '' END ||
+       |           CASE WHEN m = 16 THEN '&u=https%3A%2F%2Fdest' || (user_id % 10) ||
+       |                CASE WHEN user_id % 10 = 0 THEN '.example.org' ELSE '.example.com' END ||
+       |                '%2Flanding' ELSE '' END
+       |         END AS querystring,
+       |    CASE WHEN m <= 11 OR m BETWEEN 17 AND 18 THEN $tp2Body
+       |         WHEN m = 19 THEN $ampBody
+       |         ELSE NULL END AS body,
+       |    CASE WHEN m <= 11 OR m >= 17 THEN 'application/json' ELSE NULL END AS content_type
+       |  FROM env
+       |)""".stripMargin
+
+  private val redirectTarget =
+    "'https://dest' || (user_id % 10) || " +
+      "CASE WHEN user_id % 10 = 0 THEN '.example.org' ELSE '.example.com' END || '/landing'"
+
+  val all: Map[String, String] = Map(
+    "c_envelopes" ->
+      s"""$Env
+         |SELECT event_id, method, path, querystring, body, content_type,
+         |  user_agent, referer, hostname, remote_ip,
+         |  CASE WHEN anon THEN '*' END AS sp_anonymous,
+         |  cookie_sp,
+         |  CASE WHEN dnt THEN 'true' END AS cookie_dnt,
+         |  timestamp_ms
+         |FROM env2""".stripMargin,
+
+    "c_payload" ->
+      s"""$Env
+         |SELECT event_id,
+         |  'iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0' AS schema_uri,
+         |  CASE WHEN anon THEN 'unknown' ELSE coalesce(remote_ip, 'unknown') END AS ip,
+         |  timestamp_ms,
+         |  'UTF-8' AS encoding,
+         |  'graft-0.1.0-spark' AS collector,
+         |  querystring,
+         |  body,
+         |  CASE WHEN path = '/com.acme/track' THEN '/com.snowplowanalytics.snowplow/tp2'
+         |       WHEN path = '/com.acme/redirect' THEN '/r/tp2'
+         |       WHEN path = '/com.acme/iglu' THEN '/com.snowplowanalytics.iglu/v1'
+         |       ELSE path END AS path,
+         |  user_agent,
+         |  referer AS referer_uri,
+         |  hostname,
+         |  CASE WHEN anon THEN '$NilUuid'
+         |       ELSE coalesce(
+         |         CASE WHEN event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END,
+         |         cookie_sp,
+         |         ${uu("'nuid-gen' || event_id")}) END AS network_userid,
+         |  content_type,
+         |  CASE WHEN NOT anon AND remote_ip IS NOT NULL THEN remote_ip
+         |       ELSE ${uu("'pk' || event_id")} END AS partition_key,
+         |  concat_ws('|',
+         |    'Host: ' || hostname,
+         |    'User-Agent: ' || user_agent,
+         |    CASE WHEN referer IS NOT NULL THEN 'Referer: ' || referer END,
+         |    CASE WHEN remote_ip IS NOT NULL AND NOT anon THEN 'X-Forwarded-For: ' || remote_ip END,
+         |    CASE WHEN cookie_sp IS NOT NULL AND NOT anon THEN 'Cookie: sp=' || cookie_sp END,
+         |    content_type) AS headers_str
+         |FROM env2 WHERE NOT dnt AND NOT qs_bad""".stripMargin,
+
+    "c_qs_params" ->
+      s"""$Env
+         |SELECT event_id, event_type AS e_param, 'app' || (user_id % 5) AS aid,
+         |  CASE WHEN event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END AS nuid_param
+         |FROM env2 WHERE NOT qs_bad""".stripMargin,
+
+    "c_bad_rows" ->
+      s"""$Env
+         |SELECT event_id,
+         |  CASE WHEN qs_bad THEN 'GenericError' ELSE 'SizeViolation' END AS bad_row_type,
+         |  CASE WHEN qs_bad THEN querystring ELSE substr(body, 1, 24) END AS payload_prefix,
+         |  CASE WHEN qs_bad THEN strlen(querystring) ELSE strlen(body) END AS actual_size
+         |FROM env2 WHERE qs_bad OR (body IS NOT NULL AND strlen(body) > 240)""".stripMargin,
+
+    "c_redirect" ->
+      s"""$Env
+         |SELECT event_id,
+         |  CASE WHEN NOT qs_bad THEN $redirectTarget END AS target,
+         |  (NOT qs_bad AND user_id % 10 <> 0) AS allowed,
+         |  CASE WHEN NOT qs_bad AND user_id % 10 <> 0
+         |       THEN 'https://dest' || (user_id % 10) || '.example.com/landing' END AS location
+         |FROM env2 WHERE m = 16""".stripMargin,
+
+    "c_response" ->
+      s"""$Env
+         |SELECT event_id,
+         |  CASE WHEN path IN ('/i', '/ice.png') THEN 'gif'
+         |       WHEN m = 16 AND NOT qs_bad AND user_id % 10 <> 0 THEN '302'
+         |       WHEN m = 16 THEN '400'
+         |       WHEN m = 19 THEN 'json'
+         |       ELSE 'ok' END AS response_kind
+         |FROM env2""".stripMargin,
+
+    "c_partition_counts" ->
+      s"""$Env
+         |SELECT CASE WHEN NOT anon AND remote_ip IS NOT NULL THEN remote_ip
+         |            ELSE ${uu("'pk' || event_id")} END AS partition_key,
+         |  count(*) AS n
+         |FROM env2 GROUP BY 1""".stripMargin,
+
+    "c_tp2_events" ->
+      s"""$Env
+         |SELECT event_id, idx, event_type AS e, 'app' || (user_id % 5) AS aid,
+         |  CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+         |FROM (SELECT event_id, event_type, user_id, props,
+         |        unnest(range(0, n_elems)) AS idx
+         |      FROM env2 WHERE m <= 11 OR m BETWEEN 17 AND 18) t""".stripMargin,
+
+    "c_amplitude" ->
+      s"""$Env
+         |SELECT event_id, idx, 'd' || user_id AS device_id,
+         |  event_type AS amp_event_type, timestamp_ms AS dtm,
+         |  CASE WHEN event_id % 2 = idx % 2 THEN coalesce(remote_ip, 'unknown')
+         |       ELSE '1.2.3.4' END AS ip_resolved
+         |FROM (SELECT event_id, user_id, event_type, timestamp_ms, remote_ip,
+         |        unnest(range(0, n_elems)) AS idx
+         |      FROM env2 WHERE m = 19) t""".stripMargin,
+
+    "c_split_batches" ->
+      s"""$Env
+         |SELECT event_id, idx, idx // per_batch AS batch_idx FROM (
+         |  SELECT event_id, unnest(range(0, n_elems)) AS idx,
+         |    greatest(1, (200 - strlen('$Tp2Prefix' || ']}') + 1)
+         |                 // (strlen(${tp2ElemNorm("0")}) + 1)) AS per_batch
+         |  FROM env2 WHERE m <= 11 OR m BETWEEN 17 AND 18) t""".stripMargin,
+  )
+}
