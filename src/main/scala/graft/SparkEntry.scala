@@ -17,10 +17,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all ++ Collector.all
+    Relational.all ++ Collector.all ++ Training.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalOracles.all ++ CollectorOracles.all
+    RelationalOracles.all ++ CollectorOracles.all ++ TrainingOracles.all
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact
+  * (hash-groupBy), MinHash+LSH banding, n-gram Jaccard verification, and
+  * SimHash. Scale stance (100 TB):
+  *  - exact dedup is one shuffle on the 16-byte fingerprint, with map-side
+  *    partial aggregation;
+  *  - LSH turns the O(n²) near-dup problem into a shuffle on band keys —
+  *    only docs sharing a band ever meet, so the join fans in, not out;
+  *  - Jaccard verification runs only on LSH candidates (linear in the
+  *    candidate count, not the corpus).
+  */
+object Dedup {
+
+  /** Exact dedup groups: fingerprint → canonical (min) doc_id + group
+    * size. Map-side combine makes the shuffle carry one row per
+    * (partition, fingerprint). */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_docs"))
+
+  /** Per-doc MinHash signature: 4 salted minhashes over 3-shingles. Docs
+    * with < 3 tokens have no shingles and are dropped (declared domain). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .filter(TextOps.nTokens(col("text")) >= 3)
+      .withColumn("sh", TextOps.shingles(col("text"), 3))
+      .select(
+        col("doc_id") +:
+          (0 until 4).map(i => TextOps.minhash(col("sh"), i).as(s"sig$i")): _*)
+
+  /** LSH candidate pairs: each doc emits one key per band (band = 2
+    * concatenated minhashes, r=2 b=2); docs sharing any band key become a
+    * candidate pair. The self-join shuffles on the band key only. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val bands = minhashSignatures(docs)
+      .select(col("doc_id"),
+        explode(array(
+          md5(concat(col("sig0"), col("sig1"))),
+          md5(concat(col("sig2"), col("sig3"))))).as("band"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Single-minhash candidate pairs (r=1: one band per signature hash) —
+    * looser recall, used as input to Jaccard verification. */
+  def looseCandidatePairs(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(i => col(s"sig$i")): _*)).as("band"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** n-gram Jaccard over candidate pairs: join the (distinct) shingle sets
+    * back and measure |∩| / |∪|. Runs only on candidates — the verify
+    * stage of the classic MinHash-LSH dedup pipeline. */
+  def jaccardOnCandidates(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .filter(TextOps.nTokens(col("text")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("text"), 3)).as("shset"))
+    looseCandidatePairs(docs)
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shset", "sha"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shset", "shb"), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        TextOps.trunc(
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_union(col("sha"), col("shb"))), 4).as("jaccard"))
+  }
+
+  /** Per-doc 16-bit SimHash — near-dup docs land on nearby codes; equal
+    * codes are dedup candidates via one exact groupBy. */
+  def simhashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash16"))
+}

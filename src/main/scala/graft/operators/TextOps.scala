@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data pipeline: language
+  * ID (stopword-hit heuristic), quality scoring, token counting, document
+  * fingerprinting. All pure column expressions (codegen'd, zero shuffle) —
+  * at 100 TB these run as a narrow map fused into the document scan.
+  */
+object TextOps {
+
+  /** Lowercase, strip non-alphanumerics, keep single spaces. */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9 ]", " ")
+
+  /** Whitespace tokens of the normalized text (empties dropped). */
+  def tokens(text: Column): Column =
+    filter(split(normalized(text), " +"), t => t =!= "")
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: letter runs, digit runs, and isolated symbols
+    * each count as one token (the usual pre-tokenizer regex shape). */
+  def bpeishCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Characters that are not [a-z0-9 ] after lowercasing. */
+  def punctCount(text: Column): Column =
+    length(lower(text)) - length(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+
+  /** Tiny per-language stopword lists for the n-gram-free language-ID
+    * heuristic. Deliberately small — the point is the operator shape
+    * (list-membership scoring over tokens), not lexical coverage. */
+  val Stop: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est"),
+    "es" -> Seq("el", "los", "de", "y", "en", "se", "que", "por"),
+  )
+
+  /** Occurrences of `words` among the text's tokens. */
+  def stopHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*)))
+
+  /** CJK codepoint count (zh detection). */
+  def cjkCount(text: Column): Column =
+    regexp_count(text, lit("[一-鿿]"))
+
+  /** Predicted language: zh on any CJK, else argmax of stopword hits with
+    * a fixed en>de>fr>es tie order (deterministic, oracle-mirrorable). */
+  def langId(text: Column): Column = {
+    val s = Stop.map { case (l, w) => l -> stopHits(text, w) }
+    when(cjkCount(text) > 0, "zh")
+      .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
+      .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
+      .when(s("fr") >= s("es"), "fr")
+      .otherwise("es")
+  }
+
+  /** Cross-engine fixed-point truncation: floor(x*10^n)/10^n. Unlike
+    * round(), which Spark applies to the shortest decimal repr and DuckDB
+    * to the binary value (they disagree on x.xxxx5 knife edges), floor of
+    * the same binary double is bit-identical in both engines. */
+  def trunc(c: Column, n: Int): Column = {
+    val scale = math.pow(10, n)
+    floor(c * scale) / scale
+  }
+
+  /** Mean token length, 4 decimals (truncated). */
+  def avgWordLen(text: Column): Column = {
+    val total = aggregate(tokens(text), lit(0), (a, t) => a + length(t))
+    trunc(total.cast("double") / nTokens(text), 4)
+  }
+
+  /** English-stopword density, 4 decimals. */
+  def stopwordRatio(text: Column): Column =
+    trunc(stopHits(text, Stop("en")).cast("double") / nTokens(text), 4)
+
+  /** Punctuation density over raw chars, 4 decimals. */
+  def punctRatio(text: Column): Column =
+    trunc(punctCount(text).cast("double") / length(text), 4)
+
+  /** Composite quality score in [0,1]: stopword density + length credit +
+    * punctuation penalty (weights are the declared semantic). */
+  def qualityScore(text: Column): Column =
+    trunc(
+      lit(0.4) * (stopHits(text, Stop("en")).cast("double") / nTokens(text))
+        + lit(0.3) * least(lit(1.0), nTokens(text).cast("double") / 100.0)
+        + lit(0.3) * (lit(1.0) - punctCount(text).cast("double") / length(text)),
+      4)
+
+  /** Content fingerprint: md5 over the normalized token stream — the
+    * whitespace/punctuation-insensitive identity used for exact dedup. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(tokens(text), " "))
+
+  /** Word k-shingles of the normalized text (k consecutive tokens joined
+    * by single spaces). Callers must ensure nTokens >= k. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    transform(sequence(lit(0), size(t) - k), i =>
+      concat_ws(" ", (1 to k).map(j => element_at(t, i + j)): _*))
+  }
+
+  /** One minhash: lexicographic min of salted md5 over the shingle set.
+    * Fixed-width hex strings compare like the underlying 128-bit ints, so
+    * string-min IS minhash — and it's identical SQL in DuckDB. */
+  def minhash(shingleCol: Column, salt: Int): Column =
+    array_min(transform(shingleCol, s => md5(concat(lit(s"$salt:"), s))))
+
+  /** 16-bit simhash over tokens: bit i is set when the majority of token
+    * md5s have their i-th hex digit's top bit set (+1/-1 vote sum >= 0). */
+  def simhash16(text: Column): Column = {
+    val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    (0 until 16).map { i =>
+      val votes = aggregate(tokens(text), lit(0), (acc, t) =>
+        acc + when(substring(md5(t), i + 1, 1).isin(hi: _*), 1).otherwise(-1))
+      when(votes >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

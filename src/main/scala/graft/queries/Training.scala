@@ -1,0 +1,71 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline query surface: text analysis, deduplication,
+  * similarity search, multimodal plumbing — over the `documents` and
+  * `embeddings` tables. Every query has a DuckDB oracle
+  * ([[TrainingOracles]]) built on the same deterministic hash/quantize
+  * semantics (md5 strings, integer-quantized embeddings).
+  */
+object Training {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String): DataFrame = Tables.embeddings(s, d)
+
+  /** Token counting + quality scoring battery. */
+  val tTextStats: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      TextOps.nTokens(col("text")).as("n_tokens"),
+      TextOps.bpeishCount(col("text")).as("n_bpeish"),
+      TextOps.avgWordLen(col("text")).as("avg_word_len"),
+      TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextOps.punctRatio(col("text")).as("punct_ratio"),
+      TextOps.qualityScore(col("text")).as("quality_score"))
+
+  /** Stopword-heuristic language ID vs the labeled column. */
+  val tLangid: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      TextOps.langId(col("text")).as("pred_lang"),
+      (TextOps.langId(col("text")) === col("lang")).as("lang_match"))
+
+  /** Normalized-content fingerprint. */
+  val tFingerprint: Q = (s, d) =>
+    docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+
+  val dExact: Q = (s, d) => Dedup.exactGroups(docs(s, d))
+  val dMinhash: Q = (s, d) => Dedup.minhashSignatures(docs(s, d))
+  val dLshPairs: Q = (s, d) => Dedup.lshCandidatePairs(docs(s, d))
+  val dJaccard: Q = (s, d) => Dedup.jaccardOnCandidates(docs(s, d))
+  val dSimhash: Q = (s, d) => Dedup.simhashes(docs(s, d))
+
+  val sBruteTopk: Q = (s, d) => Similarity.bruteTopK(emb(s, d), 5)
+  val sBucketTopk: Q = (s, d) => Similarity.bucketedTopK(emb(s, d), 3)
+  val sNearDups: Q = (s, d) => Similarity.cosineNearDups(emb(s, d), 0.95)
+
+  val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
+  val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
+
+  val all: Map[String, Q] = Map(
+    "t_text_stats" -> tTextStats,
+    "t_langid" -> tLangid,
+    "t_fingerprint" -> tFingerprint,
+    "d_exact" -> dExact,
+    "d_minhash" -> dMinhash,
+    "d_lsh_pairs" -> dLshPairs,
+    "d_jaccard" -> dJaccard,
+    "d_simhash" -> dSimhash,
+    "s_brute_topk" -> sBruteTopk,
+    "s_bucket_topk" -> sBucketTopk,
+    "s_near_dups" -> sNearDups,
+    "m_decode" -> mDecode,
+    "m_frames" -> mFrames,
+  )
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.operators.TextOps
+
+/** DuckDB oracles for [[Training]] — list-function mirrors of the Spark
+  * HOF expressions. Shared semantics that make this possible:
+  *  - tokenization = lower → strip non-[a-z0-9 ] → split on spaces;
+  *  - all hashing is md5 hex (lexicographic min of fixed-width hex ==
+  *    128-bit minhash in both engines);
+  *  - embeddings are quantized to integer-valued doubles before any
+  *    arithmetic, so sums are exact and order-insensitive.
+  */
+object TrainingOracles {
+
+  /** Token list of `text` (keep in lockstep with TextOps.tokens). */
+  private val Toks =
+    """list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')"""
+
+  private def stopIn(lang: String): String =
+    TextOps.Stop(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def hits(lang: String): String =
+    s"len(list_filter(toks, t -> t IN ${stopIn(lang)}))"
+
+  /** doc_id + toks CTE over documents. */
+  private val TokCte =
+    s"WITH tok AS (SELECT doc_id, text, lang, $Toks AS toks FROM documents)"
+
+  /** 3-shingle list over toks (callers filter len(toks) >= 3). */
+  private val Shingles =
+    "list_transform(range(0, len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])"
+
+  private def minhash(salt: Int): String =
+    s"list_min(list_transform(sh, s -> md5('$salt:' || s)))"
+
+  /** Signature CTE: doc_id, sig0..sig3 (docs with >= 3 tokens). */
+  private val SigCte =
+    s"""$TokCte,
+       |shi AS (SELECT doc_id, $Shingles AS sh FROM tok WHERE len(toks) >= 3),
+       |sig AS (SELECT doc_id, ${minhash(0)} AS sig0, ${minhash(1)} AS sig1,
+       |               ${minhash(2)} AS sig2, ${minhash(3)} AS sig3 FROM shi)""".stripMargin
+
+  /** Quantized-embedding CTE: vec_id, qv, n2, bucket. */
+  private val EmbCte =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, qv,
+      |    list_sum(list_transform(qv, x -> x * x)) AS n2,
+      |""".stripMargin +
+      (1 to 8).map(i => s"CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END")
+        .mkString("    ", " || ", " AS bucket\n") +
+      "  FROM q)"
+
+  private val CosAB =
+    "floor(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) / 1000000"
+
+  private val simhashSum = (0 until 16).map { i =>
+    s"CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN substr(md5(t), ${i + 1}, 1) IN " +
+      s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0 THEN ${1L << i} ELSE 0 END"
+  }.mkString(" + ")
+
+  val all: Map[String, String] = Map(
+    "t_text_stats" ->
+      s"""$TokCte
+         |SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpeish,
+         |  floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) * 10000) / 10000 AS avg_word_len,
+         |  floor(CAST(${hits("en")} AS DOUBLE) / len(toks) * 10000) / 10000 AS stopword_ratio,
+         |  floor(CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) * 10000) / 10000 AS punct_ratio,
+         |  floor((0.4 * (CAST(${hits("en")} AS DOUBLE) / len(toks))
+         |      + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |      + 0.3 * (1.0 - CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))) * 10000) / 10000 AS quality_score
+         |FROM tok""".stripMargin,
+
+    "t_langid" ->
+      s"""$TokCte,
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |         WHEN ${hits("en")} >= ${hits("de")} AND ${hits("en")} >= ${hits("fr")} AND ${hits("en")} >= ${hits("es")} THEN 'en'
+         |         WHEN ${hits("de")} >= ${hits("fr")} AND ${hits("de")} >= ${hits("es")} THEN 'de'
+         |         WHEN ${hits("fr")} >= ${hits("es")} THEN 'fr'
+         |         ELSE 'es' END AS pred_lang
+         |  FROM tok)
+         |SELECT doc_id, pred_lang, pred_lang = lang AS lang_match FROM scored""".stripMargin,
+
+    "t_fingerprint" ->
+      s"""$TokCte
+         |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint FROM tok""".stripMargin,
+
+    "d_exact" ->
+      s"""$TokCte
+         |SELECT md5(array_to_string(toks, ' ')) AS fingerprint,
+         |  min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+         |FROM tok GROUP BY 1""".stripMargin,
+
+    "d_minhash" ->
+      s"""$SigCte
+         |SELECT doc_id, sig0, sig1, sig2, sig3 FROM sig""".stripMargin,
+
+    "d_lsh_pairs" ->
+      s"""$SigCte,
+         |bands AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
+
+    "d_jaccard" ->
+      s"""$SigCte,
+         |bands AS (SELECT doc_id, unnest([sig0, sig1, sig2, sig3]) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |shset AS (SELECT doc_id, list_distinct(sh) AS ss FROM shi)
+         |SELECT doc_a, doc_b,
+         |  floor(CAST(len(list_filter(x.ss, e -> list_contains(y.ss, e))) AS DOUBLE)
+         |        / (len(x.ss) + len(y.ss) - len(list_filter(x.ss, e -> list_contains(y.ss, e))) * 1.0) * 10000) / 10000 AS jaccard
+         |FROM pairs JOIN shset x ON x.doc_id = doc_a JOIN shset y ON y.doc_id = doc_b""".stripMargin,
+
+    "d_simhash" ->
+      s"""$TokCte
+         |SELECT doc_id, $simhashSum AS simhash16 FROM tok""".stripMargin,
+
+    "s_brute_topk" ->
+      s"""$EmbCte
+         |SELECT q_id, rank, c_id, cos FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $CosAB AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rank <= 5""".stripMargin,
+
+    "s_bucket_topk" ->
+      s"""$EmbCte
+         |SELECT q_id, rank, c_id, cos FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $CosAB AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
+         |  FROM n a JOIN n b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rank <= 3""".stripMargin,
+
+    "s_near_dups" ->
+      s"""$EmbCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $CosAB AS cos
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE $CosAB >= 0.95""".stripMargin,
+
+    "m_decode" ->
+      """SELECT doc_id,
+        |  CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
+        |  CAST(64 + strlen(text) % 256 AS INT) AS width,
+        |  CAST(64 + (7 * strlen(text)) % 256 AS INT) AS height,
+        |  strlen(text) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "m_frames" ->
+      """SELECT doc_id, frame_idx, frame_idx * 1000 // n_frames AS frame_ts_ms
+        |FROM (SELECT doc_id, 1 + strlen(text) % 5 AS n_frames,
+        |        unnest(range(0, 1 + strlen(text) % 5)) AS frame_idx
+        |      FROM documents) t""".stripMargin,
+  )
+}
