@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.SplitBatch
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Packer semantics (reference `SplitBatch.scala:40-74` behaviors,
+  * re-derived): greedy in order, per-batch cap includes envelope + join
+  * bytes, irreducible elements flagged -1. */
+class SplitBatchSpec extends AnyFunSuite {
+
+  test("everything fits in one batch") {
+    assert(SplitBatch.pack(IndexedSeq(10L, 10L, 10L), base = 10, join = 1, max = 50)
+      === IndexedSeq(0, 0, 0))
+  }
+
+  test("greedy split opens a new batch when the cap would be exceeded") {
+    // base 10 + 30 + 1 + 30 = 71 > 70 → second element starts batch 1
+    assert(SplitBatch.pack(IndexedSeq(30L, 30L, 30L), base = 10, join = 1, max = 70)
+      === IndexedSeq(0, 1, 2))
+    // max 71 → two fit, third overflows
+    assert(SplitBatch.pack(IndexedSeq(30L, 30L, 30L), base = 10, join = 1, max = 71)
+      === IndexedSeq(0, 0, 1))
+  }
+
+  test("irreducible element marked -1 without disturbing neighbors") {
+    assert(SplitBatch.pack(IndexedSeq(5L, 100L, 5L), base = 10, join = 1, max = 30)
+      === IndexedSeq(0, -1, 0))
+  }
+
+  test("empty input") {
+    assert(SplitBatch.pack(IndexedSeq.empty, 10, 1, 100) === IndexedSeq.empty)
+  }
+
+  test("properties: caps respected, batches dense, order preserved") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val sizes = IndexedSeq.fill(rnd.nextInt(20))(1L + rnd.nextInt(40))
+      val base = 10L; val join = 1L; val max = 60L
+      val assigned = SplitBatch.pack(sizes, base, join, max)
+      assert(assigned.length === sizes.length)
+      val byBatch = assigned.zip(sizes).filter(_._1 >= 0).groupBy(_._1)
+      // every batch within cap
+      byBatch.foreach { case (_, elems) =>
+        val bytes = base + elems.map(_._2).sum + (elems.size - 1) * join
+        assert(bytes <= max)
+      }
+      // dense ascending batch ids
+      val ids = assigned.filter(_ >= 0)
+      if (ids.nonEmpty) {
+        assert(ids.head === 0)
+        ids.sliding(2).foreach {
+          case Seq(a, b) => assert(b == a || b == a + 1)
+          case _ =>
+        }
+      }
+      // irreducible iff base + size > max
+      assigned.zip(sizes).foreach { case (b, s) =>
+        assert((b == -1) === (base + s > max))
+      }
+    }
+  }
+
+  test("splitTp2 packs the synthetic bodies into ≤2-element batches") {
+    import graft.sources.EventEnvelopeAdapter
+    val env = EventEnvelopeAdapter.envelopes(TestSpark.spark, TestSpark.Sf)
+    val out = SplitBatch.splitTp2(env, 200).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.batch_idx >= 0))
+    val perBatch = out.groupBy(r => (r.event_id, r.batch_idx)).map(_._2.length)
+    assert(perBatch.max <= 2)
+    // 3-element bodies must split
+    val triples = out.groupBy(_.event_id).filter(_._2.length == 3)
+    assert(triples.nonEmpty)
+    triples.foreach { case (_, rows) =>
+      assert(rows.map(_.batch_idx).distinct.length === 2)
+    }
+  }
+}

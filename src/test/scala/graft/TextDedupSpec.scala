@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsOf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("tokenize normalizes case, punctuation, whitespace") {
+    val out = docsOf((1L, "Hello,  World! 42"))
+      .select(TextOps.tokens(col("text")).as("t")).as[Seq[String]].head()
+    assert(out === Seq("hello", "world", "42"))
+  }
+
+  test("language ID picks the dominant stopword language; CJK wins outright") {
+    val d = docsOf(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "le chat et les chiens est un une"),
+      (4L, "el perro y los gatos se que por"),
+      (5L, "spark 数据 processing"),
+    ).select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(d(1L) === "en"); assert(d(2L) === "de"); assert(d(3L) === "fr")
+    assert(d(4L) === "es"); assert(d(5L) === "zh")
+  }
+
+  test("fingerprint is whitespace/punct/case-insensitive") {
+    val fp = docsOf((1L, "Hello,   WORLD!"), (2L, "hello world"), (3L, "other text"))
+      .select(TextOps.fingerprint(col("text")).as("f")).as[String].collect()
+    assert(fp(0) === fp(1))
+    assert(fp(0) !== fp(2))
+  }
+
+  test("exact dedup groups identical normalized docs") {
+    val g = Dedup.exactGroups(docsOf((1L, "a b c"), (2L, "A b, c!"), (3L, "x y z")))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(g === Set((1L, 2L), (3L, 1L))) // (canonical, size)
+  }
+
+  test("identical docs share minhash signatures; LSH pairs them; jaccard = 1") {
+    val d = docsOf(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+      (3L, "seven eight nine ten eleven twelve"))
+    val sigs = Dedup.minhashSignatures(d).collect()
+    val byId = sigs.map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    assert(byId(1L) === byId(2L))
+    assert(byId(1L) !== byId(3L))
+    val pairs = Dedup.lshCandidatePairs(d).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    val j = Dedup.jaccardOnCandidates(d).collect()
+    assert(j.length === 1)
+    assert(j.head.getDouble(2) === 1.0)
+  }
+
+  test("simhash: identical docs equal codes; disjoint docs differ") {
+    val s = Dedup.simhashes(docsOf(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa")))
+      .as[(Long, Long)].collect().toMap
+    assert(s(1L) === s(2L))
+    assert(s(1L) !== s(3L))
+    assert(s.values.forall(v => v >= 0 && v < (1 << 16)))
+  }
+
+  test("quality score is in [0,1] and rewards stopword-rich text") {
+    val q = docsOf(
+      (1L, "the cat and the dog of the house is that for"),
+      (2L, "zzz qqq xxx"))
+      .select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+}
