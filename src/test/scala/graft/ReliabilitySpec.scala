@@ -1,0 +1,86 @@
+package graft
+
+import graft.sinks.{CircuitBreaker, CollectingSink, FailoverSink, RetryPolicy}
+import org.scalatest.funsuite.AnyFunSuite
+
+class ReliabilitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+
+  test("retry backoff stays within [min, max∨last·2/3] and is deterministic per seed") {
+    val p1 = new RetryPolicy(500, 1500, 3, seed = 7)
+    val p2 = new RetryPolicy(500, 1500, 3, seed = 7)
+    val seq1 = (1 to 20).map(_ => p1.nextBackoffMs())
+    val seq2 = (1 to 20).map(_ => p2.nextBackoffMs())
+    assert(seq1 === seq2)
+    var last = 0L
+    seq1.foreach { b =>
+      assert(b >= 500)
+      assert(b <= math.max(1500, last * 2 / 3))
+      last = b
+    }
+  }
+
+  test("circuit breaker: closed → open after maxFailures → halfopen after reset → closed") {
+    var now = 0L
+    val cb = new CircuitBreaker(maxFailures = 3, resetMs = 1000, clock = () => now)
+    assert(cb.allowRequest)
+    (1 to 3).foreach(_ => cb.onFailure())
+    assert(!cb.allowRequest) // open
+    now = 500
+    assert(!cb.allowRequest) // still open
+    now = 1100
+    assert(cb.allowRequest) // half-open probe allowed
+    cb.onFailure() // probe fails → re-open
+    assert(!cb.allowRequest)
+    now = 2500
+    assert(cb.allowRequest)
+    cb.onSuccess()
+    assert(cb.allowRequest)
+  }
+
+  test("failover: transient primary failures retried, then success — fallback untouched") {
+    val primary = new CollectingSink("p", failFirst = 2)
+    val fallback = new CollectingSink("f")
+    val sink = new FailoverSink(primary, fallback,
+      new RetryPolicy(1, 2, maxRetries = 3, seed = 1),
+      new CircuitBreaker(10, 1000), sleeper = _ => ())
+    sink.write(batch, 0L)
+    assert(primary.batches === Seq(0L))
+    assert(fallback.batches.isEmpty)
+  }
+
+  test("failover: primary exhausted → fallback takes the batch") {
+    val primary = new CollectingSink("p", failFirst = 100)
+    val fallback = new CollectingSink("f")
+    val sink = new FailoverSink(primary, fallback,
+      new RetryPolicy(1, 2, maxRetries = 2, seed = 1),
+      new CircuitBreaker(10, 1000), sleeper = _ => ())
+    sink.write(batch, 7L)
+    assert(primary.batches.isEmpty)
+    assert(fallback.batches === Seq(7L))
+  }
+
+  test("failover: both failing rethrows (micro-batch replay semantics)") {
+    val primary = new CollectingSink("p", failFirst = 100)
+    val fallback = new CollectingSink("f", failFirst = 100)
+    val sink = new FailoverSink(primary, fallback,
+      new RetryPolicy(1, 2, maxRetries = 1, seed = 1),
+      new CircuitBreaker(10, 1000), sleeper = _ => ())
+    assertThrows[RuntimeException](sink.write(batch, 1L))
+  }
+
+  test("open breaker skips primary straight to fallback (fast failover R3)") {
+    val primary = new CollectingSink("p", failFirst = 100)
+    val fallback = new CollectingSink("f")
+    val cb = new CircuitBreaker(1, resetMs = 1000000, clock = () => 0L)
+    cb.onFailure() // trip it
+    val sink = new FailoverSink(primary, fallback,
+      new RetryPolicy(1, 2, maxRetries = 5, seed = 1), cb, sleeper = _ => ())
+    sink.write(batch, 3L)
+    assert(fallback.batches === Seq(3L))
+    assert(primary.batches.isEmpty)
+  }
+}

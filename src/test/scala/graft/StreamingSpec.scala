@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{CollectorConfig, CollectorPipeline}
+import graft.sources.EventEnvelopeAdapter
+import graft.streaming.{SessEvent, Sessionize, StreamingCollector, WindowedAgg}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("streaming collector matches batch good/bad outputs") {
+    val cfg = CollectorConfig.testScale
+    val envBatch = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+    val srcDir = tmp("env-src")
+    envBatch.write.mode("overwrite").parquet(srcDir)
+
+    val goodDir = tmp("good"); val badDir = tmp("bad"); val ckpt = tmp("ckpt")
+    val envStream = spark.readStream
+      .schema(envBatch.schema)
+      .option("maxFilesPerTrigger", "2") // force multiple micro-batches
+      .parquet(srcDir)
+    val q = StreamingCollector.start(envStream, cfg, goodDir, badDir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val goodExpected = CollectorPipeline.payloads(envBatch, cfg)
+    val good = spark.read.parquet(goodDir)
+    assert(good.count() === goodExpected.count())
+    assert(good.select("event_id").except(goodExpected.select("event_id")).count() === 0)
+    val badExpected = CollectorPipeline.badRows(envBatch, cfg)
+    val bad = spark.read.parquet(badDir)
+    assert(bad.count() === badExpected.count())
+  }
+
+  test("flatMapGroupsWithState sessionization: gap closes, timeout closes") {
+    val input = MemoryStream[SessEvent](spark)
+    val sessions = Sessionize.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    val t0 = 1700000000000L
+    def ev(u: Long, id: Long, offMin: Long, v: Double) =
+      SessEvent(u, id, new Timestamp(t0 + offMin * 60000), v)
+
+    // batch 1: user 1 has two events 10 min apart (one open session)
+    input.addData(ev(1, 1, 0, 1.0), ev(1, 2, 10, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess").count() === 0) // still open
+
+    // batch 2: user 1 returns after a 90-min gap → session 1 closes by gap;
+    // user 2 far in the future advances the watermark
+    input.addData(ev(1, 3, 100, 5.0), ev(2, 9, 600, 1.0))
+    q.processAllAvailable()
+    // batch 3: push watermark past user 1's open session timeout
+    input.addData(ev(2, 10, 1200, 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess")
+      .select("user_id", "session_id", "n_events", "session_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // session 1 (events 1,2) closed by the gap; session 2 (event 3) by timeout
+    assert(rows.contains((1L, 1L, 2L, 3.0)))
+    assert(rows.contains((1L, 2L, 1L, 5.0)))
+  }
+
+  test("watermarked hourly window matches batch aggregation") {
+    val srcDir = tmp("ev-src")
+    Tables.events(spark, TestSpark.Sf).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val q = WindowedAgg.hourly(stream).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("hourly")
+    val batch = Tables.events(spark, TestSpark.Sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.agg(sum("n")).head().getLong(0) === batch.agg(sum("n")).head().getLong(0))
+  }
+}
