@@ -1,5 +1,11 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Headline bench: one JSON line with per-query wall seconds over
+  * SPARK_GRAFT_SF_DIR. A full untimed warm-up pass precedes the timed
+  * pass so JIT/classloading cost doesn't land on whichever query happens
+  * to run first — the timed numbers measure the plans, not the JVM. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +13,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warm-up: JIT, codegen cache, parquet footer cache
+    queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -25,11 +25,14 @@ object Dedup {
       .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_docs"))
 
   /** Per-doc MinHash signature: 4 salted minhashes over 3-shingles. Docs
-    * with < 3 tokens have no shingles and are dropped (declared domain). */
+    * with < 3 tokens have no shingles and are dropped (declared domain).
+    * Tokens and shingles are materialized as named columns so each is
+    * computed once per row (see TextOps.shinglesOfTokens). */
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs
-      .filter(TextOps.nTokens(col("text")) >= 3)
-      .withColumn("sh", TextOps.shingles(col("text"), 3))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), TextOps.shinglesOfTokens(col("toks"), 3).as("sh"))
       .select(
         col("doc_id") +:
           (0 until 4).map(i => TextOps.minhash(col("sh"), i).as(s"sig$i")): _*)
@@ -68,9 +71,10 @@ object Dedup {
     * stage of the classic MinHash-LSH dedup pipeline. */
   def jaccardOnCandidates(docs: DataFrame): DataFrame = {
     val sh = docs
-      .filter(TextOps.nTokens(col("text")) >= 3)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        array_distinct(TextOps.shingles(col("text"), 3)).as("shset"))
+        array_distinct(TextOps.shinglesOfTokens(col("toks"), 3)).as("shset"))
     looseCandidatePairs(docs)
       .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shset", "sha"), "doc_a")
       .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shset", "shb"), "doc_b")

@@ -97,11 +97,20 @@ object TextOps {
 
   /** Word k-shingles of the normalized text (k consecutive tokens joined
     * by single spaces). Callers must ensure nTokens >= k. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfTokens(tokens(text), k)
+
+  /** Shingles over an already-materialized token array column.
+    *
+    * PERF: pass a *named* token column here, not `tokens(text)` inline.
+    * Each shingle evaluates k `element_at` calls; if the token expression
+    * is inlined, every one of them re-tokenizes the whole document
+    * (k × nShingles tokenizations per row — measured 10× wall-time blowup
+    * at 5k docs). A named column trips CollapseProject's duplication guard
+    * and is computed once per row. */
+  def shinglesOfTokens(t: Column, k: Int): Column =
     transform(sequence(lit(0), size(t) - k), i =>
       concat_ws(" ", (1 to k).map(j => element_at(t, i + j)): _*))
-  }
 
   /** One minhash: lexicographic min of salted md5 over the shingle set.
     * Fixed-width hex strings compare like the underlying 128-bit ints, so
