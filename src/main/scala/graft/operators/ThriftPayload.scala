@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.thrift.protocol.{TBinaryProtocol, TField, TList, TStruct, TType}
+import org.apache.thrift.transport.TMemoryBuffer
+
+/** The 14-field CollectorPayload record (SURVEY §1.2). */
+final case class PayloadRecord(
+    schema: String,
+    ipAddress: String,
+    timestamp: Long,
+    encoding: String,
+    collector: String,
+    userAgent: String,
+    refererUri: String,
+    path: String,
+    querystring: String,
+    body: String,
+    headers: Seq[String],
+    contentType: String,
+    hostname: String,
+    networkUserId: String)
+
+/** One serialized payload: partition key + thrift bytes (the wire shape the
+  * reference hands every sink — `Sink.scala:34`). */
+final case class WirePayload(event_id: Long, partition_key: String, thrift: Array[Byte])
+
+/** P14: Thrift wire serialization of CollectorPayload
+  * (reference `SplitBatch.scala:36-38,82-83` — `TSerializer.serialize`,
+  * TBinaryProtocol). Implemented against libthrift directly with the field
+  * ids of the public collector-payload-1 IDL
+  * (`iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0`):
+  *
+  * | id    | field         | type         |
+  * |-------|---------------|--------------|
+  * | 31337 | schema        | string       |
+  * | 100   | ipAddress     | string       |
+  * | 200   | timestamp     | i64          |
+  * | 210   | encoding      | string       |
+  * | 220   | collector     | string       |
+  * | 300   | userAgent     | string       |
+  * | 310   | refererUri    | string       |
+  * | 320   | path          | string       |
+  * | 330   | querystring   | string       |
+  * | 340   | body          | string       |
+  * | 350   | headers       | list<string> |
+  * | 360   | contentType   | string       |
+  * | 400   | hostname      | string       |
+  * | 410   | networkUserId | string       |
+  *
+  * Wire parity with Snowplow enrich only matters when feeding that
+  * pipeline; gate behind config (SURVEY §7.4.5). Null/absent optional
+  * fields are skipped, as thrift generated code does.
+  */
+object ThriftPayload {
+
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private def writeString(p: TBinaryProtocol, id: Short, v: String): Unit =
+    if (v != null) {
+      p.writeFieldBegin(new TField("", TType.STRING, id))
+      p.writeBinary(java.nio.ByteBuffer.wrap(v.getBytes(UTF_8)))
+      p.writeFieldEnd()
+    }
+
+  /** Serialize one record (declaration order of the IDL). */
+  def serialize(r: PayloadRecord): Array[Byte] = {
+    val buf = new TMemoryBuffer(256)
+    val p = new TBinaryProtocol(buf)
+    p.writeStructBegin(new TStruct("CollectorPayload"))
+    writeString(p, 31337, r.schema)
+    writeString(p, 100, r.ipAddress)
+    p.writeFieldBegin(new TField("", TType.I64, 200))
+    p.writeI64(r.timestamp)
+    p.writeFieldEnd()
+    writeString(p, 210, r.encoding)
+    writeString(p, 220, r.collector)
+    writeString(p, 300, r.userAgent)
+    writeString(p, 310, r.refererUri)
+    writeString(p, 320, r.path)
+    writeString(p, 330, r.querystring)
+    writeString(p, 340, r.body)
+    if (r.headers != null && r.headers.nonEmpty) {
+      p.writeFieldBegin(new TField("", TType.LIST, 350))
+      p.writeListBegin(new TList(TType.STRING, r.headers.size))
+      r.headers.foreach(h => p.writeBinary(java.nio.ByteBuffer.wrap(h.getBytes(UTF_8))))
+      p.writeListEnd()
+      p.writeFieldEnd()
+    }
+    writeString(p, 360, r.contentType)
+    writeString(p, 400, r.hostname)
+    writeString(p, 410, r.networkUserId)
+    p.writeFieldStop()
+    p.writeStructEnd()
+    java.util.Arrays.copyOf(buf.getArray, buf.length)
+  }
+
+  /** Decode (round-trip testing + reading back the wire format). */
+  def deserialize(bytes: Array[Byte]): PayloadRecord = {
+    val t = new TMemoryBuffer(bytes.length)
+    t.write(bytes, 0, bytes.length)
+    val p = new TBinaryProtocol(t)
+    var r = PayloadRecord(null, null, 0L, null, null, null, null, null, null, null, null, null, null, null)
+    def str(): String = {
+      val bb = p.readBinary()
+      new String(bb.array(), bb.position(), bb.remaining(), UTF_8)
+    }
+    p.readStructBegin()
+    var done = false
+    while (!done) {
+      val f = p.readFieldBegin()
+      if (f.`type` == TType.STOP) done = true
+      else {
+        (f.id, f.`type`) match {
+          case (31337, TType.STRING) => r = r.copy(schema = str())
+          case (100, TType.STRING)   => r = r.copy(ipAddress = str())
+          case (200, TType.I64)      => r = r.copy(timestamp = p.readI64())
+          case (210, TType.STRING)   => r = r.copy(encoding = str())
+          case (220, TType.STRING)   => r = r.copy(collector = str())
+          case (300, TType.STRING)   => r = r.copy(userAgent = str())
+          case (310, TType.STRING)   => r = r.copy(refererUri = str())
+          case (320, TType.STRING)   => r = r.copy(path = str())
+          case (330, TType.STRING)   => r = r.copy(querystring = str())
+          case (340, TType.STRING)   => r = r.copy(body = str())
+          case (350, TType.LIST) =>
+            val l = p.readListBegin()
+            r = r.copy(headers = (0 until l.size).map(_ => str()))
+            p.readListEnd()
+          case (360, TType.STRING) => r = r.copy(contentType = str())
+          case (400, TType.STRING) => r = r.copy(hostname = str())
+          case (410, TType.STRING) => r = r.copy(networkUserId = str())
+          case _ => org.apache.thrift.protocol.TProtocolUtil.skip(p, f.`type`)
+        }
+        p.readFieldEnd()
+      }
+    }
+    p.readStructEnd()
+    r
+  }
+
+  /** Payload DataFrame (CollectorPipeline.payloads shape) → wire records.
+    * `mapPartitions` so protocol buffers amortize per partition — the
+    * Spark analog of the reference's thread-local TSerializer. Narrow. */
+  def encode(payloads: DataFrame): Dataset[WirePayload] = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads
+      .select(
+        col("event_id"), col("partition_key"), col("schema_uri"), col("ip"),
+        col("timestamp_ms"), col("encoding"), col("collector"), col("user_agent"),
+        col("referer_uri"), col("path"), col("querystring"), col("body"),
+        split(col("headers_str"), "\\|").as("headers"), col("content_type"),
+        col("hostname"), col("network_userid"))
+      .as[(Long, String, String, String, Long, String, String, String, String,
+        String, String, String, Seq[String], String, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, pk, schema, ip, ts, enc, coll, ua, ref, path, qs,
+            body, headers, ct, host, nuid) =>
+          WirePayload(id, pk, serialize(PayloadRecord(
+            schema, ip, ts, enc, coll, ua, ref, path, qs, body, headers, ct, host, nuid)))
+        }
+      }
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Bridges, CollectorConfig, CollectorPipeline, SplitBatch}
+import graft.operators.{Bridges, CollectorConfig, CollectorPipeline, SplitBatch, ThriftPayload}
 import graft.sources.EventEnvelopeAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -66,6 +66,15 @@ object Collector {
   val cSplitBatches: Q = (s, d) =>
     SplitBatch.splitTp2(env(s, d), CollectorConfig.SplitMaxBytes).toDF()
 
+  /** P14: thrift wire encoding of the good payload stream. No SQL oracle
+    * (binary output) — driver records a rows-only check; byte-level
+    * round-trip is covered by ThriftSpec. */
+  val cThriftWire: Q = (s, d) =>
+    ThriftPayload.encode(CollectorPipeline.payloads(env(s, d), cfg))
+      .toDF()
+      .select(col("event_id"), col("partition_key"),
+        length(col("thrift")).as("thrift_bytes"))
+
   val all: Map[String, Q] = Map(
     "c_envelopes" -> cEnvelopes,
     "c_payload" -> cPayload,
@@ -77,5 +86,6 @@ object Collector {
     "c_tp2_events" -> cTp2Events,
     "c_amplitude" -> cAmplitude,
     "c_split_batches" -> cSplitBatches,
+    "c_thrift_wire" -> cThriftWire,
   )
 }

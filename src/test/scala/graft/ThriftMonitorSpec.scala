@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.{CollectorConfig, CollectorPipeline, PayloadRecord, ThriftPayload}
+import graft.sources.EventEnvelopeAdapter
+import graft.streaming.PipelineMonitor
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ThriftMonitorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val full = PayloadRecord(
+    schema = "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0",
+    ipAddress = "10.1.0.2", timestamp = 1700000000123L, encoding = "UTF-8",
+    collector = "graft-0.1.0-spark", userAgent = "UA/1.0",
+    refererUri = "https://r.example.com/x", path = "/com.snowplowanalytics.snowplow/tp2",
+    querystring = "e=pv&aid=app1", body = "{\"schema\":\"x\",\"data\":[]}",
+    headers = Seq("Host: h.example.com", "User-Agent: UA/1.0"),
+    contentType = "application/json", hostname = "h.example.com",
+    networkUserId = "00000000-0000-0000-0000-000000000000")
+
+  test("thrift round-trip preserves every field") {
+    val bytes = ThriftPayload.serialize(full)
+    assert(bytes.nonEmpty)
+    assert(ThriftPayload.deserialize(bytes) === full)
+  }
+
+  test("thrift skips null optionals, keeps required") {
+    val sparse = full.copy(userAgent = null, refererUri = null, body = null,
+      contentType = null, headers = Seq.empty)
+    val out = ThriftPayload.deserialize(ThriftPayload.serialize(sparse))
+    assert(out.userAgent === null)
+    assert(out.headers === null) // empty list not written
+    assert(out.timestamp === full.timestamp)
+    assert(out.schema === full.schema)
+    // sparse record strictly smaller on the wire
+    assert(ThriftPayload.serialize(sparse).length < ThriftPayload.serialize(full).length)
+  }
+
+  test("pipeline payloads encode and decode consistently") {
+    val cfg = CollectorConfig.testScale
+    val payloads = CollectorPipeline.payloads(
+      EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf), cfg)
+    val wire = ThriftPayload.encode(payloads)
+    val first = wire.head()
+    val decoded = ThriftPayload.deserialize(first.thrift)
+    val row = payloads.filter(col("event_id") === first.event_id).head()
+    assert(decoded.ipAddress === row.getAs[String]("ip"))
+    assert(decoded.timestamp === row.getAs[Long]("timestamp_ms"))
+    assert(decoded.networkUserId === row.getAs[String]("network_userid"))
+    assert(decoded.hostname === row.getAs[String]("hostname"))
+    assert(wire.count() === payloads.count())
+  }
+
+  test("PipelineMonitor tracks progress and health of a streaming query") {
+    val mon = new PipelineMonitor
+    spark.streams.addListener(mon)
+    try {
+      val src = java.nio.file.Files.createTempDirectory("mon-src").toString
+      val dst = java.nio.file.Files.createTempDirectory("mon-dst").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("mon-ckpt").toString
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(src)
+      val q = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .queryName("mon-test")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", dst).start()
+      q.awaitTermination(60000)
+      // listener delivery is async
+      spark.streams.awaitAnyTermination(1)
+      Thread.sleep(500)
+      assert(mon.healthy)
+      val snap = mon.snapshot
+      assert(snap.contains("mon-test"))
+      assert(snap("mon-test").numInputRows === 2)
+    } finally spark.streams.removeListener(mon)
+  }
+}
