@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native functions
+  * for SQL use (`SELECT graft_dot(a.embedding, b.embedding) ...`).
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(args.head, args(1))
+      }))
+}

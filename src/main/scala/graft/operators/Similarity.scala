@@ -25,9 +25,11 @@ object Similarity {
   def quantized(e: Column): Column =
     transform(e, x => round(x.cast("double") * 1000))
 
-  /** Exact dot product of two quantized vectors. */
+  /** Exact dot product of two quantized vectors — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (allocation-free loop;
+    * identical summation order to the HOF formulation it replaces). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot(a, b)
 
   /** Cosine similarity of quantized vectors, 6 decimals (truncated —
     * see TextOps.trunc for why not round()). */
