@@ -216,6 +216,47 @@ object Relational {
       .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
   }
 
+  /** CUBE over nation × segment (all four grouping combinations). */
+  val qCube: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val nat = Tables.nation(s, d)
+    cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
+  /** GROUPING SETS via the SQL surface (DataFrame API has cube/rollup
+    * only) — also exercises spark.sql + temp views. */
+  val qGroupingSets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)
+  }
+
+  /** Exact interpolated percentiles per priority class. Quantile points
+    * are binary-exact (k/4) and values are integer cents, so the linear
+    * interpolation is exact in both engines regardless of the formula's
+    * association (SURVEY §8.8 cross-engine float rules). */
+  val qPercentiles: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("cents", (dec(col("o_totalprice")) * 100).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(cents, 0.25)").as("p25"),
+        expr("percentile(cents, 0.5)").as("p50"),
+        expr("percentile(cents, 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+
+  /** HLL approximate distinct (no value oracle — estimates are
+    * implementation-specific; driver records a rows-only check and
+    * RelationalSpec asserts a 5% error bound vs exact). */
+  val qApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+
   /** Correlated-aggregate pattern: orders above their customer's average. */
   val qAboveAvg: Q = (s, d) => {
     val ord = Tables.orders(s, d)
@@ -243,5 +284,9 @@ object Relational {
     "q_scalar_fns" -> qScalarFns,
     "q_asof_join" -> qAsofJoin,
     "q_above_avg" -> qAboveAvg,
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_percentiles" -> qPercentiles,
+    "q_approx_distinct" -> qApproxDistinct,
   )
 }

@@ -141,6 +141,27 @@ object RelationalOracles {
         |  FROM merged)
         |SELECT event_id, k AS user_id, asof_orderkey FROM marked WHERE side = 1""".stripMargin,
 
+    "q_cube" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(cents, 0.25) AS p25,
+        |  quantile_cont(cents, 0.5) AS p50,
+        |  quantile_cont(cents, 0.75) AS p75,
+        |  count(*) AS n
+        |FROM (SELECT o_orderpriority,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders) t
+        |GROUP BY 1""".stripMargin,
+
     "q_above_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
