@@ -12,6 +12,7 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.chunkBase64String.enabled", "false")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -47,6 +47,62 @@ object Bridges {
         col("ev.aid").as("aid"),
         col("ev.p.k").as("k"))
 
+  /** Subset schema of a Segment analytics.js body (P10) — only the fields
+    * the bridge projects; the full body rides along as the ue_px payload. */
+  val AnalyticsJsBodySchema: StructType = StructType(Seq(
+    StructField("type", StringType),
+    StructField("userId", StringType),
+    StructField("properties", StructType(Seq(
+      StructField("url", StringType), StructField("page", StringType)))),
+    StructField("context", StructType(Seq(
+      StructField("locale", StringType),
+      StructField("timezone", StringType),
+      StructField("library", StructType(Seq(StructField("version", StringType)))))))))
+
+  /** Event-type → Iglu schema table (reference
+    * `AnalyticsJsBridge.scala:96-103`). */
+  val AnalyticsJsSchemas: Map[String, String] = Map(
+    "page" -> "iglu:com.segment/page/jsonschema/2-0-0",
+    "identify" -> "iglu:com.segment/identify/jsonschema/1-0-0",
+    "track" -> "iglu:com.segment/track/jsonschema/1-0-0",
+    "group" -> "iglu:com.segment/group/jsonschema/2-0-0",
+    "alias" -> "iglu:com.segment/alias/jsonschema/2-0-0",
+    "screen" -> "iglu:com.segment/screen/jsonschema/2-0-0")
+
+  /** P10: Segment analytics.js event → Snowplow tracker payload fields
+    * (reference `AnalyticsJsBridge.scala:88-169`): wrap the original body
+    * in an unstruct_event envelope, base64 it into `ue_px`, and project
+    * url/page/locale/timezone/userId/anonymousId onto tracker params.
+    * Expects columns: `body` (segment JSON), `network_userid`,
+    * `ajs_user_id`/`ajs_anonymous_id` (nullable cookie values).
+    * Pure column ops: from_json + map lookup + concat + base64. */
+  def analyticsJsEvents(segment: DataFrame): DataFrame = {
+    val schemaMap = typedLit(AnalyticsJsSchemas)
+    segment
+      .withColumn("p", from_json(col("body"), AnalyticsJsBodySchema))
+      .withColumn("event_schema", element_at(schemaMap, col("p.type")))
+      .filter(col("event_schema").isNotNull &&
+        col("p.context.library.version").isNotNull) // tv is required
+      .withColumn("ue_json", concat(
+        lit("{\"schema\":\"iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0\"," +
+          "\"data\":{\"schema\":\""),
+        col("event_schema"),
+        lit("\",\"data\":"), col("body"), lit("}}")))
+      .select(
+        lit("ajs_bridge").as("aid"),
+        lit("ue").as("e"),
+        col("p.context.library.version").as("tv"),
+        lit("web").as("p"),
+        base64(col("ue_json").cast("binary")).as("ue_px"),
+        col("network_userid").as("tnuid"),
+        col("p.properties.url").as("url"),
+        col("p.properties.page").as("page"),
+        col("p.context.locale").as("lang"),
+        col("p.context.timezone").as("tz"),
+        coalesce(col("ajs_user_id"), col("p.userId")).as("uid"),
+        col("ajs_anonymous_id").as("duid"))
+  }
+
   /** P11-P13: Amplitude batch → per-event rows with the `$remote` IP
     * substitution (P12). `events_ingested` for the bridge response is just
     * `count(*)` grouped by request. */

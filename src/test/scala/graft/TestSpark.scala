@@ -10,6 +10,7 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.chunkBase64String.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", "4")
