@@ -70,6 +70,18 @@ class TextDedupSpec extends AnyFunSuite {
     assert(s.values.forall(v => v >= 0 && v < (1 << 16)))
   }
 
+  test("fused MinhashSigs kernel equals the composable HOF formulation") {
+    val docs = Tables.documents(spark, TestSpark.Sf).limit(100)
+    val fused = Dedup.minhashSignatures(docs)
+    val composable = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), TextOps.shinglesOfTokens(col("toks"), 3).as("sh"))
+      .select(col("doc_id") +: (0 until 4).map(i => TextOps.minhash(col("sh"), i).as(s"sig$i")): _*)
+    assert(fused.count() === composable.count())
+    assert(fused.except(composable).count() === 0)
+  }
+
   test("quality score is in [0,1] and rewards stopword-rich text") {
     val q = docsOf(
       (1L, "the cat and the dog of the house is that for"),
