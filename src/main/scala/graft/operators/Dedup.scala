@@ -41,11 +41,14 @@ object Dedup {
     * concatenated minhashes, r=2 b=2); docs sharing any band key become a
     * candidate pair. The self-join shuffles on the band key only. */
   def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    // the band relation feeds both sides of the self-join: materialize it
+    // once (production at scale would persist signatures to a table)
     val bands = minhashSignatures(docs)
       .select(col("doc_id"),
         explode(array(
           md5(concat(col("sig0"), col("sig1"))),
           md5(concat(col("sig2"), col("sig3"))))).as("band"))
+      .persist()
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
@@ -59,6 +62,7 @@ object Dedup {
     val sigs = minhashSignatures(docs)
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until 4).map(i => col(s"sig$i")): _*)).as("band"))
+      .persist()
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))

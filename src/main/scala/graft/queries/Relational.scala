@@ -216,6 +216,32 @@ object Relational {
       .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
   }
 
+  /** RANGE frame: per-user trailing-hour event value (exact integer
+    * cents — bounded-frame double sums associate differently across
+    * engines, integers don't care). */
+  val qRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, 0)
+    Tables.events(s, d)
+      .withColumn("cents", (col("value") * 100).cast("long"))
+      .withColumn("trailing_hour_cents", sum("cents").over(w))
+      .select("user_id", "event_id", "trailing_hour_cents")
+  }
+
+  /** first/last/nth over the full partition frame. */
+  val qFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(
+        col("user_id"), col("event_id"),
+        first("event_id").over(w).as("first_ev"),
+        last("event_id").over(w).as("last_ev"),
+        nth_value(col("event_id"), 2).over(w).as("second_ev"))
+  }
+
   /** CUBE over nation × segment (all four grouping combinations). */
   val qCube: Q = (s, d) => {
     val cust = Tables.customer(s, d)
@@ -284,6 +310,8 @@ object Relational {
     "q_scalar_fns" -> qScalarFns,
     "q_asof_join" -> qAsofJoin,
     "q_above_avg" -> qAboveAvg,
+    "q_range_frame" -> qRangeFrame,
+    "q_first_last" -> qFirstLast,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
     "q_percentiles" -> qPercentiles,

@@ -141,6 +141,22 @@ object RelationalOracles {
         |  FROM merged)
         |SELECT event_id, k AS user_id, asof_orderkey FROM marked WHERE side = 1""".stripMargin,
 
+    "q_range_frame" ->
+      """SELECT user_id, event_id,
+        |  sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_hour_cents
+        |FROM events""".stripMargin,
+
+    "q_first_last" ->
+      """SELECT user_id, event_id,
+        |  first_value(event_id) OVER w AS first_ev,
+        |  last_value(event_id) OVER w AS last_ev,
+        |  nth_value(event_id, 2) OVER w AS second_ev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
     "q_cube" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

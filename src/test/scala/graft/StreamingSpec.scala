@@ -73,6 +73,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, 2L, 1L, 5.0)))
   }
 
+  test("kafka frame decode round-trips the envelope columns") {
+    val env = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+    val frames = env.select(to_json(struct(env.columns.map(col): _*)).cast("binary").as("value"))
+    val decoded = graft.sources.KafkaEnvelopeSource.decodeFrames(frames)
+    assert(decoded.schema === graft.sources.KafkaEnvelopeSource.EnvelopeSchema)
+    assert(decoded.count() === env.count())
+    assert(decoded.select("event_id", "path", "querystring")
+      .except(env.select("event_id", "path", "querystring")).count() === 0)
+  }
+
   test("watermarked hourly window matches batch aggregation") {
     val srcDir = tmp("ev-src")
     Tables.events(spark, TestSpark.Sf).write.mode("overwrite").parquet(srcDir)
