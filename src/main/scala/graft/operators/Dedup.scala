@@ -93,4 +93,32 @@ object Dedup {
     * codes are dedup candidates via one exact groupBy. */
   def simhashes(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash16"))
+
+  /** Content-defined chunking (rolling-hash fingerprinting): a chunk
+    * boundary opens wherever the hash of the 4-token window starting at a
+    * position falls in the low 1/8 of hash space ('0'/'1' leading hex).
+    * Because boundaries depend on *content*, an insertion early in a doc
+    * shifts chunk ids but not chunk fingerprints — downstream exact-dedup
+    * on `chunk_fp` finds shared runs between near-identical docs, which
+    * whole-document hashing cannot. One explode + one window + one
+    * groupBy; shuffles on (doc_id) only. */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .withColumn("whash", md5(array_join(slice(col("toks"), col("pos") + 1, lit(4)), " ")))
+      .withColumn("boundary",
+        when(col("pos") > 0 && substring(col("whash"), 1, 1).isin("0", "1"), 1).otherwise(0))
+      .withColumn("chunk_id", sum("boundary").over(w))
+      .groupBy("doc_id", "chunk_id")
+      .agg(
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))), s => s("tok")),
+          " ")).as("chunk_fp"),
+        count(lit(1)).as("n_tokens"))
+  }
 }

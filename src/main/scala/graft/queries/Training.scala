@@ -45,6 +45,7 @@ object Training {
   val dLshPairs: Q = (s, d) => Dedup.lshCandidatePairs(docs(s, d))
   val dJaccard: Q = (s, d) => Dedup.jaccardOnCandidates(docs(s, d))
   val dSimhash: Q = (s, d) => Dedup.simhashes(docs(s, d))
+  val dCdcChunks: Q = (s, d) => Dedup.cdcChunks(docs(s, d))
 
   val sBruteTopk: Q = (s, d) => Similarity.bruteTopK(emb(s, d), 5)
   val sBucketTopk: Q = (s, d) => Similarity.bucketedTopK(emb(s, d), 3)
@@ -62,6 +63,7 @@ object Training {
     "d_lsh_pairs" -> dLshPairs,
     "d_jaccard" -> dJaccard,
     "d_simhash" -> dSimhash,
+    "d_cdc_chunks" -> dCdcChunks,
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,
     "s_near_dups" -> sNearDups,

@@ -124,6 +124,30 @@ object TrainingOracles {
       s"""$TokCte
          |SELECT doc_id, $simhashSum AS simhash16 FROM tok""".stripMargin,
 
+    "d_cdc_chunks" ->
+      s"""$TokCte,
+         |pos AS (
+         |  SELECT doc_id, toks, unnest(list_transform(range(0, len(toks)),
+         |    i -> {'p': i, 'tok': toks[i+1]})) AS u
+         |  FROM tok WHERE len(toks) >= 1),
+         |flat AS (
+         |  SELECT doc_id, u.p AS pos, u.tok AS tok,
+         |    md5(array_to_string(toks[u.p+1 : u.p+4], ' ')) AS whash
+         |  FROM pos),
+         |marked AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN pos > 0 AND substr(whash, 1, 1) IN ('0','1') THEN 1 ELSE 0 END AS boundary
+         |  FROM flat),
+         |chunked AS (
+         |  SELECT doc_id, pos, tok,
+         |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+         |                        ROWS UNBOUNDED PRECEDING) AS chunk_id
+         |  FROM marked)
+         |SELECT doc_id, chunk_id,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+         |  count(*) AS n_tokens
+         |FROM chunked GROUP BY doc_id, chunk_id""".stripMargin,
+
     "s_brute_topk" ->
       s"""$EmbCte
          |SELECT q_id, rank, c_id, cos FROM (

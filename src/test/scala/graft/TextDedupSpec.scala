@@ -82,6 +82,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fused.except(composable).count() === 0)
   }
 
+  test("CDC chunking: early insertion still shares later chunk fingerprints") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val edited = "inserted words here " + base
+    val chunks = Dedup.cdcChunks(docsOf((1L, base), (2L, edited)))
+      .collect().map(r => (r.getLong(0), r.getString(2))).groupBy(_._1)
+    val fp1 = chunks(1L).map(_._2).toSet
+    val fp2 = chunks(2L).map(_._2).toSet
+    // the tail of the document is chunked identically despite the shift
+    assert((fp1 intersect fp2).nonEmpty)
+    // but the documents are not identical
+    assert(fp1 !== fp2)
+  }
+
   test("quality score is in [0,1] and rewards stopword-rich text") {
     val q = docsOf(
       (1L, "the cat and the dog of the house is that for"),
