@@ -41,10 +41,14 @@ object Similarity {
     concat((1 to 8).map(i =>
       when(element_at(e, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
-  private def prepared(embeddings: DataFrame): DataFrame =
-    embeddings
-      .select(col("vec_id"), quantized(col("embedding")).as("q"))
+  private def prepared(embeddings: DataFrame): DataFrame = {
+    val withLabel =
+      if (embeddings.columns.contains("label")) embeddings
+      else embeddings.withColumn("label", lit(0)) // single IVF seed cell
+    withLabel
+      .select(col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
       .withColumn("n2", dot(col("q"), col("q")))
+  }
 
   /** Brute-force cosine top-k: every ~97th vector queries the whole
     * corpus. Query side broadcast; ranking ties broken by candidate id. */
@@ -77,6 +81,56 @@ object Similarity {
       .orderBy(col("cos").desc, col("c_id").asc)
     corpus
       .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        cosine(col("qq"), col("q"), col("qn2"), col("n2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
+  /** IVF coarse centroids: element-wise mean per seed cell (the `label`
+    * column seeds the partition, as k-means iterations would). Sums of
+    * integer-valued doubles are exact, so the centroid vectors — and
+    * everything derived from them — are bit-identical across engines. */
+  def centroids(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("label").as("c_label"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("c_label", "i")
+      .agg((sum("x") / count(lit(1))).as("c"))
+      .groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s("c")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+
+  /** Assign every vector to its nearest centroid (min ||v-c||², i.e. min
+    * of cn2 - 2·v·c since ||v||² is constant per vector; ties break by
+    * cell id). The centroid table is tiny → broadcast; one narrow pass. */
+  def assignCells(corpus: DataFrame): DataFrame = {
+    val cents = centroids(corpus)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").asc, col("c_label").asc)
+    corpus
+      .crossJoin(broadcast(cents))
+      .withColumn("score", col("cn2") - lit(2) * dot(col("q"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("n2"), col("c_label").as("cell"))
+  }
+
+  /** IVF top-k (nprobe=1): queries search only their own centroid cell —
+    * the classic inverted-file ANN layout. At 100 TB the cells are the
+    * partition keys of the index table; a probe reads one partition. */
+  def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val cells = assignCells(prepared(embeddings))
+    val queries = cells
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("n2").as("qn2"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    cells
+      .join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
         cosine(col("qq"), col("q"), col("qn2"), col("n2")).as("cos"))

@@ -50,6 +50,7 @@ object Training {
   val sBruteTopk: Q = (s, d) => Similarity.bruteTopK(emb(s, d), 5)
   val sBucketTopk: Q = (s, d) => Similarity.bucketedTopK(emb(s, d), 3)
   val sNearDups: Q = (s, d) => Similarity.cosineNearDups(emb(s, d), 0.95)
+  val sIvfTopk: Q = (s, d) => Similarity.ivfTopK(emb(s, d), 3)
 
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
@@ -67,6 +68,7 @@ object Training {
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,
     "s_near_dups" -> sNearDups,
+    "s_ivf_topk" -> sIvfTopk,
     "m_decode" -> mDecode,
     "m_frames" -> mFrames,
   )

@@ -40,14 +40,14 @@ object TrainingOracles {
        |sig AS (SELECT doc_id, ${minhash(0)} AS sig0, ${minhash(1)} AS sig1,
        |               ${minhash(2)} AS sig2, ${minhash(3)} AS sig3 FROM shi)""".stripMargin
 
-  /** Quantized-embedding CTE: vec_id, qv, n2, bucket. */
+  /** Quantized-embedding CTE: vec_id, label, qv, n2, bucket. */
   private val EmbCte =
     """WITH q AS (
-      |  SELECT vec_id,
+      |  SELECT vec_id, label,
       |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
       |  FROM embeddings),
       |n AS (
-      |  SELECT vec_id, qv,
+      |  SELECT vec_id, label, qv,
       |    list_sum(list_transform(qv, x -> x * x)) AS n2,
       |""".stripMargin +
       (1 to 8).map(i => s"CASE WHEN qv[$i] >= 0 THEN '1' ELSE '0' END")
@@ -171,6 +171,31 @@ object TrainingOracles {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $CosAB AS cos
          |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE $CosAB >= 0.95""".stripMargin,
+
+    "s_ivf_topk" ->
+      s"""$EmbCte,
+         |dims AS (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM n),
+         |cent AS (SELECT label AS c_label, i, sum(qv[i]) / count(*) AS c
+         |         FROM dims GROUP BY 1, 2),
+         |centv AS (SELECT c_label, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
+         |centn AS (SELECT c_label, cv,
+         |            list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM centv),
+         |scored AS (
+         |  SELECT n.vec_id, n.qv, n.n2, c.c_label,
+         |    c.cn2 - 2 * list_sum(list_transform(range(1, len(n.qv) + 1),
+         |                                        i -> n.qv[i] * c.cv[i])) AS score
+         |  FROM n, centn c),
+         |cells AS (
+         |  SELECT vec_id, qv, n2, c_label AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY score ASC, c_label ASC) AS rn
+         |    FROM scored) t WHERE rn = 1)
+         |SELECT q_id, rank, c_id, cos FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $CosAB AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rank <= 3""".stripMargin,
 
     "m_decode" ->
       """SELECT doc_id,
