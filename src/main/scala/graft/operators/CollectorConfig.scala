@@ -33,6 +33,8 @@ final case class CollectorConfig(
     redirectDomains: Set[String] = Set("example.com"),
     maxBytes: Int = 1000000,
     useIpAsPartitionKey: Boolean = true,
+    bounceEnabled: Boolean = false,
+    bounceParamName: String = "n",
 ) {
   def collectorName: String = s"$appName-$appVersion-$sinkName"
 }
@@ -61,4 +63,7 @@ object CollectorConfig {
   /** maxBytes for the split-batch query surface: 2 tracker elements per
     * sub-batch at the synthetic element sizes. */
   val SplitMaxBytes = 200
+
+  /** testScale with cookie-bounce tracking on (F2 query surface). */
+  val bounceScale: CollectorConfig = testScale.copy(bounceEnabled = true)
 }

@@ -105,6 +105,28 @@ object CollectorPipeline {
         (!anon || (!h.startsWith("X-Forwarded-For:") &&
           !h.startsWith("X-Real-Ip:") && !h.startsWith("Cookie:"))))
 
+  /** F2: cookie-bounce suppression — a fresh user (no nuid source) on a
+    * pixel route gets a 302-to-self with the bounce param instead of
+    * being stored; the bounced request (param present) is stored
+    * (reference `CollectorService.scala:134-141,437-464`). Disabled
+    * config ⇒ constant false (folds away in codegen). */
+  def bounceSuppressed(cfg: CollectorConfig): Column =
+    if (!cfg.bounceEnabled) lit(false)
+    else !anon && qsValid(col("querystring")) &&
+      qp(col("querystring"), "nuid").isNull && col("cookie_sp").isNull &&
+      qp(col("querystring"), cfg.bounceParamName).isNull && isPixel
+
+  /** F2 projection: which pixel requests bounce, and where to. */
+  def bounces(env: DataFrame, cfg: CollectorConfig): DataFrame =
+    env
+      .filter(isPixel)
+      .select(
+        col("event_id"),
+        bounceSuppressed(cfg).as("bounced"),
+        when(bounceSuppressed(cfg),
+          concat(col("path"), lit("?"), col("querystring"),
+            lit("&" + cfg.bounceParamName + "=1"))).as("location"))
+
   /** Routes that produce a tracking payload (everything the adapter emits
     * is trackable; ops endpoints are out of engine scope). */
   def isPixel: Column = col("path").isin("/i", "/ice.png")
@@ -116,7 +138,8 @@ object CollectorPipeline {
     * rows are excluded (the latter surface in [[badRows]]). */
   def payloads(env: DataFrame, cfg: CollectorConfig): DataFrame =
     env
-      .filter(!dntSuppressed(cfg) && qsValid(col("querystring")))
+      .filter(!dntSuppressed(cfg) && qsValid(col("querystring")) &&
+        !bounceSuppressed(cfg))
       .select(
         col("event_id"),
         lit(CollectorConfig.PayloadSchemaUri).as("schema_uri"),

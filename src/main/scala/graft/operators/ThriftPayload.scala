@@ -140,11 +140,14 @@ object ThriftPayload {
   }
 
   /** Payload DataFrame (CollectorPipeline.payloads shape) → wire records.
-    * `mapPartitions` so protocol buffers amortize per partition — the
-    * Spark analog of the reference's thread-local TSerializer. Narrow. */
+    * `mapPartitions` over raw Rows (positional access — the Tuple16
+    * encoder deserialization costs more than the thrift write itself)
+    * with per-partition protocol buffers, the Spark analog of the
+    * reference's thread-local TSerializer. Narrow. */
   def encode(payloads: DataFrame): Dataset[WirePayload] = {
     val spark = payloads.sparkSession
     import spark.implicits._
+    implicit val enc0 = org.apache.spark.sql.Encoders.product[WirePayload]
     payloads
       .select(
         col("event_id"), col("partition_key"), col("schema_uri"), col("ip"),
@@ -152,13 +155,13 @@ object ThriftPayload {
         col("referer_uri"), col("path"), col("querystring"), col("body"),
         split(col("headers_str"), "\\|").as("headers"), col("content_type"),
         col("hostname"), col("network_userid"))
-      .as[(Long, String, String, String, Long, String, String, String, String,
-        String, String, String, Seq[String], String, String, String)]
       .mapPartitions { it =>
-        it.map { case (id, pk, schema, ip, ts, enc, coll, ua, ref, path, qs,
-            body, headers, ct, host, nuid) =>
-          WirePayload(id, pk, serialize(PayloadRecord(
-            schema, ip, ts, enc, coll, ua, ref, path, qs, body, headers, ct, host, nuid)))
+        it.map { r =>
+          def s(i: Int): String = if (r.isNullAt(i)) null else r.getString(i)
+          WirePayload(r.getLong(0), s(1), serialize(PayloadRecord(
+            s(2), s(3), r.getLong(4), s(5), s(6), s(7), s(8), s(9), s(10),
+            s(11), if (r.isNullAt(12)) null else r.getSeq[String](12),
+            s(13), s(14), s(15))))
         }
       }
   }

@@ -50,6 +50,10 @@ object Collector {
   /** Response-kind projection (pixel GIF / 302 / 400 / bridge json / ok). */
   val cResponse: Q = (s, d) => CollectorPipeline.responses(env(s, d), cfg)
 
+  /** F2: bounce decisions under a bounce-enabled config. */
+  val cBounce: Q = (s, d) =>
+    CollectorPipeline.bounces(env(s, d), CollectorConfig.bounceScale)
+
   /** P5 distributional check: events per partition key. */
   val cPartitionCounts: Q = (s, d) =>
     env(s, d)
@@ -82,6 +86,7 @@ object Collector {
     "c_bad_rows" -> cBadRows,
     "c_redirect" -> cRedirect,
     "c_response" -> cResponse,
+    "c_bounce" -> cBounce,
     "c_partition_counts" -> cPartitionCounts,
     "c_tp2_events" -> cTp2Events,
     "c_amplitude" -> cAmplitude,

@@ -166,6 +166,16 @@ object CollectorOracles {
          |       ELSE 'ok' END AS response_kind
          |FROM env2""".stripMargin,
 
+    "c_bounce" ->
+      s"""$Env
+         |SELECT event_id,
+         |  (NOT anon AND NOT qs_bad AND NOT (event_id % 3 = 0)
+         |   AND user_id % 4 = 0) AS bounced,
+         |  CASE WHEN NOT anon AND NOT qs_bad AND NOT (event_id % 3 = 0)
+         |            AND user_id % 4 = 0
+         |       THEN path || '?' || querystring || '&n=1' END AS location
+         |FROM env2 WHERE path IN ('/i', '/ice.png')""".stripMargin,
+
     "c_partition_counts" ->
       s"""$Env
          |SELECT CASE WHEN NOT anon AND remote_ip IS NOT NULL THEN remote_ip
