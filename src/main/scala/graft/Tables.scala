@@ -34,4 +34,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so the whole catalog is usable
+    * from `spark.sql` (the SQL front door of the engine). */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    Seq(region _, nation _, customer _, supplier _, part _, orders _,
+      lineitem _, events _, documents _, embeddings _)
+      .zip(names)
+      .foreach { case (loader, name) => loader(s, d).createOrReplaceTempView(name) }
+  }
 }
