@@ -127,6 +127,19 @@ object CollectorPipeline {
           concat(col("path"), lit("?"), col("querystring"),
             lit("&" + cfg.bounceParamName + "=1"))).as("location"))
 
+  /** P8: Set-Cookie domain resolution — first configured domain that any
+    * Origin host matches exactly or as a dot-suffix wins; else the
+    * fallback (reference `CollectorService.scala:485-518`). `origins` is
+    * an array-of-hosts column. Pure coalesce-over-exists, no UDF. */
+  def cookieDomain(
+      origins: Column, domains: Seq[String], fallback: Option[String]): Column = {
+    val matches = domains.map { d =>
+      when(exists(origins, h => h === d || h.endsWith("." + d)), lit(d))
+    }
+    val fb = fallback.map(lit).getOrElse(lit(null).cast("string"))
+    coalesce(matches :+ fb: _*)
+  }
+
   /** Routes that produce a tracking payload (everything the adapter emits
     * is trackable; ops endpoints are out of engine scope). */
   def isPixel: Column = col("path").isin("/i", "/ice.png")

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.operators.CollectorConfig
+
+import java.util.concurrent.{Executors, ScheduledFuture, TimeUnit}
+
+/** R7: telemetry heartbeat — the reference POSTs a self-describing
+  * `oss_context` event every 60 min from a scheduled actor
+  * (`telemetry/TelemetryAkkaService.scala:52-102`, payload
+  * `telemetry/package.scala:40-61`). Engine analog: a driver-side
+  * scheduler building the same self-describing JSON; the transport (an
+  * HTTP POST) is injected so the dataflow stays testable and the feature
+  * stays optional (off unless scheduled). */
+object Telemetry {
+
+  val SchemaUri = "iglu:com.snowplowanalytics.oss/oss_context/jsonschema/1-0-1"
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** The self-describing heartbeat payload. */
+  def heartbeatPayload(
+      cfg: CollectorConfig,
+      userProvidedId: Option[String],
+      region: Option[String]): String = {
+    val fields = Seq(
+      "userProvidedId" -> userProvidedId,
+      "region" -> region,
+      "appGeneratedId" -> Some(java.util.UUID.nameUUIDFromBytes(
+        cfg.collectorName.getBytes("UTF-8")).toString),
+      "applicationName" -> Some(cfg.appName),
+      "applicationVersion" -> Some(cfg.appVersion),
+    ).collect { case (k, Some(v)) => s"${q(k)}: ${q(v)}" }
+    s"""{"schema": ${q(SchemaUri)}, "data": {${fields.mkString(", ")}}}"""
+  }
+
+  /** Schedule `send` every `intervalMinutes` on a daemon thread. Returns
+    * the future for cancellation (graceful shutdown, R6). */
+  def schedule(
+      cfg: CollectorConfig,
+      intervalMinutes: Long,
+      send: String => Unit): ScheduledFuture[_] = {
+    val exec = Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-telemetry"); t.setDaemon(true); t
+    }
+    val payload = heartbeatPayload(cfg, None, None)
+    exec.scheduleAtFixedRate(() => send(payload),
+      0, intervalMinutes, TimeUnit.MINUTES)
+  }
+}

@@ -10,6 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * path remap, bad rows, redirect allowlist). */
 class CollectorPipelineSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  private lazy val spark2 = TestSpark.spark
   private val cfg = CollectorConfig.testScale
   private lazy val env = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf).cache()
   private lazy val payloads = CollectorPipeline.payloads(env, cfg).cache()
@@ -72,6 +73,37 @@ class CollectorPipelineSpec extends AnyFunSuite {
     assert(r.filter(!col("allowed") && col("location").isNotNull).count() === 0)
     assert(r.filter(col("allowed")).count() > 0)
     assert(r.filter(!col("allowed")).count() > 0)
+  }
+
+  test("cookie domain: first configured domain matching any origin wins, else fallback") {
+    import spark2.implicits._
+    val d = Seq(
+      (1L, Seq("a.shop.example.com", "other.net")),
+      (2L, Seq("example.org")),
+      (3L, Seq("sub.other.net")),
+      (4L, Seq.empty[String]),
+    ).toDF("id", "origins")
+    val out = d.select(col("id"), CollectorPipeline.cookieDomain(
+      col("origins"), Seq("example.com", "other.net"), Some("fallback.example"))
+      .as("dom")).as[(Long, String)].collect().toMap
+    assert(out(1L) === "example.com") // config order, not origin order
+    assert(out(2L) === "fallback.example")
+    assert(out(3L) === "other.net")
+    assert(out(4L) === "fallback.example")
+  }
+
+  test("telemetry heartbeat payload is valid self-describing JSON with app fields") {
+    val p = graft.streaming.Telemetry.heartbeatPayload(cfg, Some("user-1"), None)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p)
+    assert(node.get("schema").asText === graft.streaming.Telemetry.SchemaUri)
+    assert(node.get("data").get("applicationName").asText === cfg.appName)
+    assert(node.get("data").get("userProvidedId").asText === "user-1")
+    assert(!node.get("data").has("region"))
+    // scheduler fires promptly and is cancelable
+    val seen = new java.util.concurrent.CountDownLatch(1)
+    val fut = graft.streaming.Telemetry.schedule(cfg, 60, _ => seen.countDown())
+    assert(seen.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    fut.cancel(true)
   }
 
   test("amplitude bridge resolves $remote to caller ip or unknown") {
