@@ -216,6 +216,38 @@ object Relational {
       .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
   }
 
+  /** String-function battery over part (SURVEY §2.7 scalar coverage):
+    * pad/translate/levenshtein/position/trim/repeat — integer or
+    * string-valued, so parity is exact. */
+  val qStringFns: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("key_padded"),
+        translate(col("p_type"), " ", "_").as("type_snake"),
+        levenshtein(col("p_brand"), col("p_type")).as("brand_type_dist"),
+        instr(col("p_name"), "a").cast("long").as("first_a"),
+        trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_trim"),
+        repeat(lit("*"), (col("p_size") % 5).cast("int")).as("stars"),
+        reverse(col("p_brand")).as("brand_rev"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** Date-function battery over orders: truncation, component extraction,
+    * day arithmetic, month boundaries. Only constructs with identical
+    * cross-engine semantics (no week-of-year / weekday numbering). */
+  val qDateFns: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("due_date"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_to_eoy"))
+
   /** RANGE frame: per-user trailing-hour event value (exact integer
     * cents — bounded-frame double sums associate differently across
     * engines, integers don't care). */
@@ -310,6 +342,8 @@ object Relational {
     "q_scalar_fns" -> qScalarFns,
     "q_asof_join" -> qAsofJoin,
     "q_above_avg" -> qAboveAvg,
+    "q_string_fns" -> qStringFns,
+    "q_date_fns" -> qDateFns,
     "q_range_frame" -> qRangeFrame,
     "q_first_last" -> qFirstLast,
     "q_cube" -> qCube,

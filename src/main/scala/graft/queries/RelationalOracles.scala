@@ -141,6 +141,30 @@ object RelationalOracles {
         |  FROM merged)
         |SELECT event_id, k AS user_id, asof_orderkey FROM marked WHERE side = 1""".stripMargin,
 
+    "q_string_fns" ->
+      """SELECT p_partkey,
+        |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+        |  translate(p_type, ' ', '_') AS type_snake,
+        |  levenshtein(p_brand, p_type) AS brand_type_dist,
+        |  CAST(instr(p_name, 'a') AS BIGINT) AS first_a,
+        |  trim('  ' || p_brand || '  ') AS brand_trim,
+        |  repeat('*', CAST(p_size % 5 AS INT)) AS stars,
+        |  reverse(p_brand) AS brand_rev,
+        |  concat_ws('/', p_brand, p_type) AS brand_type
+        |FROM part""".stripMargin,
+
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y,
+        |  quarter(o_orderdate) AS q,
+        |  month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+        |  datediff('day', o_orderdate, DATE '1998-12-31') AS days_to_eoy
+        |FROM orders""".stripMargin,
+
     "q_range_frame" ->
       """SELECT user_id, event_id,
         |  sum(CAST(floor(value * 100) AS BIGINT)) OVER (

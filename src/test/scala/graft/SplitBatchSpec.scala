@@ -31,6 +31,16 @@ class SplitBatchSpec extends AnyFunSuite {
     assert(SplitBatch.pack(IndexedSeq.empty, 10, 1, 100) === IndexedSeq.empty)
   }
 
+  test("reference golden shape: 7 events, oversized split good=2 batches / bad=4") {
+    // mirrors the reference scenario (SplitBatchSpec.scala:139-157): a
+    // 7-element body where 4 elements individually exceed the cap packs
+    // the 3 small ones into 2 batches and flags 4 as size violations
+    val sizes = IndexedSeq(35L, 500L, 35L, 500L, 500L, 35L, 500L)
+    val assigned = SplitBatch.pack(sizes, base = 20, join = 1, max = 100)
+    assert(assigned.count(_ == -1) === 4)
+    assert(assigned.filter(_ >= 0).distinct.length === 2)
+  }
+
   test("properties: caps respected, batches dense, order preserved") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 500) {
