@@ -73,6 +73,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((1L, 2L, 1L, 5.0)))
   }
 
+  test("checkpoint resume: a restarted query continues without loss or duplication") {
+    val cfg = CollectorConfig.testScale
+    val envBatch = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf).cache()
+    val firstHalf = envBatch.filter(col("event_id") < 500)
+    val secondHalf = envBatch.filter(col("event_id") >= 500)
+    val srcDir = tmp("resume-src"); val goodDir = tmp("resume-good")
+    val badDir = tmp("resume-bad"); val ckpt = tmp("resume-ckpt")
+    def stream = spark.readStream.schema(envBatch.schema).parquet(srcDir)
+
+    // run 1: only the first half exists
+    firstHalf.write.mode("append").parquet(srcDir)
+    val q1 = StreamingCollector.start(stream, cfg, goodDir, badDir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    val afterFirst = spark.read.parquet(goodDir).count()
+    assert(afterFirst === CollectorPipeline.payloads(firstHalf, cfg).count())
+
+    // "process restart": new query, same checkpoint, more data arrived
+    secondHalf.write.mode("append").parquet(srcDir)
+    val q2 = StreamingCollector.start(stream, cfg, goodDir, badDir, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val good = spark.read.parquet(goodDir)
+    val expected = CollectorPipeline.payloads(envBatch, cfg)
+    assert(good.count() === expected.count()) // nothing lost
+    assert(good.select("event_id").distinct().count() === good.count()) // nothing replayed
+  }
+
   test("kafka frame decode round-trips the envelope columns") {
     val env = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
     val frames = env.select(to_json(struct(env.columns.map(col): _*)).cast("binary").as("value"))
