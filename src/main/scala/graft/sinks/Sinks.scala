@@ -48,6 +48,18 @@ object KafkaSinkBuilder {
       col(valueCol).cast("binary").as("value"))
 }
 
+/** Replay-safe parquet sink: each micro-batch lands in its own
+  * `batch_id=N` partition directory with overwrite, so a batch replayed
+  * after an unclean restart overwrites itself instead of duplicating —
+  * foreachBatch's at-least-once becomes effective exactly-once. Readers
+  * just scan `dir` (the batch_id partition column prunes like any
+  * other). */
+final class IdempotentParquetSink(dir: String, override val name: String = "parquet-idem")
+    extends EventSink {
+  def write(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+}
+
 /** In-memory sink for tests and for modeling transient failures. */
 final class CollectingSink(
     val name: String,

@@ -72,6 +72,17 @@ class ReliabilitySpec extends AnyFunSuite {
     assertThrows[RuntimeException](sink.write(batch, 1L))
   }
 
+  test("idempotent sink: a replayed batch overwrites itself, no duplication") {
+    val dir = java.nio.file.Files.createTempDirectory("idem").toString
+    val sink = new graft.sinks.IdempotentParquetSink(dir)
+    sink.write(batch, 0L)
+    sink.write(batch, 1L)
+    sink.write(batch, 1L) // replay of batch 1 after an unclean restart
+    val out = spark.read.parquet(dir)
+    assert(out.count() === 4) // 2 rows x 2 distinct batches
+    assert(out.select("batch_id").distinct().count() === 2)
+  }
+
   test("open breaker skips primary straight to fallback (fast failover R3)") {
     val primary = new CollectingSink("p", failFirst = 100)
     val fallback = new CollectingSink("f")
