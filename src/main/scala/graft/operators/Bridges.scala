@@ -89,6 +89,7 @@ object Bridges {
         col("event_schema"),
         lit("\",\"data\":"), col("body"), lit("}}")))
       .select(
+        (if (segment.columns.contains("event_id")) Seq(col("event_id")) else Nil) ++ Seq(
         lit("ajs_bridge").as("aid"),
         lit("ue").as("e"),
         col("p.context.library.version").as("tv"),
@@ -100,7 +101,7 @@ object Bridges {
         col("p.context.locale").as("lang"),
         col("p.context.timezone").as("tz"),
         coalesce(col("ajs_user_id"), col("p.userId")).as("uid"),
-        col("ajs_anonymous_id").as("duid"))
+        col("ajs_anonymous_id").as("duid")): _*)
   }
 
   /** P11-P13: Amplitude batch → per-event rows with the `$remote` IP

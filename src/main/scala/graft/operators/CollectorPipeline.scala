@@ -145,6 +145,7 @@ object CollectorPipeline {
   def isPixel: Column = col("path").isin("/i", "/ice.png")
   def isRedirect: Column = col("path").startsWith("/r/")
   def isAmplitude: Column = col("path").startsWith("/com.amplitude/")
+  def isSegment: Column = col("path").startsWith("/com.segment/")
 
   /** P1: the full CollectorPayload projection over an envelope DataFrame.
     * Good rows only: DNT-suppressed (F1) and malformed-querystring (F7)
@@ -231,7 +232,7 @@ object CollectorPipeline {
         when(isPixel, lit("gif"))
           .when(isRedirect && col("target").isNotNull && allowed, lit("302"))
           .when(isRedirect, lit("400"))
-          .when(isAmplitude, lit("json"))
+          .when(isAmplitude || isSegment, lit("json"))
           .otherwise(lit("ok")).as("response_kind"))
   }
 }

@@ -66,6 +66,17 @@ object Collector {
   /** Amplitude bridge explode incl. $remote IP substitution. */
   val cAmplitude: Q = (s, d) => Bridges.amplitudeEvents(env(s, d))
 
+  /** P10: Segment analytics.js bridge — full tracker-payload projection
+    * with base64 unstruct envelope, oracle-checked end to end. No ajs
+    * cookies in the envelope stream: uid falls back to body.userId. */
+  val cSegment: Q = (s, d) =>
+    Bridges.analyticsJsEvents(
+      env(s, d)
+        .filter(CollectorPipeline.isSegment)
+        .withColumn("network_userid", CollectorPipeline.networkUserId)
+        .withColumn("ajs_user_id", lit(null).cast("string"))
+        .withColumn("ajs_anonymous_id", lit(null).cast("string")))
+
   /** A1/A2: greedy size-capped split of tp2 bodies (typed mapPartitions). */
   val cSplitBatches: Q = (s, d) =>
     SplitBatch.splitTp2(env(s, d), CollectorConfig.SplitMaxBytes).toDF()
@@ -90,6 +101,7 @@ object Collector {
     "c_partition_counts" -> cPartitionCounts,
     "c_tp2_events" -> cTp2Events,
     "c_amplitude" -> cAmplitude,
+    "c_segment" -> cSegment,
     "c_split_batches" -> cSplitBatches,
     "c_thrift_wire" -> cThriftWire,
   )

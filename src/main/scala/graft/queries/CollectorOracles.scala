@@ -42,6 +42,9 @@ object CollectorOracles {
       s""" CASE WHEN n_elems >= 2 THEN ',' || ${ampElem("1")} ELSE '' END ||""" +
       s""" CASE WHEN n_elems >= 3 THEN ',' || ${ampElem("2")} ELSE '' END || ']}'"""
 
+  private val segBody =
+    """'{"type":"track","userId":"u' || user_id || '","properties":{"url":"https://site' || (user_id % 5) || '.example.com/p' || (event_id % 7) || '","page":"P' || (event_id % 9) || '"},"context":{"locale":"en-US","timezone":"UTC","library":{"name":"analytics.js","version":"4.1.' || (user_id % 3) || '"}}}'"""
+
   /** SQL mirror of the envelope adapter. */
   private val Env =
     s"""WITH env AS (
@@ -68,7 +71,8 @@ object CollectorOracles {
        |         WHEN m = 15 THEN '/ice.png'
        |         WHEN m = 16 THEN '/r/tp2'
        |         WHEN m <= 18 THEN '/com.acme/track'
-       |         ELSE '/com.amplitude/2/httpapi' END AS path,
+       |         WHEN user_id % 2 = 0 THEN '/com.amplitude/2/httpapi'
+       |         ELSE '/com.segment/v1/t' END AS path,
        |    CASE WHEN m <= 11 OR m >= 17 THEN 'POST' ELSE 'GET' END AS method,
        |    CASE WHEN qs_bad THEN 'e=%%bad&&=='
        |         ELSE 'e=' || event_type || '&aid=app' || (user_id % 5) ||
@@ -78,7 +82,8 @@ object CollectorOracles {
        |                '%2Flanding' ELSE '' END
        |         END AS querystring,
        |    CASE WHEN m <= 11 OR m BETWEEN 17 AND 18 THEN $tp2Body
-       |         WHEN m = 19 THEN $ampBody
+       |         WHEN m = 19 AND user_id % 2 = 0 THEN $ampBody
+       |         WHEN m = 19 THEN $segBody
        |         ELSE NULL END AS body,
        |    CASE WHEN m <= 11 OR m >= 17 THEN 'application/json' ELSE NULL END AS content_type
        |  FROM env
@@ -199,7 +204,31 @@ object CollectorOracles {
          |       ELSE '1.2.3.4' END AS ip_resolved
          |FROM (SELECT event_id, user_id, event_type, timestamp_ms, remote_ip,
          |        unnest(range(0, n_elems)) AS idx
-         |      FROM env2 WHERE m = 19) t""".stripMargin,
+         |      FROM env2 WHERE m = 19 AND user_id % 2 = 0) t""".stripMargin,
+
+    "c_segment" ->
+      s"""$Env
+         |SELECT
+         |  'ajs_bridge' AS aid,
+         |  'ue' AS e,
+         |  '4.1.' || (user_id % 3) AS tv,
+         |  'web' AS p,
+         |  to_base64(encode(
+         |    '{"schema":"iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0","data":{"schema":"iglu:com.segment/track/jsonschema/1-0-0","data":' || body || '}}'
+         |  )) AS ue_px,
+         |  CASE WHEN anon THEN '00000000-0000-0000-0000-000000000000'
+         |       ELSE coalesce(
+         |         CASE WHEN event_id % 3 = 0 AND NOT qs_bad THEN ${uu("'nuid' || user_id")} END,
+         |         cookie_sp,
+         |         ${uu("'nuid-gen' || event_id")}) END AS tnuid,
+         |  'https://site' || (user_id % 5) || '.example.com/p' || (event_id % 7) AS url,
+         |  'P' || (event_id % 9) AS page,
+         |  'en-US' AS lang,
+         |  'UTC' AS tz,
+         |  'u' || user_id AS uid,
+         |  CAST(NULL AS VARCHAR) AS duid,
+         |  event_id
+         |FROM env2 WHERE m = 19 AND user_id % 2 <> 0""".stripMargin,
 
     "c_split_batches" ->
       s"""$Env

@@ -70,6 +70,17 @@ object EventEnvelopeAdapter {
       when(pmod(col("event_id"), lit(2)) === idx % 2, lit("$remote")).otherwise(lit("1.2.3.4")),
       lit("\"}"))
 
+  /** Segment analytics.js track body (reference
+    * `AnalyticsJsFixture.scala` shape, deterministic). */
+  private def segmentBody: Column =
+    concat(
+      lit("{\"type\":\"track\",\"userId\":\"u"), col("user_id"),
+      lit("\",\"properties\":{\"url\":\"https://site"), pmod(col("user_id"), lit(5)),
+      lit(".example.com/p"), pmod(col("event_id"), lit(7)),
+      lit("\",\"page\":\"P"), pmod(col("event_id"), lit(9)),
+      lit("\"},\"context\":{\"locale\":\"en-US\",\"timezone\":\"UTC\",\"library\":{\"name\":\"analytics.js\",\"version\":\"4.1."), pmod(col("user_id"), lit(3)),
+      lit("\"}}}"))
+
   /** Amplitude batch body (reference `AmplitudeBridge.scala:44-54`). */
   private def amplitudeBody: Column = {
     val n = pmod(col("event_id"), lit(3))
@@ -85,7 +96,8 @@ object EventEnvelopeAdapter {
       .when(m === 15, lit("/ice.png"))
       .when(m === 16, lit("/r/tp2"))
       .when(m <= 18, lit("/com.acme/track"))
-      .otherwise(lit("/com.amplitude/2/httpapi"))
+      .when(pmod(col("user_id"), lit(2)) === 0, lit("/com.amplitude/2/httpapi"))
+      .otherwise(lit("/com.segment/v1/t"))
 
   def method: Column =
     when(m <= 11 || m >= 17, lit("POST")).otherwise(lit("GET"))
@@ -130,7 +142,8 @@ object EventEnvelopeAdapter {
 
   def body: Column =
     when(m <= 11, tp2Body)
-      .when(m >= 19, amplitudeBody)
+      .when(m >= 19,
+        when(pmod(col("user_id"), lit(2)) === 0, amplitudeBody).otherwise(segmentBody))
       .when(m >= 17, tp2Body) // /com.acme/track carries the same tracker body
       .otherwise(lit(null).cast("string"))
 
