@@ -230,6 +230,23 @@ object CollectorOracles {
          |  event_id
          |FROM env2 WHERE m = 19 AND user_id % 2 <> 0""".stripMargin,
 
+    "c_unified_events" ->
+      s"""$Env
+         |SELECT event_id, 'tp2' AS source, event_type AS e,
+         |  'app' || (user_id % 5) AS aid
+         |FROM (SELECT event_id, event_type, user_id,
+         |        unnest(range(0, n_elems)) AS idx
+         |      FROM env2 WHERE m <= 11 OR m BETWEEN 17 AND 18) t
+         |UNION ALL
+         |SELECT event_id, 'amplitude' AS source, event_type AS e,
+         |  'amplitude' AS aid
+         |FROM (SELECT event_id, event_type,
+         |        unnest(range(0, n_elems)) AS idx
+         |      FROM env2 WHERE m = 19 AND user_id % 2 = 0) t
+         |UNION ALL
+         |SELECT event_id, 'segment' AS source, 'ue' AS e, 'ajs_bridge' AS aid
+         |FROM env2 WHERE m = 19 AND user_id % 2 <> 0""".stripMargin,
+
     "c_split_batches" ->
       s"""$Env
          |SELECT event_id, idx, idx // per_batch AS batch_idx FROM (

@@ -112,6 +112,26 @@ class StreamingSpec extends AnyFunSuite {
       .except(env.select("event_id", "path", "querystring")).count() === 0)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val srcDir = tmp("enrich-src")
+    Tables.events(spark, TestSpark.Sf).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val dim = Tables.customer(spark, TestSpark.Sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = spark.readStream.schema(schema).parquet(srcDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("enriched")
+    val batch = Tables.events(spark, TestSpark.Sf)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+    assert(streamed.count() === batch.count())
+    assert(streamed.filter(col("c_mktsegment").isNotNull).count() ===
+      batch.filter(col("c_mktsegment").isNotNull).count())
+  }
+
   test("watermarked hourly window matches batch aggregation") {
     val srcDir = tmp("ev-src")
     Tables.events(spark, TestSpark.Sf).write.mode("overwrite").parquet(srcDir)
