@@ -216,6 +216,21 @@ object Relational {
       .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
   }
 
+  /** Funnel/conversion: per user, first signup and the first purchase at
+    * or after it — conditional min aggregation, one shuffle on user_id. */
+  val qFunnel: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts").cast("long"))).as("first_signup"),
+        count(when(col("event_type") === "signup", 1)).as("n_signups"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        max(when(col("event_type") === "purchase", col("ts").cast("long"))).as("last_purchase"))
+      .select(
+        col("user_id"), col("first_signup"), col("n_signups"), col("n_purchases"),
+        coalesce(col("last_purchase") >= col("first_signup"), lit(false))
+          .as("converted_after_signup"))
+
   /** String-function battery over part (SURVEY §2.7 scalar coverage):
     * pad/translate/levenshtein/position/trim/repeat — integer or
     * string-valued, so parity is exact. */
@@ -342,6 +357,7 @@ object Relational {
     "q_scalar_fns" -> qScalarFns,
     "q_asof_join" -> qAsofJoin,
     "q_above_avg" -> qAboveAvg,
+    "q_funnel" -> qFunnel,
     "q_string_fns" -> qStringFns,
     "q_date_fns" -> qDateFns,
     "q_range_frame" -> qRangeFrame,

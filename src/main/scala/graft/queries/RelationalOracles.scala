@@ -141,6 +141,20 @@ object RelationalOracles {
         |  FROM merged)
         |SELECT event_id, k AS user_id, asof_orderkey FROM marked WHERE side = 1""".stripMargin,
 
+    "q_funnel" ->
+      """SELECT user_id,
+        |  min(CASE WHEN event_type = 'signup'
+        |           THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS first_signup,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signups,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |  coalesce(
+        |    max(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+        |      >= min(CASE WHEN event_type = 'signup'
+        |              THEN CAST(floor(epoch(ts)) AS BIGINT) END),
+        |    false) AS converted_after_signup
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q_string_fns" ->
       """SELECT p_partkey,
         |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,

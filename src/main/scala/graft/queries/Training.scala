@@ -52,6 +52,27 @@ object Training {
   val sNearDups: Q = (s, d) => Similarity.cosineNearDups(emb(s, d), 0.95)
   val sIvfTopk: Q = (s, d) => Similarity.ivfTopK(emb(s, d), 3)
 
+  /** TF-IDF-ish top terms: tf per (doc, token), df per token, score =
+    * tf·N/df (a single multiply + divide — bit-identical cross-engine,
+    * no transcendental log), top-3 terms per doc. One explode, two
+    * aggregations, one broadcast-sized df table. */
+  val tTopTerms: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs(s, d).count().toDouble
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(broadcast(df), "tok")
+      .withColumn("score", TextOps.trunc(col("tf") * lit(n) / col("df"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "tok", "tf", "df", "score")
+  }
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
 
@@ -65,6 +86,7 @@ object Training {
     "d_jaccard" -> dJaccard,
     "d_simhash" -> dSimhash,
     "d_cdc_chunks" -> dCdcChunks,
+    "t_top_terms" -> tTopTerms,
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,
     "s_near_dups" -> sNearDups,

@@ -148,6 +148,22 @@ object TrainingOracles {
          |  count(*) AS n_tokens
          |FROM chunked GROUP BY doc_id, chunk_id""".stripMargin,
 
+    "t_top_terms" ->
+      s"""$TokCte,
+         |flat AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM flat GROUP BY 1, 2),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM flat GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |    floor(tf.tf * (SELECT CAST(count(*) AS DOUBLE) FROM documents) / df.df
+         |          * 10000) / 10000 AS score
+         |  FROM tf JOIN df ON tf.tok = df.tok)
+         |SELECT doc_id, rank, tok, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, tok ASC) AS rank
+         |  FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
+
     "s_brute_topk" ->
       s"""$EmbCte
          |SELECT q_id, rank, c_id, cos FROM (
