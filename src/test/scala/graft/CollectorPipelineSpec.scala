@@ -41,7 +41,6 @@ class CollectorPipelineSpec extends AnyFunSuite {
 
   test("nuid precedence: query param beats cookie beats generated") {
     val withQp = payloads.filter(col("event_id") % 3 === 0 && col("event_id") % 11 =!= 0)
-    val qpNuid = CollectorPipeline.uuidify(concat(lit("nuid"), col("event_id") * 0)) // placeholder
     // qp value is uuidify("nuid"+user_id): verify against recomputation from the envelope
     val joined = withQp
       .join(env.select(col("event_id"), col("querystring").as("qs2")), "event_id")

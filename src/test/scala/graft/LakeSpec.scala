@@ -25,9 +25,6 @@ class LakeSpec extends AnyFunSuite {
     // the partition predicate must prune at listing time, not post-scan
     val plan = one.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains(s"event_date"), plan)
-    val scanned = one.queryExecution.executedPlan.collectLeaves().collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metadata("Location")
-    }.mkString
     val expected = events.filter(date_format(col("ts"), "yyyy-MM-dd") === day).count()
     assert(one.count() === expected)
     // and the filter must NOT appear as a post-scan data filter on event_date
