@@ -44,6 +44,29 @@ object SplitBatch {
     }
   }
 
+  /** A4: sink-side re-chunk with BOTH a byte cap and a record-count cap
+    * (the SQS shape: ≤10 messages per sendMessageBatch, ≤ bytes —
+    * reference `KinesisSink.scala:545-572`). Same greedy order-preserving
+    * contract as [[pack]]. */
+  def packWithCount(
+      sizes: IndexedSeq[Long], base: Long, join: Long,
+      max: Long, maxCount: Int): IndexedSeq[Int] = {
+    var batch = 0
+    var used = base
+    var n = 0
+    sizes.map { s =>
+      if (base + s > max) -1
+      else {
+        val cost = s + (if (n == 0) 0L else join)
+        if (n < maxCount && used + cost <= max) { used += cost; n += 1; batch }
+        else {
+          if (n > 0) batch += 1
+          used = base + s; n = 1; batch
+        }
+      }
+    }
+  }
+
   /** Split tp2 self-describing bodies: parse JSON for real (Jackson — one
     * ObjectMapper per partition, the Spark analog of the reference's
     * thread-local TSerializer), measure each `data[]` element re-serialized,

@@ -53,3 +53,20 @@ final class PipelineMonitor extends StreamingQueryListener {
     state.asScala.values.forall(q => q.error.isEmpty)
   }
 }
+
+/** R9: metrics export — snapshot → StatsD line protocol (what the
+  * reference's pekko-http-metrics registry pushes; transport injected
+  * like Telemetry's). */
+object StatsdExport {
+  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9_.-]", "_")
+
+  def lines(snapshot: Map[String, QueryHealth], prefix: String = "graft"): Seq[String] =
+    snapshot.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      val b = s"$prefix.${sanitize(name)}"
+      Seq(
+        s"$b.batch_id:${q.batchId}|g",
+        s"$b.input_rows:${q.numInputRows}|c",
+        s"$b.rows_per_sec:${q.processedRowsPerSecond}|g",
+        s"$b.alive:${if (q.alive) 1 else 0}|g")
+    }
+}

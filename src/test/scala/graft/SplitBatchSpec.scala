@@ -41,6 +41,18 @@ class SplitBatchSpec extends AnyFunSuite {
     assert(assigned.filter(_ >= 0).distinct.length === 2)
   }
 
+  test("count-capped re-chunk: at most maxCount records per batch (SQS shape)") {
+    // 25 tiny messages, byte cap never binds -> batches of exactly 10,10,5
+    val assigned = SplitBatch.packWithCount(
+      IndexedSeq.fill(25)(10L), base = 0, join = 0, max = 10000, maxCount = 10)
+    val sizes = assigned.groupBy(identity).map(_._2.length).toSeq.sorted
+    assert(sizes === Seq(5, 10, 10))
+    // byte cap still binds when tighter than the count cap
+    val tight = SplitBatch.packWithCount(
+      IndexedSeq.fill(6)(10L), base = 0, join = 0, max = 25, maxCount = 10)
+    assert(tight.groupBy(identity).values.map(_.length).max <= 2)
+  }
+
   test("properties: caps respected, batches dense, order preserved") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 500) {

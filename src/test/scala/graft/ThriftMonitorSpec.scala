@@ -74,6 +74,9 @@ class ThriftMonitorSpec extends AnyFunSuite {
       val snap = mon.snapshot
       assert(snap.contains("mon-test"))
       assert(snap("mon-test").numInputRows === 2)
+      val statsd = graft.streaming.StatsdExport.lines(snap)
+      assert(statsd.exists(_.matches("graft\\.mon-test\\.input_rows:2\\|c")))
+      assert(statsd.exists(_.endsWith(".alive:0|g"))) // AvailableNow query has terminated
     } finally spark.streams.removeListener(mon)
   }
 }
