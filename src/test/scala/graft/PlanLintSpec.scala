@@ -33,6 +33,12 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  test("driver contract: entry returns rows; every query name has unique columns") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key corresponds to a registered query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("registerAll exposes the full catalog to spark.sql") {
     Tables.registerAll(spark, TestSpark.Sf)
     val n = spark.sql(
