@@ -170,7 +170,10 @@ object CollectorPipeline {
         networkUserId.as("network_userid"),
         col("content_type"),
         partitionKey(cfg).as("partition_key"),
-        array_join(filteredHeaders, "|").as("headers_str"))
+        array_join(filteredHeaders, "|").as("headers_str"),
+        // the true list — headers_str is a display/oracle projection only
+        // (a '|' inside a header value would corrupt a split-based rebuild)
+        filteredHeaders.as("headers"))
 
   /** Bad-row routing: GenericError for malformed querystrings (F7) and
     * SizeViolation for oversized payloads (F6), which keep a
@@ -192,10 +195,12 @@ object CollectorPipeline {
 
   /** S4/F4: redirect resolution for `/r/...` rows — decode `u`, substitute
     * the `${SP_NUID}` macro with the resolved network user id, and gate on
-    * the domain allowlist. `location` is null when rejected. */
+    * the domain allowlist. `location` is null when rejected; malformed
+    * percent-escapes (e.g. a trailing '%') decode to null via
+    * try_url_decode and are rejected per-row, never failing the job. */
   def redirects(env: DataFrame, cfg: CollectorConfig): DataFrame = {
     val uEnc = qp(col("querystring"), "u")
-    val target = expr("url_decode(u_enc)")
+    val target = expr("try_url_decode(u_enc)")
     val host = expr("parse_url(target, 'HOST')")
     val allowed = cfg.redirectDomains
       .map(d => host === d || host.endsWith("." + d))
@@ -219,7 +224,7 @@ object CollectorPipeline {
     * DNT suppression changes sinking, not the response. */
   def responses(env: DataFrame, cfg: CollectorConfig): DataFrame = {
     val uEnc = qp(col("querystring"), "u")
-    val target = expr("url_decode(u_enc)")
+    val target = expr("try_url_decode(u_enc)")
     val host = expr("parse_url(target, 'HOST')")
     val allowed = cfg.redirectDomains
       .map(d => host === d || host.endsWith("." + d))

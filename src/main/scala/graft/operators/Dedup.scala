@@ -37,38 +37,44 @@ object Dedup {
         col("doc_id") +:
           (0 until 4).map(i => TextOps.minhash(col("sh"), i).as(s"sig$i")): _*)
 
+  /** All (doc_a < doc_b) pairs of docs sharing a bucket key, via ONE
+    * groupBy on the key + in-bucket pair expansion — no self-join, so no
+    * second scan of the input (the old form persisted the bucket relation
+    * to feed both join sides and leaked the cache) and one shuffle instead
+    * of two join-side exchanges. Bucket occupancy is bounded by the LSH
+    * scheme (see DedupSpec), so the per-bucket O(b²) expansion is small
+    * and local. */
+  private[operators] def pairsWithinBuckets(buckets: DataFrame, key: String): DataFrame =
+    buckets
+      .groupBy(key)
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+
   /** LSH candidate pairs: each doc emits one key per band (band = 2
     * concatenated minhashes, r=2 b=2); docs sharing any band key become a
-    * candidate pair. The self-join shuffles on the band key only. */
-  def lshCandidatePairs(docs: DataFrame): DataFrame = {
-    // the band relation feeds both sides of the self-join: materialize it
-    // once (production at scale would persist signatures to a table)
-    val bands = minhashSignatures(docs)
-      .select(col("doc_id"),
-        explode(array(
-          md5(concat(col("sig0"), col("sig1"))),
-          md5(concat(col("sig2"), col("sig3"))))).as("band"))
-      .persist()
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+    * candidate pair. Shuffles on the band key only. */
+  def lshCandidatePairs(docs: DataFrame): DataFrame =
+    pairsWithinBuckets(
+      minhashSignatures(docs)
+        .select(col("doc_id"),
+          explode(array(
+            md5(concat(col("sig0"), col("sig1"))),
+            md5(concat(col("sig2"), col("sig3"))))).as("band")),
+      "band")
 
   /** Single-minhash candidate pairs (r=1: one band per signature hash) —
     * looser recall, used as input to Jaccard verification. */
-  def looseCandidatePairs(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
-    val bands = sigs.select(col("doc_id"),
-      explode(array((0 until 4).map(i => col(s"sig$i")): _*)).as("band"))
-      .persist()
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-  }
+  def looseCandidatePairs(docs: DataFrame): DataFrame =
+    pairsWithinBuckets(
+      minhashSignatures(docs)
+        .select(col("doc_id"),
+          explode(array((0 until 4).map(i => col(s"sig$i")): _*)).as("band")),
+      "band")
 
   /** n-gram Jaccard over candidate pairs: join the (distinct) shingle sets
     * back and measure |∩| / |∪|. Runs only on candidates — the verify

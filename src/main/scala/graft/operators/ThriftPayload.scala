@@ -64,10 +64,32 @@ object ThriftPayload {
       p.writeFieldEnd()
     }
 
-  /** Serialize one record (declaration order of the IDL). */
+  /** Reusable serializer: one buffer + protocol for a whole partition
+    * (the Spark analog of the reference's thread-local TSerializer —
+    * `SplitBatch.scala:36-38`). `ByteArrayOutputStream.reset()` keeps the
+    * grown backing array, so steady-state serialization allocates only
+    * the result copy. */
+  final class Serializer {
+    private val baos = new java.io.ByteArrayOutputStream(256)
+    private val proto =
+      new TBinaryProtocol(new org.apache.thrift.transport.TIOStreamTransport(baos))
+    def apply(r: PayloadRecord): Array[Byte] = {
+      baos.reset()
+      writeRecord(proto, r)
+      baos.toByteArray
+    }
+  }
+
+  /** Serialize one record (fresh buffer; tests + one-off use). */
   def serialize(r: PayloadRecord): Array[Byte] = {
     val buf = new TMemoryBuffer(256)
     val p = new TBinaryProtocol(buf)
+    writeRecord(p, r)
+    java.util.Arrays.copyOf(buf.getArray, buf.length)
+  }
+
+  /** Write one record in IDL declaration order. */
+  private def writeRecord(p: TBinaryProtocol, r: PayloadRecord): Unit = {
     p.writeStructBegin(new TStruct("CollectorPayload"))
     writeString(p, 31337, r.schema)
     writeString(p, 100, r.ipAddress)
@@ -93,7 +115,6 @@ object ThriftPayload {
     writeString(p, 410, r.networkUserId)
     p.writeFieldStop()
     p.writeStructEnd()
-    java.util.Arrays.copyOf(buf.getArray, buf.length)
   }
 
   /** Decode (round-trip testing + reading back the wire format). */
@@ -153,12 +174,13 @@ object ThriftPayload {
         col("event_id"), col("partition_key"), col("schema_uri"), col("ip"),
         col("timestamp_ms"), col("encoding"), col("collector"), col("user_agent"),
         col("referer_uri"), col("path"), col("querystring"), col("body"),
-        split(col("headers_str"), "\\|").as("headers"), col("content_type"),
+        col("headers"), col("content_type"),
         col("hostname"), col("network_userid"))
       .mapPartitions { it =>
+        val ser = new Serializer
         it.map { r =>
           def s(i: Int): String = if (r.isNullAt(i)) null else r.getString(i)
-          WirePayload(r.getLong(0), s(1), serialize(PayloadRecord(
+          WirePayload(r.getLong(0), s(1), ser(PayloadRecord(
             s(2), s(3), r.getLong(4), s(5), s(6), s(7), s(8), s(9), s(10),
             s(11), if (r.isNullAt(12)) null else r.getSeq[String](12),
             s(13), s(14), s(15))))

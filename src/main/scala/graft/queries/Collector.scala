@@ -29,7 +29,9 @@ object Collector {
       "sp_anonymous", "cookie_sp", "cookie_dnt", "timestamp_ms")
 
   /** P1-P7 + F1/F3/F7: the full CollectorPayload build. */
-  val cPayload: Q = (s, d) => CollectorPipeline.payloads(env(s, d), cfg)
+  val cPayload: Q = (s, d) =>
+    // drop the list-typed column: the oracle compares headers_str
+    CollectorPipeline.payloads(env(s, d), cfg).drop("headers")
 
   /** P3: str_to_map param extraction on parseable querystrings. */
   val cQsParams: Q = (s, d) =>

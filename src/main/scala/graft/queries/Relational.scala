@@ -108,7 +108,7 @@ object Relational {
       .orderBy(col("ts").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, d)
-      .withColumn("running_value", round(sum("value").over(w), 2))
+      .withColumn("running_value", sum(dec(col("value"))).over(w).cast("double"))
       .select("user_id", "event_id", "running_value")
   }
 
@@ -133,7 +133,7 @@ object Relational {
       .withColumn("session_id", sum("new_session").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("session_value"))
   }
 
   /** Tumbling event-time window (batch equivalent of streaming window()).
@@ -143,7 +143,7 @@ object Relational {
     Tables.events(s, d)
       .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("total_value"))
 
   /** Exact distinct + grouped distinct counts. */
   val qDistinct: Q = (s, d) =>
@@ -167,7 +167,7 @@ object Relational {
     val nat = Tables.nation(s, d)
     cust.join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
       .rollup(col("n_name"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .agg(count(lit(1)).as("n_cust"), sumMoney(col("c_acctbal")).as("total_bal"))
   }
 
   /** Sort + limit (global top-k without a window): most expensive orders. */
@@ -271,7 +271,7 @@ object Relational {
       .orderBy(col("ts").cast("long"))
       .rangeBetween(-3600, 0)
     Tables.events(s, d)
-      .withColumn("cents", (col("value") * 100).cast("long"))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
       .withColumn("trailing_hour_cents", sum("cents").over(w))
       .select("user_id", "event_id", "trailing_hour_cents")
   }

@@ -60,8 +60,9 @@ object RelationalOracles {
 
     "q_running_sum" ->
       """SELECT user_id, event_id,
-        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                         ROWS UNBOUNDED PRECEDING), 2) AS running_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events""".stripMargin,
 
     "q_event_gaps" ->
@@ -85,12 +86,13 @@ object RelationalOracles {
         |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM m)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  round(sum(value), 2) AS session_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_distinct" ->
@@ -108,7 +110,7 @@ object RelationalOracles {
 
     "q_rollup" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_cust,
-        |  round(sum(c_acctbal), 2) AS total_bal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
 
@@ -181,9 +183,9 @@ object RelationalOracles {
 
     "q_range_frame" ->
       """SELECT user_id, event_id,
-        |  sum(CAST(floor(value * 100) AS BIGINT)) OVER (
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (
         |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS trailing_hour_cents
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_hour_cents
         |FROM events""".stripMargin,
 
     "q_first_last" ->

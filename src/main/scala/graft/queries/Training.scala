@@ -63,11 +63,14 @@ object Training {
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val df = toks.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    val n = docs(s, d).count().toDouble
+    // corpus size stays IN the plan (broadcast scalar) — a driver-side
+    // .count() here would be an eager extra scan per query build
+    val n = docs(s, d).agg(count(lit(1)).cast("double").as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok").asc)
     tf.join(broadcast(df), "tok")
-      .withColumn("score", TextOps.trunc(col("tf") * lit(n) / col("df"), 4))
+      .crossJoin(broadcast(n))
+      .withColumn("score", TextOps.trunc(col("tf") * col("n_docs") / col("df"), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "tok", "tf", "df", "score")

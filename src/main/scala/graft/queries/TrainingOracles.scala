@@ -140,8 +140,8 @@ object TrainingOracles {
          |  FROM flat),
          |chunked AS (
          |  SELECT doc_id, pos, tok,
-         |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
-         |                        ROWS UNBOUNDED PRECEDING) AS chunk_id
+         |    CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
          |  FROM marked)
          |SELECT doc_id, chunk_id,
          |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,

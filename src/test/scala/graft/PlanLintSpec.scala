@@ -9,9 +9,10 @@ class PlanLintSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   /** Queries whose *intended* plan is a broadcast nested-loop / cross
-    * join: brute-force top-k (query side broadcast against the corpus)
-    * and IVF cell assignment (10-row centroid table). */
-  private val AllowedNonEqui = Set("s_brute_topk", "s_ivf_topk")
+    * join: brute-force top-k (query side broadcast against the corpus),
+    * IVF cell assignment (10-row centroid table), and the tf-idf corpus
+    * size (1-row broadcast scalar crossJoin). */
+  private val AllowedNonEqui = Set("s_brute_topk", "s_ivf_topk", "t_top_terms")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
