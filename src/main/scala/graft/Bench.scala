@@ -7,6 +7,24 @@ import org.apache.spark.sql.SparkSession
   * pass so JIT/classloading cost doesn't land on whichever query happens
   * to run first — the timed numbers measure the plans, not the JVM. */
 object Bench {
+
+  /** BASELINE.md "Engine bench targets" (BENCH r1, sf0.1, warm): the 2×
+    * rule. Any timed query above twice its baseline fails the bench run
+    * loudly (nonzero exit after the JSON line) — a regression must never
+    * ship silently again (round 2 shipped an 8.3× dedup regression that
+    * this guard would have caught in-round). */
+  private[graft] val baselineSec: Map[String, Double] = Map(
+    "c_payload" -> 0.8,
+    "c_thrift_wire" -> 2.8,
+    "q3_join" -> 0.80,
+    "q5_join" -> 0.75,
+    "d_lsh_pairs" -> 0.7,
+    "d_jaccard" -> 0.8,
+    "d_cdc_chunks" -> 1.2,
+    "s_brute_topk" -> 0.6,
+    "s_bucket_topk" -> 0.4,
+    "s_ivf_topk" -> 0.9)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,19 +36,32 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    // a query that throws is recorded as -1, never as a (fast) timing —
-    // otherwise a broken query reads as a performance win
-    val results = queries.map { case (name, fn) =>
+    // a query that throws is recorded as null (the errors array is the
+    // failure signal), never as a (fast) timing — otherwise a broken
+    // query reads as a performance win
+    val results: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val errors = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // the 2× rule only binds at the scale the baselines were taken at
+    val regressions =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Seq.empty
+      else results.collect {
+        case (k, Some(v)) if baselineSec.get(k).exists(b => v > 2 * b) =>
+          f"$k%s ${v}%.2fs > 2x ${baselineSec(k)}%.2fs"
+      }
+    val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"regressions":$regJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (regressions.nonEmpty) {
+      System.err.println(s"BENCH GUARD FAILED (2x rule): ${regressions.mkString("; ")}")
+      sys.exit(1)
+    }
   }
 }

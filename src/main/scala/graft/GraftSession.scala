@@ -21,6 +21,10 @@ object GraftSession {
       .master(master)
       .appName(appName)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // the default 100-entry janino cache thrashes across a 56-query
+      // suite (several codegen stages each) — evictions re-pay multi-second
+      // compiles of the biggest projections on every pass
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

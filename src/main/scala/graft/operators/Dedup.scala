@@ -19,7 +19,7 @@ object Dedup {
     * size. Map-side combine makes the shuffle carry one row per
     * (partition, fingerprint). */
   def exactGroups(docs: DataFrame): DataFrame =
-    docs
+    Spread(docs)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
       .groupBy("fingerprint")
       .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_docs"))
@@ -29,7 +29,7 @@ object Dedup {
     * Tokens and shingles are materialized as named columns so each is
     * computed once per row (see TextOps.shinglesOfTokens). */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    docs
+    Spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), TextOps.shinglesOfTokens(col("toks"), 3).as("sh"))
@@ -37,23 +37,27 @@ object Dedup {
         col("doc_id") +:
           (0 until 4).map(i => TextOps.minhash(col("sh"), i).as(s"sig$i")): _*)
 
-  /** All (doc_a < doc_b) pairs of docs sharing a bucket key, via ONE
-    * groupBy on the key + in-bucket pair expansion — no self-join, so no
-    * second scan of the input (the old form persisted the bucket relation
-    * to feed both join sides and leaked the cache) and one shuffle instead
-    * of two join-side exchanges. Bucket occupancy is bounded by the LSH
-    * scheme (see DedupSpec), so the per-bucket O(b²) expansion is small
-    * and local. */
-  private[operators] def pairsWithinBuckets(buckets: DataFrame, key: String): DataFrame =
-    buckets
-      .groupBy(key)
-      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+  /** All (doc_a < doc_b) pairs of docs sharing a bucket key, via a
+    * shuffled self-join on the key. Both join sides are the SAME plan
+    * subtree shuffled on the same key, so Spark's ReuseExchange rule scans
+    * and shuffles the input once — no persist() needed (a round-2 rewrite
+    * to groupBy+collect_set avoided the cache but materialized each bucket
+    * as one row: a hot band key concentrates O(b²) pair expansion in a
+    * single task, an OOM at scale; the join streams the same pairs across
+    * the shuffle). */
+  private[operators] def pairsWithinBuckets(buckets: DataFrame, key: String): DataFrame = {
+    // shuffle_hash pins a shuffled join: both sides are the SAME subtree
+    // shuffled on the same key, so AQE's exchange reuse computes the
+    // bucket relation once. A broadcast plan (AQE's default pick at test
+    // scale) would instead materialize each side independently — and at
+    // real scale the bucket relation is never broadcast-able anyway.
+    val b = buckets.hint("shuffle_hash")
+    b.as("a")
+      .join(b.as("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
   /** LSH candidate pairs: each doc emits one key per band (band = 2
     * concatenated minhashes, r=2 b=2); docs sharing any band key become a
@@ -80,7 +84,7 @@ object Dedup {
     * back and measure |∩| / |∪|. Runs only on candidates — the verify
     * stage of the classic MinHash-LSH dedup pipeline. */
   def jaccardOnCandidates(docs: DataFrame): DataFrame = {
-    val sh = docs
+    val sh = Spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
@@ -98,7 +102,7 @@ object Dedup {
   /** Per-doc 16-bit SimHash — near-dup docs land on nearby codes; equal
     * codes are dedup candidates via one exact groupBy. */
   def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash16"))
+    Spread(docs).select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash16"))
 
   /** Content-defined chunking (rolling-hash fingerprinting): a chunk
     * boundary opens wherever the hash of the 4-token window starting at a
@@ -112,7 +116,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    Spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "tok")))

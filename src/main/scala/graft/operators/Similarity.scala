@@ -41,11 +41,16 @@ object Similarity {
     concat((1 to 8).map(i =>
       when(element_at(e, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
 
-  private def prepared(embeddings: DataFrame): DataFrame = {
+  /** Quantize + pre-compute norms. `spread` rebalances a single-split scan
+    * first — worth one exchange only when the downstream kernel is
+    * CPU-bound over the whole corpus (brute-force cosines, centroid
+    * posexplode); for the bucket-pruned paths the per-row work after the
+    * broadcast join is too small to pay for the shuffle. */
+  private def prepared(embeddings: DataFrame, spread: Boolean = false): DataFrame = {
     val withLabel =
       if (embeddings.columns.contains("label")) embeddings
       else embeddings.withColumn("label", lit(0)) // single IVF seed cell
-    withLabel
+    (if (spread) Spread(withLabel) else withLabel)
       .select(col("vec_id"), col("label"), quantized(col("embedding")).as("q"))
       .withColumn("n2", dot(col("q"), col("q")))
   }
@@ -53,7 +58,7 @@ object Similarity {
   /** Brute-force cosine top-k: every ~97th vector queries the whole
     * corpus. Query side broadcast; ranking ties broken by candidate id. */
   def bruteTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val corpus = prepared(embeddings)
+    val corpus = prepared(embeddings, spread = true)
     val queries = corpus
       .filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
@@ -122,7 +127,7 @@ object Similarity {
     * the classic inverted-file ANN layout. At 100 TB the cells are the
     * partition keys of the index table; a probe reads one partition. */
   def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val cells = assignCells(prepared(embeddings))
+    val cells = assignCells(prepared(embeddings, spread = true))
     val queries = cells
       .filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("q_id"), col("q").as("qq"),

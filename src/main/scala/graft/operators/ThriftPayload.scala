@@ -169,7 +169,7 @@ object ThriftPayload {
     val spark = payloads.sparkSession
     import spark.implicits._
     implicit val enc0 = org.apache.spark.sql.Encoders.product[WirePayload]
-    payloads
+    Spread(payloads)
       .select(
         col("event_id"), col("partition_key"), col("schema_uri"), col("ip"),
         col("timestamp_ms"), col("encoding"), col("collector"), col("user_agent"),

@@ -167,11 +167,13 @@ object EventEnvelopeAdapter {
     filter(array(parts: _*), h => h.isNotNull)
   }
 
-  /** The full envelope DataFrame. Narrow (no shuffle): one projection over
-    * the events scan, so at 100 TB this is a pure map stage fused into
-    * whole-stage codegen. */
+  /** The full envelope DataFrame: one projection over the events scan, so
+    * at 100 TB this is a pure map stage fused into whole-stage codegen
+    * (Spread is the identity there — it only rebalances when the scan
+    * yields fewer splits than the session's parallelism, as the compact
+    * single-file test parquet does). */
   def envelopes(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir).select(
+    graft.operators.Spread(Tables.events(spark, sfDir)).select(
       col("event_id"),
       method.as("method"),
       path.as("path"),
