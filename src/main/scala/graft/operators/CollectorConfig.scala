@@ -55,10 +55,11 @@ object CollectorConfig {
     "/com.acme/iglu" -> "/com.snowplowanalytics.iglu/v1",
   )
 
-  /** Test-scale config: tiny maxBytes so size routing exercises both
-    * branches on the synthetic bodies (tp2 3-element bodies span ~228-246
-    * bytes, amplitude 3-element ~255-270 — a 240 cap cuts through both). */
-  val testScale: CollectorConfig = CollectorConfig(maxBytes = 240)
+  /** Test-scale config: maxBytes sits inside the synthetic payloads' wire
+    * size distribution (min 344 / p50 693 / max 847 serialized bytes at
+    * sf0.01) so the SizeViolation gate — serialized size, reference
+    * `SplitBatch.scala:87` — exercises both branches. */
+  val testScale: CollectorConfig = CollectorConfig(maxBytes = 800)
 
   /** maxBytes for the split-batch query surface: 2 tracker elements per
     * sub-batch at the synthetic element sizes. */

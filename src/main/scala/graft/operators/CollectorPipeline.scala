@@ -175,22 +175,33 @@ object CollectorPipeline {
         // (a '|' inside a header value would corrupt a split-based rebuild)
         filteredHeaders.as("headers"))
 
-  /** Bad-row routing: GenericError for malformed querystrings (F7) and
-    * SizeViolation for oversized payloads (F6), which keep a
-    * `maxBytes / 10`-character prefix of the original (reference
-    * `SplitBatch.scala:132-145`). One pass, one scan. */
+  /** Bad-row routing: GenericError for malformed querystrings (F7, gated
+    * before the payload build) and SizeViolation for oversized payloads
+    * (F6), with the reference's exact semantics (`SplitBatch.scala:81-145`):
+    * the gate is the SERIALIZED event size (`wholeEventBytes >= maxBytes`),
+    * `actual_size` reports that wire size, and `payload_prefix` keeps
+    * `maxBytes / 10` characters of the thrift `toString()` rendering —
+    * byte/golden parity asserted in SplitBatchSpec. The wire size is a pure
+    * column formula ([[ThriftPayload.wireSizeCol]]), so the gate costs no
+    * serialization; both branches are narrow scans. */
   def badRows(env: DataFrame, cfg: CollectorConfig): DataFrame = {
     val qsBad = !qsValid(col("querystring"))
-    val oversize = col("body").isNotNull && octet_length(col("body")) > cfg.maxBytes
-    env
-      .filter(qsBad || oversize)
+    val generic = env
+      .filter(qsBad)
       .select(
         col("event_id"),
-        when(qsBad, lit("GenericError")).otherwise(lit("SizeViolation")).as("bad_row_type"),
-        when(qsBad, col("querystring"))
-          .otherwise(substring(col("body"), 1, cfg.maxBytes / 10)).as("payload_prefix"),
-        when(qsBad, octet_length(col("querystring")))
-          .otherwise(octet_length(col("body"))).cast("long").as("actual_size"))
+        lit("GenericError").as("bad_row_type"),
+        col("querystring").as("payload_prefix"),
+        octet_length(col("querystring")).cast("long").as("actual_size"))
+    val oversized = payloads(env, cfg)
+      .withColumn("wire_size", ThriftPayload.wireSizeCol)
+      .filter(col("wire_size") >= cfg.maxBytes)
+      .select(
+        col("event_id"),
+        lit("SizeViolation").as("bad_row_type"),
+        substring(ThriftPayload.toStringCol, 1, cfg.maxBytes / 10).as("payload_prefix"),
+        col("wire_size").cast("long").as("actual_size"))
+    generic.unionByName(oversized)
   }
 
   /** S4/F4: redirect resolution for `/r/...` rows — decode `u`, substitute

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.thrift.protocol.{TBinaryProtocol, TField, TList, TStruct, TType}
 import org.apache.thrift.transport.TMemoryBuffer
@@ -115,6 +115,85 @@ object ThriftPayload {
     writeString(p, 410, r.networkUserId)
     p.writeFieldStop()
     p.writeStructEnd()
+  }
+
+  /** Mirror of the thrift-generated `CollectorPayload.toString` (the string
+    * the reference truncates into SizeViolation bad rows —
+    * `SplitBatch.scala:142` `event.toString().take(maxSize / 10)`):
+    * declaration-order fields, default-requiredness fields always printed
+    * (null → "null"), optional fields printed only when set, lists in Java
+    * `List.toString` form. Golden-pinned against the reference's
+    * SplitBatchSpec strings. */
+  def toStringRepr(r: PayloadRecord): String = {
+    val sb = new StringBuilder("CollectorPayload(")
+    def req(name: String, v: Any): Unit =
+      sb.append(name).append(':').append(if (v == null) "null" else v.toString).append(", ")
+    req("schema", r.schema)
+    req("ipAddress", r.ipAddress)
+    req("timestamp", r.timestamp)
+    req("encoding", r.encoding)
+    sb.append("collector:").append(if (r.collector == null) "null" else r.collector)
+    def opt(name: String, v: String): Unit =
+      if (v != null) sb.append(", ").append(name).append(':').append(v)
+    opt("userAgent", r.userAgent)
+    opt("refererUri", r.refererUri)
+    opt("path", r.path)
+    opt("querystring", r.querystring)
+    opt("body", r.body)
+    if (r.headers != null && r.headers.nonEmpty)
+      sb.append(", headers:").append(r.headers.mkString("[", ", ", "]"))
+    opt("contentType", r.contentType)
+    opt("hostname", r.hostname)
+    opt("networkUserId", r.networkUserId)
+    sb.append(')').toString
+  }
+
+  /** Exact TBinaryProtocol size of [[serialize]]'s output as a pure column
+    * expression over the `CollectorPipeline.payloads` projection: each set
+    * string field costs 3 (field header) + 4 (length prefix) + bytes; the
+    * i64 timestamp 3 + 8; a non-empty headers list 3 + 5 (list header) +
+    * Σ(4 + bytes); plus the 1-byte stop. Byte parity with the serializer is
+    * asserted in SplitBatchSpec, so SizeViolation `actual_size` matches the
+    * reference's `wholeEventBytes` (`SplitBatch.scala:84`) without paying a
+    * serialization in the size gate. Stays inside whole-stage codegen. */
+  def wireSizeCol: Column = {
+    def f(c: Column) = when(c.isNotNull, octet_length(c) + 7).otherwise(lit(0))
+    Seq(
+      col("schema_uri"), col("ip"), col("encoding"), col("collector"),
+      col("user_agent"), col("referer_uri"), col("path"), col("querystring"),
+      col("body"), col("content_type"), col("hostname"), col("network_userid"))
+      .map(f)
+      .foldLeft(lit(12): Column)(_ + _) + // i64 timestamp (11) + stop (1)
+      when(col("headers").isNotNull && size(col("headers")) > 0,
+        aggregate(col("headers"), lit(8), (acc, h) => acc + octet_length(h) + 4))
+        .otherwise(lit(0))
+  }
+
+  /** Column version of [[toStringRepr]] over the payloads projection —
+    * feeds the SizeViolation `payload_prefix` truncation. */
+  def toStringCol: Column = {
+    def req(name: String, c: Column) =
+      concat(lit(s", $name:"), coalesce(c.cast("string"), lit("null")))
+    def opt(name: String, c: Column) =
+      when(c.isNotNull, concat(lit(s", $name:"), c)).otherwise(lit(""))
+    concat(
+      lit("CollectorPayload(schema:"), coalesce(col("schema_uri"), lit("null")),
+      req("ipAddress", col("ip")),
+      req("timestamp", col("timestamp_ms")),
+      req("encoding", col("encoding")),
+      req("collector", col("collector")),
+      opt("userAgent", col("user_agent")),
+      opt("refererUri", col("referer_uri")),
+      opt("path", col("path")),
+      opt("querystring", col("querystring")),
+      opt("body", col("body")),
+      when(col("headers").isNotNull && size(col("headers")) > 0,
+        concat(lit(", headers:["), array_join(col("headers"), ", "), lit("]")))
+        .otherwise(lit("")),
+      opt("contentType", col("content_type")),
+      opt("hostname", col("hostname")),
+      opt("networkUserId", col("network_userid")),
+      lit(")"))
   }
 
   /** Decode (round-trip testing + reading back the wire format). */

@@ -144,13 +144,71 @@ object CollectorOracles {
          |  CASE WHEN event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END AS nuid_param
          |FROM env2 WHERE NOT qs_bad""".stripMargin,
 
+    // SizeViolation mirrors the reference exactly (SplitBatch.scala:81-145):
+    // gate + actual_size = serialized thrift size (3+4+len per set string
+    // field, 11 for the i64, 8+Σ(4+len) for headers, 1 stop), prefix =
+    // maxBytes/10 chars of the thrift toString() rendering.
     "c_bad_rows" ->
-      s"""$Env
-         |SELECT event_id,
-         |  CASE WHEN qs_bad THEN 'GenericError' ELSE 'SizeViolation' END AS bad_row_type,
-         |  CASE WHEN qs_bad THEN querystring ELSE substr(body, 1, 24) END AS payload_prefix,
-         |  CASE WHEN qs_bad THEN strlen(querystring) ELSE strlen(body) END AS actual_size
-         |FROM env2 WHERE qs_bad OR (body IS NOT NULL AND strlen(body) > 240)""".stripMargin,
+      s"""$Env,
+         |pay AS (
+         |  SELECT event_id, timestamp_ms, user_agent, referer, querystring,
+         |    body, content_type, hostname,
+         |    'iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0' AS schema_uri,
+         |    CASE WHEN anon THEN 'unknown' ELSE coalesce(remote_ip, 'unknown') END AS ip,
+         |    CASE WHEN path = '/com.acme/track' THEN '/com.snowplowanalytics.snowplow/tp2'
+         |         WHEN path = '/com.acme/redirect' THEN '/r/tp2'
+         |         WHEN path = '/com.acme/iglu' THEN '/com.snowplowanalytics.iglu/v1'
+         |         ELSE path END AS rpath,
+         |    CASE WHEN anon THEN '$NilUuid'
+         |         ELSE coalesce(
+         |           CASE WHEN event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END,
+         |           cookie_sp,
+         |           ${uu("'nuid-gen' || event_id")}) END AS nuid,
+         |    concat_ws(', ',
+         |      'Host: ' || hostname,
+         |      'User-Agent: ' || user_agent,
+         |      CASE WHEN referer IS NOT NULL THEN 'Referer: ' || referer END,
+         |      CASE WHEN remote_ip IS NOT NULL AND NOT anon THEN 'X-Forwarded-For: ' || remote_ip END,
+         |      CASE WHEN cookie_sp IS NOT NULL AND NOT anon THEN 'Cookie: sp=' || cookie_sp END,
+         |      content_type) AS headers_join,
+         |    (2 + CASE WHEN referer IS NOT NULL THEN 1 ELSE 0 END
+         |       + CASE WHEN remote_ip IS NOT NULL AND NOT anon THEN 1 ELSE 0 END
+         |       + CASE WHEN cookie_sp IS NOT NULL AND NOT anon THEN 1 ELSE 0 END
+         |       + CASE WHEN content_type IS NOT NULL THEN 1 ELSE 0 END) AS n_headers
+         |  FROM env2 WHERE NOT dnt AND NOT qs_bad
+         |),
+         |sized AS (
+         |  SELECT *,
+         |    12 + 7 + strlen(schema_uri) + 7 + strlen(ip) + 7 + 5
+         |    + 7 + strlen('graft-0.1.0-spark')
+         |    + 7 + strlen(user_agent)
+         |    + CASE WHEN referer IS NOT NULL THEN 7 + strlen(referer) ELSE 0 END
+         |    + 7 + strlen(rpath) + 7 + strlen(querystring)
+         |    + CASE WHEN body IS NOT NULL THEN 7 + strlen(body) ELSE 0 END
+         |    + CASE WHEN content_type IS NOT NULL THEN 7 + strlen(content_type) ELSE 0 END
+         |    + 7 + strlen(hostname) + 7 + strlen(nuid)
+         |    + 8 + 4 * n_headers + strlen(headers_join) - 2 * (n_headers - 1) AS wire_size
+         |  FROM pay
+         |)
+         |SELECT event_id, 'GenericError' AS bad_row_type,
+         |  querystring AS payload_prefix,
+         |  CAST(strlen(querystring) AS BIGINT) AS actual_size
+         |FROM env2 WHERE qs_bad
+         |UNION ALL
+         |SELECT event_id, 'SizeViolation' AS bad_row_type,
+         |  substr('CollectorPayload(schema:' || schema_uri
+         |    || ', ipAddress:' || ip || ', timestamp:' || timestamp_ms
+         |    || ', encoding:UTF-8, collector:graft-0.1.0-spark'
+         |    || ', userAgent:' || user_agent
+         |    || CASE WHEN referer IS NOT NULL THEN ', refererUri:' || referer ELSE '' END
+         |    || ', path:' || rpath || ', querystring:' || querystring
+         |    || CASE WHEN body IS NOT NULL THEN ', body:' || body ELSE '' END
+         |    || ', headers:[' || headers_join || ']'
+         |    || CASE WHEN content_type IS NOT NULL THEN ', contentType:' || content_type ELSE '' END
+         |    || ', hostname:' || hostname || ', networkUserId:' || nuid || ')',
+         |    1, 80) AS payload_prefix,
+         |  CAST(wire_size AS BIGINT) AS actual_size
+         |FROM sized WHERE wire_size >= 800""".stripMargin,
 
     "c_redirect" ->
       s"""$Env

@@ -62,7 +62,10 @@ class CollectorPipelineSpec extends AnyFunSuite {
     val sv = bad.filter(col("bad_row_type") === "SizeViolation")
     assert(sv.count() > 0)
     assert(sv.filter(length(col("payload_prefix")) =!= cfg.maxBytes / 10).count() === 0)
-    assert(sv.filter(col("actual_size") <= cfg.maxBytes).count() === 0)
+    // reference gate is wholeEventBytes >= maxBytes (SplitBatch.scala:87)
+    assert(sv.filter(col("actual_size") < cfg.maxBytes).count() === 0)
+    // the prefix is the thrift toString rendering, not the raw body
+    assert(sv.filter(!col("payload_prefix").startsWith("CollectorPayload(schema:")).count() === 0)
   }
 
   test("redirects: allowlisted hosts 302, others rejected with null location") {

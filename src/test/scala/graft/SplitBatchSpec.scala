@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.SplitBatch
+import graft.operators.{CollectorConfig, CollectorPipeline, PayloadRecord, SplitBatch, ThriftPayload}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Packer semantics (reference `SplitBatch.scala:40-74` behaviors,
@@ -79,6 +79,58 @@ class SplitBatchSpec extends AnyFunSuite {
       assigned.zip(sizes).foreach { case (b, s) =>
         assert((b == -1) === (base + s > max))
       }
+    }
+  }
+
+  test("reference golden: oversized GET payload — 1019 bytes, 'CollectorP' prefix") {
+    // reference SplitBatchSpec.scala:75-90: an empty CollectorPayload with a
+    // 1000-char querystring serializes to exactly 1019 bytes (7+1000 string
+    // field + 11 i64 timestamp + 1 stop) and the SizeViolation keeps
+    // toString().take(maxSize/10) = "CollectorP"
+    val r = PayloadRecord(null, null, 0L, null, null, null, null, null,
+      "x" * 1000, null, null, null, null, null)
+    assert(ThriftPayload.serialize(r).length === 1019)
+    assert(ThriftPayload.toStringRepr(r).take(100 / 10) === "CollectorP")
+  }
+
+  test("reference golden: oversized POST with unparseable body — 1019 bytes") {
+    // reference SplitBatchSpec.scala:92-108
+    val r = PayloadRecord(null, null, 0L, null, null, null, null, null,
+      null, "s" * 1000, null, null, null, null)
+    assert(ThriftPayload.serialize(r).length === 1019)
+    assert(ThriftPayload.toStringRepr(r).take(10) === "CollectorP")
+  }
+
+  test("reference golden: oversized even without body — 1091 bytes, toString prefix") {
+    // reference SplitBatchSpec.scala:110-137: maxBytes 1000, 1000-char path
+    val r = PayloadRecord(null, null, 0L, null, null, null, null, "p" * 1000,
+      null, """{"schema":"s","data":[{"e":"se","tv":"js"},{"e":"se","tv":"js"}]}""",
+      null, null, null, null)
+    assert(ThriftPayload.serialize(r).length === 1091)
+    assert(ThriftPayload.toStringRepr(r).take(1000 / 10) ===
+      "CollectorPayload(schema:null, ipAddress:null, timestamp:0, " +
+        "encoding:null, collector:null, path:" + "p" * 5)
+  }
+
+  test("wireSizeCol and toStringCol match the serializer byte-for-byte on every payload") {
+    import graft.sources.EventEnvelopeAdapter
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val p = CollectorPipeline.payloads(
+      EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf), CollectorConfig.testScale)
+    val declared = p
+      .select(col("event_id"), ThriftPayload.wireSizeCol.as("n"), ThriftPayload.toStringCol.as("r"))
+      .as[(Long, Int, String)].collect()
+      .map { case (id, n, r) => id -> ((n, r)) }.toMap
+    val actual = ThriftPayload.encode(p).collect().map { w =>
+      val rec = ThriftPayload.deserialize(w.thrift)
+      w.event_id -> ((w.thrift.length, ThriftPayload.toStringRepr(rec)))
+    }.toMap
+    assert(declared.size === actual.size)
+    actual.foreach { case (id, (n, r)) =>
+      assert(declared(id)._1 === n, s"wire size mismatch for event $id")
+      assert(declared(id)._2 === r, s"toString mismatch for event $id")
     }
   }
 
