@@ -23,7 +23,20 @@ object Bench {
     "d_cdc_chunks" -> 1.2,
     "s_brute_topk" -> 0.6,
     "s_bucket_topk" -> 0.4,
-    "s_ivf_topk" -> 0.9)
+    "s_ivf_topk" -> 0.9,
+    // r3 additions — every query that ever crossed 1 s at sf0.1 gets a
+    // guard entry (the r2→r3 c_bad_rows regression shipped through the
+    // gaps of the original 10-query map)
+    "c_bad_rows" -> 1.7, // serialized-size gate semantics (r3) — not the r2 body-length gate
+    "c_tp2_events" -> 1.3,
+    "c_amplitude" -> 0.9,
+    "c_unified_events" -> 1.5,
+    "c_qs_params" -> 0.9,
+    "c_split_batches" -> 0.8,
+    "d_exact" -> 0.7,
+    "t_top_terms" -> 1.6,
+    "s_near_dups" -> 0.8,
+    "s_sim_pairs" -> 0.8)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

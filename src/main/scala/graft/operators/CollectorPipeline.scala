@@ -181,9 +181,9 @@ object CollectorPipeline {
     * the gate is the SERIALIZED event size (`wholeEventBytes >= maxBytes`),
     * `actual_size` reports that wire size, and `payload_prefix` keeps
     * `maxBytes / 10` characters of the thrift `toString()` rendering —
-    * byte/golden parity asserted in SplitBatchSpec. The wire size is a pure
-    * column formula ([[ThriftPayload.wireSizeCol]]), so the gate costs no
-    * serialization; both branches are narrow scans. */
+    * byte/golden parity asserted in SplitBatchSpec. The size gate runs in
+    * [[ThriftPayload.sizeViolations]]'s typed mapPartitions — the same
+    * serialization the sink pays anyway; both branches are narrow scans. */
   def badRows(env: DataFrame, cfg: CollectorConfig): DataFrame = {
     val qsBad = !qsValid(col("querystring"))
     val generic = env
@@ -193,14 +193,8 @@ object CollectorPipeline {
         lit("GenericError").as("bad_row_type"),
         col("querystring").as("payload_prefix"),
         octet_length(col("querystring")).cast("long").as("actual_size"))
-    val oversized = payloads(env, cfg)
-      .withColumn("wire_size", ThriftPayload.wireSizeCol)
-      .filter(col("wire_size") >= cfg.maxBytes)
-      .select(
-        col("event_id"),
-        lit("SizeViolation").as("bad_row_type"),
-        substring(ThriftPayload.toStringCol, 1, cfg.maxBytes / 10).as("payload_prefix"),
-        col("wire_size").cast("long").as("actual_size"))
+    val oversized =
+      ThriftPayload.sizeViolations(payloads(env, cfg), cfg.maxBytes).toDF()
     generic.unionByName(oversized)
   }
 

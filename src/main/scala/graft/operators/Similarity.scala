@@ -144,16 +144,37 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cos")
   }
 
-  /** Embedding-cosine near-duplicate pairs within sign buckets: pairs with
-    * quantized cosine above `threshold` (the embedding leg of dedup). */
-  def cosineNearDups(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val corpus = prepared(embeddings)
-      .withColumn("bucket", signBucket(col("q")))
-    corpus.as("a")
-      .join(corpus.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+  /** Default near-dup LSH shape — shared with the DuckDB oracle generator
+    * so both sides band identically. */
+  val NearDupTables = 4
+  val NearDupBits = 16
+
+  /** Embedding-cosine near-duplicate pairs via multi-table random-
+    * hyperplane LSH ([[graft.functions.HyperplaneCodes]]): a vector emits
+    * one `bits`-bit sign code per table; pairs meet iff they collide in
+    * ≥ 1 table, then the exact quantized cosine filters at `threshold`.
+    *
+    * Scale: bucket count per table is 2^bits and grows with the
+    * parameterization (bits ≈ log2(n / target_occupancy)), unlike a fixed
+    * sign-prefix code whose 256 cells force O((n/256)²) pairing at any
+    * corpus size. The self-join shuffles on the (table, code) band key —
+    * the same streamed-pairs shape as [[Dedup.pairsWithinBuckets]]; both
+    * sides reuse one exchange. Recall = 1 − (1 − p^bits)^tables with
+    * p = 1 − θ/π; raise `tables` for recall, `bits` for occupancy. */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double,
+                     tables: Int = NearDupTables, bits: Int = NearDupBits): DataFrame = {
+    val bands = prepared(embeddings)
+      .withColumn("codes", graft.functions.HyperplaneCodes.codes(col("q"), tables, bits))
+      .select(col("vec_id"), col("q"), col("n2"),
+        posexplode(col("codes")).as(Seq("t", "code")))
+      .hint("shuffle_hash")
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.t") === col("b.t") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(col("a.q"), col("b.q"), col("a.n2"), col("b.n2")).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 }

@@ -26,6 +26,10 @@ final case class PayloadRecord(
   * reference hands every sink — `Sink.scala:34`). */
 final case class WirePayload(event_id: Long, partition_key: String, thrift: Array[Byte])
 
+/** One SizeViolation bad row (reference `SplitBatch.scala:132-145`). */
+final case class SizeViolationRow(
+    event_id: Long, bad_row_type: String, payload_prefix: String, actual_size: Long)
+
 /** P14: Thrift wire serialization of CollectorPayload
   * (reference `SplitBatch.scala:36-38,82-83` — `TSerializer.serialize`,
   * TBinaryProtocol). Implemented against libthrift directly with the field
@@ -194,6 +198,44 @@ object ThriftPayload {
       opt("hostname", col("hostname")),
       opt("networkUserId", col("network_userid")),
       lit(")"))
+  }
+
+  /** F6 with the reference's exact semantics (`SplitBatch.scala:81-145`):
+    * the gate is the SERIALIZED event size (`wholeEventBytes >= maxBytes`),
+    * `actual_size` reports that wire size, and `payload_prefix` keeps
+    * `maxBytes / 10` characters of the thrift `toString()` rendering.
+    * Same typed mapPartitions shape as [[encode]] — one reused serializer
+    * per partition, `toString` rendered only for violating rows. This is
+    * the serialization the sink pays anyway (measured: cheaper than
+    * evaluating the equivalent [[wireSizeCol]] column formula, whose
+    * pushed-filter copy re-evaluates the payload build per reference);
+    * the formula remains the spec/oracle-side mirror with asserted byte
+    * parity (SplitBatchSpec). */
+  def sizeViolations(payloads: DataFrame, maxBytes: Int): Dataset[SizeViolationRow] = {
+    val spark = payloads.sparkSession
+    implicit val enc0 = org.apache.spark.sql.Encoders.product[SizeViolationRow]
+    Spread(payloads)
+      .select(
+        col("event_id"), col("schema_uri"), col("ip"),
+        col("timestamp_ms"), col("encoding"), col("collector"), col("user_agent"),
+        col("referer_uri"), col("path"), col("querystring"), col("body"),
+        col("headers"), col("content_type"),
+        col("hostname"), col("network_userid"))
+      .mapPartitions { it =>
+        val ser = new Serializer
+        it.flatMap { r =>
+          def s(i: Int): String = if (r.isNullAt(i)) null else r.getString(i)
+          val rec = PayloadRecord(
+            s(1), s(2), r.getLong(3), s(4), s(5), s(6), s(7), s(8), s(9),
+            s(10), if (r.isNullAt(11)) null else r.getSeq[String](11),
+            s(12), s(13), s(14))
+          val n = ser(rec).length
+          if (n >= maxBytes)
+            Some(SizeViolationRow(
+              r.getLong(0), "SizeViolation", toStringRepr(rec).take(maxBytes / 10), n.toLong))
+          else None
+        }
+      }
   }
 
   /** Decode (round-trip testing + reading back the wire format). */

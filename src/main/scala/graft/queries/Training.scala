@@ -50,6 +50,11 @@ object Training {
   val sBruteTopk: Q = (s, d) => Similarity.bruteTopK(emb(s, d), 5)
   val sBucketTopk: Q = (s, d) => Similarity.bucketedTopK(emb(s, d), 3)
   val sNearDups: Q = (s, d) => Similarity.cosineNearDups(emb(s, d), 0.95)
+  /** Same LSH machinery, narrow 8-bit codes + low threshold: produces
+    * rows on the synthetic corpus (which has no true near-dups — max
+    * pairwise cosine ≈ 0.51), so the banded-join path gets a non-vacuous
+    * oracle where `s_near_dups`'s 0-row result is only a schema check. */
+  val sSimPairs: Q = (s, d) => Similarity.cosineNearDups(emb(s, d), 0.3, bits = 8)
   val sIvfTopk: Q = (s, d) => Similarity.ivfTopK(emb(s, d), 3)
 
   /** TF-IDF-ish top terms: tf per (doc, token), df per token, score =
@@ -93,6 +98,7 @@ object Training {
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,
     "s_near_dups" -> sNearDups,
+    "s_sim_pairs" -> sSimPairs,
     "s_ivf_topk" -> sIvfTopk,
     "m_decode" -> mDecode,
     "m_frames" -> mFrames,

@@ -57,6 +57,29 @@ object TrainingOracles {
   private val CosAB =
     "floor(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) / 1000000"
 
+  /** Multi-table hyperplane-LSH pair oracle — the code expressions are
+    * generated from the SAME sign function the Spark expression uses
+    * ([[graft.functions.HyperplaneCodes.sign]]), as literal ±qv[i] sums,
+    * so banding is bit-identical across engines (projections of
+    * integer-quantized embeddings are exact integers). */
+  private def hyperplanePairsSql(tables: Int, bits: Int, threshold: String): String = {
+    import graft.functions.HyperplaneCodes.sqlCode
+    val codeCols = (0 until tables).map(t => s"${sqlCode(t, bits, 64)} AS code$t").mkString(",\n    ")
+    val bandArms = (0 until tables)
+      .map(t => s"SELECT vec_id, qv, n2, $t AS t, code$t AS code FROM coded")
+      .mkString("\n  UNION ALL ")
+    s"""$EmbCte,
+       |coded AS (SELECT vec_id, qv, n2,
+       |    $codeCols
+       |  FROM n),
+       |bands AS (
+       |  $bandArms)
+       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, $CosAB AS cos
+       |FROM bands a JOIN bands b
+       |  ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id
+       |WHERE $CosAB >= $threshold""".stripMargin
+  }
+
   private val simhashSum = (0 until 16).map { i =>
     s"CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN substr(md5(t), ${i + 1}, 1) IN " +
       s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0 THEN ${1L << i} ELSE 0 END"
@@ -182,11 +205,16 @@ object TrainingOracles {
          |  WHERE a.vec_id % 97 = 0) t
          |WHERE rank <= 3""".stripMargin,
 
-    "s_near_dups" ->
-      s"""$EmbCte
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $CosAB AS cos
-         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE $CosAB >= 0.95""".stripMargin,
+    // Multi-table hyperplane LSH blocking — the code expressions are
+    // generated from the SAME sign function the Spark expression uses
+    // (HyperplaneCodes.sign), as literal ±qv[i] sums, so banding is
+    // bit-identical across engines (projections of integer-quantized
+    // embeddings are exact integers).
+    "s_near_dups" -> hyperplanePairsSql(
+      graft.operators.Similarity.NearDupTables, graft.operators.Similarity.NearDupBits, "0.95"),
+
+    "s_sim_pairs" -> hyperplanePairsSql(
+      graft.operators.Similarity.NearDupTables, 8, "0.3"),
 
     "s_ivf_topk" ->
       s"""$EmbCte,

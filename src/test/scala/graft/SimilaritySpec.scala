@@ -47,6 +47,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.head._3 > 0.999)
   }
 
+  test("hyperplane codes: identical vectors collide in every table; eval == codegen") {
+    import graft.functions.HyperplaneCodes
+    val d = embOf(
+      (1L, Seq(1f, 2f, 3f, 4f, -1f, 1f, -1f, 1f)),
+      (2L, Seq(1f, 2f, 3f, 4f, -1f, 1f, -1f, 1f)))
+      .select(col("vec_id"),
+        HyperplaneCodes.codes(transform(col("embedding"), x => x.cast("double")), 4, 16).as("codes"))
+    val rows = d.as[(Long, Seq[Long])].collect().toMap
+    assert(rows(1L) === rows(2L))
+    assert(rows(1L).length === 4)
+    // interpreted eval (no codegen) must agree with the codegen'd path
+    val q = Array(1.0, 2.0, 3.0, 4.0, -1.0, 1.0, -1.0, 1.0)
+    val expr = HyperplaneCodes(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        q, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      4, 16)
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(interp === rows(1L))
+  }
+
+  test("hyperplane LSH: bucket count grows with bits and occupancy stays bounded") {
+    import graft.functions.HyperplaneCodes
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+    def bandStats(bits: Int) = {
+      val bands = emb
+        .select(posexplode(HyperplaneCodes.codes(col("q"), 4, bits)).as(Seq("t", "code")))
+        .groupBy("t", "code").count()
+      val occ = bands.agg(max("count"), count(lit(1))).as[(Long, Long)].head()
+      occ // (max occupancy, distinct buckets)
+    }
+    val (max8, n8) = bandStats(8)
+    val (max16, n16) = bandStats(16)
+    val corpus = emb.count()
+    assert(n16 > n8, "bucket count must grow with code width")
+    assert(max16 <= max8)
+    // the occupancy bound the blocking relies on: no single bucket holds
+    // a constant fraction of the corpus at the default width
+    assert(max16 <= corpus / 8,
+      s"hot bucket $max16 of $corpus — widen bits or the pairing degenerates")
+  }
+
+  test("near-dup pairs are a subset of brute-force pairs at the threshold") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val lsh = Similarity.cosineNearDups(emb, 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val q = emb.select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+      .withColumn("n2", Similarity.dot(col("q"), col("q")))
+    val brute = q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Similarity.cosine(col("a.q"), col("b.q"), col("a.n2"), col("b.n2")).as("cos"))
+      .filter(col("cos") >= 0.8)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(lsh.subsetOf(brute))
+  }
+
   test("brute top-k on real embeddings: ranks dense, cos within [-1,1], self excluded") {
     val out = Similarity.bruteTopK(Tables.embeddings(spark, TestSpark.Sf), 5)
       .as[(Long, Int, Long, Double)].collect()
