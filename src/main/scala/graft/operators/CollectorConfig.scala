@@ -35,6 +35,8 @@ final case class CollectorConfig(
     useIpAsPartitionKey: Boolean = true,
     bounceEnabled: Boolean = false,
     bounceParamName: String = "n",
+    corsEnabled: Boolean = false,
+    corsDomains: Seq[String] = Seq("*"),
 ) {
   def collectorName: String = s"$appName-$appVersion-$sinkName"
 }
@@ -67,4 +69,12 @@ object CollectorConfig {
 
   /** testScale with cookie-bounce tracking on (F2 query surface). */
   val bounceScale: CollectorConfig = testScale.copy(bounceEnabled = true)
+
+  /** testScale with CORS origin whitelisting on (F5 query surface): one
+    * wildcard domain and one exact domain, so the fixture origins exercise
+    * every branch of the reference's `isOriginAllowed`
+    * (`AmplitudeBridge.scala:60-68`). */
+  val corsScale: CollectorConfig = testScale.copy(
+    corsEnabled = true,
+    corsDomains = Seq("*.allowed.example.com", "partner.io"))
 }

@@ -198,6 +198,43 @@ object CollectorPipeline {
     generic.unionByName(oversized)
   }
 
+  /** F5: per-request CORS origin decision with the reference's exact
+    * matching (`AmplitudeBridge.scala:60-112`):
+    *  - `*` allows any origin;
+    *  - `*.example.com` matches `sub.example.com` (dotted suffix) and the
+    *    bare base `example.com`;
+    *  - an exact domain matches itself and any dotted subdomain.
+    * Decision (reference `buildCorsHeaders`): no Origin header → allow-all
+    * (`allow_origin = "*"`); whitelisting active (enabled and no `*` in the
+    * list) → echo the origin when allowed, else no CORS header (null) and a
+    * 403 preflight; whitelisting inactive → echo. The domain list is config
+    * (driver-side), so the match unrolls to a codegen'd OR-chain — no
+    * per-row list traversal. */
+  def corsDecisions(env: DataFrame, cfg: CollectorConfig): DataFrame = {
+    val host = regexp_replace(col("origin"), "^https?://", "")
+    def matches(d: String): Column =
+      if (d == "*") lit(true)
+      else if (d.startsWith("*.")) host.endsWith(d.substring(1)) || host === d.substring(2)
+      else host === d || host.endsWith("." + d)
+    val hostAllowed = cfg.corsDomains.map(matches).reduceOption(_ || _).getOrElse(lit(false))
+    val whitelisting = cfg.corsEnabled && !cfg.corsDomains.contains("*")
+    val allowed =
+      when(col("origin").isNull, lit(true))
+        .otherwise(if (whitelisting) hostAllowed else lit(true))
+    val allowOrigin =
+      when(col("origin").isNull, lit("*"))
+        .otherwise(
+          if (whitelisting) when(hostAllowed, col("origin")).otherwise(lit(null).cast("string"))
+          else col("origin"))
+    env.select(
+      col("event_id"),
+      col("origin"),
+      host.as("origin_host"),
+      allowed.as("allowed"),
+      allowOrigin.as("allow_origin"),
+      when(allowed, lit(200)).otherwise(lit(403)).as("preflight_status"))
+  }
+
   /** S4/F4: redirect resolution for `/r/...` rows — decode `u`, substitute
     * the `${SP_NUID}` macro with the resolved network user id, and gate on
     * the domain allowlist. `location` is null when rejected; malformed

@@ -49,6 +49,10 @@ object Collector {
   /** S4/F4: redirect target resolution + allowlist + macro substitution. */
   val cRedirect: Q = (s, d) => CollectorPipeline.redirects(env(s, d), cfg)
 
+  /** F5: CORS origin decisions under the whitelisting config. */
+  val cCors: Q = (s, d) =>
+    CollectorPipeline.corsDecisions(env(s, d), CollectorConfig.corsScale)
+
   /** Response-kind projection (pixel GIF / 302 / 400 / bridge json / ok). */
   val cResponse: Q = (s, d) => CollectorPipeline.responses(env(s, d), cfg)
 
@@ -117,6 +121,7 @@ object Collector {
     "c_qs_params" -> cQsParams,
     "c_bad_rows" -> cBadRows,
     "c_redirect" -> cRedirect,
+    "c_cors" -> cCors,
     "c_response" -> cResponse,
     "c_bounce" -> cBounce,
     "c_partition_counts" -> cPartitionCounts,

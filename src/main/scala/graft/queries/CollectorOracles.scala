@@ -61,7 +61,14 @@ object CollectorOracles {
        |    'Mozilla/5.0 (agent ' || (user_id % 10) || ')' AS user_agent,
        |    CASE WHEN event_id % 5 = 0
        |         THEN 'https://referrer.example.com/p' || (event_id % 50) ELSE NULL END AS referer,
-       |    'collector-' || (user_id % 3) || '.example.com' AS hostname
+       |    'collector-' || (user_id % 3) || '.example.com' AS hostname,
+       |    CASE WHEN event_id % 6 = 0 THEN NULL
+       |         WHEN event_id % 6 = 1 THEN 'https://sub' || (user_id % 3) || '.allowed.example.com'
+       |         WHEN event_id % 6 = 2 THEN 'https://allowed.example.com'
+       |         WHEN event_id % 6 = 3 THEN 'https://partner.io'
+       |         WHEN event_id % 6 = 4 THEN 'https://api.partner.io'
+       |         WHEN user_id % 2 = 0 THEN 'https://notallowed.example.com'
+       |         ELSE 'https://evil.example.net' END AS origin
        |  FROM events
        |),
        |env2 AS (
@@ -88,6 +95,14 @@ object CollectorOracles {
        |    CASE WHEN m <= 11 OR m >= 17 THEN 'application/json' ELSE NULL END AS content_type
        |  FROM env
        |)""".stripMargin
+
+  /** Mirror of CollectorPipeline.corsDecisions host matching under the
+    * corsScale config (`*.allowed.example.com`, `partner.io`); `h` must be
+    * the origin-host expression. LIKE keeps the dotted-suffix semantics
+    * (no regex metacharacters in the fixture domains). */
+  private def corsHostAllowed(h: String): String =
+    s"($h LIKE '%.allowed.example.com' OR $h = 'allowed.example.com' OR " +
+      s"$h = 'partner.io' OR $h LIKE '%.partner.io')"
 
   private val redirectTarget =
     "'https://dest' || (user_id % 10) || " +
@@ -218,6 +233,22 @@ object CollectorOracles {
          |  CASE WHEN NOT qs_bad AND user_id % 10 <> 0
          |       THEN 'https://dest' || (user_id % 10) || '.example.com/landing' END AS location
          |FROM env2 WHERE m = 16""".stripMargin,
+
+    "c_cors" ->
+      s"""$Env,
+         |cors AS (
+         |  SELECT event_id, origin,
+         |    regexp_replace(origin, '^https?://', '') AS origin_host
+         |  FROM env2),
+         |dec AS (
+         |  SELECT *,
+         |    (origin IS NULL OR ${corsHostAllowed("origin_host")}) AS allowed
+         |  FROM cors)
+         |SELECT event_id, origin, origin_host, allowed,
+         |  CASE WHEN origin IS NULL THEN '*'
+         |       WHEN allowed THEN origin END AS allow_origin,
+         |  CASE WHEN allowed THEN 200 ELSE 403 END AS preflight_status
+         |FROM dec""".stripMargin,
 
     "c_response" ->
       s"""$Env

@@ -140,6 +140,22 @@ object EventEnvelopeAdapter {
 
   def hostname: Column = concat(lit("collector-"), pmod(col("user_id"), lit(3)), lit(".example.com"))
 
+  /** Origin header (F5 CORS fixture), k = event_id % 6: absent; wildcard
+    * subdomain / bare-base matches; exact / dotted-suffix matches; and two
+    * blocked shapes, incl. the adversarial `notallowed.allowed...`-style
+    * suffix-without-dot (`notallowed.example.com` must NOT match
+    * `*.allowed.example.com`). */
+  def origin: Column = {
+    val k = pmod(col("event_id"), lit(6))
+    when(k === 0, lit(null).cast("string"))
+      .when(k === 1, concat(lit("https://sub"), pmod(col("user_id"), lit(3)), lit(".allowed.example.com")))
+      .when(k === 2, lit("https://allowed.example.com"))
+      .when(k === 3, lit("https://partner.io"))
+      .when(k === 4, lit("https://api.partner.io"))
+      .otherwise(when(pmod(col("user_id"), lit(2)) === 0, lit("https://notallowed.example.com"))
+        .otherwise(lit("https://evil.example.net")))
+  }
+
   def body: Column =
     when(m <= 11, tp2Body)
       .when(m >= 19,
@@ -184,6 +200,7 @@ object EventEnvelopeAdapter {
       referer.as("referer"),
       hostname.as("hostname"),
       remoteIp.as("remote_ip"),
+      origin.as("origin"),
       spAnonymous.as("sp_anonymous"),
       cookieSp.as("cookie_sp"),
       cookieDnt.as("cookie_dnt"),
