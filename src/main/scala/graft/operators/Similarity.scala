@@ -94,13 +94,15 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cos")
   }
 
-  /** IVF coarse centroids: element-wise mean per seed cell (the `label`
-    * column seeds the partition, as k-means iterations would). Sums of
-    * integer-valued doubles are exact, so the centroid vectors — and
-    * everything derived from them — are bit-identical across engines. */
-  def centroids(corpus: DataFrame): DataFrame =
-    corpus
-      .select(col("label").as("c_label"), posexplode(col("q")).as(Seq("i", "x")))
+  /** Element-wise mean vectors per cell over `(c_label, q)` rows. Sums of
+    * integer-valued doubles are exact and the final division + the
+    * index-order norm sum are sequentially evaluated in both engines, so
+    * the centroid vectors — and everything derived from them — are
+    * bit-identical across engines even once they turn fractional after a
+    * Lloyd step. */
+  private def meanCentroids(pts: DataFrame): DataFrame =
+    pts
+      .select(col("c_label"), posexplode(col("q")).as(Seq("i", "x")))
       .groupBy("c_label", "i")
       .agg((sum("x") / count(lit(1))).as("c"))
       .groupBy("c_label")
@@ -108,28 +110,53 @@ object Similarity {
         s => s("c")).as("cv"))
       .withColumn("cn2", dot(col("cv"), col("cv")))
 
-  /** Assign every vector to its nearest centroid (min ||v-c||², i.e. min
-    * of cn2 - 2·v·c since ||v||² is constant per vector; ties break by
-    * cell id). The centroid table is tiny → broadcast; one narrow pass. */
-  def assignCells(corpus: DataFrame): DataFrame = {
-    val cents = centroids(corpus)
+  /** IVF seed centroids: mean per `label` cell (k-means++ stand-in — the
+    * generator's label IS a cluster hint, as a production pipeline would
+    * seed from a sample). */
+  def centroids(corpus: DataFrame): DataFrame =
+    meanCentroids(corpus.select(col("label").as("c_label"), col("q")))
+
+  /** The `n` nearest centroids per vector (min ||v-c||², i.e. min of
+    * cn2 - 2·v·c since ||v||² is constant per vector; ties break by cell
+    * id). The centroid table is tiny → broadcast; one narrow pass. */
+  private def nearestCells(corpus: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").asc, col("c_label").asc)
     corpus
       .crossJoin(broadcast(cents))
       .withColumn("score", col("cn2") - lit(2) * dot(col("q"), col("cv")))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("q"), col("n2"), col("c_label").as("cell"))
+      .filter(col("rn") <= n)
+      .select(col("vec_id"), col("q"), col("n2"), col("c_label").as("cell"), col("rn"))
   }
 
-  /** IVF top-k (nprobe=1): queries search only their own centroid cell —
-    * the classic inverted-file ANN layout. At 100 TB the cells are the
-    * partition keys of the index table; a probe reads one partition. */
-  def ivfTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val cells = assignCells(prepared(embeddings, spread = true))
-    val queries = cells
-      .filter(col("vec_id") % 97 === 0)
+  /** Assign every vector to its single nearest centroid. */
+  def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame =
+    nearestCells(corpus, cents, 1).drop("rn")
+
+  /** One Lloyd (k-means) step: re-assign to the nearest centroid, then
+    * recompute cell means. Each step is one broadcast-join pass + one
+    * aggregation over the corpus. */
+  def lloydStep(corpus: DataFrame, cents: DataFrame): DataFrame =
+    meanCentroids(assignCells(corpus, cents).select(col("cell").as("c_label"), col("q")))
+
+  /** IVF top-k: Lloyd-refined centroids, queries probe their `nprobe`
+    * nearest cells — the classic inverted-file ANN layout with multiprobe
+    * (nprobe=1 has a recall cliff for queries near a cell boundary; their
+    * true neighbors sit in the adjacent cell).
+    *
+    * At 100 TB the cells are the partition keys of the index table and a
+    * probe reads `nprobe` partitions; Lloyd training would run on a
+    * deterministic sample (e.g. `vec_id % s = 0`) instead of the full
+    * corpus — the oracle-mirrored arithmetic is identical either way. A
+    * candidate belongs to exactly one cell and a query's probed cells are
+    * distinct, so multiprobe introduces no duplicate candidates. */
+  def ivfTopK(embeddings: DataFrame, k: Int, lloydIters: Int = 1, nprobe: Int = 2): DataFrame = {
+    val corpus = prepared(embeddings, spread = true)
+    var cents = centroids(corpus)
+    for (_ <- 1 to lloydIters) cents = lloydStep(corpus, cents)
+    val cells = assignCells(corpus, cents)
+    val queries = nearestCells(corpus.filter(col("vec_id") % 97 === 0), cents, nprobe)
       .select(col("vec_id").as("q_id"), col("q").as("qq"),
         col("n2").as("qn2"), col("cell"))
     val w = Window.partitionBy(col("q_id"))

@@ -216,30 +216,57 @@ object TrainingOracles {
     "s_sim_pairs" -> hyperplanePairsSql(
       graft.operators.Similarity.NearDupTables, 8, "0.3"),
 
-    "s_ivf_topk" ->
+    // Lloyd-refined IVF with multiprobe (mirror of Similarity.ivfTopK,
+    // lloydIters=1, nprobe=2): seed means per label → re-assign → recompute
+    // means → final assignment (index) + 2-nearest probes per query. All
+    // centroid arithmetic is sequential index-order double math in both
+    // engines, so even the fractional post-Lloyd centroids are bit-equal.
+    "s_ivf_topk" -> {
+      def scoredFrom(centn: String) =
+        s"""SELECT n.vec_id, n.qv, n.n2, c.c_label,
+           |    c.cn2 - 2 * list_sum(list_transform(range(1, len(n.qv) + 1),
+           |                                        i -> n.qv[i] * c.cv[i])) AS score
+           |  FROM n, $centn c""".stripMargin
+      def centsFrom(cells: String) =
+        s"""SELECT c_label, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM (
+           |  SELECT c_label, list(c ORDER BY i) AS cv FROM (
+           |    SELECT a.cell AS c_label, d.i, sum(a.qv[d.i]) / count(*) AS c
+           |    FROM $cells a, (SELECT unnest(range(1, 65)) AS i) d GROUP BY 1, 2) t
+           |  GROUP BY 1)""".stripMargin
       s"""$EmbCte,
          |dims AS (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM n),
-         |cent AS (SELECT label AS c_label, i, sum(qv[i]) / count(*) AS c
-         |         FROM dims GROUP BY 1, 2),
-         |centv AS (SELECT c_label, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
-         |centn AS (SELECT c_label, cv,
-         |            list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM centv),
-         |scored AS (
-         |  SELECT n.vec_id, n.qv, n.n2, c.c_label,
-         |    c.cn2 - 2 * list_sum(list_transform(range(1, len(n.qv) + 1),
-         |                                        i -> n.qv[i] * c.cv[i])) AS score
-         |  FROM n, centn c),
+         |cent0 AS (SELECT label AS c_label, i, sum(qv[i]) / count(*) AS c
+         |          FROM dims GROUP BY 1, 2),
+         |centv0 AS (SELECT c_label, list(c ORDER BY i) AS cv FROM cent0 GROUP BY 1),
+         |centn0 AS (SELECT c_label, cv,
+         |             list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM centv0),
+         |scored0 AS (
+         |  ${scoredFrom("centn0")}),
+         |cells0 AS (
+         |  SELECT vec_id, qv, n2, c_label AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY score ASC, c_label ASC) AS rn
+         |    FROM scored0) t WHERE rn = 1),
+         |centn1 AS (
+         |  ${centsFrom("cells0")}),
+         |scored1 AS (
+         |  ${scoredFrom("centn1")}),
          |cells AS (
          |  SELECT vec_id, qv, n2, c_label AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
          |                                 ORDER BY score ASC, c_label ASC) AS rn
-         |    FROM scored) t WHERE rn = 1)
+         |    FROM scored1) t WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id, qv, n2, c_label AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY score ASC, c_label ASC) AS rn
+         |    FROM scored1 WHERE vec_id % 97 = 0) t WHERE rn <= 2)
          |SELECT q_id, rank, c_id, cos FROM (
          |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $CosAB AS cos,
          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
-         |  FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
-         |  WHERE a.vec_id % 97 = 0) t
-         |WHERE rank <= 3""".stripMargin,
+         |  FROM probes a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id) t
+         |WHERE rank <= 3""".stripMargin
+    },
 
     "m_decode" ->
       """SELECT doc_id,

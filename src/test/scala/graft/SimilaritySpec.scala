@@ -104,6 +104,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.subsetOf(brute))
   }
 
+  test("IVF multiprobe: recall monotone in nprobe; probing all cells equals brute force") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
+    val brute = hits(Similarity.bruteTopK(emb, 3))
+    val p1 = hits(Similarity.ivfTopK(emb, 3, lloydIters = 1, nprobe = 1))
+    val p2 = hits(Similarity.ivfTopK(emb, 3, lloydIters = 1, nprobe = 2))
+    val r1 = (brute & p1).size.toDouble / brute.size
+    val r2 = (brute & p2).size.toDouble / brute.size
+    assert(r2 >= r1, s"multiprobe lowered recall: $r2 < $r1")
+    assert(r2 > 0.0)
+    // the synthetic embeddings are near-random (no planted cluster
+    // structure), so absolute recall at nprobe=2 is data-limited — the
+    // machinery invariant is: probing every cell IS brute force
+    val nCells = emb.select("label").distinct().count().toInt
+    assert(hits(Similarity.ivfTopK(emb, 3, lloydIters = 1, nprobe = nCells)) === brute)
+  }
+
   test("brute top-k on real embeddings: ranks dense, cos within [-1,1], self excluded") {
     val out = Similarity.bruteTopK(Tables.embeddings(spark, TestSpark.Sf), 5)
       .as[(Long, Int, Long, Double)].collect()
