@@ -29,8 +29,16 @@ object Relational {
   /** Money arithmetic in exact DECIMAL, surfaced as double. Double sums are
     * order-dependent (a 1000-executor sum has no fixed order) and the two
     * engines' round() disagree on half-way values; summing an exact decimal
-    * and casting once to double is deterministic in both. */
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+    * and casting once to double is deterministic in both.
+    *
+    * The `floor(x*100 + 0.5)/100` step before the cast normalizes inputs
+    * with >2 decimal places identically in both engines (pure IEEE double
+    * ops — same bits both sides), so the final double→decimal cast never
+    * sees a representable halfway value (e.g. 0.125), where Spark's
+    * HALF_UP and DuckDB's cast rounding could differ. On 2-dp inputs it is
+    * the identity. Mirrored in RelationalOracles. */
+  private def dec(c: Column): Column =
+    (floor(c * 100 + lit(0.5)) / 100).cast("decimal(18,2)")
   private def sumMoney(c: Column): Column = sum(dec(c)).cast("double")
   private def avgMoney(c: Column): Column = (sum(dec(c)).cast("double") / count(lit(1)))
   /** extendedprice * (1 - discount), exact. */

@@ -10,19 +10,19 @@ object RelationalOracles {
   val all: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+        |  CAST(sum(CAST(floor(l_quantity*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5)/100 AS DECIMAL(18,2))
+        |           * (1 - CAST(floor(l_discount*100 + 0.5)/100 AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(floor(l_quantity*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(floor(l_discount*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5)/100 AS DECIMAL(18,2))
+        |           * (1 - CAST(floor(l_discount*100 + 0.5)/100 AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -31,8 +31,8 @@ object RelationalOracles {
 
     "q5_join" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5)/100 AS DECIMAL(18,2))
+        |           * (1 - CAST(floor(l_discount*100 + 0.5)/100 AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -60,7 +60,7 @@ object RelationalOracles {
 
     "q_running_sum" ->
       """SELECT user_id, event_id,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |  CAST(sum(CAST(floor(value*100 + 0.5)/100 AS DECIMAL(18,2))) OVER (
         |    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events""".stripMargin,
@@ -86,13 +86,13 @@ object RelationalOracles {
         |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM m)
         |SELECT user_id, session_id, count(*) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |  CAST(sum(CAST(floor(value*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |  CAST(sum(CAST(floor(value*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_distinct" ->
@@ -110,7 +110,7 @@ object RelationalOracles {
 
     "q_rollup" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |  CAST(sum(CAST(floor(c_acctbal*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, c_mktsegment)""".stripMargin,
 
@@ -124,7 +124,7 @@ object RelationalOracles {
         |  substring(o_orderstatus, 1, 1) AS status_c,
         |  year(o_orderdate) AS o_year,
         |  month(o_orderdate) AS o_month,
-        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 0.1 AS DOUBLE) AS tithe,
+        |  CAST(CAST(floor(o_totalprice*100 + 0.5)/100 AS DECIMAL(18,2)) * 0.1 AS DOUBLE) AS tithe,
         |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
         |FROM orders""".stripMargin,
 
@@ -214,7 +214,7 @@ object RelationalOracles {
         |  quantile_cont(cents, 0.75) AS p75,
         |  count(*) AS n
         |FROM (SELECT o_orderpriority,
-        |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |        CAST(CAST(floor(o_totalprice*100 + 0.5)/100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
         |      FROM orders) t
         |GROUP BY 1""".stripMargin,
 
