@@ -18,11 +18,27 @@ import org.apache.spark.sql.DataFrame
   * anyway), not physical partitions: compiling the physical plan just to
   * read its partition count would cost more driver time per query than
   * the exchange it decides about.
+  *
+  * Also the identity when the lineage already holds a repartition (or any
+  * other shuffle-producing node): a kernel downstream of a Spread-ed
+  * source or an aggregation is already full-width, and the file-count
+  * heuristic can't see that — `inputFiles` still reports the original
+  * scan. Without this check, `encode(payloads(Spread(events)))` paid two
+  * stacked round-robin exchanges for one rebalance (r3 plan audit,
+  * c_bad_rows/c_thrift_wire).
   */
 object Spread {
   def apply(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val files = try df.inputFiles.length catch { case _: Throwable => target }
-    if (files * 2 <= target) df.repartition(target) else df
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, RepartitionOperation}
+    val alreadyWide = df.queryExecution.logical.exists {
+      case _: RepartitionOperation | _: Aggregate | _: Join => true
+      case _ => false
+    }
+    if (alreadyWide) df
+    else {
+      val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val files = try df.inputFiles.length catch { case _: Throwable => target }
+      if (files * 2 <= target) df.repartition(target) else df
+    }
   }
 }
