@@ -37,6 +37,15 @@ object Dedup {
         col("doc_id") +:
           (0 until 4).map(i => TextOps.minhash(col("sh"), i).as(s"sig$i")): _*)
 
+  /** Bucket-occupancy cap for LSH pairing (mirrored in the DuckDB
+    * oracles): buckets larger than this emit no pairs. Standard LSH
+    * practice — a hot band key (an exact-duplicate cluster, an empty-doc
+    * band) would contribute O(b²) output pairs and dominate the join;
+    * dropping it loses no information the pipeline wants, because exact
+    * duplicates are [[exactGroups]]'s job (run exact dedup first) and a
+    * band shared by >cap distinct docs carries ~zero Jaccard signal. */
+  private[operators] val MaxBucket = 64
+
   /** All (doc_a < doc_b) pairs of docs sharing a bucket key, via a
     * shuffled self-join on the key. Both join sides are the SAME plan
     * subtree shuffled on the same key, so Spark's ReuseExchange rule scans
@@ -44,14 +53,21 @@ object Dedup {
     * to groupBy+collect_set avoided the cache but materialized each bucket
     * as one row: a hot band key concentrates O(b²) pair expansion in a
     * single task, an OOM at scale; the join streams the same pairs across
-    * the shuffle). */
-  private[operators] def pairsWithinBuckets(buckets: DataFrame, key: String): DataFrame = {
+    * the shuffle). The occupancy cap rides the same hash partitioning —
+    * the count window and the join shuffle on the same key, one exchange. */
+  private[operators] def pairsWithinBuckets(buckets: DataFrame, key: String,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = buckets
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(key)))
+      .filter(col("_bsz") <= maxBucket)
+      .drop("_bsz")
     // shuffle_hash pins a shuffled join: both sides are the SAME subtree
     // shuffled on the same key, so AQE's exchange reuse computes the
     // bucket relation once. A broadcast plan (AQE's default pick at test
     // scale) would instead materialize each side independently — and at
     // real scale the bucket relation is never broadcast-able anyway.
-    val b = buckets.hint("shuffle_hash")
+    val b = capped.hint("shuffle_hash")
     b.as("a")
       .join(b.as("b"),
         col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
@@ -98,6 +114,52 @@ object Dedup {
           size(array_intersect(col("sha"), col("shb"))).cast("double") /
             size(array_union(col("sha"), col("shb"))), 4).as("jaccard"))
   }
+
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every vertex converges to the minimum doc_id
+    * reachable from it — the cluster id. The canonical LSH-dedup
+    * postprocess: candidate pairs chain (A~B, B~C ⇒ {A,B,C}) and the
+    * pipeline keeps one representative per component.
+    *
+    * Each iteration is one shuffled join (labels × edges) + one min-agg +
+    * one left join — all key-partitioned, no driver-side data. The loop
+    * runs to a fixpoint (≤ graph-diameter iterations; near-dup clusters
+    * are shallow). `localCheckpoint` truncates lineage so iteration N
+    * doesn't recompute iterations 1..N-1; the convergence check is a
+    * count on the changed rows — the same loop shape GraphX/Pregel uses.
+    * The result is the unique fixpoint, independent of iteration order. */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("nbr_cluster")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("nbr_cluster").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster").as("prev"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next.filter(col("cluster") =!= col("prev")).isEmpty
+      labels = next.select("doc_id", "cluster")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Duplicate clusters over the LSH candidate graph: every doc in the
+    * minhash domain (≥ 3 tokens), labeled with its component's min doc_id;
+    * singletons are their own cluster. */
+  def duplicateClusters(docs: DataFrame): DataFrame =
+    connectedComponents(
+      minhashSignatures(docs).select(col("doc_id")),
+      lshCandidatePairs(docs))
 
   /** Per-doc 16-bit SimHash — near-dup docs land on nearby codes; equal
     * codes are dedup candidates via one exact groupBy. */

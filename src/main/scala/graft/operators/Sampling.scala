@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data pipelines.
+  *
+  * Selection is a pure function of the row key: a doc is kept iff the
+  * first two hex chars of `md5(salt || ':' || doc_id)` fall below the
+  * stratum's threshold (k/256 sampling rate). No RNG state, so the sample
+  * is reproducible across runs, engines, and cluster layouts — rerunning
+  * a 100 TB job samples the SAME rows — and rows are filtered in a narrow
+  * codegen'd scan with no shuffle. Changing `salt` draws an independent
+  * sample; downstream weights (256/k) make the sample unbiased for
+  * weighted aggregation.
+  */
+object Sampling {
+
+  private def keyHash(salt: String): Column =
+    substring(md5(concat(lit(salt), lit(":"), col("doc_id"))), 1, 2)
+
+  private def thr(k: Int): String = if (k >= 256) "zz" else f"$k%02x"
+
+  /** Stratified sample: per-`lang` keep-rates in 1/256 units (256 = keep
+    * all), with inverse-probability `weight` for unbiased downstream
+    * aggregation. The rate table is config, so the stratum lookup unrolls
+    * to a codegen'd CASE chain — no join against a rate table needed
+    * (broadcast-join a real table instead when strata are dynamic). */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int], defaultRate: Int,
+      salt: String): DataFrame = {
+    val h = keyHash(salt)
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultRate))) {
+      case (acc, (lang, k)) => when(col("lang") === lang, lit(thr(k))).otherwise(acc)
+    }
+    val weight = rates.toSeq.sortBy(_._1).foldLeft(lit(256.0 / defaultRate)) {
+      case (acc, (lang, k)) => when(col("lang") === lang, lit(256.0 / k)).otherwise(acc)
+    }
+    docs
+      .filter(h < threshold)
+      .select(col("doc_id"), col("lang"), weight.as("weight"))
+  }
+
+  /** Train/val/test split by hash range over an independent salt: fraction
+    * boundaries in 1/256 units (e.g. 230|243 ≈ 90/5/5). Same key hash ⇒
+    * a doc's split never changes as the corpus grows — the property that
+    * keeps eval sets honest across dataset versions. */
+  def assignSplits(docs: DataFrame, trainUpto: Int, valUpto: Int, salt: String): DataFrame = {
+    val h = keyHash(salt)
+    docs.select(
+      col("doc_id"),
+      when(h < lit(thr(trainUpto)), lit("train"))
+        .when(h < lit(thr(valUpto)), lit("val"))
+        .otherwise(lit("test")).as("split"))
+  }
+}

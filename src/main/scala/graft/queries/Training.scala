@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,7 @@ object Training {
   val dLshPairs: Q = (s, d) => Dedup.lshCandidatePairs(docs(s, d))
   val dJaccard: Q = (s, d) => Dedup.jaccardOnCandidates(docs(s, d))
   val dSimhash: Q = (s, d) => Dedup.simhashes(docs(s, d))
+  val dDupClusters: Q = (s, d) => Dedup.duplicateClusters(docs(s, d))
   val dCdcChunks: Q = (s, d) => Dedup.cdcChunks(docs(s, d))
 
   val sBruteTopk: Q = (s, d) => Similarity.bruteTopK(emb(s, d), 5)
@@ -81,6 +82,24 @@ object Training {
       .select("doc_id", "rank", "tok", "tf", "df", "score")
   }
 
+  /** Stratified-sample rate table (1/256 units) — shared with the oracle
+    * generator so both engines apply identical thresholds. */
+  val SampleRates: Map[String, Int] = Map("en" -> 192, "zh" -> 256)
+  val SampleDefault = 64
+  val SampleSalt = "s1"
+  /** Split boundaries: ≈ 90% train / 5% val / 5% test. */
+  val SplitTrain = 230
+  val SplitVal = 243
+  val SplitSalt = "split1"
+
+  /** Stratified sample joined with the doc's immutable split assignment —
+    * the standard front door of a training-data pipeline (both are narrow
+    * hash-filter scans; the join collapses to one projection since both
+    * derive from the same row). */
+  val tSample: Q = (s, d) =>
+    Sampling.stratifiedSample(docs(s, d), SampleRates, SampleDefault, SampleSalt)
+      .join(Sampling.assignSplits(docs(s, d), SplitTrain, SplitVal, SplitSalt), "doc_id")
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
 
@@ -93,8 +112,10 @@ object Training {
     "d_lsh_pairs" -> dLshPairs,
     "d_jaccard" -> dJaccard,
     "d_simhash" -> dSimhash,
+    "d_dup_clusters" -> dDupClusters,
     "d_cdc_chunks" -> dCdcChunks,
     "t_top_terms" -> tTopTerms,
+    "t_sample" -> tSample,
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,
     "s_near_dups" -> sNearDups,

@@ -125,15 +125,21 @@ object TrainingOracles {
       s"""$SigCte
          |SELECT doc_id, sig0, sig1, sig2, sig3 FROM sig""".stripMargin,
 
+    // `bands` CTEs mirror Dedup.pairsWithinBuckets incl. the MaxBucket=64
+    // occupancy cap (hot buckets emit no pairs).
     "d_lsh_pairs" ->
       s"""$SigCte,
-         |bands AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig)
+         |bands0 AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 64)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
 
     "d_jaccard" ->
       s"""$SigCte,
-         |bands AS (SELECT doc_id, unnest([sig0, sig1, sig2, sig3]) AS band FROM sig),
+         |bands0 AS (SELECT doc_id, unnest([sig0, sig1, sig2, sig3]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 64),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
@@ -146,6 +152,28 @@ object TrainingOracles {
     "d_simhash" ->
       s"""$TokCte
          |SELECT doc_id, $simhashSum AS simhash16 FROM tok""".stripMargin,
+
+    // Connected components over the capped LSH pair graph: the oracle
+    // computes the transitive closure with a recursive CTE and takes the
+    // min reachable doc_id — the same fixpoint Dedup.connectedComponents'
+    // label propagation converges to.
+    "d_dup_clusters" ->
+      s"""${SigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |bands0 AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 64),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT s.doc_id, least(s.doc_id, coalesce(min(r.b), s.doc_id)) AS cluster
+         |FROM sig s LEFT JOIN reach r ON r.a = s.doc_id
+         |GROUP BY s.doc_id""".stripMargin,
 
     "d_cdc_chunks" ->
       s"""$TokCte,
@@ -266,6 +294,27 @@ object TrainingOracles {
          |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
          |  FROM probes a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id) t
          |WHERE rank <= 3""".stripMargin
+    },
+
+    // Thresholds/weights generated from the SAME constants the Spark query
+    // uses (Training.SampleRates etc.), so both engines filter on identical
+    // md5-prefix comparisons and emit identical weight doubles.
+    "t_sample" -> {
+      import Training.{SampleDefault, SampleRates, SampleSalt, SplitSalt, SplitTrain, SplitVal}
+      def thr(k: Int): String = if (k >= 256) "zz" else f"$k%02x"
+      val thrCase = SampleRates.toSeq.sorted.map { case (l, k) =>
+        s"WHEN lang = '$l' THEN '${thr(k)}'"
+      }.mkString("CASE ", " ", s" ELSE '${thr(SampleDefault)}' END")
+      // CAST: a bare decimal literal parses as DECIMAL in DuckDB, not DOUBLE
+      val wCase = SampleRates.toSeq.sorted.map { case (l, k) =>
+        s"WHEN lang = '$l' THEN CAST(${256.0 / k} AS DOUBLE)"
+      }.mkString("CASE ", " ", s" ELSE CAST(${256.0 / SampleDefault} AS DOUBLE) END")
+      s"""SELECT doc_id, lang, $wCase AS weight,
+         |  CASE WHEN substr(md5('$SplitSalt:' || doc_id), 1, 2) < '${thr(SplitTrain)}' THEN 'train'
+         |       WHEN substr(md5('$SplitSalt:' || doc_id), 1, 2) < '${thr(SplitVal)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents
+         |WHERE substr(md5('$SampleSalt:' || doc_id), 1, 2) < $thrCase""".stripMargin
     },
 
     "m_decode" ->

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, TestSpark.Sf).cache()
+  private val rates = Map("en" -> 192, "zh" -> 256)
+
+  test("sample is deterministic and stratum rates land near k/256") {
+    val s1 = Sampling.stratifiedSample(docs, rates, 64, "s1")
+    val s2 = Sampling.stratifiedSample(docs, rates, 64, "s1")
+    assert(s1.collect().toSet === s2.collect().toSet)
+    val kept = s1.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, n) <- total if n >= 50) {
+      val k = rates.getOrElse(lang, 64)
+      val got = kept.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(got - k / 256.0) < 0.2, s"$lang keep-rate $got vs ${k / 256.0}")
+    }
+    // zh stratum (rate 256) keeps everything
+    assert(kept.getOrElse("zh", 0L) === total.getOrElse("zh", 0L))
+  }
+
+  test("weights are the exact inverse keep-probability per stratum") {
+    val w = Sampling.stratifiedSample(docs, rates, 64, "s1")
+      .select("lang", "weight").distinct().as[(String, Double)].collect().toMap
+    assert(w.get("en").forall(_ === 256.0 / 192))
+    assert(w.get("zh").forall(_ === 1.0))
+    assert((w.keySet -- rates.keySet).forall(l => w(l) === 4.0))
+  }
+
+  test("a different salt draws a different sample") {
+    val a = Sampling.stratifiedSample(docs, rates, 64, "s1").select("doc_id").as[Long].collect().toSet
+    val b = Sampling.stratifiedSample(docs, rates, 64, "s2").select("doc_id").as[Long].collect().toSet
+    assert(a !== b)
+  }
+
+  test("splits partition the corpus and are stable under corpus growth") {
+    val full = Sampling.assignSplits(docs, 230, 243, "split1")
+    val counts = full.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // a doc's split is a pure function of its id: recomputing on a subset
+    // never reassigns anyone (eval sets stay honest as the corpus grows)
+    val sub = Sampling.assignSplits(docs.filter(col("doc_id") % 2 === 0), 230, 243, "split1")
+    val joined = sub.withColumnRenamed("split", "sub_split").join(full, "doc_id")
+    assert(joined.filter(col("sub_split") =!= col("split")).count() === 0)
+  }
+}

@@ -59,6 +59,46 @@ class TextDedupSpec extends AnyFunSuite {
     assert(j.head.getDouble(2) === 1.0)
   }
 
+  test("hot LSH buckets are capped: a 100-doc exact-dup cluster emits no pairs") {
+    // 100 identical docs share every band -> bucket size 100 > MaxBucket 64
+    // -> dropped (that cluster is exactGroups' job); an ordinary near-dup
+    // pair in the same corpus still pairs.
+    val dupes = (1L to 100L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val similar = Seq(
+      (200L, "one two three four five six seven"),
+      (201L, "one two three four five six seven"))
+    val d = docsOf(dupes ++ similar: _*)
+    val pairs = Dedup.lshCandidatePairs(d).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((200L, 201L)))
+    // the capped cluster is still fully recovered by exact dedup
+    val g = Dedup.exactGroups(d).filter(col("n_docs") === 100).collect()
+    assert(g.length === 1 && g.head.getLong(1) === 1L)
+  }
+
+  test("connected components: chains merge, singletons stay, long paths converge") {
+    def cc(verts: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.connectedComponents(
+        verts.toDF("doc_id"), pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+    // A~B, B~C chain + isolated vertex + separate pair
+    val m = cc(Seq(1L, 2L, 3L, 4L, 5L, 6L), Seq((1L, 2L), (2L, 3L), (5L, 6L)))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+    // a 12-vertex path rooted at its far end needs multiple propagation
+    // rounds — exercises the fixpoint loop, not just one iteration
+    val path = cc(1L to 12L, (1L to 11L).map(i => (i, i + 1)))
+    assert(path === (1L to 12L).map(_ -> 1L).toMap)
+  }
+
+  test("duplicate clusters over LSH pairs: exact dups cluster to min doc_id") {
+    val d = docsOf(
+      (7L, "one two three four five six"),
+      (3L, "one two three four five six"),
+      (9L, "one two three four five six"),
+      (5L, "seven eight nine ten eleven twelve"))
+    val m = Dedup.duplicateClusters(d).as[(Long, Long)].collect().toMap
+    assert(m === Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 5L -> 5L))
+  }
+
   test("simhash: identical docs equal codes; disjoint docs differ") {
     val s = Dedup.simhashes(docsOf(
       (1L, "alpha beta gamma delta"),
