@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, SeqPack, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -100,6 +100,10 @@ object Training {
     Sampling.stratifiedSample(docs(s, d), SampleRates, SampleDefault, SampleSalt)
       .join(Sampling.assignSplits(docs(s, d), SplitTrain, SplitVal, SplitSalt), "doc_id")
 
+  /** Concat-and-chunk packing: 512-token sequences over 8 parallel
+    * streams. */
+  val tPack: Q = (s, d) => SeqPack.packSequences(docs(s, d), 512, buckets = 8)
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
 
@@ -116,6 +120,7 @@ object Training {
     "d_cdc_chunks" -> dCdcChunks,
     "t_top_terms" -> tTopTerms,
     "t_sample" -> tSample,
+    "t_pack" -> tPack,
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,
     "s_near_dups" -> sNearDups,

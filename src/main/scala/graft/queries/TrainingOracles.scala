@@ -296,6 +296,22 @@ object TrainingOracles {
          |WHERE rank <= 3""".stripMargin
     },
 
+    // Concat-and-chunk packing mirror: pure integer window arithmetic;
+    // CAST ... AS BIGINT on the running sum (DuckDB window sums of BIGINT
+    // return HUGEINT, and the driver's hasher is type-sensitive).
+    "t_pack" ->
+      s"""$TokCte,
+         |t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks, doc_id % 8 AS bucket
+         |      FROM tok WHERE len(toks) > 0),
+         |c AS (SELECT *, CAST(COALESCE(sum(n_toks) OVER (PARTITION BY bucket ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start FROM t),
+         |x AS (SELECT bucket, doc_id, n_toks, start,
+         |        unnest(range(start // 512, (start + n_toks - 1) // 512 + 1)) AS seq_id FROM c)
+         |SELECT bucket, seq_id, doc_id,
+         |  greatest(seq_id * 512 - start, 0) AS tok_start,
+         |  least((seq_id + 1) * 512, start + n_toks) - greatest(seq_id * 512, start) AS tok_len
+         |FROM x""".stripMargin,
+
     // Thresholds/weights generated from the SAME constants the Spark query
     // uses (Training.SampleRates etc.), so both engines filter on identical
     // md5-prefix comparisons and emit identical weight doubles.

@@ -40,6 +40,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(a !== b)
   }
 
+  test("sequence packing: full budget per sequence, no token lost or duplicated") {
+    val packed = graft.operators.SeqPack.packSequences(docs, 512, buckets = 8).cache()
+    // every sequence except each bucket's last carries exactly 512 tokens
+    val seqTotals = packed.groupBy("bucket", "seq_id")
+      .agg(sum("tok_len").as("n"), max("seq_id").as("sid"))
+    val lastSeq = packed.groupBy("bucket").agg(max("seq_id").as("last"))
+    val nonLast = seqTotals.join(lastSeq, "bucket").filter(col("seq_id") =!= col("last"))
+    assert(nonLast.filter(col("n") =!= 512).count() === 0)
+    assert(nonLast.count() > 0)
+    // token conservation: per-doc contributions reassemble the doc exactly
+    val docTotals = packed.groupBy("doc_id").agg(
+      sum("tok_len").as("got"), min("tok_start").as("first"))
+    val expected = docs.select(col("doc_id"),
+      graft.operators.TextOps.nTokens(col("text")).cast("long").as("want"))
+      .filter(col("want") > 0)
+    val j = docTotals.join(expected, "doc_id")
+    assert(j.filter(col("got") =!= col("want")).count() === 0)
+    assert(j.filter(col("first") =!= 0).count() === 0)
+    assert(docTotals.count() === expected.count())
+    // a doc's slices are contiguous across sequence boundaries
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("seq_id")
+    val gaps = packed
+      .withColumn("prev_end", lag(col("tok_start") + col("tok_len"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("prev_end") =!= col("tok_start"))
+    assert(gaps.count() === 0)
+    packed.unpersist()
+  }
+
   test("splits partition the corpus and are stable under corpus growth") {
     val full = Sampling.assignSplits(docs, 230, 243, "split1")
     val counts = full.groupBy("split").count().as[(String, Long)].collect().toMap
