@@ -39,7 +39,9 @@ object Bench {
     "s_sim_pairs" -> 0.8,
     "d_dup_clusters" -> 2.0,
     "t_sample" -> 0.4,
-    "c_cors" -> 0.4)
+    "c_cors" -> 0.4,
+    "t_pack" -> 0.6,
+    "q_salted_join" -> 0.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

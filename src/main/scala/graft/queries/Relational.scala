@@ -347,8 +347,22 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice")
   }
 
+  /** Salted skew join (graft.operators.SkewJoin): events (big, skewed
+    * side) enriched with customer attributes. Result-set equality with the
+    * plain join is the point — the oracle runs the UNSALTED join in
+    * DuckDB, so the salting machinery is verified by an independent
+    * engine, not just the spec's self-comparison. */
+  val qSaltedJoin: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey").as("user_id"), col("c_name"), col("c_nationkey"))
+    graft.operators.SkewJoin
+      .saltedJoin(Tables.events(s, d), cust, "user_id", "event_id", buckets = 8)
+      .select("event_id", "user_id", "c_name", "c_nationkey")
+  }
+
   val all: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
+    "q_salted_join" -> qSaltedJoin,
     "q3_join" -> q3Join,
     "q5_join" -> q5Join,
     "q_semi_join" -> qSemiJoin,

@@ -19,6 +19,12 @@ object RelationalOracles {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
+    // The Spark side salts this join (SkewJoin.saltedJoin); the oracle is
+    // the plain join — result-set equality IS the correctness claim.
+    "q_salted_join" ->
+      """SELECT event_id, user_id, c_name, c_nationkey
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5)/100 AS DECIMAL(18,2))
