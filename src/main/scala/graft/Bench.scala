@@ -41,7 +41,9 @@ object Bench {
     "t_sample" -> 0.4,
     "c_cors" -> 0.4,
     "t_pack" -> 0.6,
-    "q_salted_join" -> 0.5)
+    "q_salted_join" -> 0.5,
+    "q_analytics" -> 0.4,
+    "q_kmv_distinct" -> 0.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

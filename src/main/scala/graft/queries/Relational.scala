@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.operators.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -360,9 +361,47 @@ object Relational {
       .select("event_id", "user_id", "c_name", "c_nationkey")
   }
 
+  /** Rank-analytics battery: ntile/percent_rank/cume_dist per priority
+    * partition, ties broken by the unique order key so every rank — and
+    * therefore every derived double — is engine-identical. */
+  val qAnalytics: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      ntile(10).over(w).as("decile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
+  /** Deterministic cardinality sketch (MinCount / k-minimum-values family):
+    * k=8 salted md5-prefix fractions, per-group minimum each, estimate
+    * k/Σmin − 1. Unlike HLL (whose hash differs per engine —
+    * q_approx_distinct is rows-only for that reason), every intermediate
+    * here is an exact 52-bit integer over 2^52, so the ESTIMATE itself is
+    * bit-identical cross-engine and oracle-checkable. Same one-pass
+    * shuffle profile as a real sketch: min is a partial aggregate, the
+    * shuffle carries k doubles per group. */
+  val qKmvDistinct: Q = (s, d) => {
+    val k = 8
+    def frac(i: Int): Column =
+      conv(substring(md5(concat(lit(s"$i:"), col("user_id"))), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0) // 16^13 = 2^52
+    val mins = (0 until k).map(i => min(frac(i)).as(s"m$i"))
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(mins.head, mins.tail :+ countDistinct(col("user_id")).as("n_exact"): _*)
+      .select(col("event_type"), col("n_exact"),
+        TextOps.trunc(
+          lit(k.toDouble) / (0 until k).map(i => col(s"m$i")).reduce(_ + _) - 1, 2)
+          .as("est_distinct"))
+  }
+
   val all: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q_salted_join" -> qSaltedJoin,
+    "q_analytics" -> qAnalytics,
+    "q_kmv_distinct" -> qKmvDistinct,
     "q3_join" -> q3Join,
     "q5_join" -> q5Join,
     "q_semi_join" -> qSemiJoin,

@@ -25,6 +25,33 @@ object RelationalOracles {
       """SELECT event_id, user_id, c_name, c_nationkey
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
 
+    "q_analytics" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ntile(10) OVER w AS decile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+
+    // MinCount sketch mirror: identical 52-bit md5-prefix fractions, same
+    // left-to-right addition order, floor-truncated estimate.
+    "q_kmv_distinct" -> {
+      val mins = (0 until 8).map { i =>
+        s"min((('0x' || substr(md5('$i:' || user_id), 1, 13))::BIGINT)::DOUBLE" +
+          s" / 4503599627370496.0) AS m$i"
+      }.mkString(",\n    ")
+      val sum = (0 until 8).map(i => s"m$i").mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT event_type,
+         |    $mins,
+         |    count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT event_type, n_exact,
+         |  floor((8.0 / ($sum) - 1) * 100) / 100 AS est_distinct
+         |FROM m""".stripMargin
+    },
+
     "q3_join" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5)/100 AS DECIMAL(18,2))
