@@ -3,41 +3,85 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Decoded-media metadata row (stub decode — see [[Multimodal.decodeMeta]]). */
+/** Decoded-media metadata row. */
 final case class MediaMeta(doc_id: Long, format: String, width: Int, height: Int, n_bytes: Long)
 
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, decode / feature-extract / frame-sample as partition-batched
   * operators.
   *
-  * The real image/audio codecs are NOT in this container, so the decode
-  * kernel is a clearly-marked deterministic STUB (a pure function of the
-  * bytes). Everything around it — the binary column, the schema, the
-  * `mapPartitions` batch shape (one decoder instance per partition, rows
-  * streamed through it), the downstream explode — is the real production
-  * plumbing and is tested. Swapping the stub for e.g. a JNI JPEG decoder
-  * changes no plan shape.
+  * The heavy image/audio codecs are NOT in this container, so the media
+  * bytes are synthesized — but they are REAL container formats (PNG
+  * signature + IHDR, GIF89a logical screen descriptor, BMP
+  * BITMAPINFOHEADER), and [[Multimodal.decodeMeta]] genuinely parses
+  * them: magic-byte sniffing plus dimension reads at the documented
+  * offsets with the format's endianness. That is exactly the header-only
+  * decode a production pipeline runs to get dimensions without a full
+  * pixel decode. Swapping in a full JNI decoder changes no plan shape:
+  * the binary column, the schema, and the `mapPartitions` batch shape
+  * (one decoder context per partition, rows streamed through) carry over
+  * unchanged.
   */
 object Multimodal {
 
-  /** Attach the opaque media bytes (here derived from text — stands in for
-    * a real `binary` parquet column) plus typed metadata. */
-  def withMediaColumn(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      encode(col("text"), "UTF-8").as("media"),
-      col("source").as("media_source"))
+  private def le16(v: Int): Array[Byte] = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
 
-  /** STUB decode kernel: metadata as a pure function of the byte array.
-    * A real decoder would parse the container header here. */
-  private def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = bytes.length.toLong
-    val format = (n % 3) match {
-      case 0 => "png"
-      case 1 => "jpg"
-      case _ => "webp"
+  /** Deterministic media bytes for a doc: a REAL container header (format
+    * chosen by text byte length % 3, dimensions from doc_id) followed by
+    * `doc_id % 64` payload bytes. */
+  private[graft] def synthMedia(docId: Long, textBytes: Int): Array[Byte] = {
+    val w = (64 + docId % 256).toInt
+    val h = (64 + (7 * docId) % 256).toInt
+    val payload = new Array[Byte]((docId % 64).toInt)
+    val header: Array[Byte] = (textBytes % 3) match {
+      case 0 => // PNG: 8-byte signature, IHDR length+type, w/h big-endian, 5 params, CRC
+        Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A) ++
+          be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+          Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+      case 1 => // GIF89a: 6-byte magic, w/h little-endian, packed/bg/aspect
+        "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++ Array[Byte](0, 0, 0)
+      case _ => // BMP: BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+        "BM".getBytes("US-ASCII") ++ le32(54 + payload.length) ++ le32(0) ++ le32(54) ++
+          le32(40) ++ le32(w) ++ le32(h) ++ new Array[Byte](28)
     }
-    MediaMeta(id, format, 64 + (n % 256).toInt, 64 + (7 * n % 256).toInt, n)
+    header ++ payload
+  }
+
+  /** Attach the opaque media bytes as a `binary` column. */
+  def withMediaColumn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, text, source) =>
+        (id, synthMedia(id, text.getBytes("UTF-8").length), source)
+      })
+      .toDF("doc_id", "media", "media_source")
+  }
+
+  private def rdLe16(b: Array[Byte], o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def rdLe32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def rdBe32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 24) | ((b(o + 1) & 0xFF) << 16) | ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)
+
+  /** REAL header decode: magic-byte sniff, then dimensions at the
+    * documented offset in the format's endianness. Unknown containers
+    * decode as ("unknown", 0, 0) rather than throwing — bad media must
+    * not kill a 100 TB job. */
+  private[graft] def decodeHeader(id: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    if (n >= 24 && bytes(0) == 0x89.toByte && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      MediaMeta(id, "png", rdBe32(bytes, 16), rdBe32(bytes, 20), n)
+    else if (n >= 10 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      MediaMeta(id, "gif", rdLe16(bytes, 6), rdLe16(bytes, 8), n)
+    else if (n >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
+      MediaMeta(id, "bmp", rdLe32(bytes, 18), rdLe32(bytes, 22), n)
+    else MediaMeta(id, "unknown", 0, 0, n)
   }
 
   /** Decode pass: `mapPartitions` so a per-partition decoder instance
@@ -50,8 +94,8 @@ object Multimodal {
       .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // one decoder context per partition would be initialized here
-        it.map { case (id, bytes) => stubDecode(id, bytes) }
+        // a real decoder context (JNI handle, arena) would be opened here
+        it.map { case (id, bytes) => decodeHeader(id, bytes) }
       }
   }
 

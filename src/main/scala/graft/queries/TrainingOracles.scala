@@ -333,18 +333,26 @@ object TrainingOracles {
          |WHERE substr(md5('$SampleSalt:' || doc_id), 1, 2) < $thrCase""".stripMargin
     },
 
+    // The Spark side builds REAL container headers and parses them back
+    // (Multimodal.decodeHeader); the oracle recomputes the expected
+    // metadata analytically from the same deterministic inputs. Header
+    // sizes: PNG 33, GIF 13, BMP 54; payload = doc_id % 64 bytes.
     "m_decode" ->
       """SELECT doc_id,
-        |  CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END AS format,
-        |  CAST(64 + strlen(text) % 256 AS INT) AS width,
-        |  CAST(64 + (7 * strlen(text)) % 256 AS INT) AS height,
-        |  strlen(text) AS n_bytes
+        |  CASE strlen(text) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'bmp' END AS format,
+        |  CAST(64 + doc_id % 256 AS INT) AS width,
+        |  CAST(64 + (7 * doc_id) % 256 AS INT) AS height,
+        |  CASE strlen(text) % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 54 END
+        |    + doc_id % 64 AS n_bytes
         |FROM documents""".stripMargin,
 
     "m_frames" ->
       """SELECT doc_id, frame_idx, frame_idx * 1000 // n_frames AS frame_ts_ms
-        |FROM (SELECT doc_id, 1 + strlen(text) % 5 AS n_frames,
-        |        unnest(range(0, 1 + strlen(text) % 5)) AS frame_idx
-        |      FROM documents) t""".stripMargin,
+        |FROM (SELECT doc_id, 1 + n_bytes % 5 AS n_frames,
+        |        unnest(range(0, 1 + n_bytes % 5)) AS frame_idx
+        |      FROM (SELECT doc_id,
+        |              CASE strlen(text) % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 54 END
+        |                + doc_id % 64 AS n_bytes
+        |            FROM documents) b) t""".stripMargin,
   )
 }

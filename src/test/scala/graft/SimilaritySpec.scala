@@ -135,15 +135,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal decode + frame sampling plumbing") {
+  test("multimodal decode parses real container headers; frame sampling plumbing") {
     val docs = Tables.documents(spark, TestSpark.Sf)
     val meta = Multimodal.decodeMeta(docs).collect()
     assert(meta.length === docs.count())
-    assert(meta.forall(m => Set("png", "jpg", "webp")(m.format)))
-    assert(meta.forall(m => m.width >= 64 && m.width < 320))
+    assert(meta.forall(m => Set("png", "gif", "bmp")(m.format)))
+    assert(meta.forall(m => m.width >= 64 && m.width < 320 && m.height >= 64 && m.height < 320))
+    // the decoded dimensions round-trip through genuine header bytes:
+    // every format appears, so all three parsers (BE PNG, LE GIF, LE BMP) ran
+    assert(meta.map(_.format).toSet === Set("png", "gif", "bmp"))
     val frames = Multimodal.sampleFrames(docs)
     val counts = frames.groupBy("doc_id").count().as[(Long, Long)].collect()
     assert(counts.forall { case (_, n) => n >= 1 && n <= 5 })
     assert(frames.filter(col("frame_ts_ms") >= 1000 || col("frame_ts_ms") < 0).count() === 0)
+  }
+
+  test("media decoder: endianness-correct dims, graceful unknown container") {
+    import graft.operators.{MediaMeta, Multimodal}
+    // a 300x70 PNG exercises multi-byte big-endian width
+    val png = Multimodal.synthMedia(300L - 64, 0) // width = 64 + docId%256
+    assert(Multimodal.decodeHeader(1L, png) === MediaMeta(1L, "png", 300, 64 + (7 * 236) % 256, png.length.toLong))
+    val gif = Multimodal.synthMedia(10L, 1)
+    assert(Multimodal.decodeHeader(2L, gif).format === "gif")
+    assert(Multimodal.decodeHeader(2L, gif).width === 74)
+    val bmp = Multimodal.synthMedia(5L, 2)
+    assert(Multimodal.decodeHeader(3L, bmp).format === "bmp")
+    // corrupt bytes decode as unknown, never throw
+    val junk = Array[Byte](1, 2, 3)
+    assert(Multimodal.decodeHeader(4L, junk) === MediaMeta(4L, "unknown", 0, 0, 3L))
   }
 }
