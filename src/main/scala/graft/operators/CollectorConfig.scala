@@ -37,6 +37,12 @@ final case class CollectorConfig(
     bounceParamName: String = "n",
     corsEnabled: Boolean = false,
     corsDomains: Seq[String] = Seq("*"),
+    cookieExpirationMs: Long = 365L * 24 * 3600 * 1000,
+    cookieSecure: Boolean = true,
+    cookieHttpOnly: Boolean = false,
+    cookieSameSite: Option[String] = Some("None"),
+    cookieDomains: Seq[String] = Seq.empty,
+    fallbackDomain: Option[String] = None,
 ) {
   def collectorName: String = s"$appName-$appVersion-$sinkName"
 }
@@ -77,4 +83,9 @@ object CollectorConfig {
   val corsScale: CollectorConfig = testScale.copy(
     corsEnabled = true,
     corsDomains = Seq("*.allowed.example.com", "partner.io"))
+
+  /** testScale with cookie domain resolution on (P8/P9 query surface). */
+  val cookieScale: CollectorConfig = testScale.copy(
+    cookieDomains = Seq("allowed.example.com", "partner.io"),
+    fallbackDomain = Some("fallback.example.com"))
 }

@@ -198,6 +198,32 @@ object CollectorPipeline {
     generic.unionByName(oversized)
   }
 
+  /** P9: the Set-Cookie response header (reference
+    * `CollectorService.scala:407-433`): suppressed under do-not-track and
+    * SP-Anonymous; otherwise `name=networkUserId` with absolute expiry
+    * (request time + configured lifetime), the P8-resolved domain
+    * ([[cookieDomain]] over the Origin host), `Path=/`, and the configured
+    * Secure / HttpOnly / SameSite flags — rendered as the header value
+    * string. Config flags fold to literals in codegen. */
+  def setCookieHeaders(env: DataFrame, cfg: CollectorConfig): DataFrame = {
+    val originHost = regexp_replace(col("origin"), "^https?://", "")
+    val origins = filter(array(originHost), h => h.isNotNull)
+    val domain = cookieDomain(origins, cfg.cookieDomains, cfg.fallbackDomain)
+    val emitted = !dntSuppressed(cfg) && !anon
+    val flags =
+      (if (cfg.cookieSecure) "; Secure" else "") +
+        (if (cfg.cookieHttpOnly) "; HttpOnly" else "") +
+        cfg.cookieSameSite.map("; SameSite=" + _).getOrElse("")
+    env.select(
+      col("event_id"),
+      emitted.as("emitted"),
+      when(emitted, concat(
+        lit(cfg.cookieName + "="), networkUserId,
+        lit("; Expires="), col("timestamp_ms") + lit(cfg.cookieExpirationMs),
+        when(domain.isNotNull, concat(lit("; Domain="), domain)).otherwise(lit("")),
+        lit("; Path=/"), lit(flags))).as("set_cookie"))
+  }
+
   /** F5: per-request CORS origin decision with the reference's exact
     * matching (`AmplitudeBridge.scala:60-112`):
     *  - `*` allows any origin;

@@ -53,6 +53,10 @@ object Collector {
   val cCors: Q = (s, d) =>
     CollectorPipeline.corsDecisions(env(s, d), CollectorConfig.corsScale)
 
+  /** P9: rendered Set-Cookie headers under the cookie-domain config. */
+  val cSetCookie: Q = (s, d) =>
+    CollectorPipeline.setCookieHeaders(env(s, d), CollectorConfig.cookieScale)
+
   /** Response-kind projection (pixel GIF / 302 / 400 / bridge json / ok). */
   val cResponse: Q = (s, d) => CollectorPipeline.responses(env(s, d), cfg)
 
@@ -122,6 +126,7 @@ object Collector {
     "c_bad_rows" -> cBadRows,
     "c_redirect" -> cRedirect,
     "c_cors" -> cCors,
+    "c_set_cookie" -> cSetCookie,
     "c_response" -> cResponse,
     "c_bounce" -> cBounce,
     "c_partition_counts" -> cPartitionCounts,

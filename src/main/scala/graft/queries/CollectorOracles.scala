@@ -250,6 +250,28 @@ object CollectorOracles {
          |  CASE WHEN allowed THEN 200 ELSE 403 END AS preflight_status
          |FROM dec""".stripMargin,
 
+    // P9 mirror: nuid precedence (query param > sp cookie > generated),
+    // P8 domain resolution over the Origin host, cookieScale constants
+    // (365d expiry, Secure + SameSite=None, fallback.example.com).
+    "c_set_cookie" ->
+      s"""$Env,
+         |ck AS (
+         |  SELECT event_id, dnt, anon, timestamp_ms,
+         |    COALESCE(CASE WHEN NOT qs_bad AND event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END,
+         |             cookie_sp, ${uu("'nuid-gen' || event_id")}) AS nuid,
+         |    regexp_replace(origin, '^https?://', '') AS oh
+         |  FROM env2)
+         |SELECT event_id, (NOT dnt AND NOT anon) AS emitted,
+         |  CASE WHEN NOT dnt AND NOT anon THEN
+         |    'sp=' || nuid || '; Expires=' || (timestamp_ms + 31536000000) ||
+         |    '; Domain=' ||
+         |    CASE WHEN oh = 'allowed.example.com' OR oh LIKE '%.allowed.example.com' THEN 'allowed.example.com'
+         |         WHEN oh = 'partner.io' OR oh LIKE '%.partner.io' THEN 'partner.io'
+         |         ELSE 'fallback.example.com' END ||
+         |    '; Path=/; Secure; SameSite=None'
+         |  END AS set_cookie
+         |FROM ck""".stripMargin,
+
     "c_response" ->
       s"""$Env
          |SELECT event_id,

@@ -65,6 +65,21 @@ class CorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Set-Cookie: suppressed under DNT and SP-Anonymous, domain from Origin, flags rendered") {
+    val env = graft.sources.EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+    val out = CollectorPipeline.setCookieHeaders(env, CollectorConfig.cookieScale).cache()
+    // DNT (event_id % 13 == 0) and anon (% 11 == 0) rows never emit
+    assert(out.filter((col("event_id") % 13 === 0 || col("event_id") % 11 === 0)
+      && col("emitted")).count() === 0)
+    val emitted = out.filter(col("emitted"))
+    assert(emitted.count() > 0)
+    assert(emitted.filter(!col("set_cookie").startsWith("sp=")).count() === 0)
+    assert(emitted.filter(!col("set_cookie").contains("; Path=/; Secure; SameSite=None")).count() === 0)
+    // every emitted cookie resolves some configured-or-fallback domain
+    assert(emitted.filter(!col("set_cookie").contains("; Domain=")).count() === 0)
+    out.unpersist()
+  }
+
   test("preflight status is 403 exactly on blocked rows over the envelope stream") {
     val env = graft.sources.EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
     val out = CollectorPipeline.corsDecisions(env, CollectorConfig.corsScale).cache()
