@@ -23,7 +23,10 @@ object Bench {
     "d_cdc_chunks" -> 1.2,
     "s_brute_topk" -> 0.6,
     "s_bucket_topk" -> 0.4,
-    "s_ivf_topk" -> 0.9,
+    // r3: ivfTopK gained a Lloyd refinement pass + nprobe=2 multiprobe —
+    // a different (heavier) algorithm than the r1 baseline measured; 1.4s
+    // is its own warm sf0.1 time
+    "s_ivf_topk" -> 1.4,
     // r3 additions — every query that ever crossed 1 s at sf0.1 gets a
     // guard entry (the r2→r3 c_bad_rows regression shipped through the
     // gaps of the original 10-query map)
@@ -43,7 +46,9 @@ object Bench {
     "t_pack" -> 0.6,
     "q_salted_join" -> 0.5,
     "q_analytics" -> 0.4,
-    "q_kmv_distinct" -> 0.4)
+    "q_kmv_distinct" -> 0.4,
+    "q_pivot" -> 0.4,
+    "c_set_cookie" -> 0.5)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -397,11 +397,26 @@ object Relational {
           .as("est_distinct"))
   }
 
+  /** Pivot (wide conditional aggregation): per-user event counts by type.
+    * The value list is declared, so Catalyst plans ONE pass with a
+    * conditional-agg per bucket — no per-value scans, one shuffle (the
+    * same plan the oracle's FILTER aggregates describe). */
+  val qPivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"), col("view").as("n_view"),
+        col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+        col("error").as("n_error"))
+
   val all: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
     "q_salted_join" -> qSaltedJoin,
     "q_analytics" -> qAnalytics,
     "q_kmv_distinct" -> qKmvDistinct,
+    "q_pivot" -> qPivot,
     "q3_join" -> q3Join,
     "q5_join" -> q5Join,
     "q_semi_join" -> qSemiJoin,

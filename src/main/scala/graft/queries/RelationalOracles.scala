@@ -25,6 +25,15 @@ object RelationalOracles {
       """SELECT event_id, user_id, c_name, c_nationkey
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
 
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'view') AS n_view,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'error') AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q_analytics" ->
       """SELECT o_orderkey, o_orderpriority,
         |  ntile(10) OVER w AS decile,
