@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
@@ -18,4 +18,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(args.head, args(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_codes"),
+      new ExpressionInfo(classOf[HyperplaneCodes].getCanonicalName, "graft_hyperplane_codes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_hyperplane_codes(v, tables, bits)")
+        def intLit(e: Expression, name: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(s"$name must be an integer literal")
+        }
+        HyperplaneCodes(args.head, intLit(args(1), "tables"), intLit(args(2), "bits"))
+      }))
+  }
 }

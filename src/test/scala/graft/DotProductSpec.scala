@@ -39,6 +39,17 @@ class DotProductSpec extends AnyFunSuite {
     assert(out === Array(-5.0, 0.0, 32.0))
   }
 
+  test("graft_hyperplane_codes registered as SQL function; matches Column API") {
+    Seq((1L, Seq(1.0, -2.0, 3.0, 4.0))).toDF("id", "v").createOrReplaceTempView("hp")
+    val viaSql = spark.sql("SELECT graft_hyperplane_codes(v, 2, 8) AS c FROM hp")
+      .as[Seq[Long]].head()
+    val viaCol = spark.table("hp")
+      .select(graft.functions.HyperplaneCodes.codes(col("v"), 2, 8).as("c"))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaCol)
+    assert(viaSql.length === 2)
+  }
+
   test("type check rejects non-double arrays") {
     val bad = Seq((Seq("x"), Seq("y"))).toDF("a", "b")
     assertThrows[org.apache.spark.sql.AnalysisException](
