@@ -44,12 +44,33 @@ object Sampling {
     * boundaries in 1/256 units (e.g. 230|243 ≈ 90/5/5). Same key hash ⇒
     * a doc's split never changes as the corpus grows — the property that
     * keeps eval sets honest across dataset versions. */
-  def assignSplits(docs: DataFrame, trainUpto: Int, valUpto: Int, salt: String): DataFrame = {
+  def assignSplits(docs: DataFrame, trainUpto: Int, valUpto: Int, salt: String): DataFrame =
+    docs.select(col("doc_id"), splitCol(trainUpto, valUpto, salt).as("split"))
+
+  private def splitCol(trainUpto: Int, valUpto: Int, salt: String): Column = {
     val h = keyHash(salt)
-    docs.select(
-      col("doc_id"),
-      when(h < lit(thr(trainUpto)), lit("train"))
-        .when(h < lit(thr(valUpto)), lit("val"))
-        .otherwise(lit("test")).as("split"))
+    when(h < lit(thr(trainUpto)), lit("train"))
+      .when(h < lit(thr(valUpto)), lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Sample + split in ONE narrow projection: both are pure functions of
+    * doc_id, so joining the two operators' outputs (as a naive pipeline
+    * would) pays a join and a second scan for columns one pass computes —
+    * at test scale that join even broadcasts a 75%-of-corpus side, a plan
+    * that falls over at 100 TB. This is the production front door. */
+  def sampleWithSplits(docs: DataFrame, rates: Map[String, Int], defaultRate: Int,
+      salt: String, trainUpto: Int, valUpto: Int, splitSalt: String): DataFrame = {
+    val h = keyHash(salt)
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultRate))) {
+      case (acc, (lang, k)) => when(col("lang") === lang, lit(thr(k))).otherwise(acc)
+    }
+    val weight = rates.toSeq.sortBy(_._1).foldLeft(lit(256.0 / defaultRate)) {
+      case (acc, (lang, k)) => when(col("lang") === lang, lit(256.0 / k)).otherwise(acc)
+    }
+    docs
+      .filter(h < threshold)
+      .select(col("doc_id"), col("lang"), weight.as("weight"),
+        splitCol(trainUpto, valUpto, splitSalt).as("split"))
   }
 }

@@ -39,7 +39,11 @@ object SkewJoin {
     val salted = big.withColumn("__salt", salt(col(key), col(spread), buckets))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    // shuffle_hash pins the shuffled (key, salt) exchange the salt exists
+    // to spread — salting targets relations too big to broadcast, and at
+    // test scale AQE would otherwise pick a broadcast plan that neither
+    // shuffles nor demonstrates the technique
+    salted.join(replicated.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 
   /** Two-phase count per key: (key, salt) partial → key final. */

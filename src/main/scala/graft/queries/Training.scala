@@ -92,13 +92,11 @@ object Training {
   val SplitVal = 243
   val SplitSalt = "split1"
 
-  /** Stratified sample joined with the doc's immutable split assignment —
-    * the standard front door of a training-data pipeline (both are narrow
-    * hash-filter scans; the join collapses to one projection since both
-    * derive from the same row). */
+  /** Stratified sample + immutable split assignment in one narrow scan —
+    * the standard front door of a training-data pipeline. */
   val tSample: Q = (s, d) =>
-    Sampling.stratifiedSample(docs(s, d), SampleRates, SampleDefault, SampleSalt)
-      .join(Sampling.assignSplits(docs(s, d), SplitTrain, SplitVal, SplitSalt), "doc_id")
+    Sampling.sampleWithSplits(docs(s, d), SampleRates, SampleDefault, SampleSalt,
+      SplitTrain, SplitVal, SplitSalt)
 
   /** Concat-and-chunk packing: 512-token sequences over 8 parallel
     * streams. */
