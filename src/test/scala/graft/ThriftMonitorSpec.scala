@@ -79,4 +79,22 @@ class ThriftMonitorSpec extends AnyFunSuite {
       assert(statsd.exists(_.endsWith(".alive:0|g"))) // AvailableNow query has terminated
     } finally spark.streams.removeListener(mon)
   }
+
+  test("S6 ops endpoints match the reference's golden responses") {
+    import graft.streaming.OpsEndpoints._
+    // reference CollectorServiceSpec "flashCrossDomainPolicy" goldens
+    assert(flashCrossDomainPolicy(enabled = true, Seq("*"), secure = false) ===
+      ((200, "<?xml version=\"1.0\"?>\n<cross-domain-policy>\n  <allow-access-from domain=\"*\" secure=\"false\" />\n</cross-domain-policy>")))
+    assert(flashCrossDomainPolicy(enabled = true, Seq("*", "acme.com"), secure = false) ===
+      ((200, "<?xml version=\"1.0\"?>\n<cross-domain-policy>\n  <allow-access-from domain=\"*\" secure=\"false\" />\n  <allow-access-from domain=\"acme.com\" secure=\"false\" />\n</cross-domain-policy>")))
+    assert(flashCrossDomainPolicy(enabled = true, Seq.empty, secure = false) ===
+      ((200, "<?xml version=\"1.0\"?>\n<cross-domain-policy>\n\n</cross-domain-policy>")))
+    assert(flashCrossDomainPolicy(enabled = false, Seq("*"), secure = false) ===
+      ((404, "404 not found")))
+    assert(health(true) === ((200, "OK")))
+    assert(health(false) === ((503, "Service Unavailable")))
+    assert(robots === ((200, "User-agent: *\nDisallow: /")))
+    assert(rootResponse(enabled = true, 302) === ((302, "")))
+    assert(rootResponse(enabled = false, 302) === ((404, "404 not found")))
+  }
 }
