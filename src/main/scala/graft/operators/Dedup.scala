@@ -27,7 +27,10 @@ object Dedup {
   /** Per-doc MinHash signature: 4 salted minhashes over 3-shingles. Docs
     * with < 3 tokens have no shingles and are dropped (declared domain).
     * Tokens and shingles are materialized as named columns so each is
-    * computed once per row (see TextOps.shinglesOfTokens). */
+    * computed once per row (see TextOps.shinglesOfTokens). Deliberately
+    * the HOF formulation: the fused native kernel
+    * ([[graft.functions.MinhashSigs]]) measures SLOWER even with
+    * doGenCode — see its scaladoc for the numbers. */
   def minhashSignatures(docs: DataFrame): DataFrame =
     Spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))

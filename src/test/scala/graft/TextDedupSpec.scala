@@ -112,14 +112,15 @@ class TextDedupSpec extends AnyFunSuite {
 
   test("fused MinhashSigs kernel equals the composable HOF formulation") {
     val docs = Tables.documents(spark, TestSpark.Sf).limit(100)
-    val fused = Dedup.minhashSignatures(docs)
-    val composable = docs
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), TextOps.shinglesOfTokens(col("toks"), 3).as("sh"))
-      .select(col("doc_id") +: (0 until 4).map(i => TextOps.minhash(col("sh"), i).as(s"sig$i")): _*)
+    val fused = docs
+      .select(col("doc_id"), graft.functions.MinhashSigs.sigs(col("text"), 3, 4).as("sigs"))
+      .filter(col("sigs").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 4).map(i => element_at(col("sigs"), i + 1).as(s"sig$i")): _*)
+    val composable = Dedup.minhashSignatures(docs) // production HOF form
     assert(fused.count() === composable.count())
     assert(fused.except(composable).count() === 0)
+    assert(fused.count() > 0)
   }
 
   test("CDC chunking: early insertion still shares later chunk fingerprints") {
