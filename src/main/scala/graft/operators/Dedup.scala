@@ -136,7 +136,13 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+    // isolated vertices never change label — iterate ONLY over vertices
+    // that touch an edge (at scale, near-dup candidates are a small
+    // fraction of the corpus: per-iteration shuffle goes from |V| to
+    // |V_in_edges|), and stitch the rest back as their own singleton
+    // cluster at the end with one anti-join.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -153,7 +159,9 @@ object Dedup {
       labels = next.select("doc_id", "cluster")
       iter += 1
     }
-    labels
+    vertices.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   /** Duplicate clusters over the LSH candidate graph: every doc in the
