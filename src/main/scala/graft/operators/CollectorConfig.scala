@@ -84,6 +84,12 @@ object CollectorConfig {
     corsEnabled = true,
     corsDomains = Seq("*.allowed.example.com", "partner.io"))
 
+  /** testScale with a tighter cap for the wire-route surface: at 700 the
+    * synthetic corpus exercises good, split, split-still-too-large,
+    * stripped-still-too-big AND not-self-describing dispositions (at 800
+    * only good/split occur). */
+  val wireRouteScale: CollectorConfig = testScale.copy(maxBytes = 700)
+
   /** testScale with cookie domain resolution on (P8/P9 query surface). */
   val cookieScale: CollectorConfig = testScale.copy(
     cookieDomains = Seq("allowed.example.com", "partner.io"),

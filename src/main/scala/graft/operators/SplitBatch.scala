@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * becomes a SizeViolation bad row). */
 final case class PackedElement(event_id: Long, idx: Int, batch_idx: Int)
 
+/** One event's sink-path routing decision (the reference's
+  * `EventSerializeResult` summarized): `disposition` good | split | bad,
+  * `n_good` wire records emitted, `n_bad` bad rows, `reason` the stable
+  * prefix of the reference's error message (null when none). */
+final case class WireRoute(
+    event_id: Long, disposition: String, n_good: Int, n_bad: Int, reason: String)
+
 /** Greedy size-capped batch splitting (reference A1/A2:
   * `core/.../utils/SplitBatch.scala:40-74` greedy packer, `:81-113`
   * envelope re-pack). Order-sensitive and stateful per request, so it is a
@@ -65,6 +72,80 @@ object SplitBatch {
         }
       }
     }
+  }
+
+  /** The reference's FULL `splitAndSerializePayload` decision tree
+    * (`core/.../utils/SplitBatch.scala:81-113`) per payload, summarized as
+    * one [[WireRoute]] row:
+    *  - serialized size < maxBytes → good, 1 wire record;
+    *  - oversized GET (no body) → 1 SizeViolation;
+    *  - oversized POST: parse the self-describing body (real Jackson
+    *    parse), strip `data`, re-check the stripped event, greedy-pack the
+    *    elements into sub-batches under the reference's adjusted budget
+    *    (`maxBytes − wholeBytes + dataBytes`), elements that can't fit
+    *    alone → SizeViolation each;
+    *  - unparseable / non-self-describing / no-array bodies → 1
+    *    SizeViolation with the reference's message prefix (exception
+    *    detail suffix omitted — deterministic subset).
+    * [[CollectorPipeline.badRows]] stays the flat pre-split size gate
+    * (its byte-exact golden is the no-split path); this operator is the
+    * split-aware disposition the sink actually acts on. Same typed
+    * mapPartitions shape as [[ThriftPayload.encode]]. */
+  def routeWire(payloads: DataFrame, maxBytes: Int): Dataset[WireRoute] = {
+    val spark = payloads.sparkSession
+    implicit val enc0 = org.apache.spark.sql.Encoders.product[WireRoute]
+    Spread(payloads)
+      .select(
+        col("event_id"), col("schema_uri"), col("ip"),
+        col("timestamp_ms"), col("encoding"), col("collector"), col("user_agent"),
+        col("referer_uri"), col("path"), col("querystring"), col("body"),
+        col("headers"), col("content_type"),
+        col("hostname"), col("network_userid"))
+      .mapPartitions { it =>
+        val ser = new ThriftPayload.Serializer
+        val mapper = new ObjectMapper
+        val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+        it.map { r =>
+          def s(i: Int): String = if (r.isNullAt(i)) null else r.getString(i)
+          val rec = PayloadRecord(
+            s(1), s(2), r.getLong(3), s(4), s(5), s(6), s(7), s(8), s(9),
+            s(10), if (r.isNullAt(11)) null else r.getSeq[String](11),
+            s(12), s(13), s(14))
+          val id = r.getLong(0)
+          val whole = ser(rec).length
+          def bad(reason: String) = WireRoute(id, "bad", 0, 1, reason)
+          if (whole < maxBytes) WireRoute(id, "good", 1, 0, null)
+          else if (rec.body == null) bad("GET requests cannot be split")
+          else {
+            val root = try mapper.readTree(rec.body) catch { case _: Exception => null }
+            if (root == null) bad("cannot split POST requests which are not json")
+            else {
+              val schema = root.get("schema")
+              val data = root.get("data")
+              if (schema == null || !schema.isTextual || data == null)
+                bad("cannot split POST requests which are not self-describing")
+              else if (!data.isArray)
+                bad("cannot split POST requests which do not contain a data array")
+              else {
+                val elems = (0 until data.size).map(i => mapper.writeValueAsString(data.get(i)))
+                val dataBytes = elems.mkString("[", ",", "]").getBytes(UTF8).length
+                if (whole - dataBytes >= maxBytes)
+                  bad("cannot split this POST request because event without \"data\" field is still too big")
+                else {
+                  val budget = (maxBytes - whole + dataBytes).toLong
+                  val assigned = pack(
+                    elems.map(_.getBytes(UTF8).length.toLong).toIndexedSeq,
+                    base = 0L, join = 1L, max = budget)
+                  val nBad = assigned.count(_ == -1)
+                  val nGood = assigned.filter(_ >= 0).distinct.size
+                  WireRoute(id, if (nGood > 0) "split" else "bad", nGood, nBad,
+                    if (nBad > 0) "this POST request split is still too large" else null)
+                }
+              }
+            }
+          }
+        }
+      }
   }
 
   /** Split tp2 self-describing bodies: parse JSON for real (Jackson — one

@@ -110,6 +110,14 @@ object Collector {
   val cSplitBatches: Q = (s, d) =>
     SplitBatch.splitTp2(env(s, d), CollectorConfig.SplitMaxBytes).toDF()
 
+  /** A2+F6 unified: the reference's full splitAndSerializePayload
+    * disposition (good / split into n sub-records / bad with reason),
+    * under the tighter wireRouteScale cap so every branch fires. */
+  val cWireRoute: Q = (s, d) =>
+    SplitBatch.routeWire(
+      CollectorPipeline.payloads(env(s, d), CollectorConfig.wireRouteScale),
+      CollectorConfig.wireRouteScale.maxBytes).toDF()
+
   /** P14: thrift wire encoding of the good payload stream. No SQL oracle
     * (binary output) — driver records a rows-only check; byte-level
     * round-trip is covered by ThriftSpec. */
@@ -135,6 +143,7 @@ object Collector {
     "c_segment" -> cSegment,
     "c_unified_events" -> cUnifiedEvents,
     "c_split_batches" -> cSplitBatches,
+    "c_wire_route" -> cWireRoute,
     "c_thrift_wire" -> cThriftWire,
   )
 }

@@ -17,6 +17,8 @@ object CollectorOracles {
       s"substr(md5($e),13,4) || '-' || substr(md5($e),17,4) || '-' || substr(md5($e),21,12)"
 
   private val NilUuid = "00000000-0000-0000-0000-000000000000"
+  /** Wire-route cap — single source of truth with the Spark query. */
+  private val WireMax = graft.operators.CollectorConfig.wireRouteScale.maxBytes
   private val Tp2Prefix =
     """{"schema":"iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4","data":["""
 
@@ -96,6 +98,56 @@ object CollectorOracles {
        |  FROM env
        |)""".stripMargin
 
+  /** Shared payload + exact-wire-size CTEs (mirror of
+    * CollectorPipeline.payloads and ThriftPayload's TBinaryProtocol size
+    * formula) — used by c_bad_rows and c_wire_route. Carries m / n_elems /
+    * elem_size so the wire-route oracle can redo the split arithmetic
+    * (all of one request's tracker elements serialize to the same length,
+    * so greedy packing reduces to capacity division — same trick as
+    * c_split_batches). */
+  private lazy val PaySized =
+    s"""pay AS (
+       |  SELECT event_id, timestamp_ms, user_agent, referer, querystring,
+       |    body, content_type, hostname, m, n_elems,
+       |    strlen(${tp2ElemNorm("0")}) AS elem_size,
+       |    'iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0' AS schema_uri,
+       |    CASE WHEN anon THEN 'unknown' ELSE coalesce(remote_ip, 'unknown') END AS ip,
+       |    CASE WHEN path = '/com.acme/track' THEN '/com.snowplowanalytics.snowplow/tp2'
+       |         WHEN path = '/com.acme/redirect' THEN '/r/tp2'
+       |         WHEN path = '/com.acme/iglu' THEN '/com.snowplowanalytics.iglu/v1'
+       |         ELSE path END AS rpath,
+       |    CASE WHEN anon THEN '$NilUuid'
+       |         ELSE coalesce(
+       |           CASE WHEN event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END,
+       |           cookie_sp,
+       |           ${uu("'nuid-gen' || event_id")}) END AS nuid,
+       |    concat_ws(', ',
+       |      'Host: ' || hostname,
+       |      'User-Agent: ' || user_agent,
+       |      CASE WHEN referer IS NOT NULL THEN 'Referer: ' || referer END,
+       |      CASE WHEN remote_ip IS NOT NULL AND NOT anon THEN 'X-Forwarded-For: ' || remote_ip END,
+       |      CASE WHEN cookie_sp IS NOT NULL AND NOT anon THEN 'Cookie: sp=' || cookie_sp END,
+       |      content_type) AS headers_join,
+       |    (2 + CASE WHEN referer IS NOT NULL THEN 1 ELSE 0 END
+       |       + CASE WHEN remote_ip IS NOT NULL AND NOT anon THEN 1 ELSE 0 END
+       |       + CASE WHEN cookie_sp IS NOT NULL AND NOT anon THEN 1 ELSE 0 END
+       |       + CASE WHEN content_type IS NOT NULL THEN 1 ELSE 0 END) AS n_headers
+       |  FROM env2 WHERE NOT dnt AND NOT qs_bad
+       |),
+       |sized AS (
+       |  SELECT *,
+       |    12 + 7 + strlen(schema_uri) + 7 + strlen(ip) + 7 + 5
+       |    + 7 + strlen('graft-0.1.0-spark')
+       |    + 7 + strlen(user_agent)
+       |    + CASE WHEN referer IS NOT NULL THEN 7 + strlen(referer) ELSE 0 END
+       |    + 7 + strlen(rpath) + 7 + strlen(querystring)
+       |    + CASE WHEN body IS NOT NULL THEN 7 + strlen(body) ELSE 0 END
+       |    + CASE WHEN content_type IS NOT NULL THEN 7 + strlen(content_type) ELSE 0 END
+       |    + 7 + strlen(hostname) + 7 + strlen(nuid)
+       |    + 8 + 4 * n_headers + strlen(headers_join) - 2 * (n_headers - 1) AS wire_size
+       |  FROM pay
+       |)""".stripMargin
+
   /** Mirror of CollectorPipeline.corsDecisions host matching under the
     * corsScale config (`*.allowed.example.com`, `partner.io`); `h` must be
     * the origin-host expression. LIKE keeps the dotted-suffix semantics
@@ -165,46 +217,7 @@ object CollectorOracles {
     // maxBytes/10 chars of the thrift toString() rendering.
     "c_bad_rows" ->
       s"""$Env,
-         |pay AS (
-         |  SELECT event_id, timestamp_ms, user_agent, referer, querystring,
-         |    body, content_type, hostname,
-         |    'iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0' AS schema_uri,
-         |    CASE WHEN anon THEN 'unknown' ELSE coalesce(remote_ip, 'unknown') END AS ip,
-         |    CASE WHEN path = '/com.acme/track' THEN '/com.snowplowanalytics.snowplow/tp2'
-         |         WHEN path = '/com.acme/redirect' THEN '/r/tp2'
-         |         WHEN path = '/com.acme/iglu' THEN '/com.snowplowanalytics.iglu/v1'
-         |         ELSE path END AS rpath,
-         |    CASE WHEN anon THEN '$NilUuid'
-         |         ELSE coalesce(
-         |           CASE WHEN event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END,
-         |           cookie_sp,
-         |           ${uu("'nuid-gen' || event_id")}) END AS nuid,
-         |    concat_ws(', ',
-         |      'Host: ' || hostname,
-         |      'User-Agent: ' || user_agent,
-         |      CASE WHEN referer IS NOT NULL THEN 'Referer: ' || referer END,
-         |      CASE WHEN remote_ip IS NOT NULL AND NOT anon THEN 'X-Forwarded-For: ' || remote_ip END,
-         |      CASE WHEN cookie_sp IS NOT NULL AND NOT anon THEN 'Cookie: sp=' || cookie_sp END,
-         |      content_type) AS headers_join,
-         |    (2 + CASE WHEN referer IS NOT NULL THEN 1 ELSE 0 END
-         |       + CASE WHEN remote_ip IS NOT NULL AND NOT anon THEN 1 ELSE 0 END
-         |       + CASE WHEN cookie_sp IS NOT NULL AND NOT anon THEN 1 ELSE 0 END
-         |       + CASE WHEN content_type IS NOT NULL THEN 1 ELSE 0 END) AS n_headers
-         |  FROM env2 WHERE NOT dnt AND NOT qs_bad
-         |),
-         |sized AS (
-         |  SELECT *,
-         |    12 + 7 + strlen(schema_uri) + 7 + strlen(ip) + 7 + 5
-         |    + 7 + strlen('graft-0.1.0-spark')
-         |    + 7 + strlen(user_agent)
-         |    + CASE WHEN referer IS NOT NULL THEN 7 + strlen(referer) ELSE 0 END
-         |    + 7 + strlen(rpath) + 7 + strlen(querystring)
-         |    + CASE WHEN body IS NOT NULL THEN 7 + strlen(body) ELSE 0 END
-         |    + CASE WHEN content_type IS NOT NULL THEN 7 + strlen(content_type) ELSE 0 END
-         |    + 7 + strlen(hostname) + 7 + strlen(nuid)
-         |    + 8 + 4 * n_headers + strlen(headers_join) - 2 * (n_headers - 1) AS wire_size
-         |  FROM pay
-         |)
+         |$PaySized
          |SELECT event_id, 'GenericError' AS bad_row_type,
          |  querystring AS payload_prefix,
          |  CAST(strlen(querystring) AS BIGINT) AS actual_size
@@ -271,6 +284,52 @@ object CollectorOracles {
          |    '; Path=/; Secure; SameSite=None'
          |  END AS set_cookie
          |FROM ck""".stripMargin,
+
+    // Mirror of SplitBatch.routeWire: the reference's full
+    // splitAndSerializePayload disposition. All of one request's elements
+    // serialize to equal length, so the greedy pack reduces to capacity
+    // division (cap = 1 + (budget - s) // (s + 1), first element costs s,
+    // each next s+1 — exactly SplitBatch.pack with base=0, join=1).
+    "c_wire_route" ->
+      s"""$Env,
+         |$PaySized,
+         |r AS (
+         |  SELECT event_id, wire_size, body, n_elems, elem_size,
+         |    (m <= 11 OR m BETWEEN 17 AND 18) AS is_tp2,
+         |    n_elems * elem_size + (n_elems - 1) + 2 AS data_bytes
+         |  FROM sized),
+         |d AS (
+         |  SELECT *,
+         |    $WireMax - wire_size + data_bytes AS budget,
+         |    CASE
+         |      WHEN wire_size < $WireMax THEN 'good'
+         |      WHEN body IS NULL THEN 'get'
+         |      WHEN NOT is_tp2 THEN 'notsd'
+         |      WHEN wire_size - data_bytes >= $WireMax THEN 'stripped'
+         |      WHEN elem_size > $WireMax - wire_size + data_bytes THEN 'allbig'
+         |      ELSE 'split' END AS kind
+         |  FROM r),
+         |f AS (
+         |  SELECT *,
+         |    CASE WHEN kind = 'split'
+         |         THEN 1 + (budget - elem_size) // (elem_size + 1) END AS cap
+         |  FROM d)
+         |SELECT event_id,
+         |  CASE WHEN kind = 'good' THEN 'good'
+         |       WHEN kind = 'split' THEN 'split' ELSE 'bad' END AS disposition,
+         |  CAST(CASE WHEN kind = 'good' THEN 1
+         |            WHEN kind = 'split' THEN (n_elems + cap - 1) // cap
+         |            ELSE 0 END AS INT) AS n_good,
+         |  CAST(CASE WHEN kind = 'good' OR kind = 'split' THEN 0
+         |            WHEN kind = 'allbig' THEN n_elems
+         |            ELSE 1 END AS INT) AS n_bad,
+         |  CASE kind
+         |    WHEN 'get' THEN 'GET requests cannot be split'
+         |    WHEN 'notsd' THEN 'cannot split POST requests which are not self-describing'
+         |    WHEN 'stripped' THEN 'cannot split this POST request because event without "data" field is still too big'
+         |    WHEN 'allbig' THEN 'this POST request split is still too large'
+         |  END AS reason
+         |FROM f""".stripMargin,
 
     "c_response" ->
       s"""$Env
