@@ -34,6 +34,25 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  test("r3 plan shapes hold: one-pass sampler, salted shuffle, single Spread exchange") {
+    def planOf(q: String) = SparkEntry.queries(q)(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    // t_sample must stay a pure scan — the naive two-operator join
+    // broadcast a 75%-of-corpus side (r3 plan audit)
+    val sample = planOf("t_sample")
+    assert(!sample.contains("Join") && !sample.contains("Exchange"),
+      s"t_sample grew a join/shuffle:\n$sample")
+    // the salted join must actually shuffle on (key, salt) — a broadcast
+    // pick would neither spread skew nor demonstrate the operator
+    val salted = planOf("q_salted_join")
+    assert(salted.contains("ShuffledHashJoin"), s"q_salted_join lost its shuffled plan:\n$salted")
+    // Spread must not stack: one round-robin exchange on the thrift path
+    // (encode(payloads(Spread(events))) once paid two)
+    val wire = planOf("c_thrift_wire")
+    val exchanges = "Exchange (RoundRobin|hashpartitioning)".r.findAllIn(wire).size
+    assert(exchanges <= 1, s"c_thrift_wire stacked exchanges:\n$wire")
+  }
+
   test("driver contract: entry returns rows; every query name has unique columns") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key corresponds to a registered query
