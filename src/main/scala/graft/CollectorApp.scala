@@ -42,7 +42,16 @@ object CollectorApp {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
+          // the reference's sink gate (`SplitBatch.scala:87`): only events
+          // whose SERIALIZED size fits go to the good stream — the size is
+          // already on the encoded row, no second serialization. Oversized
+          // events surface in badRows (SizeViolation); splittable POSTs
+          // would re-enter as sub-records via SplitBatch.splitTp2/routeWire
+          // (conservative here: bad-row them — no record on the good wire
+          // ever exceeds maxBytes, the contract every sink assumes).
           val wire = ThriftPayload.encode(CollectorPipeline.payloads(batch, cfg)).toDF()
+            .filter(org.apache.spark.sql.functions.octet_length(
+              org.apache.spark.sql.functions.col("thrift")) < cfg.maxBytes)
           goodSink.write(wire, batchId)
           badSink.write(CollectorPipeline.badRows(batch, cfg), batchId)
         } finally batch.unpersist()

@@ -36,8 +36,16 @@ class CollectorAppSpec extends AnyFunSuite {
     Thread.sleep(500) // listener delivery
 
     val good = spark.read.parquet(goodDir)
-    val expectedGood = CollectorPipeline.payloads(envBatch, cfg)
-    assert(good.count() === expectedGood.count())
+    // good wire = payloads minus the size-gated (reference `SplitBatch
+    // .scala:87`: only events whose serialized size fits are sunk whole)
+    val payloadCount = CollectorPipeline.payloads(envBatch, cfg).count()
+    val oversized = graft.operators.ThriftPayload
+      .sizeViolations(CollectorPipeline.payloads(envBatch, cfg), cfg.maxBytes).count()
+    assert(good.count() === payloadCount - oversized)
+    assert(oversized > 0) // the gate is exercised at testScale
+    // no record on the good wire exceeds the cap — the sink contract
+    assert(good.filter(org.apache.spark.sql.functions.octet_length(
+      org.apache.spark.sql.functions.col("thrift")) >= cfg.maxBytes).count() === 0)
     // wire rows decode back to the expected thrift record
     val sample = good.limit(1).collect().head
     val decoded = ThriftPayload.deserialize(sample.getAs[Array[Byte]]("thrift"))
