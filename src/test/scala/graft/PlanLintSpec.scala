@@ -35,6 +35,10 @@ class PlanLintSpec extends AnyFunSuite {
   }
 
   test("r3 plan shapes hold: one-pass sampler, salted shuffle, single Spread exchange") {
+    // other suites cache envelope/doc DataFrames; cache substitution nests
+    // the cached plan (with its own exchanges) inside ours and breaks
+    // string-level plan assertions — lint against uncached plans
+    spark.sharedState.cacheManager.clearCache()
     def planOf(q: String) = SparkEntry.queries(q)(spark, TestSpark.Sf)
       .queryExecution.executedPlan.toString
     // t_sample must stay a pure scan — the naive two-operator join
