@@ -21,6 +21,32 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch estimate lands within MinCount error bounds of exact") {
+    // k=8 => relative std error ~ 1/sqrt(8) ~ 35%; assert a loose 60%
+    // band (the point of the query is deterministic cross-engine parity,
+    // not tight accuracy — the exact count rides alongside)
+    val rows = Relational.qKmvDistinct(spark, TestSpark.Sf)
+      .select("event_type", "n_exact", "est_distinct")
+      .as[(String, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, exact, est) =>
+      assert(est > 0, s"$t estimate non-positive")
+      assert(math.abs(est - exact) <= 0.6 * exact,
+        s"$t estimate $est vs exact $exact — outside the MinCount band")
+    }
+  }
+
+  test("rank analytics: dense deciles, pct_rank/cume in [0,1], monotone with price") {
+    val rows = Relational.qAnalytics(spark, TestSpark.Sf)
+      .select("o_orderpriority", "decile", "pct_rank", "cume")
+      .as[(String, Int, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, d, p, c) => d >= 1 && d <= 10 && p >= 0 && p <= 1 && c > 0 && c <= 1 })
+    // every priority partition uses the full decile range
+    val byPrio = rows.groupBy(_._1)
+    assert(byPrio.values.forall(_.map(_._2).toSet === (1 to 10).toSet))
+  }
+
   test("as-of join picks the latest order at or before each event") {
     // verify a sampled user against a direct computation
     val asof = Relational.qAsofJoin(spark, TestSpark.Sf)
