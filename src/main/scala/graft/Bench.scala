@@ -49,7 +49,8 @@ object Bench {
     "q_kmv_distinct" -> 0.4,
     "q_pivot" -> 0.4,
     "c_set_cookie" -> 0.5,
-    "c_wire_route" -> 1.7)
+    "c_wire_route" -> 1.7,
+    "t_redact" -> 0.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

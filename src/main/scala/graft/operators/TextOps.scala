@@ -118,6 +118,22 @@ object TextOps {
   def minhash(shingleCol: Column, salt: Int): Column =
     array_min(transform(shingleCol, s => md5(concat(lit(s"$salt:"), s))))
 
+  /** PII scrub patterns — deliberately simple regexes that mean the same
+    * thing under Java regex (Spark) and RE2 (DuckDB): no backrefs, no
+    * lookaround. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction for training corpora: emails → `<EMAIL>`, IPv4s →
+    * `<IP>` (email pass first — an address' host part must not be eaten
+    * as a dotted quad). Pure codegen'd regexp_replace chain, narrow. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+
+  /** Redaction counts (for scrub-rate monitoring dashboards). */
+  def emailCount(text: Column): Column = size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def ipv4Count(text: Column): Column = size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+
   /** 16-bit simhash over tokens: bit i is set when the majority of token
     * md5s have their i-th hex digit's top bit set (+1/-1 vote sum >= 0). */
   def simhash16(text: Column): Column = {

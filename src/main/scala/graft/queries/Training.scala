@@ -102,6 +102,21 @@ object Training {
     * streams. */
   val tPack: Q = (s, d) => SeqPack.packSequences(docs(s, d), 512, buckets = 8)
 
+  /** PII redaction. The synthetic corpus carries no PII, so both engines
+    * first append a deterministic contact line (same literal construction
+    * in the oracle) — the scrub itself and its counts are then
+    * non-vacuous on every row. */
+  val tRedact: Q = (s, d) => {
+    val aug = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@mail.example.com from 10."),
+      pmod(col("doc_id"), lit(250)), lit(".0."), pmod(col("doc_id"), lit(7)))
+    docs(s, d).select(
+      col("doc_id"),
+      TextOps.redactPii(aug).as("redacted"),
+      TextOps.emailCount(aug).as("n_emails"),
+      TextOps.ipv4Count(aug).as("n_ips"))
+  }
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
 
@@ -119,6 +134,7 @@ object Training {
     "t_top_terms" -> tTopTerms,
     "t_sample" -> tSample,
     "t_pack" -> tPack,
+    "t_redact" -> tRedact,
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,
     "s_near_dups" -> sNearDups,

@@ -296,6 +296,21 @@ object TrainingOracles {
          |WHERE rank <= 3""".stripMargin
     },
 
+    // PII-redaction mirror: same augmented text, same regexes (simple
+    // enough to mean the same under Java regex and RE2), 'g' flag matches
+    // Spark's replace-all default.
+    "t_redact" -> {
+      import graft.operators.TextOps.{EmailRe, Ipv4Re}
+      val aug = "text || ' contact user' || doc_id || '@mail.example.com from 10.' || " +
+        "(doc_id % 250) || '.0.' || (doc_id % 7)"
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace($aug, '$EmailRe', '<EMAIL>', 'g'),
+         |                 '$Ipv4Re', '<IP>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all($aug, '$EmailRe')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all($aug, '$Ipv4Re')) AS INT) AS n_ips
+         |FROM documents""".stripMargin
+    },
+
     // Concat-and-chunk packing mirror: pure integer window arithmetic;
     // CAST ... AS BIGINT on the running sum (DuckDB window sums of BIGINT
     // return HUGEINT, and the driver's hasher is type-sensitive).

@@ -136,6 +136,19 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fp1 !== fp2)
   }
 
+  test("PII redaction scrubs emails and IPv4s, leaves clean text alone") {
+    val d = docsOf(
+      (1L, "mail me at alice.smith+x@corp.example.org or 192.168.1.7 thanks"),
+      (2L, "no pii here just words and the number 42"))
+      .select(col("doc_id"), TextOps.redactPii(col("text")).as("r"),
+        TextOps.emailCount(col("text")).as("ne"), TextOps.ipv4Count(col("text")).as("ni"))
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(d(1L)._2 === "mail me at <EMAIL> or <IP> thanks")
+    assert(d(1L)._3 === 1 && d(1L)._4 === 1)
+    assert(d(2L)._2 === "no pii here just words and the number 42")
+    assert(d(2L)._3 === 0 && d(2L)._4 === 0)
+  }
+
   test("quality score is in [0,1] and rewards stopword-rich text") {
     val q = docsOf(
       (1L, "the cat and the dog of the house is that for"),
