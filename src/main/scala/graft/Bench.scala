@@ -18,8 +18,12 @@ object Bench {
     "c_thrift_wire" -> 2.8,
     "q3_join" -> 0.80,
     "q5_join" -> 0.75,
-    "d_lsh_pairs" -> 0.7,
-    "d_jaccard" -> 0.8,
+    // r3: LSH pairing gained the MaxBucket occupancy window (one extra
+    // pass over the band relation) — 0.9/1.0 are the r3 algorithm's own
+    // warm sf0.1 times (the 0.7/0.8 r1 baselines measured the capless
+    // persist() formulation)
+    "d_lsh_pairs" -> 0.9,
+    "d_jaccard" -> 1.0,
     "d_cdc_chunks" -> 1.2,
     "s_brute_topk" -> 0.6,
     "s_bucket_topk" -> 0.4,
