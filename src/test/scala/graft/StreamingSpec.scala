@@ -41,6 +41,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad.count() === badExpected.count())
   }
 
+  test("CORS, Set-Cookie and wire-route transforms run unchanged on a stream") {
+    // the r3 operators are pure projections/mapPartitions, so the SAME
+    // functions must produce batch-identical output under micro-batching
+    val envBatch = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+    val srcDir = tmp("env-src2")
+    envBatch.write.mode("overwrite").parquet(srcDir)
+    val outDir = tmp("cors-out"); val ckpt = tmp("cors-ckpt")
+    val envStream = spark.readStream
+      .schema(envBatch.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(srcDir)
+    val q = envStream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        CollectorPipeline.corsDecisions(batch, CollectorConfig.corsScale)
+          .join(CollectorPipeline.setCookieHeaders(batch, CollectorConfig.cookieScale)
+            .withColumnRenamed("emitted", "cookie_emitted")
+            .drop("set_cookie"), "event_id")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+    val batchEq = CollectorPipeline.corsDecisions(envBatch, CollectorConfig.corsScale)
+      .join(CollectorPipeline.setCookieHeaders(envBatch, CollectorConfig.cookieScale)
+        .withColumnRenamed("emitted", "cookie_emitted")
+        .drop("set_cookie"), "event_id")
+    assert(streamed.count() === batchEq.count())
+    assert(streamed.except(batchEq).count() === 0)
+    assert(batchEq.except(streamed).count() === 0)
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes, timeout closes") {
     val input = MemoryStream[SessEvent](spark)
     val sessions = Sessionize.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L,
