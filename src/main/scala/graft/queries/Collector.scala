@@ -87,24 +87,10 @@ object Collector {
         .withColumn("ajs_user_id", lit(null).cast("string"))
         .withColumn("ajs_anonymous_id", lit(null).cast("string")))
 
-  /** S5 route concatenation: all three tracker routes normalized into one
-    * hit stream via unionByName — the engine's analog of the reference's
-    * route-concatenation into a single sink stream. */
-  val cUnifiedEvents: Q = (s, d) => {
-    val e = env(s, d)
-    val tp2 = Bridges.tp2Events(e)
-      .select(col("event_id"), lit("tp2").as("source"), col("e"), col("aid"))
-    val amp = Bridges.amplitudeEvents(e)
-      .select(col("event_id"), lit("amplitude").as("source"),
-        col("amp_event_type").as("e"), lit("amplitude").as("aid"))
-    val seg = Bridges.analyticsJsEvents(
-      e.filter(CollectorPipeline.isSegment)
-        .withColumn("network_userid", CollectorPipeline.networkUserId)
-        .withColumn("ajs_user_id", lit(null).cast("string"))
-        .withColumn("ajs_anonymous_id", lit(null).cast("string")))
-      .select(col("event_id"), lit("segment").as("source"), col("e"), col("aid"))
-    tp2.unionByName(amp).unionByName(seg)
-  }
+  /** S5 route concatenation: all tracker routes normalized into one hit
+    * stream — single-scan CaseWhen dispatch ([[Bridges.unifiedEvents]]);
+    * the unionByName formulation read the source once per route arm. */
+  val cUnifiedEvents: Q = (s, d) => Bridges.unifiedEvents(env(s, d))
 
   /** A1/A2: greedy size-capped split of tp2 bodies (typed mapPartitions). */
   val cSplitBatches: Q = (s, d) =>
