@@ -8,11 +8,13 @@ import org.apache.spark.sql.SparkSession
   * to run first — the timed numbers measure the plans, not the JVM. */
 object Bench {
 
-  /** BASELINE.md "Engine bench targets" (BENCH r1, sf0.1, warm): the 2×
-    * rule. Any timed query above twice its baseline fails the bench run
-    * loudly (nonzero exit after the JSON line) — a regression must never
-    * ship silently again (round 2 shipped an 8.3× dedup regression that
-    * this guard would have caught in-round). */
+  /** Mirror of BASELINE.md "Bench guard targets" (sf0.1, warm) — that
+    * document is the single source; every change to this map is a dated
+    * row in its re-baselines table first. The 2× rule: any timed query
+    * above twice its target fails the bench run loudly (nonzero exit
+    * after the JSON line) — a regression must never ship silently again
+    * (round 2 shipped an 8.3× dedup regression that this guard would
+    * have caught in-round). */
   private[graft] val baselineSec: Map[String, Double] = Map(
     "c_payload" -> 0.8,
     "c_thrift_wire" -> 2.8,
@@ -27,10 +29,11 @@ object Bench {
     "d_cdc_chunks" -> 1.2,
     "s_brute_topk" -> 0.6,
     "s_bucket_topk" -> 0.4,
-    // r3: ivfTopK gained a Lloyd refinement pass + nprobe=2 multiprobe —
-    // a different (heavier) algorithm than the r1 baseline measured; 1.4s
-    // is its own warm sf0.1 time
-    "s_ivf_topk" -> 1.4,
+    // r4: back to the ORIGINAL r1 baseline — the r3 1.4s re-baseline
+    // papered over a recompute defect (the Lloyd subtree ran ~4x); with
+    // the centroid table pinned the Lloyd+multiprobe algorithm fits the
+    // r1 number's 2x window again. BASELINE.md "re-baselines" table.
+    "s_ivf_topk" -> 0.9,
     // r3 additions — every query that ever crossed 1 s at sf0.1 gets a
     // guard entry (the r2→r3 c_bad_rows regression shipped through the
     // gaps of the original 10-query map)
@@ -62,7 +65,12 @@ object Bench {
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
+    // local-iteration filter: SPARK_GRAFT_ONLY=s_ivf_topk,d_lsh_pairs
+    // times just those queries (never set by the driver's full runs)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warm-up: JIT, codegen cache, parquet footer cache
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -85,7 +93,11 @@ object Bench {
     // (an unchanged q5_join measured 0.86s and 2.26s twenty minutes apart),
     // and a guard that cries wolf gets ignored; a real regression is slow
     // on both passes.
-    val regressions =
+    // Both timings of every flagged query are published (`retimes`) so a
+    // "passed on retry" is visible in the JSON, never silent (r3 shipped
+    // a 4.04s s_ivf_topk with regressions:[] because the retime value was
+    // discarded).
+    val retimes: Seq[(String, Double, Double)] =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Seq.empty
       else results.collect {
         case (k, Some(v)) if baselineSec.get(k).exists(b => v > 2 * b) =>
@@ -93,14 +105,18 @@ object Bench {
           val retimed =
             try { SparkEntry.queries(k)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
             catch { case _: Throwable => v }
-          (k, math.min(v, retimed))
-      }.collect {
-        case (k, best) if best > 2 * baselineSec(k) =>
-          f"$k%s ${best}%.2fs > 2x ${baselineSec(k)}%.2fs"
+          (k, v, retimed)
       }
+    val regressions = retimes.collect {
+      case (k, first, retime) if math.min(first, retime) > 2 * baselineSec(k) =>
+        f"$k%s ${math.min(first, retime)}%.2fs > 2x ${baselineSec(k)}%.2fs"
+    }
+    val retimesJson = retimes.map { case (k, f, r) =>
+      "\"" + k + "\":{\"first\":" + f + ",\"retime\":" + r + "}"
+    }.mkString("{", ",", "}")
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"regressions":$regJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"regressions":$regJson,"retimes":$retimesJson,"sf":"$sfDir"}""")
     spark.stop()
     if (regressions.nonEmpty) {
       System.err.println(s"BENCH GUARD FAILED (2x rule): ${regressions.mkString("; ")}")

@@ -118,16 +118,26 @@ object Similarity {
 
   /** The `n` nearest centroids per vector (min ||v-c||², i.e. min of
     * cn2 - 2·v·c since ||v||² is constant per vector; ties break by cell
-    * id). The centroid table is tiny → broadcast; one narrow pass. */
+    * id). The centroid set rides along as ONE broadcast row holding an
+    * array of centroid structs, and the argmin is a per-row
+    * score-and-sort over that array — a narrow map stage. The r3 shape
+    * (crossJoin row blowup + row_number window) shuffled corpus×k rows
+    * on vec_id just to pick each row's minimum; at 100 TB that window
+    * exchange was the plan's only corpus-sized shuffle, and it carried
+    * k× the corpus. Identical arithmetic and (score, cell) tie-break —
+    * struct sort orders field-wise — so the oracle mirror is unchanged. */
   private def nearestCells(corpus: DataFrame, cents: DataFrame, n: Int): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").asc, col("c_label").asc)
+    val centArr = cents.agg(
+      collect_list(struct(col("c_label"), col("cv"), col("cn2"))).as("cents"))
     corpus
-      .crossJoin(broadcast(cents))
-      .withColumn("score", col("cn2") - lit(2) * dot(col("q"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= n)
-      .select(col("vec_id"), col("q"), col("n2"), col("c_label").as("cell"), col("rn"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("q"), col("n2"),
+        slice(array_sort(transform(col("cents"), c =>
+          struct((c.getField("cn2") - lit(2) * dot(col("q"), c.getField("cv"))).as("score"),
+            c.getField("c_label").as("cell")))), 1, n).as("near"))
+      .select(col("vec_id"), col("q"), col("n2"), posexplode(col("near")).as(Seq("i", "nc")))
+      .select(col("vec_id"), col("q"), col("n2"),
+        col("nc.cell").as("cell"), (col("i") + 1).as("rn"))
   }
 
   /** Assign every vector to its single nearest centroid. */
@@ -153,10 +163,29 @@ object Similarity {
     * distinct, so multiprobe introduces no duplicate candidates. */
   def ivfTopK(embeddings: DataFrame, k: Int, lloydIters: Int = 1, nprobe: Int = 2): DataFrame = {
     val corpus = prepared(embeddings, spread = true)
-    var cents = centroids(corpus)
-    for (_ <- 1 to lloydIters) cents = lloydStep(corpus, cents)
-    val cells = assignCells(corpus, cents)
-    val queries = nearestCells(corpus.filter(col("vec_id") % 97 === 0), cents, nprobe)
+    // The centroid table is a few KB (one row per cell), but its lineage
+    // contains a full-corpus aggregation per Lloyd step — left lazy, every
+    // consumer (cell assignment, query probe, each further Lloyd step)
+    // re-runs that whole subtree, and the r3 plan recomputed the corpus
+    // scan ~4x. Materializing each centroid generation pins training to
+    // exactly one corpus pass per Lloyd step and leaves the serving plan
+    // with one scan per arm (cells + query probe). At cluster scale this
+    // table is checkpoint-or-collect sized either way.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint()
+    // the prepared corpus is read once per training pass + twice at
+    // serve; pin it too so quantization/norms run once (at 100 TB
+    // training reads a sample instead — see scaladoc — and the serve
+    // arms read the columnar index table; this pin is the local analog)
+    val pinnedCorpus = pin(corpus)
+    // intermediate centroid generations are each consumed exactly once
+    // (by the next Lloyd step), so the whole training chain stays ONE
+    // lazy tree over the pinned corpus and only the final generation —
+    // consumed by both serving arms — is pinned: 2 training jobs total.
+    var cents = centroids(pinnedCorpus)
+    for (_ <- 1 to lloydIters) cents = lloydStep(pinnedCorpus, cents)
+    cents = pin(cents)
+    val cells = assignCells(pinnedCorpus, cents)
+    val queries = nearestCells(pinnedCorpus.filter(col("vec_id") % 97 === 0), cents, nprobe)
       .select(col("vec_id").as("q_id"), col("q").as("qq"),
         col("n2").as("qn2"), col("cell"))
     val w = Window.partitionBy(col("q_id"))
