@@ -32,7 +32,14 @@ object Dedup {
     * ([[graft.functions.MinhashSigs]]) measures SLOWER even with
     * doGenCode — see its scaladoc for the numbers. */
   def minhashSignatures(docs: DataFrame): DataFrame =
-    Spread(docs)
+    minhashSignatures(docs, spread = true)
+
+  /** `spread = false` skips the rebalance exchange — for consumers that
+    * immediately re-shuffle the result on another key (the connected-
+    * components vertex arm hash-partitions on doc_id right after; r3's
+    * plan stacked Spread's RoundRobin under that hash exchange). */
+  private[operators] def minhashSignatures(docs: DataFrame, spread: Boolean): DataFrame =
+    (if (spread) Spread(docs) else docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), TextOps.shinglesOfTokens(col("toks"), 3).as("sh"))
@@ -131,18 +138,27 @@ object Dedup {
     * doesn't recompute iterations 1..N-1; the convergence check is a
     * count on the changed rows — the same loop shape GraphX/Pregel uses.
     * The result is the unique fixpoint, independent of iteration order. */
-  def connectedComponents(vertices: DataFrame, pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame, maxIters: Int = 20,
+      reliable: Boolean = false): DataFrame = {
+    // `reliable = true` snapshots each iteration to the configured
+    // checkpoint dir (requires `sc.setCheckpointDir`; HDFS/S3 on a real
+    // cluster). localCheckpoint keeps blocks on executors — fast, but an
+    // executor loss mid-loop discards them and fails the job; the durable
+    // variant pays a distributed write per iteration for restartability,
+    // the right trade when the loop runs for hours over 100 TB.
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+      .transform(ckpt)
     // isolated vertices never change label — iterate ONLY over vertices
     // that touch an edge (at scale, near-dup candidates are a small
     // fraction of the corpus: per-iteration shuffle goes from |V| to
     // |V_in_edges|), and stitch the rest back as their own singleton
     // cluster at the end with one anti-join.
     var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster")).localCheckpoint()
+      .select(col("doc_id"), col("doc_id").as("cluster")).transform(ckpt)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -154,7 +170,7 @@ object Dedup {
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint()
+        .transform(ckpt)
       converged = next.filter(col("cluster") =!= col("prev")).isEmpty
       labels = next.select("doc_id", "cluster")
       iter += 1
@@ -169,7 +185,10 @@ object Dedup {
     * singletons are their own cluster. */
   def duplicateClusters(docs: DataFrame): DataFrame =
     connectedComponents(
-      minhashSignatures(docs).select(col("doc_id")),
+      // no Spread on the vertex arm: the stitch join hash-partitions it
+      // on doc_id anyway, so a rebalance exchange here just stacks two
+      // exchanges (r3 plan audit, nodes 4-5)
+      minhashSignatures(docs, spread = false).select(col("doc_id")),
       lshCandidatePairs(docs))
 
   /** Per-doc 16-bit SimHash — near-dup docs land on nearby codes; equal

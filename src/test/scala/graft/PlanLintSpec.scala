@@ -55,6 +55,17 @@ class PlanLintSpec extends AnyFunSuite {
     val wire = planOf("c_thrift_wire")
     val exchanges = "Exchange (RoundRobin|hashpartitioning)".r.findAllIn(wire).size
     assert(exchanges <= 1, s"c_thrift_wire stacked exchanges:\n$wire")
+    // the cluster stitch join hash-partitions the vertex arm on doc_id;
+    // a Spread there stacked a RoundRobin under that hash exchange (r3)
+    val clusters = planOf("d_dup_clusters")
+    assert(!clusters.contains("RoundRobinPartitioning"),
+      s"d_dup_clusters vertex arm re-grew a rebalance exchange:\n$clusters")
+    // IVF serving: nearest-cell is a per-row argmin over a broadcast
+    // centroid array — the only Window (and its exchange) is the final
+    // per-query top-k, never a corpus-sized argmin shuffle
+    val ivf = planOf("s_ivf_topk")
+    assert("Window \\[".r.findAllIn(ivf).size <= 1,
+      s"s_ivf_topk re-grew a window-based argmin:\n$ivf")
   }
 
   test("driver contract: entry returns rows; every query name has unique columns") {

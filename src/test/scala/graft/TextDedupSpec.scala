@@ -99,6 +99,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(m === Map(3L -> 3L, 7L -> 3L, 9L -> 3L, 5L -> 5L))
   }
 
+  test("connected components: reliable checkpoint path matches localCheckpoint path") {
+    // same loop, durable snapshots — the variant a 100 TB run uses so an
+    // executor loss mid-iteration doesn't discard the lineage truncation
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(verts, pairs)
+      .as[(Long, Long)].collect().toMap
+    val durable = Dedup.connectedComponents(verts, pairs, reliable = true)
+      .as[(Long, Long)].collect().toMap
+    assert(durable === local)
+    assert(durable === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("simhash: identical docs equal codes; disjoint docs differ") {
     val s = Dedup.simhashes(docsOf(
       (1L, "alpha beta gamma delta"),
