@@ -331,13 +331,23 @@ object Relational {
         expr("percentile(cents, 0.75)").as("p75"),
         count(lit(1)).as("n"))
 
-  /** HLL approximate distinct (no value oracle — estimates are
-    * implementation-specific; driver records a rows-only check and
-    * RelationalSpec asserts a 5% error bound vs exact). */
+  /** HLL approximate distinct. The raw estimate is implementation-
+    * specific (engines hash differently), so the oracle-checked output
+    * is the exact count plus the CLAIM the sketch exists to make —
+    * `within_5pct` — computed in-plan against an exact distinct; the
+    * DuckDB oracle derives the same row from exact counts (the boolean
+    * is literally true there). A wildly-off HLL flips the boolean and
+    * fails the hash compare, so the estimate quality itself is now
+    * oracle-gated (it was rows-only through r3). The raw estimate stays
+    * a RelationalSpec assertion. */
   val qApproxDistinct: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("est"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") / col("exact_users")
+          <= 0.05).as("within_5pct"))
 
   /** Correlated-aggregate pattern: orders above their customer's average. */
   val qAboveAvg: Q = (s, d) => {

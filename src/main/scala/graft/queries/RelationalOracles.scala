@@ -141,6 +141,13 @@ object RelationalOracles {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
 
+    // the estimate itself is engine-specific; the oracle checks the exact
+    // count and the 5%-accuracy claim (TRUE from exact counts — Spark's
+    // boolean flips, and the compare fails, if its HLL drifts past 5%)
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+        |FROM events GROUP BY 1""".stripMargin,
+
     "q_set_ops" ->
       """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
         |errs AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
