@@ -108,6 +108,82 @@ class CollectorPipelineSpec extends AnyFunSuite {
     fut.cancel(true)
   }
 
+  /** Literal-value buildEvent golden — the reference's canonical-request
+    * assertions (`CollectorServiceSpec.scala:357-474`) ported field by
+    * field: every expected value below is the reference's own literal,
+    * not a recomputation through the code under test. */
+  test("buildEvent golden: literal field values for the canonical request") {
+    import spark2.implicits._
+    def optLit(o: Option[String]) = o.map(lit).getOrElse(lit(null).cast("string"))
+    def envRow(eventId: Long, qs: Option[String], anon: Option[String],
+        headers: Seq[String]) =
+      Seq(eventId).toDF("event_id").select(
+        col("event_id"),
+        lit("POST").as("method"),
+        lit("p").as("path"),
+        optLit(qs).as("querystring"),
+        lit("b").as("body"),
+        lit("image/gif").as("content_type"),
+        lit("ua").as("user_agent"),
+        lit("ref").as("referer"),
+        lit("h").as("hostname"),
+        lit(if (anon.isDefined) "127.0.0.1" else "ip").as("remote_ip"),
+        lit(null).cast("string").as("origin"),
+        optLit(anon).as("sp_anonymous"),
+        lit("nuid").as("cookie_sp"),
+        lit(null).cast("string").as("cookie_dnt"),
+        typedLit(headers).as("headers"),
+        lit(1700000000123L).as("timestamp_ms"))
+    // reference config renders collector = "app-version-kinesis"
+    val refCfg = CollectorConfig(appName = "app", appVersion = "version", sinkName = "kinesis")
+    val plain = envRow(101L, Some("q"), None,
+      Seq("Location: l", "X-Forwarded-For: 127.0.0.1", "Remote-Address: 127.0.0.1", "image/gif"))
+    val anon = envRow(102L, Some("q"), Some("*"),
+      Seq("Location: l", "X-Forwarded-For: 127.0.0.1", "Remote-Address: 127.0.0.1",
+        "Cookie: sp=nuid", "image/gif"))
+    val noQs = envRow(103L, None, Some("*"), Seq("Location: l", "image/gif"))
+    val out = CollectorPipeline.payloads(plain.union(anon).union(noQs), refCfg)
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(out.size === 3)
+
+    // "fill the correct values if SP-Anonymous is not present"
+    val e = out(101L)
+    assert(e.getAs[String]("schema_uri") ===
+      "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0")
+    assert(e.getAs[String]("ip") === "ip")
+    assert(e.getAs[String]("encoding") === "UTF-8")
+    assert(e.getAs[String]("collector") === "app-version-kinesis")
+    assert(e.getAs[String]("querystring") === "q")
+    assert(e.getAs[String]("body") === "b")
+    assert(e.getAs[String]("path") === "p")
+    assert(e.getAs[String]("user_agent") === "ua")
+    assert(e.getAs[String]("referer_uri") === "ref")
+    assert(e.getAs[String]("hostname") === "h")
+    assert(e.getAs[String]("network_userid") === "nuid") // cookie-resolved
+    assert(e.getAs[Seq[String]]("headers") ===
+      Seq("Location: l", "X-Forwarded-For: 127.0.0.1", "image/gif"))
+    assert(e.getAs[String]("content_type") === "image/gif")
+    assert(e.getAs[Long]("timestamp_ms") === 1700000000123L)
+    assert(e.getAs[String]("partition_key") === "ip") // useIpAsPartitionKey
+
+    // "fill the correct values if SP-Anonymous is present"
+    val a = out(102L)
+    assert(a.getAs[String]("ip") === "unknown")
+    assert(a.getAs[String]("network_userid") === "00000000-0000-0000-0000-000000000000")
+    assert(a.getAs[Seq[String]]("headers") === Seq("Location: l", "image/gif"))
+    assert(a.getAs[String]("content_type") === "image/gif")
+    // anonymous events never key by client IP
+    assert(a.getAs[String]("partition_key") !== "127.0.0.1")
+    assert(a.getAs[String]("partition_key")
+      .matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+
+    // "have a null queryString if it's None"
+    val n = out(103L)
+    assert(n.getAs[String]("querystring") === null)
+    assert(n.getAs[String]("body") === "b")
+    assert(n.getAs[String]("network_userid") === "00000000-0000-0000-0000-000000000000")
+  }
+
   test("amplitude bridge resolves $remote to caller ip or unknown") {
     val amp = Bridges.amplitudeEvents(env).cache()
     assert(amp.count() > 0)

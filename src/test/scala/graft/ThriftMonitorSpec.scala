@@ -25,6 +25,17 @@ class ThriftMonitorSpec extends AnyFunSuite {
     assert(ThriftPayload.deserialize(bytes) === full)
   }
 
+  test("thrift wire digest golden: fixed fixture serializes to pinned bytes") {
+    // locks the whole wire format (field ids, types, ordering, lengths)
+    // across rounds — any encoder change that alters even one byte of
+    // this fixture's serialization fails here, not downstream in enrich
+    val bytes = ThriftPayload.serialize(full)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+    assert(bytes.length === 410, s"wire length changed: ${bytes.length}")
+    assert(md5 === "245708d4299099a651994b2d9eda344e", s"wire digest changed: $md5")
+  }
+
   test("thrift skips null optionals, keeps required") {
     val sparse = full.copy(userAgent = null, refererUri = null, body = null,
       contentType = null, headers = Seq.empty)
