@@ -105,17 +105,20 @@ object Training {
   /** PII redaction. The synthetic corpus carries no PII, so both engines
     * first append a deterministic contact line (same literal construction
     * in the oracle) — the scrub itself and its counts are then
-    * non-vacuous on every row. */
-  val tRedact: Q = (s, d) => {
+    * non-vacuous on every row. Defined over any documents-shaped relation
+    * so the batch query and the streaming parity spec share ONE
+    * definition (pure projection — micro-batching cannot change it). */
+  def redactDocs(d: DataFrame): DataFrame = {
     val aug = concat(col("text"),
       lit(" contact user"), col("doc_id"), lit("@mail.example.com from 10."),
       pmod(col("doc_id"), lit(250)), lit(".0."), pmod(col("doc_id"), lit(7)))
-    docs(s, d).select(
+    d.select(
       col("doc_id"),
       TextOps.redactPii(aug).as("redacted"),
       TextOps.emailCount(aug).as("n_emails"),
       TextOps.ipv4Count(aug).as("n_ips"))
   }
+  val tRedact: Q = (s, d) => redactDocs(docs(s, d))
 
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))

@@ -75,6 +75,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchEq.except(streamed).count() === 0)
   }
 
+  test("stratified sampling and PII redaction run unchanged on a stream") {
+    // one definition, two modes: the exact functions behind t_sample /
+    // t_redact applied per micro-batch must reproduce the batch output
+    // (both are pure per-row projections — no state, no RNG)
+    import graft.operators.Sampling
+    import graft.queries.Training
+    val docsBatch = Tables.documents(spark, TestSpark.Sf)
+    val srcDir = tmp("docs-src")
+    docsBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val outS = tmp("sample-out"); val outR = tmp("redact-out"); val ckpt = tmp("docs-ckpt")
+    def sampled(d: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleWithSplits(d, Training.SampleRates, Training.SampleDefault,
+        Training.SampleSalt, Training.SplitTrain, Training.SplitVal, Training.SplitSalt)
+    val q = spark.readStream
+      .schema(docsBatch.schema)
+      .option("maxFilesPerTrigger", "1") // 4 micro-batches
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sampled(batch).write.mode("append").parquet(outS)
+        Training.redactDocs(batch).write.mode("append").parquet(outR)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val sampleStream = spark.read.parquet(outS)
+    val sampleBatch = sampled(docsBatch)
+    assert(sampleStream.count() === sampleBatch.count())
+    assert(sampleStream.except(sampleBatch).count() === 0)
+    assert(sampleBatch.except(sampleStream).count() === 0)
+    val redactStream = spark.read.parquet(outR)
+    val redactBatch = Training.redactDocs(docsBatch)
+    assert(redactStream.count() === redactBatch.count())
+    assert(redactStream.except(redactBatch).count() === 0)
+    assert(redactBatch.except(redactStream).count() === 0)
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes, timeout closes") {
     val input = MemoryStream[SessEvent](spark)
     val sessions = Sessionize.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L,
