@@ -1,0 +1,150 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** K1/K2 sink integration layer with INJECTED clients.
+  *
+  * The AWS SDKs are absent from this zero-egress container, so the wire
+  * clients are narrow interfaces mirroring exactly the SDK surface the
+  * reference touches — `putRecords` with per-record error codes
+  * (reference `kinesis/.../KinesisSink.scala:268-276`, partial-failure
+  * zip+filter at `:157-181`) and `sendMessageBatch` of ≤ 10 messages with
+  * a base64 body + `kinesisKey` string attribute (reference
+  * `sqs/.../SqsSink.scala:168-214`). A production deployment implements
+  * each trait with ~10 lines of SDK calls; everything the reference's
+  * sinks actually DO — chunking, per-record retry of only the failed
+  * subset, backoff, failover — lives here and is spec-driven with mock
+  * clients (ReliabilitySpec).
+  *
+  * Scale stance: `write` runs inside `foreachBatch`; rows are written
+  * per PARTITION with one client per executor task (`clientFactory`
+  * constructs executor-side), so a 1000-executor cluster fans out to
+  * 1000 concurrent writers — no driver-side collect of payload bytes.
+  */
+object ClientSinks {
+
+  /** One outgoing record: payload bytes + partition key (the reference's
+    * `Events(payloads, key)`, `KinesisSink.scala:436`). */
+  final case class OutRecord(payload: Array[Byte], key: String)
+
+  /** SQS message as the reference frames it: base64 body + the original
+    * partition key carried in the `kinesisKey` string attribute. */
+  final case class SqsMessage(body: String, kinesisKey: String)
+
+  /** The slice of the Kinesis SDK the sink needs: one `putRecords` call,
+    * returning an index-aligned error code per record (None = stored). */
+  trait KinesisClient extends Serializable {
+    def putRecords(stream: String, records: Seq[OutRecord]): Seq[Option[String]]
+  }
+
+  /** The slice of the SQS SDK the sink needs: one `sendMessageBatch`
+    * call (≤ 10 messages), index-aligned per-message error codes. */
+  trait SqsClient extends Serializable {
+    def sendMessageBatch(queue: String, messages: Seq[SqsMessage]): Seq[Option[String]]
+  }
+
+  /** AWS putRecords hard cap. */
+  val KinesisMaxPerRequest = 500
+  /** Reference `SqsSink.scala:55` (`MaxSqsBatchSizeN`). */
+  val SqsMaxBatchSize = 10
+
+  private def outRecords(batch: DataFrame, payloadCol: String, keyCol: String) =
+    batch.select(col(payloadCol).cast("binary"), col(keyCol).cast("string"))
+
+  /** Retry loop shared by both sinks — the reference's shape
+    * (`KinesisSink.scala:157-181`): send, keep ONLY the records the
+    * response flags as failed, back off, resend those; exhaustion throws
+    * so the micro-batch replays from the checkpoint (strictly stronger
+    * than the reference's drop-after-retries, SURVEY §7.4.4). */
+  private def sendWithRetries[A](
+      chunk: Seq[A],
+      send: Seq[A] => Seq[Option[String]],
+      maxRetries: Int,
+      backoffMs: Int => Long,
+      sleeper: Long => Unit): Unit = {
+    var pending = chunk
+    var attempt = 0
+    while (pending.nonEmpty) {
+      val errs = send(pending)
+      require(errs.length == pending.length, "client response not index-aligned")
+      pending = pending.zip(errs).collect { case (r, Some(_)) => r }
+      if (pending.nonEmpty) {
+        attempt += 1
+        if (attempt > maxRetries)
+          throw new RuntimeException(
+            s"${pending.size} records still failing after $maxRetries retries")
+        sleeper(backoffMs(attempt))
+      }
+    }
+  }
+
+  /** K1: Kinesis sink — ≤ 500-record `putRecords` calls per partition,
+    * partial-failure retry of only the flagged records. */
+  final class KinesisEventSink(
+      stream: String,
+      clientFactory: () => KinesisClient,
+      payloadCol: String = "thrift",
+      keyCol: String = "partition_key",
+      maxRetries: Int = 3,
+      backoffMs: Int => Long = _ => 0L,
+      sleeper: Long => Unit = Thread.sleep) extends EventSink with Serializable {
+    val name = s"kinesis($stream)"
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      // locals only — the task closure must not capture the sink instance
+      val (st, cf, mr, bo, sl) = (stream, clientFactory, maxRetries, backoffMs, sleeper)
+      outRecords(batch, payloadCol, keyCol).foreachPartition { rows: Iterator[Row] =>
+        val client = cf()
+        rows.map(r => OutRecord(r.getAs[Array[Byte]](0), r.getString(1)))
+          .grouped(KinesisMaxPerRequest)
+          .foreach(chunk => sendWithRetries[OutRecord](
+            chunk, client.putRecords(st, _), mr, bo, sl))
+      }
+    }
+  }
+
+  /** K2: SQS sink — ≤ 10-message batches, base64 bodies, partition key in
+    * the `kinesisKey` attribute, same partial-failure retry. */
+  final class SqsEventSink(
+      queue: String,
+      clientFactory: () => SqsClient,
+      payloadCol: String = "thrift",
+      keyCol: String = "partition_key",
+      maxRetries: Int = 3,
+      backoffMs: Int => Long = _ => 0L,
+      sleeper: Long => Unit = Thread.sleep) extends EventSink with Serializable {
+    val name = s"sqs($queue)"
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val (qu, cf, mr, bo, sl) = (queue, clientFactory, maxRetries, backoffMs, sleeper)
+      outRecords(batch, payloadCol, keyCol).foreachPartition { rows: Iterator[Row] =>
+        val client = cf()
+        rows.map(r => SqsMessage(
+            java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](0)),
+            r.getString(1)))
+          .grouped(SqsMaxBatchSize)
+          .foreach(chunk => sendWithRetries[SqsMessage](
+            chunk, client.sendMessageBatch(qu, _), mr, bo, sl))
+      }
+    }
+  }
+
+  /** Feature-flag wiring: the good-stream sink for a config. Default
+    * stays the durable parquet lake; `kinesis`/`sqs` switch to the
+    * client-backed sinks (factories must be supplied by the deployment —
+    * the SDK-backed implementations — or by tests with mocks). */
+  def goodSinkFor(
+      kind: String,
+      parquetDir: => String,
+      kinesis: => Option[(String, () => KinesisClient)] = None,
+      sqs: => Option[(String, () => SqsClient)] = None): EventSink = kind match {
+    case "kinesis" =>
+      val (stream, f) = kinesis.getOrElse(
+        throw new IllegalArgumentException("kinesis sink enabled but no client factory"))
+      new KinesisEventSink(stream, f)
+    case "sqs" =>
+      val (queue, f) = sqs.getOrElse(
+        throw new IllegalArgumentException("sqs sink enabled but no client factory"))
+      new SqsEventSink(queue, f)
+    case _ => new ParquetDirSink(parquetDir)
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sinks.{CircuitBreaker, CollectingSink, FailoverSink, RetryPolicy}
+import graft.sinks.{CircuitBreaker, ClientSinks, CollectingSink, FailoverSink, RetryPolicy}
 import org.scalatest.funsuite.AnyFunSuite
 
 class ReliabilitySpec extends AnyFunSuite {
@@ -81,6 +81,79 @@ class ReliabilitySpec extends AnyFunSuite {
     val out = spark.read.parquet(dir)
     assert(out.count() === 4) // 2 rows x 2 distinct batches
     assert(out.select("batch_id").distinct().count() === 2)
+  }
+
+  test("kinesis client sink: ≤500-record calls, only flagged records retried, no dup/loss") {
+    MockClients.reset()
+    val df = (0 until 1200).map(i => (s"payload-$i".getBytes("UTF-8"), s"key-${i % 16}"))
+      .toDF("thrift", "partition_key")
+    // every 7th record errors on its first send; the retry must carry
+    // ONLY those (reference partial-failure semantics, KinesisSink:157-181)
+    val sink = new ClientSinks.KinesisEventSink("s1",
+      () => MockClients.kinesis(failOnceEvery = 7), sleeper = _ => ())
+    sink.write(df, 0L)
+    val calls = MockClients.kinesisCalls
+    assert(calls.forall(_.size <= ClientSinks.KinesisMaxPerRequest))
+    // retry calls are strictly the failed subsets: total sent = input + failed-once
+    val stored = MockClients.kinesisStored
+    assert(stored.size === 1200) // exactly once each
+    assert(stored.map(r => new String(r.payload, "UTF-8")).toSet ===
+      (0 until 1200).map(i => s"payload-$i").toSet)
+    // total records across all calls = input + exactly one resend per
+    // flagged record — proof the retry carried only the failed subset
+    val flagged = (0 until 1200).count(_ % 7 == 0)
+    assert(calls.map(_.size).sum === 1200 + flagged)
+  }
+
+  test("sqs client sink: ≤10-message batches, base64 bodies, kinesisKey attribute") {
+    MockClients.reset()
+    val df = (0 until 53).map(i => (s"p$i".getBytes("UTF-8"), s"k$i"))
+      .toDF("thrift", "partition_key")
+    val sink = new ClientSinks.SqsEventSink("q1", () => MockClients.sqs(), sleeper = _ => ())
+    sink.write(df, 0L)
+    assert(MockClients.sqsCalls.forall(_.size <= ClientSinks.SqsMaxBatchSize))
+    val stored = MockClients.sqsStored
+    assert(stored.size === 53)
+    val byKey = stored.map(m => m.kinesisKey -> m.body).toMap
+    (0 until 53).foreach { i =>
+      assert(byKey(s"k$i") ===
+        java.util.Base64.getEncoder.encodeToString(s"p$i".getBytes("UTF-8")))
+    }
+  }
+
+  test("client sink exhaustion throws so the micro-batch replays") {
+    MockClients.reset()
+    val df = Seq(("x".getBytes("UTF-8"), "k")).toDF("thrift", "partition_key")
+    val sink = new ClientSinks.KinesisEventSink("s1",
+      () => MockClients.kinesisAlwaysFailing(), maxRetries = 2, sleeper = _ => ())
+    val e = intercept[Exception](sink.write(df, 0L))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ chain(x.getCause))
+    assert(chain(e).exists(_.contains("still failing")))
+  }
+
+  test("kinesis→sqs failover with client sinks: fallback receives the batch") {
+    MockClients.reset()
+    val df = (0 until 12).map(i => (s"p$i".getBytes("UTF-8"), s"k$i"))
+      .toDF("thrift", "partition_key")
+    val primary = new ClientSinks.KinesisEventSink("s1",
+      () => MockClients.kinesisAlwaysFailing(), maxRetries = 0, sleeper = _ => ())
+    val fallback = new ClientSinks.SqsEventSink("q1", () => MockClients.sqs(), sleeper = _ => ())
+    val sink = new FailoverSink(primary, fallback,
+      new RetryPolicy(1, 2, maxRetries = 1, seed = 1),
+      new CircuitBreaker(10, 1000), sleeper = _ => ())
+    sink.write(df, 9L)
+    assert(MockClients.sqsStored.size === 12)
+  }
+
+  test("goodSinkFor: flag selects the client sink, default stays parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("flag").toString
+    assert(ClientSinks.goodSinkFor("parquet", dir).name === "parquet")
+    assert(ClientSinks.goodSinkFor("kinesis", dir,
+      kinesis = Some(("s1", () => MockClients.kinesis(0)))).name === "kinesis(s1)")
+    assert(ClientSinks.goodSinkFor("sqs", dir,
+      sqs = Some(("q1", () => MockClients.sqs()))).name === "sqs(q1)")
+    assertThrows[IllegalArgumentException](ClientSinks.goodSinkFor("kinesis", dir))
   }
 
   test("open breaker skips primary straight to fallback (fast failover R3)") {
