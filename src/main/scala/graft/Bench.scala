@@ -57,7 +57,10 @@ object Bench {
     "q_pivot" -> 0.4,
     "c_set_cookie" -> 0.5,
     "c_wire_route" -> 1.7,
-    "t_redact" -> 0.4)
+    "t_redact" -> 0.4,
+    // r4 additions (first warm sf0.1 measurements)
+    "t_decontam" -> 0.8,
+    "t_rep_stats" -> 1.1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -45,9 +45,10 @@ object Sampling {
     * a doc's split never changes as the corpus grows — the property that
     * keeps eval sets honest across dataset versions. */
   def assignSplits(docs: DataFrame, trainUpto: Int, valUpto: Int, salt: String): DataFrame =
-    docs.select(col("doc_id"), splitCol(trainUpto, valUpto, salt).as("split"))
+    docs.select(col("doc_id"), splitLabel(trainUpto, valUpto, salt).as("split"))
 
-  private def splitCol(trainUpto: Int, valUpto: Int, salt: String): Column = {
+  /** The split label as a bare column (consumed by [[Decontaminate]]). */
+  def splitLabel(trainUpto: Int, valUpto: Int, salt: String): Column = {
     val h = keyHash(salt)
     when(h < lit(thr(trainUpto)), lit("train"))
       .when(h < lit(thr(valUpto)), lit("val"))
@@ -71,6 +72,6 @@ object Sampling {
     docs
       .filter(h < threshold)
       .select(col("doc_id"), col("lang"), weight.as("weight"),
-        splitCol(trainUpto, valUpto, splitSalt).as("split"))
+        splitLabel(trainUpto, valUpto, splitSalt).as("split"))
   }
 }

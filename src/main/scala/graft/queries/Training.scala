@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, SeqPack, Similarity, TextOps}
+import graft.operators.{Decontaminate, Dedup, Multimodal, QualityRules, Sampling, SeqPack, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -120,6 +120,15 @@ object Training {
   }
   val tRedact: Q = (s, d) => redactDocs(docs(s, d))
 
+  /** Benchmark decontamination: train-split docs sharing any 3-shingle
+    * with the val/test splits (same split constants as t_sample). */
+  val tDecontam: Q = (s, d) =>
+    Decontaminate.contamination(docs(s, d), SplitTrain, SplitVal, SplitSalt)
+
+  /** Gopher-style repetition signals (dup n-gram fractions, top-token
+    * share). */
+  val tRepStats: Q = (s, d) => QualityRules.repetitionStats(docs(s, d))
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
 
@@ -138,6 +147,8 @@ object Training {
     "t_sample" -> tSample,
     "t_pack" -> tPack,
     "t_redact" -> tRedact,
+    "t_decontam" -> tDecontam,
+    "t_rep_stats" -> tRepStats,
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,
     "s_near_dups" -> sNearDups,

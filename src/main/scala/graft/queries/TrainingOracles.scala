@@ -348,6 +348,51 @@ object TrainingOracles {
          |WHERE substr(md5('$SampleSalt:' || doc_id), 1, 2) < $thrCase""".stripMargin
     },
 
+    // Decontamination mirror: same split hash thresholds (generated from
+    // Training's constants), same distinct-3-shingle overlap. The join key
+    // is the raw shingle here vs its md5 in Spark — identical pairing,
+    // the hash only bounds key width in flight.
+    "t_decontam" -> {
+      import Training.{SplitSalt, SplitTrain, SplitVal}
+      def thr(k: Int): String = if (k >= 256) "zz" else f"$k%02x"
+      s"""$TokCte,
+         |shi AS (SELECT doc_id, list_distinct($Shingles) AS sh,
+         |    CASE WHEN substr(md5('$SplitSalt:' || doc_id), 1, 2) < '${thr(SplitTrain)}' THEN 'train'
+         |         WHEN substr(md5('$SplitSalt:' || doc_id), 1, 2) < '${thr(SplitVal)}' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM tok WHERE len(toks) >= 3),
+         |flat AS (SELECT doc_id, split, unnest(sh) AS s FROM shi),
+         |ev AS (SELECT DISTINCT s FROM flat WHERE split <> 'train'),
+         |shared AS (
+         |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM flat f JOIN ev ON f.s = ev.s WHERE f.split = 'train' GROUP BY 1)
+         |SELECT t.doc_id, CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+         |  COALESCE(s.n_shared, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM shi WHERE split = 'train') t
+         |LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin
+    },
+
+    // Repetition-signal mirror: integer-derived ratios, floor-trunc 4dp;
+    // n_tokens CAST to INT (Spark size() is 32-bit), max_tf to BIGINT.
+    "t_rep_stats" ->
+      s"""$TokCte,
+         |sh AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+         |    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS s2,
+         |    $Shingles AS s3
+         |  FROM tok WHERE len(toks) >= 3),
+         |narrow AS (SELECT doc_id, n_tokens,
+         |    floor(CAST(len(s2) - len(list_distinct(s2)) AS DOUBLE) / len(s2) * 10000) / 10000 AS dup_2gram_frac,
+         |    floor(CAST(len(s3) - len(list_distinct(s3)) AS DOUBLE) / len(s3) * 10000) / 10000 AS dup_3gram_frac
+         |  FROM sh),
+         |top AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf FROM (
+         |    SELECT doc_id, tok, count(*) AS tf FROM (
+         |      SELECT doc_id, unnest(toks) AS tok FROM tok WHERE len(toks) >= 3) f
+         |    GROUP BY 1, 2) g GROUP BY 1)
+         |SELECT n.doc_id, CAST(n.n_tokens AS INT) AS n_tokens,
+         |  n.dup_2gram_frac, n.dup_3gram_frac,
+         |  floor(CAST(t.max_tf AS DOUBLE) / n.n_tokens * 10000) / 10000 AS top_token_frac
+         |FROM narrow n JOIN top t ON t.doc_id = n.doc_id""".stripMargin,
+
     // The Spark side builds REAL container headers and parses them back
     // (Multimodal.decodeHeader); the oracle recomputes the expected
     // metadata analytically from the same deterministic inputs. Header

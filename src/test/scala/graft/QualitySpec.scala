@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Decontaminate, QualityRules}
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent (non-Spark) reimplementation of the split hash so the
+    * test classifies doc_ids without going through the code under test. */
+  private def splitOf(id: Long, salt: String, trainUpto: Int, valUpto: Int): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$id".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    if (h < f"$trainUpto%02x") "train" else if (h < f"$valUpto%02x") "val" else "test"
+  }
+
+  test("contamination flags exactly the train docs sharing a shingle with held-out docs") {
+    val (trainUpto, valUpto, salt) = (230, 243, "split1")
+    val ids = (1L to 60L)
+    val trainIds = ids.filter(splitOf(_, salt, trainUpto, valUpto) == "train")
+    val heldIds = ids.filter(splitOf(_, salt, trainUpto, valUpto) != "train")
+    assert(trainIds.size >= 2 && heldIds.nonEmpty)
+    val (t1, t2, e1) = (trainIds.head, trainIds(1), heldIds.head)
+    // t1 shares exactly the shingle "alpha beta gamma" with held-out e1;
+    // t2 shares nothing
+    val docs = Seq(
+      (t1, "alpha beta gamma delta"),
+      (t2, "uno dos tres quatro"),
+      (e1, "zz alpha beta gamma yy"),
+    ).toDF("doc_id", "text")
+    val out = Decontaminate.contamination(docs, trainUpto, valUpto, salt)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, n, c) => id -> ((n, c)) }.toMap
+    assert(out.keySet === Set(t1, t2)) // held-out docs are not rows
+    assert(out(t1) === ((1L, true)))
+    assert(out(t2) === ((0L, false)))
+  }
+
+  test("repetition stats: hand-computed fractions on a known doc") {
+    // toks = [a, a, a, b]: s2 = [a a, a a, a b] -> dup 1/3; s3 = [a a a,
+    // a a b] -> dup 0; top token a = 3/4
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = QualityRules.repetitionStats(docs)
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(r === ((1L, 4, 0.3333, 0.0, 0.75)))
+  }
+
+  test("repetition stats: fully unique doc scores zero duplication") {
+    val docs = Seq((1L, "one two three four five")).toDF("doc_id", "text")
+    val r = QualityRules.repetitionStats(docs)
+      .as[(Long, Int, Double, Double, Double)].head()
+    assert(r === ((1L, 5, 0.0, 0.0, 0.2)))
+  }
+}
