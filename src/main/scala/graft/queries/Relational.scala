@@ -349,6 +349,23 @@ object Relational {
         (abs(col("est") - col("exact_users")).cast("double") / col("exact_users")
           <= 0.05).as("within_5pct"))
 
+  /** Sketch-based approximate percentile. Like [[qApproxDistinct]], the
+    * raw sketch output is engine-specific, so the oracle-checked columns
+    * are the exact median (provably cross-engine: binary-exact quantile
+    * point, integer cents) and the in-plan claim that the sketch lands
+    * within 5% of it; the oracle derives the same row from exact values
+    * alone. A drifting sketch flips the boolean and fails the compare. */
+  val qApproxPercentile: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("cents", (dec(col("o_totalprice")) * 100).cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(cents, 0.5)").as("p50_exact"),
+        expr("approx_percentile(cents, 0.5, 10000)").as("est"))
+      .select(col("o_orderpriority"), col("p50_exact"),
+        (abs(col("est") - col("p50_exact")) / col("p50_exact") <= 0.05)
+          .as("within_5pct"))
+
   /** Correlated-aggregate pattern: orders above their customer's average. */
   val qAboveAvg: Q = (s, d) => {
     val ord = Tables.orders(s, d)
@@ -452,5 +469,6 @@ object Relational {
     "q_grouping_sets" -> qGroupingSets,
     "q_percentiles" -> qPercentiles,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_percentile" -> qApproxPercentile,
   )
 }

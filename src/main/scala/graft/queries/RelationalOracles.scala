@@ -256,6 +256,18 @@ object RelationalOracles {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
 
+    // the sketch estimate is engine-specific; the oracle checks the exact
+    // median and the 5%-accuracy claim (TRUE from exact values — Spark's
+    // boolean flips if its sketch drifts past 5%)
+    "q_approx_percentile" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(cents, 0.5) AS p50_exact,
+        |  TRUE AS within_5pct
+        |FROM (SELECT o_orderpriority,
+        |        CAST(CAST(floor(o_totalprice*100 + 0.5)/100 AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |      FROM orders) t
+        |GROUP BY 1""".stripMargin,
+
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  quantile_cont(cents, 0.25) AS p25,
