@@ -16,25 +16,46 @@ import org.apache.spark.sql.functions._
   * (tiny next to the corpus), so AQE resolves the semi join to a
   * broadcast at any corpus size; with a corpus-sized held-out split both
   * sides shuffle on the hash. Split assignment reuses
-  * [[Sampling.split]] — the same pure-function-of-doc_id contract that
-  * keeps eval membership stable as the corpus grows.
+  * [[Sampling.splitLabel]] — the same pure-function-of-doc_id contract
+  * that keeps eval membership stable as the corpus grows.
+  *
+  * The two stages are exposed separately because the streaming form is
+  * stream-static: [[heldOutShingles]] is computed once from the static
+  * eval corpus, then [[scoreAgainst]] runs per micro-batch of incoming
+  * training docs (StreamingSpec asserts batch-identical output).
   */
 object Decontaminate {
 
-  /** Per training doc (≥ k tokens): the number of its distinct k-shingles
-    * that appear in ANY held-out doc, and the contamination flag. */
-  def contamination(docs: DataFrame, trainUpto: Int, valUpto: Int, salt: String,
-      k: Int = 3): DataFrame = {
-    val tok = Spread(docs)
+  /** (doc_id, split, toks) for docs with ≥ k tokens. */
+  private def tokenized(docs: DataFrame, trainUpto: Int, valUpto: Int,
+      salt: String, k: Int): DataFrame =
+    Spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= k)
       .withColumn("split", Sampling.splitLabel(trainUpto, valUpto, salt))
-    val sh = tok
-      .select(col("doc_id"), col("split"),
+
+  /** One row per (doc, distinct shingle), keyed by the shingle md5. */
+  private def shingleRows(tok: DataFrame, k: Int): DataFrame =
+    tok.select(col("doc_id"), col("split"),
         explode(array_distinct(TextOps.shinglesOfTokens(col("toks"), k))).as("shingle"))
       .withColumn("shash", md5(col("shingle")))
-    val held = sh.filter(col("split") =!= "train").select("shash").distinct()
-    val shared = sh.filter(col("split") === "train")
+
+  /** The distinct shingle-hash set of the held-out (val/test) splits —
+    * the STATIC side of the streaming form. */
+  def heldOutShingles(docs: DataFrame, trainUpto: Int, valUpto: Int,
+      salt: String, k: Int = 3): DataFrame =
+    shingleRows(tokenized(docs, trainUpto, valUpto, salt, k), k)
+      .filter(col("split") =!= "train").select("shash").distinct()
+
+  /** Score `docs`' training-split rows against a held-out shingle set:
+    * per train doc, the count of its distinct k-shingles present in the
+    * set, and the contamination flag. Per-doc output depends only on the
+    * doc's own shingles + the static set, so micro-batching it is
+    * batch-identical. */
+  def scoreAgainst(docs: DataFrame, held: DataFrame, trainUpto: Int, valUpto: Int,
+      salt: String, k: Int = 3): DataFrame = {
+    val tok = tokenized(docs, trainUpto, valUpto, salt, k)
+    val shared = shingleRows(tok, k).filter(col("split") === "train")
       .join(held, Seq("shash"), "left_semi")
       // per-doc shingles are already distinct (array_distinct above), so
       // the count IS the distinct overlapping-shingle count
@@ -45,4 +66,11 @@ object Decontaminate {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Per training doc (≥ k tokens): the number of its distinct k-shingles
+    * that appear in ANY held-out doc, and the contamination flag. */
+  def contamination(docs: DataFrame, trainUpto: Int, valUpto: Int, salt: String,
+      k: Int = 3): DataFrame =
+    scoreAgainst(docs, heldOutShingles(docs, trainUpto, valUpto, salt, k),
+      trainUpto, valUpto, salt, k)
 }

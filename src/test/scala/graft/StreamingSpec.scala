@@ -114,6 +114,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(redactBatch.except(redactStream).count() === 0)
   }
 
+  test("repetition stats and decontamination run on a stream (stream-static held-out set)") {
+    import graft.operators.{Decontaminate, QualityRules}
+    import graft.queries.Training.{SplitSalt, SplitTrain, SplitVal}
+    val docsBatch = Tables.documents(spark, TestSpark.Sf)
+    val srcDir = tmp("qdocs-src")
+    docsBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
+    // the held-out shingle set is STATIC (the eval corpus is fixed);
+    // training docs stream through and score against it per micro-batch
+    val held = Decontaminate
+      .heldOutShingles(docsBatch, SplitTrain, SplitVal, SplitSalt).cache()
+    val outR = tmp("rep-out"); val outD = tmp("decon-out"); val ckpt = tmp("q-ckpt")
+    val q = spark.readStream
+      .schema(docsBatch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        QualityRules.repetitionStats(batch).write.mode("append").parquet(outR)
+        Decontaminate.scoreAgainst(batch, held, SplitTrain, SplitVal, SplitSalt)
+          .write.mode("append").parquet(outD)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val repBatch = QualityRules.repetitionStats(docsBatch)
+    val repStream = spark.read.parquet(outR)
+    assert(repStream.count() === repBatch.count())
+    assert(repStream.except(repBatch).count() === 0)
+    assert(repBatch.except(repStream).count() === 0)
+    val deconBatch = Decontaminate
+      .contamination(docsBatch, SplitTrain, SplitVal, SplitSalt)
+    val deconStream = spark.read.parquet(outD)
+    assert(deconStream.count() === deconBatch.count())
+    assert(deconStream.except(deconBatch).count() === 0)
+    assert(deconBatch.except(deconStream).count() === 0)
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes, timeout closes") {
     val input = MemoryStream[SessEvent](spark)
     val sessions = Sessionize.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L,
