@@ -366,6 +366,36 @@ object Relational {
         (abs(col("est") - col("p50_exact")) / col("p50_exact") <= 0.05)
           .as("within_5pct"))
 
+  /** Wide-to-long unpivot (the inverse of q_pivot): per-flag aggregate
+    * columns melted into (metric, value) rows. Integer metrics only —
+    * exact cross-engine. Spark's native `unpivot` (Expand underneath:
+    * one pass, no join/union re-scan). */
+  val qUnpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("n_rows"), col("n_parts"), col("n_supps")),
+        "metric", "value")
+
+  /** Value histogram: fixed-width integer binning of order totals (the
+    * floor-based bin index is exact in both engines), bin counts +
+    * per-bin share of total via a window over the aggregate. */
+  val qHistogram: Q = (s, d) => {
+    val w = Window.partitionBy()
+    Tables.orders(s, d)
+      .withColumn("bin", floor(col("o_totalprice") / 25000).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        TextOps.trunc(col("n").cast("double") / sum("n").over(w), 6))
+      .select("bin", "n", "share")
+  }
+
   /** Correlated-aggregate pattern: orders above their customer's average. */
   val qAboveAvg: Q = (s, d) => {
     val ord = Tables.orders(s, d)
@@ -470,5 +500,7 @@ object Relational {
     "q_percentiles" -> qPercentiles,
     "q_approx_distinct" -> qApproxDistinct,
     "q_approx_percentile" -> qApproxPercentile,
+    "q_unpivot" -> qUnpivot,
+    "q_histogram" -> qHistogram,
   )
 }

@@ -268,6 +268,23 @@ object RelationalOracles {
         |      FROM orders) t
         |GROUP BY 1""".stripMargin,
 
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n_rows,
+        |    count(DISTINCT l_partkey) AS n_parts,
+        |    count(DISTINCT l_suppkey) AS n_supps
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM a
+        |UNION ALL SELECT l_returnflag, 'n_parts', n_parts FROM a
+        |UNION ALL SELECT l_returnflag, 'n_supps', n_supps FROM a""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bin,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT bin, n,
+        |  floor(CAST(n AS DOUBLE) / sum(n) OVER () * 1000000) / 1000000 AS share
+        |FROM b""".stripMargin,
+
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  quantile_cont(cents, 0.25) AS p25,
