@@ -128,6 +128,115 @@ object ClientSinks {
     }
   }
 
+  /** The slice of the PubSub SDK the sink needs (reference
+    * `GooglePubSubSink.scala:63-97`: per-message publish callbacks;
+    * failures collected and re-published): one batched publish with
+    * index-aligned per-message error codes. */
+  trait PubSubClient extends Serializable {
+    def publish(topic: String, messages: Seq[Array[Byte]]): Seq[Option[String]]
+  }
+
+  /** NSQ's `produceMulti` (reference `NsqSink.scala:31-44`): no key, no
+    * per-record status — all-or-nothing, throws on failure. */
+  trait NsqClient extends Serializable {
+    def produceMulti(topic: String, messages: Seq[Array[Byte]]): Unit
+  }
+
+  /** RabbitMQ's per-event `basicPublish` (reference
+    * `RabbitMQSink.scala:36-66`; routingKey is always ""). */
+  trait RabbitClient extends Serializable {
+    def basicPublish(exchange: String, routingKey: String, body: Array[Byte]): Unit
+  }
+
+  /** PubSub publish cap per call (client-side batching threshold class —
+    * reference delegates to the Google client, A6). */
+  val PubSubMaxPerRequest = 1000
+
+  /** K4: PubSub sink — batched publish, failed-message retry. The
+    * reference prepends failures to a buffer and re-publishes on an
+    * interval (`GooglePubSubSink.scala:113-126`); inside a micro-batch
+    * that interval-retry collapses to the same retry-only-the-failed
+    * loop, with exhaustion replaying the batch from the checkpoint. */
+  final class PubSubEventSink(
+      topic: String,
+      clientFactory: () => PubSubClient,
+      payloadCol: String = "thrift",
+      maxRetries: Int = 3,
+      backoffMs: Int => Long = _ => 0L,
+      sleeper: Long => Unit = Thread.sleep) extends EventSink with Serializable {
+    val name = s"pubsub($topic)"
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val (tp, cf, mr, bo, sl) = (topic, clientFactory, maxRetries, backoffMs, sleeper)
+      batch.select(col(payloadCol).cast("binary")).foreachPartition { rows: Iterator[Row] =>
+        val client = cf()
+        rows.map(_.getAs[Array[Byte]](0))
+          .grouped(PubSubMaxPerRequest)
+          .foreach(chunk => sendWithRetries[Array[Byte]](
+            chunk, client.publish(tp, _), mr, bo, sl))
+      }
+    }
+  }
+
+  /** K7: NSQ sink — unkeyed `produceMulti` per chunk; any failure throws
+    * and the micro-batch replays (the reference has no retry either). */
+  final class NsqEventSink(
+      topic: String,
+      clientFactory: () => NsqClient,
+      payloadCol: String = "thrift",
+      maxPerCall: Int = 500) extends EventSink with Serializable {
+    val name = s"nsq($topic)"
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val (tp, cf, cap) = (topic, clientFactory, maxPerCall)
+      batch.select(col(payloadCol).cast("binary")).foreachPartition { rows: Iterator[Row] =>
+        val client = cf()
+        rows.map(_.getAs[Array[Byte]](0)).grouped(cap)
+          .foreach(client.produceMulti(tp, _))
+      }
+    }
+  }
+
+  /** K8: RabbitMQ sink — per-event publish with the reference's
+    * exponential backoff (next = min(multiplier·current, max), first =
+    * min; `RabbitMQSink.scala:53-66`). The reference retries FOREVER,
+    * which can wedge the stream on a poison event; we bound attempts and
+    * let checkpoint replay own delivery (declared divergence, the
+    * strictly-stronger SURVEY §7.4.4 trade). */
+  final class RabbitEventSink(
+      exchange: String,
+      clientFactory: () => RabbitClient,
+      payloadCol: String = "thrift",
+      minBackoffMs: Long = 100,
+      multiplier: Double = 2.0,
+      maxBackoffMs: Long = 10000,
+      maxAttempts: Int = 10,
+      sleeper: Long => Unit = Thread.sleep) extends EventSink with Serializable {
+    val name = s"rabbitmq($exchange)"
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val (ex, cf, minB, mult, maxB, maxA, sl) =
+        (exchange, clientFactory, minBackoffMs, multiplier, maxBackoffMs, maxAttempts, sleeper)
+      batch.select(col(payloadCol).cast("binary")).foreachPartition { rows: Iterator[Row] =>
+        val client = cf()
+        rows.map(_.getAs[Array[Byte]](0)).foreach { body =>
+          var attempt = 0
+          var backoff = 0L
+          var done = false
+          while (!done) {
+            try { client.basicPublish(ex, "", body); done = true }
+            catch {
+              case e: Throwable =>
+                attempt += 1
+                if (attempt >= maxA) throw e
+                backoff =
+                  if (backoff == 0L) minB
+                  else math.min((mult * backoff).toLong, maxB)
+                sl(backoff)
+            }
+          }
+        }
+      }
+    }
+  }
+
   /** Feature-flag wiring: the good-stream sink for a config. Default
     * stays the durable parquet lake; `kinesis`/`sqs` switch to the
     * client-backed sinks (factories must be supplied by the deployment —

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sinks.ClientSinks.{KinesisClient, OutRecord, SqsClient, SqsMessage}
+import graft.sinks.ClientSinks.{KinesisClient, NsqClient, OutRecord, PubSubClient, RabbitClient, SqsClient, SqsMessage}
 
 import scala.collection.mutable
 
@@ -54,5 +54,61 @@ object MockClients {
   def sqs(): SqsClient = new SqsClient {
     def sendMessageBatch(queue: String, messages: Seq[SqsMessage]): Seq[Option[String]] =
       MockClients.synchronized { sCalls += messages; sStored ++= messages; messages.map(_ => None) }
+  }
+
+  private val pCalls = mutable.ArrayBuffer.empty[Seq[Array[Byte]]]
+  private val pStored = mutable.ArrayBuffer.empty[Array[Byte]]
+  private val pFailedOnce = mutable.Set.empty[String]
+  private val nCalls = mutable.ArrayBuffer.empty[Seq[Array[Byte]]]
+  private val rAttempts = mutable.Map.empty[String, Int].withDefaultValue(0)
+  private val rStored = mutable.ArrayBuffer.empty[Array[Byte]]
+  private val rBackoffs = mutable.ArrayBuffer.empty[Long]
+
+  def pubsubCalls: Seq[Seq[Array[Byte]]] = synchronized(pCalls.toSeq)
+  def pubsubStored: Seq[Array[Byte]] = synchronized(pStored.toSeq)
+  def nsqCalls: Seq[Seq[Array[Byte]]] = synchronized(nCalls.toSeq)
+  def rabbitStored: Seq[Array[Byte]] = synchronized(rStored.toSeq)
+  def rabbitBackoffs: Seq[Long] = synchronized(rBackoffs.toSeq)
+  def recordBackoff(ms: Long): Unit = synchronized(rBackoffs += ms)
+
+  def pubsub(failOnceEvery: Int): PubSubClient = new PubSubClient {
+    def publish(topic: String, messages: Seq[Array[Byte]]): Seq[Option[String]] =
+      MockClients.synchronized {
+        pCalls += messages
+        messages.map { m =>
+          val tag = new String(m, "UTF-8")
+          if (failOnceEvery > 0 && recordIndex(m) % failOnceEvery == 0 &&
+              !pFailedOnce.contains(tag)) {
+            pFailedOnce += tag; Some("UNAVAILABLE")
+          } else { pStored += m; None }
+        }
+      }
+  }
+
+  def nsq(): NsqClient = new NsqClient {
+    def produceMulti(topic: String, messages: Seq[Array[Byte]]): Unit =
+      MockClients.synchronized { nCalls += messages }
+  }
+
+  def nsqFailing(): NsqClient = new NsqClient {
+    def produceMulti(topic: String, messages: Seq[Array[Byte]]): Unit =
+      throw new RuntimeException("nsq down")
+  }
+
+  /** Each event fails its first `failuresPerEvent` publishes, then lands. */
+  def rabbit(failuresPerEvent: Int): RabbitClient = new RabbitClient {
+    def basicPublish(exchange: String, routingKey: String, body: Array[Byte]): Unit =
+      MockClients.synchronized {
+        val tag = new String(body, "UTF-8")
+        val n = rAttempts(tag)
+        rAttempts(tag) = n + 1
+        if (n < failuresPerEvent) throw new RuntimeException(s"rabbit transient $n")
+        rStored += body
+      }
+  }
+
+  def resetExtras(): Unit = synchronized {
+    pCalls.clear(); pStored.clear(); pFailedOnce.clear(); nCalls.clear()
+    rAttempts.clear(); rStored.clear(); rBackoffs.clear()
   }
 }

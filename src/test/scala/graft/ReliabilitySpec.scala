@@ -146,6 +146,46 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(MockClients.sqsStored.size === 12)
   }
 
+  test("pubsub client sink: batched publish, only flagged messages retried") {
+    MockClients.resetExtras()
+    val df = (0 until 2100).map(i => Tuple1(s"m-$i".getBytes("UTF-8"))).toDF("thrift")
+    val sink = new ClientSinks.PubSubEventSink("t1",
+      () => MockClients.pubsub(failOnceEvery = 5), sleeper = _ => ())
+    sink.write(df, 0L)
+    assert(MockClients.pubsubCalls.forall(_.size <= ClientSinks.PubSubMaxPerRequest))
+    assert(MockClients.pubsubStored.size === 2100)
+    val flagged = (0 until 2100).count(_ % 5 == 0)
+    assert(MockClients.pubsubCalls.map(_.size).sum === 2100 + flagged)
+  }
+
+  test("nsq client sink: unkeyed chunked produceMulti; failure replays the batch") {
+    MockClients.resetExtras()
+    val df = (0 until 1234).map(i => Tuple1(s"n-$i".getBytes("UTF-8"))).toDF("thrift")
+    new ClientSinks.NsqEventSink("t1", () => MockClients.nsq()).write(df, 0L)
+    assert(MockClients.nsqCalls.forall(_.size <= 500))
+    assert(MockClients.nsqCalls.map(_.size).sum === 1234)
+    assertThrows[Exception](
+      new ClientSinks.NsqEventSink("t1", () => MockClients.nsqFailing()).write(df, 1L))
+  }
+
+  test("rabbitmq client sink: per-event exponential backoff, bounded attempts") {
+    MockClients.resetExtras()
+    val df = Seq(Tuple1("r-1".getBytes("UTF-8"))).toDF("thrift")
+    val sink = new ClientSinks.RabbitEventSink("ex",
+      () => MockClients.rabbit(failuresPerEvent = 4),
+      minBackoffMs = 100, multiplier = 2.0, maxBackoffMs = 300,
+      sleeper = MockClients.recordBackoff)
+    sink.write(df, 0L)
+    assert(MockClients.rabbitStored.map(new String(_, "UTF-8")) === Seq("r-1"))
+    // reference formula: min, then min(mult*current, max), capped
+    assert(MockClients.rabbitBackoffs === Seq(100L, 200L, 300L, 300L))
+    // poison event: attempts bounded, error propagates for checkpoint replay
+    MockClients.resetExtras()
+    assertThrows[Exception](new ClientSinks.RabbitEventSink("ex",
+      () => MockClients.rabbit(failuresPerEvent = 100), maxAttempts = 3,
+      sleeper = MockClients.recordBackoff).write(df, 1L))
+  }
+
   test("goodSinkFor: flag selects the client sink, default stays parquet") {
     val dir = java.nio.file.Files.createTempDirectory("flag").toString
     assert(ClientSinks.goodSinkFor("parquet", dir).name === "parquet")
