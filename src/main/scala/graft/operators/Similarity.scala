@@ -156,12 +156,14 @@ object Similarity {
     * true neighbors sit in the adjacent cell).
     *
     * At 100 TB the cells are the partition keys of the index table and a
-    * probe reads `nprobe` partitions; Lloyd training would run on a
-    * deterministic sample (e.g. `vec_id % s = 0`) instead of the full
-    * corpus — the oracle-mirrored arithmetic is identical either way. A
+    * probe reads `nprobe` partitions; Lloyd training runs on the
+    * deterministic `vec_id % trainSampleMod = 0` sample (1 = full
+    * corpus, the oracle-mirrored default) — serving always assigns and
+    * probes the FULL corpus, only centroid fitting reads the sample. A
     * candidate belongs to exactly one cell and a query's probed cells are
     * distinct, so multiprobe introduces no duplicate candidates. */
-  def ivfTopK(embeddings: DataFrame, k: Int, lloydIters: Int = 1, nprobe: Int = 2): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, k: Int, lloydIters: Int = 1, nprobe: Int = 2,
+      trainSampleMod: Int = 1): DataFrame = {
     val corpus = prepared(embeddings, spread = true)
     // The centroid table is a few KB (one row per cell), but its lineage
     // contains a full-corpus aggregation per Lloyd step — left lazy, every
@@ -177,12 +179,15 @@ object Similarity {
     // training reads a sample instead — see scaladoc — and the serve
     // arms read the columnar index table; this pin is the local analog)
     val pinnedCorpus = pin(corpus)
+    val trainCorpus =
+      if (trainSampleMod <= 1) pinnedCorpus
+      else pinnedCorpus.filter(col("vec_id") % trainSampleMod === 0)
     // intermediate centroid generations are each consumed exactly once
     // (by the next Lloyd step), so the whole training chain stays ONE
     // lazy tree over the pinned corpus and only the final generation —
     // consumed by both serving arms — is pinned: 2 training jobs total.
-    var cents = centroids(pinnedCorpus)
-    for (_ <- 1 to lloydIters) cents = lloydStep(pinnedCorpus, cents)
+    var cents = centroids(trainCorpus)
+    for (_ <- 1 to lloydIters) cents = lloydStep(trainCorpus, cents)
     cents = pin(cents)
     val cells = assignCells(pinnedCorpus, cents)
     val queries = nearestCells(pinnedCorpus.filter(col("vec_id") % 97 === 0), cents, nprobe)

@@ -120,6 +120,16 @@ class SimilaritySpec extends AnyFunSuite {
     // machinery invariant is: probing every cell IS brute force
     val nCells = emb.select("label").distinct().count().toInt
     assert(hits(Similarity.ivfTopK(emb, 3, lloydIters = 1, nprobe = nCells)) === brute)
+    // sample-trained centroids (the 100 TB training path) partition the
+    // corpus differently but never change WHAT is searchable: probing
+    // every cell is still exactly brute force, and the default probe
+    // returns a dense top-k per query
+    assert(hits(Similarity.ivfTopK(emb, 3, nprobe = nCells, trainSampleMod = 2)) === brute)
+    val sampled = Similarity.ivfTopK(emb, 3, trainSampleMod = 2)
+      .as[(Long, Int, Long, Double)].collect()
+    sampled.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1 to rows.length))
+    }
   }
 
   test("brute top-k on real embeddings: ranks dense, cos within [-1,1], self excluded") {
