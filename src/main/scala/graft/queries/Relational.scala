@@ -396,6 +396,29 @@ object Relational {
       .select("bin", "n", "share")
   }
 
+  /** ONE SQL text that runs unchanged on Spark and DuckDB — exercised
+    * through the engine's SQL front door (`spark.sql` over the registered
+    * catalog). TPC-H Q6 shape; money math in DECIMAL per the shared
+    * cross-engine discipline (dec()), cast to double once. */
+  private[queries] val SqlQ6 =
+    """SELECT
+      |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5)/100 AS DECIMAL(18,2)) *
+      |           CAST(floor(l_discount*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** The SQL front door: users of the library query the registered views
+    * with plain SQL; Catalyst plans it identically to the DataFrame API
+    * (pushed filters + partial agg — one scan, one exchange). */
+  val qSqlQ6: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(SqlQ6)
+  }
+
   /** Correlated-aggregate pattern: orders above their customer's average. */
   val qAboveAvg: Q = (s, d) => {
     val ord = Tables.orders(s, d)
@@ -502,5 +525,6 @@ object Relational {
     "q_approx_percentile" -> qApproxPercentile,
     "q_unpivot" -> qUnpivot,
     "q_histogram" -> qHistogram,
+    "q_sql_q6" -> qSqlQ6,
   )
 }

@@ -268,6 +268,10 @@ object RelationalOracles {
         |      FROM orders) t
         |GROUP BY 1""".stripMargin,
 
+    // the literal same SQL text the Spark side executes via spark.sql —
+    // the strongest possible front-door parity statement
+    "q_sql_q6" -> graft.queries.Relational.SqlQ6,
+
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n_rows,
         |    count(DISTINCT l_partkey) AS n_parts,
