@@ -59,4 +59,37 @@ class CollectorAppSpec extends AnyFunSuite {
     assert(running.monitor.healthy)
     assert(running.monitor.snapshot.contains("graft-collector"))
   }
+
+  test("app wired to the kinesis client sink delivers every good wire record") {
+    // the production wiring: goodSinkFor flag selects the client-backed
+    // sink; the mock wire client receives exactly the size-gated good
+    // records with their partition keys
+    import graft.sinks.ClientSinks
+    MockClients.reset()
+    val cfg = CollectorConfig.testScale
+    val envBatch = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+    val srcDir = Files.createTempDirectory("appk-src").toString
+    envBatch.write.mode("overwrite").parquet(srcDir)
+    val badDir = Files.createTempDirectory("appk-bad").toString
+    val ckpt = Files.createTempDirectory("appk-ckpt").toString
+    val running = CollectorApp.start(
+      spark,
+      spark.readStream.schema(envBatch.schema).parquet(srcDir),
+      cfg,
+      goodSink = ClientSinks.goodSinkFor("kinesis", badDir,
+        kinesis = Some(("events", () => MockClients.kinesis(0)))),
+      badSink = new ParquetDirSink(badDir, "bad"),
+      checkpointDir = ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    running.query.awaitTermination(120000)
+    val payloads = CollectorPipeline.payloads(envBatch, cfg)
+    val expected = payloads.count() -
+      graft.operators.ThriftPayload.sizeViolations(payloads, cfg.maxBytes).count()
+    val stored = MockClients.kinesisStored
+    assert(stored.size.toLong === expected)
+    // every stored record decodes and carries its row's partition key
+    val decoded = ThriftPayload.deserialize(stored.head.payload)
+    assert(decoded.collector === cfg.collectorName)
+    assert(stored.forall(_.key.nonEmpty))
+  }
 }
