@@ -60,7 +60,9 @@ object Bench {
     "t_redact" -> 0.4,
     // r4 additions (first warm sf0.1 measurements)
     "t_decontam" -> 0.8,
-    "t_rep_stats" -> 1.1)
+    "t_rep_stats" -> 1.1,
+    "d_dedup_keep" -> 2.1,
+    "d_chunk_dups" -> 1.3)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

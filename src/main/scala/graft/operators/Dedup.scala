@@ -191,6 +191,30 @@ object Dedup {
       minhashSignatures(docs, spread = false).select(col("doc_id")),
       lshCandidatePairs(docs))
 
+  /** The dedup pipeline's actual deliverable: the KEPT document set —
+    * one canonical doc (the cluster-min id) per near-dup cluster,
+    * singletons kept as themselves — with each cluster's size. One
+    * filter over [[duplicateClusters]] plus a size agg on the cluster
+    * key. */
+  def dedupKeep(docs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(docs)
+    clusters
+      .groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+      .select(col("cluster").as("doc_id"), col("n_docs"))
+  }
+
+  /** Cross-document shared CDC chunks: chunk fingerprints appearing in
+    * more than one document — the shared-run detection content-defined
+    * chunking exists for (an insertion-shifted copy still shares most
+    * chunk fingerprints with its source, which whole-doc hashing misses).
+    * One groupBy on the chunk fingerprint over [[cdcChunks]]. */
+  def sharedChunks(docs: DataFrame): DataFrame =
+    cdcChunks(docs)
+      .groupBy("chunk_fp")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("first_doc_id"))
+      .filter(col("n_docs") > 1)
+
   /** Per-doc 16-bit SimHash — near-dup docs land on nearby codes; equal
     * codes are dedup candidates via one exact groupBy. */
   def simhashes(docs: DataFrame): DataFrame =

@@ -47,6 +47,8 @@ object Training {
   val dSimhash: Q = (s, d) => Dedup.simhashes(docs(s, d))
   val dDupClusters: Q = (s, d) => Dedup.duplicateClusters(docs(s, d))
   val dCdcChunks: Q = (s, d) => Dedup.cdcChunks(docs(s, d))
+  val dDedupKeep: Q = (s, d) => Dedup.dedupKeep(docs(s, d))
+  val dChunkDups: Q = (s, d) => Dedup.sharedChunks(docs(s, d))
 
   val sBruteTopk: Q = (s, d) => Similarity.bruteTopK(emb(s, d), 5)
   val sBucketTopk: Q = (s, d) => Similarity.bucketedTopK(emb(s, d), 3)
@@ -143,6 +145,8 @@ object Training {
     "d_simhash" -> dSimhash,
     "d_dup_clusters" -> dDupClusters,
     "d_cdc_chunks" -> dCdcChunks,
+    "d_dedup_keep" -> dDedupKeep,
+    "d_chunk_dups" -> dChunkDups,
     "t_top_terms" -> tTopTerms,
     "t_sample" -> tSample,
     "t_pack" -> tPack,

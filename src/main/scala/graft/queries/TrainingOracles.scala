@@ -80,6 +80,55 @@ object TrainingOracles {
        |WHERE $CosAB >= $threshold""".stripMargin
   }
 
+  /** Connected-components closure CTE chain ending in
+    * `clustered(doc_id, cluster)` — shared by the cluster and keep-set
+    * oracles. */
+  private val ClusterCte =
+    s"""${SigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |bands0 AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig),
+       |bands AS (SELECT doc_id, band FROM (
+       |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 64),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |clustered AS (
+       |  SELECT s.doc_id, least(s.doc_id, coalesce(min(r.b), s.doc_id)) AS cluster
+       |  FROM sig s LEFT JOIN reach r ON r.a = s.doc_id
+       |  GROUP BY s.doc_id)""".stripMargin
+
+  /** CDC chunk CTE chain ending in `chunks(doc_id, chunk_id, chunk_fp,
+    * n_tokens)` — shared by the chunk and shared-chunk oracles. */
+  private val ChunkCte =
+    s"""$TokCte,
+       |pos AS (
+       |  SELECT doc_id, toks, unnest(list_transform(range(0, len(toks)),
+       |    i -> {'p': i, 'tok': toks[i+1]})) AS u
+       |  FROM tok WHERE len(toks) >= 1),
+       |flat AS (
+       |  SELECT doc_id, u.p AS pos, u.tok AS tok,
+       |    md5(array_to_string(toks[u.p+1 : u.p+4], ' ')) AS whash
+       |  FROM pos),
+       |marked AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN pos > 0 AND substr(whash, 1, 1) IN ('0','1') THEN 1 ELSE 0 END AS boundary
+       |  FROM flat),
+       |chunked AS (
+       |  SELECT doc_id, pos, tok,
+       |    CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+       |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
+       |  FROM marked),
+       |chunks AS (
+       |  SELECT doc_id, chunk_id,
+       |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+       |    count(*) AS n_tokens
+       |  FROM chunked GROUP BY doc_id, chunk_id)""".stripMargin
+
   private val simhashSum = (0 until 16).map { i =>
     s"CASE WHEN list_sum(list_transform(toks, t -> CASE WHEN substr(md5(t), ${i + 1}, 1) IN " +
       s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0 THEN ${1L << i} ELSE 0 END"
@@ -158,46 +207,26 @@ object TrainingOracles {
     // min reachable doc_id — the same fixpoint Dedup.connectedComponents'
     // label propagation converges to.
     "d_dup_clusters" ->
-      s"""${SigCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |bands0 AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig),
-         |bands AS (SELECT doc_id, band FROM (
-         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 64),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT a, b FROM edges
-         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         |SELECT s.doc_id, least(s.doc_id, coalesce(min(r.b), s.doc_id)) AS cluster
-         |FROM sig s LEFT JOIN reach r ON r.a = s.doc_id
-         |GROUP BY s.doc_id""".stripMargin,
+      s"""$ClusterCte
+         |SELECT doc_id, cluster FROM clustered""".stripMargin,
+
+    // the dedup deliverable: one kept (cluster-min) doc per cluster +
+    // cluster size
+    "d_dedup_keep" ->
+      s"""$ClusterCte
+         |SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM clustered GROUP BY 1""".stripMargin,
 
     "d_cdc_chunks" ->
-      s"""$TokCte,
-         |pos AS (
-         |  SELECT doc_id, toks, unnest(list_transform(range(0, len(toks)),
-         |    i -> {'p': i, 'tok': toks[i+1]})) AS u
-         |  FROM tok WHERE len(toks) >= 1),
-         |flat AS (
-         |  SELECT doc_id, u.p AS pos, u.tok AS tok,
-         |    md5(array_to_string(toks[u.p+1 : u.p+4], ' ')) AS whash
-         |  FROM pos),
-         |marked AS (
-         |  SELECT doc_id, pos, tok,
-         |    CASE WHEN pos > 0 AND substr(whash, 1, 1) IN ('0','1') THEN 1 ELSE 0 END AS boundary
-         |  FROM flat),
-         |chunked AS (
-         |  SELECT doc_id, pos, tok,
-         |    CAST(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
-         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
-         |  FROM marked)
-         |SELECT doc_id, chunk_id,
-         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
-         |  count(*) AS n_tokens
-         |FROM chunked GROUP BY doc_id, chunk_id""".stripMargin,
+      s"""$ChunkCte
+         |SELECT doc_id, chunk_id, chunk_fp, n_tokens FROM chunks""".stripMargin,
+
+    // shared-run detection: chunk fingerprints present in > 1 document
+    "d_chunk_dups" ->
+      s"""$ChunkCte
+         |SELECT chunk_fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc_id
+         |FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
 
     "t_top_terms" ->
       s"""$TokCte,
