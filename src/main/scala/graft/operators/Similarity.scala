@@ -162,8 +162,15 @@ object Similarity {
     * probes the FULL corpus, only centroid fitting reads the sample. A
     * candidate belongs to exactly one cell and a query's probed cells are
     * distinct, so multiprobe introduces no duplicate candidates. */
-  def ivfTopK(embeddings: DataFrame, k: Int, lloydIters: Int = 1, nprobe: Int = 2,
-      trainSampleMod: Int = 1): DataFrame = {
+  /** Build the IVF index: the assigned-cells relation
+    * `(vec_id, q, n2, cell)` plus the trained centroid table. The cells
+    * relation is what a deployment PERSISTS partitioned by `cell`
+    * (`df.write.partitionBy("cell")`) — a probe then reads exactly
+    * `nprobe` partition directories (partition pruning, no scan of the
+    * rest of the corpus; SimilaritySpec proves the pruned plan). */
+  /** Training: pinned prepared corpus + trained centroid table. */
+  private def trained(embeddings: DataFrame, lloydIters: Int,
+      trainSampleMod: Int): (DataFrame, DataFrame) = {
     val corpus = prepared(embeddings, spread = true)
     // The centroid table is a few KB (one row per cell), but its lineage
     // contains a full-corpus aggregation per Lloyd step — left lazy, every
@@ -176,8 +183,9 @@ object Similarity {
     def pin(df: DataFrame): DataFrame = df.localCheckpoint()
     // the prepared corpus is read once per training pass + twice at
     // serve; pin it too so quantization/norms run once (at 100 TB
-    // training reads a sample instead — see scaladoc — and the serve
-    // arms read the columnar index table; this pin is the local analog)
+    // training reads a sample instead — see trainSampleMod — and the
+    // serve arms read the columnar index table; this pin is the local
+    // analog)
     val pinnedCorpus = pin(corpus)
     val trainCorpus =
       if (trainSampleMod <= 1) pinnedCorpus
@@ -188,21 +196,42 @@ object Similarity {
     // consumed by both serving arms — is pinned: 2 training jobs total.
     var cents = centroids(trainCorpus)
     for (_ <- 1 to lloydIters) cents = lloydStep(trainCorpus, cents)
-    cents = pin(cents)
-    val cells = assignCells(pinnedCorpus, cents)
-    val queries = nearestCells(pinnedCorpus.filter(col("vec_id") % 97 === 0), cents, nprobe)
+    (pinnedCorpus, pin(cents))
+  }
+
+  def ivfIndex(embeddings: DataFrame, lloydIters: Int = 1,
+      trainSampleMod: Int = 1): (DataFrame, DataFrame) = {
+    val (corpus, cents) = trained(embeddings, lloydIters, trainSampleMod)
+    (assignCells(corpus, cents), cents)
+  }
+
+  /** Top-k probe over a built (possibly persisted-and-reloaded) index:
+    * queries meet candidates only inside their `nprobe` nearest cells. */
+  def ivfProbe(cells: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val probes = nearestCells(queries, cents, nprobe)
       .select(col("vec_id").as("q_id"), col("q").as("qq"),
         col("n2").as("qn2"), col("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("c_id").asc)
     cells
-      .join(broadcast(queries), Seq("cell"))
+      .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("c_id"),
         cosine(col("qq"), col("q"), col("qn2"), col("n2")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "cos")
+  }
+
+  def ivfTopK(embeddings: DataFrame, k: Int, lloydIters: Int = 1, nprobe: Int = 2,
+      trainSampleMod: Int = 1): DataFrame = {
+    // queries come from the pinned corpus, not the cells relation — the
+    // assignment argmin then runs exactly once (in the probe's candidate
+    // arm) instead of once more per query-arm consumer
+    val (corpus, cents) = trained(embeddings, lloydIters, trainSampleMod)
+    val cells = assignCells(corpus, cents)
+    ivfProbe(cells, cents, corpus.filter(col("vec_id") % 97 === 0), k, nprobe)
   }
 
   /** Default near-dup LSH shape — shared with the DuckDB oracle generator

@@ -132,6 +132,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF index persists partitioned by cell; probes prune and match in-memory") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val (cells, cents) = Similarity.ivfIndex(emb)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    cells.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    val loaded = spark.read.parquet(dir)
+    val queries = cells.filter(col("vec_id") % 97 === 0)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Double)].collect().toSet
+    // probing the persisted-and-reloaded index is the same computation
+    // (quantized integer-valued doubles round-trip parquet exactly)
+    assert(hits(Similarity.ivfProbe(loaded, cents, queries, 3, 2)) ===
+      hits(Similarity.ivfProbe(cells, cents, queries, 3, 2)))
+    // the layout's point: restricting to probed cells prunes at the
+    // DIRECTORY level — the scan's PartitionFilters carry the cell
+    // predicate, unprobed cells are never read
+    val someCells = loaded.select("cell").distinct().limit(2)
+      .collect().map(_.get(0))
+    val pruned = loaded.filter(col("cell").isin(someCells: _*))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell#"),
+      s"cell filter did not reach partition pruning:\n$scan")
+    assert(pruned.select("cell").distinct().count() === 2)
+  }
+
   test("brute top-k on real embeddings: ranks dense, cos within [-1,1], self excluded") {
     val out = Similarity.bruteTopK(Tables.embeddings(spark, TestSpark.Sf), 5)
       .as[(Long, Int, Long, Double)].collect()
