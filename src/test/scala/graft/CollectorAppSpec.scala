@@ -60,6 +60,25 @@ class CollectorAppSpec extends AnyFunSuite {
     assert(running.monitor.snapshot.contains("graft-collector"))
   }
 
+  test("CollectorMain wiring runs the dataflow from a directory of envelope files") {
+    val envBatch = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+    val srcDir = Files.createTempDirectory("main-src").toString
+    envBatch.write.mode("overwrite").parquet(srcDir)
+    val goodDir = Files.createTempDirectory("main-good").toString
+    val badDir = Files.createTempDirectory("main-bad").toString
+    val ckpt = Files.createTempDirectory("main-ckpt").toString
+    val running = CollectorMain.wire(spark, srcDir, goodDir, badDir, ckpt,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    running.query.awaitTermination(120000)
+    val cfg = CollectorConfig.testScale
+    val payloads = CollectorPipeline.payloads(envBatch, cfg)
+    val expectedGood = payloads.count() -
+      graft.operators.ThriftPayload.sizeViolations(payloads, cfg.maxBytes).count()
+    assert(spark.read.parquet(goodDir).count() === expectedGood)
+    assert(spark.read.parquet(badDir).count() ===
+      CollectorPipeline.badRows(envBatch, cfg).count())
+  }
+
   test("app wired to the kinesis client sink delivers every good wire record") {
     // the production wiring: goodSinkFor flag selects the client-backed
     // sink; the mock wire client receives exactly the size-gated good
