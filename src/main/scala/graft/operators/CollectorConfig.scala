@@ -48,6 +48,69 @@ final case class CollectorConfig(
 }
 
 object CollectorConfig {
+
+  /** S7 config source: parse a reference-shaped config document (the
+    * `collector { ... }` namespace of
+    * `examples/config.kinesis.extended.hocon`; reference loader
+    * `core/.../Collector.scala:54-85`). HOCON is a JSON superset and
+    * the HOCON jar is not on this classpath, so the loader takes the
+    * JSON subset — same keys, same nesting, same semantics. Absent keys
+    * fall back to the case-class defaults. Driver-side only. */
+  def fromJson(json: String): CollectorConfig = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val c = mapper.readTree(json).path("collector")
+    val d = CollectorConfig()
+    def str(n: com.fasterxml.jackson.databind.JsonNode, dflt: String) =
+      if (n.isMissingNode || n.isNull) dflt else n.asText
+    def strOpt(n: com.fasterxml.jackson.databind.JsonNode, dflt: Option[String]) =
+      if (n.isMissingNode || n.isNull) dflt else Some(n.asText)
+    def strSeq(n: com.fasterxml.jackson.databind.JsonNode, dflt: Seq[String]) =
+      if (!n.isArray) dflt
+      else { val it = n.elements(); Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText).toSeq }
+    val cookie = c.path("cookie")
+    val dnt = c.path("doNotTrackCookie")
+    val streams = c.path("streams")
+    d.copy(
+      appName = str(c.path("appName"), d.appName),
+      appVersion = str(c.path("appVersion"), d.appVersion),
+      sinkName = str(c.path("sinkName"), d.sinkName),
+      cookieName = str(cookie.path("name"), d.cookieName),
+      cookieSecure = if (cookie.path("secure").isMissingNode) d.cookieSecure else cookie.path("secure").asBoolean,
+      cookieHttpOnly = if (cookie.path("httpOnly").isMissingNode) d.cookieHttpOnly else cookie.path("httpOnly").asBoolean,
+      cookieSameSite = strOpt(cookie.path("sameSite"), d.cookieSameSite),
+      cookieDomains = strSeq(cookie.path("domains"), d.cookieDomains),
+      fallbackDomain = strOpt(cookie.path("fallbackDomain"), d.fallbackDomain),
+      cookieExpirationMs =
+        if (cookie.path("expirationMs").isMissingNode) d.cookieExpirationMs
+        else cookie.path("expirationMs").asLong,
+      dntCookieName = str(dnt.path("name"), d.dntCookieName),
+      dntCookieValue = str(dnt.path("value"), d.dntCookieValue),
+      paths = {
+        val p = c.path("paths")
+        if (!p.isObject) d.paths
+        else {
+          val it = p.fields()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+            .map(e => e.getKey -> e.getValue.asText).toMap
+        }
+      },
+      redirectDomains = strSeq(c.path("redirectDomains"), d.redirectDomains.toSeq).toSet,
+      maxBytes =
+        if (streams.path("sink").path("maxBytes").isMissingNode) d.maxBytes
+        else streams.path("sink").path("maxBytes").asInt,
+      useIpAsPartitionKey =
+        if (streams.path("useIpAddressAsPartitionKey").isMissingNode) d.useIpAsPartitionKey
+        else streams.path("useIpAddressAsPartitionKey").asBoolean,
+      bounceEnabled =
+        if (c.path("cookieBounce").path("enabled").isMissingNode) d.bounceEnabled
+        else c.path("cookieBounce").path("enabled").asBoolean,
+      bounceParamName = str(c.path("cookieBounce").path("name"), d.bounceParamName),
+      corsEnabled =
+        if (c.path("cors").path("enabled").isMissingNode) d.corsEnabled
+        else c.path("cors").path("enabled").asBoolean,
+      corsDomains = strSeq(c.path("cors").path("domains"), d.corsDomains))
+  }
+
   /** Schema URI stamped on every payload (reference `CollectorService.scala:289`). */
   val PayloadSchemaUri =
     "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0"

@@ -94,6 +94,40 @@ class CollectorPipelineSpec extends AnyFunSuite {
     assert(out(4L) === "fallback.example")
   }
 
+  test("S7 config source: reference-shaped document parses into the config model") {
+    // key layout mirrors examples/config.kinesis.extended.hocon's
+    // `collector` namespace (JSON subset of HOCON)
+    val doc =
+      """{"collector": {
+        |  "appName": "snowcat", "appVersion": "2.0.0", "sinkName": "kinesis",
+        |  "paths": {"/com.acme/track": "/com.snowplowanalytics.snowplow/tp2"},
+        |  "cookie": {"name": "spx", "secure": false, "httpOnly": true,
+        |             "sameSite": "Lax", "domains": ["a.example.com"],
+        |             "fallbackDomain": "fb.example.com", "expirationMs": 1000},
+        |  "doNotTrackCookie": {"name": "dnt", "value": "yes|1"},
+        |  "cookieBounce": {"enabled": true, "name": "nb"},
+        |  "redirectDomains": ["r.example.com"],
+        |  "cors": {"enabled": true, "domains": ["*.allowed.example.com"]},
+        |  "streams": {"useIpAddressAsPartitionKey": false,
+        |              "sink": {"maxBytes": 12345}}
+        |}}""".stripMargin
+    val cfg = CollectorConfig.fromJson(doc)
+    assert(cfg.collectorName === "snowcat-2.0.0-kinesis")
+    assert(cfg.cookieName === "spx")
+    assert(!cfg.cookieSecure && cfg.cookieHttpOnly && cfg.cookieSameSite === Some("Lax"))
+    assert(cfg.cookieDomains === Seq("a.example.com"))
+    assert(cfg.fallbackDomain === Some("fb.example.com"))
+    assert(cfg.cookieExpirationMs === 1000L)
+    assert(cfg.dntCookieName === "dnt" && cfg.dntCookieValue === "yes|1")
+    assert(cfg.bounceEnabled && cfg.bounceParamName === "nb")
+    assert(cfg.paths === Map("/com.acme/track" -> "/com.snowplowanalytics.snowplow/tp2"))
+    assert(cfg.redirectDomains === Set("r.example.com"))
+    assert(cfg.corsEnabled && cfg.corsDomains === Seq("*.allowed.example.com"))
+    assert(cfg.maxBytes === 12345 && !cfg.useIpAsPartitionKey)
+    // empty document = the defaults
+    assert(CollectorConfig.fromJson("{}") === CollectorConfig())
+  }
+
   test("telemetry heartbeat payload is valid self-describing JSON with app fields") {
     val p = graft.streaming.Telemetry.heartbeatPayload(cfg, Some("user-1"), None)
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p)
