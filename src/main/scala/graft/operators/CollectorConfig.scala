@@ -43,6 +43,7 @@ final case class CollectorConfig(
     cookieSameSite: Option[String] = Some("None"),
     cookieDomains: Seq[String] = Seq.empty,
     fallbackDomain: Option[String] = None,
+    enableDefaultRedirect: Boolean = true,
 ) {
   def collectorName: String = s"$appName-$appVersion-$sinkName"
 }

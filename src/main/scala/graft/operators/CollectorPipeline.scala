@@ -274,7 +274,9 @@ object CollectorPipeline {
       .map(d => host === d || host.endsWith("." + d))
       .reduce(_ || _)
     env
-      .filter(isRedirect)
+      // F8: `/r/*` is 404/absent unless enabled (reference
+      // `CollectorRoute.scala:43-49`); the literal folds away when on
+      .filter(isRedirect && lit(cfg.enableDefaultRedirect))
       .withColumn("u_enc", uEnc)
       .withColumn("target", target)
       .withColumn("allowed", when(col("target").isNotNull, allowed).otherwise(lit(false)))
@@ -303,6 +305,7 @@ object CollectorPipeline {
       .select(
         col("event_id"),
         when(isPixel, lit("gif"))
+          .when(isRedirect && !lit(cfg.enableDefaultRedirect), lit("404"))
           .when(isRedirect && col("target").isNotNull && allowed, lit("302"))
           .when(isRedirect, lit("400"))
           .when(isAmplitude || isSegment, lit("json"))

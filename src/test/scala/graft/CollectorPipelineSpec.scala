@@ -77,6 +77,19 @@ class CollectorPipelineSpec extends AnyFunSuite {
     assert(r.filter(!col("allowed")).count() > 0)
   }
 
+  test("F8: disabled default redirect drops /r/* rows and 404s the response") {
+    val off = cfg.copy(enableDefaultRedirect = false)
+    assert(CollectorPipeline.redirects(env, off).count() === 0)
+    val kinds = CollectorPipeline.responses(env, off)
+      .join(env.select(col("event_id"), col("path")), "event_id")
+      .filter(col("path").startsWith("/r/"))
+      .select("response_kind").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds === Set("404"))
+    // enabled config (the oracle default) still emits both 302 and 400
+    assert(CollectorPipeline.redirects(env, cfg).count() > 0)
+  }
+
   test("cookie domain: first configured domain matching any origin wins, else fallback") {
     import spark2.implicits._
     val d = Seq(

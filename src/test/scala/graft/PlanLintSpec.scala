@@ -66,6 +66,11 @@ class PlanLintSpec extends AnyFunSuite {
     val ivf = planOf("s_ivf_topk")
     assert("Window \\[".r.findAllIn(ivf).size <= 1,
       s"s_ivf_topk re-grew a window-based argmin:\n$ivf")
+    // unpivot must stay the native Expand (one pass) — a union-of-selects
+    // rewrite would re-read the aggregate per metric
+    val unpivot = planOf("q_unpivot")
+    assert(unpivot.contains("Expand") && "Scan parquet".r.findAllIn(unpivot).size <= 1,
+      s"q_unpivot lost its single-pass Expand shape:\n$unpivot")
   }
 
   test("driver contract: entry returns rows; every query name has unique columns") {
