@@ -419,6 +419,24 @@ object Relational {
     s.sql(SqlQ6)
   }
 
+  /** Count-Min frequency sketch over event types — estimates are
+    * oracle-EXACT (md5-derived integer buckets, same cells both
+    * engines), completing the deterministic sketch suite (KMV ≈
+    * cardinality, CMS ≈ frequency). */
+  val qCmsFreq: Q = (s, d) =>
+    graft.operators.Sketches.cmsFrequencies(Tables.events(s, d), "event_type")
+
+  /** Bloom semi-join pre-filter: probe user_ids against the purchase
+    * users' bloom bits — the broadcast filter that cuts shuffle volume
+    * before an exact semi join at scale. Deterministic bits ⇒ the
+    * candidate/member table is oracle-exact, including false
+    * positives. */
+  val qBloomFilter: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    graft.operators.Sketches.bloomPrefilter(
+      ev, "user_id", ev.filter(col("event_type") === "purchase"), "user_id")
+  }
+
   /** Correlated-aggregate pattern: orders above their customer's average. */
   val qAboveAvg: Q = (s, d) => {
     val ord = Tables.orders(s, d)
@@ -526,5 +544,7 @@ object Relational {
     "q_unpivot" -> qUnpivot,
     "q_histogram" -> qHistogram,
     "q_sql_q6" -> qSqlQ6,
+    "q_cms_freq" -> qCmsFreq,
+    "q_bloom_filter" -> qBloomFilter,
   )
 }

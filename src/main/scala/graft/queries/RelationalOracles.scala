@@ -45,6 +45,50 @@ object RelationalOracles {
 
     // MinCount sketch mirror: identical 52-bit md5-prefix fractions, same
     // left-to-right addition order, floor-truncated estimate.
+    // CMS cells/estimates mirror Sketches.cmsFrequencies exactly — the
+    // bucket function is the same salted md5 52-bit prefix mod w
+    "q_cms_freq" -> {
+      def b(c: String, salt: Int, w: Int) =
+        s"(('0x' || substr(md5('$salt:' || $c), 1, 13))::BIGINT) % $w"
+      val flatStructs = (0 until 4).map(i =>
+        s"{'row_i': $i, 'bucket': ${b("event_type", i, 64)}}").mkString(", ")
+      s"""WITH flat AS (
+         |  SELECT u.row_i AS row_i, u.bucket AS bucket FROM (
+         |    SELECT unnest([$flatStructs]) AS u FROM events) t),
+         |cells AS (SELECT row_i, bucket, count(*) AS cell_n FROM flat GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT key, u.row_i AS row_i, u.bucket AS bucket FROM (
+         |    SELECT event_type AS key,
+         |      unnest([${(0 until 4).map(i => s"{'row_i': $i, 'bucket': ${b("event_type", i, 64)}}").mkString(", ")}]) AS u
+         |    FROM (SELECT DISTINCT event_type FROM events) d) t),
+         |est AS (
+         |  SELECT p.key, min(c.cell_n) AS cms_est
+         |  FROM probes p JOIN cells c ON c.row_i = p.row_i AND c.bucket = p.bucket
+         |  GROUP BY 1),
+         |exact AS (SELECT event_type AS key, count(*) AS exact_n FROM events GROUP BY 1)
+         |SELECT est.key, cms_est, exact_n, cms_est >= exact_n AS never_underestimates
+         |FROM est JOIN exact ON exact.key = est.key""".stripMargin
+    },
+
+    // bloom bits mirror Sketches.bloomBits (salts 100..102, m=1024)
+    "q_bloom_filter" -> {
+      def b(c: String, salt: Int) =
+        s"(('0x' || substr(md5('$salt:' || $c), 1, 13))::BIGINT) % 1024"
+      val bitArms = (0 until 3).map(i => b("user_id", 100 + i)).mkString(", ")
+      val candConds = (0 until 3)
+        .map(i => s"(${b("k.key", 100 + i)}) IN (SELECT bit FROM bits)")
+        .mkString(" AND ")
+      s"""WITH bits AS (
+         |  SELECT DISTINCT unnest([$bitArms]) AS bit
+         |  FROM events WHERE event_type = 'purchase'),
+         |keys AS (SELECT DISTINCT user_id AS key FROM events),
+         |members AS (SELECT DISTINCT user_id AS key FROM events WHERE event_type = 'purchase'),
+         |cand AS (
+         |  SELECT k.key, $candConds AS candidate FROM keys k)
+         |SELECT c.key, c.candidate, (m.key IS NOT NULL) AS member
+         |FROM cand c LEFT JOIN members m ON m.key = c.key""".stripMargin
+    },
+
     "q_kmv_distinct" -> {
       val mins = (0 until 8).map { i =>
         s"min((('0x' || substr(md5('$i:' || user_id), 1, 13))::BIGINT)::DOUBLE" +

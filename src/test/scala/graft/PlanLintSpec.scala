@@ -10,9 +10,11 @@ class PlanLintSpec extends AnyFunSuite {
 
   /** Queries whose *intended* plan is a broadcast nested-loop / cross
     * join: brute-force top-k (query side broadcast against the corpus),
-    * IVF cell assignment (10-row centroid table), and the tf-idf corpus
-    * size (1-row broadcast scalar crossJoin). */
-  private val AllowedNonEqui = Set("s_brute_topk", "s_ivf_topk", "t_top_terms")
+    * IVF cell assignment (10-row centroid table), the tf-idf corpus
+    * size (1-row broadcast scalar crossJoin), and the bloom filter's
+    * 1-row bit-set broadcast. */
+  private val AllowedNonEqui =
+    Set("s_brute_topk", "s_ivf_topk", "t_top_terms", "q_bloom_filter")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -27,6 +27,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom pre-filter: no false negatives; CMS never underestimates") {
+    val bloom = Relational.qBloomFilter(spark, TestSpark.Sf)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(bloom.nonEmpty)
+    // the bloom guarantee: every member is a candidate
+    bloom.foreach { case (k, cand, member) =>
+      assert(!member || cand, s"false negative for member $k")
+    }
+    assert(bloom.exists(r => r._2 && r._3)) // true positives exist
+    val cms = Relational.qCmsFreq(spark, TestSpark.Sf)
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(cms.nonEmpty)
+    cms.foreach { case (k, est, exact, ok) =>
+      assert(ok && est >= exact, s"CMS underestimated $k: $est < $exact")
+    }
+  }
+
   test("KMV sketch estimate lands within MinCount error bounds of exact") {
     // k=8 => relative std error ~ 1/sqrt(8) ~ 35%; assert a loose 60%
     // band (the point of the query is deterministic cross-engine parity,
