@@ -22,17 +22,24 @@ object Sketches {
   private def bucket(c: Column, salt: Int, w: Int): Column =
     pmod(conv(substring(md5(concat(lit(s"$salt:"), c)), 1, 13), 16, 10).cast("long"), lit(w))
 
+  /** CMS cell counts `(row_i, bucket, cell_n)` — the sketch's state.
+    * Cells are ADDITIVE: the sketch of a union is the cell-wise sum of
+    * the parts' sketches, which is what makes CMS mergeable across
+    * partitions, micro-batches and days of data (StreamingSpec proves
+    * per-batch cells sum to the batch sketch). */
+  def cmsCells(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 64): DataFrame =
+    df.select(posexplode(array((0 until d).map(i =>
+        bucket(col(keyCol), i, w)): _*)).as(Seq("row_i", "bucket")))
+      .groupBy("row_i", "bucket")
+      .agg(count(lit(1)).as("cell_n"))
+
   /** Count-Min sketch (d rows × w buckets) over `keyCol`: cell counts
     * via one explode + groupBy, estimates for every distinct key via a
     * broadcast join + min over the d rows. Overestimate bounded by
     * εN with ε = e/w — the classic heavy-hitter frequency sketch. */
   def cmsFrequencies(df: DataFrame, keyCol: String, d: Int = 4, w: Int = 64): DataFrame = {
     val key = col(keyCol)
-    val cells = df
-      .select(posexplode(array((0 until d).map(i =>
-        bucket(key, i, w)): _*)).as(Seq("row_i", "bucket")))
-      .groupBy("row_i", "bucket")
-      .agg(count(lit(1)).as("cell_n"))
+    val cells = cmsCells(df, keyCol, d, w)
     val probes = df.select(key.as("key")).distinct()
       .select(col("key") +: (0 until d).map(i =>
         bucket(col("key"), i, w).as(s"b$i")): _*)

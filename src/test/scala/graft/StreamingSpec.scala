@@ -153,6 +153,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(deconBatch.except(deconStream).count() === 0)
   }
 
+  test("CMS sketch merges across micro-batches: per-batch cells sum to the batch sketch") {
+    // additivity is what makes the sketch distributable: sketch(A ∪ B) =
+    // sketch(A) + sketch(B) cell-wise — so a stream maintains it by
+    // appending per-batch cells and summing at read time
+    import graft.operators.Sketches
+    val evBatch = Tables.events(spark, TestSpark.Sf)
+    val srcDir = tmp("cms-src")
+    evBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val outDir = tmp("cms-out"); val ckpt = tmp("cms-ckpt")
+    val q = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketches.cmsCells(batch, "event_type").write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val merged = spark.read.parquet(outDir)
+      .groupBy("row_i", "bucket").agg(sum("cell_n").as("cell_n"))
+    val batch = Sketches.cmsCells(evBatch, "event_type")
+    assert(merged.count() === batch.count())
+    assert(merged.except(batch).count() === 0)
+    assert(batch.except(merged).count() === 0)
+  }
+
   test("flatMapGroupsWithState sessionization: gap closes, timeout closes") {
     val input = MemoryStream[SessEvent](spark)
     val sessions = Sessionize.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L,
