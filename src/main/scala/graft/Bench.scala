@@ -62,7 +62,9 @@ object Bench {
     "t_decontam" -> 0.8,
     "t_rep_stats" -> 1.1,
     "d_dedup_keep" -> 2.1,
-    "d_chunk_dups" -> 1.3)
+    "d_chunk_dups" -> 1.3,
+    "q_range_join" -> 1.4,
+    "m_audio" -> 0.4)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

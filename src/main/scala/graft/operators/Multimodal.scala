@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 /** Decoded-media metadata row. */
 final case class MediaMeta(doc_id: Long, format: String, width: Int, height: Int, n_bytes: Long)
 
+/** Decoded-audio metadata row (header-only probe, no sample decode). */
+final case class AudioMeta(doc_id: Long, container: String, channels: Int,
+    sample_rate: Int, bits: Int, n_samples: Long, n_bytes: Long)
+
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, decode / feature-extract / frame-sample as partition-batched
   * operators.
@@ -97,6 +101,60 @@ object Multimodal {
         // a real decoder context (JNI handle, arena) would be opened here
         it.map { case (id, bytes) => decodeHeader(id, bytes) }
       }
+  }
+
+  /** Synthesized PCM WAV container: canonical 44-byte RIFF/WAVE header
+    * (fmt chunk: PCM, channels/sample-rate derived from the doc, 16-bit)
+    * followed by `doc_id % 256` bytes of "PCM" payload in the data chunk.
+    * Real container bytes — a stock WAV parser reads them. */
+  private[graft] def synthAudio(docId: Long, textBytes: Int): Array[Byte] = {
+    val channels = (1 + docId % 2).toInt
+    val sampleRate = (textBytes % 3) match {
+      case 0 => 8000; case 1 => 16000; case _ => 44100
+    }
+    val dataSize = (docId % 256).toInt
+    val blockAlign = channels * 2
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + dataSize) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(sampleRate) ++ le32(sampleRate * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(dataSize) ++ new Array[Byte](dataSize)
+  }
+
+  /** REAL RIFF chunk walk: verify the RIFF/WAVE magic, then iterate
+    * `(fourcc, size)` chunks to find `fmt ` (layout fields) and `data`
+    * (sample count = size / block align). Chunks may arrive in any order
+    * and unknown chunks are skipped — exactly what a production header
+    * probe does (ffprobe-style) without decoding samples. Malformed input
+    * decodes as ("unknown", 0, …) rather than throwing. */
+  private[graft] def decodeAudio(id: Long, b: Array[Byte]): AudioMeta = {
+    val n = b.length.toLong
+    def fourcc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE")
+      return AudioMeta(id, "unknown", 0, 0, 0, 0L, n)
+    var (o, channels, rate, bits, blockAlign, dataSize) = (12, 0, 0, 0, 0, -1)
+    while (o + 8 <= b.length) {
+      val (cc, size) = (fourcc(o), rdLe32(b, o + 4))
+      if (cc == "fmt " && o + 24 <= b.length) {
+        channels = rdLe16(b, o + 10); rate = rdLe32(b, o + 12)
+        blockAlign = rdLe16(b, o + 20); bits = rdLe16(b, o + 22)
+      } else if (cc == "data") dataSize = size
+      o += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (channels <= 0 || blockAlign <= 0 || dataSize < 0)
+      AudioMeta(id, "unknown", 0, 0, 0, 0L, n)
+    else AudioMeta(id, "wav", channels, rate, bits, (dataSize / blockAlign).toLong, n)
+  }
+
+  /** Audio decode pass — same `mapPartitions` batch shape as
+    * [[decodeMeta]] (one decoder context per partition). Narrow map. */
+  def decodeAudioMeta(docs: DataFrame): Dataset[AudioMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        decodeAudio(id, synthAudio(id, text.getBytes("UTF-8").length))
+      })
   }
 
   /** Frame sampling: each media row explodes into `1 + n_bytes % 5` frames

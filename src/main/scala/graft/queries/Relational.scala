@@ -437,6 +437,31 @@ object Relational {
       ev, "user_id", ev.filter(col("event_type") === "purchase"), "user_id")
   }
 
+  /** Non-equi range join (graft.operators.RangeJoin): return-flagged
+    * lineitems shipped within 2 days of an urgent order's placement — no
+    * key relates the two sides, only the time window. Binned into
+    * 2-day buckets so the plan is a shuffled equi-join on the bin id
+    * (≤ 2 replicas per order), never a nested-loop; the DuckDB oracle
+    * runs the plain theta join (IEJoin there), so the binning machinery
+    * is verified by an independent engine. Quantities are integer-valued,
+    * so the sum is exact. */
+  val qRangeJoin: Q = (s, d) => {
+    val win = 2L * 86400
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").cast("long").as("o_sec"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_quantity"),
+        col("l_shipdate").cast("timestamp").cast("long").as("ship_sec"))
+    graft.operators.RangeJoin
+      .pointInInterval(ord, col("o_sec"), col("o_sec") + win,
+        li, col("ship_sec"), binSeconds = win)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_ship"), sum("l_quantity").cast("long").as("qty_sum"))
+  }
+
   /** Correlated-aggregate pattern: orders above their customer's average. */
   val qAboveAvg: Q = (s, d) => {
     val ord = Tables.orders(s, d)
@@ -545,6 +570,7 @@ object Relational {
     "q_histogram" -> qHistogram,
     "q_sql_q6" -> qSqlQ6,
     "q_cms_freq" -> qCmsFreq,
+    "q_range_join" -> qRangeJoin,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

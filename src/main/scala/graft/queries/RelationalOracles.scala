@@ -221,6 +221,18 @@ object RelationalOracles {
         |  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
         |FROM orders""".stripMargin,
 
+    // The Spark side bins this into an equi-join (RangeJoin.pointInInterval);
+    // the oracle is the plain theta join — result-set equality verifies the
+    // binning replication/dedup logic with an independent engine.
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_ship,
+        |  CAST(sum(l_quantity) AS BIGINT) AS qty_sum
+        |FROM orders o JOIN lineitem l
+        |  ON floor(epoch(l.l_shipdate)) >= floor(epoch(o.o_orderdate))
+        | AND floor(epoch(l.l_shipdate)) < floor(epoch(o.o_orderdate)) + 2*86400
+        |WHERE o.o_orderpriority = '1-URGENT' AND l.l_returnflag = 'R'
+        |GROUP BY 1""".stripMargin,
+
     "q_asof_join" ->
       """WITH merged AS (
         |  SELECT user_id AS k, ts, event_id, 1 AS side, NULL::BIGINT AS o_orderkey

@@ -133,6 +133,7 @@ object Training {
 
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
+  val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
 
   val all: Map[String, Q] = Map(
     "t_text_stats" -> tTextStats,
@@ -160,5 +161,6 @@ object Training {
     "s_ivf_topk" -> sIvfTopk,
     "m_decode" -> mDecode,
     "m_frames" -> mFrames,
+    "m_audio" -> mAudio,
   )
 }

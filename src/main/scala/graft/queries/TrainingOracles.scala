@@ -435,6 +435,18 @@ object TrainingOracles {
         |    + doc_id % 64 AS n_bytes
         |FROM documents""".stripMargin,
 
+    // mirrors Multimodal.synthAudio's deterministic header fields; the
+    // Spark side PARSES them back out of real RIFF bytes (chunk walk)
+    "m_audio" ->
+      """SELECT doc_id, 'wav' AS container,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(CASE strlen(text) % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       ELSE 44100 END AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits,
+        |  (doc_id % 256) // ((1 + doc_id % 2) * 2) AS n_samples,
+        |  44 + doc_id % 256 AS n_bytes
+        |FROM documents""".stripMargin,
+
     "m_frames" ->
       """SELECT doc_id, frame_idx, frame_idx * 1000 // n_frames AS frame_ts_ms
         |FROM (SELECT doc_id, 1 + n_bytes % 5 AS n_frames,

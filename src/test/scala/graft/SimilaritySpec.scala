@@ -199,4 +199,25 @@ class SimilaritySpec extends AnyFunSuite {
     val junk = Array[Byte](1, 2, 3)
     assert(Multimodal.decodeHeader(4L, junk) === MediaMeta(4L, "unknown", 0, 0, 3L))
   }
+
+  test("audio decoder: RIFF chunk walk recovers the synthesized fmt/data fields") {
+    import graft.operators.{AudioMeta, Multimodal}
+    // stereo doc (odd id), 44.1k (textBytes%3==2), 255 data bytes
+    val wav = Multimodal.synthAudio(255L, 2)
+    assert(Multimodal.decodeAudio(1L, wav) ===
+      AudioMeta(1L, "wav", 2, 44100, 16, 255 / 4, 44L + 255))
+    // mono 8k with zero payload bytes
+    val empty = Multimodal.decodeAudio(2L, Multimodal.synthAudio(0L, 0))
+    assert(empty === AudioMeta(2L, "wav", 1, 8000, 16, 0, 44L))
+    // the walk skips an unknown chunk spliced before fmt (word-aligned)
+    val spliced = wav.take(12) ++
+      ("LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 9, 9, 9, 0)) ++
+      wav.drop(12)
+    val viaSplice = Multimodal.decodeAudio(3L, spliced)
+    assert(viaSplice.container === "wav" && viaSplice.sample_rate === 44100
+      && viaSplice.n_samples === 255 / 4)
+    // truncated/corrupt bytes decode as unknown, never throw
+    assert(Multimodal.decodeAudio(4L, "RIFFxxxx".getBytes).container === "unknown")
+    assert(Multimodal.decodeAudio(5L, Array[Byte]()).container === "unknown")
+  }
 }
