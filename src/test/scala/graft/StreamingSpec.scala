@@ -274,6 +274,40 @@ class StreamingSpec extends AnyFunSuite {
       batch.filter(col("c_mktsegment").isNotNull).count())
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import graft.streaming.StreamJoin
+    val ev = Tables.events(spark, TestSpark.Sf)
+    val srcL = tmp("ssj-l"); val srcR = tmp("ssj-r")
+    // clicks match purchases by the same user within 10 min after the click
+    ev.filter(col("event_type") === "click").repartition(4)
+      .write.mode("overwrite").parquet(srcL)
+    ev.filter(col("event_type") === "purchase").repartition(4)
+      .write.mode("overwrite").parquet(srcR)
+    val schema = spark.read.parquet(srcL).schema
+    def stream(dir: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir) // several micro-batches
+    // span-sized watermark: the test data is unordered across files, so
+    // the lateness budget must cover the full span for exact batch parity
+    val joined = StreamJoin.intervalJoin(stream(srcL), stream(srcR),
+      "user_id", beforeSec = 0, afterSec = 600, watermark = "40 days")
+      .select(col("event_id"), col("event_id_r"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ssj").as[(Long, Long)].collect().toSet
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("u"), col("ts").as("lts"), col("event_id").as("lid"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u2"), col("ts").as("rts"), col("event_id").as("rid"))
+    val batch = clicks.join(purch,
+        col("u") === col("u2") &&
+          col("rts") >= col("lts") && col("rts") <= col("lts") + expr("INTERVAL 600 SECONDS"))
+      .select(col("lid"), col("rid")).as[(Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("watermarked hourly window matches batch aggregation") {
     val srcDir = tmp("ev-src")
     Tables.events(spark, TestSpark.Sf).write.mode("overwrite").parquet(srcDir)
