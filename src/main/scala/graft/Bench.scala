@@ -64,6 +64,7 @@ object Bench {
     "d_dedup_keep" -> 2.1,
     "d_chunk_dups" -> 1.3,
     "q_range_join" -> 1.4,
+    "q_interval_join" -> 0.9,
     "m_audio" -> 0.4)
 
   def main(args: Array[String]): Unit = {

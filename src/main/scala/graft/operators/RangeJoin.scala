@@ -52,4 +52,45 @@ object RangeJoin {
       .drop(iv("__rj_bin")).drop(pt("__rj_bin"))
       .drop("__rj_low", "__rj_high", "__rj_pt")
   }
+
+  /** Interval × interval overlap join: left `[lowL, highL)` meets right
+    * `[lowR, highR)` (half-open overlap: `lowL < highR && lowR < highL`),
+    * optionally also requiring equality on `keys` (columns present on
+    * both sides under the same name).
+    *
+    * Unlike the point case, a pair can co-occur in SEVERAL bins, so the
+    * join keeps a pair only in its canonical meet bin — the one holding
+    * `max(lowL, lowR)` (the start of the overlap, guaranteed covered by
+    * both replica sets) — which makes output rows unique without a
+    * `distinct()` shuffle. Empty windows match nothing. Inner join;
+    * right-side key columns are dropped from the output (they equal the
+    * left's).
+    */
+  def intervalOverlap(left: DataFrame, lowL: Column, highL: Column,
+      right: DataFrame, lowR: Column, highR: Column,
+      binSeconds: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binSeconds > 0, "binSeconds must be positive")
+    def binned(df: DataFrame, low: Column, high: Column): DataFrame = df
+      .withColumn("__rj_low", low.cast("long"))
+      .withColumn("__rj_high", high.cast("long"))
+      .filter(col("__rj_low") < col("__rj_high"))
+      .withColumn("__rj_bin", explode(sequence(
+        floor(col("__rj_low") / binSeconds).cast("long"),
+        floor((col("__rj_high") - 1) / binSeconds).cast("long"))))
+    val l = binned(left, lowL, highL)
+    val r0 = binned(right, lowR, highR)
+    // rename right internals + keys so the joined output is unambiguous
+    val r = (Seq("__rj_low", "__rj_high", "__rj_bin") ++ keys)
+      .foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"${c}_r"))
+    val overlap = col("__rj_low") < col("__rj_high_r") &&
+      col("__rj_low_r") < col("__rj_high")
+    val meetBin = col("__rj_bin") ===
+      floor(greatest(col("__rj_low"), col("__rj_low_r")) / binSeconds).cast("long")
+    val cond = keys.map(k => col(k) === col(s"${k}_r"))
+      .foldLeft(col("__rj_bin") === col("__rj_bin_r") && overlap && meetBin)(_ && _)
+    l.join(r, cond)
+      .drop("__rj_low", "__rj_high", "__rj_bin",
+        "__rj_low_r", "__rj_high_r", "__rj_bin_r")
+      .drop(keys.map(k => s"${k}_r"): _*)
+  }
 }

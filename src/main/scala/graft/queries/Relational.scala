@@ -462,6 +462,26 @@ object Relational {
       .agg(count(lit(1)).as("n_ship"), sum("l_quantity").cast("long").as("qty_sum"))
   }
 
+  /** Interval-overlap join (RangeJoin.intervalOverlap): click/purchase
+    * pairs of the same user whose 1-hour activity windows overlap —
+    * interval × interval, both sides replicated into hour bins, pairs
+    * deduplicated by the canonical meet bin (no distinct() pass). The
+    * oracle runs the plain overlap theta join. */
+  val qIntervalJoin: Q = (s, d) => {
+    val win = 3600L
+    def side(kind: String, idAs: String) = Tables.events(s, d)
+      .filter(col("event_type") === kind)
+      .select(col("user_id"), col("event_id").as(idAs),
+        col("ts").cast("long").as(s"${idAs}_sec"))
+    val clicks = side("click", "click_id")
+    val purch = side("purchase", "purch_id")
+    graft.operators.RangeJoin.intervalOverlap(
+        clicks, col("click_id_sec"), col("click_id_sec") + win,
+        purch, col("purch_id_sec"), col("purch_id_sec") + win,
+        binSeconds = win, keys = Seq("user_id"))
+      .select("user_id", "click_id", "purch_id")
+  }
+
   /** Correlated-aggregate pattern: orders above their customer's average. */
   val qAboveAvg: Q = (s, d) => {
     val ord = Tables.orders(s, d)
@@ -571,6 +591,7 @@ object Relational {
     "q_sql_q6" -> qSqlQ6,
     "q_cms_freq" -> qCmsFreq,
     "q_range_join" -> qRangeJoin,
+    "q_interval_join" -> qIntervalJoin,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

@@ -233,6 +233,15 @@ object RelationalOracles {
         |WHERE o.o_orderpriority = '1-URGENT' AND l.l_returnflag = 'R'
         |GROUP BY 1""".stripMargin,
 
+    // overlap of half-open 1-hour windows == |tc - tp| < 3600
+    "q_interval_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purch_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND floor(epoch(c.ts)) < floor(epoch(p.ts)) + 3600
+        | AND floor(epoch(p.ts)) < floor(epoch(c.ts)) + 3600
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'""".stripMargin,
+
     "q_asof_join" ->
       """WITH merged AS (
         |  SELECT user_id AS k, ts, event_id, 1 AS side, NULL::BIGINT AS o_orderkey

@@ -51,6 +51,29 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("interval-overlap join equals the naive theta join, no duplicate pairs") {
+    // reuse the interval fixtures on both sides, keyed and unkeyed
+    val l = intervals.toDF("l_id", "l_lo", "l_hi")
+    val r = intervals.toDF("r_id", "r_lo", "r_hi")
+    for (bin <- Seq(50L, 100L, 1000L)) {
+      val got = RangeJoin.intervalOverlap(
+          l, col("l_lo"), col("l_hi"), r, col("r_lo"), col("r_hi"), binSeconds = bin)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toList
+      // lowL < highR && lowR < highL alone would pass EMPTY intervals
+      // (e.g. [300,300) "overlaps" anything containing 300); the operator
+      // excludes them, so the reference predicate must too
+      val naive = l.crossJoin(r)
+        .filter(col("l_lo") < col("l_hi") && col("r_lo") < col("r_hi") &&
+          col("l_lo") < col("r_hi") && col("r_lo") < col("l_hi"))
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+      assert(got.toSet === naive, s"bin=$bin")
+      assert(got.size === naive.size, s"bin=$bin emitted duplicates") // meet-bin dedup
+      assert(!naive.exists(p => p._1 == 3L || p._2 == 3L)) // empty window
+      assert(naive.contains((1L, 2L)) && naive.contains((2L, 1L)))
+      assert(!naive.contains((1L, 4L))) // disjoint windows
+    }
+  }
+
   test("q_range_join runs on real tables and matches the in-Spark theta join") {
     val d = TestSpark.Sf
     val got = Relational.qRangeJoin(spark, d)
