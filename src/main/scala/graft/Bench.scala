@@ -65,7 +65,8 @@ object Bench {
     "d_chunk_dups" -> 1.3,
     "q_range_join" -> 1.4,
     "q_interval_join" -> 0.9,
-    "m_audio" -> 0.4)
+    "m_audio" -> 0.4,
+    "s_pq_topk" -> 2.1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

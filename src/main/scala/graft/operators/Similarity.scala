@@ -234,6 +234,86 @@ object Similarity {
     ivfProbe(cells, cents, corpus.filter(col("vec_id") % 97 === 0), k, nprobe)
   }
 
+  /** PQ codebook shape: 64-dim vectors split into `PqM` subspaces of
+    * `PqDim` dims (shared with the oracle generator). */
+  val PqM = 8
+  val PqDim = 8
+
+  /** Squared L2 between subvector `qsub` (integer-valued) and the
+    * centroid stored as SUM vector `sv` + count `n`: the mean is never
+    * materialized — `Σ(n·x − S)² / n²` keeps every intermediate an exact
+    * integer until ONE final division, so the double is bit-identical in
+    * both engines (same trick as the exact-decimal money math). */
+  private def subD2(qsub: Column, sv: Column, n: Column): Column =
+    aggregate(sequence(lit(1), lit(PqDim)), lit(0.0d),
+      (acc, t) => acc +
+        pow(n * element_at(qsub, t) - element_at(sv, t), lit(2))) / (n * n)
+
+  /** Product quantization top-k (ADC — asymmetric distance computation).
+    *
+    * Train: per-subspace codebooks from the label cells (deterministic
+    * seed means, the IVF convention here). Encode: every vector becomes
+    * `PqM` small codes — the compressed index a deployment PERSISTS is
+    * `PqM` bytes/vector instead of 256 B of floats, which is the whole
+    * point at 100 TB: after encoding, probes rescan only the code table.
+    * Probe: each query precomputes its distance TABLE (labels × PqM tiny
+    * rows, broadcast), then one narrow pass over the codes joins the
+    * table and folds the `PqM` partial distances in index order (exact
+    * sequential double sum — collect_list is re-sorted by `j` before the
+    * fold, so shuffle arrival order can't change the result).
+    *
+    * Plan shape: codebook = one agg over the corpus; encode = per-row
+    * argmin over ONE broadcast codebook-array row (narrow, same shape as
+    * [[assignCells]]); probe = codes ⋈ broadcast(dtab) + one (q_id, c_id)
+    * exchange + WindowGroupLimit top-k. No corpus-sized non-bin shuffle.
+    */
+  def pqTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared(embeddings, spread = true)
+    // per-(label, subspace) centroid as (sum vector, count)
+    val cents = corpus
+      .select(col("label").as("c_label"), posexplode(col("q")).as(Seq("i0", "x")))
+      .withColumn("j", (col("i0") / PqDim).cast("int"))
+      .groupBy("c_label", "j", "i0")
+      .agg(sum("x").as("s"), count(lit(1)).as("cnt"))
+      .groupBy("c_label", "j")
+      .agg(transform(array_sort(collect_list(struct(col("i0"), col("s")))),
+        e => e("s")).as("sv"), first("cnt").as("n"))
+    val centArr = cents.agg(
+      collect_list(struct(col("j"), col("c_label"), col("sv"), col("n"))).as("cents"))
+    // encode: argmin centroid per subspace → PqM codes per vector
+    val coded = corpus.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), transform(sequence(lit(0), lit(PqM - 1)), j =>
+        element_at(array_sort(transform(
+          filter(col("cents"), c => c.getField("j") === j),
+          c => struct(
+            subD2(slice(col("q"), j * PqDim + 1, lit(PqDim)),
+              c.getField("sv"), c.getField("n")).as("d2"),
+            c.getField("c_label").as("lbl")))), 1).getField("lbl").as("code"))
+        .as("codes"))
+    // per-query distance table: (q_id, j, label) → d2; labels×PqM rows/query
+    val dtab = corpus.filter(col("vec_id") % 97 === 0)
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id").as("q_id"), col("q"), explode(col("cents")).as("c"))
+      .select(col("q_id"), col("c.j").as("j"), col("c.c_label").as("c_label"),
+        subD2(slice(col("q"), col("c.j") * PqDim + 1, lit(PqDim)),
+          col("c.sv"), col("c.n")).as("d2"))
+    val flat = coded.select(col("vec_id").as("c_id"),
+      posexplode(col("codes")).as(Seq("j", "code")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist").asc, col("c_id").asc)
+    flat.join(broadcast(dtab),
+        flat("j") === dtab("j") && col("code") === col("c_label") &&
+          col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(dtab("j"), col("d2")))), e => e("d2")),
+        lit(0.0d), (a, x) => a + x).as("ad"))
+      .withColumn("adist", TextOps.trunc(col("ad"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "adist")
+  }
+
   /** Default near-dup LSH shape — shared with the DuckDB oracle generator
     * so both sides band identically. */
   val NearDupTables = 4

@@ -59,6 +59,7 @@ object Training {
     * oracle where `s_near_dups`'s 0-row result is only a schema check. */
   val sSimPairs: Q = (s, d) => Similarity.cosineNearDups(emb(s, d), 0.3, bits = 8)
   val sIvfTopk: Q = (s, d) => Similarity.ivfTopK(emb(s, d), 3)
+  val sPqTopk: Q = (s, d) => Similarity.pqTopK(emb(s, d), 3)
 
   /** TF-IDF-ish top terms: tf per (doc, token), df per token, score =
     * tf·N/df (a single multiply + divide — bit-identical cross-engine,
@@ -159,6 +160,7 @@ object Training {
     "s_near_dups" -> sNearDups,
     "s_sim_pairs" -> sSimPairs,
     "s_ivf_topk" -> sIvfTopk,
+    "s_pq_topk" -> sPqTopk,
     "m_decode" -> mDecode,
     "m_frames" -> mFrames,
     "m_audio" -> mAudio,

