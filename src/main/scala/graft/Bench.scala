@@ -66,7 +66,8 @@ object Bench {
     "q_range_join" -> 1.4,
     "q_interval_join" -> 0.9,
     "m_audio" -> 0.4,
-    "s_pq_topk" -> 2.1)
+    "s_pq_topk" -> 2.1,
+    "q_stats" -> 0.7)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

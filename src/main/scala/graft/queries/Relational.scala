@@ -540,6 +540,32 @@ object Relational {
           .as("est_distinct"))
   }
 
+  /** Statistical-aggregate battery: variance/stddev/covariance/correlation
+    * per priority class. Built-in var_pop/corr are order-dependent double
+    * sums (non-associative across 1000 executors AND across engines), so
+    * every moment is derived from EXACT integer sums (values scaled to
+    * keep Σx² < 2^53) with a pinned sequence of divisions — the same
+    * float discipline as sumMoney, applied to second moments:
+    * var = Σx²/n − (Σx/n)², cov = Σxy/n − (Σx/n)(Σy/n). */
+  val qStats: Q = (s, d) => {
+    def t6(c: Column) = TextOps.trunc(c, 6)
+    val varX = col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))
+    val varY = col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n"))
+    val covXY = col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"),
+        floor(col("o_totalprice") / 100).cast("long").as("x"),
+        col("o_custkey").as("y"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
+        sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("o_orderpriority"), col("n"), col("sx"),
+        t6(varX).as("var_x"), t6(sqrt(varX)).as("std_x"),
+        t6(covXY).as("cov_xy"),
+        t6(covXY / (sqrt(varX) * sqrt(varY))).as("corr_xy"))
+  }
+
   /** Pivot (wide conditional aggregation): per-user event counts by type.
     * The value list is declared, so Catalyst plans ONE pass with a
     * conditional-agg per bucket — no per-value scans, one shuffle (the
@@ -592,6 +618,7 @@ object Relational {
     "q_cms_freq" -> qCmsFreq,
     "q_range_join" -> qRangeJoin,
     "q_interval_join" -> qIntervalJoin,
+    "q_stats" -> qStats,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

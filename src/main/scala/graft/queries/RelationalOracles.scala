@@ -233,6 +233,26 @@ object RelationalOracles {
         |WHERE o.o_orderpriority = '1-URGENT' AND l.l_returnflag = 'R'
         |GROUP BY 1""".stripMargin,
 
+    // moments from exact integer sums, identical division sequence
+    "q_stats" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    sum(x) AS sx, sum(x*x) AS sxx, sum(y) AS sy,
+        |    sum(y*y) AS syy, sum(x*y) AS sxy
+        |  FROM (SELECT o_orderpriority,
+        |          CAST(floor(o_totalprice / 100) AS BIGINT) AS x,
+        |          o_custkey AS y
+        |        FROM orders) t
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, n, sx,
+        |  floor((sxx/n - (sx/n)*(sx/n)) * 1000000) / 1000000 AS var_x,
+        |  floor(sqrt(sxx/n - (sx/n)*(sx/n)) * 1000000) / 1000000 AS std_x,
+        |  floor((sxy/n - (sx/n)*(sy/n)) * 1000000) / 1000000 AS cov_xy,
+        |  floor((sxy/n - (sx/n)*(sy/n)) /
+        |        (sqrt(sxx/n - (sx/n)*(sx/n)) * sqrt(syy/n - (sy/n)*(sy/n)))
+        |        * 1000000) / 1000000 AS corr_xy
+        |FROM s""".stripMargin,
+
     // overlap of half-open 1-hour windows == |tc - tp| < 3600
     "q_interval_join" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purch_id
