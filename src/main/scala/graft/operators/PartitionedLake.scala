@@ -35,4 +35,31 @@ object PartitionedLake {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Compact a partitioned lake directory's small files.
+    *
+    * Streaming ingest (one file per micro-batch per partition) and
+    * fine-grained writers leave thousands of KB-sized files per
+    * partition; every later scan then pays a task + a footer read per
+    * file, and at 100 TB the file LISTING alone dominates planning. This
+    * rewrites the table in ONE job: a single shuffle keyed on
+    * `(partition, bucket)` — `buckets` spreads a hot partition over that
+    * many writers, so compaction itself can't be skewed onto one task —
+    * and `maxRecordsPerFile` bounds file size from above. Output file
+    * count per partition ≈ max(buckets, rows/maxRecordsPerFile), files
+    * sized by data, not by ingest batching.
+    *
+    * Writes to `destDir` (never in-place: overwriting the directory
+    * being read is a read-your-own-delete failure; a deployment swaps
+    * the directory or updates the catalog pointer atomically). */
+  def compact(spark: SparkSession, srcDir: String, destDir: String,
+      partCol: String, maxRecordsPerFile: Long, buckets: Int = 1): Unit = {
+    val df = spark.read.parquet(srcDir)
+    val spreadKey = pmod(hash(df.columns.map(col): _*), lit(buckets))
+    df.repartition(col(partCol), spreadKey)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .partitionBy(partCol)
+      .parquet(destDir)
+  }
 }

@@ -48,6 +48,34 @@ class LakeSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("compaction shrinks file count, preserves partitions and content") {
+    import graft.operators.PartitionedLake
+    val src = java.nio.file.Files.createTempDirectory("lake-small").toString
+    val dest = java.nio.file.Files.createTempDirectory("lake-compact").toString
+    val ev = Tables.events(spark, TestSpark.Sf)
+    // simulate micro-batch ingest: many tiny files per date partition
+    ev.withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(16)
+      .write.mode("overwrite").option("maxRecordsPerFile", "20")
+      .partitionBy("event_date").parquet(src)
+    def dataFiles(dir: String) = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = dataFiles(src)
+    PartitionedLake.compact(spark, src, dest, "event_date",
+      maxRecordsPerFile = 100000, buckets = 2)
+    val after = dataFiles(dest)
+    assert(before > 4 * after, s"compaction barely helped: $before -> $after")
+    // partition directories survive (pruning still works on the compacted table)
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_date=")).map(_.getName).toSet
+    assert(parts(dest) === parts(src))
+    // content equality, column-for-column
+    val a = spark.read.parquet(src)
+    val b = spark.read.parquet(dest)
+    assert(a.count() === b.count())
+    assert(a.select(a.columns.map(col): _*).except(b.select(a.columns.map(col): _*)).count() === 0)
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     val input = MemoryStream[SessEvent](spark)
     val q = StreamingDedup.dedup(input.toDF()).writeStream
