@@ -67,7 +67,9 @@ object Bench {
     "q_interval_join" -> 0.9,
     "m_audio" -> 0.4,
     "s_pq_topk" -> 2.1,
-    "q_stats" -> 0.7)
+    "q_stats" -> 0.7,
+    "q_zscore" -> 0.4,
+    "t_pipeline" -> 4.8)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

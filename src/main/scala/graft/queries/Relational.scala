@@ -566,6 +566,24 @@ object Relational {
         t6(covXY / (sqrt(varX) * sqrt(varY))).as("corr_xy"))
   }
 
+  /** Grouped z-score normalization (the feature-scaling transform of a
+    * training pipeline) as ONE whole-partition window — no self-join with
+    * a per-group aggregate. Moments come from exact integer sums over the
+    * window ([[qStats]]'s discipline), so every z is bit-identical
+    * cross-engine. */
+  val qZscore: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type"))
+    val n = count(lit(1)).over(w)
+    val sx = sum(col("cents")).over(w)
+    val sxx = sum(col("cents") * col("cents")).over(w)
+    val mean = sx / n
+    val variance = sxx / n - mean * mean
+    Tables.events(s, d)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .select(col("event_id"), col("event_type"),
+        TextOps.trunc((col("cents") - mean) / sqrt(variance), 6).as("z"))
+  }
+
   /** Pivot (wide conditional aggregation): per-user event counts by type.
     * The value list is declared, so Catalyst plans ONE pass with a
     * conditional-agg per bucket — no per-value scans, one shuffle (the
@@ -619,6 +637,7 @@ object Relational {
     "q_range_join" -> qRangeJoin,
     "q_interval_join" -> qIntervalJoin,
     "q_stats" -> qStats,
+    "q_zscore" -> qZscore,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

@@ -233,6 +233,18 @@ object RelationalOracles {
         |WHERE o.o_orderpriority = '1-URGENT' AND l.l_returnflag = 'R'
         |GROUP BY 1""".stripMargin,
 
+    // same exact-moment discipline as q_stats, over a window
+    "q_zscore" ->
+      """SELECT event_id, event_type,
+        |  floor((cents - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)) * 1000000) / 1000000 AS z
+        |FROM (
+        |  SELECT event_id, event_type, cents,
+        |    count(*) OVER w AS n, sum(cents) OVER w AS sx,
+        |    sum(cents*cents) OVER w AS sxx
+        |  FROM (SELECT event_id, event_type,
+        |          CAST(floor(value * 100) AS BIGINT) AS cents FROM events) t
+        |  WINDOW w AS (PARTITION BY event_type)) s""".stripMargin,
+
     // moments from exact integer sums, identical division sequence
     "q_stats" ->
       """WITH s AS (

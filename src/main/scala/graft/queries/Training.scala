@@ -132,6 +132,32 @@ object Training {
     * share). */
   val tRepStats: Q = (s, d) => QualityRules.repetitionStats(docs(s, d))
 
+  /** The assembled training-set deliverable — the chain a user actually
+    * ships, as ONE query: stratified sample + split assignment →
+    * duplicate-cluster canonicals only (left-semi on the CC keep-set) →
+    * drop contaminated train docs (left-anti on the decontamination
+    * flag) → final (doc, lang, split, weight, n_tokens) manifest. Each
+    * stage is the already-oracle-checked operator; this query
+    * oracle-checks their COMPOSITION (the joins, the gate polarity, the
+    * split/keep interactions). All three side-relations key on doc_id,
+    * so the plan is one scan per stage + doc_id-keyed joins — at scale
+    * the semi/anti sides are the small outputs (keep-set, contaminated
+    * list), broadcast by AQE. */
+  val tPipeline: Q = (s, d) => {
+    val dset = docs(s, d)
+    val keep = Dedup.dedupKeep(dset).select("doc_id")
+    val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
+      SampleSalt, SplitTrain, SplitVal, SplitSalt)
+    val contaminated = Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
+      .filter(col("contaminated")).select("doc_id")
+    val ntok = dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens"))
+    sampled
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(ntok, Seq("doc_id"))
+      .select("doc_id", "lang", "split", "weight", "n_tokens")
+  }
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
@@ -155,6 +181,7 @@ object Training {
     "t_redact" -> tRedact,
     "t_decontam" -> tDecontam,
     "t_rep_stats" -> tRepStats,
+    "t_pipeline" -> tPipeline,
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,
     "s_near_dups" -> sNearDups,

@@ -438,6 +438,45 @@ object TrainingOracles {
          |LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin
     },
 
+    // Pipeline composition mirror: the sample/split/keep/decontam pieces
+    // are the SAME fragments as their standalone oracles (shared
+    // constants), re-chained — decontam CTEs renamed d* to avoid
+    // colliding with SigCte's shi.
+    "t_pipeline" -> {
+      import Training.{SampleDefault, SampleRates, SampleSalt, SplitSalt, SplitTrain, SplitVal}
+      def thr(k: Int): String = if (k >= 256) "zz" else f"$k%02x"
+      val thrCase = SampleRates.toSeq.sorted.map { case (l, k) =>
+        s"WHEN lang = '$l' THEN '${thr(k)}'"
+      }.mkString("CASE ", " ", s" ELSE '${thr(SampleDefault)}' END")
+      val wCase = SampleRates.toSeq.sorted.map { case (l, k) =>
+        s"WHEN lang = '$l' THEN CAST(${256.0 / k} AS DOUBLE)"
+      }.mkString("CASE ", " ", s" ELSE CAST(${256.0 / SampleDefault} AS DOUBLE) END")
+      def splitCase(idExpr: String): String =
+        s"""CASE WHEN substr(md5('$SplitSalt:' || $idExpr), 1, 2) < '${thr(SplitTrain)}' THEN 'train'
+           |     WHEN substr(md5('$SplitSalt:' || $idExpr), 1, 2) < '${thr(SplitVal)}' THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""$ClusterCte,
+         |keepers AS (SELECT DISTINCT cluster AS doc_id FROM clustered),
+         |samp AS (
+         |  SELECT doc_id, lang, $wCase AS weight, ${splitCase("doc_id")} AS split
+         |  FROM documents
+         |  WHERE substr(md5('$SampleSalt:' || doc_id), 1, 2) < $thrCase),
+         |dshi AS (SELECT doc_id, list_distinct($Shingles) AS sh,
+         |    ${splitCase("doc_id")} AS split
+         |  FROM tok WHERE len(toks) >= 3),
+         |dflat AS (SELECT doc_id, split, unnest(sh) AS s FROM dshi),
+         |dev AS (SELECT DISTINCT s FROM dflat WHERE split <> 'train'),
+         |contam AS (
+         |  SELECT DISTINCT f.doc_id FROM dflat f JOIN dev ON f.s = dev.s
+         |  WHERE f.split = 'train'),
+         |ntok AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM tok)
+         |SELECT s.doc_id, s.lang, s.split, s.weight, n.n_tokens
+         |FROM samp s
+         |JOIN keepers k ON s.doc_id = k.doc_id
+         |JOIN ntok n ON n.doc_id = s.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s.doc_id)""".stripMargin
+    },
+
     // Repetition-signal mirror: integer-derived ratios, floor-trunc 4dp;
     // n_tokens CAST to INT (Spark size() is 32-bit), max_tf to BIGINT.
     "t_rep_stats" ->
