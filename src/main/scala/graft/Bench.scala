@@ -69,6 +69,7 @@ object Bench {
     "s_pq_topk" -> 2.1,
     "q_stats" -> 0.7,
     "q_zscore" -> 0.4,
+    "q_json_fns" -> 0.4,
     "t_pipeline" -> 4.8)
 
   def main(args: Array[String]): Unit = {

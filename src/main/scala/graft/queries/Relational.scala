@@ -584,6 +584,25 @@ object Relational {
         TextOps.trunc((col("cents") - mean) / sqrt(variance), 6).as("z"))
   }
 
+  /** Semi-structured battery over the events.props JSON column: path
+    * extraction (get_json_object), schema-on-read (from_json → typed
+    * struct), and re-serialization (to_json — Spark and DuckDB both emit
+    * compact `{"a":1}` form). The collector's context payloads are JSON
+    * strings, so this is the surface a user hits constantly. */
+  val qJsonFns: Q = (s, d) => {
+    val parsed = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.IntegerType))))
+    Tables.events(s, d)
+      .withColumn("k_path", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_typed", parsed.getField("k"))
+      .select(
+        col("event_id"), col("k_path"), col("k_typed"),
+        (col("k_path") === col("k_typed")).as("apis_agree"),
+        (col("k_path") % 10).as("k_mod"),
+        to_json(struct(col("event_id"), col("k_typed").as("k"))).as("packed"))
+  }
+
   /** Pivot (wide conditional aggregation): per-user event counts by type.
     * The value list is declared, so Catalyst plans ONE pass with a
     * conditional-agg per bucket — no per-value scans, one shuffle (the
@@ -638,6 +657,7 @@ object Relational {
     "q_interval_join" -> qIntervalJoin,
     "q_stats" -> qStats,
     "q_zscore" -> qZscore,
+    "q_json_fns" -> qJsonFns,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

@@ -233,6 +233,19 @@ object RelationalOracles {
         |WHERE o.o_orderpriority = '1-URGENT' AND l.l_returnflag = 'R'
         |GROUP BY 1""".stripMargin,
 
+    // json_extract mirrors both Spark extraction APIs; json_object emits
+    // the same compact serialization as Spark's to_json
+    "q_json_fns" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+        |  true AS apis_agree,
+        |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+        |  CAST(json_object('event_id', event_id,
+        |                   'k', CAST(json_extract_string(props, '$.k') AS INT))
+        |       AS VARCHAR) AS packed
+        |FROM events""".stripMargin,
+
     // same exact-moment discipline as q_stats, over a window
     "q_zscore" ->
       """SELECT event_id, event_type,
