@@ -30,6 +30,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.chunkBase64String.enabled", "false")
+      // duplicate querystring keys (a=1&a=2) are legal HTTP; Spark's
+      // default str_to_map policy THROWS on them, which would let one
+      // hostile request kill a 100 TB ingest job (found by FuzzSpec).
+      // LAST_WIN matches Scala's pairs.toMap (the reference's Query
+      // param handling).
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

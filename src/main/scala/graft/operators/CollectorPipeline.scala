@@ -51,8 +51,11 @@ object CollectorPipeline {
       forall(split(qs, "&"), t => t.rlike(TokenRe))
 
   /** P3: querystring → map. Guarded by [[qsValid]] at call sites (CaseWhen
-    * only evaluates the taken branch, so malformed rows never hit
-    * str_to_map's duplicate-key error). */
+    * only evaluates the taken branch). qsValid does NOT reject duplicate
+    * keys — `a=1&a=2` is legal HTTP — so the session runs str_to_map
+    * under mapKeyDedupPolicy=LAST_WIN (GraftSession; Spark's default
+    * policy throws, letting one hostile request kill the job — FuzzSpec
+    * regression). LAST_WIN matches Scala's pairs.toMap. */
   def qsMap(qs: Column): Column = str_to_map(qs, lit("&"), lit("="))
 
   /** A single query param, null when the string is malformed or absent. */

@@ -11,6 +11,7 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.chunkBase64String.enabled", "false")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN") // see GraftSession
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", "4")
