@@ -70,6 +70,7 @@ object Bench {
     "q_stats" -> 0.7,
     "q_zscore" -> 0.4,
     "q_json_fns" -> 0.4,
+    "q_sql_exists" -> 0.7,
     "t_pipeline" -> 4.8)
 
   def main(args: Array[String]): Unit = {

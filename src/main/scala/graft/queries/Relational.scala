@@ -419,6 +419,25 @@ object Relational {
     s.sql(SqlQ6)
   }
 
+  /** Correlated EXISTS through the SQL front door — ONE text, both
+    * engines. Catalyst decorrelates the subquery into a left-semi join
+    * (the plan a user gets writing idiomatic SQL against the catalog). */
+  private[queries] val SqlExists =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F')""".stripMargin
+
+  val qSqlExists: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(SqlExists)
+  }
+
   /** Count-Min frequency sketch over event types — estimates are
     * oracle-EXACT (md5-derived integer buckets, same cells both
     * engines), completing the deterministic sketch suite (KMV ≈
@@ -658,6 +677,7 @@ object Relational {
     "q_stats" -> qStats,
     "q_zscore" -> qZscore,
     "q_json_fns" -> qJsonFns,
+    "q_sql_exists" -> qSqlExists,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

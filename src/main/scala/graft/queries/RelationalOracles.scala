@@ -381,6 +381,7 @@ object RelationalOracles {
     // the literal same SQL text the Spark side executes via spark.sql —
     // the strongest possible front-door parity statement
     "q_sql_q6" -> graft.queries.Relational.SqlQ6,
+    "q_sql_exists" -> graft.queries.Relational.SqlExists,
 
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n_rows,
