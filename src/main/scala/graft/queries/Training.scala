@@ -132,6 +132,29 @@ object Training {
     * share). */
   val tRepStats: Q = (s, d) => QualityRules.repetitionStats(docs(s, d))
 
+  /** Vocabulary induction (the tokenizer-building primitive): corpus-wide
+    * token counts, rank by (count desc, token asc), top 50 with each
+    * rank's cumulative coverage of all token occurrences. Counts are
+    * exact integers and the cumulative sum is over the deterministic rank
+    * order, so the coverage doubles are bit-identical cross-engine. One
+    * explode + one agg + a top-k sort over the (tiny) distinct-token
+    * relation. */
+  val tVocab: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val ordered = Window.orderBy(col("n").desc, col("tok").asc)
+    val total = Window.partitionBy()
+    counts
+      .withColumn("rank", row_number().over(ordered))
+      .withColumn("coverage", TextOps.trunc(
+        sum("n").over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / sum("n").over(total), 6))
+      .filter(col("rank") <= 50)
+      .select("rank", "tok", "n", "coverage")
+  }
+
   /** The assembled training-set deliverable — the chain a user actually
     * ships, as ONE query: stratified sample + split assignment →
     * duplicate-cluster canonicals only (left-semi on the CC keep-set) →
@@ -182,6 +205,7 @@ object Training {
     "t_decontam" -> tDecontam,
     "t_rep_stats" -> tRepStats,
     "t_pipeline" -> tPipeline,
+    "t_vocab" -> tVocab,
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,
     "s_near_dups" -> sNearDups,

@@ -438,6 +438,22 @@ object TrainingOracles {
          |LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin
     },
 
+    // vocabulary induction mirror: same tokenization, same rank order,
+    // same exact-integer cumulative coverage
+    "t_vocab" ->
+      s"""$TokCte,
+         |flat AS (SELECT unnest(toks) AS tok FROM tok),
+         |counts AS (SELECT tok, count(*) AS n FROM flat GROUP BY 1),
+         |ranked AS (
+         |  SELECT tok, n,
+         |    row_number() OVER (ORDER BY n DESC, tok ASC) AS rank,
+         |    sum(n) OVER (ORDER BY n DESC, tok ASC
+         |                 ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(n) OVER () AS total
+         |  FROM counts)
+         |SELECT rank, tok, n, floor(CAST(cum AS DOUBLE) / total * 1000000) / 1000000 AS coverage
+         |FROM ranked WHERE rank <= 50""".stripMargin,
+
     // Pipeline composition mirror: the sample/split/keep/decontam pieces
     // are the SAME fragments as their standalone oracles (shared
     // constants), re-chained — decontam CTEs renamed d* to avoid
