@@ -36,6 +36,44 @@ object PartitionedLake {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Surgical deletion propagation (takedown / right-to-be-forgotten):
+    * remove `ids` from a partitioned table by rewriting ONLY the
+    * partitions that contain them — at 100 TB a deletion list touches a
+    * handful of partitions, and a full-table rewrite for 50 rows is the
+    * difference between minutes and a day.
+    *
+    * Mechanics: one metadata-scale pass finds the affected partition
+    * VALUES (the scan prunes to the id filter); the cleaned rows of just
+    * those partitions are pinned (`localCheckpoint` — truncates lineage,
+    * both because Spark refuses to overwrite a path it is reading from
+    * and so the write can't observe its own deletes), then written back
+    * under DYNAMIC partition overwrite, which replaces exactly the
+    * partitions present in the output and leaves every other file
+    * untouched (byte-for-byte — proven in LakeSpec). A cluster
+    * deployment swaps `localCheckpoint` for a reliable checkpoint dir or
+    * a temp-dir + atomic-rename commit. Returns the affected partition
+    * values. */
+  def deleteIds(spark: SparkSession, dir: String, partCol: String,
+      idCol: String, ids: Seq[Long]): Seq[String] = {
+    val df = spark.read.parquet(dir)
+    val affected = df.filter(col(idCol).isin(ids: _*))
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq // partition VALUES — metadata-scale
+    if (affected.nonEmpty) {
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        df.filter(col(partCol).isin(affected: _*) && !col(idCol).isin(ids: _*))
+          .localCheckpoint()
+          .write.mode("overwrite").partitionBy(partCol).parquet(dir)
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    affected
+  }
+
   /** Compact a partitioned lake directory's small files.
     *
     * Streaming ingest (one file per micro-batch per partition) and

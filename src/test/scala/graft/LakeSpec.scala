@@ -76,6 +76,42 @@ class LakeSpec extends AnyFunSuite {
     assert(a.select(a.columns.map(col): _*).except(b.select(a.columns.map(col): _*)).count() === 0)
   }
 
+  test("deletion propagation rewrites only affected partitions, byte-identical elsewhere") {
+    import graft.operators.PartitionedLake
+    val dir = java.nio.file.Files.createTempDirectory("lake-del").toString
+    val ev = Tables.events(spark, TestSpark.Sf)
+    PartitionedLake.writePartitionedByDay(ev, dir)
+    val before = spark.read.parquet(dir)
+    val total = before.count()
+    // pick ids spanning two partitions, plus note an untouched partition
+    val victims = before.select(col("event_id"), col("event_date"))
+      .as[(Long, String)].collect().groupBy(_._2).toSeq.sortBy(_._1)
+      .take(2).map(_._2.head._1)
+    def listing(dir: String): Map[String, Long] = {
+      val base = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(base)
+      try s.filter(p => p.toString.endsWith(".parquet")).toArray.map(_.toString)
+        .map(p => p -> java.nio.file.Files.size(java.nio.file.Paths.get(p))).toMap
+      finally s.close()
+    }
+    val filesBefore = listing(dir)
+    val affected = PartitionedLake.deleteIds(spark, dir, "event_date", "event_id", victims)
+    assert(affected.size === 2)
+    val after = spark.read.parquet(dir)
+    // the victims are gone and nothing else is
+    assert(after.count() === total - victims.length)
+    assert(after.filter(col("event_id").isin(victims: _*)).count() === 0)
+    // untouched partitions kept their exact files (path AND size)
+    val filesAfter = listing(dir)
+    val untouched = filesBefore.keys.filter(p => !affected.exists(a => p.contains(s"event_date=$a")))
+    assert(untouched.nonEmpty)
+    untouched.foreach { p =>
+      assert(filesAfter.get(p).contains(filesBefore(p)), s"untouched file changed: $p")
+    }
+    // affected partitions were rewritten (old files replaced)
+    assert(affected.forall(a => filesAfter.keys.exists(_.contains(s"event_date=$a"))))
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     val input = MemoryStream[SessEvent](spark)
     val q = StreamingDedup.dedup(input.toDF()).writeStream
