@@ -71,6 +71,7 @@ object Bench {
     "q_zscore" -> 0.4,
     "q_json_fns" -> 0.4,
     "q_sql_exists" -> 0.7,
+    "q_asof_fwd" -> 0.4,
     "t_vocab" -> 0.7,
     "t_pipeline" -> 4.8)
 

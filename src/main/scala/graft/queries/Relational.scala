@@ -225,6 +225,33 @@ object Relational {
       .select(col("event_id"), col("k").as("user_id"), col("asof_orderkey"))
   }
 
+  /** Forward as-of join — the other direction of [[qAsofJoin]]: for each
+    * click, the NEXT purchase by the same user at or after it
+    * (time-to-conversion). Same shuffle-once piecewise merge, mirrored:
+    * a min-key first_value over the FOLLOWING frame carries the nearest
+    * upcoming purchase backward — no O(n·m) range join, one sort per
+    * user. */
+  val qAsofFwd: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), col("ts"), col("event_id"),
+        lit(0).as("side"), lit(null).cast("long").as("p_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), col("ts"),
+        lit(null).cast("long").as("event_id"), lit(1).as("side"),
+        col("event_id").as("p_id"))
+    // clicks sort before purchases at equal ts (side 0<1) so a purchase
+    // AT the click's own timestamp is eligible; purchase ties break by
+    // event_id ASC so the MIN id wins (first_value scans forward)
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts").asc, col("side").asc, col("p_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purch)
+      .withColumn("next_purchase_id", first(col("p_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 0)
+      .select(col("event_id"), col("k").as("user_id"), col("next_purchase_id"))
+  }
+
   /** Funnel/conversion: per user, first signup and the first purchase at
     * or after it — conditional min aggregation, one shuffle on user_id. */
   val qFunnel: Q = (s, d) =>
@@ -657,6 +684,7 @@ object Relational {
     "q_sort_limit" -> qSortLimit,
     "q_scalar_fns" -> qScalarFns,
     "q_asof_join" -> qAsofJoin,
+    "q_asof_fwd" -> qAsofFwd,
     "q_above_avg" -> qAboveAvg,
     "q_funnel" -> qFunnel,
     "q_string_fns" -> qStringFns,

@@ -302,6 +302,22 @@ object RelationalOracles {
         |  FROM merged)
         |SELECT event_id, k AS user_id, asof_orderkey FROM marked WHERE side = 1""".stripMargin,
 
+    "q_asof_fwd" ->
+      """WITH merged AS (
+        |  SELECT user_id AS k, ts, event_id, 0 AS side, NULL::BIGINT AS p_id
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id AS k, ts, NULL::BIGINT AS event_id, 1 AS side,
+        |    event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |marked AS (
+        |  SELECT *, first_value(p_id IGNORE NULLS) OVER (
+        |    PARTITION BY k ORDER BY ts ASC, side ASC, p_id ASC
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id
+        |  FROM merged)
+        |SELECT event_id, k AS user_id, next_purchase_id
+        |FROM marked WHERE side = 0""".stripMargin,
+
     "q_funnel" ->
       """SELECT user_id,
         |  min(CASE WHEN event_type = 'signup'
