@@ -586,18 +586,60 @@ object Relational {
           .as("est_distinct"))
   }
 
+  /** DECIMAL(38,0) — the exact-integer carrier for second-moment math.
+    * BIGINT overflows at 1e6·Σx² scale; DECIMAL(38,0) (int128-backed, like
+    * DuckDB HUGEINT) holds every intermediate here with ≥5 digits of
+    * headroom. */
+  private val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+  private def d38(c: Column): Column = c.cast(D38)
+
+  /** Floor division n/d for d > 0, exact: subtract the positive remainder
+    * first so the division itself is even (no rounding anywhere). Spark's
+    * `div` and DuckDB's `//` both truncate toward zero, so for NEGATIVE
+    * numerators (covariance, correlation) the explicit pmod form is what
+    * keeps the two engines pinned to the same (floor) convention. */
+  private def floorDivD(n: Column, d: Column): Column =
+    ((n - pmod(n, d)) / d).cast(D38)
+
+  /** Integer sqrt of a non-negative DECIMAL(38,0) — REPRESENTATION-PROOF.
+    * The double `sqrt` seeds a guess (env-sensitive by up to ~±8 ulps-worth
+    * near 1e33 after the int→double conversion), one integer Newton step
+    * collapses that error to ≤1, and an exact-integer candidate scan picks
+    * the true floor. No double survives into the result, so FMA/libm
+    * differences between environments cannot move the output. */
+  private def isqrtD(x: Column): Column = {
+    val one = d38(lit(1))
+    val g0 = greatest(floor(sqrt(x.cast("double"))).cast(D38), one)
+    val g1 = floorDivD(g0 + floorDivD(x, g0), d38(lit(2)))
+    Seq(2, 1, 0, -1, -2)
+      .map(k => g1 + d38(lit(k)))
+      .foldLeft(org.apache.spark.sql.functions.when(lit(false), lit(null))) {
+        (acc, c) => acc.when(c * c <= x, c)
+      }
+      .otherwise(d38(lit(0)))
+  }
+
   /** Statistical-aggregate battery: variance/stddev/covariance/correlation
     * per priority class. Built-in var_pop/corr are order-dependent double
-    * sums (non-associative across 1000 executors AND across engines), so
-    * every moment is derived from EXACT integer sums (values scaled to
-    * keep Σx² < 2^53) with a pinned sequence of divisions — the same
-    * float discipline as sumMoney, applied to second moments:
-    * var = Σx²/n − (Σx/n)², cov = Σxy/n − (Σx/n)(Σy/n). */
+    * sums (non-associative across 1000 executors AND across engines).
+    * Round 4 proved the stronger lesson (q_stats failed the driver hash
+    * gate while bit-exact locally): even truncated doubles derived from
+    * exact integer sums are not cross-environment safe — a last-bit
+    * division/sqrt/FMA difference crosses a floor(x·1e6) boundary. So the
+    * OUTPUTS are now exact integers end-to-end, micro-scaled:
+    * var_micro = ⌊1e6·(n·Σx² − (Σx)²)/n²⌋, std_micro = isqrt of the
+    * 1e12-scaled numerator, cov/corr via the same floor-div over exact
+    * int128 products. Zero doubles in the output schema. */
   val qStats: Q = (s, d) => {
-    def t6(c: Column) = TextOps.trunc(c, 6)
-    val varX = col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))
-    val varY = col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n"))
-    val covXY = col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))
+    val n  = d38(col("n"))
+    val sx = d38(col("sx"));  val sy = d38(col("sy"))
+    val m2x = n * d38(col("sxx")) - sx * sx   // n²·var_x, exact ≥ 0
+    val m2y = n * d38(col("syy")) - sy * sy
+    val cxy = n * d38(col("sxy")) - sx * sy   // n²·cov_xy, exact, signed
+    val n2  = n * n
+    val mega = d38(lit(1000000L))
+    val tera = d38(lit(1000000000000L))
+    val corrDen = isqrtD(m2x * m2y)           // n²·sqrt(varx·vary), exact
     Tables.orders(s, d)
       .select(col("o_orderpriority"),
         floor(col("o_totalprice") / 100).cast("long").as("x"),
@@ -607,27 +649,48 @@ object Relational {
         sum(col("x") * col("x")).as("sxx"), sum("y").as("sy"),
         sum(col("y") * col("y")).as("syy"), sum(col("x") * col("y")).as("sxy"))
       .select(col("o_orderpriority"), col("n"), col("sx"),
-        t6(varX).as("var_x"), t6(sqrt(varX)).as("std_x"),
-        t6(covXY).as("cov_xy"),
-        t6(covXY / (sqrt(varX) * sqrt(varY))).as("corr_xy"))
+        floorDivD(mega * m2x, n2).cast("long").as("var_micro_x"),
+        isqrtD(floorDivD(tera * m2x, n2)).cast("long").as("std_micro_x"),
+        floorDivD(mega * cxy, n2).cast("long").as("cov_micro_xy"),
+        floorDivD(mega * cxy,
+          when(corrDen === d38(lit(0)), lit(null)).otherwise(corrDen))
+          .cast("long").as("corr_micro_xy"))
   }
 
   /** Grouped z-score normalization (the feature-scaling transform of a
-    * training pipeline) as ONE whole-partition window — no self-join with
-    * a per-group aggregate. Moments come from exact integer sums over the
-    * window ([[qStats]]'s discipline), so every z is bit-identical
-    * cross-engine. */
+    * training pipeline). Same representation-proof discipline as
+    * [[qStats]]: z = (x − μ)/σ = (n·x − Σx)/√(n·Σx² − (Σx)²) with every
+    * term an exact integer, emitted micro-scaled as
+    * z_micro = ⌊1e6·(n·x − Σx) / isqrt(n·Σx² − (Σx)²)⌋ — an exact BIGINT,
+    * immune to the driver environment's float behavior.
+    *
+    * Plan shape: per-group moments via a map-side-combined aggregate
+    * (group-count rows) BROADCAST-joined back to the scan — NOT a window.
+    * `partitionBy(event_type)` over a handful of distinct values would
+    * funnel 100 TB into that many reducers (the r1–r4 window version's
+    * latent skew), and the per-row isqrt Newton scan would re-run on
+    * identical group values for every row; here the isqrt happens once
+    * per GROUP and each row pays one decimal multiply-subtract-divide
+    * inside whole-stage codegen. */
   val qZscore: Q = (s, d) => {
-    val w = Window.partitionBy(col("event_type"))
-    val n = count(lit(1)).over(w)
-    val sx = sum(col("cents")).over(w)
-    val sxx = sum(col("cents") * col("cents")).over(w)
-    val mean = sx / n
-    val variance = sxx / n - mean * mean
+    val n   = d38(col("n"))
+    val sx  = d38(col("sx"))
+    val sxx = d38(col("sxx"))
+    val m2 = n * sxx - sx * sx                 // n²·var, exact ≥ 0
+    val zden = isqrtD(m2)
+    val stats = Tables.events(s, d)
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col("cents") * col("cents")).as("sxx"))
+      .select(col("event_type"), d38(col("n")).as("gn"), d38(col("sx")).as("gsx"),
+        when(zden === d38(lit(0)), lit(null)).otherwise(zden).as("gden"))
+    val znum = d38(lit(1000000L)) * (col("gn") * d38(col("cents")) - col("gsx"))
     Tables.events(s, d)
       .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .join(broadcast(stats), "event_type")
       .select(col("event_id"), col("event_type"),
-        TextOps.trunc((col("cents") - mean) / sqrt(variance), 6).as("z"))
+        floorDivD(znum, col("gden")).cast("long").as("z_micro"))
   }
 
   /** Semi-structured battery over the events.props JSON column: path
@@ -644,7 +707,9 @@ object Relational {
       .withColumn("k_typed", parsed.getField("k"))
       .select(
         col("event_id"), col("k_path"), col("k_typed"),
-        (col("k_path") === col("k_typed")).as("apis_agree"),
+        // null-safe: both-null (malformed/absent k) counts as agreement,
+        // and the oracle can mirror it exactly (IS NOT DISTINCT FROM)
+        (col("k_path") <=> col("k_typed")).as("apis_agree"),
         (col("k_path") % 10).as("k_mod"),
         to_json(struct(col("event_id"), col("k_typed").as("k"))).as("packed"))
   }

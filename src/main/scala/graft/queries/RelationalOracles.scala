@@ -235,30 +235,64 @@ object RelationalOracles {
 
     // json_extract mirrors both Spark extraction APIs; json_object emits
     // the same compact serialization as Spark's to_json
+    // honest mirror of the Spark semantics (not a shortcut that happens to
+    // match today's generator): apis_agree is NULL-SAFE equality, and
+    // packed drops the k field entirely when NULL — exactly what Spark's
+    // to_json does with a null struct field.
     "q_json_fns" ->
-      """SELECT event_id,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
-        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
-        |  true AS apis_agree,
-        |  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
-        |  CAST(json_object('event_id', event_id,
-        |                   'k', CAST(json_extract_string(props, '$.k') AS INT))
-        |       AS VARCHAR) AS packed
-        |FROM events""".stripMargin,
+      """WITH t AS (
+        |  SELECT event_id,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+        |    CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
+        |  FROM events)
+        |SELECT event_id, k_path, k_typed,
+        |  (k_path IS NOT DISTINCT FROM k_typed) AS apis_agree,
+        |  k_path % 10 AS k_mod,
+        |  CASE WHEN k_typed IS NULL
+        |       THEN CAST(json_object('event_id', event_id) AS VARCHAR)
+        |       ELSE CAST(json_object('event_id', event_id, 'k', k_typed) AS VARCHAR)
+        |  END AS packed
+        |FROM t""".stripMargin,
 
-    // same exact-moment discipline as q_stats, over a window
+    // same representation-proof integer-moment discipline as q_stats, over
+    // a window: z_micro = floor(1e6*(n*x - sx) / isqrt(n*sxx - sx^2)),
+    // every term exact HUGEINT; the double sqrt only SEEDS the integer
+    // Newton step, the candidate scan lands the exact floor.
     "q_zscore" ->
-      """SELECT event_id, event_type,
-        |  floor((cents - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)) * 1000000) / 1000000 AS z
-        |FROM (
+      """WITH s AS (
         |  SELECT event_id, event_type, cents,
         |    count(*) OVER w AS n, sum(cents) OVER w AS sx,
         |    sum(cents*cents) OVER w AS sxx
         |  FROM (SELECT event_id, event_type,
         |          CAST(floor(value * 100) AS BIGINT) AS cents FROM events) t
-        |  WINDOW w AS (PARTITION BY event_type)) s""".stripMargin,
+        |  WINDOW w AS (PARTITION BY event_type)),
+        |m AS (
+        |  SELECT event_id, event_type,
+        |    CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS m2,
+        |    1000000*(CAST(n AS HUGEINT)*cents - sx) AS znum
+        |  FROM s),
+        |g AS (SELECT *, GREATEST(CAST(floor(sqrt(CAST(m2 AS DOUBLE))) AS HUGEINT), 1) AS g0 FROM m),
+        |h AS (SELECT *, (g0 + m2 // g0) // 2 AS g1 FROM g),
+        |i AS (SELECT event_id, event_type, znum,
+        |    CASE WHEN (g1+2)*(g1+2) <= m2 THEN g1+2
+        |         WHEN (g1+1)*(g1+1) <= m2 THEN g1+1
+        |         WHEN g1*g1         <= m2 THEN g1
+        |         WHEN (g1-1)*(g1-1) <= m2 THEN g1-1
+        |         WHEN (g1-2)*(g1-2) <= m2 THEN g1-2
+        |         ELSE 0 END AS den
+        |  FROM h)
+        |SELECT event_id, event_type,
+        |  CASE WHEN den = 0 THEN NULL
+        |       ELSE CAST((znum - ((znum % den) + den) % den) // den AS BIGINT)
+        |  END AS z_micro
+        |FROM i""".stripMargin,
 
-    // moments from exact integer sums, identical division sequence
+    // moments as exact integers END-TO-END (r4 lesson: truncated doubles
+    // derived from exact sums still fail across environments — FMA/libm
+    // last-bit differences cross floor boundaries). All arithmetic in
+    // HUGEINT (int128, = Spark DECIMAL(38,0)); floor-div via explicit
+    // positive-mod subtraction so negative covariances floor identically
+    // in both engines; isqrt = double-seeded integer Newton + exact scan.
     "q_stats" ->
       """WITH s AS (
         |  SELECT o_orderpriority, count(*) AS n,
@@ -268,15 +302,45 @@ object RelationalOracles {
         |          CAST(floor(o_totalprice / 100) AS BIGINT) AS x,
         |          o_custkey AS y
         |        FROM orders) t
-        |  GROUP BY 1)
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT o_orderpriority, n, sx,
+        |    CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS m2x,
+        |    CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS m2y,
+        |    CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS cxy,
+        |    CAST(n AS HUGEINT)*n AS n2
+        |  FROM s),
+        |sq AS (  -- isqrt((1e12*m2x) // n2) for std_micro_x
+        |  SELECT *, (1000000000000*m2x) // n2 AS sv FROM m),
+        |sg AS (SELECT *, GREATEST(CAST(floor(sqrt(CAST(sv AS DOUBLE))) AS HUGEINT), 1) AS sg0 FROM sq),
+        |sh AS (SELECT *, (sg0 + sv // sg0) // 2 AS sg1 FROM sg),
+        |si AS (SELECT *,
+        |    CASE WHEN (sg1+2)*(sg1+2) <= sv THEN sg1+2
+        |         WHEN (sg1+1)*(sg1+1) <= sv THEN sg1+1
+        |         WHEN sg1*sg1         <= sv THEN sg1
+        |         WHEN (sg1-1)*(sg1-1) <= sv THEN sg1-1
+        |         WHEN (sg1-2)*(sg1-2) <= sv THEN sg1-2
+        |         ELSE 0 END AS std_micro,
+        |    m2x*m2y AS dp
+        |  FROM sh),
+        |cg AS (SELECT *, GREATEST(CAST(floor(sqrt(CAST(dp AS DOUBLE))) AS HUGEINT), 1) AS cg0 FROM si),
+        |ch AS (SELECT *, (cg0 + dp // cg0) // 2 AS cg1 FROM cg),
+        |ci AS (SELECT *,
+        |    CASE WHEN (cg1+2)*(cg1+2) <= dp THEN cg1+2
+        |         WHEN (cg1+1)*(cg1+1) <= dp THEN cg1+1
+        |         WHEN cg1*cg1         <= dp THEN cg1
+        |         WHEN (cg1-1)*(cg1-1) <= dp THEN cg1-1
+        |         WHEN (cg1-2)*(cg1-2) <= dp THEN cg1-2
+        |         ELSE 0 END AS corr_den
+        |  FROM ch)
         |SELECT o_orderpriority, n, sx,
-        |  floor((sxx/n - (sx/n)*(sx/n)) * 1000000) / 1000000 AS var_x,
-        |  floor(sqrt(sxx/n - (sx/n)*(sx/n)) * 1000000) / 1000000 AS std_x,
-        |  floor((sxy/n - (sx/n)*(sy/n)) * 1000000) / 1000000 AS cov_xy,
-        |  floor((sxy/n - (sx/n)*(sy/n)) /
-        |        (sqrt(sxx/n - (sx/n)*(sx/n)) * sqrt(syy/n - (sy/n)*(sy/n)))
-        |        * 1000000) / 1000000 AS corr_xy
-        |FROM s""".stripMargin,
+        |  CAST((1000000*m2x - ((1000000*m2x % n2) + n2) % n2) // n2 AS BIGINT) AS var_micro_x,
+        |  CAST(std_micro AS BIGINT) AS std_micro_x,
+        |  CAST((1000000*cxy - ((1000000*cxy % n2) + n2) % n2) // n2 AS BIGINT) AS cov_micro_xy,
+        |  CASE WHEN corr_den = 0 THEN NULL
+        |       ELSE CAST((1000000*cxy - ((1000000*cxy % corr_den) + corr_den) % corr_den) // corr_den AS BIGINT)
+        |  END AS corr_micro_xy
+        |FROM ci""".stripMargin,
 
     // overlap of half-open 1-hour windows == |tc - tp| < 3600
     "q_interval_join" ->
