@@ -117,6 +117,13 @@ object CollectorConfig {
     "iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0"
   /** Nil UUID used under SP-Anonymous (reference `CollectorService.scala:100`). */
   val NilUuid = "00000000-0000-0000-0000-000000000000"
+  /** Self-describing bad-row schema URIs (reference emits these via the
+    * snowplow-badrows library: `CollectorService.scala:185-189` for
+    * generic_error, `utils/SplitBatch.scala:132-145` for size_violation). */
+  val GenericErrorSchemaUri =
+    "iglu:com.snowplowanalytics.snowplow.badrows/generic_error/jsonschema/1-0-0"
+  val SizeViolationSchemaUri =
+    "iglu:com.snowplowanalytics.snowplow.badrows/size_violation/jsonschema/1-0-0"
   /** tp2 canonical path. */
   val Tp2Path = "/com.snowplowanalytics.snowplow/tp2"
 

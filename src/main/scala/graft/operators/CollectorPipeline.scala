@@ -201,6 +201,55 @@ object CollectorPipeline {
     generic.unionByName(oversized)
   }
 
+  /** The SELF-DESCRIBING bad-row stream: each bad row as the reference's
+    * full JSON envelope (`badRow.compact` —
+    * `CollectorService.scala:185-189,321`, `utils/SplitBatch.scala:132-145`),
+    * so anything downstream that consumes Snowplow bad rows can consume
+    * ours. GenericError wraps the unparseable querystring; SizeViolation
+    * (split-aware, via [[SplitBatch.badRowFields]]) carries the size gate
+    * + the branch's fold message as `expectation` and maxBytes/10 chars of
+    * the thrift toString() as `payload`. Declared divergences: the failure
+    * `timestamp` is the REQUEST time (deterministic, replayable) where the
+    * reference stamps sink-side wall clock (`Instant.now()`), and the
+    * GenericError message is a stable string where the reference surfaces
+    * the HTTP library's exception text. The envelope is built with
+    * `to_json(struct(...))` — a codegen'd projection, no UDF. */
+  def badRowsJson(env: DataFrame, cfg: CollectorConfig): DataFrame = {
+    val processor =
+      struct(lit(cfg.appName).as("artifact"), lit(cfg.appVersion).as("version"))
+    def iso(ms: Column) =
+      date_format(timestamp_millis(ms), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    val generic = env
+      .filter(!qsValid(col("querystring")))
+      .select(
+        col("event_id"),
+        to_json(struct(
+          lit(CollectorConfig.GenericErrorSchemaUri).as("schema"),
+          struct(
+            processor.as("processor"),
+            struct(
+              iso(col("timestamp_ms")).as("timestamp"),
+              array(lit("querystring is not parseable")).as("errors")).as("failure"),
+            coalesce(col("querystring"), lit("")).as("payload")).as("data")))
+          .as("bad_row_json"))
+    val size = SplitBatch.badRowFields(payloads(env, cfg), cfg.maxBytes).toDF()
+      .select(
+        col("event_id"),
+        to_json(struct(
+          lit(CollectorConfig.SizeViolationSchemaUri).as("schema"),
+          struct(
+            processor.as("processor"),
+            struct(
+              iso(col("timestamp_ms")).as("timestamp"),
+              lit(cfg.maxBytes).as("maximumAllowedSizeBytes"),
+              col("actual_size").cast("int").as("actualSizeBytes"),
+              concat(lit("oversized collector payload: "), col("reason"))
+                .as("expectation")).as("failure"),
+            col("payload_prefix").as("payload")).as("data")))
+          .as("bad_row_json"))
+    generic.unionByName(size)
+  }
+
   /** P9: the Set-Cookie response header (reference
     * `CollectorService.scala:407-433`): suppressed under do-not-track and
     * SP-Anonymous; otherwise `name=networkUserId` with absolute expiry
@@ -222,7 +271,12 @@ object CollectorPipeline {
       emitted.as("emitted"),
       when(emitted, concat(
         lit(cfg.cookieName + "="), networkUserId,
-        lit("; Expires="), col("timestamp_ms") + lit(cfg.cookieExpirationMs),
+        // RFC-1123 wire format, UTC-pinned — what Pekko's HttpCookie
+        // renders (reference `CollectorService.scala:420-431`)
+        lit("; Expires="),
+        date_format(
+          timestamp_millis(col("timestamp_ms") + lit(cfg.cookieExpirationMs)),
+          "EEE, dd MMM yyyy HH:mm:ss 'GMT'"),
         when(domain.isNotNull, concat(lit("; Domain="), domain)).otherwise(lit("")),
         lit("; Path=/"), lit(flags))).as("set_cookie"))
   }

@@ -16,6 +16,15 @@ final case class PackedElement(event_id: Long, idx: Int, batch_idx: Int)
 final case class WireRoute(
     event_id: Long, disposition: String, n_good: Int, n_bad: Int, reason: String)
 
+/** One bad row the bad sink actually receives, pre-envelope (reference
+  * `SplitBatch.oversizedPayload`): `actual_size` is the failed ELEMENT's
+  * serialized size on the split path but the WHOLE event's wire size on
+  * the unsplittable branches, `payload_prefix` is maxBytes/10 chars of the
+  * whole event's thrift `toString()` on every branch. */
+final case class BadRowFields(
+    event_id: Long, timestamp_ms: Long, reason: String,
+    actual_size: Long, payload_prefix: String)
+
 /** Greedy size-capped batch splitting (reference A1/A2:
   * `core/.../utils/SplitBatch.scala:40-74` greedy packer, `:81-113`
   * envelope re-pack). Order-sensitive and stateful per request, so it is a
@@ -140,6 +149,76 @@ object SplitBatch {
                   val nGood = assigned.filter(_ >= 0).distinct.size
                   WireRoute(id, if (nGood > 0) "split" else "bad", nGood, nBad,
                     if (nBad > 0) "this POST request split is still too large" else null)
+                }
+              }
+            }
+          }
+        }
+      }
+  }
+
+  /** The bad-row STREAM (vs [[routeWire]]'s per-event summary): one output
+    * row per bad row the reference's bad sink would receive
+    * (`core/.../utils/SplitBatch.scala:81-145`). Unsplittable events emit
+    * one row carrying the whole event's wire size and the branch's fold
+    * message; a split whose elements are irreducibly large emits one row
+    * PER failed element carrying that element's serialized size and
+    * "this POST request split is still too large". Every row keeps
+    * maxBytes/10 chars of the whole event's thrift toString() — the
+    * reference's debugging truncation. Same embarrassingly-parallel typed
+    * mapPartitions shape as [[routeWire]]; flatMap, no shuffle. */
+  def badRowFields(payloads: DataFrame, maxBytes: Int): Dataset[BadRowFields] = {
+    val spark = payloads.sparkSession
+    implicit val enc0 = org.apache.spark.sql.Encoders.product[BadRowFields]
+    Spread(payloads)
+      .select(
+        col("event_id"), col("schema_uri"), col("ip"),
+        col("timestamp_ms"), col("encoding"), col("collector"), col("user_agent"),
+        col("referer_uri"), col("path"), col("querystring"), col("body"),
+        col("headers"), col("content_type"),
+        col("hostname"), col("network_userid"))
+      .mapPartitions { it =>
+        val ser = new ThriftPayload.Serializer
+        val mapper = new ObjectMapper
+        val UTF8 = java.nio.charset.StandardCharsets.UTF_8
+        it.flatMap { r =>
+          def s(i: Int): String = if (r.isNullAt(i)) null else r.getString(i)
+          val rec = PayloadRecord(
+            s(1), s(2), r.getLong(3), s(4), s(5), s(6), s(7), s(8), s(9),
+            s(10), if (r.isNullAt(11)) null else r.getSeq[String](11),
+            s(12), s(13), s(14))
+          val id = r.getLong(0)
+          val ts = r.getLong(3)
+          val whole = ser(rec).length
+          lazy val prefix = ThriftPayload.toStringRepr(rec).take(maxBytes / 10)
+          def one(reason: String, size: Long) =
+            List(BadRowFields(id, ts, reason, size, prefix))
+          if (whole < maxBytes) Nil
+          else if (rec.body == null) one("GET requests cannot be split", whole.toLong)
+          else {
+            val root = try mapper.readTree(rec.body) catch { case _: Exception => null }
+            if (root == null) one("cannot split POST requests which are not json", whole.toLong)
+            else {
+              val schema = root.get("schema")
+              val data = root.get("data")
+              if (schema == null || !schema.isTextual || data == null)
+                one("cannot split POST requests which are not self-describing", whole.toLong)
+              else if (!data.isArray)
+                one("cannot split POST requests which do not contain a data array", whole.toLong)
+              else {
+                val elems = (0 until data.size).map(i => mapper.writeValueAsString(data.get(i)))
+                val dataBytes = elems.mkString("[", ",", "]").getBytes(UTF8).length
+                if (whole - dataBytes >= maxBytes)
+                  one("cannot split this POST request because event without \"data\" field is still too big", whole.toLong)
+                else {
+                  val sizes = elems.map(_.getBytes(UTF8).length.toLong).toIndexedSeq
+                  val budget = (maxBytes - whole + dataBytes).toLong
+                  pack(sizes, base = 0L, join = 1L, max = budget)
+                    .zipWithIndex
+                    .collect { case (-1, i) =>
+                      BadRowFields(id, ts, "this POST request split is still too large",
+                        sizes(i), prefix)
+                    }
                 }
               }
             }

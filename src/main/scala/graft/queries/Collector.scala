@@ -24,8 +24,8 @@ object Collector {
   /** The envelope projection itself (scalar columns) — locks the adapter
     * and the oracle's mirror of it to the same values. */
   val cEnvelopes: Q = (s, d) =>
-    env(s, d).select("event_id", "method", "path", "querystring", "body",
-      "content_type", "user_agent", "referer", "hostname", "remote_ip",
+    env(s, d).select("event_id", "method", "path", "raw_uri", "querystring",
+      "body", "content_type", "user_agent", "referer", "hostname", "remote_ip",
       "sp_anonymous", "cookie_sp", "cookie_dnt", "timestamp_ms")
 
   /** P1-P7 + F1/F3/F7: the full CollectorPayload build. */
@@ -45,6 +45,13 @@ object Collector {
 
   /** F6/F7: bad-row routing with SizeViolation payload truncation. */
   val cBadRows: Q = (s, d) => CollectorPipeline.badRows(env(s, d), cfg)
+
+  /** The reference's SELF-DESCRIBING bad-row envelopes (`badRow.compact`):
+    * full iglu generic_error / size_violation JSON, split-aware, under the
+    * tighter wireRouteScale cap so every branch of the split decision tree
+    * contributes envelopes. */
+  val cBadRowsJson: Q = (s, d) =>
+    CollectorPipeline.badRowsJson(env(s, d), CollectorConfig.wireRouteScale)
 
   /** S4/F4: redirect target resolution + allowlist + macro substitution. */
   val cRedirect: Q = (s, d) => CollectorPipeline.redirects(env(s, d), cfg)
@@ -118,6 +125,7 @@ object Collector {
     "c_payload" -> cPayload,
     "c_qs_params" -> cQsParams,
     "c_bad_rows" -> cBadRows,
+    "c_bad_rows_json" -> cBadRowsJson,
     "c_redirect" -> cRedirect,
     "c_cors" -> cCors,
     "c_set_cookie" -> cSetCookie,

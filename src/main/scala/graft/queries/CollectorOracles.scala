@@ -53,7 +53,10 @@ object CollectorOracles {
        |  SELECT event_id, user_id, event_type, props,
        |    event_id % 20 AS m,
        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS timestamp_ms,
-       |    (event_id % 17 = 0) AS qs_bad,
+       |    -- P2 raw-URI slices: %19=0 → no '?' (querystring NULL),
+       |    -- %29=0 → bare '?' (querystring ''); neither can be qs_bad
+       |    (event_id % 19 <> 0 AND event_id % 29 <> 0) AS has_qs,
+       |    (event_id % 17 = 0 AND event_id % 19 <> 0 AND event_id % 29 <> 0) AS qs_bad,
        |    (event_id % 11 = 0) AS anon,
        |    (event_id % 13 = 0) AS dnt,
        |    1 + (event_id % 3) AS n_elems,
@@ -83,13 +86,20 @@ object CollectorOracles {
        |         WHEN user_id % 2 = 0 THEN '/com.amplitude/2/httpapi'
        |         ELSE '/com.segment/v1/t' END AS path,
        |    CASE WHEN m <= 11 OR m >= 17 THEN 'POST' ELSE 'GET' END AS method,
-       |    CASE WHEN qs_bad THEN 'e=%%bad&&=='
+       |    CASE WHEN event_id % 19 = 0 THEN NULL
+       |         WHEN event_id % 29 = 0 THEN ''
+       |         WHEN qs_bad THEN 'e=%%bad&&=='
        |         ELSE 'e=' || event_type || '&aid=app' || (user_id % 5) ||
        |           CASE WHEN event_id % 3 = 0 THEN '&nuid=' || ${uu("'nuid' || user_id")} ELSE '' END ||
        |           CASE WHEN m = 16 THEN '&u=https%3A%2F%2Fdest' || (user_id % 10) ||
        |                CASE WHEN user_id % 10 = 0 THEN '.example.org' ELSE '.example.com' END ||
        |                '%2Flanding' ELSE '' END
        |         END AS querystring,
+       |    CASE WHEN event_id % 19 = 0 THEN path
+       |         WHEN event_id % 29 = 0 THEN path || '?'
+       |         ELSE path || '?' || querystring ||
+       |           CASE WHEN event_id % 23 = 0 THEN '#s2' ELSE '' END
+       |         END AS raw_uri,
        |    CASE WHEN m <= 11 OR m BETWEEN 17 AND 18 THEN $tp2Body
        |         WHEN m = 19 AND user_id % 2 = 0 THEN $ampBody
        |         WHEN m = 19 THEN $segBody
@@ -118,7 +128,7 @@ object CollectorOracles {
        |         ELSE path END AS rpath,
        |    CASE WHEN anon THEN '$NilUuid'
        |         ELSE coalesce(
-       |           CASE WHEN event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END,
+       |           CASE WHEN event_id % 3 = 0 AND has_qs THEN ${uu("'nuid' || user_id")} END,
        |           cookie_sp,
        |           ${uu("'nuid-gen' || event_id")}) END AS nuid,
        |    concat_ws(', ',
@@ -140,7 +150,8 @@ object CollectorOracles {
        |    + 7 + strlen('graft-0.1.0-spark')
        |    + 7 + strlen(user_agent)
        |    + CASE WHEN referer IS NOT NULL THEN 7 + strlen(referer) ELSE 0 END
-       |    + 7 + strlen(rpath) + 7 + strlen(querystring)
+       |    + 7 + strlen(rpath)
+       |    + CASE WHEN querystring IS NOT NULL THEN 7 + strlen(querystring) ELSE 0 END
        |    + CASE WHEN body IS NOT NULL THEN 7 + strlen(body) ELSE 0 END
        |    + CASE WHEN content_type IS NOT NULL THEN 7 + strlen(content_type) ELSE 0 END
        |    + 7 + strlen(hostname) + 7 + strlen(nuid)
@@ -163,7 +174,7 @@ object CollectorOracles {
   val all: Map[String, String] = Map(
     "c_envelopes" ->
       s"""$Env
-         |SELECT event_id, method, path, querystring, body, content_type,
+         |SELECT event_id, method, path, raw_uri, querystring, body, content_type,
          |  user_agent, referer, hostname, remote_ip,
          |  CASE WHEN anon THEN '*' END AS sp_anonymous,
          |  cookie_sp,
@@ -190,7 +201,7 @@ object CollectorOracles {
          |  hostname,
          |  CASE WHEN anon THEN '$NilUuid'
          |       ELSE coalesce(
-         |         CASE WHEN event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END,
+         |         CASE WHEN event_id % 3 = 0 AND has_qs THEN ${uu("'nuid' || user_id")} END,
          |         cookie_sp,
          |         ${uu("'nuid-gen' || event_id")}) END AS network_userid,
          |  content_type,
@@ -207,8 +218,10 @@ object CollectorOracles {
 
     "c_qs_params" ->
       s"""$Env
-         |SELECT event_id, event_type AS e_param, 'app' || (user_id % 5) AS aid,
-         |  CASE WHEN event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END AS nuid_param
+         |SELECT event_id,
+         |  CASE WHEN has_qs THEN event_type END AS e_param,
+         |  CASE WHEN has_qs THEN 'app' || (user_id % 5) END AS aid,
+         |  CASE WHEN event_id % 3 = 0 AND has_qs THEN ${uu("'nuid' || user_id")} END AS nuid_param
          |FROM env2 WHERE NOT qs_bad""".stripMargin,
 
     // SizeViolation mirrors the reference exactly (SplitBatch.scala:81-145):
@@ -229,7 +242,8 @@ object CollectorOracles {
          |    || ', encoding:UTF-8, collector:graft-0.1.0-spark'
          |    || ', userAgent:' || user_agent
          |    || CASE WHEN referer IS NOT NULL THEN ', refererUri:' || referer ELSE '' END
-         |    || ', path:' || rpath || ', querystring:' || querystring
+         |    || ', path:' || rpath
+         |    || CASE WHEN querystring IS NOT NULL THEN ', querystring:' || querystring ELSE '' END
          |    || CASE WHEN body IS NOT NULL THEN ', body:' || body ELSE '' END
          |    || ', headers:[' || headers_join || ']'
          |    || CASE WHEN content_type IS NOT NULL THEN ', contentType:' || content_type ELSE '' END
@@ -238,12 +252,84 @@ object CollectorOracles {
          |  CAST(wire_size AS BIGINT) AS actual_size
          |FROM sized WHERE wire_size >= 800""".stripMargin,
 
+    // the self-describing envelopes: generic_error for unparseable
+    // querystrings, size_violation per bad row of the split decision tree
+    // (unsplittable branches 1×whole wire size; 'allbig' n_elems rows of
+    // the element size — fixture elements are uniform so the lateral
+    // UNNEST(range(n_elems)) reproduces the per-element stream exactly)
+    "c_bad_rows_json" ->
+      s"""$Env,
+         |$PaySized,
+         |rr AS (
+         |  SELECT *, (m <= 11 OR m BETWEEN 17 AND 18) AS is_tp2,
+         |    n_elems * elem_size + (n_elems - 1) + 2 AS data_bytes
+         |  FROM sized),
+         |dd AS (
+         |  SELECT *,
+         |    CASE
+         |      WHEN wire_size < $WireMax THEN 'good'
+         |      WHEN body IS NULL THEN 'get'
+         |      WHEN NOT is_tp2 THEN 'notsd'
+         |      WHEN wire_size - data_bytes >= $WireMax THEN 'stripped'
+         |      WHEN elem_size > $WireMax - wire_size + data_bytes THEN 'allbig'
+         |      ELSE 'split' END AS kind,
+         |    substr('CollectorPayload(schema:' || schema_uri
+         |      || ', ipAddress:' || ip || ', timestamp:' || timestamp_ms
+         |      || ', encoding:UTF-8, collector:graft-0.1.0-spark'
+         |      || ', userAgent:' || user_agent
+         |      || CASE WHEN referer IS NOT NULL THEN ', refererUri:' || referer ELSE '' END
+         |      || ', path:' || rpath
+         |      || CASE WHEN querystring IS NOT NULL THEN ', querystring:' || querystring ELSE '' END
+         |      || CASE WHEN body IS NOT NULL THEN ', body:' || body ELSE '' END
+         |      || ', headers:[' || headers_join || ']'
+         |      || CASE WHEN content_type IS NOT NULL THEN ', contentType:' || content_type ELSE '' END
+         |      || ', hostname:' || hostname || ', networkUserId:' || nuid || ')',
+         |      1, ${WireMax / 10}) AS payload_prefix
+         |  FROM rr),
+         |bb AS (
+         |  SELECT event_id, timestamp_ms, payload_prefix,
+         |    CASE kind
+         |      WHEN 'get' THEN 'GET requests cannot be split'
+         |      WHEN 'notsd' THEN 'cannot split POST requests which are not self-describing'
+         |      WHEN 'stripped' THEN 'cannot split this POST request because event without "data" field is still too big'
+         |    END AS reason,
+         |    wire_size AS actual_size
+         |  FROM dd WHERE kind IN ('get', 'notsd', 'stripped')
+         |  UNION ALL
+         |  SELECT event_id, timestamp_ms, payload_prefix,
+         |    'this POST request split is still too large' AS reason,
+         |    elem_size AS actual_size
+         |  FROM dd, UNNEST(range(n_elems)) AS t(u) WHERE kind = 'allbig')
+         |SELECT event_id,
+         |  CAST(json_object('schema',
+         |    'iglu:com.snowplowanalytics.snowplow.badrows/generic_error/jsonschema/1-0-0',
+         |    'data', json_object(
+         |      'processor', json_object('artifact', 'graft', 'version', '0.1.0'),
+         |      'failure', json_object(
+         |        'timestamp', strftime(make_timestamp(timestamp_ms * 1000), '%Y-%m-%dT%H:%M:%S.%gZ'),
+         |        'errors', ['querystring is not parseable']),
+         |      'payload', coalesce(querystring, ''))) AS VARCHAR) AS bad_row_json
+         |FROM env2 WHERE qs_bad
+         |UNION ALL
+         |SELECT event_id,
+         |  CAST(json_object('schema',
+         |    'iglu:com.snowplowanalytics.snowplow.badrows/size_violation/jsonschema/1-0-0',
+         |    'data', json_object(
+         |      'processor', json_object('artifact', 'graft', 'version', '0.1.0'),
+         |      'failure', json_object(
+         |        'timestamp', strftime(make_timestamp(timestamp_ms * 1000), '%Y-%m-%dT%H:%M:%S.%gZ'),
+         |        'maximumAllowedSizeBytes', $WireMax,
+         |        'actualSizeBytes', CAST(actual_size AS INT),
+         |        'expectation', 'oversized collector payload: ' || reason),
+         |      'payload', payload_prefix)) AS VARCHAR) AS bad_row_json
+         |FROM bb""".stripMargin,
+
     "c_redirect" ->
       s"""$Env
          |SELECT event_id,
-         |  CASE WHEN NOT qs_bad THEN $redirectTarget END AS target,
-         |  (NOT qs_bad AND user_id % 10 <> 0) AS allowed,
-         |  CASE WHEN NOT qs_bad AND user_id % 10 <> 0
+         |  CASE WHEN NOT qs_bad AND has_qs THEN $redirectTarget END AS target,
+         |  (NOT qs_bad AND has_qs AND user_id % 10 <> 0) AS allowed,
+         |  CASE WHEN NOT qs_bad AND has_qs AND user_id % 10 <> 0
          |       THEN 'https://dest' || (user_id % 10) || '.example.com/landing' END AS location
          |FROM env2 WHERE m = 16""".stripMargin,
 
@@ -270,13 +356,15 @@ object CollectorOracles {
       s"""$Env,
          |ck AS (
          |  SELECT event_id, dnt, anon, timestamp_ms,
-         |    COALESCE(CASE WHEN NOT qs_bad AND event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END,
+         |    COALESCE(CASE WHEN NOT qs_bad AND has_qs AND event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END,
          |             cookie_sp, ${uu("'nuid-gen' || event_id")}) AS nuid,
          |    regexp_replace(origin, '^https?://', '') AS oh
          |  FROM env2)
          |SELECT event_id, (NOT dnt AND NOT anon) AS emitted,
          |  CASE WHEN NOT dnt AND NOT anon THEN
-         |    'sp=' || nuid || '; Expires=' || (timestamp_ms + 31536000000) ||
+         |    'sp=' || nuid || '; Expires=' ||
+         |    strftime(make_timestamp((timestamp_ms + 31536000000) * 1000),
+         |             '%a, %d %b %Y %H:%M:%S GMT') ||
          |    '; Domain=' ||
          |    CASE WHEN oh = 'allowed.example.com' OR oh LIKE '%.allowed.example.com' THEN 'allowed.example.com'
          |         WHEN oh = 'partner.io' OR oh LIKE '%.partner.io' THEN 'partner.io'
@@ -335,7 +423,7 @@ object CollectorOracles {
       s"""$Env
          |SELECT event_id,
          |  CASE WHEN path IN ('/i', '/ice.png') THEN 'gif'
-         |       WHEN m = 16 AND NOT qs_bad AND user_id % 10 <> 0 THEN '302'
+         |       WHEN m = 16 AND NOT qs_bad AND has_qs AND user_id % 10 <> 0 THEN '302'
          |       WHEN m = 16 THEN '400'
          |       WHEN m = 19 THEN 'json'
          |       ELSE 'ok' END AS response_kind
@@ -344,9 +432,9 @@ object CollectorOracles {
     "c_bounce" ->
       s"""$Env
          |SELECT event_id,
-         |  (NOT anon AND NOT qs_bad AND NOT (event_id % 3 = 0)
+         |  (NOT anon AND NOT qs_bad AND NOT (event_id % 3 = 0 AND has_qs)
          |   AND user_id % 4 = 0) AS bounced,
-         |  CASE WHEN NOT anon AND NOT qs_bad AND NOT (event_id % 3 = 0)
+         |  CASE WHEN NOT anon AND NOT qs_bad AND NOT (event_id % 3 = 0 AND has_qs)
          |            AND user_id % 4 = 0
          |       THEN path || '?' || querystring || '&n=1' END AS location
          |FROM env2 WHERE path IN ('/i', '/ice.png')""".stripMargin,
@@ -388,7 +476,7 @@ object CollectorOracles {
          |  )) AS ue_px,
          |  CASE WHEN anon THEN '00000000-0000-0000-0000-000000000000'
          |       ELSE coalesce(
-         |         CASE WHEN event_id % 3 = 0 AND NOT qs_bad THEN ${uu("'nuid' || user_id")} END,
+         |         CASE WHEN event_id % 3 = 0 AND NOT qs_bad AND has_qs THEN ${uu("'nuid' || user_id")} END,
          |         cookie_sp,
          |         ${uu("'nuid-gen' || event_id")}) END AS tnuid,
          |  'https://site' || (user_id % 5) || '.example.com/p' || (event_id % 7) AS url,

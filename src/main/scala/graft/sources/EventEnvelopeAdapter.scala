@@ -102,7 +102,11 @@ object EventEnvelopeAdapter {
   def method: Column =
     when(m <= 11 || m >= 17, lit("POST")).otherwise(lit("GET"))
 
-  def querystring: Column = {
+  /** The querystring as the TRACKER sent it (fixture generator). Not what
+    * the pipeline consumes — see [[rawUri]]/[[querystring]]: the engine
+    * recovers the querystring from the raw request URI the way the
+    * reference does. */
+  private def rawQuerystring: Column = {
     val base = concat(lit("e="), col("event_type"),
       lit("&aid=app"), pmod(col("user_id"), lit(5)))
     val nuid = when(pmod(col("event_id"), lit(3)) === 0,
@@ -114,6 +118,32 @@ object EventEnvelopeAdapter {
         lit("%2Flanding"))).otherwise(lit(""))
     when(pmod(col("event_id"), lit(17)) === 0, lit("e=%%bad&&=="))
       .otherwise(concat(base, nuid, u))
+  }
+
+  /** P2 input: the request URI exactly as the HTTP layer's
+    * `Raw-Request-URI` header carries it. Fixture slices exercise every
+    * branch of the reference's extraction regex: event_id%19=0 → no `?`
+    * at all (querystring must come out NULL), %29=0 → bare `?` with an
+    * empty querystring (must come out `""`, not NULL), %23=0 → a
+    * `#fragment` after the querystring (must be stripped). */
+  def rawUri: Column = {
+    val frag =
+      when(pmod(col("event_id"), lit(23)) === 0, lit("#s2")).otherwise(lit(""))
+    when(pmod(col("event_id"), lit(19)) === 0, path)
+      .when(pmod(col("event_id"), lit(29)) === 0, concat(path, lit("?")))
+      .otherwise(concat(path, lit("?"), rawQuerystring, frag))
+  }
+
+  /** P2: querystring recovered from the raw URI with the reference's exact
+    * regex `^[^?]*\?([^#]*)(?:#.*)?$` (`CollectorRoute.scala:166-172`) —
+    * no match (no `?`) → NULL, like the reference's `Option`; a bare `?`
+    * yields the empty string; fragments are dropped. The `rlike` guard is
+    * what distinguishes no-match from empty-group (Spark's
+    * `regexp_extract` returns `""` for both). */
+  def querystring: Column = {
+    val re = "^[^?]*\\?([^#]*)(?:#.*)?$"
+    when(rawUri.rlike(re), regexp_extract(rawUri, re, 1))
+      .otherwise(lit(null).cast("string"))
   }
 
   def remoteIp: Column =
@@ -193,6 +223,7 @@ object EventEnvelopeAdapter {
       col("event_id"),
       method.as("method"),
       path.as("path"),
+      rawUri.as("raw_uri"),
       querystring.as("querystring"),
       body.as("body"),
       contentType.as("content_type"),

@@ -18,7 +18,12 @@ class CollectorPipelineSpec extends AnyFunSuite {
   test("DNT-suppressed and malformed-qs rows never reach payloads") {
     val ids = payloads.select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
       .collect().toSet
-    assert(!ids.exists(id => id % 13 == 0 || id % 17 == 0))
+    // %17 rows carry the malformed querystring ONLY when the raw URI has
+    // one at all — a %17 row in the no-'?' (%19) or bare-'?' (%29) slice
+    // has nothing to fail parsing and is legitimately good (P2 semantics)
+    def hasQs(id: Long) = id % 19 != 0 && id % 29 != 0
+    assert(!ids.exists(id => id % 13 == 0 || (id % 17 == 0 && hasQs(id))))
+    assert(ids.exists(id => id % 17 == 0 && !hasQs(id)), "P2 no-qs slice missing")
     assert(ids.nonEmpty)
   }
 
