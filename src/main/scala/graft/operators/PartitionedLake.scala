@@ -52,7 +52,17 @@ object PartitionedLake {
     * untouched (byte-for-byte — proven in LakeSpec). A cluster
     * deployment swaps `localCheckpoint` for a reliable checkpoint dir or
     * a temp-dir + atomic-rename commit. Returns the affected partition
-    * values. */
+    * values.
+    *
+    * EMPTIED partitions get explicit directory drops: dynamic overwrite
+    * only replaces partitions PRESENT in the written output, so a
+    * partition whose every row is deleted would otherwise survive
+    * untouched — the deleted ids still on disk while the call reports
+    * success. For a takedown primitive that silent no-op is a safety
+    * failure, so after the rewrite any affected partition absent from
+    * the cleaned output is deleted at the filesystem level (partition
+    * values here are dates/identifiers; values needing Hive path
+    * escaping would go through the catalog instead). */
   def deleteIds(spark: SparkSession, dir: String, partCol: String,
       idCol: String, ids: Seq[Long]): Seq[String] = {
     val df = spark.read.parquet(dir)
@@ -60,15 +70,29 @@ object PartitionedLake {
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq // partition VALUES — metadata-scale
     if (affected.nonEmpty) {
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        df.filter(col(partCol).isin(affected: _*) && !col(idCol).isin(ids: _*))
-          .localCheckpoint()
-          .write.mode("overwrite").partitionBy(partCol).parquet(dir)
-      } finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      val cleaned = df
+        .filter(col(partCol).isin(affected: _*) && !col(idCol).isin(ids: _*))
+        .localCheckpoint()
+      // also metadata-scale: distinct partition values of the cleaned rows
+      val surviving = cleaned.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet
+      if (surviving.nonEmpty) {
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          cleaned.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      val emptied = affected.filterNot(surviving)
+      if (emptied.nonEmpty) {
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(base, s"$partCol=$v"), true)
+        }
       }
     }
     affected

@@ -112,6 +112,31 @@ class LakeSpec extends AnyFunSuite {
     assert(affected.forall(a => filesAfter.keys.exists(_.contains(s"event_date=$a"))))
   }
 
+  test("deletion that empties a whole partition drops its directory") {
+    import graft.operators.PartitionedLake
+    val dir = java.nio.file.Files.createTempDirectory("lake-del-all").toString
+    val ev = Tables.events(spark, TestSpark.Sf)
+    PartitionedLake.writePartitionedByDay(ev, dir)
+    val before = spark.read.parquet(dir)
+    val total = before.count()
+    val byDay = before.select(col("event_id"), col("event_date"))
+      .as[(Long, String)].collect().groupBy(_._2).toSeq.sortBy(_._1)
+    // every id of the first partition, plus one id of the second
+    val (day0, day0Rows) = byDay.head
+    val victims = day0Rows.map(_._1) :+ byDay(1)._2.head._1
+    val affected =
+      PartitionedLake.deleteIds(spark, dir, "event_date", "event_id", victims.toSeq)
+    assert(affected.toSet === Set(day0, byDay(1)._1))
+    // dynamic overwrite alone would leave day0's files (and its "deleted"
+    // ids) on disk — the directory must actually be gone
+    assert(!new java.io.File(dir, s"event_date=$day0").exists(),
+      s"emptied partition event_date=$day0 survived on disk")
+    val after = spark.read.parquet(dir)
+    assert(after.count() === total - victims.length)
+    assert(after.filter(col("event_id").isin(victims: _*)).count() === 0)
+    assert(after.filter(col("event_date") === day0).count() === 0)
+  }
+
   test("streaming dedup drops replayed event ids within the watermark") {
     val input = MemoryStream[SessEvent](spark)
     val q = StreamingDedup.dedup(input.toDF()).writeStream
