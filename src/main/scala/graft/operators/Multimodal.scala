@@ -131,14 +131,21 @@ object Multimodal {
     def fourcc(o: Int): String = new String(b, o, 4, "US-ASCII")
     if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE")
       return AudioMeta(id, "unknown", 0, 0, 0, 0L, n)
-    var (o, channels, rate, bits, blockAlign, dataSize) = (12, 0, 0, 0, 0, -1)
-    while (o + 8 <= b.length) {
-      val (cc, size) = (fourcc(o), rdLe32(b, o + 4))
-      if (cc == "fmt " && o + 24 <= b.length) {
-        channels = rdLe16(b, o + 10); rate = rdLe32(b, o + 12)
-        blockAlign = rdLe16(b, o + 20); bits = rdLe16(b, o + 22)
-      } else if (cc == "data") dataSize = size
-      o += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    // Cursor is a Long and the chunk size is read UNSIGNED: a hostile
+    // size with the high bit set would otherwise advance the cursor by
+    // zero (size = -8 → infinite loop pinning an executor core) or
+    // overflow Int into a negative offset (→ throw in fourcc) — both
+    // violating the decode-as-unknown contract. Unsigned size ⇒ the
+    // cursor strictly advances ⇒ the walk always terminates.
+    var (o, channels, rate, bits, blockAlign, dataSize) = (12L, 0, 0, 0, 0, -1)
+    while (o + 8 <= n) {
+      val oi = o.toInt
+      val (cc, size) = (fourcc(oi), rdLe32(b, oi + 4).toLong & 0xFFFFFFFFL)
+      if (cc == "fmt " && o + 24 <= n) {
+        channels = rdLe16(b, oi + 10); rate = rdLe32(b, oi + 12)
+        blockAlign = rdLe16(b, oi + 20); bits = rdLe16(b, oi + 22)
+      } else if (cc == "data") dataSize = size.min(Int.MaxValue.toLong).toInt
+      o += 8L + size + (size & 1L) // RIFF chunks are word-aligned
     }
     if (channels <= 0 || blockAlign <= 0 || dataSize < 0)
       AudioMeta(id, "unknown", 0, 0, 0, 0L, n)

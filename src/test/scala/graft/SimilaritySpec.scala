@@ -244,5 +244,16 @@ class SimilaritySpec extends AnyFunSuite {
     // truncated/corrupt bytes decode as unknown, never throw
     assert(Multimodal.decodeAudio(4L, "RIFFxxxx".getBytes).container === "unknown")
     assert(Multimodal.decodeAudio(5L, Array[Byte]()).container === "unknown")
+    // HOSTILE chunk sizes: 0xFFFFFFF8 read signed is -8 (cursor advances
+    // by zero → infinite loop) and 0x80000000 overflows Int (negative
+    // offset → throw). Both must terminate and decode as unknown.
+    def hostileWav(size: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+        "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++ size ++
+        new Array[Byte](16)
+    val loopBomb = hostileWav(Array(0xF8.toByte, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte))
+    assert(Multimodal.decodeAudio(6L, loopBomb).container === "unknown")
+    val negBomb = hostileWav(Array(0, 0, 0, 0x80.toByte))
+    assert(Multimodal.decodeAudio(7L, negBomb).container === "unknown")
   }
 }
