@@ -58,7 +58,11 @@ object Training {
     * pairwise cosine ≈ 0.51), so the banded-join path gets a non-vacuous
     * oracle where `s_near_dups`'s 0-row result is only a schema check. */
   val sSimPairs: Q = (s, d) => Similarity.cosineNearDups(emb(s, d), 0.3, bits = 8)
-  val sIvfTopk: Q = (s, d) => Similarity.ivfTopK(emb(s, d), 3)
+  /** Sample-trained (vec_id % 7) Lloyd centroids — the 100 TB posture
+    * (centroid fitting never needs the full corpus) and most of the
+    * query's cost: training drops from 2 full-corpus aggregation passes
+    * to 2 ~14% passes, serving still assigns and probes everything. */
+  val sIvfTopk: Q = (s, d) => Similarity.ivfTopK(emb(s, d), 3, trainSampleMod = 7)
   val sPqTopk: Q = (s, d) => Similarity.pqTopK(emb(s, d), 3)
 
   /** TF-IDF-ish top terms: tf per (doc, token), df per token, score =

@@ -291,14 +291,18 @@ object TrainingOracles {
            |    FROM $cells a, (SELECT unnest(range(1, 65)) AS i) d GROUP BY 1, 2) t
            |  GROUP BY 1)""".stripMargin
       s"""$EmbCte,
-         |dims AS (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM n),
+         |tr AS (SELECT * FROM n WHERE vec_id % 7 = 0),
+         |dims AS (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM tr),
          |cent0 AS (SELECT label AS c_label, i, sum(qv[i]) / count(*) AS c
          |          FROM dims GROUP BY 1, 2),
          |centv0 AS (SELECT c_label, list(c ORDER BY i) AS cv FROM cent0 GROUP BY 1),
          |centn0 AS (SELECT c_label, cv,
          |             list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM centv0),
          |scored0 AS (
-         |  ${scoredFrom("centn0")}),
+         |  SELECT n.vec_id, n.qv, n.n2, c.c_label,
+         |    c.cn2 - 2 * list_sum(list_transform(range(1, len(n.qv) + 1),
+         |                                        i -> n.qv[i] * c.cv[i])) AS score
+         |  FROM tr n, centn0 c),
          |cells0 AS (
          |  SELECT vec_id, qv, n2, c_label AS cell FROM (
          |    SELECT *, row_number() OVER (PARTITION BY vec_id
