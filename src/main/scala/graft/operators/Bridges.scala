@@ -111,8 +111,15 @@ object Bridges {
     * struct array, and exploded once. The unionByName formulation this
     * replaces read the source three times (one scan + parse pass per
     * route arm) — at 100 TB that's 3× the read; measured ~2× wall-clock
-    * at sf0.1 (c_unified_events 1.3s → 0.6s). */
-  def unifiedEvents(env: DataFrame): DataFrame = {
+    * at sf0.1 (c_unified_events 1.3s → 0.6s).
+    *
+    * The bridge arms are GATED like the reference's experimental flags
+    * (`experimental.enableAnalyticsJsBridge` / `enableAmplitudeBridge`,
+    * default OFF — `CollectorRoute.scala` route guards): a disabled
+    * bridge's `when` branch folds away at plan time, so turning a bridge
+    * off costs nothing and its requests simply don't match. */
+  def unifiedEvents(env: DataFrame,
+      analyticsJs: Boolean = true, amplitude: Boolean = true): DataFrame = {
     val schemaMap = typedLit(AnalyticsJsSchemas)
     val isTp2Body = col("method") === "POST" &&
       col("body").startsWith("{\"schema\":\"iglu:com.snowplowanalytics.snowplow/payload_data/")
@@ -123,11 +130,11 @@ object Bridges {
       when(isTp2Body,
         transform(from_json(col("body"), Tp2BodySchema).getField("data"), x =>
           struct(lit("tp2").as("source"), x.getField("e").as("e"), x.getField("aid").as("aid"))))
-        .when(CollectorPipeline.isAmplitude,
+        .when(CollectorPipeline.isAmplitude && lit(amplitude),
           transform(from_json(col("body"), AmplitudeBodySchema).getField("events"), x =>
             struct(lit("amplitude").as("source"), x.getField("event_type").as("e"),
               lit("amplitude").as("aid"))))
-        .when(CollectorPipeline.isSegment && segValid,
+        .when(CollectorPipeline.isSegment && lit(analyticsJs) && segValid,
           array(struct(lit("segment").as("source"), lit("ue").as("e"),
             lit("ajs_bridge").as("aid"))))
     env

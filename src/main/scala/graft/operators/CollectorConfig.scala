@@ -26,7 +26,9 @@ final case class CollectorConfig(
     appName: String = "graft",
     appVersion: String = "0.1.0",
     sinkName: String = "spark",
+    cookieEnabled: Boolean = true,
     cookieName: String = "sp",
+    dntEnabled: Boolean = false,
     dntCookieName: String = "sp-dnt",
     dntCookieValue: String = "true|yes",
     paths: Map[String, String] = CollectorConfig.defaultPaths,
@@ -35,8 +37,12 @@ final case class CollectorConfig(
     useIpAsPartitionKey: Boolean = true,
     bounceEnabled: Boolean = false,
     bounceParamName: String = "n",
+    bounceFallbackNuid: String = "00000000-0000-4000-A000-000000000000",
+    redirectMacroEnabled: Boolean = false,
+    redirectMacroPlaceholder: Option[String] = None,
     corsEnabled: Boolean = false,
     corsDomains: Seq[String] = Seq("*"),
+    corsMaxAgeMs: Long = 60L * 60 * 1000,
     cookieExpirationMs: Long = 365L * 24 * 3600 * 1000,
     cookieSecure: Boolean = true,
     cookieHttpOnly: Boolean = false,
@@ -44,8 +50,75 @@ final case class CollectorConfig(
     cookieDomains: Seq[String] = Seq.empty,
     fallbackDomain: Option[String] = None,
     enableDefaultRedirect: Boolean = true,
+    analyticsJsBridgeEnabled: Boolean = false,
+    amplitudeBridgeEnabled: Boolean = false,
+    telemetry: TelemetrySettings = TelemetrySettings(),
+    statsd: StatsdSettings = StatsdSettings(),
+    sink: SinkSettings = SinkSettings(),
 ) {
   def collectorName: String = s"$appName-$appVersion-$sinkName"
+}
+
+/** R7 heartbeat connection settings (reference `telemetry` block +
+  * `TelemetryConfig` defaults: `core/.../model.scala`). */
+final case class TelemetrySettings(
+    disable: Boolean = false,
+    intervalMs: Long = 60L * 60 * 1000,
+    method: String = "POST",
+    url: String = "sp.snowcatcloud.com",
+    port: Int = 443,
+    secure: Boolean = true)
+
+/** R9 StatsD export settings (reference `monitoring.metrics.statsd`). */
+final case class StatsdSettings(
+    enabled: Boolean = false,
+    hostname: String = "localhost",
+    port: Int = 8125,
+    periodMs: Long = 10000,
+    prefix: String = "snowplow.collector",
+    tags: Map[String, String] = Map.empty)
+
+/** K-layer settings: the `streams` block — stream names, buffer flush
+  * triggers (A3) and the per-sink backoff numbers (R1). Defaults follow
+  * the reference's per-sink matrix (core `ConfigSpec.scala:86-168`) via
+  * [[SinkSettings.defaultsFor]]; the case-class defaults are the
+  * kinesis/kafka/nsq column. */
+final case class SinkSettings(
+    kind: String = "stdout",
+    goodStream: String = "good",
+    badStream: String = "bad",
+    region: Option[String] = None,
+    threadPoolSize: Int = 10,
+    sinkMaxBytes: Int = 1000000,
+    sqsMaxBytes: Int = 192000,
+    minBackoffMs: Long = 500,
+    maxBackoffMs: Long = 1500,
+    maxRetries: Int = 3,
+    kafkaRetries: Int = 10,
+    bufferByteLimit: Long = 3145728,
+    bufferRecordLimit: Int = 500,
+    bufferTimeLimitMs: Long = 5000,
+    startupCheckIntervalMs: Long = 1000)
+
+object SinkSettings {
+
+  /** The reference's per-sink defaults matrix (core
+    * `ConfigSpec.scala:86-168`): maxBytes 1 GB for stdout, 10 MB for
+    * pubsub, 192 kB for sqs (base64 overhead under the 256 kB limit),
+    * 1 MB otherwise; pubsub's tighter buffer (100 kB / 40 / 1 s vs
+    * 3 MiB / 500 / 5 s) and slower equal-bound backoff (1000/1000). */
+  def defaultsFor(kind: String): SinkSettings = {
+    val base = SinkSettings(kind = kind)
+    kind match {
+      case "stdout" => base.copy(sinkMaxBytes = 1000000000)
+      case "google-pub-sub" | "pubsub" => base.copy(
+        sinkMaxBytes = 10000000,
+        minBackoffMs = 1000, maxBackoffMs = 1000,
+        bufferByteLimit = 100000, bufferRecordLimit = 40, bufferTimeLimitMs = 1000)
+      case "sqs" => base.copy(sinkMaxBytes = 192000)
+      case _ => base // kinesis, kafka, nsq: 1 MB cap, standard buffer
+    }
+  }
 }
 
 object CollectorConfig {
@@ -57,6 +130,27 @@ object CollectorConfig {
     * the HOCON jar is not on this classpath, so the loader takes the
     * JSON subset — same keys, same nesting, same semantics. Absent keys
     * fall back to the case-class defaults. Driver-side only. */
+  /** HOCON duration strings ("365 days", "60 minutes", "1 second",
+    * "500 ms", bare "5000" = millis) → milliseconds. The JSON-subset
+    * loader's analog of pureconfig's FiniteDuration reader. */
+  private[graft] def parseDurationMs(s: String): Long = {
+    val t = s.trim
+    val m = "^([0-9]+)\\s*([a-zA-Z]*)$".r
+    t match {
+      case m(n, unit) =>
+        val v = n.toLong
+        unit.toLowerCase match {
+          case "" | "ms" | "milli" | "millis" | "millisecond" | "milliseconds" => v
+          case "s" | "second" | "seconds" => v * 1000
+          case "m" | "min" | "minute" | "minutes" => v * 60000
+          case "h" | "hour" | "hours" => v * 3600000
+          case "d" | "day" | "days" => v * 86400000
+          case u => throw new IllegalArgumentException(s"unknown duration unit: $u")
+        }
+      case _ => throw new IllegalArgumentException(s"unparseable duration: $s")
+    }
+  }
+
   def fromJson(json: String): CollectorConfig = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val c = mapper.readTree(json).path("collector")
@@ -68,6 +162,17 @@ object CollectorConfig {
     def strSeq(n: com.fasterxml.jackson.databind.JsonNode, dflt: Seq[String]) =
       if (!n.isArray) dflt
       else { val it = n.elements(); Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asText).toSeq }
+    def bool(n: com.fasterxml.jackson.databind.JsonNode, dflt: Boolean) =
+      if (n.isMissingNode || n.isNull) dflt else n.asBoolean
+    def int(n: com.fasterxml.jackson.databind.JsonNode, dflt: Int) =
+      if (n.isMissingNode || n.isNull) dflt else n.asInt
+    def long(n: com.fasterxml.jackson.databind.JsonNode, dflt: Long) =
+      if (n.isMissingNode || n.isNull) dflt else n.asLong
+    // a duration-valued key: HOCON string form or bare millis number
+    def dur(n: com.fasterxml.jackson.databind.JsonNode, dflt: Long) =
+      if (n.isMissingNode || n.isNull) dflt
+      else if (n.isNumber) n.asLong
+      else parseDurationMs(n.asText)
     val cookie = c.path("cookie")
     val dnt = c.path("doNotTrackCookie")
     val streams = c.path("streams")
@@ -81,9 +186,14 @@ object CollectorConfig {
       cookieSameSite = strOpt(cookie.path("sameSite"), d.cookieSameSite),
       cookieDomains = strSeq(cookie.path("domains"), d.cookieDomains),
       fallbackDomain = strOpt(cookie.path("fallbackDomain"), d.fallbackDomain),
+      cookieEnabled = bool(cookie.path("enabled"), d.cookieEnabled),
       cookieExpirationMs =
-        if (cookie.path("expirationMs").isMissingNode) d.cookieExpirationMs
-        else cookie.path("expirationMs").asLong,
+        // the reference key is `expiration = 365 days` (HOCON duration);
+        // `expirationMs` is kept as the numeric back-compat spelling
+        if (!cookie.path("expiration").isMissingNode)
+          dur(cookie.path("expiration"), d.cookieExpirationMs)
+        else long(cookie.path("expirationMs"), d.cookieExpirationMs),
+      dntEnabled = bool(dnt.path("enabled"), d.dntEnabled),
       dntCookieName = str(dnt.path("name"), d.dntCookieName),
       dntCookieValue = str(dnt.path("value"), d.dntCookieValue),
       paths = {
@@ -106,10 +216,72 @@ object CollectorConfig {
         if (c.path("cookieBounce").path("enabled").isMissingNode) d.bounceEnabled
         else c.path("cookieBounce").path("enabled").asBoolean,
       bounceParamName = str(c.path("cookieBounce").path("name"), d.bounceParamName),
+      bounceFallbackNuid =
+        str(c.path("cookieBounce").path("fallbackNetworkUserId"), d.bounceFallbackNuid),
+      redirectMacroEnabled = bool(c.path("redirectMacro").path("enabled"), d.redirectMacroEnabled),
+      redirectMacroPlaceholder =
+        strOpt(c.path("redirectMacro").path("placeholder"), d.redirectMacroPlaceholder),
+      enableDefaultRedirect =
+        // was silently unparsed until r5 — the drift this loader's golden
+        // now exists to catch
+        bool(c.path("enableDefaultRedirect"), d.enableDefaultRedirect),
+      analyticsJsBridgeEnabled =
+        bool(c.path("experimental").path("enableAnalyticsJsBridge"), d.analyticsJsBridgeEnabled),
+      amplitudeBridgeEnabled =
+        bool(c.path("experimental").path("enableAmplitudeBridge"), d.amplitudeBridgeEnabled),
       corsEnabled =
         if (c.path("cors").path("enabled").isMissingNode) d.corsEnabled
         else c.path("cors").path("enabled").asBoolean,
-      corsDomains = strSeq(c.path("cors").path("domains"), d.corsDomains))
+      corsDomains = strSeq(c.path("cors").path("domains"), d.corsDomains),
+      corsMaxAgeMs = dur(c.path("cors").path("accessControlMaxAge"), d.corsMaxAgeMs),
+      telemetry = {
+        val t = c.path("telemetry"); val td = d.telemetry
+        TelemetrySettings(
+          disable = bool(t.path("disable"), td.disable),
+          intervalMs = dur(t.path("interval"), td.intervalMs),
+          method = str(t.path("method"), td.method),
+          url = str(t.path("url"), td.url),
+          port = int(t.path("port"), td.port),
+          secure = bool(t.path("secure"), td.secure))
+      },
+      statsd = {
+        val s = c.path("monitoring").path("metrics").path("statsd"); val sd = d.statsd
+        StatsdSettings(
+          enabled = bool(s.path("enabled"), sd.enabled),
+          hostname = str(s.path("hostname"), sd.hostname),
+          port = int(s.path("port"), sd.port),
+          periodMs = dur(s.path("period"), sd.periodMs),
+          prefix = str(s.path("prefix"), sd.prefix),
+          tags = {
+            val tg = s.path("tags")
+            if (!tg.isObject) sd.tags
+            else {
+              val it = tg.fields()
+              Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+                .map(e => e.getKey -> e.getValue.asText).toMap
+            }
+          })
+      },
+      sink = {
+        val sk = streams.path("sink")
+        val base = SinkSettings.defaultsFor(str(sk.path("enabled"), "stdout"))
+        base.copy(
+          goodStream = str(streams.path("good"), base.goodStream),
+          badStream = str(streams.path("bad"), base.badStream),
+          region = strOpt(sk.path("region"), base.region),
+          threadPoolSize = int(sk.path("threadPoolSize"), base.threadPoolSize),
+          sinkMaxBytes = int(sk.path("maxBytes"), base.sinkMaxBytes),
+          sqsMaxBytes = int(sk.path("sqsMaxBytes"), base.sqsMaxBytes),
+          minBackoffMs = dur(sk.path("backoffPolicy").path("minBackoff"), base.minBackoffMs),
+          maxBackoffMs = dur(sk.path("backoffPolicy").path("maxBackoff"), base.maxBackoffMs),
+          maxRetries = int(sk.path("backoffPolicy").path("maxRetries"), base.maxRetries),
+          kafkaRetries = int(sk.path("retries"), base.kafkaRetries),
+          bufferByteLimit = long(streams.path("buffer").path("byteLimit"), base.bufferByteLimit),
+          bufferRecordLimit = int(streams.path("buffer").path("recordLimit"), base.bufferRecordLimit),
+          bufferTimeLimitMs = dur(streams.path("buffer").path("timeLimit"), base.bufferTimeLimitMs),
+          startupCheckIntervalMs =
+            dur(sk.path("startupCheckInterval"), base.startupCheckIntervalMs))
+      })
   }
 
   /** Schema URI stamped on every payload (reference `CollectorService.scala:289`). */

@@ -1,0 +1,200 @@
+package graft
+
+import graft.operators.{CollectorConfig, SinkSettings}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S7 config fidelity: the reference's shipped example config
+  * (`examples/config.kinesis.extended.hocon`) translated 1:1 into the
+  * loader's JSON-subset document form, with EVERY consumed key asserted —
+  * the golden that catches config-key drift. Plus the per-sink defaults
+  * matrix ported from the reference core `ConfigSpec.scala:86-168`. */
+class ConfigSpec extends AnyFunSuite {
+
+  test("HOCON duration strings parse to millis") {
+    import CollectorConfig.parseDurationMs
+    assert(parseDurationMs("365 days") === 365L * 86400000)
+    assert(parseDurationMs("60 minutes") === 3600000L)
+    assert(parseDurationMs("1 second") === 1000L)
+    assert(parseDurationMs("10 seconds") === 10000L)
+    assert(parseDurationMs("500 ms") === 500L)
+    assert(parseDurationMs("5000") === 5000L)
+    assert(parseDurationMs("2 hours") === 7200000L)
+    intercept[IllegalArgumentException](parseDurationMs("fortnight"))
+    intercept[IllegalArgumentException](parseDurationMs("3 fortnights"))
+  }
+
+  /** `examples/config.kinesis.extended.hocon` (reference, 341 lines),
+    * collector namespace, 1:1 — every setting the engine consumes, with
+    * the example's literal values. HTTP-tier-only blocks (interface/port,
+    * ssl, p3p, crossDomain, rootResponse, preTermination*, warmup, pekko)
+    * are out of engine scope (SURVEY §7.1) and have no loader keys. */
+  private val kinesisExtended =
+    """{"collector": {
+      |  "paths": {},
+      |  "cookie": {
+      |    "enabled": true,
+      |    "expiration": "365 days",
+      |    "name": "sp",
+      |    "secure": true,
+      |    "httpOnly": true,
+      |    "sameSite": "None"
+      |  },
+      |  "doNotTrackCookie": {"enabled": false, "name": "", "value": ""},
+      |  "cookieBounce": {
+      |    "enabled": false,
+      |    "name": "n3pc",
+      |    "fallbackNetworkUserId": "00000000-0000-4000-A000-000000000000"
+      |  },
+      |  "enableDefaultRedirect": false,
+      |  "redirectDomains": [],
+      |  "redirectMacro": {"enabled": false},
+      |  "cors": {"accessControlMaxAge": "60 minutes"},
+      |  "streams": {
+      |    "good": "good",
+      |    "bad": "bad",
+      |    "useIpAddressAsPartitionKey": false,
+      |    "sink": {
+      |      "enabled": "kinesis",
+      |      "region": "eu-central-1",
+      |      "threadPoolSize": 10,
+      |      "sqsMaxBytes": 192000,
+      |      "backoffPolicy": {"minBackoff": 500, "maxBackoff": 1500, "maxRetries": 3},
+      |      "maxBytes": 1000000,
+      |      "startupCheckInterval": "1 second"
+      |    },
+      |    "buffer": {"byteLimit": 3145728, "recordLimit": 500, "timeLimit": 5000}
+      |  },
+      |  "telemetry": {
+      |    "disable": false,
+      |    "interval": "60 minutes",
+      |    "method": "POST",
+      |    "url": "sp.snowcatcloud.com",
+      |    "port": 443,
+      |    "secure": true
+      |  },
+      |  "monitoring": {"metrics": {"statsd": {
+      |    "enabled": false,
+      |    "hostname": "localhost",
+      |    "port": 8125,
+      |    "period": "10 seconds",
+      |    "tags": {"app": "collector"}
+      |  }}},
+      |  "experimental": {
+      |    "enableAnalyticsJsBridge": false,
+      |    "enableAmplitudeBridge": false
+      |  }
+      |}}""".stripMargin
+
+  test("reference example config (kinesis extended) lands on every consumed key") {
+    val cfg = CollectorConfig.fromJson(kinesisExtended)
+    // paths: the example ships an EMPTY map (mappings commented out)
+    assert(cfg.paths === Map.empty)
+    // cookie block
+    assert(cfg.cookieEnabled)
+    assert(cfg.cookieExpirationMs === 365L * 86400000)
+    assert(cfg.cookieName === "sp")
+    assert(cfg.cookieSecure && cfg.cookieHttpOnly)
+    assert(cfg.cookieSameSite === Some("None"))
+    assert(cfg.cookieDomains === Seq.empty)
+    assert(cfg.fallbackDomain === None)
+    // doNotTrackCookie / cookieBounce
+    assert(!cfg.dntEnabled && cfg.dntCookieName === "" && cfg.dntCookieValue === "")
+    assert(!cfg.bounceEnabled)
+    assert(cfg.bounceParamName === "n3pc")
+    assert(cfg.bounceFallbackNuid === "00000000-0000-4000-A000-000000000000")
+    // redirects: the example DISABLES /r/* (our engine default is enabled;
+    // this key was silently unparsed before r5)
+    assert(!cfg.enableDefaultRedirect)
+    assert(cfg.redirectDomains === Set.empty)
+    assert(!cfg.redirectMacroEnabled && cfg.redirectMacroPlaceholder === None)
+    // cors
+    assert(cfg.corsMaxAgeMs === 3600000L)
+    // streams + sink + buffer
+    assert(cfg.sink.kind === "kinesis")
+    assert(cfg.sink.goodStream === "good" && cfg.sink.badStream === "bad")
+    assert(!cfg.useIpAsPartitionKey)
+    assert(cfg.sink.region === Some("eu-central-1"))
+    assert(cfg.sink.threadPoolSize === 10)
+    assert(cfg.sink.sinkMaxBytes === 1000000 && cfg.maxBytes === 1000000)
+    assert(cfg.sink.sqsMaxBytes === 192000)
+    assert(cfg.sink.minBackoffMs === 500 && cfg.sink.maxBackoffMs === 1500)
+    assert(cfg.sink.maxRetries === 3)
+    assert(cfg.sink.startupCheckIntervalMs === 1000)
+    assert(cfg.sink.bufferByteLimit === 3145728L)
+    assert(cfg.sink.bufferRecordLimit === 500)
+    assert(cfg.sink.bufferTimeLimitMs === 5000)
+    // telemetry
+    assert(!cfg.telemetry.disable)
+    assert(cfg.telemetry.intervalMs === 3600000L)
+    assert(cfg.telemetry.method === "POST")
+    assert(cfg.telemetry.url === "sp.snowcatcloud.com")
+    assert(cfg.telemetry.port === 443 && cfg.telemetry.secure)
+    // statsd
+    assert(!cfg.statsd.enabled)
+    assert(cfg.statsd.hostname === "localhost" && cfg.statsd.port === 8125)
+    assert(cfg.statsd.periodMs === 10000L)
+    assert(cfg.statsd.tags === Map("app" -> "collector"))
+    // experimental bridges ship disabled
+    assert(!cfg.analyticsJsBridgeEnabled && !cfg.amplitudeBridgeEnabled)
+  }
+
+  test("per-sink defaults matrix matches the reference core ConfigSpec") {
+    // reference `ConfigSpec.scala:86-168` (sinkConfigRefFactory + buffer)
+    val kinesis = SinkSettings.defaultsFor("kinesis")
+    assert(kinesis.sinkMaxBytes === 1000000)
+    assert(kinesis.minBackoffMs === 500 && kinesis.maxBackoffMs === 1500)
+    assert(kinesis.maxRetries === 3 && kinesis.sqsMaxBytes === 192000)
+    assert(kinesis.bufferByteLimit === 3145728L
+      && kinesis.bufferRecordLimit === 500 && kinesis.bufferTimeLimitMs === 5000)
+
+    val sqs = SinkSettings.defaultsFor("sqs")
+    assert(sqs.sinkMaxBytes === 192000) // 256 kB SQS cap less base64 overhead
+    assert(sqs.minBackoffMs === 500 && sqs.maxBackoffMs === 1500 && sqs.maxRetries === 3)
+
+    val pubsub = SinkSettings.defaultsFor("google-pub-sub")
+    assert(pubsub.sinkMaxBytes === 10000000)
+    assert(pubsub.minBackoffMs === 1000 && pubsub.maxBackoffMs === 1000)
+    assert(pubsub.bufferByteLimit === 100000L
+      && pubsub.bufferRecordLimit === 40 && pubsub.bufferTimeLimitMs === 1000)
+
+    val stdout = SinkSettings.defaultsFor("stdout")
+    assert(stdout.sinkMaxBytes === 1000000000)
+
+    val kafka = SinkSettings.defaultsFor("kafka")
+    assert(kafka.sinkMaxBytes === 1000000 && kafka.kafkaRetries === 10
+      && kafka.threadPoolSize === 10)
+
+    val nsq = SinkSettings.defaultsFor("nsq")
+    assert(nsq.sinkMaxBytes === 1000000)
+  }
+
+  test("bridge gates: a disabled bridge's requests vanish from the dispatch") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    val env = graft.sources.EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+    val all = graft.operators.Bridges.unifiedEvents(env)
+    val noAmp = graft.operators.Bridges.unifiedEvents(env, amplitude = false)
+    val noAjs = graft.operators.Bridges.unifiedEvents(env, analyticsJs = false)
+    assert(all.filter(col("source") === "amplitude").count() > 0)
+    assert(noAmp.filter(col("source") === "amplitude").count() === 0)
+    assert(noAjs.filter(col("source") === "segment").count() === 0)
+    // the other routes are untouched by a disabled bridge
+    assert(noAmp.filter(col("source") =!= "amplitude").count() ===
+      all.filter(col("source") =!= "amplitude").count())
+    // reference default: both experimental bridges ship OFF
+    val d = CollectorConfig()
+    assert(!d.analyticsJsBridgeEnabled && !d.amplitudeBridgeEnabled)
+  }
+
+  test("sink kind selects its defaults; explicit keys override them") {
+    val doc =
+      """{"collector": {"streams": {"sink": {
+        |  "enabled": "google-pub-sub", "maxBytes": 424242
+        |}}}}""".stripMargin
+    val cfg = CollectorConfig.fromJson(doc)
+    assert(cfg.sink.kind === "google-pub-sub")
+    assert(cfg.sink.sinkMaxBytes === 424242)        // explicit wins
+    assert(cfg.sink.minBackoffMs === 1000)          // pubsub default holds
+    assert(cfg.sink.bufferRecordLimit === 40)
+  }
+}
