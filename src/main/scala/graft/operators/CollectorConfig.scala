@@ -264,7 +264,12 @@ object CollectorConfig {
       },
       sink = {
         val sk = streams.path("sink")
-        val base = SinkSettings.defaultsFor(str(sk.path("enabled"), "stdout"))
+        // per-sink defaults apply only when a sink kind is DECLARED; an
+        // absent sink block keeps the generic case-class defaults
+        val kindNode = sk.path("enabled")
+        val base =
+          if (kindNode.isMissingNode || kindNode.isNull) SinkSettings()
+          else SinkSettings.defaultsFor(kindNode.asText)
         base.copy(
           goodStream = str(streams.path("good"), base.goodStream),
           badStream = str(streams.path("bad"), base.badStream),

@@ -92,6 +92,23 @@ object CollectorPipeline {
         col("cookie_sp"),
         uuidify(concat(lit("nuid-gen"), col("event_id")))))
 
+  /** P6 under an active bounce config (reference
+    * `CollectorService.scala:534-547` + CollectorServiceSpec:218-240
+    * "store stuff if having already bounced with the fallback nuid"):
+    * a request that arrives WITH the bounce marker param and still has
+    * no cookie gets the configured `fallbackNetworkUserId` — third-party
+    * cookies are known-blocked at that point, so a fresh random id per
+    * request would shatter the user into singletons. */
+  def networkUserIdWithBounce(cfg: CollectorConfig): Column = {
+    val bounced = qp(col("querystring"), cfg.bounceParamName).isNotNull
+    when(anon, lit(CollectorConfig.NilUuid))
+      .otherwise(coalesce(
+        qp(col("querystring"), "nuid"),
+        col("cookie_sp"),
+        when(bounced, lit(cfg.bounceFallbackNuid))
+          .otherwise(uuidify(concat(lit("nuid-gen"), col("event_id"))))))
+  }
+
   /** P7: config-driven path remap. The map is tiny (a handful of routes) so
     * a chained CASE beats a broadcast join — zero extra plan nodes. */
   def remappedPath(cfg: CollectorConfig): Column =
@@ -119,16 +136,24 @@ object CollectorPipeline {
       qp(col("querystring"), "nuid").isNull && col("cookie_sp").isNull &&
       qp(col("querystring"), cfg.bounceParamName).isNull && isPixel
 
-  /** F2 projection: which pixel requests bounce, and where to. */
-  def bounces(env: DataFrame, cfg: CollectorConfig): DataFrame =
+  /** F2 projection: which pixel requests bounce, and where to. The
+    * location appends the bounce marker to the ORIGINAL querystring
+    * (reference `CollectorService.scala` bounce redirect: same URI with
+    * the marker param added) — a request with no/empty querystring still
+    * gets a well-formed `path?name=1` location, never null. */
+  def bounces(env: DataFrame, cfg: CollectorConfig): DataFrame = {
+    val qsPrefix =
+      when(col("querystring").isNull || col("querystring") === "", lit(""))
+        .otherwise(concat(col("querystring"), lit("&")))
     env
       .filter(isPixel)
       .select(
         col("event_id"),
         bounceSuppressed(cfg).as("bounced"),
         when(bounceSuppressed(cfg),
-          concat(col("path"), lit("?"), col("querystring"),
-            lit("&" + cfg.bounceParamName + "=1"))).as("location"))
+          concat(col("path"), lit("?"), qsPrefix,
+            lit(cfg.bounceParamName + "=1"))).as("location"))
+  }
 
   /** P8: Set-Cookie domain resolution — first configured domain that any
     * Origin host matches exactly or as a dot-suffix wins; else the
@@ -170,7 +195,8 @@ object CollectorPipeline {
         col("user_agent"),
         col("referer").as("referer_uri"),
         col("hostname"),
-        networkUserId.as("network_userid"),
+        (if (cfg.bounceEnabled) networkUserIdWithBounce(cfg) else networkUserId)
+          .as("network_userid"),
         col("content_type"),
         partitionKey(cfg).as("partition_key"),
         array_join(filteredHeaders, "|").as("headers_str"),
@@ -318,18 +344,39 @@ object CollectorPipeline {
       when(allowed, lit(200)).otherwise(lit(403)).as("preflight_status"))
   }
 
-  /** S4/F4: redirect resolution for `/r/...` rows — decode `u`, substitute
-    * the `${SP_NUID}` macro with the resolved network user id, and gate on
-    * the domain allowlist. `location` is null when rejected; malformed
-    * percent-escapes (e.g. a trailing '%') decode to null via
-    * try_url_decode and are rejected per-row, never failing the job. */
+  /** S4/F4: redirect resolution for `/r/...` rows — decode `u`, gate on
+    * the domain allowlist, and (when `redirectMacro.enabled`) substitute
+    * the placeholder with the resolved network user id. `location` is
+    * null when rejected; malformed percent-escapes (e.g. a trailing '%')
+    * decode to null via try_url_decode and are rejected per-row, never
+    * failing the job.
+    *
+    * Reference semantics pinned by the CollectorServiceSpec:549-605
+    * goldens: an EMPTY `redirectDomains` set means NO restriction (any
+    * decodable target 302s — the reference's shipped default); the macro
+    * is left VERBATIM in the location when the macro config is disabled;
+    * a custom placeholder token replaces the default `${SP_NUID}`. */
   def redirects(env: DataFrame, cfg: CollectorConfig): DataFrame = {
     val uEnc = qp(col("querystring"), "u")
     val target = expr("try_url_decode(u_enc)")
-    val host = expr("parse_url(target, 'HOST')")
-    val allowed = cfg.redirectDomains
-      .map(d => host === d || host.endsWith("." + d))
-      .reduce(_ || _)
+    // tolerant host extraction (the reference parses with java.net.URL,
+    // which accepts e.g. ${SP_NUID} in the query; Spark's parse_url
+    // throws and try_parse_url nulls the whole URL): authority minus
+    // userinfo and port, null when there is no scheme://host shape
+    val host = regexp_extract(col("target"),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+    val hostOrNull = when(host === "", lit(null)).otherwise(host)
+    val allowed =
+      if (cfg.redirectDomains.isEmpty) lit(true) // no restriction (F4 default)
+      else cfg.redirectDomains
+        .map(d => hostOrNull === d || hostOrNull.endsWith("." + d))
+        .reduce(_ || _)
+    val placeholder =
+      cfg.redirectMacroPlaceholder.getOrElse("${SP_NUID}")
+    val location =
+      if (!cfg.redirectMacroEnabled) col("target")
+      else regexp_replace(col("target"),
+        lit(java.util.regex.Pattern.quote(placeholder)), networkUserId)
     env
       // F8: `/r/*` is 404/absent unless enabled (reference
       // `CollectorRoute.scala:43-49`); the literal folds away when on
@@ -341,9 +388,7 @@ object CollectorPipeline {
         col("event_id"),
         col("target"),
         col("allowed"),
-        when(col("allowed"),
-          regexp_replace(col("target"), lit("\\$\\{SP_NUID\\}"),
-            networkUserId)).otherwise(lit(null)).as("location"))
+        when(col("allowed"), location).otherwise(lit(null)).as("location"))
   }
 
   /** Response-kind projection (SURVEY §7.4 hard part 2: per-request
@@ -352,9 +397,15 @@ object CollectorPipeline {
   def responses(env: DataFrame, cfg: CollectorConfig): DataFrame = {
     val uEnc = qp(col("querystring"), "u")
     val target = expr("try_url_decode(u_enc)")
-    val host = expr("parse_url(target, 'HOST')")
+    // tolerant host extraction (the reference parses with java.net.URL,
+    // which accepts e.g. ${SP_NUID} in the query; Spark's parse_url
+    // throws and try_parse_url nulls the whole URL): authority minus
+    // userinfo and port, null when there is no scheme://host shape
+    val host = regexp_extract(col("target"),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)
+    val hostOrNull = when(host === "", lit(null)).otherwise(host)
     val allowed = cfg.redirectDomains
-      .map(d => host === d || host.endsWith("." + d))
+      .map(d => hostOrNull === d || hostOrNull.endsWith("." + d))
       .reduce(_ || _)
     env
       .withColumn("u_enc", uEnc)

@@ -436,7 +436,10 @@ object CollectorOracles {
          |   AND user_id % 4 = 0) AS bounced,
          |  CASE WHEN NOT anon AND NOT qs_bad AND NOT (event_id % 3 = 0 AND has_qs)
          |            AND user_id % 4 = 0
-         |       THEN path || '?' || querystring || '&n=1' END AS location
+         |       THEN path || '?' ||
+         |            CASE WHEN querystring IS NULL OR querystring = ''
+         |                 THEN '' ELSE querystring || '&' END || 'n=1'
+         |       END AS location
          |FROM env2 WHERE path IN ('/i', '/ice.png')""".stripMargin,
 
     "c_partition_counts" ->

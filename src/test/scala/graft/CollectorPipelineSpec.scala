@@ -248,4 +248,136 @@ class CollectorPipelineSpec extends AnyFunSuite {
     val t = Bridges.tp2Events(env).groupBy("event_id").count()
     assert(t.filter(col("count") =!= (col("event_id") % 3) + 1).count() === 0)
   }
+
+  /** Literal pixel-request envelope for the bounce goldens. */
+  private def pixelRow(eventId: Long, qs: Option[String], cookie: Option[String]) = {
+    import spark2.implicits._
+    def optLit(o: Option[String]) = o.map(lit).getOrElse(lit(null).cast("string"))
+    Seq(eventId).toDF("event_id").select(
+      col("event_id"),
+      lit("GET").as("method"),
+      lit("/i").as("path"),
+      optLit(qs).as("querystring"),
+      lit(null).cast("string").as("body"),
+      lit(null).cast("string").as("content_type"),
+      lit("ua").as("user_agent"),
+      lit(null).cast("string").as("referer"),
+      lit("h").as("hostname"),
+      lit("ip").as("remote_ip"),
+      lit(null).cast("string").as("origin"),
+      lit(null).cast("string").as("sp_anonymous"),
+      optLit(cookie).as("cookie_sp"),
+      lit(null).cast("string").as("cookie_dnt"),
+      typedLit(Seq.empty[String]).as("headers"),
+      lit(1700000000123L).as("timestamp_ms"))
+  }
+
+  /** Cookie-bounce goldens — reference `CollectorServiceSpec.scala:197-240`
+    * ported as fully-specified envelope → expected-value fixtures (their
+    * bouncingService: bounce enabled, param "bounce", fallback nuid
+    * "new-nuid"). Expected values are the reference's literals, adapted
+    * only where our wire shape differs by declared convention (marker
+    * value "1", original path preserved in the location). */
+  test("bounce goldens: first pass redirects, second pass stores the fallback nuid") {
+    val bCfg = CollectorConfig(bounceEnabled = true, bounceParamName = "bounce",
+      bounceFallbackNuid = "new-nuid")
+
+    // "attach the cookie to the response" — a cookie present means NO
+    // bounce, and the stored payload carries the cookie's nuid
+    val withCookie = pixelRow(1L, None, Some("cookie-nuid"))
+    val r1 = CollectorPipeline.bounces(withCookie, bCfg).collect().head
+    assert(!r1.getAs[Boolean]("bounced"))
+    assert(r1.getAs[String]("location") === null)
+    val p1 = CollectorPipeline.payloads(withCookie, bCfg).collect().head
+    assert(p1.getAs[String]("network_userid") === "cookie-nuid")
+
+    // "not store stuff if bouncing and provide a location header" — no
+    // cookie, no bounce marker: redirect out, nothing reaches payloads
+    val firstPass = pixelRow(2L, None, None)
+    val r2 = CollectorPipeline.bounces(firstPass, bCfg).collect().head
+    assert(r2.getAs[Boolean]("bounced"))
+    assert(r2.getAs[String]("location") === "/i?bounce=1")
+    assert(CollectorPipeline.payloads(firstPass, bCfg).count() === 0)
+    // original querystring is preserved in the bounce location
+    val withQs = pixelRow(3L, Some("e=pv&aid=app1"), None)
+    assert(CollectorPipeline.bounces(withQs, bCfg).collect().head
+      .getAs[String]("location") === "/i?e=pv&aid=app1&bounce=1")
+
+    // "store stuff if having already bounced with the fallback nuid" —
+    // marker present, still no cookie: store with the configured fallback
+    val secondPass = pixelRow(4L, Some("bounce=1"), None)
+    val r4 = CollectorPipeline.bounces(secondPass, bCfg).collect().head
+    assert(!r4.getAs[Boolean]("bounced"))
+    val p4 = CollectorPipeline.payloads(secondPass, bCfg).collect().head
+    assert(p4.getAs[String]("network_userid") === "new-nuid")
+
+    // bounce disabled (the default config) never redirects
+    assert(CollectorPipeline.bounces(firstPass, CollectorConfig())
+      .filter(col("bounced")).count() === 0)
+  }
+
+  /** Redirect envelope for the macro/allowlist goldens. */
+  private def redirectRow(eventId: Long, qs: String) = {
+    import spark2.implicits._
+    Seq(eventId).toDF("event_id").select(
+      col("event_id"),
+      lit("GET").as("method"),
+      lit("/r/tp2").as("path"),
+      lit(qs).as("querystring"),
+      lit(null).cast("string").as("body"),
+      lit(null).cast("string").as("content_type"),
+      lit("ua").as("user_agent"),
+      lit(null).cast("string").as("referer"),
+      lit("h").as("hostname"),
+      lit("ip").as("remote_ip"),
+      lit(null).cast("string").as("origin"),
+      lit(null).cast("string").as("sp_anonymous"),
+      lit(null).cast("string").as("cookie_sp"),
+      lit(null).cast("string").as("cookie_dnt"),
+      typedLit(Seq.empty[String]).as("headers"),
+      lit(1700000000123L).as("timestamp_ms"))
+  }
+
+  /** Redirect macro + allowlist goldens — reference
+    * `CollectorServiceSpec.scala:549-605` (buildRedirectHttpResponse)
+    * ported as envelope → expected-location fixtures. The reference's
+    * TestUtils allowlist entry is "localhost"; networkUserId is pinned to
+    * "1234" via the nuid query param (their `event.networkUserId = "1234"`). */
+  test("redirect goldens: macro gating, custom placeholder, allowlist, empty-list permissive") {
+    val rCfg = CollectorConfig(redirectDomains = Set("localhost"))
+    def loc(df: org.apache.spark.sql.DataFrame, cfg: CollectorConfig): String =
+      CollectorPipeline.redirects(df, cfg).collect().head.getAs[String]("location")
+
+    // "give back a 302 if redirecting and there is a u query param"
+    assert(loc(redirectRow(1L, "u=http%3A%2F%2Flocalhost%2F12"), rCfg)
+      === "http://localhost/12")
+    // "give back a 400 if redirecting and there are no u query params"
+    val noU = CollectorPipeline.redirects(redirectRow(2L, "e=pv"), rCfg).collect().head
+    assert(noU.getAs[String]("target") === null && !noU.getAs[Boolean]("allowed"))
+    assert(CollectorPipeline.responses(redirectRow(2L, "e=pv"), rCfg)
+      .collect().head.getAs[String]("response_kind") === "400")
+    // "ignore a cookie replacement macro on redirect if not enabled"
+    assert(loc(redirectRow(3L, "u=http%3A%2F%2Flocalhost%2F%3Fuid%3D%24%7BSP_NUID%7D&nuid=1234"), rCfg)
+      === "http://localhost/?uid=${SP_NUID}")
+    // "support a cookie replacement macro on redirect if enabled"
+    assert(loc(redirectRow(4L, "u=http%3A%2F%2Flocalhost%2F%3Fuid%3D%24%7BSP_NUID%7D&nuid=1234"),
+      rCfg.copy(redirectMacroEnabled = true))
+      === "http://localhost/?uid=1234")
+    // "allow for custom token placeholders"
+    assert(loc(redirectRow(5L, "u=http%3A%2F%2Flocalhost%2F%3Fuid%3D%5BTOKEN%5D&nuid=1234"),
+      rCfg.copy(redirectMacroEnabled = true, redirectMacroPlaceholder = Some("[TOKEN]")))
+      === "http://localhost/?uid=1234")
+    // "allow for double encoding for return redirects" — decoded ONCE
+    assert(loc(redirectRow(6L, "u=http%3A%2F%2Flocalhost%2Fa%253Db"), rCfg)
+      === "http://localhost/a%3Db")
+    // "give back a 400 if redirecting to a disallowed domain"
+    val bad = CollectorPipeline.redirects(
+      redirectRow(7L, "u=http%3A%2F%2Finvalid.acme.com%2F12"), rCfg).collect().head
+    assert(!bad.getAs[Boolean]("allowed") && bad.getAs[String]("location") === null)
+    // "give back a 302 ... with no restrictions on domains" (empty set =
+    // the reference's shipped default; used to throw on .reduce)
+    assert(loc(redirectRow(8L, "u=http%3A%2F%2Funknown.acme.com%2F12"),
+      rCfg.copy(redirectDomains = Set.empty))
+      === "http://unknown.acme.com/12")
+  }
 }
