@@ -207,4 +207,18 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(fallback.batches === Seq(3L))
     assert(primary.batches.isEmpty)
   }
+
+  test("real-SDK Kinesis binding: absent SDK is detected at factory time, not mid-batch") {
+    import graft.sinks.AwsKinesisClient
+    // this sandbox ships no AWS jars — availability must say so honestly
+    assert(!AwsKinesisClient.available())
+    // and constructing/using the client without the SDK fails FAST with
+    // the class name, never a partial write: the factory shape
+    // KinesisEventSink(stream, () => AwsKinesisClient()) means the task
+    // dies before any record is attempted
+    val client = AwsKinesisClient()
+    intercept[ClassNotFoundException] {
+      client.putRecords("s", Seq(ClientSinks.OutRecord(Array[Byte](1), "k")))
+    }
+  }
 }
