@@ -151,9 +151,19 @@ object CollectorConfig {
     }
   }
 
+  /** Load a reference-shaped HOCON document UNMODIFIED (the reference's
+    * own `examples/config.*.hocon` files parse as-is): [[Hocon.parse]]
+    * front end feeding the same Jackson-tree extraction as [[fromJson]],
+    * so the two spellings cannot drift semantically. */
+  def fromHocon(hocon: String): CollectorConfig =
+    fromTree(Hocon.parse(hocon).path("collector"))
+
   def fromJson(json: String): CollectorConfig = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val c = mapper.readTree(json).path("collector")
+    fromTree(mapper.readTree(json).path("collector"))
+  }
+
+  private def fromTree(c: com.fasterxml.jackson.databind.JsonNode): CollectorConfig = {
     val d = CollectorConfig()
     def str(n: com.fasterxml.jackson.databind.JsonNode, dflt: String) =
       if (n.isMissingNode || n.isNull) dflt else n.asText

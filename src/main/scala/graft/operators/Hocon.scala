@@ -1,0 +1,222 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** Minimal HOCON reader — the subset the reference's shipped config files
+  * actually use (`examples/config.*.hocon`; loaded in the reference via
+  * pureconfig/Typesafe Config, `core/.../Collector.scala:54-85`), so a
+  * reference config drops into [[CollectorConfig.fromHocon]] UNMODIFIED:
+  *
+  *  - `#` and `//` comments
+  *  - `key = value`, `key: value`, and bare `key { ... }` object syntax
+  *  - unquoted keys and unquoted string values (run to end of line, so
+  *    duration spellings like `expiration = 365 days` survive as strings)
+  *  - newline OR comma as element separator; trailing commas tolerated
+  *  - nested objects/arrays, empty blocks, multi-line arrays
+  *  - dotted path keys (`monitoring.metrics.statsd { ... }`) expanded to
+  *    nested objects, with HOCON's object deep-merge for repeated keys
+  *
+  * NOT implemented (unused by the example files): `${}` substitutions,
+  * `include`, concatenations of quoted strings, triple-quoted strings.
+  * The output is a Jackson tree, shared with the JSON loader — both front
+  * ends funnel into the same key extraction, so their semantics cannot
+  * drift. Driver-side only, like the JSON loader. */
+object Hocon {
+
+  private val mapper = new ObjectMapper()
+
+  /** Parse HOCON text to a Jackson tree (the root object). */
+  def parse(text: String): ObjectNode = {
+    val toks = tokenize(text)
+    val p = new P(toks)
+    val root =
+      if (p.peek == Some("{")) { p.next(); p.obj() }
+      else p.objBody(topLevel = true) // HOCON allows a brace-less root
+    root
+  }
+
+  // --- tokenizer ---------------------------------------------------------
+  // tokens: "{" "}" "[" "]" "," ":" "=" "\n" quoted-string ("\u0000"-prefixed
+  // to mark it as quoted) and raw runs (unquoted words)
+  private def tokenize(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = text.length
+    def isCommentStart(j: Int) =
+      text(j) == '#' || (text(j) == '/' && j + 1 < n && text(j + 1) == '/')
+    while (i < n) {
+      val c = text(i)
+      if (c == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && text(i) != '"') {
+          if (text(i) == '\\' && i + 1 < n) {
+            sb.append(text(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            })
+            i += 2
+          } else { sb.append(text(i)); i += 1 }
+        }
+        i += 1 // closing quote
+        out += "\u0000" + sb.toString //  marks "was quoted"
+      } else if (isCommentStart(i)) {
+        while (i < n && text(i) != '\n') i += 1
+      } else if (c == '\n') { out += "\n"; i += 1 }
+      else if (c == ' ' || c == '\t' || c == '\r') i += 1
+      else if ("{}[]:,=".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else {
+        val sb = new StringBuilder
+        while (i < n && "{}[]:,=\n\" \t\r".indexOf(text(i)) < 0 && !isCommentStart(i)) {
+          sb.append(text(i)); i += 1
+        }
+        out += sb.toString
+      }
+    }
+    out.result()
+  }
+
+  // --- parser ------------------------------------------------------------
+  private final class P(toks: Vector[String]) {
+    private var pos = 0
+    def peek: Option[String] = {
+      var j = pos
+      while (j < toks.length && toks(j) == "\n") j += 1
+      if (j < toks.length) Some(toks(j)) else None
+    }
+    /** next non-newline token */
+    def next(): String = {
+      while (pos < toks.length && toks(pos) == "\n") pos += 1
+      val t = toks(pos); pos += 1; t
+    }
+    /** next token INCLUDING newline (for unquoted-value termination) */
+    private def nextRaw(): String = { val t = toks(pos); pos += 1; t }
+    private def atEnd: Boolean = { var j = pos; while (j < toks.length && toks(j) == "\n") j += 1; j >= toks.length }
+
+    def obj(): ObjectNode = objBody(topLevel = false)
+
+    /** members until `}` (or end of input for the brace-less root) */
+    def objBody(topLevel: Boolean): ObjectNode = {
+      val o = mapper.createObjectNode()
+      while (!(atEnd && topLevel) && peek != Some("}")) {
+        val keyTok = next()
+        val key = unmark(keyTok)
+        peek match {
+          case Some("{") => next(); mergeIn(o, key, obj())
+          case Some("=") | Some(":") =>
+            next()
+            if (peek == Some("{")) { next(); mergeIn(o, key, obj()) }
+            else if (peek == Some("[")) { next(); put(o, key, arr()) }
+            else putScalar(o, key, scalar())
+          case other =>
+            throw new IllegalArgumentException(s"expected = : or {{ after key '$key', got $other")
+        }
+        if (peek == Some(",")) next()
+      }
+      if (!topLevel && peek == Some("}")) next()
+      o
+    }
+
+    def arr(): ArrayNode = {
+      val a = mapper.createArrayNode()
+      while (peek != Some("]")) {
+        peek match {
+          case Some("{") => next(); a.add(obj())
+          case Some("[") => next(); a.add(arr())
+          case _ =>
+            val (s, quoted) = scalar()
+            addScalar(a, s, quoted)
+        }
+        if (peek == Some(",")) next()
+      }
+      next() // "]"
+      a
+    }
+
+    /** scalar value: quoted string, or an unquoted run to end of line /
+      * structural token, joined with single spaces ("365 days"). */
+    private def scalar(): (String, Boolean) = {
+      val first = next()
+      if (first.startsWith("\u0000")) (unmark(first), true)
+      else {
+        val parts = scala.collection.mutable.ArrayBuffer(first)
+        var done = false
+        while (!done && pos < toks.length) {
+          val t = toks(pos)
+          if (t == "\n" || t == "," || t == "}" || t == "]") done = true
+          else if (t.startsWith("\u0000")) { parts += unmark(nextRaw()) }
+          else parts += nextRaw()
+        }
+        (parts.mkString(" "), false)
+      }
+    }
+
+    private def unmark(t: String): String =
+      if (t.startsWith("\u0000")) t.substring(1) else t
+
+    /** dotted-path key expansion + HOCON object deep-merge */
+    private def mergeIn(o: ObjectNode, dottedKey: String, v: ObjectNode): Unit = {
+      val target = descend(o, dottedKey)
+      (target._1.get(target._2), v) match {
+        case (existing: ObjectNode, incoming: ObjectNode) => deepMerge(existing, incoming)
+        case _ => target._1.set[com.fasterxml.jackson.databind.JsonNode](target._2, v); ()
+      }
+    }
+    private def put(o: ObjectNode, dottedKey: String, v: ArrayNode): Unit = {
+      val (parent, leaf) = descend(o, dottedKey)
+      parent.set[com.fasterxml.jackson.databind.JsonNode](leaf, v)
+      ()
+    }
+    private def putScalar(o: ObjectNode, dottedKey: String, sv: (String, Boolean)): Unit = {
+      val (parent, leaf) = descend(o, dottedKey)
+      setScalar(parent, leaf, sv._1, sv._2)
+    }
+    private def descend(o: ObjectNode, dottedKey: String): (ObjectNode, String) = {
+      val parts = dottedKey.split('.')
+      var cur = o
+      for (p <- parts.dropRight(1)) {
+        cur.get(p) match {
+          case child: ObjectNode => cur = child
+          case _ =>
+            val child = mapper.createObjectNode()
+            cur.set[com.fasterxml.jackson.databind.JsonNode](p, child)
+            cur = child
+        }
+      }
+      (cur, parts.last)
+    }
+    private def deepMerge(into: ObjectNode, from: ObjectNode): Unit = {
+      val it = from.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        (into.get(e.getKey), e.getValue) match {
+          case (a: ObjectNode, b: ObjectNode) => deepMerge(a, b)
+          case _ => into.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue); ()
+        }
+      }
+    }
+    private def setScalar(o: ObjectNode, key: String, s: String, quoted: Boolean): Unit =
+      if (quoted) { o.put(key, s); () }
+      else s match {
+        case "true" => o.put(key, true); ()
+        case "false" => o.put(key, false); ()
+        case "null" => o.putNull(key); ()
+        case IntRe() => o.put(key, s.toLong); ()
+        case NumRe() => o.put(key, s.toDouble); ()
+        case _ => o.put(key, s); ()
+      }
+    private def addScalar(a: ArrayNode, s: String, quoted: Boolean): Unit =
+      if (quoted) { a.add(s); () }
+      else s match {
+        case "true" => a.add(true); ()
+        case "false" => a.add(false); ()
+        case IntRe() => a.add(s.toLong); ()
+        case NumRe() => a.add(s.toDouble); ()
+        case _ => a.add(s); ()
+      }
+  }
+
+  private val IntRe = "^-?[0-9]+$".r
+  private val NumRe = "^-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?$".r
+}

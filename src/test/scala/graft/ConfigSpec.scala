@@ -168,6 +168,86 @@ class ConfigSpec extends AnyFunSuite {
     assert(nsq.sinkMaxBytes === 1000000)
   }
 
+  test("HOCON front end: the syntax the reference's example files use") {
+    // our own snippet, exercising every feature the shipped configs need:
+    // comments, unquoted keys/values, = and : and bare-brace, newline
+    // separators, durations as unquoted two-word values, dotted path
+    // keys, deep merge of repeated objects, multi-line + empty blocks
+    val doc =
+      """collector {
+        |  # line comment
+        |  appName = graft-test        // trailing comment
+        |  cookie {
+        |    enabled = true
+        |    expiration = 30 days
+        |    name = sp
+        |  }
+        |  cookie { secure = false }   # deep-merges into the block above
+        |  "doNotTrackCookie": { "enabled": false, "name": dnt }
+        |  redirectDomains = [
+        |    "a.example.com",
+        |    "b.example.com"
+        |  ]
+        |  monitoring.metrics.statsd {
+        |    enabled = true
+        |    period = 10 seconds
+        |  }
+        |  streams {
+        |    sink { enabled = sqs, maxBytes = 1000 }
+        |    buffer { byteLimit = 42, recordLimit = 7, timeLimit = 99 }
+        |  }
+        |  rootResponse { headers = {
+        |  } }
+        |}""".stripMargin
+    val cfg = CollectorConfig.fromHocon(doc)
+    assert(cfg.appName === "graft-test")
+    assert(cfg.cookieEnabled && cfg.cookieName === "sp" && !cfg.cookieSecure)
+    assert(cfg.cookieExpirationMs === 30L * 86400000)
+    assert(cfg.dntCookieName === "dnt")
+    assert(cfg.redirectDomains === Set("a.example.com", "b.example.com"))
+    assert(cfg.statsd.enabled && cfg.statsd.periodMs === 10000L)
+    assert(cfg.sink.kind === "sqs" && cfg.sink.sinkMaxBytes === 1000)
+    assert(cfg.sink.bufferByteLimit === 42L && cfg.sink.bufferRecordLimit === 7
+      && cfg.sink.bufferTimeLimitMs === 99L)
+  }
+
+  test("the reference's shipped example configs parse UNMODIFIED") {
+    // strongest possible fidelity check: the actual files, byte-for-byte,
+    // straight through the loader (input data, not copied code; skipped
+    // where the reference checkout is absent)
+    val dir = new java.io.File("/root/reference/examples")
+    assume(dir.isDirectory, "reference examples not present")
+    val files = dir.listFiles().filter(_.getName.endsWith(".hocon")).sortBy(_.getName)
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val cfg = CollectorConfig.fromHocon(text)
+      // every extended config ships these literal values
+      if (f.getName.contains("extended")) {
+        assert(cfg.cookieExpirationMs === 365L * 86400000, f.getName)
+        assert(cfg.cookieName === "sp", f.getName)
+        assert(!cfg.enableDefaultRedirect, f.getName)
+        // rabbitmq's example ships different exchange names (raw/bad-1)
+        if (f.getName.contains("rabbitmq"))
+          assert(cfg.sink.goodStream === "raw" && cfg.sink.badStream === "bad-1", f.getName)
+        else
+          assert(cfg.sink.goodStream === "good" && cfg.sink.badStream === "bad", f.getName)
+      }
+    }
+    // and the kinesis extended file specifically lands its sink block
+    val kin = files.find(_.getName == "config.kinesis.extended.hocon").get
+    val cfg = CollectorConfig.fromHocon(
+      new String(java.nio.file.Files.readAllBytes(kin.toPath), "UTF-8"))
+    assert(cfg.sink.kind === "kinesis")
+    assert(cfg.sink.region === Some("eu-central-1"))
+    assert(cfg.sink.minBackoffMs === 500 && cfg.sink.maxBackoffMs === 1500
+      && cfg.sink.maxRetries === 3)
+    assert(cfg.sink.sqsMaxBytes === 192000 && cfg.maxBytes === 1000000)
+    assert(cfg.sink.bufferByteLimit === 3145728L && cfg.sink.bufferRecordLimit === 500)
+    assert(cfg.telemetry.url === "sp.snowcatcloud.com" && cfg.telemetry.intervalMs === 3600000L)
+    assert(cfg.statsd.tags === Map("app" -> "collector"))
+  }
+
   test("bridge gates: a disabled bridge's requests vanish from the dispatch") {
     import org.apache.spark.sql.functions.col
     val spark = TestSpark.spark
