@@ -75,6 +75,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchEq.except(streamed).count() === 0)
   }
 
+  test("self-describing bad-row envelopes run unchanged on a stream") {
+    // badRowsJson = projections + an embarrassingly-parallel mapPartitions
+    // (badRowFields) — per-micro-batch output must equal the batch run
+    val envBatch = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+    val srcDir = tmp("brj-src")
+    envBatch.write.mode("overwrite").parquet(srcDir)
+    val outDir = tmp("brj-out"); val ckpt = tmp("brj-ckpt")
+    val q = spark.readStream
+      .schema(envBatch.schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CollectorPipeline.badRowsJson(batch, CollectorConfig.wireRouteScale)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+    val batchEq = CollectorPipeline.badRowsJson(envBatch, CollectorConfig.wireRouteScale)
+    assert(streamed.count() === batchEq.count())
+    assert(streamed.except(batchEq).count() === 0)
+    assert(batchEq.except(streamed).count() === 0)
+  }
+
   test("stratified sampling and PII redaction run unchanged on a stream") {
     // one definition, two modes: the exact functions behind t_sample /
     // t_redact applied per micro-batch must reproduce the batch output
