@@ -16,7 +16,7 @@ object Bench {
     * (round 2 shipped an 8.3× dedup regression that this guard would
     * have caught in-round). */
   private[graft] val baselineSec: Map[String, Double] = Map(
-    "c_payload" -> 0.8,
+    "c_payload" -> 1.5, // re-baselined r5: P2 raw-URI extraction in the envelope (BASELINE.md)
     "c_thrift_wire" -> 2.8,
     "q3_join" -> 0.80,
     "q5_join" -> 0.75,
@@ -41,7 +41,7 @@ object Bench {
     "c_tp2_events" -> 1.3,
     "c_amplitude" -> 0.9,
     "c_unified_events" -> 1.5,
-    "c_qs_params" -> 0.9,
+    "c_qs_params" -> 1.5, // re-baselined r5: same cause (BASELINE.md)
     "c_split_batches" -> 0.8,
     "d_exact" -> 0.7,
     "t_top_terms" -> 1.6,

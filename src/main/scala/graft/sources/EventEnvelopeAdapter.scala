@@ -134,17 +134,24 @@ object EventEnvelopeAdapter {
       .otherwise(concat(path, lit("?"), rawQuerystring, frag))
   }
 
-  /** P2: querystring recovered from the raw URI with the reference's exact
-    * regex `^[^?]*\?([^#]*)(?:#.*)?$` (`CollectorRoute.scala:166-172`) —
-    * no match (no `?`) → NULL, like the reference's `Option`; a bare `?`
+  /** P2: querystring recovered from a raw-URI COLUMN with the reference's
+    * exact regex `^[^?]*\?([^#]*)(?:#.*)?$` (`CollectorRoute.scala:166-172`)
+    * — no match (no `?`) → NULL, like the reference's `Option`; a bare `?`
     * yields the empty string; fragments are dropped. The `rlike` guard is
     * what distinguishes no-match from empty-group (Spark's
-    * `regexp_extract` returns `""` for both). */
-  def querystring: Column = {
+    * `regexp_extract` returns `""` for both). Takes the already-projected
+    * column, NOT the [[rawUri]] generator expression: inlining the
+    * generator here re-evaluated its concat+md5 tree inside both regex
+    * calls and doubled the envelope build (c_payload 0.8 → 1.6 s). */
+  def extractQuerystring(rawUriCol: Column): Column = {
     val re = "^[^?]*\\?([^#]*)(?:#.*)?$"
-    when(rawUri.rlike(re), regexp_extract(rawUri, re, 1))
+    when(rawUriCol.rlike(re), regexp_extract(rawUriCol, re, 1))
       .otherwise(lit(null).cast("string"))
   }
+
+  /** P2 over the generator (spec/oracle convenience; envelope builds use
+    * [[extractQuerystring]] over the projected column). */
+  def querystring: Column = extractQuerystring(rawUri)
 
   def remoteIp: Column =
     when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("string"))
@@ -224,7 +231,6 @@ object EventEnvelopeAdapter {
       method.as("method"),
       path.as("path"),
       rawUri.as("raw_uri"),
-      querystring.as("querystring"),
       body.as("body"),
       contentType.as("content_type"),
       userAgent.as("user_agent"),
@@ -238,4 +244,7 @@ object EventEnvelopeAdapter {
       headers.as("headers"),
       unix_millis(col("ts")).as("timestamp_ms"),
     )
+      // derived from the PROJECTED raw_uri so the generator tree (concat +
+      // md5 uuidify) is evaluated once per row, not once per regex call
+      .withColumn("querystring", extractQuerystring(col("raw_uri")))
 }
