@@ -85,9 +85,12 @@ object Hocon {
       while (j < toks.length && toks(j) == "\n") j += 1
       if (j < toks.length) Some(toks(j)) else None
     }
-    /** next non-newline token */
+    /** next non-newline token; clean error on truncated input (a config
+      * ending mid-object must fail loudly, never index-crash or hang) */
     def next(): String = {
       while (pos < toks.length && toks(pos) == "\n") pos += 1
+      if (pos >= toks.length)
+        throw new IllegalArgumentException("unexpected end of HOCON input")
       val t = toks(pos); pos += 1; t
     }
     /** next token INCLUDING newline (for unquoted-value termination) */
@@ -173,7 +176,10 @@ object Hocon {
       setScalar(parent, leaf, sv._1, sv._2)
     }
     private def descend(o: ObjectNode, dottedKey: String): (ObjectNode, String) = {
-      val parts = dottedKey.split('.')
+      // a key that is ONLY dots (or has empty segments, "a..b") is not a
+      // path expression — treat it as a literal key rather than crash
+      val split = dottedKey.split('.')
+      val parts = if (split.isEmpty || split.exists(_.isEmpty)) Array(dottedKey) else split
       var cur = o
       for (p <- parts.dropRight(1)) {
         cur.get(p) match {

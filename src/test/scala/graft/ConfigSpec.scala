@@ -248,6 +248,24 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.statsd.tags === Map("app" -> "collector"))
   }
 
+  test("HOCON parser: hostile input terminates — parses or throws, never hangs") {
+    import graft.operators.Hocon
+    val rnd = new scala.util.Random(42)
+    val alphabet = "{}[]=:,\"\n abc#/$.0-"
+    for (_ <- 1 to 500) {
+      val garbage = Seq.fill(rnd.nextInt(60))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      try { Hocon.parse(garbage); () }
+      catch {
+        case _: IllegalArgumentException => () // clean rejection
+        case e: Throwable => fail(s"non-clean failure ${e.getClass} on: $garbage")
+      }
+    }
+    // truncated real-looking configs fail cleanly too
+    for (doc <- Seq("collector {", "a = ", "a { b = [1, 2", "\"unclosed"))
+      try { Hocon.parse(doc); () }
+      catch { case _: IllegalArgumentException => () }
+  }
+
   test("bridge gates: a disabled bridge's requests vanish from the dispatch") {
     import org.apache.spark.sql.functions.col
     val spark = TestSpark.spark

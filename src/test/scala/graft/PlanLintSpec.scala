@@ -76,6 +76,14 @@ class PlanLintSpec extends AnyFunSuite {
     val unpivot = planOf("q_unpivot")
     assert(unpivot.contains("Expand") && "Scan parquet".r.findAllIn(unpivot).size <= 1,
       s"q_unpivot lost its single-pass Expand shape:\n$unpivot")
+    // z-score: the per-group moments join back as a BROADCAST — a window
+    // (partitionBy over ~5 event types) funnels the corpus into that many
+    // reducers, and a shuffled join re-exchanges the big side (r5 shape)
+    val zscore = planOf("q_zscore")
+    assert(zscore.contains("BroadcastHashJoin"),
+      s"q_zscore lost its broadcast stats join:\n$zscore")
+    assert(!zscore.contains("Window"),
+      s"q_zscore re-grew the skew-funnel window:\n$zscore")
   }
 
   test("driver contract: entry returns rows; every query name has unique columns") {
