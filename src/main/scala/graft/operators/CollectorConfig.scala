@@ -334,6 +334,11 @@ object CollectorConfig {
   /** testScale with cookie-bounce tracking on (F2 query surface). */
   val bounceScale: CollectorConfig = testScale.copy(bounceEnabled = true)
 
+  /** testScale with the redirect-macro substitution on (S4 query surface:
+    * the `${SP_NUID}` fixture slice exercises the replacement under the
+    * driver oracle, not just spec goldens). */
+  val redirectScale: CollectorConfig = testScale.copy(redirectMacroEnabled = true)
+
   /** testScale with CORS origin whitelisting on (F5 query surface): one
     * wildcard domain and one exact domain, so the fixture origins exercise
     * every branch of the reference's `isOriginAllowed`

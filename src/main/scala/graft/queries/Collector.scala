@@ -53,8 +53,21 @@ object Collector {
   val cBadRowsJson: Q = (s, d) =>
     CollectorPipeline.badRowsJson(env(s, d), CollectorConfig.wireRouteScale)
 
-  /** S4/F4: redirect target resolution + allowlist + macro substitution. */
-  val cRedirect: Q = (s, d) => CollectorPipeline.redirects(env(s, d), cfg)
+  /** S4/F4: redirect target resolution + allowlist + macro substitution
+    * (macro ENABLED so the `${SP_NUID}` fixture slice substitutes — the
+    * disabled-verbatim and custom-placeholder behaviors are pinned by the
+    * CollectorPipelineSpec reference goldens). */
+  val cRedirect: Q = (s, d) =>
+    CollectorPipeline.redirects(env(s, d), CollectorConfig.redirectScale)
+
+  /** F2 second pass under the driver oracle: pixel payloads with
+    * bounce tracking on — the marker slice must STORE with the configured
+    * fallback network user id (reference CollectorServiceSpec:218-240),
+    * first-pass bouncing rows are filtered out by the build. */
+  val cBounceNuid: Q = (s, d) =>
+    CollectorPipeline.payloads(env(s, d), CollectorConfig.bounceScale)
+      .filter(col("path").isin("/i", "/ice.png"))
+      .select(col("event_id"), col("network_userid"))
 
   /** F5: CORS origin decisions under the whitelisting config. */
   val cCors: Q = (s, d) =>
@@ -131,6 +144,7 @@ object Collector {
     "c_set_cookie" -> cSetCookie,
     "c_response" -> cResponse,
     "c_bounce" -> cBounce,
+    "c_bounce_nuid" -> cBounceNuid,
     "c_partition_counts" -> cPartitionCounts,
     "c_tp2_events" -> cTp2Events,
     "c_amplitude" -> cAmplitude,

@@ -93,7 +93,10 @@ object CollectorOracles {
        |           CASE WHEN event_id % 3 = 0 THEN '&nuid=' || ${uu("'nuid' || user_id")} ELSE '' END ||
        |           CASE WHEN m = 16 THEN '&u=https%3A%2F%2Fdest' || (user_id % 10) ||
        |                CASE WHEN user_id % 10 = 0 THEN '.example.org' ELSE '.example.com' END ||
-       |                '%2Flanding' ELSE '' END
+       |                '%2Flanding' ||
+       |                CASE WHEN event_id % 31 = 0 THEN '%3Fuid%3D%24%7BSP_NUID%7D' ELSE '' END
+       |           ELSE '' END ||
+       |           CASE WHEN m BETWEEN 12 AND 15 AND event_id % 37 = 0 THEN '&n=1' ELSE '' END
        |         END AS querystring,
        |    CASE WHEN event_id % 19 = 0 THEN path
        |         WHEN event_id % 29 = 0 THEN path || '?'
@@ -327,10 +330,19 @@ object CollectorOracles {
     "c_redirect" ->
       s"""$Env
          |SELECT event_id,
-         |  CASE WHEN NOT qs_bad AND has_qs THEN $redirectTarget END AS target,
+         |  CASE WHEN NOT qs_bad AND has_qs THEN $redirectTarget ||
+         |    CASE WHEN event_id % 31 = 0 THEN '?uid=' || chr(36) || '{SP_NUID}' ELSE '' END
+         |  END AS target,
          |  (NOT qs_bad AND has_qs AND user_id % 10 <> 0) AS allowed,
          |  CASE WHEN NOT qs_bad AND has_qs AND user_id % 10 <> 0
-         |       THEN 'https://dest' || (user_id % 10) || '.example.com/landing' END AS location
+         |       THEN 'https://dest' || (user_id % 10) || '.example.com/landing' ||
+         |         CASE WHEN event_id % 31 = 0 THEN '?uid=' ||
+         |           CASE WHEN anon THEN '$NilUuid'
+         |                ELSE coalesce(
+         |                  CASE WHEN event_id % 3 = 0 THEN ${uu("'nuid' || user_id")} END,
+         |                  cookie_sp, ${uu("'nuid-gen' || event_id")}) END
+         |         ELSE '' END
+         |       END AS location
          |FROM env2 WHERE m = 16""".stripMargin,
 
     "c_cors" ->
@@ -433,14 +445,36 @@ object CollectorOracles {
       s"""$Env
          |SELECT event_id,
          |  (NOT anon AND NOT qs_bad AND NOT (event_id % 3 = 0 AND has_qs)
+         |   AND NOT (event_id % 37 = 0 AND has_qs)
          |   AND user_id % 4 = 0) AS bounced,
          |  CASE WHEN NOT anon AND NOT qs_bad AND NOT (event_id % 3 = 0 AND has_qs)
+         |            AND NOT (event_id % 37 = 0 AND has_qs)
          |            AND user_id % 4 = 0
          |       THEN path || '?' ||
          |            CASE WHEN querystring IS NULL OR querystring = ''
          |                 THEN '' ELSE querystring || '&' END || 'n=1'
          |       END AS location
          |FROM env2 WHERE path IN ('/i', '/ice.png')""".stripMargin,
+
+    // F2 second pass: pixel payloads under an active bounce config.
+    // First-pass bouncing rows (no nuid source, no marker) are EXCLUDED
+    // (they were redirected, not stored); the %37 marker slice stores
+    // with the configured fallback network user id.
+    "c_bounce_nuid" ->
+      s"""$Env
+         |SELECT event_id,
+         |  CASE WHEN anon THEN '$NilUuid'
+         |       ELSE coalesce(
+         |         CASE WHEN event_id % 3 = 0 AND has_qs THEN ${uu("'nuid' || user_id")} END,
+         |         cookie_sp,
+         |         CASE WHEN event_id % 37 = 0 AND has_qs
+         |              THEN '00000000-0000-4000-A000-000000000000'
+         |              ELSE ${uu("'nuid-gen' || event_id")} END) END AS network_userid
+         |FROM env2
+         |WHERE m BETWEEN 12 AND 15 AND NOT dnt AND NOT qs_bad
+         |  AND NOT (NOT anon AND NOT (event_id % 3 = 0 AND has_qs)
+         |           AND cookie_sp IS NULL
+         |           AND NOT (event_id % 37 = 0 AND has_qs))""".stripMargin,
 
     "c_partition_counts" ->
       s"""$Env

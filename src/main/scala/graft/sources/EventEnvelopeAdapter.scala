@@ -115,9 +115,19 @@ object EventEnvelopeAdapter {
       concat(lit("&u=https%3A%2F%2Fdest"), pmod(col("user_id"), lit(10)),
         when(pmod(col("user_id"), lit(10)) === 0, lit(".example.org"))
           .otherwise(lit(".example.com")),
-        lit("%2Flanding"))).otherwise(lit(""))
+        lit("%2Flanding"),
+        // S4 macro slice: the encoded target carries ?uid=${SP_NUID},
+        // substituted by the redirect resolver when the macro is enabled
+        when(pmod(col("event_id"), lit(31)) === 0,
+          lit("%3Fuid%3D%24%7BSP_NUID%7D")).otherwise(lit(""))))
+      .otherwise(lit(""))
+    // F2 second-pass slice: pixel rows carrying the bounce marker param
+    // (the request a bounced browser replays) — these must STORE with the
+    // configured fallback nuid, not bounce again
+    val marker = when(m.between(12, 15) && pmod(col("event_id"), lit(37)) === 0,
+      lit("&n=1")).otherwise(lit(""))
     when(pmod(col("event_id"), lit(17)) === 0, lit("e=%%bad&&=="))
-      .otherwise(concat(base, nuid, u))
+      .otherwise(concat(base, nuid, u, marker))
   }
 
   /** P2 input: the request URI exactly as the HTTP layer's
