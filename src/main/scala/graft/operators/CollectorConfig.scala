@@ -52,11 +52,24 @@ final case class CollectorConfig(
     enableDefaultRedirect: Boolean = true,
     analyticsJsBridgeEnabled: Boolean = false,
     amplitudeBridgeEnabled: Boolean = false,
+    crossDomainEnabled: Boolean = false,
+    crossDomainDomains: Seq[String] = Seq("*"),
+    crossDomainSecure: Boolean = true,
+    p3pPolicyRef: String = "/w3c/p3p.xml",
+    p3pCP: String = "NOI DSP COR NID PSA OUR IND COM NAV STA",
+    rootResponseEnabled: Boolean = false,
+    rootResponseStatus: Int = 302,
+    rootResponseBody: String = "",
     telemetry: TelemetrySettings = TelemetrySettings(),
     statsd: StatsdSettings = StatsdSettings(),
     sink: SinkSettings = SinkSettings(),
 ) {
   def collectorName: String = s"$appName-$appVersion-$sinkName"
+
+  /** The P3P response header value, reference-exact
+    * (`CollectorService.scala:167`). */
+  def p3pHeader: String =
+    "policyref=\"%s\", CP=\"%s\"".format(p3pPolicyRef, p3pCP)
 }
 
 /** R7 heartbeat connection settings (reference `telemetry` block +
@@ -239,6 +252,14 @@ object CollectorConfig {
         bool(c.path("experimental").path("enableAnalyticsJsBridge"), d.analyticsJsBridgeEnabled),
       amplitudeBridgeEnabled =
         bool(c.path("experimental").path("enableAmplitudeBridge"), d.amplitudeBridgeEnabled),
+      crossDomainEnabled = bool(c.path("crossDomain").path("enabled"), d.crossDomainEnabled),
+      crossDomainDomains = strSeq(c.path("crossDomain").path("domains"), d.crossDomainDomains),
+      crossDomainSecure = bool(c.path("crossDomain").path("secure"), d.crossDomainSecure),
+      p3pPolicyRef = str(c.path("p3p").path("policyRef"), d.p3pPolicyRef),
+      p3pCP = str(c.path("p3p").path("CP"), d.p3pCP),
+      rootResponseEnabled = bool(c.path("rootResponse").path("enabled"), d.rootResponseEnabled),
+      rootResponseStatus = int(c.path("rootResponse").path("statusCode"), d.rootResponseStatus),
+      rootResponseBody = str(c.path("rootResponse").path("body"), d.rootResponseBody),
       corsEnabled =
         if (c.path("cors").path("enabled").isMissingNode) d.corsEnabled
         else c.path("cors").path("enabled").asBoolean,

@@ -39,4 +39,15 @@ object OpsEndpoints {
     * the HTTP tier. */
   def rootResponse(enabled: Boolean, status: Int, body: String = ""): Response =
     if (enabled) (status, body) else (404, "404 not found")
+
+  /** Config-driven spellings: the same endpoints resolved straight from a
+    * loaded [[graft.operators.CollectorConfig]] (r5 — the crossDomain /
+    * rootResponse / p3p blocks now parse from the reference's own config
+    * files, so the served bytes are a pure function of that file). */
+  def flashCrossDomainPolicy(cfg: graft.operators.CollectorConfig): Response =
+    flashCrossDomainPolicy(
+      cfg.crossDomainEnabled, cfg.crossDomainDomains, cfg.crossDomainSecure)
+
+  def rootResponse(cfg: graft.operators.CollectorConfig): Response =
+    rootResponse(cfg.rootResponseEnabled, cfg.rootResponseStatus, cfg.rootResponseBody)
 }

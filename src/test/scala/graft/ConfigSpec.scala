@@ -31,6 +31,12 @@ class ConfigSpec extends AnyFunSuite {
   private val kinesisExtended =
     """{"collector": {
       |  "paths": {},
+      |  "p3p": {
+      |    "policyRef": "/w3c/p3p.xml",
+      |    "CP": "NOI DSP COR NID PSA OUR IND COM NAV STA"
+      |  },
+      |  "crossDomain": {"enabled": false, "domains": ["*"], "secure": true},
+      |  "rootResponse": {"enabled": false, "statusCode": 302, "headers": {}, "body": ""},
       |  "cookie": {
       |    "enabled": true,
       |    "expiration": "365 days",
@@ -107,6 +113,21 @@ class ConfigSpec extends AnyFunSuite {
     assert(!cfg.enableDefaultRedirect)
     assert(cfg.redirectDomains === Set.empty)
     assert(!cfg.redirectMacroEnabled && cfg.redirectMacroPlaceholder === None)
+    // p3p / crossDomain / rootResponse (served by OpsEndpoints)
+    assert(cfg.p3pHeader ===
+      "policyref=\"/w3c/p3p.xml\", CP=\"NOI DSP COR NID PSA OUR IND COM NAV STA\"")
+    assert(!cfg.crossDomainEnabled && cfg.crossDomainDomains === Seq("*")
+      && cfg.crossDomainSecure)
+    assert(graft.streaming.OpsEndpoints.flashCrossDomainPolicy(cfg) ===
+      (404, "404 not found")) // example ships crossDomain disabled
+    assert(graft.streaming.OpsEndpoints.flashCrossDomainPolicy(
+      cfg.copy(crossDomainEnabled = true)) === (200,
+      "<?xml version=\"1.0\"?>\n<cross-domain-policy>\n" +
+        "  <allow-access-from domain=\"*\" secure=\"true\" />" +
+        "\n</cross-domain-policy>"))
+    assert(!cfg.rootResponseEnabled && cfg.rootResponseStatus === 302
+      && cfg.rootResponseBody === "")
+    assert(graft.streaming.OpsEndpoints.rootResponse(cfg) === (404, "404 not found"))
     // cors
     assert(cfg.corsMaxAgeMs === 3600000L)
     // streams + sink + buffer
