@@ -346,7 +346,10 @@ object CollectorConfig {
     * size distribution (min 344 / p50 693 / max 847 serialized bytes at
     * sf0.01) so the SizeViolation gate — serialized size, reference
     * `SplitBatch.scala:87` — exercises both branches. */
-  val testScale: CollectorConfig = CollectorConfig(maxBytes = 800)
+  val testScale: CollectorConfig =
+    // dntEnabled: the fixture's DNT slice (%13) must actually suppress —
+    // the engine default mirrors the reference's shipped default (off)
+    CollectorConfig(maxBytes = 800, dntEnabled = true)
 
   /** maxBytes for the split-batch query surface: 2 tracker elements per
     * sub-batch at the synthetic element sizes. */

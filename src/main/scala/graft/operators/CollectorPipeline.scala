@@ -66,10 +66,13 @@ object CollectorPipeline {
   def qp(qs: Column, key: String): Column =
     when(qsValid(qs), element_at(qsMap(qs), key)).otherwise(lit(null))
 
-  /** F1: drop the event when the DNT cookie value matches the configured
-    * regex (full match, as the reference's `matches`). */
+  /** F1: drop the event when DNT tracking is enabled AND the DNT cookie
+    * value matches the configured regex (full match, as the reference's
+    * `matches`; the `doNotTrackCookie.enabled` gate is the reference's —
+    * disabled config ⇒ constant false, folds away in codegen). */
   def dntSuppressed(cfg: CollectorConfig): Column =
-    col("cookie_dnt").isNotNull &&
+    if (!cfg.dntEnabled) lit(false)
+    else col("cookie_dnt").isNotNull &&
       col("cookie_dnt").rlike("^(?:" + cfg.dntCookieValue + ")$")
 
   /** F3: SP-Anonymous header present. */
@@ -291,7 +294,9 @@ object CollectorPipeline {
     val originHost = regexp_replace(col("origin"), "^https?://", "")
     val origins = filter(array(originHost), h => h.isNotNull)
     val domain = cookieDomain(origins, cfg.cookieDomains, cfg.fallbackDomain)
-    val emitted = !dntSuppressed(cfg) && !anon
+    // cookie.enabled is the reference's master switch for the Set-Cookie
+    // header (`CollectorService.scala:407-410`); folds to false when off
+    val emitted = lit(cfg.cookieEnabled) && !dntSuppressed(cfg) && !anon
     val flags =
       (if (cfg.cookieSecure) "; Secure" else "") +
         (if (cfg.cookieHttpOnly) "; HttpOnly" else "") +

@@ -316,6 +316,20 @@ class CollectorPipelineSpec extends AnyFunSuite {
       .filter(col("bounced")).count() === 0)
   }
 
+  test("enable gates: DNT off stores DNT rows; cookie off emits no Set-Cookie") {
+    // reference ships doNotTrackCookie.enabled = false — with the gate
+    // off, the %13 DNT slice must reach payloads like any other row
+    val dntOff = cfg.copy(dntEnabled = false)
+    val stored = CollectorPipeline.payloads(env, dntOff)
+      .filter(col("event_id") % 13 === 0).count()
+    assert(stored > 0, "DNT rows suppressed despite the gate being off")
+    // and cookie.enabled = false silences the Set-Cookie header entirely
+    val cookieOff = CollectorConfig.cookieScale.copy(cookieEnabled = false)
+    val cookies = CollectorPipeline.setCookieHeaders(env, cookieOff)
+    assert(cookies.filter(col("emitted")).count() === 0)
+    assert(cookies.filter(col("set_cookie").isNotNull).count() === 0)
+  }
+
   /** Redirect envelope for the macro/allowlist goldens. */
   private def redirectRow(eventId: Long, qs: String) = {
     import spark2.implicits._
