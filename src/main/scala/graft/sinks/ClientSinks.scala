@@ -256,4 +256,39 @@ object ClientSinks {
       new SqsEventSink(queue, f)
     case _ => new ParquetDirSink(parquetDir)
   }
+
+  /** A deterministic backoff SCHEDULE from a loaded config's numbers:
+    * the reference's jitter formula (`max(uniform[min,max], last·2/3)`,
+    * [[graft.sinks.RetryPolicy]]) unrolled driver-side into one Long per
+    * retry, so the executor-side closure is stateless and serializable
+    * while the delay sequence stays reference-shaped. */
+  def backoffSchedule(s: graft.operators.SinkSettings, seed: Long = 17L): Int => Long = {
+    val policy = new RetryPolicy(s.minBackoffMs, s.maxBackoffMs, s.maxRetries, seed)
+    val schedule = Vector.fill(math.max(s.maxRetries, 1))(policy.nextBackoffMs())
+    attempt => schedule(math.min(math.max(attempt - 1, 0), schedule.length - 1))
+  }
+
+  /** CONFIG-driven wiring: the same dispatch, but every retry/backoff
+    * number comes from the parsed [[graft.operators.SinkSettings]] (the
+    * reference's `streams.sink` block — so a loaded
+    * `config.kinesis.extended.hocon` actually drives the runtime sink,
+    * not just the loader's case class). */
+  def sinkFromSettings(
+      s: graft.operators.SinkSettings,
+      parquetDir: => String,
+      kinesis: => Option[() => KinesisClient] = None,
+      sqs: => Option[() => SqsClient] = None,
+      sleeper: Long => Unit = Thread.sleep): EventSink = s.kind match {
+    case "kinesis" =>
+      val f = kinesis.getOrElse(
+        throw new IllegalArgumentException("kinesis sink enabled but no client factory"))
+      new KinesisEventSink(s.goodStream, f,
+        maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
+    case "sqs" =>
+      val f = sqs.getOrElse(
+        throw new IllegalArgumentException("sqs sink enabled but no client factory"))
+      new SqsEventSink(s.goodStream, f,
+        maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
+    case _ => new ParquetDirSink(parquetDir)
+  }
 }

@@ -30,7 +30,8 @@ object StreamingCollector {
       goodDir: String,
       badDir: String,
       checkpointDir: String,
-      trigger: Trigger = DefaultTrigger): StreamingQuery =
+      trigger: Trigger = DefaultTrigger,
+      badRowsSelfDescribing: Boolean = false): StreamingQuery =
     envelopes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -39,7 +40,11 @@ object StreamingCollector {
         try {
           CollectorPipeline.payloads(batch, cfg)
             .write.mode("append").parquet(goodDir)
-          CollectorPipeline.badRows(batch, cfg)
+          // self-describing mode writes what the reference's bad stream
+          // actually carries — `badRow.compact` iglu envelopes — instead
+          // of the flat diagnostic summary
+          (if (badRowsSelfDescribing) CollectorPipeline.badRowsJson(batch, cfg)
+           else CollectorPipeline.badRows(batch, cfg))
             .write.mode("append").parquet(badDir)
         } finally batch.unpersist()
         ()

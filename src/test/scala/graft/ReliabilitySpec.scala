@@ -208,6 +208,40 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(primary.batches.isEmpty)
   }
 
+  test("sinkFromSettings: the loaded config's numbers drive the runtime sink") {
+    import graft.operators.{CollectorConfig, SinkSettings}
+    // the reference's example config, straight through the loader
+    val cfg = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"good": "gstream", "sink": {
+        |  "enabled": "kinesis",
+        |  "backoffPolicy": {"minBackoff": 500, "maxBackoff": 1500, "maxRetries": 3}
+        |}}}}""".stripMargin)
+    // backoff schedule: reference jitter formula, every delay in [min, max]
+    val backoff = ClientSinks.backoffSchedule(cfg.sink)
+    val delays = (1 to 3).map(backoff)
+    assert(delays.forall(d => d >= 500 && d <= 1500), s"schedule out of bounds: $delays")
+    // deterministic: same settings → same schedule
+    assert((1 to 3).map(ClientSinks.backoffSchedule(cfg.sink)) === delays)
+    // maxRetries from config is honored: a client that keeps failing
+    // exhausts exactly the configured budget then throws for replay
+    // (MockClients' static state is the executor-visible observer)
+    MockClients.reset()
+    val sink = ClientSinks.sinkFromSettings(
+      cfg.sink, parquetDir = sys.error("unused"),
+      kinesis = Some(() => MockClients.kinesisAlwaysFailing()), sleeper = _ => ())
+    assert(sink.name === "kinesis(gstream)") // stream name from streams.good
+    import org.apache.spark.sql.functions.{col => c}
+    intercept[Exception] {
+      sink.write(batch
+        .select(c("v").cast("binary").as("thrift"),
+          c("id").cast("string").as("partition_key"))
+        .coalesce(1), 1L) // one partition → one retry loop to count
+    }
+    // initial send + exactly the configured 3 retries
+    assert(MockClients.kinesisCalls.size === 4,
+      s"expected initial + 3 retries, got ${MockClients.kinesisCalls.size}")
+  }
+
   test("real-SDK Kinesis binding: absent SDK is detected at factory time, not mid-batch") {
     import graft.sinks.AwsKinesisClient
     // this sandbox ships no AWS jars — availability must say so honestly
