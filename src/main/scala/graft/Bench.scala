@@ -76,7 +76,8 @@ object Bench {
     "t_pipeline" -> 4.8,
     // r5 additions
     "c_bad_rows_json" -> 2.7,
-    "c_bounce_nuid" -> 2.2)
+    "c_bounce_nuid" -> 2.2,
+    "c_thrift_roundtrip" -> 2.2)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -238,6 +238,40 @@ object ThriftPayload {
       }
   }
 
+  /** One decoded wire record for the oracle-checked round-trip query:
+    * event_id (carried beside the bytes) + every thrift field, headers
+    * joined for the comparable projection. */
+  final case class DecodedPayload(
+      event_id: Long, schema_uri: String, ip: String, timestamp_ms: Long,
+      encoding: String, collector: String, user_agent: String,
+      referer_uri: String, path: String, querystring: String, body: String,
+      headers_str: String, content_type: String, hostname: String,
+      network_userid: String)
+
+  /** The READ path: wire bytes → typed fields (what every downstream
+    * consumer of the reference's good stream does first). Same
+    * per-partition protocol-buffer shape as [[encode]]; narrow. Under the
+    * driver oracle via `c_thrift_roundtrip`: encode∘decode must reproduce
+    * the analytically-computed payload — the decoder is hash-checked
+    * against DuckDB, not just against our own encoder (the wire digest
+    * spec pins the bytes themselves, closing the symmetric-bug loophole a
+    * round-trip-only check would leave). */
+  def decode(wire: Dataset[WirePayload]): Dataset[DecodedPayload] = {
+    val spark = wire.sparkSession
+    implicit val enc0 = org.apache.spark.sql.Encoders.product[DecodedPayload]
+    wire.mapPartitions { it =>
+      it.map { w =>
+        val r = deserialize(w.thrift)
+        DecodedPayload(
+          w.event_id, r.schema, r.ipAddress, r.timestamp, r.encoding,
+          r.collector, r.userAgent, r.refererUri, r.path, r.querystring,
+          r.body,
+          if (r.headers == null) null else r.headers.mkString("|"),
+          r.contentType, r.hostname, r.networkUserId)
+      }
+    }
+  }
+
   /** Decode (round-trip testing + reading back the wire format). */
   def deserialize(bytes: Array[Byte]): PayloadRecord = {
     val t = new TMemoryBuffer(bytes.length)

@@ -133,6 +133,14 @@ object Collector {
       .select(col("event_id"), col("partition_key"),
         length(col("thrift")).as("thrift_bytes"))
 
+  /** P14 under the FULL oracle: encode every payload to wire bytes, decode
+    * them back, and hash-compare the decoded fields against the
+    * analytically-computed expectation — the binary format itself becomes
+    * oracle-checkable even though DuckDB can't read thrift. */
+  val cThriftRoundtrip: Q = (s, d) =>
+    ThriftPayload.decode(
+      ThriftPayload.encode(CollectorPipeline.payloads(env(s, d), cfg))).toDF()
+
   val all: Map[String, Q] = Map(
     "c_envelopes" -> cEnvelopes,
     "c_payload" -> cPayload,
@@ -153,5 +161,6 @@ object Collector {
     "c_split_batches" -> cSplitBatches,
     "c_wire_route" -> cWireRoute,
     "c_thrift_wire" -> cThriftWire,
+    "c_thrift_roundtrip" -> cThriftRoundtrip,
   )
 }

@@ -219,6 +219,41 @@ object CollectorOracles {
          |    content_type) AS headers_str
          |FROM env2 WHERE NOT dnt AND NOT qs_bad""".stripMargin,
 
+    // P14 round trip: the DECODED wire fields must equal the analytic
+    // payload expectation — same projection as c_payload minus the
+    // partition key (not a thrift field)
+    "c_thrift_roundtrip" ->
+      s"""$Env
+         |SELECT event_id,
+         |  'iglu:com.snowplowanalytics.snowplow/CollectorPayload/thrift/1-0-0' AS schema_uri,
+         |  CASE WHEN anon THEN 'unknown' ELSE coalesce(remote_ip, 'unknown') END AS ip,
+         |  timestamp_ms,
+         |  'UTF-8' AS encoding,
+         |  'graft-0.1.0-spark' AS collector,
+         |  querystring,
+         |  body,
+         |  CASE WHEN path = '/com.acme/track' THEN '/com.snowplowanalytics.snowplow/tp2'
+         |       WHEN path = '/com.acme/redirect' THEN '/r/tp2'
+         |       WHEN path = '/com.acme/iglu' THEN '/com.snowplowanalytics.iglu/v1'
+         |       ELSE path END AS path,
+         |  user_agent,
+         |  referer AS referer_uri,
+         |  hostname,
+         |  CASE WHEN anon THEN '$NilUuid'
+         |       ELSE coalesce(
+         |         CASE WHEN event_id % 3 = 0 AND has_qs THEN ${uu("'nuid' || user_id")} END,
+         |         cookie_sp,
+         |         ${uu("'nuid-gen' || event_id")}) END AS network_userid,
+         |  content_type,
+         |  concat_ws('|',
+         |    'Host: ' || hostname,
+         |    'User-Agent: ' || user_agent,
+         |    CASE WHEN referer IS NOT NULL THEN 'Referer: ' || referer END,
+         |    CASE WHEN remote_ip IS NOT NULL AND NOT anon THEN 'X-Forwarded-For: ' || remote_ip END,
+         |    CASE WHEN cookie_sp IS NOT NULL AND NOT anon THEN 'Cookie: sp=' || cookie_sp END,
+         |    content_type) AS headers_str
+         |FROM env2 WHERE NOT dnt AND NOT qs_bad""".stripMargin,
+
     "c_qs_params" ->
       s"""$Env
          |SELECT event_id,
