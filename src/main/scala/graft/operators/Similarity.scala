@@ -205,6 +205,20 @@ object Similarity {
     (assignCells(corpus, cents), cents)
   }
 
+  /** INCREMENTAL index maintenance: assign a batch of NEW vectors against
+    * the EXISTING trained centroids — no retraining, no touch of the
+    * already-indexed corpus. This is how a production index absorbs
+    * streaming ingest at 100 TB: the append is one narrow pass over the
+    * new batch (per-row argmin against the broadcast centroid row), its
+    * output appends to the same cell-partitioned storage
+    * (`write.partitionBy("cell").mode("append")`), and probes see old and
+    * new rows identically because assignment is a pure function of the
+    * frozen centroids. Centroid refresh is a periodic OFFLINE re-train +
+    * atomic index swap, never an inline mutation. SimilaritySpec proves
+    * append-then-probe ≡ index-everything-at-once-then-probe. */
+  def ivfAppend(newVectors: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(prepared(newVectors), cents)
+
   /** Top-k probe over a built (possibly persisted-and-reloaded) index:
     * queries meet candidates only inside their `nprobe` nearest cells. */
   def ivfProbe(cells: DataFrame, cents: DataFrame, queries: DataFrame,

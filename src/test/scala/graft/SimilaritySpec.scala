@@ -182,6 +182,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned.select("cell").distinct().count() === 2)
   }
 
+  test("IVF incremental append: assign-new ∪ old index ≡ index-everything-at-once") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    // split ingest: first 80% builds (and trains) the index, the rest
+    // arrives later as an append batch against the FROZEN centroids
+    val cut = emb.select(max(col("vec_id"))).head().getLong(0) * 8 / 10
+    val initial = emb.filter(col("vec_id") <= cut)
+    val late = emb.filter(col("vec_id") > cut)
+    assert(late.count() > 0 && initial.count() > 0)
+    val (cells0, cents) = Similarity.ivfIndex(initial)
+    val appended = cells0.unionByName(Similarity.ivfAppend(late, cents))
+    // the reference computation: assign EVERYTHING against the same
+    // centroids in one pass (training saw only the initial corpus both
+    // ways, so the centroids are identical by construction)
+    val allAtOnce = Similarity.ivfAppend(emb, cents)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+    assert(rows(appended) === rows(allAtOnce))
+    // and probes over the appended index can see the late vectors
+    val queries = appended.filter(col("vec_id") % 97 === 0)
+    val hits = Similarity.ivfProbe(appended, cents, queries, 3, 2)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(hits.exists { case (_, _, c, _) => c > cut },
+      "no probe ever surfaced an appended vector")
+  }
+
   test("brute top-k on real embeddings: ranks dense, cos within [-1,1], self excluded") {
     val out = Similarity.bruteTopK(Tables.embeddings(spark, TestSpark.Sf), 5)
       .as[(Long, Int, Long, Double)].collect()
