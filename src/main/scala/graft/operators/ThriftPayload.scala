@@ -272,6 +272,40 @@ object ThriftPayload {
     }
   }
 
+  /** [[decode]] with the production consumer's tolerance: a record whose
+    * bytes do not parse as a CollectorPayload (wire corruption, foreign
+    * garbage on the stream) yields a null-fielded row flagged
+    * `decode_ok = false` instead of killing the task — the engine analog
+    * of the reference consumers' corrupt-thrift bad rows. One hostile
+    * record must never wedge a 1000-executor read job. */
+  def decodeSafe(wire: Dataset[WirePayload]): DataFrame = {
+    val spark = wire.sparkSession
+    implicit val enc0 =
+      org.apache.spark.sql.Encoders.product[(Long, Option[DecodedPayload])]
+    wire.mapPartitions { it =>
+      it.map { w =>
+        val dec =
+          try {
+            val r = deserialize(w.thrift)
+            Some(DecodedPayload(
+              w.event_id, r.schema, r.ipAddress, r.timestamp, r.encoding,
+              r.collector, r.userAgent, r.refererUri, r.path, r.querystring,
+              r.body,
+              if (r.headers == null) null else r.headers.mkString("|"),
+              r.contentType, r.hostname, r.networkUserId))
+          } catch { case _: Exception => None }
+        (w.event_id, dec)
+      }
+    }.toDF("event_id", "decoded")
+      .select(
+        col("event_id") +:
+          Seq("schema_uri", "ip", "timestamp_ms", "encoding", "collector",
+            "user_agent", "referer_uri", "path", "querystring", "body",
+            "headers_str", "content_type", "hostname", "network_userid")
+            .map(f => col(s"decoded.$f").as(f)) :+
+          col("decoded").isNotNull.as("decode_ok"): _*)
+  }
+
   /** Decode (round-trip testing + reading back the wire format). */
   def deserialize(bytes: Array[Byte]): PayloadRecord = {
     val t = new TMemoryBuffer(bytes.length)
