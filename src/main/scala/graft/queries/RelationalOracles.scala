@@ -333,7 +333,7 @@ object RelationalOracles {
         |         WHEN (cg1-2)*(cg1-2) <= dp THEN cg1-2
         |         ELSE 0 END AS corr_den
         |  FROM ch)
-        |SELECT o_orderpriority, n, sx,
+        |SELECT o_orderpriority, n, CAST(sx AS BIGINT) AS sx,
         |  CAST((1000000*m2x - ((1000000*m2x % n2) + n2) % n2) // n2 AS BIGINT) AS var_micro_x,
         |  CAST(std_micro AS BIGINT) AS std_micro_x,
         |  CAST((1000000*cxy - ((1000000*cxy % n2) + n2) % n2) // n2 AS BIGINT) AS cov_micro_xy,

@@ -86,6 +86,22 @@ class PlanLintSpec extends AnyFunSuite {
       s"q_zscore re-grew the skew-funnel window:\n$zscore")
   }
 
+  test("no query output schema contains DecimalType (hash-representation lint)") {
+    // The driver hashes results through arrow->pandas, where int128/decimal
+    // columns decay to float64 while Spark's int64 stays int — numerically
+    // identical cells then hash differently (the r4-r6 q_stats oracle bug,
+    // HUGEINT left uncast). Decimals are fine as *internal* exact
+    // arithmetic, but every final output column must be BIGINT/DOUBLE/etc.
+    // tools/check.py enforces the mirror rule on the DuckDB oracle side.
+    import org.apache.spark.sql.types.DecimalType
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val bad = fn(spark, TestSpark.Sf).schema.fields
+        .filter(_.dataType.isInstanceOf[DecimalType]).map(_.name)
+      assert(bad.isEmpty,
+        s"$name emits DecimalType output columns ${bad.mkString(",")} — cast to long/double")
+    }
+  }
+
   test("driver contract: entry returns rows; every query name has unique columns") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key corresponds to a registered query

@@ -45,6 +45,23 @@ def rowset(cols, rows):
     )
 
 
+# Output types that do not survive the driver's arrow->pandas hash path
+# with their value representation intact: DuckDB HUGEINT (int128) becomes
+# arrow decimal128(38,0) and then pandas float64, so `7572713` hashes as
+# `7572713.0` while Spark's int64 hashes as `7572713` (the r4-r6 q_stats
+# failure). Every sum()/product() over BIGINT must be cast in the oracle's
+# final SELECT. DECIMAL outputs are banned for the same reason.
+BANNED_TYPE = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def lint_types(con, name, sql):
+    """Return a list of (column, type) oracle outputs whose DuckDB type
+    would change representation on the way to the driver's hasher."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in desc
+            if any(r[1].upper().startswith(b) for b in BANNED_TYPE)]
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -53,6 +70,16 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        try:
+            bad_types = lint_types(con, name, sql)
+        except Exception as e:
+            bad_types = []
+            print(f"WARN {name}: type lint skipped: {e}")
+        if bad_types:
+            print(f"FAIL {name}: oracle output type leaks through arrow/pandas: "
+                  f"{bad_types} — cast to BIGINT/DOUBLE in the final SELECT")
+            n_fail += 1
+            continue
         try:
             ds = pads.dataset(f"{out_dir}/{name}")
             tbl = ds.to_table()
