@@ -124,14 +124,16 @@ object Collector {
       CollectorPipeline.payloads(env(s, d), CollectorConfig.wireRouteScale),
       CollectorConfig.wireRouteScale.maxBytes).toDF()
 
-  /** P14: thrift wire encoding of the good payload stream. No SQL oracle
-    * (binary output) — driver records a rows-only check; byte-level
-    * round-trip is covered by ThriftSpec. */
+  /** P14: thrift wire encoding of the good payload stream, projected to
+    * its DuckDB-expressible shadow: the REAL serializer runs and the
+    * oracle checks every payload's exact TBinaryProtocol byte count +
+    * partition key (raw bytes themselves aren't SQL-expressible; the
+    * field-level round trip is `c_thrift_roundtrip`). */
   val cThriftWire: Q = (s, d) =>
     ThriftPayload.encode(CollectorPipeline.payloads(env(s, d), cfg))
       .toDF()
       .select(col("event_id"), col("partition_key"),
-        length(col("thrift")).as("thrift_bytes"))
+        length(col("thrift")).cast("long").as("thrift_bytes"))
 
   /** P14 under the FULL oracle: encode every payload to wire bytes, decode
     * them back, and hash-compare the decoded fields against the

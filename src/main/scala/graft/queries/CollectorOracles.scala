@@ -134,6 +134,8 @@ object CollectorOracles {
        |           CASE WHEN event_id % 3 = 0 AND has_qs THEN ${uu("'nuid' || user_id")} END,
        |           cookie_sp,
        |           ${uu("'nuid-gen' || event_id")}) END AS nuid,
+       |    CASE WHEN NOT anon AND remote_ip IS NOT NULL THEN remote_ip
+       |         ELSE ${uu("'pk' || event_id")} END AS partition_key,
        |    concat_ws(', ',
        |      'Host: ' || hostname,
        |      'User-Agent: ' || user_agent,
@@ -253,6 +255,17 @@ object CollectorOracles {
          |    CASE WHEN cookie_sp IS NOT NULL AND NOT anon THEN 'Cookie: sp=' || cookie_sp END,
          |    content_type) AS headers_str
          |FROM env2 WHERE NOT dnt AND NOT qs_bad""".stripMargin,
+
+    // P14 wire projection: the exact TBinaryProtocol byte count per payload
+    // (the `sized` formula, byte-parity-asserted against the serializer in
+    // SplitBatchSpec and already gating c_bad_rows/c_wire_route) plus the
+    // partition key — the binary stream's DuckDB-expressible shadow.
+    "c_thrift_wire" ->
+      s"""$Env,
+         |$PaySized
+         |SELECT event_id, partition_key,
+         |  CAST(wire_size AS BIGINT) AS thrift_bytes
+         |FROM sized""".stripMargin,
 
     "c_qs_params" ->
       s"""$Env
