@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Headline bench: one JSON line with per-query wall seconds over
   * SPARK_GRAFT_SF_DIR. A full untimed warm-up pass precedes the timed
@@ -77,7 +79,89 @@ object Bench {
     // r5 additions
     "c_bad_rows_json" -> 2.7,
     "c_bounce_nuid" -> 2.2,
-    "c_thrift_roundtrip" -> 2.2)
+    "c_thrift_roundtrip" -> 2.2,
+    // r7 additions: streaming drain anchors (AvailableNow, forced
+    // micro-batching — see streamBench scaladoc and BASELINE.md rows)
+    "stream_collector" -> 7.0,
+    "stream_sessionize" -> 2.1,
+    "stream_join" -> 5.7)
+
+  /** Streaming legs: wall seconds to drain the full sf through each
+    * structured-streaming operator under `Trigger.AvailableNow` with
+    * forced multi-micro-batching — the measured anchor for the 100 TB
+    * ingest story (micro-batch overhead + state store + sink included).
+    * Setup parquet writes are untimed; the timer spans start→drain. */
+  private def streamBench(
+      spark: SparkSession, sfDir: String,
+      only: Option[Set[String]]): Seq[(String, Option[Double])] = {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
+    def dir(n: String) = s"$base/$n"
+    def timed(name: String)(body: => Unit): (String, Option[Double]) = {
+      val t0 = System.nanoTime()
+      val ok = try { body; true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e"); false }
+      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+    }
+    def fileStream(src: String) = {
+      val schema = spark.read.parquet(src).schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8").parquet(src)
+    }
+    val wanted = (n: String) => only.forall(_.contains(n))
+    val out = Seq.newBuilder[(String, Option[Double])]
+
+    if (wanted("stream_collector")) {
+      // full payload build + size gate + good/bad dual parquet sink
+      val cfg = graft.operators.CollectorConfig.testScale
+      graft.sources.EventEnvelopeAdapter.envelopes(spark, sfDir)
+        .write.mode("overwrite").parquet(dir("env-src"))
+      out += timed("stream_collector") {
+        val q = graft.streaming.StreamingCollector.start(
+          fileStream(dir("env-src")), cfg,
+          dir("good"), dir("bad"), dir("ckpt-collector"),
+          trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+        require(spark.read.parquet(dir("good")).count() > 0)
+      }
+    }
+
+    if (wanted("stream_sessionize")) {
+      // flatMapGroupsWithState custom state, one OpenSession per user
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .write.mode("overwrite").parquet(dir("sess-src"))
+      out += timed("stream_sessionize") {
+        import spark.implicits._
+        val sessions = graft.streaming.Sessionize.sessionize(
+          fileStream(dir("sess-src")).as[graft.streaming.SessEvent],
+          gapMs = 30 * 60 * 1000L, watermarkDelay = "30 minutes")
+        val q = sessions.writeStream.format("noop")
+          .option("checkpointLocation", dir("ckpt-sess"))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+
+    if (wanted("stream_join")) {
+      // watermarked stream-stream interval join (bounded state)
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      ev.filter(col("event_type") === "click").drop("event_type")
+        .write.mode("overwrite").parquet(dir("join-l"))
+      ev.filter(col("event_type") === "purchase").drop("event_type")
+        .write.mode("overwrite").parquet(dir("join-r"))
+      out += timed("stream_join") {
+        val joined = graft.streaming.StreamJoin.intervalJoin(
+          fileStream(dir("join-l")), fileStream(dir("join-r")),
+          "user_id", beforeSec = 3600, afterSec = 3600, watermark = "1 hour")
+        val q = joined.writeStream.format("noop")
+          .option("checkpointLocation", dir("ckpt-join"))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+    out.result()
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,11 +182,16 @@ object Bench {
     // a query that throws is recorded as null (the errors array is the
     // failure signal), never as a (fast) timing — otherwise a broken
     // query reads as a performance win
-    val results: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
+    val batchResults: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
+    // streaming legs after the batch pass (JVM fully warm); opt out with
+    // SPARK_GRAFT_STREAM=0 for batch-only iteration
+    val results: Seq[(String, Option[Double])] =
+      batchResults ++ (if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) Seq.empty
+                       else streamBench(spark, sfDir, only))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }
@@ -121,10 +210,16 @@ object Bench {
       if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Seq.empty
       else results.collect {
         case (k, Some(v)) if baselineSec.get(k).exists(b => v > 2 * b) =>
-          val t0 = System.nanoTime()
           val retimed =
-            try { SparkEntry.queries(k)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => v }
+            try {
+              if (k.startsWith("stream_"))
+                streamBench(spark, sfDir, Some(Set(k))).headOption.flatMap(_._2).getOrElse(v)
+              else {
+                val t0 = System.nanoTime()
+                SparkEntry.queries(k)(spark, sfDir).count()
+                (System.nanoTime() - t0) / 1e9
+              }
+            } catch { case _: Throwable => v }
           (k, v, retimed)
       }
     val regressions = retimes.collect {

@@ -80,6 +80,16 @@ object Hocon {
   // --- parser ------------------------------------------------------------
   private final class P(toks: Vector[String]) {
     private var pos = 0
+    /** recursion guard: hostile `a{a{a{…` input must fail with a clean
+      * parse error, not a StackOverflowError (config is driver-side, but
+      * an Error would skip the caller's config-failure handling) */
+    private var depth = 0
+    private def descend0[T](body: => T): T = {
+      depth += 1
+      if (depth > 500)
+        throw new IllegalArgumentException("HOCON nesting deeper than 500 levels")
+      try body finally depth -= 1
+    }
     def peek: Option[String] = {
       var j = pos
       while (j < toks.length && toks(j) == "\n") j += 1
@@ -100,7 +110,7 @@ object Hocon {
     def obj(): ObjectNode = objBody(topLevel = false)
 
     /** members until `}` (or end of input for the brace-less root) */
-    def objBody(topLevel: Boolean): ObjectNode = {
+    def objBody(topLevel: Boolean): ObjectNode = descend0 {
       val o = mapper.createObjectNode()
       while (!(atEnd && topLevel) && peek != Some("}")) {
         val keyTok = next()
@@ -121,7 +131,7 @@ object Hocon {
       o
     }
 
-    def arr(): ArrayNode = {
+    def arr(): ArrayNode = descend0 {
       val a = mapper.createArrayNode()
       while (peek != Some("]")) {
         peek match {
@@ -208,7 +218,12 @@ object Hocon {
         case "true" => o.put(key, true); ()
         case "false" => o.put(key, false); ()
         case "null" => o.putNull(key); ()
-        case IntRe() => o.put(key, s.toLong); ()
+        // toLongOption: a >19-digit run still matches IntRe but overflows
+        // Long — degrade to double like Typesafe Config, never throw
+        case IntRe() => s.toLongOption match {
+          case Some(l) => o.put(key, l); ()
+          case None => o.put(key, s.toDouble); ()
+        }
         case NumRe() => o.put(key, s.toDouble); ()
         case _ => o.put(key, s); ()
       }
@@ -217,7 +232,10 @@ object Hocon {
       else s match {
         case "true" => a.add(true); ()
         case "false" => a.add(false); ()
-        case IntRe() => a.add(s.toLong); ()
+        case IntRe() => s.toLongOption match {
+          case Some(l) => a.add(l); ()
+          case None => a.add(s.toDouble); ()
+        }
         case NumRe() => a.add(s.toDouble); ()
         case _ => a.add(s); ()
       }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.CollectorConfig
+import graft.operators.{CollectorConfig, SinkSettings}
 
 import java.util.concurrent.{Executors, ScheduledFuture, TimeUnit}
 
@@ -23,20 +23,43 @@ object Telemetry {
       case c => c.toString
     } + "\""
 
-  /** The self-describing heartbeat payload. */
+  /** Sink-derived cloud vendor + deployment region, the reference's
+    * detection exactly (`telemetry/TelemetryAkkaService.scala:119-124`):
+    * Kinesis/SQS → AWS with the sink's region, PubSub → GCP (no region),
+    * anything else → neither. Wire form is the uppercase vendor name
+    * (`telemetry/CloudVendor.scala:27` encoder). */
+  def detectCloud(sink: SinkSettings): (Option[String], Option[String]) =
+    sink.kind match {
+      case "kinesis" | "sqs"           => (Some("AWS"), sink.region)
+      case "google-pub-sub" | "pubsub" => (Some("GCP"), None)
+      case _                           => (None, None)
+    }
+
+  /** The self-describing heartbeat payload
+    * (`telemetry/TelemetryPayload.scala:18-29` field set; absent
+    * options are skipped like circe's `dropNullValues`). */
   def heartbeatPayload(
       cfg: CollectorConfig,
       userProvidedId: Option[String],
-      region: Option[String]): String = {
+      region: Option[String],
+      cloud: Option[String] = None): String = {
     val fields = Seq(
       "userProvidedId" -> userProvidedId,
       "region" -> region,
+      "cloud" -> cloud,
       "appGeneratedId" -> Some(java.util.UUID.nameUUIDFromBytes(
         cfg.collectorName.getBytes("UTF-8")).toString),
       "applicationName" -> Some(cfg.appName),
       "applicationVersion" -> Some(cfg.appVersion),
     ).collect { case (k, Some(v)) => s"${q(k)}: ${q(v)}" }
     s"""{"schema": ${q(SchemaUri)}, "data": {${fields.mkString(", ")}}}"""
+  }
+
+  /** Heartbeat with cloud/region auto-detected from the configured sink —
+    * the analog of the reference's `initWithCollector`. */
+  def heartbeatForConfig(cfg: CollectorConfig, userProvidedId: Option[String] = None): String = {
+    val (cloud, region) = detectCloud(cfg.sink)
+    heartbeatPayload(cfg, userProvidedId, region, cloud)
   }
 
   /** Schedule `send` every `intervalMinutes` on a daemon thread. Returns
@@ -48,7 +71,7 @@ object Telemetry {
     val exec = Executors.newSingleThreadScheduledExecutor { r =>
       val t = new Thread(r, "graft-telemetry"); t.setDaemon(true); t
     }
-    val payload = heartbeatPayload(cfg, None, None)
+    val payload = heartbeatForConfig(cfg)
     exec.scheduleAtFixedRate(() => send(payload),
       0, intervalMinutes, TimeUnit.MINUTES)
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bridges, CollectorConfig, CollectorPipeline}
+import graft.operators.{Bridges, CollectorConfig, CollectorPipeline, SinkSettings}
 import graft.sources.EventEnvelopeAdapter
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -158,6 +158,29 @@ class CollectorPipelineSpec extends AnyFunSuite {
     val fut = graft.streaming.Telemetry.schedule(cfg, 60, _ => seen.countDown())
     assert(seen.await(10, java.util.concurrent.TimeUnit.SECONDS))
     fut.cancel(true)
+  }
+
+  test("telemetry cloud-vendor detection matches the reference trichotomy") {
+    // ref telemetry/TelemetryAkkaService.scala:119-124: Kinesis/Sqs → AWS
+    // with the sink region, GooglePubSub → GCP without one, else neither
+    import graft.streaming.Telemetry
+    def sinkCfg(kind: String, region: Option[String] = None) =
+      CollectorConfig(sink = SinkSettings.defaultsFor(kind).copy(region = region))
+    assert(Telemetry.detectCloud(sinkCfg("kinesis", Some("us-east-1")).sink)
+      === (Some("AWS"), Some("us-east-1")))
+    assert(Telemetry.detectCloud(sinkCfg("sqs", Some("eu-central-1")).sink)
+      === (Some("AWS"), Some("eu-central-1")))
+    assert(Telemetry.detectCloud(sinkCfg("google-pub-sub").sink) === (Some("GCP"), None))
+    assert(Telemetry.detectCloud(sinkCfg("stdout").sink) === (None, None))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val aws = om.readTree(Telemetry.heartbeatForConfig(sinkCfg("kinesis", Some("us-east-1"))))
+    assert(aws.get("data").get("cloud").asText === "AWS")
+    assert(aws.get("data").get("region").asText === "us-east-1")
+    val gcp = om.readTree(Telemetry.heartbeatForConfig(sinkCfg("pubsub")))
+    assert(gcp.get("data").get("cloud").asText === "GCP")
+    assert(!gcp.get("data").has("region"))
+    val none = om.readTree(Telemetry.heartbeatForConfig(sinkCfg("stdout")))
+    assert(!none.get("data").has("cloud") && !none.get("data").has("region"))
   }
 
   /** Literal-value buildEvent golden — the reference's canonical-request

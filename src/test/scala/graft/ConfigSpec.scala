@@ -287,6 +287,43 @@ class ConfigSpec extends AnyFunSuite {
       catch { case _: IllegalArgumentException => () }
   }
 
+  test("HOCON parser: deep nesting, duplicate dotted keys, numeric edges") {
+    import graft.operators.Hocon
+    // pathological nesting fails as a clean parse error, not a
+    // StackOverflowError (an Error would skip config-failure handling);
+    // plausibly-deep real configs still parse
+    for (doc <- Seq("a{" * 2000, "b = " + "[" * 2000, ("a{" * 2000) + ("}" * 2000)))
+      intercept[IllegalArgumentException](Hocon.parse(doc))
+    val deep = Hocon.parse("a{" * 100 + "leaf = 1" + "}" * 100)
+    assert(deep.at("/" + Seq.fill(100)("a").mkString("/") + "/leaf").asLong === 1L)
+
+    // duplicate dotted keys deep-merge (HOCON semantics): later scalars
+    // win, disjoint branches coexist, object-over-object merges recurse
+    val merged = Hocon.parse(
+      """m.a.x = 1
+        |m.a.y = 2
+        |m.a.x = 3
+        |m { a { z = 4 }, b = 5 }
+        |m.a { w = 6 }
+        |""".stripMargin)
+    assert(merged.at("/m/a/x").asLong === 3L) // last scalar wins
+    assert(merged.at("/m/a/y").asLong === 2L) // disjoint sibling survives
+    assert(merged.at("/m/a/z").asLong === 4L) // brace-merge recursed
+    assert(merged.at("/m/a/w").asLong === 6L) // dotted-prefix merge recursed
+    assert(merged.at("/m/b").asLong === 5L)
+    // a scalar REPLACES an object at the same path (and vice versa)
+    assert(Hocon.parse("k { x = 1 }\nk = 2").at("/k").asLong === 2L)
+    assert(Hocon.parse("k = 2\nk { x = 1 }").at("/k/x").asLong === 1L)
+
+    // a digit run longer than Long degrades to double, never throws;
+    // dots-only and empty-segment keys stay literal keys
+    assert(Hocon.parse("n = 99999999999999999999999").get("n").isDouble)
+    assert(Hocon.parse("n = [99999999999999999999999]").get("n").get(0).isDouble)
+    assert(Hocon.parse("n = 9223372036854775807").get("n").asLong === Long.MaxValue)
+    assert(Hocon.parse(" ... = 1") != null)
+    assert(Hocon.parse("a..b = 1").has("a..b"))
+  }
+
   test("bridge gates: a disabled bridge's requests vanish from the dispatch") {
     import org.apache.spark.sql.functions.col
     val spark = TestSpark.spark
