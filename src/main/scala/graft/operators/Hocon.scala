@@ -17,8 +17,17 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *  - dotted path keys (`monitoring.metrics.statsd { ... }`) expanded to
   *    nested objects, with HOCON's object deep-merge for repeated keys
   *
-  * NOT implemented (unused by the example files): `${}` substitutions,
-  * `include`, concatenations of quoted strings, triple-quoted strings.
+  *  - `${VAR}` / `${?VAR}` substitutions, the shapes the reference's
+  *    shipped configs actually use (`examples/config.sqs.extended
+  *    .hocon:200-202`, `pubsub/src/it/resources/collector.hocon:3-11`):
+  *    environment lookup first (reference configs substitute uppercase
+  *    env names exclusively), then config-path lookup against the
+  *    parsed root in a post-pass. An unset `${?VAR}` leaves the key
+  *    absent — so an earlier `key = default` survives, like Typesafe
+  *    Config. An unresolvable `${VAR}` is a parse error.
+  *
+  * NOT implemented (unused by the example files): `include`,
+  * concatenations of quoted strings, triple-quoted strings.
   * The output is a Jackson tree, shared with the JSON loader — both front
   * ends funnel into the same key extraction, so their semantics cannot
   * drift. Driver-side only, like the JSON loader. */
@@ -27,14 +36,98 @@ object Hocon {
   private val mapper = new ObjectMapper()
 
   /** Parse HOCON text to a Jackson tree (the root object). */
-  def parse(text: String): ObjectNode = {
+  def parse(text: String): ObjectNode = parse(text, sys.env)
+
+  /** Parse with an explicit environment (tests). */
+  def parse(text: String, env: Map[String, String]): ObjectNode = {
     val toks = tokenize(text)
-    val p = new P(toks)
+    val p = new P(toks, env)
     val root =
       if (p.peek == Some("{")) { p.next(); p.obj() }
       else p.objBody(topLevel = true) // HOCON allows a brace-less root
+    resolvePaths(root)
     root
   }
+
+  /** Post-pass: whatever the eager env lookup could not resolve gets a
+    * config-path resolution against the full tree (`a = ${b.c}` forward
+    * references included — hence iterate-to-fixpoint, cycle-capped). */
+  private def resolvePaths(root: ObjectNode): Unit = {
+    import com.fasterxml.jackson.databind.JsonNode
+    def lookup(path: String): Option[JsonNode] = {
+      var cur: JsonNode = root
+      for (p <- path.split('.')) {
+        if (cur == null || !cur.isObject) return None
+        cur = cur.get(p)
+      }
+      Option(cur).filterNot(n => n.isTextual && n.asText.startsWith(SubMark))
+    }
+    var progress = true
+    var guard = 0
+    while (progress && guard < 32) {
+      progress = false; guard += 1
+      def walk(n: JsonNode): Unit = n match {
+        case o: ObjectNode =>
+          val names = o.fieldNames()
+          val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (names.hasNext) keys += names.next()
+          keys.foreach { k =>
+            o.get(k) match {
+              case t if t.isTextual && t.asText.startsWith(SubMark) =>
+                lookup(t.asText.stripPrefix(SubMark).stripPrefix("?")) match {
+                  case Some(v) => o.set[JsonNode](k, v.deepCopy[JsonNode]()); progress = true
+                  case None => ()
+                }
+              case child => walk(child)
+            }
+          }
+        case a: ArrayNode =>
+          (0 until a.size).foreach { i =>
+            val t = a.get(i)
+            if (t.isTextual && t.asText.startsWith(SubMark))
+              lookup(t.asText.stripPrefix(SubMark).stripPrefix("?")) match {
+                case Some(v) => a.set(i, v.deepCopy[JsonNode]()); progress = true
+                case None => ()
+              }
+            else walk(t)
+          }
+        case _ => ()
+      }
+      walk(root)
+    }
+    // leftovers: required → loud error; optional survivors only occur via
+    // config-path misses (env misses were dropped at set time) → error too
+    def sweep(n: com.fasterxml.jackson.databind.JsonNode): Unit = n match {
+      case o: ObjectNode =>
+        val it = o.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val v = e.getValue
+          if (v.isTextual && v.asText.startsWith(SubMark)) {
+            val raw = v.asText.stripPrefix(SubMark)
+            if (raw.startsWith("?")) { it.remove() }
+            else throw new IllegalArgumentException(
+              s"could not resolve substitution $${$raw}")
+          } else sweep(v)
+        }
+      case a: ArrayNode =>
+        var i = 0
+        while (i < a.size) {
+          val v = a.get(i)
+          if (v.isTextual && v.asText.startsWith(SubMark)) {
+            val raw = v.asText.stripPrefix(SubMark)
+            if (raw.startsWith("?")) { a.remove(i); () }
+            else throw new IllegalArgumentException(
+              s"could not resolve substitution $${$raw}")
+          } else { sweep(v); i += 1 }
+        }
+      case _ => ()
+    }
+    sweep(root)
+  }
+
+  /** Internal marker prefix for a not-yet-resolved substitution token. */
+  private val SubMark = "\u0001"
 
   // --- tokenizer ---------------------------------------------------------
   // tokens: "{" "}" "[" "]" "," ":" "=" "\n" quoted-string ("\u0000"-prefixed
@@ -65,10 +158,18 @@ object Hocon {
         while (i < n && text(i) != '\n') i += 1
       } else if (c == '\n') { out += "\n"; i += 1 }
       else if (c == ' ' || c == '\t' || c == '\r') i += 1
-      else if ("{}[]:,=".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      else if (c == '$' && i + 1 < n && text(i + 1) == '{') {
+        // ${VAR} / ${?VAR} substitution → marker token for the parser
+        val close = text.indexOf('}', i + 2)
+        if (close < 0)
+          throw new IllegalArgumentException("unterminated ${} substitution")
+        out += SubMark + text.substring(i + 2, close).trim
+        i = close + 1
+      } else if ("{}[]:,=".indexOf(c) >= 0) { out += c.toString; i += 1 }
       else {
         val sb = new StringBuilder
-        while (i < n && "{}[]:,=\n\" \t\r".indexOf(text(i)) < 0 && !isCommentStart(i)) {
+        while (i < n && "{}[]:,=\n\" \t\r".indexOf(text(i)) < 0 && !isCommentStart(i)
+            && !(text(i) == '$' && i + 1 < n && text(i + 1) == '{')) {
           sb.append(text(i)); i += 1
         }
         out += sb.toString
@@ -78,7 +179,7 @@ object Hocon {
   }
 
   // --- parser ------------------------------------------------------------
-  private final class P(toks: Vector[String]) {
+  private final class P(toks: Vector[String], env: Map[String, String]) {
     private var pos = 0
     /** recursion guard: hostile `a{a{a{…` input must fail with a clean
       * parse error, not a StackOverflowError (config is driver-side, but
@@ -149,19 +250,46 @@ object Hocon {
 
     /** scalar value: quoted string, or an unquoted run to end of line /
       * structural token, joined with single spaces ("365 days"). */
+    /** true when the current value run ends here (newline / structural) */
+    private def runEnds: Boolean =
+      pos >= toks.length || {
+        val t = toks(pos); t == "\n" || t == "," || t == "}" || t == "]"
+      }
+
     private def scalar(): (String, Boolean) = {
       val first = next()
       if (first.startsWith("\u0000")) (unmark(first), true)
+      // a LONE ${...} keeps its marker (config-path refs resolve in the
+      // post-pass); one glued into a longer run must env-resolve now
+      else if (first.startsWith(SubMark) && runEnds) (first, false)
       else {
-        val parts = scala.collection.mutable.ArrayBuffer(first)
+        val parts = scala.collection.mutable.ArrayBuffer(
+          if (first.startsWith(SubMark)) envConcat(first) else first)
         var done = false
         while (!done && pos < toks.length) {
           val t = toks(pos)
           if (t == "\n" || t == "," || t == "}" || t == "]") done = true
           else if (t.startsWith("\u0000")) { parts += unmark(nextRaw()) }
-          else parts += nextRaw()
+          else if (t.startsWith(SubMark)) {
+            // concatenation (`host:${PORT}`): env-resolve in place —
+            // a config-path ref can't splice into a half-built string
+            parts += envConcat(nextRaw())
+          } else parts += nextRaw()
         }
         (parts.mkString(" "), false)
+      }
+    }
+
+    /** Env resolution for a substitution glued into an unquoted run. */
+    private def envConcat(marker: String): String = {
+      val raw = marker.stripPrefix(SubMark)
+      val opt = raw.startsWith("?")
+      val name = if (opt) raw.substring(1) else raw
+      env.get(name) match {
+        case Some(v) => v
+        case None if opt => ""
+        case None => throw new IllegalArgumentException(
+          s"could not resolve substitution $${$name} inside a value concatenation")
       }
     }
 
@@ -183,7 +311,20 @@ object Hocon {
     }
     private def putScalar(o: ObjectNode, dottedKey: String, sv: (String, Boolean)): Unit = {
       val (parent, leaf) = descend(o, dottedKey)
-      setScalar(parent, leaf, sv._1, sv._2)
+      sv match {
+        case (s, false) if s.startsWith(SubMark) =>
+          val raw = s.stripPrefix(SubMark)
+          val opt = raw.startsWith("?")
+          val name = if (opt) raw.substring(1) else raw
+          env.get(name) match {
+            case Some(v) => setScalar(parent, leaf, v, quoted = false)
+            // unset ${?VAR}: key stays absent — an earlier value survives
+            case None if opt => ()
+            // unresolved ${path}: marker for the config-path post-pass
+            case None => parent.put(leaf, s); ()
+          }
+        case (s, quoted) => setScalar(parent, leaf, s, quoted)
+      }
     }
     private def descend(o: ObjectNode, dottedKey: String): (ObjectNode, String) = {
       // a key that is ONLY dots (or has empty segments, "a..b") is not a
@@ -228,7 +369,15 @@ object Hocon {
         case _ => o.put(key, s); ()
       }
     private def addScalar(a: ArrayNode, s: String, quoted: Boolean): Unit =
-      if (quoted) { a.add(s); () }
+      if (!quoted && s.startsWith(SubMark)) {
+        val raw = s.stripPrefix(SubMark)
+        val opt = raw.startsWith("?")
+        val name = if (opt) raw.substring(1) else raw
+        env.get(name) match {
+          case Some(v) => addScalar(a, v, quoted = false)
+          case None => a.add(s); () // post-pass resolves, drops (?), or throws
+        }
+      } else if (quoted) { a.add(s); () }
       else s match {
         case "true" => a.add(true); ()
         case "false" => a.add(false); ()

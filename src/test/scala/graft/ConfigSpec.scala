@@ -324,6 +324,50 @@ class ConfigSpec extends AnyFunSuite {
     assert(Hocon.parse("a..b = 1").has("a..b"))
   }
 
+  test("HOCON ${} substitutions: env, optional-absent, config-path, errors") {
+    import graft.operators.Hocon
+    val env = Map("PORT" -> "8080", "TOPIC" -> "good-topic", "FLAG" -> "true")
+    val doc =
+      """port = ${PORT}
+        |streams { good = ${TOPIC}, bad = ${?UNSET_TOPIC} }
+        |flag = ${?FLAG}
+        |fallback = default
+        |fallback = ${?UNSET}
+        |ref = ${streams.good}
+        |arr = [${PORT}, ${?UNSET}, x]
+        |pair = ${PORT} ${PORT}
+        |""".stripMargin
+    val t = Hocon.parse(doc, env)
+    assert(t.get("port").asLong === 8080L) // env value type-coerced
+    assert(t.at("/streams/good").asText === "good-topic")
+    assert(!t.get("streams").has("bad")) // unset ${?VAR} → key absent
+    assert(t.get("flag").asBoolean === true)
+    assert(t.get("fallback").asText === "default") // earlier value survives
+    assert(t.get("ref").asText === "good-topic") // config-path post-pass
+    assert(t.get("arr").size === 2 && t.get("arr").get(0).asLong === 8080L)
+    assert(t.get("pair").asText === "8080 8080") // in-run env concat
+    // loud failures: unresolvable required, unterminated, cycle
+    intercept[IllegalArgumentException](Hocon.parse("x = ${NOPE}", Map.empty))
+    intercept[IllegalArgumentException](Hocon.parse("x = ${unclosed", Map.empty))
+    intercept[IllegalArgumentException](
+      Hocon.parse("a = ${b}\nb = ${a}", Map.empty))
+    // the reference's real shapes parse without mis-nesting: an unset
+    // optional env substitution must not swallow the following keys
+    // (pre-substitution the `}` of `${?X}` closed the enclosing block)
+    val ref = Hocon.parse(
+      """collector {
+        |  streams {
+        |    sink {
+        |      enabled = ${?COLLECTOR_STREAMS_SINK_ENABLED}
+        |      region = eu-central-1
+        |    }
+        |    buffer { byteLimit = 1000 }
+        |  }
+        |}""".stripMargin, Map.empty)
+    assert(ref.at("/collector/streams/sink/region").asText === "eu-central-1")
+    assert(ref.at("/collector/streams/buffer/byteLimit").asLong === 1000L)
+  }
+
   test("bridge gates: a disabled bridge's requests vanish from the dispatch") {
     import org.apache.spark.sql.functions.col
     val spark = TestSpark.spark
