@@ -80,7 +80,9 @@ object Bench {
     "c_bad_rows_json" -> 2.7,
     "c_bounce_nuid" -> 2.2,
     "c_thrift_roundtrip" -> 2.2,
-    // r7 additions: streaming drain anchors (AvailableNow, forced
+    // r7 additions
+    "s_ivf_append" -> 1.7,
+    // streaming drain anchors (AvailableNow, forced
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,
     "stream_sessionize" -> 2.1,

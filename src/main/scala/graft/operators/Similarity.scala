@@ -248,6 +248,23 @@ object Similarity {
     ivfProbe(cells, cents, corpus.filter(col("vec_id") % 97 === 0), k, nprobe)
   }
 
+  /** The incremental-ingest serving path end-to-end: train + index the
+    * BASE corpus (`vec_id % deltaMod != 0`), [[ivfAppend]] the delta
+    * batch against the FROZEN centroids, probe the combined index.
+    * Because assignment is a pure function of the centroids, this must
+    * equal index-everything-then-probe with base-trained centroids —
+    * SimilaritySpec asserts that equality in-engine, and the
+    * `s_ivf_append` oracle pins the combined path against DuckDB. */
+  def ivfAppendTopK(embeddings: DataFrame, k: Int, lloydIters: Int = 1,
+      nprobe: Int = 2, trainSampleMod: Int = 1, deltaMod: Int = 5): DataFrame = {
+    val (cells0, cents) = ivfIndex(
+      embeddings.filter(col("vec_id") % deltaMod =!= 0), lloydIters, trainSampleMod)
+    val cells = cells0.unionByName(
+      ivfAppend(embeddings.filter(col("vec_id") % deltaMod === 0), cents))
+    ivfProbe(cells, cents,
+      prepared(embeddings).filter(col("vec_id") % 97 === 0), k, nprobe)
+  }
+
   /** PQ codebook shape: 64-dim vectors split into `PqM` subspaces of
     * `PqDim` dims (shared with the oracle generator). */
   val PqM = 8

@@ -63,6 +63,7 @@ object Training {
     * query's cost: training drops from 2 full-corpus aggregation passes
     * to 2 ~14% passes, serving still assigns and probes everything. */
   val sIvfTopk: Q = (s, d) => Similarity.ivfTopK(emb(s, d), 3, trainSampleMod = 7)
+  val sIvfAppend: Q = (s, d) => Similarity.ivfAppendTopK(emb(s, d), 3, trainSampleMod = 7)
   val sPqTopk: Q = (s, d) => Similarity.pqTopK(emb(s, d), 3)
 
   /** TF-IDF-ish top terms: tf per (doc, token), df per token, score =
@@ -215,6 +216,7 @@ object Training {
     "s_near_dups" -> sNearDups,
     "s_sim_pairs" -> sSimPairs,
     "s_ivf_topk" -> sIvfTopk,
+    "s_ivf_append" -> sIvfAppend,
     "s_pq_topk" -> sPqTopk,
     "m_decode" -> mDecode,
     "m_frames" -> mFrames,

@@ -57,6 +57,60 @@ object TrainingOracles {
   private val CosAB =
     "floor(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) / 1000000"
 
+  /** IVF serve oracle, parameterized by the Lloyd training-sample filter
+    * over `n` (everything downstream — final assignment, probes — always
+    * reads the FULL corpus, mirroring Similarity.trained/ivfProbe). */
+  private def ivfTopKSql(trainFilter: String): String = {
+    def scoredFrom(centn: String) =
+      s"""SELECT n.vec_id, n.qv, n.n2, c.c_label,
+         |    c.cn2 - 2 * list_sum(list_transform(range(1, len(n.qv) + 1),
+         |                                        i -> n.qv[i] * c.cv[i])) AS score
+         |  FROM n, $centn c""".stripMargin
+    def centsFrom(cells: String) =
+      s"""SELECT c_label, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM (
+         |  SELECT c_label, list(c ORDER BY i) AS cv FROM (
+         |    SELECT a.cell AS c_label, d.i, sum(a.qv[d.i]) / count(*) AS c
+         |    FROM $cells a, (SELECT unnest(range(1, 65)) AS i) d GROUP BY 1, 2) t
+         |  GROUP BY 1)""".stripMargin
+    s"""$EmbCte,
+       |tr AS (SELECT * FROM n WHERE $trainFilter),
+       |dims AS (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM tr),
+       |cent0 AS (SELECT label AS c_label, i, sum(qv[i]) / count(*) AS c
+       |          FROM dims GROUP BY 1, 2),
+       |centv0 AS (SELECT c_label, list(c ORDER BY i) AS cv FROM cent0 GROUP BY 1),
+       |centn0 AS (SELECT c_label, cv,
+       |             list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM centv0),
+       |scored0 AS (
+       |  SELECT n.vec_id, n.qv, n.n2, c.c_label,
+       |    c.cn2 - 2 * list_sum(list_transform(range(1, len(n.qv) + 1),
+       |                                        i -> n.qv[i] * c.cv[i])) AS score
+       |  FROM tr n, centn0 c),
+       |cells0 AS (
+       |  SELECT vec_id, qv, n2, c_label AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY score ASC, c_label ASC) AS rn
+       |    FROM scored0) t WHERE rn = 1),
+       |centn1 AS (
+       |  ${centsFrom("cells0")}),
+       |scored1 AS (
+       |  ${scoredFrom("centn1")}),
+       |cells AS (
+       |  SELECT vec_id, qv, n2, c_label AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY score ASC, c_label ASC) AS rn
+       |    FROM scored1) t WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id, qv, n2, c_label AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY score ASC, c_label ASC) AS rn
+       |    FROM scored1 WHERE vec_id % 97 = 0) t WHERE rn <= 2)
+       |SELECT q_id, rank, c_id, cos FROM (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $CosAB AS cos,
+       |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
+       |  FROM probes a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id) t
+       |WHERE rank <= 3""".stripMargin
+  }
+
   /** Multi-table hyperplane-LSH pair oracle — the code expressions are
     * generated from the SAME sign function the Spark expression uses
     * ([[graft.functions.HyperplaneCodes.sign]]), as literal ±qv[i] sums,
@@ -278,56 +332,14 @@ object TrainingOracles {
     // means → final assignment (index) + 2-nearest probes per query. All
     // centroid arithmetic is sequential index-order double math in both
     // engines, so even the fractional post-Lloyd centroids are bit-equal.
-    "s_ivf_topk" -> {
-      def scoredFrom(centn: String) =
-        s"""SELECT n.vec_id, n.qv, n.n2, c.c_label,
-           |    c.cn2 - 2 * list_sum(list_transform(range(1, len(n.qv) + 1),
-           |                                        i -> n.qv[i] * c.cv[i])) AS score
-           |  FROM n, $centn c""".stripMargin
-      def centsFrom(cells: String) =
-        s"""SELECT c_label, cv, list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM (
-           |  SELECT c_label, list(c ORDER BY i) AS cv FROM (
-           |    SELECT a.cell AS c_label, d.i, sum(a.qv[d.i]) / count(*) AS c
-           |    FROM $cells a, (SELECT unnest(range(1, 65)) AS i) d GROUP BY 1, 2) t
-           |  GROUP BY 1)""".stripMargin
-      s"""$EmbCte,
-         |tr AS (SELECT * FROM n WHERE vec_id % 7 = 0),
-         |dims AS (SELECT label, qv, unnest(range(1, len(qv) + 1)) AS i FROM tr),
-         |cent0 AS (SELECT label AS c_label, i, sum(qv[i]) / count(*) AS c
-         |          FROM dims GROUP BY 1, 2),
-         |centv0 AS (SELECT c_label, list(c ORDER BY i) AS cv FROM cent0 GROUP BY 1),
-         |centn0 AS (SELECT c_label, cv,
-         |             list_sum(list_transform(cv, x -> x * x)) AS cn2 FROM centv0),
-         |scored0 AS (
-         |  SELECT n.vec_id, n.qv, n.n2, c.c_label,
-         |    c.cn2 - 2 * list_sum(list_transform(range(1, len(n.qv) + 1),
-         |                                        i -> n.qv[i] * c.cv[i])) AS score
-         |  FROM tr n, centn0 c),
-         |cells0 AS (
-         |  SELECT vec_id, qv, n2, c_label AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY score ASC, c_label ASC) AS rn
-         |    FROM scored0) t WHERE rn = 1),
-         |centn1 AS (
-         |  ${centsFrom("cells0")}),
-         |scored1 AS (
-         |  ${scoredFrom("centn1")}),
-         |cells AS (
-         |  SELECT vec_id, qv, n2, c_label AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY score ASC, c_label ASC) AS rn
-         |    FROM scored1) t WHERE rn = 1),
-         |probes AS (
-         |  SELECT vec_id, qv, n2, c_label AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY score ASC, c_label ASC) AS rn
-         |    FROM scored1 WHERE vec_id % 97 = 0) t WHERE rn <= 2)
-         |SELECT q_id, rank, c_id, cos FROM (
-         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $CosAB AS cos,
-         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
-         |  FROM probes a JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id) t
-         |WHERE rank <= 3""".stripMargin
-    },
+    "s_ivf_topk" -> ivfTopKSql("vec_id % 7 = 0"),
+
+    // Incremental-ingest mirror (Similarity.ivfAppendTopK): centroids
+    // train on the BASE corpus sample only (the delta batch vec_id%5=0
+    // arrives after training); final assignment + probes run over the
+    // FULL corpus against the frozen centroids — append-then-probe must
+    // equal index-everything-then-probe, so only the train filter moves.
+    "s_ivf_append" -> ivfTopKSql("vec_id % 7 = 0 AND vec_id % 5 <> 0"),
 
     // PQ/ADC mirror: per-subspace centroids carried as (sum vector,
     // count) so every distance is exact-integer arithmetic until ONE

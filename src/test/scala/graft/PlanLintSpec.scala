@@ -14,7 +14,7 @@ class PlanLintSpec extends AnyFunSuite {
     * size (1-row broadcast scalar crossJoin), and the bloom filter's
     * 1-row bit-set broadcast. */
   private val AllowedNonEqui =
-    Set("s_brute_topk", "s_ivf_topk", "t_top_terms", "q_bloom_filter",
+    Set("s_brute_topk", "s_ivf_topk", "s_ivf_append", "t_top_terms", "q_bloom_filter",
       // PQ codebook rides as ONE broadcast array row (labels × subspaces
       // structs) into the encode and distance-table arms
       "s_pq_topk")
