@@ -171,6 +171,12 @@ object CollectorConfig {
   def fromHocon(hocon: String): CollectorConfig =
     fromTree(Hocon.parse(hocon).path("collector"))
 
+  /** [[fromHocon]] with an explicit substitution environment (tests; a
+    * deployment's real entry point uses the process env via the 1-arg
+    * overload, exactly like Typesafe Config). */
+  def fromHocon(hocon: String, env: Map[String, String]): CollectorConfig =
+    fromTree(Hocon.parse(hocon, env).path("collector"))
+
   def fromJson(json: String): CollectorConfig = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     fromTree(mapper.readTree(json).path("collector"))

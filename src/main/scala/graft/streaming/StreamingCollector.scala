@@ -1,6 +1,7 @@
 package graft.streaming
 
-import graft.operators.{CollectorConfig, CollectorPipeline}
+import graft.operators.{CollectorConfig, CollectorPipeline, ThriftPayload}
+import graft.sinks.EventSink
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -46,6 +47,37 @@ object StreamingCollector {
           (if (badRowsSelfDescribing) CollectorPipeline.badRowsJson(batch, cfg)
            else CollectorPipeline.badRows(batch, cfg))
             .write.mode("append").parquet(badDir)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+
+  /** The PRODUCTION wiring: config-selected [[EventSink]]s instead of raw
+    * parquet paths — the engine analog of the reference's
+    * `CollectorSinks(good, bad)` pair (`model.scala:37`). The good leg
+    * carries thrift wire records (`thrift` + `partition_key`, what every
+    * reference sink ships — `Sink.scala:34`); the bad leg carries the
+    * self-describing iglu envelopes. A sink throw fails the micro-batch,
+    * which replays from the checkpoint — retry/backoff/failover live
+    * INSIDE the sinks ([[graft.sinks.ClientSinks]]). Pair with
+    * [[graft.sinks.ClientSinks.sinkFromSettings]] to go from a parsed
+    * HOCON/JSON config straight to a running collector. */
+  def startWithSinks(
+      envelopes: DataFrame,
+      cfg: CollectorConfig,
+      goodSink: EventSink,
+      badSink: EventSink,
+      checkpointDir: String,
+      trigger: Trigger = DefaultTrigger): StreamingQuery =
+    envelopes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.persist()
+        try {
+          goodSink.write(
+            ThriftPayload.encode(CollectorPipeline.payloads(batch, cfg)).toDF(), id)
+          badSink.write(CollectorPipeline.badRowsJson(batch, cfg), id)
         } finally batch.unpersist()
         ()
       }

@@ -10,12 +10,78 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 import java.sql.Timestamp
 
+/** JVM-singleton recording wire client for the config-driven e2e —
+  * object identity survives closure serialization (readResolve), so
+  * local-mode executor tasks record into the same queue the assertions
+  * read, same pattern as [[MockClients]]. */
+object StreamRecorder extends graft.sinks.ClientSinks.KinesisClient {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]()
+  def reset(): Unit = calls.clear()
+  def putRecords(stream: String,
+      records: Seq[graft.sinks.ClientSinks.OutRecord]): Seq[Option[String]] = {
+    calls.add((stream, records.size)); records.map(_ => None)
+  }
+}
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
+
+  test("config-driven e2e: HOCON + env substitutions select the sinks that receive the streams") {
+    // a reference-shaped config document, env-substituted like a real
+    // deployment (stream names from the environment, region optional)
+    val cfg0 = CollectorConfig.fromHocon(
+      """collector {
+        |  streams {
+        |    good = ${TOPIC_GOOD}
+        |    bad = ${TOPIC_BAD}
+        |    sink {
+        |      enabled = kinesis
+        |      region = ${?AWS_REGION_UNSET}
+        |      backoffPolicy { minBackoff = 10, maxBackoff = 20, maxRetries = 2 }
+        |    }
+        |  }
+        |}""".stripMargin,
+      Map("TOPIC_GOOD" -> "cfg-good", "TOPIC_BAD" -> "cfg-bad"))
+    assert(cfg0.sink.kind === "kinesis")
+    assert(cfg0.sink.goodStream === "cfg-good" && cfg0.sink.badStream === "cfg-bad")
+    assert(cfg0.sink.region === None) // unset ${?VAR} fell back to default
+    // the pipeline config drives the transforms; testScale keeps the
+    // fixture semantics while the SINK settings come from the document
+    val cfg = CollectorConfig.testScale.copy(sink = cfg0.sink)
+
+    StreamRecorder.reset()
+    val good = graft.sinks.ClientSinks.sinkFromSettings(
+      cfg.sink, parquetDir = sys.error("config selected kinesis"),
+      kinesis = Some(() => StreamRecorder))
+    val bad = new graft.sinks.ClientSinks.KinesisEventSink(
+      cfg.sink.badStream, () => StreamRecorder,
+      payloadCol = "bad_row_json", keyCol = "event_id",
+      maxRetries = cfg.sink.maxRetries)
+
+    val envBatch = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+    val srcDir = tmp("cfg-e2e-src")
+    envBatch.write.mode("overwrite").parquet(srcDir)
+    val q = StreamingCollector.startWithSinks(
+      spark.readStream.schema(envBatch.schema)
+        .option("maxFilesPerTrigger", "4").parquet(srcDir),
+      cfg, good, bad, tmp("cfg-e2e-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(180000)
+
+    // every good payload and every bad row reached its CONFIGURED stream
+    import scala.jdk.CollectionConverters._
+    val byStream = StreamRecorder.calls.asScala.toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byStream.getOrElse("cfg-good", 0) ===
+      CollectorPipeline.payloads(envBatch, cfg).count())
+    assert(byStream.getOrElse("cfg-bad", 0) ===
+      CollectorPipeline.badRowsJson(envBatch, cfg).count())
+    assert(byStream.keySet === Set("cfg-good", "cfg-bad"))
+  }
 
   test("streaming collector matches batch good/bad outputs") {
     val cfg = CollectorConfig.testScale
