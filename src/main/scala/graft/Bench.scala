@@ -98,6 +98,18 @@ object Bench {
       only: Option[Set[String]]): Seq[(String, Option[Double])] = {
     val base = java.nio.file.Files.createTempDirectory("graft-stream-bench").toString
     def dir(n: String) = s"$base/$n"
+    // A/B the state store: SPARK_GRAFT_STATESTORE=rocksdb|hdfs (default
+    // follows GraftSession). RocksDB keeps streaming state off-heap —
+    // the 100 TB posture — at a small local-scale overhead.
+    sys.env.get("SPARK_GRAFT_STATESTORE").foreach {
+      case "rocksdb" => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case "hdfs" => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      case _ => ()
+    }
     def timed(name: String)(body: => Unit): (String, Option[Double]) = {
       val t0 = System.nanoTime()
       val ok = try { body; true } catch { case e: Throwable =>

@@ -19,6 +19,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Good/bad dual routing (reference `CollectorSinks`, `model.scala:37`)
   * happens in one `foreachBatch`: the batch is cached once, both legs
   * write from it, so the source is read once per micro-batch.
+  *
+  * State store at scale: the stateful operators (Sessionize, StreamJoin,
+  * StreamingDedup) default to Spark's heap-backed store — fine locally,
+  * but a 100 TB deployment should set
+  * `spark.sql.streaming.stateStore.providerClass` to
+  * `RocksDBStateStoreProvider` so state lives off-heap with incremental
+  * checkpointing (measured at parity locally — BASELINE.md r7 A/B).
   */
 object StreamingCollector {
 
