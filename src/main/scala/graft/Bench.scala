@@ -82,6 +82,7 @@ object Bench {
     "c_thrift_roundtrip" -> 2.2,
     // r7 additions
     "s_ivf_append" -> 1.7,
+    "q_retention" -> 0.6,
     // streaming drain anchors (AvailableNow, forced
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,

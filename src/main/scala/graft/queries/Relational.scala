@@ -145,6 +145,23 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("session_value"))
   }
 
+  /** Cohort retention: users bucketed by first-event week, activity
+    * counted per (cohort_week, week_offset) cell — the classic retention
+    * triangle. Two shuffles on the SAME key (per-user min, then the
+    * events⋈cohorts equi-join), so the exchange is reused; the distinct
+    * count is Spark's two-phase expand — no per-cell row explosion
+    * survives the partial agg. Week = floor(epoch_seconds / 604800):
+    * integer-valued doubles « 2^53, so the floor is exact in both
+    * engines. */
+  val qRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      floor(col("ts").cast("long") / 604800L).cast("long").as("week"))
+    val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+  }
+
   /** Tumbling event-time window (batch equivalent of streaming window()).
     * The bucket is emitted as a formatted string so the oracle compare is
     * independent of timestamp physical precision (ns vs µs). */
@@ -742,6 +759,7 @@ object Relational {
     "q_running_sum" -> qRunningSum,
     "q_event_gaps" -> qEventGaps,
     "q_sessionize" -> qSessionize,
+    "q_retention" -> qRetention,
     "q_hourly_window" -> qHourlyWindow,
     "q_distinct" -> qDistinct,
     "q_set_ops" -> qSetOps,

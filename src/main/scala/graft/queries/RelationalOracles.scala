@@ -175,6 +175,19 @@ object RelationalOracles {
         |  CAST(sum(CAST(floor(value*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // cohort retention triangle; week = floor(epoch_seconds / 604800),
+    // exact in both engines (integer-valued doubles « 2^53)
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT c.cohort_week, ev.week - c.cohort_week AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_users, count(*) AS n_events
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_hourly_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,
