@@ -83,6 +83,8 @@ object Bench {
     // r7 additions
     "s_ivf_append" -> 1.7,
     "q_retention" -> 0.6,
+    "m_pixels" -> 0.4,
+    "m_resize" -> 0.4,
     // streaming drain anchors (AvailableNow, forced
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,

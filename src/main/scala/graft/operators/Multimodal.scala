@@ -164,6 +164,160 @@ object Multimodal {
       })
   }
 
+  /** Per-image exact pixel statistics: channel SUMS as exact integers
+    * (order-independent, « 2^53 — the oracle computes the same sums
+    * analytically from the pixel function without touching bytes). */
+  final case class PixelStats(doc_id: Long, width: Int, height: Int,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Deterministic pixel channels — keep in lockstep with the m_pixels /
+    * m_resize oracles (all operands non-negative, so `%` agrees across
+    * engines). */
+  private def pxR(id: Long, x: Int, y: Int): Int = ((id + 7L * x + 13L * y) % 256).toInt
+  private def pxG(id: Long, x: Int, y: Int): Int = ((2L * id + 11L * x + 3L * y) % 256).toInt
+  private def pxB(id: Long, x: Int, y: Int): Int = ((5L * id + x + y) % 256).toInt
+
+  /** Encode top-down row-major RGB to a COMPLETE 24-bit BMP: file +
+    * info header, bottom-up row order, BGR byte order, rows padded to a
+    * 4-byte stride — a stock viewer opens the output. BMP is the one
+    * mainstream image container with uncompressed pixels, so the full
+    * codec is implementable without the absent JNI libraries; the PNG/GIF
+    * paths stay header-only ([[decodeHeader]]) by declared necessity. */
+  private[graft] def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val stride = (3 * w + 3) & ~3
+    val out = new Array[Byte](54 + stride * h)
+    def put(o: Int, bs: Array[Byte]): Unit = System.arraycopy(bs, 0, out, o, bs.length)
+    put(0, "BM".getBytes("US-ASCII")); put(2, le32(out.length)); put(10, le32(54))
+    put(14, le32(40)); put(18, le32(w)); put(22, le32(h))
+    put(26, le16(1)); put(28, le16(24)) // 1 plane, 24 bpp, BI_RGB (0)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * stride // bottom-up
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        out(rowOff + 3 * x) = rgb(p + 2)     // B
+        out(rowOff + 3 * x + 1) = rgb(p + 1) // G
+        out(rowOff + 3 * x + 2) = rgb(p)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a 24-bit uncompressed BMP to top-down row-major RGB. Returns
+    * None (never throws) for anything else — compressed, paletted, or
+    * truncated input must not kill a 100 TB job. Both row orders are
+    * handled (positive biHeight = bottom-up, negative = top-down). */
+  private[graft] def decodeBmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = rdLe32(b, 10)
+    val w = rdLe32(b, 18)
+    val hRaw = rdLe32(b, 22)
+    val (h, bottomUp) = (math.abs(hRaw), hRaw > 0)
+    val bpp = rdLe16(b, 28)
+    val compression = rdLe32(b, 30)
+    val stride = (3 * w + 3) & ~3
+    if (bpp != 24 || compression != 0 || w <= 0 || h == 0 ||
+        off < 54 || off.toLong + stride.toLong * h > b.length) return None
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = off + (if (bottomUp) (h - 1 - y) else y) * stride
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        rgb(p) = b(rowOff + 3 * x + 2)     // R
+        rgb(p + 1) = b(rowOff + 3 * x + 1) // G
+        rgb(p + 2) = b(rowOff + 3 * x)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** Deterministic full image for a doc: 8–23 × 8–23 px of the pixel
+    * function, as real BMP bytes. */
+  private[graft] def synthBmpImage(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 16).toInt
+    val h = (8 + (3 * docId) % 16).toInt
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        rgb(p) = pxR(docId, x, y).toByte
+        rgb(p + 1) = pxG(docId, x, y).toByte
+        rgb(p + 2) = pxB(docId, x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp(w, h, rgb)
+  }
+
+  /** Nearest-neighbor resize (src pixel = `x*srcW // dstW`, exact integer
+    * mapping — oracle-mirrorable). */
+  private[graft] def resizeNearest(w: Int, h: Int, rgb: Array[Byte],
+      ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](3 * ow * oh)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        val sx = (x.toLong * w / ow).toInt
+        val po = 3 * (y * ow + x)
+        val pi = 3 * (sy * w + sx)
+        out(po) = rgb(pi); out(po + 1) = rgb(pi + 1); out(po + 2) = rgb(pi + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def statsOf(id: Long, w: Int, h: Int, rgb: Array[Byte]): PixelStats = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var p = 0
+    while (p < rgb.length) {
+      sr += rgb(p) & 0xFF; sg += rgb(p + 1) & 0xFF; sb += rgb(p + 2) & 0xFF
+      p += 3
+    }
+    PixelStats(id, w, h, w.toLong * h, sr, sg, sb)
+  }
+
+  /** FULL pixel decode + feature extraction: synth bytes → real BMP
+    * decode → exact channel sums. The features come from the DECODED
+    * bytes, so any stride/row-order/BGR defect in the codec breaks the
+    * oracle hash. Same `mapPartitions` batch shape as [[decodeMeta]];
+    * narrow, no shuffle. */
+  def pixelStats(docs: DataFrame): Dataset[PixelStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      decodeBmpPixels(synthBmpImage(id)).map { case (w, h, rgb) => statsOf(id, w, h, rgb) }
+    })
+  }
+
+  /** Decode → nearest-neighbor resize to `ow×oh` → RE-ENCODE to BMP →
+    * decode again → features. The second encode/decode round-trip is
+    * deliberate: the resized artifact is what a pipeline would persist,
+    * so the oracle gates the whole codec path, not just the kernel. */
+  def resizeStats(docs: DataFrame, ow: Int = 8, oh: Int = 8): Dataset[PixelStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      for {
+        (w, h, rgb) <- decodeBmpPixels(synthBmpImage(id))
+        (w2, h2, rgb2) <- decodeBmpPixels(encodeBmp(ow, oh, resizeNearest(w, h, rgb, ow, oh)))
+      } yield statsOf(id, w2, h2, rgb2)
+    })
+  }
+
   /** Frame sampling: each media row explodes into `1 + n_bytes % 5` frames
     * with evenly spaced timestamps over a nominal 1s clip. Pure column
     * ops over the decode output — the plan Spark would run for real video. */

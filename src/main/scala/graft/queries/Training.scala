@@ -189,6 +189,8 @@ object Training {
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
+  val mPixels: Q = (s, d) => Multimodal.pixelStats(docs(s, d)).toDF()
+  val mResize: Q = (s, d) => Multimodal.resizeStats(docs(s, d)).toDF()
 
   val all: Map[String, Q] = Map(
     "t_text_stats" -> tTextStats,
@@ -221,5 +223,7 @@ object Training {
     "m_decode" -> mDecode,
     "m_frames" -> mFrames,
     "m_audio" -> mAudio,
+    "m_pixels" -> mPixels,
+    "m_resize" -> mResize,
   )
 }

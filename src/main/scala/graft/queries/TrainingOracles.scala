@@ -555,6 +555,42 @@ object TrainingOracles {
         |  44 + doc_id % 256 AS n_bytes
         |FROM documents""".stripMargin,
 
+    // Full BMP pixel decode features: the Spark side synthesizes a real
+    // 24-bit BMP, DECODES the bytes (stride, bottom-up rows, BGR), and
+    // sums channels; the oracle computes the same exact-integer sums
+    // straight from the pixel function over the (w × h) grid.
+    "m_pixels" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (3*doc_id) % 16 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, tx.x AS x, ty.y AS y
+        |  FROM g, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y))
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  count(*) AS n_px,
+        |  CAST(sum((doc_id + 7*x + 13*y) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((2*doc_id + 11*x + 3*y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((5*doc_id + x + y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
+    // Nearest-neighbor resize to 8×8 (src pixel = x*srcW // 8, exact
+    // integer mapping) THROUGH a re-encode/decode round trip on the
+    // Spark side; the oracle samples the pixel function at the mapped
+    // coordinates.
+    "m_resize" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (3*doc_id) % 16 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, (tx.x * w) // 8 AS sx, (ty.y * h) // 8 AS sy
+        |  FROM g, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 8)) AS ty(y))
+        |SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  count(*) AS n_px,
+        |  CAST(sum((doc_id + 7*sx + 13*sy) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((2*doc_id + 11*sx + 3*sy) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((5*doc_id + sx + sy) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1""".stripMargin,
+
     "m_frames" ->
       """SELECT doc_id, frame_idx, frame_idx * 1000 // n_frames AS frame_ts_ms
         |FROM (SELECT doc_id, 1 + n_bytes % 5 AS n_frames,
