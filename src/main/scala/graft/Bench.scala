@@ -89,7 +89,9 @@ object Bench {
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,
     "stream_sessionize" -> 2.1,
-    "stream_join" -> 5.7)
+    "stream_join" -> 5.7,
+    "stream_dedup" -> 2.9,
+    "stream_window" -> 3.3)
 
   /** Streaming legs: wall seconds to drain the full sf through each
     * structured-streaming operator under `Trigger.AvailableNow` with
@@ -154,6 +156,34 @@ object Bench {
           gapMs = 30 * 60 * 1000L, watermarkDelay = "30 minutes")
         val q = sessions.writeStream.format("noop")
           .option("checkpointLocation", dir("ckpt-sess"))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+
+    if (wanted("stream_dedup")) {
+      // dropDuplicatesWithinWatermark ingest dedup (watermark-bounded state)
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .write.mode("overwrite").parquet(dir("dedup-src"))
+      out += timed("stream_dedup") {
+        val q = graft.streaming.StreamingDedup.dedup(fileStream(dir("dedup-src")))
+          .writeStream.format("noop")
+          .option("checkpointLocation", dir("ckpt-dedup"))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+    }
+
+    if (wanted("stream_window")) {
+      // watermarked tumbling-window aggregation (the canonical stream agg)
+      Tables.events(spark, sfDir)
+        .select(col("ts"), col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(dir("win-src"))
+      out += timed("stream_window") {
+        val q = graft.streaming.WindowedAgg.hourly(fileStream(dir("win-src")))
+          .writeStream.format("noop").outputMode("append")
+          .option("checkpointLocation", dir("ckpt-win"))
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
       }
