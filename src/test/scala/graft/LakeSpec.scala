@@ -31,6 +31,29 @@ class LakeSpec extends AnyFunSuite {
     assert(!plan.contains("DataFilters: [isnotnull(event_date"), plan)
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at runtime") {
+    // the 100 TB shape: fact partitioned on date, dim filter only known
+    // at run time — the scan must receive a dynamicpruning expression so
+    // only the dim-selected partitions are listed, not the whole lake
+    val dir = Files.createTempDirectory("lake-dpp").toString
+    PartitionedLake.writePartitionedByDay(Tables.events(spark, TestSpark.Sf), dir)
+    val fact = spark.read.parquet(dir)
+    val days = fact.select(col("event_date").cast("string")).distinct()
+      .as[String].collect().sorted
+    assert(days.length > 1)
+    // the dim must be a REAL table (a local relation constant-folds the
+    // filter away and the pruning rule sees no selective predicate)
+    val dimDir = Files.createTempDirectory("lake-dpp-dim").toString
+    days.zipWithIndex.toSeq.toDF("day", "idx")
+      .select(col("day").cast("date"), col("idx"))
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("idx") === 0), col("event_date") === col("day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"fact scan lost its DPP filter:\n$plan")
+    assert(joined.count() === fact.filter(col("event_date").cast("string") === days.head).count())
+  }
+
   test("bucketed tables join without any exchange") {
     val orders = Tables.orders(spark, TestSpark.Sf)
     PartitionedLake.writeBucketed(
