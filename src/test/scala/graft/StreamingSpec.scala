@@ -83,6 +83,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(byStream.keySet === Set("cfg-good", "cfg-bad"))
   }
 
+  test("streaming ingest into the date-partitioned lake: pruned reads over fresh data") {
+    val cfg = CollectorConfig.testScale
+    val envBatch = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+    val srcDir = tmp("lake-stream-src")
+    envBatch.write.mode("overwrite").parquet(srcDir)
+    val lakeDir = tmp("lake-stream-good"); val badDir = tmp("lake-stream-bad")
+    val q = graft.streaming.StreamingCollector.startToLake(
+      spark.readStream.schema(envBatch.schema)
+        .option("maxFilesPerTrigger", "4").parquet(srcDir),
+      cfg, lakeDir, badDir, tmp("lake-stream-ckpt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.awaitTermination(180000)
+
+    // the lake is laid out by event day and holds exactly the batch output
+    val dirs = new java.io.File(lakeDir).listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("event_date="))
+    assert(dirs.length > 1, s"expected multiple day partitions, got ${dirs.toSeq}")
+    val expected = CollectorPipeline.payloads(envBatch, cfg)
+    val lake = spark.read.parquet(lakeDir)
+    assert(lake.count() === expected.count())
+    assert(lake.select("event_id").except(expected.select("event_id")).count() === 0)
+    // a one-day read prunes at listing time (never a post-scan data filter)
+    val day = dirs.map(_.stripPrefix("event_date=")).sorted.head
+    val one = graft.operators.PartitionedLake.readDay(spark, lakeDir, day)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && !plan.contains("DataFilters: [isnotnull(event_date"), plan)
+    assert(one.count() > 0)
+  }
+
   test("streaming collector matches batch good/bad outputs") {
     val cfg = CollectorConfig.testScale
     val envBatch = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
