@@ -271,6 +271,22 @@ object TrainingOracles {
          |SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS n_docs
          |FROM clustered GROUP BY 1""".stripMargin,
 
+    // incremental ingest verdict: index shard = doc_id % 3 <> 0, incoming
+    // shard = doc_id % 3 = 0; new = absent from the index AND first copy
+    // within the incoming shard (the oracle states the exact semantics the
+    // engine's bloom-prefiltered split must reproduce verbatim)
+    "d_incremental" ->
+      s"""$TokCte,
+         |fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint FROM tok),
+         |idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 <> 0),
+         |inc AS (SELECT doc_id, fingerprint,
+         |          doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS first_in_shard
+         |        FROM fp WHERE doc_id % 3 = 0)
+         |SELECT doc_id, fingerprint,
+         |  first_in_shard AND NOT EXISTS (
+         |    SELECT 1 FROM idx WHERE idx.fingerprint = inc.fingerprint) AS is_new
+         |FROM inc""".stripMargin,
+
     "d_cdc_chunks" ->
       s"""$ChunkCte
          |SELECT doc_id, chunk_id, chunk_fp, n_tokens FROM chunks""".stripMargin,

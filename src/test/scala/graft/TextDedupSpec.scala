@@ -164,6 +164,35 @@ class TextDedupSpec extends AnyFunSuite {
     assert(d(2L)._3 === 0 && d(2L)._4 === 0)
   }
 
+  test("incremental dedup: bloom-split verdicts equal the plain anti-join semantics") {
+    // doc_id % 3 <> 0 → index shard; % 3 = 0 → incoming. Crafted overlaps:
+    //   3 duplicates index doc 1 (not new); 6 and 9 duplicate each other
+    //   but nothing in the index (first copy 6 is new, 9 is not);
+    //   12 is unique (new).
+    val d = docsOf(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"),
+      (3L, "Alpha,  BETA gamma!"), (6L, "fresh new content here"),
+      (9L, "fresh NEW content here"), (12L, "one of a kind"))
+    val out = Dedup.incrementalNew(d)
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(out === Map(3L -> false, 6L -> true, 9L -> false, 12L -> true))
+
+    // exactness does not depend on the bloom: recompute with the plain
+    // window + left-anti formulation and require set equality on the full
+    // documents fixture
+    val docs = graft.Tables.documents(spark, TestSpark.Sf)
+    val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
+    val idx = fp.filter(pmod(col("doc_id"), lit(3)) =!= 0).select("fingerprint").distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    val plain = fp.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("first", col("doc_id") === min("doc_id").over(w))
+      .join(idx.withColumn("hit", lit(true)), Seq("fingerprint"), "left")
+      .select(col("doc_id"), col("fingerprint"), (col("first") && col("hit").isNull).as("is_new"))
+    val got = Dedup.incrementalNew(docs).as[(Long, String, Boolean)].collect().toSet
+    assert(got === plain.as[(Long, String, Boolean)].collect().toSet)
+    assert(got.nonEmpty && got.exists(_._3) )
+  }
+
   test("quality score is in [0,1] and rewards stopword-rich text") {
     val q = docsOf(
       (1L, "the cat and the dog of the house is that for"),
