@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators — where 100 TB performance is actually won:
@@ -97,6 +97,53 @@ object PartitionedLake {
     }
     affected
   }
+
+  /** Morton (z-order) interleave of two non-negative integer dimensions,
+    * `bits` bits each: bit i of x lands at output bit 2i, bit i of y at
+    * 2i+1, so sorting by the z-value orders rows along a space-filling
+    * curve where runs of consecutive rows are compact BOXES in (x, y).
+    *
+    * Why a lake cares: parquet keeps per-row-group min/max stats for
+    * every column. A table sorted by x alone answers x-ranges from few
+    * row groups but y-ranges from ALL of them (each group spans the full
+    * y domain); z-clustering bounds both coordinates per run, so a
+    * predicate on either dimension — or a 2-D box — skips most groups.
+    * That skipping is exactly what scales: at 100 TB the scan cost is
+    * row-groups-that-might-match, not table size.
+    *
+    * Pure bit arithmetic (16 codegen'd shift/mask terms per dimension),
+    * mirrored literally by [[zValueSql]] for the DuckDB oracle. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    val xm = pmod(x.cast("long"), lit(1L << bits))
+    val ym = pmod(y.cast("long"), lit(1L << bits))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(ym, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB mirror of [[zValue]] over SQL expressions `x`, `y` — generated
+    * from the same bit positions so the curve is bit-identical. */
+  def zValueSql(x: String, y: String, bits: Int = 16): String = {
+    // every term is fully parenthesized: SQL gives `+` higher precedence
+    // than `<<`, so a bare `a << 2 + b << 3` would parse as `a << (2+b) << 3`
+    val xs = (0 until bits).map(i => s"(((($x) % ${1L << bits} >> $i) & 1) << ${2 * i})")
+    val ys = (0 until bits).map(i => s"(((($y) % ${1L << bits} >> $i) & 1) << ${2 * i + 1})")
+    (xs ++ ys).mkString("(", " + ", ")")
+  }
+
+  /** Rewrite a table z-clustered on (x, y) into `files` range-partitioned,
+    * internally sorted files. `repartitionByRange` samples the z-value
+    * distribution so files hold equal row counts (not equal key ranges —
+    * skew-proof), and the within-file sort gives every parquet row group
+    * a tight z-interval, i.e. a tight (x, y) box for stats skipping. */
+  def zorderWrite(df: DataFrame, x: String, y: String, dir: String,
+      files: Int, bits: Int = 16): Unit =
+    df.withColumn("zval", zValue(col(x), col(y), bits))
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(dir)
 
   /** Compact a partitioned lake directory's small files.
     *

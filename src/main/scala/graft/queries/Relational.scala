@@ -121,6 +121,19 @@ object Relational {
       .select("user_id", "event_id", "running_value")
   }
 
+  /** Z-order clustering key over (user, event-day) — the layout primitive
+    * behind [[graft.operators.PartitionedLake.zorderWrite]], exposed as a
+    * query so the curve arithmetic itself is oracle-gated bit-for-bit
+    * (LakeSpec separately proves the layout concentrates 2-D box matches
+    * into few files). Pure codegen'd bit math, zero shuffle. */
+  val qZorder: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("zx"),
+        pmod(datediff(col("ts"), lit("1970-01-01")).cast("long"), lit(65536L)).as("zy"))
+      .withColumn("zval", graft.operators.PartitionedLake.zValue(col("zx"), col("zy")))
+
   /** lag/lead: inter-event gap seconds per user. */
   val qEventGaps: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -758,6 +771,7 @@ object Relational {
     "q_topk_window" -> qTopkWindow,
     "q_running_sum" -> qRunningSum,
     "q_event_gaps" -> qEventGaps,
+    "q_zorder" -> qZorder,
     "q_sessionize" -> qSessionize,
     "q_retention" -> qRetention,
     "q_hourly_window" -> qHourlyWindow,

@@ -175,6 +175,19 @@ object RelationalOracles {
         |  CAST(sum(CAST(floor(value*100 + 0.5)/100 AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    // Morton curve key for z-order clustering — the bit-interleave SQL is
+    // GENERATED from the same bit positions the Spark expression uses
+    // (PartitionedLake.zValueSql), so the curve is identical by construction
+    "q_zorder" ->
+      s"""WITH dims AS (
+         |  SELECT event_id,
+         |    user_id % 65536 AS zx,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 65536 AS zy
+         |  FROM events)
+         |SELECT event_id, zx, zy,
+         |  ${graft.operators.PartitionedLake.zValueSql("zx", "zy")} AS zval
+         |FROM dims""".stripMargin,
+
     // cohort retention triangle; week = floor(epoch_seconds / 604800),
     // exact in both engines (integer-valued doubles « 2^53)
     "q_retention" ->

@@ -54,6 +54,48 @@ class LakeSpec extends AnyFunSuite {
     assert(joined.count() === fact.filter(col("event_date").cast("string") === days.head).count())
   }
 
+  test("z-order clustering concentrates 2-D box matches into fewer files than 1-D sort") {
+    val events = Tables.events(spark, TestSpark.Sf)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("zx"),
+        pmod(datediff(col("ts"), lit("1970-01-01")).cast("long"), lit(65536L)).as("zy"))
+    val files = 16
+    val linDir = Files.createTempDirectory("lake-linear").toString
+    val zDir = Files.createTempDirectory("lake-zorder").toString
+    // 1-D layout: range-partitioned + sorted on zx only (the common
+    // "sort by primary key" lake layout)
+    events.repartitionByRange(files, col("zx")).sortWithinPartitions("zx")
+      .write.mode("overwrite").parquet(linDir)
+    PartitionedLake.zorderWrite(events, "zx", "zy", zDir, files)
+
+    // same rows, same file counts — only the ORDER differs
+    val lin = spark.read.parquet(linDir)
+    val z = spark.read.parquet(zDir)
+    // same rows; file counts may fall slightly under `files` when the
+    // range sampler sees few distinct keys (empty partitions write no file)
+    assert(lin.count() === z.count())
+    val linFiles = lin.inputFiles.length.toDouble
+    val zFiles = z.inputFiles.length.toDouble
+    assert(linFiles >= files / 2 && zFiles >= files / 2)
+
+    // proxy for row-group/file stats skipping: how many files hold at
+    // least one row matching the predicate (matches concentrated in few
+    // files = most files are skippable by their min/max stats)
+    def filesTouched(df: org.apache.spark.sql.DataFrame, pred: org.apache.spark.sql.Column) =
+      df.filter(pred).select(input_file_name()).distinct().count()
+
+    val days = events.select("zy").distinct().as[Long].collect().sorted
+    val dayBand = col("zy") === days(days.length / 2)
+    // a y-only predicate: the zx-sorted layout spreads every day across
+    // ~all files; the z-layout bounds zy per curve run
+    val linTouched = filesTouched(lin, dayBand) / linFiles
+    val zTouched = filesTouched(z, dayBand) / zFiles
+    assert(zTouched < linTouched,
+      s"z-order touched $zTouched of files vs linear $linTouched for a day-band predicate")
+    // and both layouts answer the predicate identically
+    assert(lin.filter(dayBand).count() === z.filter(dayBand).count())
+  }
+
   test("bucketed tables join without any exchange") {
     val orders = Tables.orders(spark, TestSpark.Sf)
     PartitionedLake.writeBucketed(
