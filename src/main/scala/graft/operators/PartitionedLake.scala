@@ -98,6 +98,47 @@ object PartitionedLake {
     affected
   }
 
+  /** Pure MERGE/upsert semantics: `updates` rows override `base` rows
+    * sharing the key; update keys absent from base are inserts. One
+    * left-anti join on the key — shuffle on the key at worst, and a
+    * realistic update batch (tiny vs the table) is AQE-broadcast, making
+    * the merge a single map-side pass over base. */
+  def merged(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    updates.unionByName(base.join(updates, keys, "left_anti"))
+
+  /** Partition-scoped copy-on-write MERGE into a partitioned lake — the
+    * Hudi/Delta-style upsert primitive on plain parquet. A day's update
+    * batch touches a handful of partitions; rewriting only those is what
+    * makes continuous upserts affordable at 100 TB (same mechanics as
+    * [[deleteIds]]: metadata-scale affected-partition discovery, pinned
+    * merged rows, dynamic partition overwrite that leaves every other
+    * file byte-identical — LakeSpec proves both properties).
+    *
+    * Declared invariant (standard for partition-pathed copy-on-write): a
+    * key lives in exactly one partition and an update row carries its
+    * key's partition value — updates change attributes, not the
+    * partition residence. Brand-new partition values in `updates` are
+    * created by the same write. Returns the affected partition values. */
+  def mergeUpsert(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String, partCol: String): Seq[String] = {
+    val affected = updates.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq // partition VALUES — metadata-scale
+    if (affected.nonEmpty) {
+      val base = spark.read.parquet(dir)
+        .filter(col(partCol).cast("string").isin(affected: _*))
+      val out = merged(base, updates.select(base.columns.map(col): _*), Seq(keyCol))
+        .localCheckpoint() // never read the files being overwritten
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try out.write.mode("overwrite").partitionBy(partCol).parquet(dir)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    affected
+  }
+
   /** Morton (z-order) interleave of two non-negative integer dimensions,
     * `bits` bits each: bit i of x lands at output bit 2i, bit i of y at
     * 2i+1, so sorting by the z-value orders rows along a space-filling

@@ -121,6 +121,22 @@ object Relational {
       .select("user_id", "event_id", "running_value")
   }
 
+  /** MERGE/upsert semantics over orders (base = keys with o_orderkey%4≠0,
+    * update batch = even keys with a price adjustment): updates override,
+    * non-colliding base rows survive, new keys insert. The relational
+    * statement of [[graft.operators.PartitionedLake.merged]] — the lake's
+    * partition-scoped copy-on-write applies THIS semantics physically
+    * (LakeSpec proves the files; this oracle proves the row algebra). */
+  val qMergeUpsert: Q = (s, d) => {
+    val orders = Tables.orders(s, d)
+    val base = orders.filter(pmod(col("o_orderkey"), lit(4L)) =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), lit("base").as("src"))
+    val upd = orders.filter(pmod(col("o_orderkey"), lit(2L)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + lit(1000.0)).as("o_totalprice"), lit("upd").as("src"))
+    graft.operators.PartitionedLake.merged(base, upd, Seq("o_orderkey"))
+  }
+
   /** Z-order clustering key over (user, event-day) — the layout primitive
     * behind [[graft.operators.PartitionedLake.zorderWrite]], exposed as a
     * query so the curve arithmetic itself is oracle-gated bit-for-bit
@@ -772,6 +788,7 @@ object Relational {
     "q_running_sum" -> qRunningSum,
     "q_event_gaps" -> qEventGaps,
     "q_zorder" -> qZorder,
+    "q_merge_upsert" -> qMergeUpsert,
     "q_sessionize" -> qSessionize,
     "q_retention" -> qRetention,
     "q_hourly_window" -> qHourlyWindow,

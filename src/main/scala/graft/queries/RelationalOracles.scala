@@ -188,6 +188,21 @@ object RelationalOracles {
          |  ${graft.operators.PartitionedLake.zValueSql("zx", "zy")} AS zval
          |FROM dims""".stripMargin,
 
+    // MERGE/upsert row algebra: updates override base by key, the rest of
+    // base survives, new keys insert (1000.0 is exactly representable, so
+    // the adjusted double is bit-identical cross-engine)
+    "q_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 'base' AS src
+        |  FROM orders WHERE o_orderkey % 4 <> 0),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0 AS o_totalprice, 'upd' AS src
+        |  FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey, o_custkey, o_totalprice, src FROM upd
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_custkey, b.o_totalprice, b.src FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)""".stripMargin,
+
     // cohort retention triangle; week = floor(epoch_seconds / 604800),
     // exact in both engines (integer-valued doubles « 2^53)
     "q_retention" ->

@@ -141,6 +141,48 @@ class LakeSpec extends AnyFunSuite {
     assert(a.select(a.columns.map(col): _*).except(b.select(a.columns.map(col): _*)).count() === 0)
   }
 
+  test("merge upsert rewrites only affected partitions; updates, survivors, inserts exact") {
+    val dir = Files.createTempDirectory("lake-merge").toString
+    val events = Tables.events(spark, TestSpark.Sf)
+    PartitionedLake.writePartitionedByDay(events, dir)
+    val before = spark.read.parquet(dir)
+    val days = before.select(col("event_date").cast("string")).distinct()
+      .as[String].collect().sorted
+    assert(days.length > 2)
+    val (updDay, newDay) = (days.head, "2031-01-01")
+
+    // update batch: bump value on half of updDay's rows + insert a brand-new day
+    val updates = before.filter(col("event_date").cast("string") === updDay
+        && pmod(col("event_id"), lit(2L)) === 0)
+      .withColumn("value", col("value") + lit(10000.0))
+      .unionByName(before.limit(3)
+        .withColumn("event_id", col("event_id") + lit(10000000L))
+        .withColumn("event_date", lit(newDay)))
+      .localCheckpoint()
+    val expected = PartitionedLake
+      .merged(before, updates, Seq("event_id")).collect().map(_.toString).sorted
+
+    def fileSig(): Set[(String, Long)] = {
+      val base = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(base).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.length)).toSet
+    }
+    val sigBefore = fileSig()
+    val affected = PartitionedLake.mergeUpsert(spark, dir, updates, "event_id", "event_date")
+    assert(affected.toSet === Set(updDay, newDay))
+
+    // untouched partitions keep their exact files (path AND size)
+    val untouched = sigBefore.filterNot(_._1.contains(s"event_date=$updDay"))
+    assert(fileSig().filterNot(f =>
+      f._1.contains(s"event_date=$updDay") || f._1.contains(s"event_date=$newDay"))
+      === untouched)
+    // merged content is exactly the row algebra (same as the q_merge_upsert oracle)
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted
+    assert(after === expected)
+  }
+
   test("deletion propagation rewrites only affected partitions, byte-identical elsewhere") {
     import graft.operators.PartitionedLake
     val dir = java.nio.file.Files.createTempDirectory("lake-del").toString
