@@ -83,6 +83,9 @@ object Bench {
     // r7 additions
     "s_ivf_append" -> 1.7,
     "q_retention" -> 0.6,
+    "d_incremental" -> 1.2,
+    "q_zorder" -> 0.3,
+    "q_merge_upsert" -> 0.5,
     "m_pixels" -> 0.4,
     "m_resize" -> 0.4,
     // streaming drain anchors (AvailableNow, forced
