@@ -86,6 +86,8 @@ object Bench {
     "d_incremental" -> 1.2,
     "q_zorder" -> 0.3,
     "q_merge_upsert" -> 0.5,
+    "t_c4_rules" -> 0.4,
+    "t_gopher_keep" -> 1.2,
     "m_pixels" -> 0.4,
     "m_resize" -> 0.4,
     // streaming drain anchors (AvailableNow, forced

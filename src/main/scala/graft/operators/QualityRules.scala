@@ -24,6 +24,60 @@ import org.apache.spark.sql.functions._
   */
 object QualityRules {
 
+  /** C4-style heuristic gates (Raffel et al. 2020 §2.2 family): terminal
+    * punctuation, no code braces, no lorem-ipsum boilerplate, no
+    * enable-javascript policy lines, a minimum word count. The synthetic
+    * corpus is punctuation-free word salad, so — same pattern as
+    * t_redact's PII augmentation — both engines first append a
+    * deterministic doc_id-keyed suffix mix, making every gate
+    * non-vacuous in both polarities. Pure codegen'd projection. */
+  def c4Rules(docs: DataFrame): DataFrame = {
+    val aug = concat(col("text"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(". Done.")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit(" {code}")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11)) === 0, lit(" lorem ipsum")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(13)) === 0, lit(" javascript required")).otherwise(lit("")))
+    docs.select(col("doc_id"), aug.as("aug"))
+      .select(
+        col("doc_id"),
+        col("aug").rlike("[.!?]$").as("ends_punct"),
+        col("aug").contains("{").as("has_brace"),
+        col("aug").contains("lorem ipsum").as("has_lorem"),
+        col("aug").contains("javascript").as("has_policy"),
+        regexp_count(col("aug"), lit("\\.")).as("n_dots"),
+        TextOps.nTokens(col("aug")).as("n_words"))
+      .withColumn("keep",
+        col("ends_punct") && !col("has_brace") && !col("has_lorem")
+          && !col("has_policy") && col("n_words") >= 5)
+  }
+
+  /** Gopher-family document filter verdict: every gate is a published
+    * MassiveText-style threshold over the already-oracle-checked signals
+    * (word count, mean word length, stopword occurrences, duplicate
+    * n-gram fractions, top-token share), plus the conjunction the
+    * pipeline actually acts on. Thresholds compare floor-truncated
+    * 4-decimal ratios to exact decimal literals, so the booleans are
+    * bit-identical cross-engine. Domain = docs with ≥ 3 tokens (the
+    * repetition-signal domain). */
+  def gopherKeep(docs: DataFrame): DataFrame = {
+    val rep = repetitionStats(docs)
+    val base = docs.select(col("doc_id"),
+      TextOps.avgWordLen(col("text")).as("avg_word_len"),
+      TextOps.stopHits(col("text"), TextOps.Stop("en")).as("stop_hits"))
+    rep.join(base, "doc_id")
+      .select(
+        col("doc_id"),
+        col("n_tokens").between(30, 100000).as("g_words"),
+        col("avg_word_len").between(3.0, 10.0).as("g_len"),
+        (col("stop_hits") >= 2).as("g_stop"),
+        (col("dup_2gram_frac") <= 0.20).as("g_rep2"),
+        (col("dup_3gram_frac") <= 0.18).as("g_rep3"),
+        (col("top_token_frac") <= 0.30).as("g_top"))
+      .withColumn("keep",
+        col("g_words") && col("g_len") && col("g_stop")
+          && col("g_rep2") && col("g_rep3") && col("g_top"))
+  }
+
   def repetitionStats(docs: DataFrame): DataFrame = {
     val tok = Spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))

@@ -138,6 +138,12 @@ object Training {
     * share). */
   val tRepStats: Q = (s, d) => QualityRules.repetitionStats(docs(s, d))
 
+  /** C4-style boilerplate/code/punctuation gates (augmented corpus). */
+  val tC4Rules: Q = (s, d) => QualityRules.c4Rules(docs(s, d))
+
+  /** Gopher-family filter verdict: per-gate booleans + the conjunction. */
+  val tGopherKeep: Q = (s, d) => QualityRules.gopherKeep(docs(s, d))
+
   /** Vocabulary induction (the tokenizer-building primitive): corpus-wide
     * token counts, rank by (count desc, token asc), top 50 with each
     * rank's cumulative coverage of all token occurrences. Counts are
@@ -213,6 +219,8 @@ object Training {
     "t_redact" -> tRedact,
     "t_decontam" -> tDecontam,
     "t_rep_stats" -> tRepStats,
+    "t_c4_rules" -> tC4Rules,
+    "t_gopher_keep" -> tGopherKeep,
     "t_pipeline" -> tPipeline,
     "t_vocab" -> tVocab,
     "s_brute_topk" -> sBruteTopk,

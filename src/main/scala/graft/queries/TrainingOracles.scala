@@ -527,6 +527,65 @@ object TrainingOracles {
 
     // Repetition-signal mirror: integer-derived ratios, floor-trunc 4dp;
     // n_tokens CAST to INT (Spark size() is 32-bit), max_tf to BIGINT.
+    // C4 gates over the SAME deterministic augmentation the Spark side
+    // applies (doc_id-keyed suffix mix — the synthetic corpus alone is
+    // punctuation-free, which would make every gate vacuous)
+    "t_c4_rules" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0 THEN '. Done.' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN ' javascript required' ELSE '' END AS aug
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    regexp_matches(aug, '[.!?]$') AS ends_punct,
+        |    contains(aug, '{') AS has_brace,
+        |    contains(aug, 'lorem ipsum') AS has_lorem,
+        |    contains(aug, 'javascript') AS has_policy,
+        |    len(regexp_extract_all(aug, '\.')) AS n_dots,
+        |    len(list_filter(string_split_regex(regexp_replace(lower(aug), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')) AS n_words
+        |  FROM aug)
+        |SELECT doc_id, ends_punct, has_brace, has_lorem, has_policy, n_dots, n_words,
+        |  ends_punct AND NOT has_brace AND NOT has_lorem AND NOT has_policy
+        |    AND n_words >= 5 AS keep
+        |FROM sig""".stripMargin,
+
+    // Gopher-family verdict over the rep-stats + text-stats signals; the
+    // ratio gates compare identical floor-truncated 4-decimal values
+    "t_gopher_keep" ->
+      s"""$TokCte,
+         |sh AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+         |    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS s2,
+         |    $Shingles AS s3
+         |  FROM tok WHERE len(toks) >= 3),
+         |narrow AS (SELECT doc_id, n_tokens,
+         |    floor(CAST(len(s2) - len(list_distinct(s2)) AS DOUBLE) / len(s2) * 10000) / 10000 AS dup_2gram_frac,
+         |    floor(CAST(len(s3) - len(list_distinct(s3)) AS DOUBLE) / len(s3) * 10000) / 10000 AS dup_3gram_frac
+         |  FROM sh),
+         |top AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf FROM (
+         |    SELECT doc_id, tok, count(*) AS tf FROM (
+         |      SELECT doc_id, unnest(toks) AS tok FROM tok WHERE len(toks) >= 3) f
+         |    GROUP BY 1, 2) g GROUP BY 1),
+         |base AS (SELECT doc_id,
+         |    floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) * 10000) / 10000 AS avg_word_len,
+         |    ${hits("en")} AS stop_hits
+         |  FROM tok),
+         |gates AS (
+         |  SELECT n.doc_id,
+         |    n.n_tokens BETWEEN 30 AND 100000 AS g_words,
+         |    b.avg_word_len BETWEEN 3.0 AND 10.0 AS g_len,
+         |    b.stop_hits >= 2 AS g_stop,
+         |    n.dup_2gram_frac <= 0.20 AS g_rep2,
+         |    n.dup_3gram_frac <= 0.18 AS g_rep3,
+         |    floor(CAST(t.max_tf AS DOUBLE) / n.n_tokens * 10000) / 10000 <= 0.30 AS g_top
+         |  FROM narrow n JOIN top t ON t.doc_id = n.doc_id
+         |  JOIN base b ON b.doc_id = n.doc_id)
+         |SELECT doc_id, g_words, g_len, g_stop, g_rep2, g_rep3, g_top,
+         |  g_words AND g_len AND g_stop AND g_rep2 AND g_rep3 AND g_top AS keep
+         |FROM gates""".stripMargin,
+
     "t_rep_stats" ->
       s"""$TokCte,
          |sh AS (SELECT doc_id, toks, len(toks) AS n_tokens,

@@ -46,6 +46,36 @@ class QualitySpec extends AnyFunSuite {
     assert(r === ((1L, 4, 0.3333, 0.0, 0.75)))
   }
 
+  test("C4 gates: each augmentation trips exactly its gate") {
+    // ids chosen so each hits one suffix: 3 → terminal punct (keep),
+    // 7 → brace, 11 → lorem, 13 → policy, 1 → nothing (no terminal punct)
+    val docs = Seq(3L, 7L, 11L, 13L, 1L)
+      .map(id => (id, "plain words without any punctuation at all"))
+      .toDF("doc_id", "text")
+    val r = QualityRules.c4Rules(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(3L).getBoolean(1) && r(3L).getBoolean(7)) // ends_punct → keep
+    assert(r(7L).getBoolean(2) && !r(7L).getBoolean(7)) // brace kills
+    assert(r(11L).getBoolean(3) && !r(11L).getBoolean(7))
+    assert(r(13L).getBoolean(4) && !r(13L).getBoolean(7))
+    assert(!r(1L).getBoolean(1) && !r(1L).getBoolean(7)) // no terminal punct
+    assert(r(3L).getInt(5) === 2) // '. Done.' carries two dots
+  }
+
+  test("gopher verdict: a clean long doc keeps; repetition and shortness reject") {
+    val clean = (1 to 40).map(i => s"word$i the").mkString(" ") // 80 toks, 'the' x40... too top-heavy
+    val good = ((1 to 35).map(i => s"alpha$i beta$i").mkString(" ") + " the is and of") // unique pairs + stopwords
+    val short = "tiny the is doc of"
+    val repet = (("spam words the is " * 20)).trim // heavy 2-gram repetition
+    val docs = Seq((1L, good), (2L, short), (3L, repet)).toDF("doc_id", "text")
+    val out = QualityRules.gopherKeep(docs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    assert(out(1L) === true, s"clean doc rejected: ${QualityRules.gopherKeep(docs).filter($"doc_id" === 1).collect().mkString}")
+    assert(out(2L) === false) // fails g_words
+    assert(out(3L) === false) // fails g_rep2/g_top
+    assert(clean.nonEmpty)
+  }
+
   test("repetition stats: fully unique doc scores zero duplication") {
     val docs = Seq((1L, "one two three four five")).toDF("doc_id", "text")
     val r = QualityRules.repetitionStats(docs)
