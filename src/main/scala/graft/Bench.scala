@@ -96,7 +96,8 @@ object Bench {
     "stream_sessionize" -> 2.1,
     "stream_join" -> 5.7,
     "stream_dedup" -> 2.9,
-    "stream_window" -> 3.3)
+    "stream_window" -> 3.3,
+    "stream_lake" -> 10.0)
 
   /** Streaming legs: wall seconds to drain the full sf through each
     * structured-streaming operator under `Trigger.AvailableNow` with
@@ -146,6 +147,23 @@ object Bench {
           trigger = Trigger.AvailableNow())
         q.awaitTermination()
         require(spark.read.parquet(dir("good")).count() > 0)
+      }
+    }
+
+    if (wanted("stream_lake")) {
+      // same ingest as stream_collector, but the good leg lands in the
+      // date-partitioned lake (dynamic per-batch partitions) — measures
+      // the partitioned-append overhead on top of the flat sink
+      val cfg = graft.operators.CollectorConfig.testScale
+      graft.sources.EventEnvelopeAdapter.envelopes(spark, sfDir)
+        .write.mode("overwrite").parquet(dir("lake-src"))
+      out += timed("stream_lake") {
+        val q = graft.streaming.StreamingCollector.startToLake(
+          fileStream(dir("lake-src")), cfg,
+          dir("lake-good"), dir("lake-bad"), dir("ckpt-lake"),
+          trigger = Trigger.AvailableNow())
+        q.awaitTermination()
+        require(spark.read.parquet(dir("lake-good")).count() > 0)
       }
     }
 
