@@ -26,8 +26,19 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *    absent — so an earlier `key = default` survives, like Typesafe
   *    Config. An unresolvable `${VAR}` is a parse error.
   *
-  * NOT implemented (unused by the example files): `include`,
-  * concatenations of quoted strings, triple-quoted strings.
+  *  - `"""triple-quoted"""` strings (raw content — no escape processing,
+  *    embedded quotes/newlines/comment markers survive; extra closing
+  *    quotes beyond three belong to the string, per the HOCON spec)
+  *  - `include "name"` statements, resolved through an INJECTED
+  *    name → text map (hermetic: the engine never does filesystem or URL
+  *    I/O from inside config parsing; the deployment decides what an
+  *    include name means). Merge order is positional, like Typesafe
+  *    Config: an include overrides earlier keys, later keys override the
+  *    include. A name absent from the resolver is silently skipped
+  *    (Typesafe's plain-include semantics); include recursion is capped.
+  *
+  * NOT implemented (unused by the example files): concatenations of
+  * quoted strings, `required()`/`file()`/`url()` include modifiers.
   * The output is a Jackson tree, shared with the JSON loader — both front
   * ends funnel into the same key extraction, so their semantics cannot
   * drift. Driver-side only, like the JSON loader. */
@@ -39,14 +50,28 @@ object Hocon {
   def parse(text: String): ObjectNode = parse(text, sys.env)
 
   /** Parse with an explicit environment (tests). */
-  def parse(text: String, env: Map[String, String]): ObjectNode = {
-    val toks = tokenize(text)
-    val p = new P(toks, env)
-    val root =
-      if (p.peek == Some("{")) { p.next(); p.obj() }
-      else p.objBody(topLevel = true) // HOCON allows a brace-less root
+  def parse(text: String, env: Map[String, String]): ObjectNode =
+    parse(text, env, Map.empty)
+
+  /** Parse with an environment and an include resolver. */
+  def parse(text: String, env: Map[String, String],
+      includes: Map[String, String]): ObjectNode = {
+    val root = parseTree(text, env, includes, includeDepth = 0)
     resolvePaths(root)
     root
+  }
+
+  /** Tree build WITHOUT the substitution post-pass — include fragments
+    * parse through here so `${a.b}` refs inside an include resolve
+    * against the FINAL merged root, not the fragment. */
+  private def parseTree(text: String, env: Map[String, String],
+      includes: Map[String, String], includeDepth: Int): ObjectNode = {
+    if (includeDepth > 50)
+      throw new IllegalArgumentException("HOCON includes nested deeper than 50 (cycle?)")
+    val toks = tokenize(text)
+    val p = new P(toks, env, includes, includeDepth)
+    if (p.peek == Some("{")) { p.next(); p.obj() }
+    else p.objBody(topLevel = true) // HOCON allows a brace-less root
   }
 
   /** Post-pass: whatever the eager env lookup could not resolve gets a
@@ -140,7 +165,16 @@ object Hocon {
       text(j) == '#' || (text(j) == '/' && j + 1 < n && text(j + 1) == '/')
     while (i < n) {
       val c = text(i)
-      if (c == '"') {
+      if (c == '"' && i + 2 < n && text(i + 1) == '"' && text(i + 2) == '"') {
+        // """raw string""": no escapes; the delimiter is the LAST three
+        // quotes of a closing run, so extra quotes stay in the content
+        var close = text.indexOf("\"\"\"", i + 3)
+        if (close < 0)
+          throw new IllegalArgumentException("unterminated triple-quoted string")
+        while (close + 3 < n && text(close + 3) == '"') close += 1
+        out += "\u0000" + text.substring(i + 3, close)
+        i = close + 3
+      } else if (c == '"') {
         val sb = new StringBuilder
         i += 1
         while (i < n && text(i) != '"') {
@@ -179,7 +213,8 @@ object Hocon {
   }
 
   // --- parser ------------------------------------------------------------
-  private final class P(toks: Vector[String], env: Map[String, String]) {
+  private final class P(toks: Vector[String], env: Map[String, String],
+      includes: Map[String, String], includeDepth: Int) {
     private var pos = 0
     /** recursion guard: hostile `a{a{a{…` input must fail with a clean
       * parse error, not a StackOverflowError (config is driver-side, but
@@ -216,7 +251,15 @@ object Hocon {
       while (!(atEnd && topLevel) && peek != Some("}")) {
         val keyTok = next()
         val key = unmark(keyTok)
-        peek match {
+        // `include "name"`: an UNQUOTED include keyword followed by a
+        // quoted string is a statement, not a key (a key spelled include
+        // continues to `=`/`:`/`{` below, per HOCON)
+        if (keyTok == "include" && peek.exists(_.startsWith("\u0000"))) {
+          val name = unmark(next())
+          includes.get(name).foreach { text =>
+            deepMerge(o, parseTree(text, env, includes, includeDepth + 1))
+          }
+        } else peek match {
           case Some("{") => next(); mergeIn(o, key, obj())
           case Some("=") | Some(":") =>
             next()

@@ -368,6 +368,62 @@ class ConfigSpec extends AnyFunSuite {
     assert(ref.at("/collector/streams/buffer/byteLimit").asLong === 1000L)
   }
 
+  test("HOCON triple-quoted strings: raw content, embedded quotes and comment markers") {
+    import graft.operators.Hocon
+    val doc =
+      "re = \"\"\"[a-z]+\\d{2}\"\"\"\n" +
+        "msg = \"\"\"say \"hi\" # not a comment // nor this\"\"\"\n" +
+        "multi = \"\"\"line1\nline2\"\"\"\n" +
+        "quotey = \"\"\"ends in quote\"\"\"\"\n" + // 4 closing quotes: one belongs to content
+        "after = 1\n"
+    val t = Hocon.parse(doc, Map.empty)
+    assert(t.get("re").asText === """[a-z]+\d{2}""") // backslash NOT escape-processed
+    assert(t.get("msg").asText === "say \"hi\" # not a comment // nor this")
+    assert(t.get("multi").asText === "line1\nline2")
+    assert(t.get("quotey").asText === "ends in quote\"")
+    assert(t.get("after").asLong === 1L)
+    intercept[IllegalArgumentException](Hocon.parse("x = \"\"\"unterminated", Map.empty))
+  }
+
+  test("HOCON include: positional merge through the injected resolver") {
+    import graft.operators.Hocon
+    val includes = Map(
+      "defaults" ->
+        """interface = 0.0.0.0
+          |port = 8080
+          |buffer { byteLimit = 1000, recordLimit = 10 }""".stripMargin,
+      "site" -> "port = 9090\ninclude \"defaults\"\n",
+      "loop" -> "include \"loop\"\nx = 1")
+    // include then override: local keys AFTER the include win
+    val t = Hocon.parse(
+      """collector {
+        |  include "defaults"
+        |  port = 9999
+        |  buffer { recordLimit = 500 }
+        |}""".stripMargin, Map.empty, includes)
+    assert(t.at("/collector/interface").asText === "0.0.0.0")
+    assert(t.at("/collector/port").asLong === 9999L) // local override wins
+    assert(t.at("/collector/buffer/byteLimit").asLong === 1000L) // deep-merge keeps
+    assert(t.at("/collector/buffer/recordLimit").asLong === 500L)
+    // override then include: the include wins positionally
+    val t2 = Hocon.parse("include \"defaults\"", Map.empty, includes)
+    assert(t2.get("port").asLong === 8080L)
+    // nested includes work; a missing name is silently skipped
+    val t3 = Hocon.parse("include \"site\"\ninclude \"missing\"", Map.empty, includes)
+    assert(t3.get("port").asLong === 8080L) // site's own 9090 lost to its later include
+    assert(t3.get("interface").asText === "0.0.0.0")
+    // a key literally NAMED include still works
+    val t4 = Hocon.parse("include = 5", Map.empty, includes)
+    assert(t4.get("include").asLong === 5L)
+    // substitutions inside an include resolve against the MERGED root
+    val t5 = Hocon.parse(
+      "include \"ref\"\nbase = 7",
+      Map.empty, Map("ref" -> "derived = ${base}"))
+    assert(t5.get("derived").asLong === 7L)
+    // self-including resolver → clean error, not a hang
+    intercept[IllegalArgumentException](Hocon.parse("include \"loop\"", Map.empty, includes))
+  }
+
   test("bridge gates: a disabled bridge's requests vanish from the dispatch") {
     import org.apache.spark.sql.functions.col
     val spark = TestSpark.spark
