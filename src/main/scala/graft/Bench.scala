@@ -88,6 +88,7 @@ object Bench {
     "q_merge_upsert" -> 0.5,
     "t_c4_rules" -> 0.4,
     "t_gopher_keep" -> 1.2,
+    "d_pagerank" -> 2.2,
     "m_pixels" -> 0.4,
     "m_resize" -> 0.4,
     // streaming drain anchors (AvailableNow, forced

@@ -203,6 +203,49 @@ object Dedup {
       .select(col("cluster").as("doc_id"), col("n_docs"))
   }
 
+  /** PageRank over the LSH candidate graph — the graph-centrality signal a
+    * training pipeline uses alongside cluster membership (a doc whose
+    * near-dup neighborhood is large and well-connected is boilerplate; CC
+    * says "same cluster", rank says "how central"). Damping 0.85, fixed
+    * iteration count, vertices = docs touching at least one candidate
+    * edge (undirected ⇒ no dangling mass).
+    *
+    * All arithmetic is exact int64 in 1e-12 "micro-rank" units with
+    * pinned floor divisions (pmod form, mirrored literally in the
+    * oracle), so the ranks are bit-identical in any engine and under any
+    * partitioning — the same discipline as q_stats/q_zscore.
+    *
+    * Scale shape: per iteration one join of ranks onto edges (both
+    * shuffled on the key; the edge relation re-partitions once and
+    * ReuseExchange serves every iteration) + one sum-agg on dst. The
+    * vertex count stays IN the plan as a broadcast scalar; ≤ iters
+    * passes, never a driver-side loop over data. */
+  def pageRankOnCandidates(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val Scale = 1000000000000L
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      ((a - pmod(a, b)) / b).cast("long")
+    val pairs = lshCandidatePairs(docs)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
+    val n = deg.agg(count(lit(1)).as("n_verts"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("doc_id"), idiv(lit(Scale), col("n_verts")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(deg, "doc_id")
+        .select(col("doc_id").as("src"), idiv(col("rank"), col("deg")).as("contrib"))
+      val inSum = edges.join(contribs, "src")
+        .groupBy(col("dst").as("doc_id")).agg(sum("contrib").as("in_contrib"))
+      ranks = deg.select("doc_id").crossJoin(broadcast(n))
+        .join(inSum, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (idiv(lit(15L * Scale), lit(100L) * col("n_verts"))
+            + idiv(lit(85L) * coalesce(col("in_contrib"), lit(0L)), lit(100L))).as("rank"))
+    }
+    ranks
+  }
+
   /** Incremental (cross-shard) exact dedup — the shape production ingest
     * actually runs: an already-deduplicated INDEX shard (the fingerprints
     * of everything ingested so far) plus an INCOMING shard, and a per-doc

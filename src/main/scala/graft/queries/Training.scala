@@ -49,6 +49,7 @@ object Training {
   val dCdcChunks: Q = (s, d) => Dedup.cdcChunks(docs(s, d))
   val dDedupKeep: Q = (s, d) => Dedup.dedupKeep(docs(s, d))
   val dIncremental: Q = (s, d) => Dedup.incrementalNew(docs(s, d))
+  val dPagerank: Q = (s, d) => Dedup.pageRankOnCandidates(docs(s, d))
   val dChunkDups: Q = (s, d) => Dedup.sharedChunks(docs(s, d))
 
   val sBruteTopk: Q = (s, d) => Similarity.bruteTopK(emb(s, d), 5)
@@ -212,6 +213,7 @@ object Training {
     "d_cdc_chunks" -> dCdcChunks,
     "d_dedup_keep" -> dDedupKeep,
     "d_incremental" -> dIncremental,
+    "d_pagerank" -> dPagerank,
     "d_chunk_dups" -> dChunkDups,
     "t_top_terms" -> tTopTerms,
     "t_sample" -> tSample,

@@ -238,6 +238,36 @@ object TrainingOracles {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
 
+    // PageRank over the candidate graph, 3 unrolled iterations of the
+    // SAME exact-int64 micro-rank recurrence the engine runs (floor
+    // divisions, damping 85/100); sums cast back from HUGEINT so every
+    // intermediate and the output stay BIGINT
+    "d_pagerank" ->
+      s"""$SigCte,
+         |bands0 AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 64),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT doc_id, 1000000000000 // n AS rank FROM deg CROSS JOIN nv),
+         |c1 AS (SELECT e.dst AS doc_id, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN r0 r ON r.doc_id = e.src JOIN deg d ON d.doc_id = e.src GROUP BY 1),
+         |r1 AS (SELECT d.doc_id, (15000000000000 // (100 * n)) + (85 * coalesce(c.s, 0)) // 100 AS rank
+         |  FROM deg d CROSS JOIN nv LEFT JOIN c1 c ON c.doc_id = d.doc_id),
+         |c2 AS (SELECT e.dst AS doc_id, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN r1 r ON r.doc_id = e.src JOIN deg d ON d.doc_id = e.src GROUP BY 1),
+         |r2 AS (SELECT d.doc_id, (15000000000000 // (100 * n)) + (85 * coalesce(c.s, 0)) // 100 AS rank
+         |  FROM deg d CROSS JOIN nv LEFT JOIN c2 c ON c.doc_id = d.doc_id),
+         |c3 AS (SELECT e.dst AS doc_id, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN r2 r ON r.doc_id = e.src JOIN deg d ON d.doc_id = e.src GROUP BY 1),
+         |r3 AS (SELECT d.doc_id, (15000000000000 // (100 * n)) + (85 * coalesce(c.s, 0)) // 100 AS rank
+         |  FROM deg d CROSS JOIN nv LEFT JOIN c3 c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, rank FROM r3""".stripMargin,
+
     "d_jaccard" ->
       s"""$SigCte,
          |bands0 AS (SELECT doc_id, unnest([sig0, sig1, sig2, sig3]) AS band FROM sig),

@@ -193,6 +193,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.exists(_._3) )
   }
 
+  test("pagerank on candidates: regular graph sits at the uniform fixed point") {
+    // two 2-cliques: every vertex has degree 1 → rank stays Scale/N
+    // (base 0.15/N + 0.85·(full neighbor rank) = 1/N) at every iteration
+    val d = docsOf(
+      (1L, "one two three four five six"), (2L, "one two three four five six"),
+      (3L, "seven eight nine ten eleven twelve"), (4L, "seven eight nine ten eleven twelve"))
+    val r = Dedup.pageRankOnCandidates(d).as[(Long, Long)].collect().toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L))
+    assert(r.values.toSet === Set(250000000000L))
+  }
+
   test("quality score is in [0,1] and rewards stopword-rich text") {
     val q = docsOf(
       (1L, "the cat and the dog of the house is that for"),
