@@ -17,7 +17,10 @@ class PlanLintSpec extends AnyFunSuite {
     Set("s_brute_topk", "s_ivf_topk", "s_ivf_append", "t_top_terms", "q_bloom_filter",
       // PQ codebook rides as ONE broadcast array row (labels × subspaces
       // structs) into the encode and distance-table arms
-      "s_pq_topk")
+      "s_pq_topk",
+      // pagerank keeps the vertex count in-plan as a 1-row broadcast
+      // scalar (crossJoin per iteration), like t_top_terms' corpus size
+      "d_pagerank")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
