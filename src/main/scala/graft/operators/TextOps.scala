@@ -102,15 +102,24 @@ object TextOps {
 
   /** Shingles over an already-materialized token array column.
     *
-    * PERF: pass a *named* token column here, not `tokens(text)` inline.
-    * Each shingle evaluates k `element_at` calls; if the token expression
-    * is inlined, every one of them re-tokenizes the whole document
-    * (k × nShingles tokenizations per row — measured 10× wall-time blowup
-    * at 5k docs). A named column trips CollapseProject's duplication guard
-    * and is computed once per row. */
-  def shinglesOfTokens(t: Column, k: Int): Column =
-    transform(sequence(lit(0), size(t) - k), i =>
-      concat_ws(" ", (1 to k).map(j => element_at(t, i + j)): _*))
+    * PERF (load-bearing shape): built by zipping k offset slices, so the
+    * token expression appears only as a DIRECT argument of slice/zip_with
+    * — evaluated O(k) times per ROW. The earlier
+    * `transform(sequence(...), i -> element_at(t, i+j))` form referenced
+    * `t` inside the lambda, which re-evaluates it per ELEMENT: harmless
+    * for a named column, but when an optimizer substitution inlines the
+    * full tokenization here (CollapseProject's duplication guard does not
+    * protect filter-pushdown substitution — a pushed `dup_frac <= x`
+    * gate did exactly that), each row paid O(L²) tokenizations: measured
+    * 50× wall-time on the gopher-gated pipeline at sf0.1. Callers ensure
+    * size(t) >= k; the greatest() clamp makes smaller inputs yield [] of
+    * shingles instead of an error. */
+  def shinglesOfTokens(t: Column, k: Int): Column = {
+    val n = greatest(size(t) - (k - 1), lit(0))
+    (2 to k).foldLeft(slice(t, lit(1), n)) { (acc, j) =>
+      zip_with(acc, slice(t, lit(j), n), (a, b) => concat(a, lit(" "), b))
+    }
+  }
 
   /** One minhash: lexicographic min of salted md5 over the shingle set.
     * Fixed-width hex strings compare like the underlying 128-bit ints, so

@@ -194,6 +194,33 @@ object Training {
       .select("doc_id", "lang", "split", "weight", "n_tokens")
   }
 
+  /** The manifest pipeline with the MODERN filter chain: everything
+    * [[tPipeline]] does plus the quality-verdict gates — Gopher threshold
+    * conjunction AND C4 boilerplate gates — applied as two more
+    * doc_id-keyed left-semi joins. This is the composition a 2020s
+    * training-data pipeline actually ships (sample → dedup → decontam →
+    * quality filter); each stage is its own oracle-checked query, this
+    * one oracle-checks the full chain. Same scale shape as t_pipeline:
+    * the gate relations are bounded keep-sets, broadcast by AQE. */
+  val tPipeline2: Q = (s, d) => {
+    val dset = docs(s, d)
+    val keep = Dedup.dedupKeep(dset).select("doc_id")
+    val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
+      SampleSalt, SplitTrain, SplitVal, SplitSalt)
+    val contaminated = Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
+      .filter(col("contaminated")).select("doc_id")
+    val gopher = QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id")
+    val c4 = QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id")
+    val ntok = dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens"))
+    sampled
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(gopher, Seq("doc_id"), "left_semi")
+      .join(c4, Seq("doc_id"), "left_semi")
+      .join(ntok, Seq("doc_id"))
+      .select("doc_id", "lang", "split", "weight", "n_tokens")
+  }
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
@@ -224,6 +251,7 @@ object Training {
     "t_c4_rules" -> tC4Rules,
     "t_gopher_keep" -> tGopherKeep,
     "t_pipeline" -> tPipeline,
+    "t_pipeline2" -> tPipeline2,
     "t_vocab" -> tVocab,
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,

@@ -555,6 +555,82 @@ object TrainingOracles {
          |WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s.doc_id)""".stripMargin
     },
 
+    // t_pipeline plus the quality-verdict gates (gopher conjunction, C4
+    // keep) as two more EXISTS filters — the same fragments as the
+    // standalone t_gopher_keep / t_c4_rules oracles, q*-prefixed to keep
+    // the shared CTE namespace collision-free
+    "t_pipeline2" -> {
+      import Training.{SampleDefault, SampleRates, SampleSalt, SplitSalt, SplitTrain, SplitVal}
+      def thr(k: Int): String = if (k >= 256) "zz" else f"$k%02x"
+      val thrCase = SampleRates.toSeq.sorted.map { case (l, k) =>
+        s"WHEN lang = '$l' THEN '${thr(k)}'"
+      }.mkString("CASE ", " ", s" ELSE '${thr(SampleDefault)}' END")
+      val wCase = SampleRates.toSeq.sorted.map { case (l, k) =>
+        s"WHEN lang = '$l' THEN CAST(${256.0 / k} AS DOUBLE)"
+      }.mkString("CASE ", " ", s" ELSE CAST(${256.0 / SampleDefault} AS DOUBLE) END")
+      def splitCase(idExpr: String): String =
+        s"""CASE WHEN substr(md5('$SplitSalt:' || $idExpr), 1, 2) < '${thr(SplitTrain)}' THEN 'train'
+           |     WHEN substr(md5('$SplitSalt:' || $idExpr), 1, 2) < '${thr(SplitVal)}' THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      s"""$ClusterCte,
+         |keepers AS (SELECT DISTINCT cluster AS doc_id FROM clustered),
+         |samp AS (
+         |  SELECT doc_id, lang, $wCase AS weight, ${splitCase("doc_id")} AS split
+         |  FROM documents
+         |  WHERE substr(md5('$SampleSalt:' || doc_id), 1, 2) < $thrCase),
+         |dshi AS (SELECT doc_id, list_distinct($Shingles) AS sh,
+         |    ${splitCase("doc_id")} AS split
+         |  FROM tok WHERE len(toks) >= 3),
+         |dflat AS (SELECT doc_id, split, unnest(sh) AS s FROM dshi),
+         |dev AS (SELECT DISTINCT s FROM dflat WHERE split <> 'train'),
+         |contam AS (
+         |  SELECT DISTINCT f.doc_id FROM dflat f JOIN dev ON f.s = dev.s
+         |  WHERE f.split = 'train'),
+         |ntok AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM tok),
+         |qsh AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+         |    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS s2,
+         |    $Shingles AS s3
+         |  FROM tok WHERE len(toks) >= 3),
+         |qnarrow AS (SELECT doc_id, n_tokens,
+         |    floor(CAST(len(s2) - len(list_distinct(s2)) AS DOUBLE) / len(s2) * 10000) / 10000 AS dup2,
+         |    floor(CAST(len(s3) - len(list_distinct(s3)) AS DOUBLE) / len(s3) * 10000) / 10000 AS dup3
+         |  FROM qsh),
+         |qtop AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf FROM (
+         |    SELECT doc_id, tok, count(*) AS tf FROM (
+         |      SELECT doc_id, unnest(toks) AS tok FROM tok WHERE len(toks) >= 3) f
+         |    GROUP BY 1, 2) g GROUP BY 1),
+         |qbase AS (SELECT doc_id,
+         |    floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) * 10000) / 10000 AS awl,
+         |    ${hits("en")} AS stop_hits
+         |  FROM tok),
+         |gkeep AS (
+         |  SELECT n.doc_id FROM qnarrow n
+         |  JOIN qtop t ON t.doc_id = n.doc_id
+         |  JOIN qbase b ON b.doc_id = n.doc_id
+         |  WHERE n.n_tokens BETWEEN 30 AND 100000 AND b.awl BETWEEN 3.0 AND 10.0
+         |    AND b.stop_hits >= 2 AND n.dup2 <= 0.20 AND n.dup3 <= 0.18
+         |    AND floor(CAST(t.max_tf AS DOUBLE) / n.n_tokens * 10000) / 10000 <= 0.30),
+         |qaug AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN '. Done.' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0 THEN ' javascript required' ELSE '' END AS aug
+         |  FROM documents),
+         |c4keep AS (
+         |  SELECT doc_id FROM qaug
+         |  WHERE regexp_matches(aug, '[.!?]$$') AND NOT contains(aug, '{')
+         |    AND NOT contains(aug, 'lorem ipsum') AND NOT contains(aug, 'javascript')
+         |    AND len(list_filter(string_split_regex(regexp_replace(lower(aug), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')) >= 5)
+         |SELECT s.doc_id, s.lang, s.split, s.weight, n.n_tokens
+         |FROM samp s
+         |JOIN keepers k ON s.doc_id = k.doc_id
+         |JOIN gkeep g ON g.doc_id = s.doc_id
+         |JOIN c4keep c4 ON c4.doc_id = s.doc_id
+         |JOIN ntok n ON n.doc_id = s.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s.doc_id)""".stripMargin
+    },
+
     // Repetition-signal mirror: integer-derived ratios, floor-trunc 4dp;
     // n_tokens CAST to INT (Spark size() is 32-bit), max_tf to BIGINT.
     // C4 gates over the SAME deterministic augmentation the Spark side
