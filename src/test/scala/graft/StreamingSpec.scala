@@ -207,7 +207,8 @@ class StreamingSpec extends AnyFunSuite {
     val docsBatch = Tables.documents(spark, TestSpark.Sf)
     val srcDir = tmp("docs-src")
     docsBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
-    val outS = tmp("sample-out"); val outR = tmp("redact-out"); val ckpt = tmp("docs-ckpt")
+    val outS = tmp("sample-out"); val outR = tmp("redact-out")
+    val outC = tmp("c4-out"); val ckpt = tmp("docs-ckpt")
     def sampled(d: org.apache.spark.sql.DataFrame) =
       Sampling.sampleWithSplits(d, Training.SampleRates, Training.SampleDefault,
         Training.SampleSalt, Training.SplitTrain, Training.SplitVal, Training.SplitSalt)
@@ -221,6 +222,7 @@ class StreamingSpec extends AnyFunSuite {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         sampled(batch).write.mode("append").parquet(outS)
         Training.redactDocs(batch).write.mode("append").parquet(outR)
+        graft.operators.QualityRules.c4Rules(batch).write.mode("append").parquet(outC)
         ()
       }
       .start()
@@ -235,6 +237,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(redactStream.count() === redactBatch.count())
     assert(redactStream.except(redactBatch).count() === 0)
     assert(redactBatch.except(redactStream).count() === 0)
+    // the C4 gate battery is a pure projection too: micro-batching is invisible
+    val c4Stream = spark.read.parquet(outC)
+    val c4Batch = graft.operators.QualityRules.c4Rules(docsBatch)
+    assert(c4Stream.count() === c4Batch.count())
+    assert(c4Stream.except(c4Batch).count() === 0)
+    assert(c4Batch.except(c4Stream).count() === 0)
   }
 
   test("repetition stats and decontamination run on a stream (stream-static held-out set)") {
