@@ -90,6 +90,7 @@ object Bench {
     "t_gopher_keep" -> 1.2,
     "d_pagerank" -> 2.2,
     "t_pipeline2" -> 6.0,
+    "t_mix" -> 1.3,
     "m_pixels" -> 0.4,
     "m_resize" -> 0.4,
     // streaming drain anchors (AvailableNow, forced

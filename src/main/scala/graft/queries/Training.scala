@@ -194,6 +194,31 @@ object Training {
       .select("doc_id", "lang", "split", "weight", "n_tokens")
   }
 
+  /** Dataset mixing: allocate a token budget across sources — the knob a
+    * training run turns to keep one giant crawl from drowning the small
+    * curated sets. Declared policy (exact integer arithmetic, no
+    * transcendental temperature): budget = half the corpus; each source
+    * gets max(fair share, proportional half) capped at its own supply.
+    * Small sources are floored UP to the fair share (oversampled
+    * relative to size), big ones stay proportional — the usual shape of
+    * published mixture tables. One groupBy(source) + a 1-row totals
+    * broadcast; rate_ppm's *1e6 fits int64 at test scale — a 100 TB run
+    * lifts that one multiply into DECIMAL(38,0) (the d38 pattern). */
+  val tMix: Q = (s, d) => {
+    import org.apache.spark.sql.Column
+    def idiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    val per = docs(s, d).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.nTokens(col("text")).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("t_tokens"), count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("quota_tokens", least(col("n_tokens"),
+        greatest(idiv(idiv(col("t_tokens"), lit(2L)), col("n_sources")),
+          idiv(col("n_tokens"), lit(2L)))))
+      .withColumn("rate_ppm", idiv(col("quota_tokens") * lit(1000000L), col("n_tokens")))
+      .select("source", "n_docs", "n_tokens", "quota_tokens", "rate_ppm")
+  }
+
   /** The manifest pipeline with the MODERN filter chain: everything
     * [[tPipeline]] does plus the quality-verdict gates — Gopher threshold
     * conjunction AND C4 boilerplate gates — applied as two more
@@ -252,6 +277,7 @@ object Training {
     "t_gopher_keep" -> tGopherKeep,
     "t_pipeline" -> tPipeline,
     "t_pipeline2" -> tPipeline2,
+    "t_mix" -> tMix,
     "t_vocab" -> tVocab,
     "s_brute_topk" -> sBruteTopk,
     "s_bucket_topk" -> sBucketTopk,

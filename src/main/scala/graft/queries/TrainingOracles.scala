@@ -555,6 +555,21 @@ object TrainingOracles {
          |WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s.doc_id)""".stripMargin
     },
 
+    // source-mixing quota table: budget = corpus//2, per source
+    // max(fair-share floor, proportional half) capped at supply — all
+    // floor-div BIGINT (sums cast from HUGEINT)
+    "t_mix" ->
+      s"""WITH pt AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($Toks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+         |               CAST(count(*) AS BIGINT) AS ns FROM pt)
+         |SELECT source, n_docs, n_tokens,
+         |  least(n_tokens, greatest((t // 2) // ns, n_tokens // 2)) AS quota_tokens,
+         |  (least(n_tokens, greatest((t // 2) // ns, n_tokens // 2)) * 1000000) // n_tokens AS rate_ppm
+         |FROM pt CROSS JOIN tot""".stripMargin,
+
     // t_pipeline plus the quality-verdict gates (gopher conjunction, C4
     // keep) as two more EXISTS filters — the same fragments as the
     // standalone t_gopher_keep / t_c4_rules oracles, q*-prefixed to keep

@@ -20,7 +20,9 @@ class PlanLintSpec extends AnyFunSuite {
       "s_pq_topk",
       // pagerank keeps the vertex count in-plan as a 1-row broadcast
       // scalar (crossJoin per iteration), like t_top_terms' corpus size
-      "d_pagerank")
+      "d_pagerank",
+      // mixing quotas join each source row against the 1-row totals broadcast
+      "t_mix")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
