@@ -91,6 +91,7 @@ object Bench {
     "d_pagerank" -> 2.2,
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,
+    "t_langid2" -> 0.9,
     "m_pixels" -> 0.4,
     "m_resize" -> 0.4,
     // streaming drain anchors (AvailableNow, forced

@@ -58,6 +58,37 @@ object TextOps {
       .otherwise("es")
   }
 
+  /** Character-bigram profiles for the n-gram flavor of language ID —
+    * the classic Cavnar–Trenkle shape reduced to a handful of
+    * characteristic bigrams per language (like [[Stop]], deliberately
+    * tiny: the operator shape — profile-hit scoring over raw characters,
+    * no tokenization — is the point, not lexical coverage). */
+  val Bigrams: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "ing", "er", "an"),
+    "de" -> Seq("ei", "sch", "und", "der", "ich"),
+    "fr" -> Seq("ou", "les", "que", "ai", "eau"),
+    "es" -> Seq("os", "la", "el", "ci", "ado"),
+  )
+
+  /** Non-overlapping occurrences of the profile n-grams in the lowercased
+    * raw text (regexp_count is non-overlapping in Spark AND DuckDB, so
+    * the scores are engine-identical). */
+  def bigramHits(text: Column, grams: Seq[String]): Column =
+    grams.map(g => regexp_count(lower(text), lit(g))).reduce(_ + _)
+
+  /** n-gram language ID: CJK wins outright, else argmax of character
+    * n-gram profile hits with the same fixed en>de>fr>es tie order as
+    * [[langId]]. Character-level, so it works on text where stopword
+    * tokens are glued or absent. */
+  def langIdNgram(text: Column): Column = {
+    val s = Bigrams.map { case (l, g) => l -> bigramHits(text, g) }
+    when(cjkCount(text) > 0, "zh")
+      .when(s("en") >= s("de") && s("en") >= s("fr") && s("en") >= s("es"), "en")
+      .when(s("de") >= s("fr") && s("de") >= s("es"), "de")
+      .when(s("fr") >= s("es"), "fr")
+      .otherwise("es")
+  }
+
   /** Cross-engine fixed-point truncation: floor(x*10^n)/10^n. Unlike
     * round(), which Spark applies to the shortest decimal repr and DuckDB
     * to the binary value (they disagree on x.xxxx5 knife edges), floor of

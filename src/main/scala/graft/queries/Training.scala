@@ -36,6 +36,13 @@ object Training {
       TextOps.langId(col("text")).as("pred_lang"),
       (TextOps.langId(col("text")) === col("lang")).as("lang_match"))
 
+  /** Character-n-gram language ID (the token-free variant) vs the label. */
+  val tLangid2: Q = (s, d) =>
+    docs(s, d).select(
+      col("doc_id"),
+      TextOps.langIdNgram(col("text")).as("pred_lang"),
+      (TextOps.langIdNgram(col("text")) === col("lang")).as("lang_match"))
+
   /** Normalized-content fingerprint. */
   val tFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
@@ -255,6 +262,7 @@ object Training {
   val all: Map[String, Q] = Map(
     "t_text_stats" -> tTextStats,
     "t_langid" -> tLangid,
+    "t_langid2" -> tLangid2,
     "t_fingerprint" -> tFingerprint,
     "d_exact" -> dExact,
     "d_minhash" -> dMinhash,

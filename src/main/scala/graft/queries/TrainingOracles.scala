@@ -202,6 +202,24 @@ object TrainingOracles {
          |      + 0.3 * (1.0 - CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))) * 10000) / 10000 AS quality_score
          |FROM tok""".stripMargin,
 
+    // char-n-gram language ID: profile-hit sums GENERATED from the same
+    // TextOps.Bigrams table the Spark expression uses
+    "t_langid2" -> {
+      def ghits(lang: String): String =
+        TextOps.Bigrams(lang)
+          .map(g => s"len(regexp_extract_all(lower(text), '$g'))")
+          .mkString("(", " + ", ")")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |         WHEN ${ghits("en")} >= ${ghits("de")} AND ${ghits("en")} >= ${ghits("fr")} AND ${ghits("en")} >= ${ghits("es")} THEN 'en'
+         |         WHEN ${ghits("de")} >= ${ghits("fr")} AND ${ghits("de")} >= ${ghits("es")} THEN 'de'
+         |         WHEN ${ghits("fr")} >= ${ghits("es")} THEN 'fr'
+         |         ELSE 'es' END AS pred_lang
+         |  FROM documents)
+         |SELECT doc_id, pred_lang, pred_lang = lang AS lang_match FROM scored""".stripMargin
+    },
+
     "t_langid" ->
       s"""$TokCte,
          |scored AS (
