@@ -92,6 +92,7 @@ object Bench {
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,
     "t_langid2" -> 0.9,
+    "d_simhash_nn" -> 7.5,
     "m_pixels" -> 0.4,
     "m_resize" -> 0.4,
     // streaming drain anchors (AvailableNow, forced

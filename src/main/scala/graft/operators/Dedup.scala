@@ -302,6 +302,35 @@ object Dedup {
   def simhashes(docs: DataFrame): DataFrame =
     Spread(docs).select(col("doc_id"), TextOps.simhash16(col("text")).as("simhash16"))
 
+  /** Hamming-ball retrieval over simhash codes WITHOUT all-pairs: the
+    * pigeonhole banding trick. Split the 16-bit code into 3 chunks
+    * (6/5/5 bits); a pair within hamming distance ≤ 2 differs in at most
+    * 2 chunks, so it matches EXACTLY on at least one — banding on
+    * (chunk index, chunk value) finds every such pair with a keyed
+    * self-join, then one xor+bit_count verifies the true distance.
+    *
+    * The bucket cap is 256 here (vs LSH's 64): 16-bit chunks have only
+    * 32-64 values, so buckets are dense by construction. At real scale
+    * the same operator runs on 64-bit simhash with 22/21/21-bit chunks —
+    * the band space grows with the code, buckets thin out, and the
+    * candidate set stays near-linear; 16 bits is the oracle-checkable
+    * miniature of that shape. */
+  def simhashNeighbors(docs: DataFrame, maxDist: Int = 2): DataFrame = {
+    val sim = simhashes(docs)
+    val banded = sim.select(col("doc_id"),
+      explode(array(
+        concat(lit("b0:"), col("simhash16").bitwiseAND(lit(63L)).cast("string")),
+        concat(lit("b1:"), shiftright(col("simhash16"), 6).bitwiseAND(lit(31L)).cast("string")),
+        concat(lit("b2:"), shiftright(col("simhash16"), 11).bitwiseAND(lit(31L)).cast("string"))))
+        .as("band"))
+    pairsWithinBuckets(banded, "band", maxBucket = 256)
+      .join(sim.select(col("doc_id").as("doc_a"), col("simhash16").as("ca")), "doc_a")
+      .join(sim.select(col("doc_id").as("doc_b"), col("simhash16").as("cb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ca").bitwiseXOR(col("cb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Content-defined chunking (rolling-hash fingerprinting): a chunk
     * boundary opens wherever the hash of the 4-token window starting at a
     * position falls in the low 1/8 of hash space ('0'/'1' leading hex).

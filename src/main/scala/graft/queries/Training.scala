@@ -52,6 +52,7 @@ object Training {
   val dLshPairs: Q = (s, d) => Dedup.lshCandidatePairs(docs(s, d))
   val dJaccard: Q = (s, d) => Dedup.jaccardOnCandidates(docs(s, d))
   val dSimhash: Q = (s, d) => Dedup.simhashes(docs(s, d))
+  val dSimhashNn: Q = (s, d) => Dedup.simhashNeighbors(docs(s, d))
   val dDupClusters: Q = (s, d) => Dedup.duplicateClusters(docs(s, d))
   val dCdcChunks: Q = (s, d) => Dedup.cdcChunks(docs(s, d))
   val dDedupKeep: Q = (s, d) => Dedup.dedupKeep(docs(s, d))
@@ -269,6 +270,7 @@ object Training {
     "d_lsh_pairs" -> dLshPairs,
     "d_jaccard" -> dJaccard,
     "d_simhash" -> dSimhash,
+    "d_simhash_nn" -> dSimhashNn,
     "d_dup_clusters" -> dDupClusters,
     "d_cdc_chunks" -> dCdcChunks,
     "d_dedup_keep" -> dDedupKeep,

@@ -304,6 +304,24 @@ object TrainingOracles {
       s"""$TokCte
          |SELECT doc_id, $simhashSum AS simhash16 FROM tok""".stripMargin,
 
+    // pigeonhole-banded hamming-ball pairs (3 chunks over the 16-bit
+    // code, 256 occupancy cap, xor+bit_count verification) — mirrors
+    // Dedup.simhashNeighbors chunk boundaries bit-for-bit
+    "d_simhash_nn" ->
+      s"""$TokCte,
+         |codes AS (SELECT doc_id, $simhashSum AS code FROM tok),
+         |bands0 AS (SELECT doc_id, unnest([
+         |    'b0:' || CAST(code & 63 AS VARCHAR),
+         |    'b1:' || CAST((code >> 6) & 31 AS VARCHAR),
+         |    'b2:' || CAST((code >> 11) & 31 AS VARCHAR)]) AS band FROM codes),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 256),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(x.code, y.code)) AS INT) AS hamming
+         |FROM pairs JOIN codes x ON x.doc_id = doc_a JOIN codes y ON y.doc_id = doc_b
+         |WHERE bit_count(xor(x.code, y.code)) <= 2""".stripMargin,
+
     // Connected components over the capped LSH pair graph: the oracle
     // computes the transitive closure with a recursive CTE and takes the
     // min reachable doc_id — the same fixpoint Dedup.connectedComponents'

@@ -193,6 +193,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.exists(_._3) )
   }
 
+  test("simhash hamming-ball banding is COMPLETE vs brute force at distance <= 2") {
+    // pigeonhole guarantee: d <= 2 over 3 chunks leaves one chunk intact,
+    // so (uncapped buckets aside) banding misses nothing brute force finds
+    val docs = graft.Tables.documents(spark, TestSpark.Sf)
+    val sim = Dedup.simhashes(docs)
+    val brute = sim.as("a").join(sim.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash16").bitwiseXOR(col("b.simhash16"))).as("hamming"))
+      .filter(col("hamming") <= 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = Dedup.simhashNeighbors(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    // banding ⊆ brute trivially; completeness is the real claim — equality
+    // holds when no bucket tripped the occupancy cap at this scale
+    assert(banded === brute)
+    assert(banded.nonEmpty)
+    assert(banded.forall(_._3 <= 2))
+  }
+
   test("pagerank on candidates: regular graph sits at the uniform fixed point") {
     // two 2-cliques: every vertex has degree 1 → rank stays Scale/N
     // (base 0.15/N + 0.85·(full neighbor rank) = 1/N) at every iteration
