@@ -89,6 +89,8 @@ object Bench {
     "t_c4_rules" -> 0.4,
     "t_gopher_keep" -> 1.2,
     "d_pagerank" -> 2.2,
+    "d_span_dedup" -> 0.4,
+    "d_semdedup" -> 1.6,
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,
     "t_langid2" -> 0.9,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline: exact
@@ -357,5 +357,93 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("pos"), col("tok")))), s => s("tok")),
           " ")).as("chunk_fp"),
         count(lit(1)).as("n_tokens"))
+  }
+
+  /** The doc's consecutive non-overlapping `k`-token spans, in order (the
+    * last span may be shorter). */
+  private def spanArray(toks: Column, k: Int): Column =
+    // sequence(0, -1) counts DOWN in Spark, so the empty doc needs a guard
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(toks) + (k - 1)) / lit(k)).cast("int") - 1),
+        b => array_join(slice(toks, b * k + 1, lit(k)), " ")))
+
+  /** C4-style span-level exact dedup (the T5/C4 corpus step "discard all
+    * but one of any three-sentence span occurring more than once" —
+    * token-span granularity here, since the corpus has no sentence
+    * punctuation): each doc splits into consecutive `k`-token spans; only
+    * the globally FIRST occurrence (ordered by doc_id, then position) of
+    * each distinct span survives; docs reassemble from surviving spans in
+    * order. Unlike whole-document dedup this removes boilerplate repeated
+    * INSIDE otherwise-distinct documents.
+    *
+    * Scale stance (100 TB): the dedup decision never moves the text. The
+    * span relation exists twice — once projected down to
+    * (md5 fingerprint, doc_id, pos), which is all the winner election
+    * needs (two shuffles of ~28-byte rows with map-side combine), and
+    * once locally inside the reassembly projection, where the doc filters
+    * its own span array against the broadcast-free kept-positions list
+    * joined back on doc_id. The document text crosses exactly ONE
+    * exchange (the doc_id join); a window formulation
+    * (row_number over span) would shuffle full text twice — on the span
+    * key and again on doc_id. Recomputing the cheap tokenize projection
+    * on two scan arms is the same trade [[graft.operators.Similarity]]
+    * makes for IVF: re-derive narrow values rather than shuffle wide
+    * rows. */
+  def spanDedup(docs: DataFrame, k: Int = 5): DataFrame = {
+    // narrow arm: (fp, doc_id, pos) — 16-byte hash stands in for the text
+    val ids = Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(spanArray(col("toks"), k)).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), md5(col("span")).as("fp"))
+    // first occurrence per fingerprint: (doc_id, pos) packs into one
+    // BIGINT (pos < 2^20 — a 5M-token/doc bound, declared) so the winner
+    // election is a codegen'd HashAggregate with map-side combine; a
+    // min(struct(...)) formulation falls back to SortAggregate
+    val packed = col("doc_id") * (1L << 20) + col("pos")
+    val winners = ids.groupBy("fp").agg(min(packed).as("w"))
+    val keptPos = ids.hint("shuffle_hash").join(winners, "fp")
+      .filter(col("doc_id") * (1L << 20) + col("pos") === col("w"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("kept"))
+    // reassembly: text-bearing side crosses one exchange (doc_id), then a
+    // pure-map filter of the locally re-derived span array
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .join(keptPos, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("kept"), array().cast("array<int>")))
+      .select(
+        col("doc_id"),
+        size(spanArray(col("toks"), k)).cast("long").as("n_spans"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(
+          filter(spanArray(col("toks"), k), (s, i) => array_contains(col("kept"), i)),
+          " ").as("clean_text"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * near-duplicate pruning with the quadratic bounded by k-means cells —
+    * embeddings cluster via the [[Similarity.ivfIndex]] Lloyd trainer
+    * (sample-fit centroids, full-corpus assignment), then cosine pairs
+    * form ONLY within a cell and any vector with a lower-id cell-mate at
+    * similarity ≥ `threshold` is dropped (keep-lowest-id retention, the
+    * paper's "keep one representative per ε-ball").
+    *
+    * Scale stance: the intra-cell self-join is the paper's own device for
+    * 100 TB — cell count grows with the corpus (k ≈ n/occupancy), so
+    * per-cell work stays bounded while cells parallelize; the join
+    * shuffles on the cell key with both sides the same subtree (one
+    * exchange, see [[pairsWithinBuckets]]). Cosine determinism comes from
+    * [[Similarity.quantized]] integer arithmetic. */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    val (cells, _) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
+    val side = cells.select(col("cell"), col("vec_id"), col("q"), col("n2")).hint("shuffle_hash")
+    val dropped = side.as("a")
+      .join(side.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.cosine(col("a.q"), col("b.q"), col("a.n2"), col("b.n2")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    cells.select("vec_id", "cell")
+      .join(dropped.withColumn("_hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("_hit").isNull.as("keep"))
   }
 }

@@ -58,6 +58,8 @@ object Training {
   val dDedupKeep: Q = (s, d) => Dedup.dedupKeep(docs(s, d))
   val dIncremental: Q = (s, d) => Dedup.incrementalNew(docs(s, d))
   val dPagerank: Q = (s, d) => Dedup.pageRankOnCandidates(docs(s, d))
+  val dSpanDedup: Q = (s, d) => Dedup.spanDedup(docs(s, d))
+  val dSemdedup: Q = (s, d) => Dedup.semDedup(emb(s, d))
   val dChunkDups: Q = (s, d) => Dedup.sharedChunks(docs(s, d))
 
   val sBruteTopk: Q = (s, d) => Similarity.bruteTopK(emb(s, d), 5)
@@ -276,6 +278,8 @@ object Training {
     "d_dedup_keep" -> dDedupKeep,
     "d_incremental" -> dIncremental,
     "d_pagerank" -> dPagerank,
+    "d_span_dedup" -> dSpanDedup,
+    "d_semdedup" -> dSemdedup,
     "d_chunk_dups" -> dChunkDups,
     "t_top_terms" -> tTopTerms,
     "t_sample" -> tSample,

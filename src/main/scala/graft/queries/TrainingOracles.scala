@@ -60,7 +60,10 @@ object TrainingOracles {
   /** IVF serve oracle, parameterized by the Lloyd training-sample filter
     * over `n` (everything downstream — final assignment, probes — always
     * reads the FULL corpus, mirroring Similarity.trained/ivfProbe). */
-  private def ivfTopKSql(trainFilter: String): String = {
+  /** CTE chain ending in `cells(vec_id, qv, n2, cell)` — the Lloyd-
+    * refined full-corpus cell assignment shared by the IVF serve oracles
+    * and the SemDeDup oracle (scored1 also stays visible for probes). */
+  private def ivfCellsCte(trainFilter: String): String = {
     def scoredFrom(centn: String) =
       s"""SELECT n.vec_id, n.qv, n.n2, c.c_label,
          |    c.cn2 - 2 * list_sum(list_transform(range(1, len(n.qv) + 1),
@@ -98,7 +101,11 @@ object TrainingOracles {
        |  SELECT vec_id, qv, n2, c_label AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |                                 ORDER BY score ASC, c_label ASC) AS rn
-       |    FROM scored1) t WHERE rn = 1),
+       |    FROM scored1) t WHERE rn = 1)""".stripMargin
+  }
+
+  private def ivfTopKSql(trainFilter: String): String = {
+    s"""${ivfCellsCte(trainFilter)},
        |probes AS (
        |  SELECT vec_id, qv, n2, c_label AS cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -352,6 +359,43 @@ object TrainingOracles {
          |  first_in_shard AND NOT EXISTS (
          |    SELECT 1 FROM idx WHERE idx.fingerprint = inc.fingerprint) AS is_new
          |FROM inc""".stripMargin,
+
+    // C4-style span dedup: k=5 token spans, global first occurrence (by
+    // doc_id, then position) wins; the window formulation here and the
+    // Spark side's min-struct winner election elect the SAME row.
+    "d_span_dedup" ->
+      s"""$TokCte,
+         |blocks AS (
+         |  SELECT doc_id, toks, unnest(range(0, (len(toks) + 4) // 5)) AS pos FROM tok),
+         |spans AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(list_slice(toks, pos*5 + 1, pos*5 + 5), ' ') AS span
+         |  FROM blocks),
+         |ranked AS (
+         |  SELECT doc_id, pos, span,
+         |    row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+         |  FROM spans),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |    count(*) FILTER (WHERE rn = 1) AS n_kept,
+         |    coalesce(string_agg(span, ' ' ORDER BY pos) FILTER (WHERE rn = 1), '')
+         |      AS clean_text
+         |  FROM ranked GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_spans, 0) AS n_spans,
+         |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // SemDeDup over the s_ivf_topk cell assignment (same sample-trained
+    // Lloyd centroids): drop any vector with a lower-id cell-mate at
+    // cosine >= 0.3, keep-lowest-id retention.
+    "d_semdedup" ->
+      s"""${ivfCellsCte("vec_id % 7 = 0")},
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE $CosAB >= 0.3)
+         |SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep
+         |FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin,
 
     "d_cdc_chunks" ->
       s"""$ChunkCte

@@ -22,7 +22,10 @@ class PlanLintSpec extends AnyFunSuite {
       // scalar (crossJoin per iteration), like t_top_terms' corpus size
       "d_pagerank",
       // mixing quotas join each source row against the 1-row totals broadcast
-      "t_mix")
+      "t_mix",
+      // SemDeDup assigns cells via the same 10-row centroid broadcast as
+      // s_ivf_topk before its equi self-join on the cell key
+      "d_semdedup")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

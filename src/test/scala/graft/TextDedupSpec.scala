@@ -233,4 +233,44 @@ class TextDedupSpec extends AnyFunSuite {
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(1L) > q(2L))
   }
+
+  test("span dedup: first occurrence survives, repeats vanish, partial tail kept") {
+    // doc 1 = two spans (a..e | f..h); doc 2 repeats doc 1's first span
+    // between fresh spans; doc 3 repeats its own span 0 at span 1
+    val out = Dedup.spanDedup(docsOf(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t a b c d e u v w x y"),
+      (3L, "m m m m m m m m m m z")), k = 5)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 2L, "a b c d e f g h")))
+    assert(out(2L) === ((3L, 2L, "p q r s t u v w x y")))
+    assert(out(3L) === ((3L, 2L, "m m m m m z"))) // span 1 dups span 0; tail "z" survives
+  }
+
+  test("span dedup: kept spans are globally unique; token mass is conserved") {
+    val docs = graft.Tables.documents(spark, TestSpark.Sf)
+    val out = Dedup.spanDedup(docs, k = 5)
+    // each distinct span survives exactly once globally, so the kept
+    // count must equal the corpus' distinct-span count
+    val nKept = out.agg(sum("n_kept")).head().getLong(0)
+    val distinctSpans = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(explode(transform(
+        sequence(lit(0), floor((size(col("toks")) + 4) / lit(5)).cast("int") - 1),
+        b => array_join(slice(col("toks"), b * 5 + 1, lit(5)), " "))).as("span"))
+      .select(countDistinct("span")).head().getLong(0)
+    assert(nKept === distinctSpans)
+  }
+
+  test("semdedup: min vec_id per cell always kept; drops need a lower-id witness") {
+    val out = Dedup.semDedup(graft.Tables.embeddings(spark, TestSpark.Sf))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val byCell = out.groupBy(_._2)
+    byCell.foreach { case (_, vs) =>
+      val minId = vs.map(_._1).min
+      assert(vs.find(_._1 == minId).get._3, s"cell min id $minId must be kept")
+    }
+    assert(out.exists(!_._3), "sf0.001 corpus should produce at least one drop")
+  }
 }
