@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Repetition-based quality signals (the Gopher/MassiveText family of
@@ -101,4 +101,36 @@ object QualityRules {
         TextOps.trunc(col("max_tf").cast("double") / col("n_tokens"), 4)
           .as("top_token_frac"))
   }
+
+  /** Feature-hash dimensionality of the linear quality classifier. */
+  val ClfDim = 1024L
+
+  /** Deterministic per-bucket weight in [-1001, 1001] — a multiply-mod
+    * surrogate for trained coefficients (the PIPELINE — hash features,
+    * look up a fixed weight vector, sum — is the deliverable; production
+    * swaps this expression for a broadcast weight array without touching
+    * the plan shape). */
+  private def weight(gram: Column): Column = {
+    val bucket = pmod(
+      conv(substring(md5(gram), 1, 13), 16, 10).cast("long"), lit(ClfDim))
+    bucket * 2654435761L % 2003L - 1001L
+  }
+
+  /** fastText-style hashed linear quality classifier (the
+    * quality-lookalike scorer of the GPT-3/CCNet lineage, Brown et al.
+    * 2020 appendix A): token unigrams + bigrams feature-hash into
+    * [[ClfDim]] buckets; the doc's score is the exact-integer sum of its
+    * features' weights; `keep` = non-negative score. Pure per-row HOF
+    * arithmetic over a single scan — zero shuffle, whole-stage codegen,
+    * O(doc length) per row at any corpus size. */
+  def hashedClassifier(docs: DataFrame): DataFrame =
+    Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        concat(col("toks"), TextOps.shinglesOfTokens(col("toks"), 2)).as("grams"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).cast("long").as("n_feats"),
+        aggregate(col("grams"), lit(0L), (acc, g) => acc + weight(g)).as("score"))
+      .withColumn("keep", col("score") >= 0)
 }

@@ -148,6 +148,7 @@ object Training {
   /** Gopher-style repetition signals (dup n-gram fractions, top-token
     * share). */
   val tRepStats: Q = (s, d) => QualityRules.repetitionStats(docs(s, d))
+  val tQualityClf: Q = (s, d) => QualityRules.hashedClassifier(docs(s, d))
 
   /** C4-style boilerplate/code/punctuation gates (augmented corpus). */
   val tC4Rules: Q = (s, d) => QualityRules.c4Rules(docs(s, d))
@@ -287,6 +288,7 @@ object Training {
     "t_redact" -> tRedact,
     "t_decontam" -> tDecontam,
     "t_rep_stats" -> tRepStats,
+    "t_quality_clf" -> tQualityClf,
     "t_c4_rules" -> tC4Rules,
     "t_gopher_keep" -> tGopherKeep,
     "t_pipeline" -> tPipeline,

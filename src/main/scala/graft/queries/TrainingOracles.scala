@@ -787,6 +787,26 @@ object TrainingOracles {
          |  g_words AND g_len AND g_stop AND g_rep2 AND g_rep3 AND g_top AS keep
          |FROM gates""".stripMargin,
 
+    // hashed linear classifier: same 13-hex-char md5 bucket parity as
+    // q_cms_freq; weights are the multiply-mod surrogate in
+    // QualityRules.weight. list_sum of an empty gram list is NULL in
+    // DuckDB (Spark's aggregate() returns the 0 seed) — hence coalesce.
+    "t_quality_clf" ->
+      s"""$TokCte,
+         |g AS (SELECT doc_id,
+         |    list_concat(toks,
+         |      list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]))
+         |      AS grams
+         |  FROM tok)
+         |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_feats,
+         |  CAST(coalesce(list_sum(list_transform(grams, gr ->
+         |    ((('0x' || substr(md5(gr), 1, 13))::BIGINT % 1024) * 2654435761) % 2003 - 1001)), 0)
+         |    AS BIGINT) AS score,
+         |  coalesce(list_sum(list_transform(grams, gr ->
+         |    ((('0x' || substr(md5(gr), 1, 13))::BIGINT % 1024) * 2654435761) % 2003 - 1001)), 0) >= 0
+         |    AS keep
+         |FROM g""".stripMargin,
+
     "t_rep_stats" ->
       s"""$TokCte,
          |sh AS (SELECT doc_id, toks, len(toks) AS n_tokens,

@@ -82,4 +82,22 @@ class QualitySpec extends AnyFunSuite {
       .as[(Long, Int, Double, Double, Double)].head()
     assert(r === ((1L, 5, 0.0, 0.0, 0.2)))
   }
+
+  test("hashed classifier: score = independent md5 recomputation; empty doc = 0") {
+    // non-Spark reimplementation of bucket+weight over uni+bigrams
+    def weightOf(gram: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(gram.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(13)
+      val bucket = java.lang.Long.parseLong(hex, 16) % 1024L
+      bucket * 2654435761L % 2003L - 1001L
+    }
+    val text = "alpha beta gamma"
+    val expected = Seq("alpha", "beta", "gamma", "alpha beta", "beta gamma")
+      .map(weightOf).sum
+    val out = QualityRules.hashedClassifier(
+      Seq((1L, text), (2L, "...")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 5L, expected, expected >= 0)))
+    assert(out(2L) === ((2L, 0L, 0L, true))) // punctuation-only doc: no features
+  }
 }
