@@ -91,6 +91,7 @@ object Bench {
     "d_pagerank" -> 2.2,
     "d_span_dedup" -> 0.4,
     "t_quality_clf" -> 0.5,
+    "t_pipeline3" -> 8.3,
     "d_semdedup" -> 1.6,
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,

@@ -257,6 +257,53 @@ object Training {
       .select("doc_id", "lang", "split", "weight", "n_tokens")
   }
 
+  /** Pipeline v3: the full per-gate VERDICT MANIFEST. One row per sampled
+    * doc with a boolean per stage (fuzzy dedup, decontamination, gopher,
+    * C4, hashed classifier), post-span-dedup token accounting, and the
+    * conjunctive final keep — the debuggable form of t_pipeline2's
+    * survivors-only output (a dropped doc shows WHICH gate dropped it).
+    * Every stage is a doc_id-keyed flag join over bounded per-stage
+    * outputs — the corpus text is scanned per stage but never
+    * re-shuffled wide. */
+  val tPipeline3: Q = (s, d) => {
+    val dset = docs(s, d)
+    def flag(set: DataFrame, name: String) =
+      set.withColumn(name, lit(true))
+    val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
+      SampleSalt, SplitTrain, SplitVal, SplitSalt)
+    val keep = flag(Dedup.dedupKeep(dset).select("doc_id"), "dedup_keep")
+    val contaminated = flag(
+      Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
+        .filter(col("contaminated")).select("doc_id"), "contam")
+    val gopher = flag(
+      QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id"), "gopher_keep")
+    val c4 = flag(
+      QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"), "c4_keep")
+    val clf = flag(
+      QualityRules.hashedClassifier(dset).filter(col("keep")).select("doc_id"), "clf_keep")
+    val ntok = dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens"))
+    val clean = Dedup.spanDedup(dset)
+      .select(col("doc_id"), TextOps.nTokens(col("clean_text")).as("n_tokens_clean"))
+    def cf(name: String) = coalesce(col(name), lit(false))
+    sampled
+      .join(keep, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(gopher, Seq("doc_id"), "left")
+      .join(c4, Seq("doc_id"), "left")
+      .join(clf, Seq("doc_id"), "left")
+      .join(ntok, Seq("doc_id"))
+      .join(clean, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("split"), col("weight"),
+        col("n_tokens"), col("n_tokens_clean"),
+        cf("dedup_keep").as("dedup_keep"),
+        (!cf("contam")).as("decontam_ok"),
+        cf("gopher_keep").as("gopher_keep"),
+        cf("c4_keep").as("c4_keep"),
+        cf("clf_keep").as("clf_keep"),
+        (cf("dedup_keep") && !cf("contam") && cf("gopher_keep") &&
+          cf("c4_keep") && cf("clf_keep")).as("keep"))
+  }
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
@@ -293,6 +340,7 @@ object Training {
     "t_gopher_keep" -> tGopherKeep,
     "t_pipeline" -> tPipeline,
     "t_pipeline2" -> tPipeline2,
+    "t_pipeline3" -> tPipeline3,
     "t_mix" -> tMix,
     "t_vocab" -> tVocab,
     "s_brute_topk" -> sBruteTopk,

@@ -195,6 +195,75 @@ object TrainingOracles {
       s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0 THEN ${1L << i} ELSE 0 END"
   }.mkString(" + ")
 
+  /** The full t_pipeline2 gate chain (fuzzy-dedup keepers, sampling +
+    * splits, decontamination, gopher + C4 keeps, token counts) as a CTE
+    * prefix — t_pipeline2 selects from it directly and t_pipeline3
+    * appends the classifier gate + span-dedup accounting. */
+  private val Pipeline2Cte: String = {
+    import Training.{SampleDefault, SampleRates, SampleSalt, SplitSalt, SplitTrain, SplitVal}
+    def thr(k: Int): String = if (k >= 256) "zz" else f"$k%02x"
+    val thrCase = SampleRates.toSeq.sorted.map { case (l, k) =>
+      s"WHEN lang = '$l' THEN '${thr(k)}'"
+    }.mkString("CASE ", " ", s" ELSE '${thr(SampleDefault)}' END")
+    val wCase = SampleRates.toSeq.sorted.map { case (l, k) =>
+      s"WHEN lang = '$l' THEN CAST(${256.0 / k} AS DOUBLE)"
+    }.mkString("CASE ", " ", s" ELSE CAST(${256.0 / SampleDefault} AS DOUBLE) END")
+    def splitCase(idExpr: String): String =
+      s"""CASE WHEN substr(md5('$SplitSalt:' || $idExpr), 1, 2) < '${thr(SplitTrain)}' THEN 'train'
+         |     WHEN substr(md5('$SplitSalt:' || $idExpr), 1, 2) < '${thr(SplitVal)}' THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""$ClusterCte,
+       |keepers AS (SELECT DISTINCT cluster AS doc_id FROM clustered),
+       |samp AS (
+       |  SELECT doc_id, lang, $wCase AS weight, ${splitCase("doc_id")} AS split
+       |  FROM documents
+       |  WHERE substr(md5('$SampleSalt:' || doc_id), 1, 2) < $thrCase),
+       |dshi AS (SELECT doc_id, list_distinct($Shingles) AS sh,
+       |    ${splitCase("doc_id")} AS split
+       |  FROM tok WHERE len(toks) >= 3),
+       |dflat AS (SELECT doc_id, split, unnest(sh) AS s FROM dshi),
+       |dev AS (SELECT DISTINCT s FROM dflat WHERE split <> 'train'),
+       |contam AS (
+       |  SELECT DISTINCT f.doc_id FROM dflat f JOIN dev ON f.s = dev.s
+       |  WHERE f.split = 'train'),
+       |ntok AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM tok),
+       |qsh AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+       |    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS s2,
+       |    $Shingles AS s3
+       |  FROM tok WHERE len(toks) >= 3),
+       |qnarrow AS (SELECT doc_id, n_tokens,
+       |    floor(CAST(len(s2) - len(list_distinct(s2)) AS DOUBLE) / len(s2) * 10000) / 10000 AS dup2,
+       |    floor(CAST(len(s3) - len(list_distinct(s3)) AS DOUBLE) / len(s3) * 10000) / 10000 AS dup3
+       |  FROM qsh),
+       |qtop AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf FROM (
+       |    SELECT doc_id, tok, count(*) AS tf FROM (
+       |      SELECT doc_id, unnest(toks) AS tok FROM tok WHERE len(toks) >= 3) f
+       |    GROUP BY 1, 2) g GROUP BY 1),
+       |qbase AS (SELECT doc_id,
+       |    floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) * 10000) / 10000 AS awl,
+       |    ${hits("en")} AS stop_hits
+       |  FROM tok),
+       |gkeep AS (
+       |  SELECT n.doc_id FROM qnarrow n
+       |  JOIN qtop t ON t.doc_id = n.doc_id
+       |  JOIN qbase b ON b.doc_id = n.doc_id
+       |  WHERE n.n_tokens BETWEEN 30 AND 100000 AND b.awl BETWEEN 3.0 AND 10.0
+       |    AND b.stop_hits >= 2 AND n.dup2 <= 0.20 AND n.dup3 <= 0.18
+       |    AND floor(CAST(t.max_tf AS DOUBLE) / n.n_tokens * 10000) / 10000 <= 0.30),
+       |qaug AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN '. Done.' ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+       |    || CASE WHEN doc_id % 13 = 0 THEN ' javascript required' ELSE '' END AS aug
+       |  FROM documents),
+       |c4keep AS (
+       |  SELECT doc_id FROM qaug
+       |  WHERE regexp_matches(aug, '[.!?]$$') AND NOT contains(aug, '{')
+       |    AND NOT contains(aug, 'lorem ipsum') AND NOT contains(aug, 'javascript')
+       |    AND len(list_filter(string_split_regex(regexp_replace(lower(aug), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')) >= 5)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "t_text_stats" ->
       s"""$TokCte
@@ -654,77 +723,58 @@ object TrainingOracles {
     // keep) as two more EXISTS filters — the same fragments as the
     // standalone t_gopher_keep / t_c4_rules oracles, q*-prefixed to keep
     // the shared CTE namespace collision-free
-    "t_pipeline2" -> {
-      import Training.{SampleDefault, SampleRates, SampleSalt, SplitSalt, SplitTrain, SplitVal}
-      def thr(k: Int): String = if (k >= 256) "zz" else f"$k%02x"
-      val thrCase = SampleRates.toSeq.sorted.map { case (l, k) =>
-        s"WHEN lang = '$l' THEN '${thr(k)}'"
-      }.mkString("CASE ", " ", s" ELSE '${thr(SampleDefault)}' END")
-      val wCase = SampleRates.toSeq.sorted.map { case (l, k) =>
-        s"WHEN lang = '$l' THEN CAST(${256.0 / k} AS DOUBLE)"
-      }.mkString("CASE ", " ", s" ELSE CAST(${256.0 / SampleDefault} AS DOUBLE) END")
-      def splitCase(idExpr: String): String =
-        s"""CASE WHEN substr(md5('$SplitSalt:' || $idExpr), 1, 2) < '${thr(SplitTrain)}' THEN 'train'
-           |     WHEN substr(md5('$SplitSalt:' || $idExpr), 1, 2) < '${thr(SplitVal)}' THEN 'val'
-           |     ELSE 'test' END""".stripMargin
-      s"""$ClusterCte,
-         |keepers AS (SELECT DISTINCT cluster AS doc_id FROM clustered),
-         |samp AS (
-         |  SELECT doc_id, lang, $wCase AS weight, ${splitCase("doc_id")} AS split
-         |  FROM documents
-         |  WHERE substr(md5('$SampleSalt:' || doc_id), 1, 2) < $thrCase),
-         |dshi AS (SELECT doc_id, list_distinct($Shingles) AS sh,
-         |    ${splitCase("doc_id")} AS split
-         |  FROM tok WHERE len(toks) >= 3),
-         |dflat AS (SELECT doc_id, split, unnest(sh) AS s FROM dshi),
-         |dev AS (SELECT DISTINCT s FROM dflat WHERE split <> 'train'),
-         |contam AS (
-         |  SELECT DISTINCT f.doc_id FROM dflat f JOIN dev ON f.s = dev.s
-         |  WHERE f.split = 'train'),
-         |ntok AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens FROM tok),
-         |qsh AS (SELECT doc_id, toks, len(toks) AS n_tokens,
-         |    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS s2,
-         |    $Shingles AS s3
-         |  FROM tok WHERE len(toks) >= 3),
-         |qnarrow AS (SELECT doc_id, n_tokens,
-         |    floor(CAST(len(s2) - len(list_distinct(s2)) AS DOUBLE) / len(s2) * 10000) / 10000 AS dup2,
-         |    floor(CAST(len(s3) - len(list_distinct(s3)) AS DOUBLE) / len(s3) * 10000) / 10000 AS dup3
-         |  FROM qsh),
-         |qtop AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf FROM (
-         |    SELECT doc_id, tok, count(*) AS tf FROM (
-         |      SELECT doc_id, unnest(toks) AS tok FROM tok WHERE len(toks) >= 3) f
-         |    GROUP BY 1, 2) g GROUP BY 1),
-         |qbase AS (SELECT doc_id,
-         |    floor(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) * 10000) / 10000 AS awl,
-         |    ${hits("en")} AS stop_hits
-         |  FROM tok),
-         |gkeep AS (
-         |  SELECT n.doc_id FROM qnarrow n
-         |  JOIN qtop t ON t.doc_id = n.doc_id
-         |  JOIN qbase b ON b.doc_id = n.doc_id
-         |  WHERE n.n_tokens BETWEEN 30 AND 100000 AND b.awl BETWEEN 3.0 AND 10.0
-         |    AND b.stop_hits >= 2 AND n.dup2 <= 0.20 AND n.dup3 <= 0.18
-         |    AND floor(CAST(t.max_tf AS DOUBLE) / n.n_tokens * 10000) / 10000 <= 0.30),
-         |qaug AS (
-         |  SELECT doc_id, text
-         |    || CASE WHEN doc_id % 3 = 0 THEN '. Done.' ELSE '' END
-         |    || CASE WHEN doc_id % 7 = 0 THEN ' {code}' ELSE '' END
-         |    || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
-         |    || CASE WHEN doc_id % 13 = 0 THEN ' javascript required' ELSE '' END AS aug
-         |  FROM documents),
-         |c4keep AS (
-         |  SELECT doc_id FROM qaug
-         |  WHERE regexp_matches(aug, '[.!?]$$') AND NOT contains(aug, '{')
-         |    AND NOT contains(aug, 'lorem ipsum') AND NOT contains(aug, 'javascript')
-         |    AND len(list_filter(string_split_regex(regexp_replace(lower(aug), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')) >= 5)
-         |SELECT s.doc_id, s.lang, s.split, s.weight, n.n_tokens
+    // NOTE both pipeline entries CONCATENATE the pre-stripped prefix —
+    // interpolating it under a second stripMargin would eat one pipe of
+    // the qaug CTE's leading-`||` concat lines
+    "t_pipeline2" ->
+      (Pipeline2Cte + "\n" +
+        """SELECT s.doc_id, s.lang, s.split, s.weight, n.n_tokens
+          |FROM samp s
+          |JOIN keepers k ON s.doc_id = k.doc_id
+          |JOIN gkeep g ON g.doc_id = s.doc_id
+          |JOIN c4keep c4 ON c4.doc_id = s.doc_id
+          |JOIN ntok n ON n.doc_id = s.doc_id
+          |WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s.doc_id)""".stripMargin),
+
+    // pipeline v3 = v2's gate chain + the hashed linear classifier gate +
+    // span-dedup accounting (post-dedup token mass per surviving doc)
+    "t_pipeline3" ->
+      (Pipeline2Cte + ",\n" +
+        """clfkeep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      coalesce(list_sum(list_transform(
+         |        list_concat(toks,
+         |          list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])),
+         |        gr -> ((('0x' || substr(md5(gr), 1, 13))::BIGINT % 1024) * 2654435761) % 2003 - 1001)), 0) AS score
+         |    FROM tok) t
+         |  WHERE score >= 0),
+         |sblocks AS (SELECT doc_id, toks, unnest(range(0, (len(toks) + 4) // 5)) AS pos FROM tok),
+         |sspans AS (SELECT doc_id, pos, list_slice(toks, pos*5 + 1, pos*5 + 5) AS sp FROM sblocks),
+         |sranked AS (
+         |  SELECT doc_id, len(sp) AS sptok,
+         |    row_number() OVER (PARTITION BY array_to_string(sp, ' ') ORDER BY doc_id, pos) AS rn
+         |  FROM sspans),
+         |sclean AS (
+         |  SELECT doc_id,
+         |    CAST(coalesce(sum(sptok) FILTER (WHERE rn = 1), 0) AS INT) AS n_tokens_clean
+         |  FROM sranked GROUP BY doc_id)
+         |SELECT s.doc_id, s.lang, s.split, s.weight, n.n_tokens, sc.n_tokens_clean,
+         |  (k.doc_id IS NOT NULL) AS dedup_keep,
+         |  (c.doc_id IS NULL) AS decontam_ok,
+         |  (g.doc_id IS NOT NULL) AS gopher_keep,
+         |  (c4.doc_id IS NOT NULL) AS c4_keep,
+         |  (cf.doc_id IS NOT NULL) AS clf_keep,
+         |  (k.doc_id IS NOT NULL AND c.doc_id IS NULL AND g.doc_id IS NOT NULL
+         |   AND c4.doc_id IS NOT NULL AND cf.doc_id IS NOT NULL) AS keep
          |FROM samp s
-         |JOIN keepers k ON s.doc_id = k.doc_id
-         |JOIN gkeep g ON g.doc_id = s.doc_id
-         |JOIN c4keep c4 ON c4.doc_id = s.doc_id
+         |LEFT JOIN keepers k ON s.doc_id = k.doc_id
+         |LEFT JOIN contam c ON s.doc_id = c.doc_id
+         |LEFT JOIN gkeep g ON g.doc_id = s.doc_id
+         |LEFT JOIN c4keep c4 ON c4.doc_id = s.doc_id
+         |LEFT JOIN clfkeep cf ON cf.doc_id = s.doc_id
          |JOIN ntok n ON n.doc_id = s.doc_id
-         |WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s.doc_id)""".stripMargin
-    },
+         |JOIN sclean sc ON sc.doc_id = s.doc_id""".stripMargin),
 
     // Repetition-signal mirror: integer-derived ratios, floor-trunc 4dp;
     // n_tokens CAST to INT (Spark size() is 32-bit), max_tf to BIGINT.
