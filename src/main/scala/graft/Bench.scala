@@ -92,6 +92,8 @@ object Bench {
     "d_span_dedup" -> 0.4,
     "t_quality_clf" -> 0.5,
     "t_pipeline3" -> 8.3,
+    "t_decontam2" -> 1.5,
+    "t_epoch_shuffle" -> 0.4,
     "d_semdedup" -> 1.6,
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,

@@ -73,4 +73,28 @@ object Decontaminate {
       k: Int = 3): DataFrame =
     scoreAgainst(docs, heldOutShingles(docs, trainUpto, valUpto, salt, k),
       trainUpto, valUpto, salt, k)
+
+  /** Fractional-overlap decontamination — the thresholded form real
+    * pipelines run at corpus scale (PaLM/GPT-4-style "drop if ≥ N% of the
+    * doc overlaps eval"): binary any-shingle contamination over-fires on
+    * hot boilerplate shingles that touch a large corpus everywhere. Per
+    * train doc: its distinct-shingle count, the held-out-overlapping
+    * count, and keep iff overlap < `maxPct`% — compared by integer
+    * cross-multiplication (`n_shared * 100 < n_shingles * maxPct`), no
+    * float division. Same one-shuffle-on-shingle-hash shape as
+    * [[scoreAgainst]]; the left join carries a 1-bit flag instead of the
+    * semi join. */
+  def contaminationFraction(docs: DataFrame, trainUpto: Int, valUpto: Int,
+      salt: String, k: Int = 3, maxPct: Int = 10): DataFrame = {
+    val tok = tokenized(docs, trainUpto, valUpto, salt, k)
+    val held = heldOutShingles(docs, trainUpto, valUpto, salt, k)
+      .withColumn("_hit", lit(true))
+    shingleRows(tok, k).filter(col("split") === "train")
+      .join(held, Seq("shash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared") * 100 < col("n_shingles") * maxPct).as("keep"))
+  }
 }

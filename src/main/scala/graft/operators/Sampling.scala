@@ -74,4 +74,26 @@ object Sampling {
       .select(col("doc_id"), col("lang"), weight.as("weight"),
         splitLabel(trainUpto, valUpto, splitSalt).as("split"))
   }
+
+  /** Deterministic epoch shuffle: the global training order for one epoch
+    * as (shard, position) — shard = hash-mod over one salt, position =
+    * rank of an INDEPENDENT order hash within the shard (doc_id breaks
+    * the measure-zero hash ties). Changing the salt pair reshuffles the
+    * next epoch; same salts ⇒ byte-identical order on any cluster layout,
+    * which is what makes a 100 TB training run resumable and replayable.
+    * One shuffle on the shard key; each shard sorts independently (no
+    * global sort, no driver involvement), and shard count scales with the
+    * corpus so per-task sort stays bounded. */
+  def epochShuffle(docs: DataFrame, nShards: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(
+      conv(substring(md5(concat(lit(s"$salt-shard:"), col("doc_id"))), 1, 13), 16, 10)
+        .cast("long"), lit(nShards.toLong))
+    val ord = md5(concat(lit(s"$salt-ord:"), col("doc_id")))
+    Spread(docs)
+      .select(col("doc_id"), shard.as("shard"), ord.as("ord"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
+  }
 }

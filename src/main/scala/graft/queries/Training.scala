@@ -145,6 +145,15 @@ object Training {
   val tDecontam: Q = (s, d) =>
     Decontaminate.contamination(docs(s, d), SplitTrain, SplitVal, SplitSalt)
 
+  /** Fractional-overlap decontamination: keep iff < 10% of the doc's
+    * distinct shingles appear in the held-out splits. */
+  val tDecontam2: Q = (s, d) =>
+    Decontaminate.contaminationFraction(docs(s, d), SplitTrain, SplitVal, SplitSalt)
+
+  /** Deterministic epoch shuffle: (shard, position) global training order
+    * as a pure function of (salt, doc_id). */
+  val tEpochShuffle: Q = (s, d) => Sampling.epochShuffle(docs(s, d), 8, "ep1")
+
   /** Gopher-style repetition signals (dup n-gram fractions, top-token
     * share). */
   val tRepStats: Q = (s, d) => QualityRules.repetitionStats(docs(s, d))
@@ -334,6 +343,8 @@ object Training {
     "t_pack" -> tPack,
     "t_redact" -> tRedact,
     "t_decontam" -> tDecontam,
+    "t_decontam2" -> tDecontam2,
+    "t_epoch_shuffle" -> tEpochShuffle,
     "t_rep_stats" -> tRepStats,
     "t_quality_clf" -> tQualityClf,
     "t_c4_rules" -> tC4Rules,

@@ -649,6 +649,36 @@ object TrainingOracles {
          |LEFT JOIN shared s ON s.doc_id = t.doc_id""".stripMargin
     },
 
+    // fractional-overlap mirror: count both totals in one pass via the
+    // LEFT JOIN null-count; keep threshold by integer cross-mult
+    "t_decontam2" -> {
+      import Training.{SplitSalt, SplitTrain, SplitVal}
+      def thr(k: Int): String = if (k >= 256) "zz" else f"$k%02x"
+      s"""$TokCte,
+         |shi AS (SELECT doc_id, list_distinct($Shingles) AS sh,
+         |    CASE WHEN substr(md5('$SplitSalt:' || doc_id), 1, 2) < '${thr(SplitTrain)}' THEN 'train'
+         |         WHEN substr(md5('$SplitSalt:' || doc_id), 1, 2) < '${thr(SplitVal)}' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM tok WHERE len(toks) >= 3),
+         |flat AS (SELECT doc_id, split, unnest(sh) AS s FROM shi),
+         |ev AS (SELECT DISTINCT s, true AS hit FROM flat WHERE split <> 'train')
+         |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(ev.hit) AS BIGINT) AS n_shared,
+         |  count(ev.hit) * 100 < count(*) * 10 AS keep
+         |FROM flat f LEFT JOIN ev ON f.s = ev.s
+         |WHERE f.split = 'train' GROUP BY 1""".stripMargin
+    },
+
+    // epoch shuffle mirror: same shard hash (13-hex md5 mod), same
+    // independent order hash, same tie-break
+    "t_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5('ep1-shard:' || doc_id), 1, 13))::BIGINT % 8 AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY ('0x' || substr(md5('ep1-shard:' || doc_id), 1, 13))::BIGINT % 8
+        |    ORDER BY md5('ep1-ord:' || doc_id), doc_id) AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+
     // vocabulary induction mirror: same tokenization, same rank order,
     // same exact-integer cumulative coverage
     "t_vocab" ->

@@ -37,6 +37,29 @@ class QualitySpec extends AnyFunSuite {
     assert(out(t2) === ((0L, false)))
   }
 
+  test("fractional decontamination keeps low-overlap docs that binary contamination drops") {
+    val (trainUpto, valUpto, salt) = (230, 243, "split1")
+    val ids = (1L to 80L)
+    val trainIds = ids.filter(splitOf(_, salt, trainUpto, valUpto) == "train")
+    val heldIds = ids.filter(splitOf(_, salt, trainUpto, valUpto) != "train")
+    val (lo, hi, e1) = (trainIds.head, trainIds(1), heldIds.head)
+    // lo: 22 tokens = 20 shingles, 1 shared ("alpha beta gamma") → 5% < 10% → keep
+    // hi: 5 tokens = 3 shingles, 1 shared → 33% → drop
+    val loText = "alpha beta gamma " + (1 to 19).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (lo, loText),
+      (hi, "alpha beta gamma delta eps"),
+      (e1, "xx alpha beta gamma yy")).toDF("doc_id", "text")
+    val frac = Decontaminate.contaminationFraction(docs, trainUpto, valUpto, salt)
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(frac(lo) === ((lo, 20L, 1L, true)))
+    assert(frac(hi) === ((hi, 3L, 1L, false)))
+    // binary contamination flags BOTH
+    val bin = Decontaminate.contamination(docs, trainUpto, valUpto, salt)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(bin(lo) && bin(hi))
+  }
+
   test("repetition stats: hand-computed fractions on a known doc") {
     // toks = [a, a, a, b]: s2 = [a a, a a, a b] -> dup 1/3; s3 = [a a a,
     // a a b] -> dup 0; top token a = 3/4

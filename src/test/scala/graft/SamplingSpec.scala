@@ -79,4 +79,18 @@ class SamplingSpec extends AnyFunSuite {
     val joined = sub.withColumnRenamed("split", "sub_split").join(full, "doc_id")
     assert(joined.filter(col("sub_split") =!= col("split")).count() === 0)
   }
+
+  test("epoch shuffle: dense 1..n positions per shard; salt-stable; salts independent") {
+    val a = Sampling.epochShuffle(docs, 4, "e1")
+      .as[(Long, Long, Long)].collect()
+    assert(a.map(_._1).distinct.length === a.length) // every doc exactly once
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length), s"shard $shard not dense")
+    }
+    val b = Sampling.epochShuffle(docs, 4, "e1").as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq) // same salt = same order
+    val c = Sampling.epochShuffle(docs, 4, "e2").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(a.exists(r => c(r._1) !== ((r._2, r._3)))) // next epoch reshuffles
+  }
 }
