@@ -208,7 +208,7 @@ class StreamingSpec extends AnyFunSuite {
     val srcDir = tmp("docs-src")
     docsBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
     val outS = tmp("sample-out"); val outR = tmp("redact-out")
-    val outC = tmp("c4-out"); val ckpt = tmp("docs-ckpt")
+    val outC = tmp("c4-out"); val outQ = tmp("clf-out"); val ckpt = tmp("docs-ckpt")
     def sampled(d: org.apache.spark.sql.DataFrame) =
       Sampling.sampleWithSplits(d, Training.SampleRates, Training.SampleDefault,
         Training.SampleSalt, Training.SplitTrain, Training.SplitVal, Training.SplitSalt)
@@ -223,6 +223,7 @@ class StreamingSpec extends AnyFunSuite {
         sampled(batch).write.mode("append").parquet(outS)
         Training.redactDocs(batch).write.mode("append").parquet(outR)
         graft.operators.QualityRules.c4Rules(batch).write.mode("append").parquet(outC)
+        graft.operators.QualityRules.hashedClassifier(batch).write.mode("append").parquet(outQ)
         ()
       }
       .start()
@@ -243,6 +244,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(c4Stream.count() === c4Batch.count())
     assert(c4Stream.except(c4Batch).count() === 0)
     assert(c4Batch.except(c4Stream).count() === 0)
+    // the hashed quality classifier is stateless per-row arithmetic too
+    val clfStream = spark.read.parquet(outQ)
+    val clfBatch = graft.operators.QualityRules.hashedClassifier(docsBatch)
+    assert(clfStream.count() === clfBatch.count())
+    assert(clfStream.except(clfBatch).count() === 0)
+    assert(clfBatch.except(clfStream).count() === 0)
   }
 
   test("repetition stats and decontamination run on a stream (stream-static held-out set)") {
