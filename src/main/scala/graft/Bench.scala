@@ -94,6 +94,7 @@ object Bench {
     "t_pipeline3" -> 8.3,
     "t_decontam2" -> 1.5,
     "t_epoch_shuffle" -> 0.4,
+    "s_mmr" -> 2.3,
     "d_semdedup" -> 1.6,
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,

@@ -378,4 +378,50 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .distinct()
   }
+
+  /** MMR diversity re-rank (Carbonell & Goldstein 1998): select `select`
+    * of each query's exact top-`k` greedily by λ·relevance −
+    * (1−λ)·max-similarity-to-already-selected. λ = 0.5, where the argmax
+    * reduces to (relevance − maxsim) — the greedy steps are UNROLLED
+    * (select = 3) so both engines execute the identical decision tree;
+    * ties break on candidate id like every ranking here.
+    *
+    * Scale stance: re-ranking cost is O(queries · k²) and INDEPENDENT of
+    * corpus size — after bruteTopK (or any ANN serve path with the same
+    * output shape) the corpus is touched only to fetch candidate vectors
+    * (two hash joins on vec_id); the pair-similarity relation is ≤ k²
+    * rows per query and every greedy step is a per-query window argmax.
+    */
+  def mmrRerank(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val cand = bruteTopK(embeddings, k) // q_id, rank, c_id, cos
+    val corpus = prepared(embeddings)
+    val va = corpus.select(col("vec_id").as("a_id"), col("q").as("qa"), col("n2").as("na"))
+    val vb = corpus.select(col("vec_id").as("b_id"), col("q").as("qb"), col("n2").as("nb"))
+    val ps = cand.select(col("q_id"), col("c_id").as("a_id"))
+      .join(cand.select(col("q_id"), col("c_id").as("b_id")), Seq("q_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .join(va, "a_id").join(vb, "b_id")
+      .select(col("q_id"), col("a_id"), col("b_id"),
+        cosine(col("qa"), col("qb"), col("na"), col("nb")).as("sim"))
+    def simTo(sel: String) = ps.select(col("q_id"), col("a_id").as("c_id"),
+      col("b_id").as(s"${sel}_id"), col("sim").as(s"sim_$sel"))
+    val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("c_id").asc)
+    val s1 = cand.filter(col("rank") === 1).select(col("q_id"), col("c_id").as("s1_id"))
+    val rem = cand.filter(col("rank") > 1)
+    val s2 = rem.join(s1, "q_id")
+      .join(simTo("s1"), Seq("q_id", "c_id", "s1_id"))
+      .withColumn("sc", col("cos") - col("sim_s1"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("s2_id"))
+    val s3 = rem.join(s1, "q_id").join(s2, "q_id")
+      .filter(col("c_id") =!= col("s2_id"))
+      .join(simTo("s1"), Seq("q_id", "c_id", "s1_id"))
+      .join(simTo("s2"), Seq("q_id", "c_id", "s2_id"))
+      .withColumn("sc", col("cos") - greatest(col("sim_s1"), col("sim_s2")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("s3_id"))
+    s1.select(col("q_id"), lit(1).as("mmr_rank"), col("s1_id").as("c_id"))
+      .unionByName(s2.select(col("q_id"), lit(2).as("mmr_rank"), col("s2_id").as("c_id")))
+      .unionByName(s3.select(col("q_id"), lit(3).as("mmr_rank"), col("s3_id").as("c_id")))
+  }
 }

@@ -361,6 +361,7 @@ object Training {
     "s_ivf_topk" -> sIvfTopk,
     "s_ivf_append" -> sIvfAppend,
     "s_pq_topk" -> sPqTopk,
+    "s_mmr" -> ((s, d) => Similarity.mmrRerank(emb(s, d))),
     "m_decode" -> mDecode,
     "m_frames" -> mFrames,
     "m_audio" -> mAudio,

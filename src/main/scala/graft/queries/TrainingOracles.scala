@@ -516,6 +516,45 @@ object TrainingOracles {
     // (HyperplaneCodes.sign), as literal ±qv[i] sums, so banding is
     // bit-identical across engines (projections of integer-quantized
     // embeddings are exact integers).
+    // MMR greedy unrolled (select=3 of brute top-5, λ=0.5 ⇒ score =
+    // rel − maxsim): same decision tree as Similarity.mmrRerank
+    "s_mmr" ->
+      s"""$EmbCte,
+         |cand AS (
+         |  SELECT q_id, rank, c_id, cos FROM (
+         |    SELECT a.vec_id AS q_id, b.vec_id AS c_id, $CosAB AS cos,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
+         |    FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id % 97 = 0) t
+         |  WHERE rank <= 5),
+         |ps AS (
+         |  SELECT x.q_id, x.c_id AS a_id, y.c_id AS b_id, $CosAB AS sim
+         |  FROM cand x JOIN cand y ON x.q_id = y.q_id AND x.c_id <> y.c_id
+         |  JOIN n a ON a.vec_id = x.c_id JOIN n b ON b.vec_id = y.c_id),
+         |s1 AS (SELECT q_id, c_id AS s1_id FROM cand WHERE rank = 1),
+         |st2 AS (
+         |  SELECT c.q_id, c.c_id, c.cos - p.sim AS sc
+         |  FROM cand c JOIN s1 ON s1.q_id = c.q_id
+         |  JOIN ps p ON p.q_id = c.q_id AND p.a_id = c.c_id AND p.b_id = s1.s1_id
+         |  WHERE c.rank > 1),
+         |s2 AS (SELECT q_id, c_id AS s2_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, c_id ASC) AS rn
+         |    FROM st2) t
+         |  WHERE rn = 1),
+         |st3 AS (
+         |  SELECT c.q_id, c.c_id, c.cos - greatest(p1.sim, p2.sim) AS sc
+         |  FROM cand c JOIN s1 ON s1.q_id = c.q_id JOIN s2 ON s2.q_id = c.q_id
+         |  JOIN ps p1 ON p1.q_id = c.q_id AND p1.a_id = c.c_id AND p1.b_id = s1.s1_id
+         |  JOIN ps p2 ON p2.q_id = c.q_id AND p2.a_id = c.c_id AND p2.b_id = s2.s2_id
+         |  WHERE c.rank > 1 AND c.c_id <> s2.s2_id),
+         |s3 AS (SELECT q_id, c_id AS s3_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, c_id ASC) AS rn
+         |    FROM st3) t
+         |  WHERE rn = 1)
+         |SELECT q_id, 1 AS mmr_rank, s1_id AS c_id FROM s1
+         |UNION ALL SELECT q_id, 2, s2_id FROM s2
+         |UNION ALL SELECT q_id, 3, s3_id FROM s3""".stripMargin,
+
     "s_near_dups" -> hyperplanePairsSql(
       graft.operators.Similarity.NearDupTables, graft.operators.Similarity.NearDupBits, "0.95"),
 

@@ -25,7 +25,10 @@ class PlanLintSpec extends AnyFunSuite {
       "t_mix",
       // SemDeDup assigns cells via the same 10-row centroid broadcast as
       // s_ivf_topk before its equi self-join on the cell key
-      "d_semdedup")
+      "d_semdedup",
+      // MMR re-ranks bruteTopK's output — the broadcast-query NLJ is
+      // the candidate generator, not the rerank (which is all equi)
+      "s_mmr")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

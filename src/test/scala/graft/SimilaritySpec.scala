@@ -281,4 +281,35 @@ class SimilaritySpec extends AnyFunSuite {
     val negBomb = hostileWav(Array(0, 0, 0, 0x80.toByte))
     assert(Multimodal.decodeAudio(7L, negBomb).container === "unknown")
   }
+
+  test("MMR: diversity demotes the redundant near-duplicate of the top hit") {
+    // brute order: c1, c2 (exact dup of c1, id tie-break), c3.
+    // MMR rank 2 goes to c3 — relevance 0.9536 minus sim-to-c1 0.9145
+    // beats the dup's 0.9939 − 1.0 — and the dup drops to rank 3.
+    val d = embOf(
+      (0L, Seq(1f, 0f, 0f, 0f)),      // query (0 % 97 == 0)
+      (1L, Seq(0.9f, 0.1f, 0f, 0f)),  // c1: most relevant
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)),  // c2: exact duplicate of c1
+      (3L, Seq(0.95f, -0.3f, 0f, 0f))) // c3: relevant AND diverse
+    val mmr = Similarity.mmrRerank(d)
+      .as[(Long, Int, Long)].collect().filter(_._1 == 0L).sortBy(_._2)
+    assert(mmr.map(r => (r._2, r._3)).toSeq === Seq((1, 1L), (2, 3L), (3, 2L)))
+    val brute = Similarity.bruteTopK(d, 5)
+      .as[(Long, Int, Long, Double)].collect().filter(_._1 == 0L).sortBy(_._2)
+    assert(brute.map(r => (r._2, r._3)).toSeq === Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("MMR on the corpus: rank-1 agrees with brute; selections are distinct top-5 members") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val mmr = Similarity.mmrRerank(emb).as[(Long, Int, Long)].collect()
+    val top5 = Similarity.bruteTopK(emb, 5)
+      .as[(Long, Int, Long, Double)].collect()
+    val top1 = top5.filter(_._2 == 1).map(r => r._1 -> r._3).toMap
+    val top5Set = top5.map(r => (r._1, r._3)).toSet
+    mmr.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length === 3 && rows.map(_._3).distinct.length === 3)
+      assert(rows.find(_._2 == 1).get._3 === top1(q), s"q=$q rank-1 must be the top hit")
+      rows.foreach(r => assert(top5Set((q, r._3)), s"q=$q selected outside top-5"))
+    }
+  }
 }
