@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE merge induction (Sennrich et al. 2016, arXiv:1508.07909 §3.1):
+  * learn the first `steps` byte-pair merges from the corpus — per step,
+  * count adjacent symbol pairs over the (frequency-weighted) vocabulary,
+  * pick the most frequent (ties on the pair string), and merge its
+  * occurrences greedy-leftmost in every word. This is the actual
+  * tokenizer-training recurrence, not a frequency heuristic — the output
+  * is the merge table a BPE tokenizer ships with.
+  *
+  * The greedy-leftmost merge is a per-word left fold: append each symbol
+  * unless the accumulator ends with `x` and the symbol is `y`, in which
+  * case the tail becomes `xy`. A just-merged tail can never re-trigger
+  * (`xy == x` would need an empty `y`), which is exactly BPE's
+  * non-overlapping scan — "aaa" under (a,a) gives [aa, a].
+  *
+  * Scale stance (100 TB): the corpus is scanned ONCE (token explode →
+  * word-frequency aggregation, map-side combined); everything after runs
+  * on the distinct-word vocabulary, which is corpus-sublinear (≈ millions
+  * of rows at web scale). The vocabulary is pinned (`localCheckpoint`)
+  * so the per-step branches don't re-scan the corpus, and each step's
+  * 1-row top pair rides as a broadcast into the next fold — step count
+  * bounds lineage like the PageRank/Lloyd loops. */
+object Bpe {
+
+  private def nPairs(syms: Column): Column = greatest(size(syms) - 1, lit(0))
+
+  /** Adjacent symbol pairs, space-separated (symbols never contain a
+    * space — they concatenate from tokenizer output). */
+  private def pairsOf(syms: Column): Column =
+    zip_with(slice(syms, lit(1), nPairs(syms)), slice(syms, lit(2), nPairs(syms)),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Greedy-leftmost merge of (px, py) in one word's symbol list. */
+  private def mergeFold(syms: Column, px: Column, py: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === px && s === py,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(px, py))))
+        .otherwise(concat(acc, array(s))))
+
+  /** The merge table: (step, pair, n) for the first `steps` merges. */
+  def merges(docs: DataFrame, steps: Int = 3): DataFrame = {
+    val words = Spread(docs)
+      .select(explode(TextOps.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    var cur = words.withColumn("syms",
+      transform(sequence(lit(1), length(col("word"))), i => col("word").substr(i, lit(1))))
+    val tops = (1 to steps).map { k =>
+      val top = cur
+        .select(col("n"), explode(pairsOf(col("syms"))).as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .select(col("pair"), col("cnt"),
+          split(col("pair"), " ").getItem(0).as("px"),
+          split(col("pair"), " ").getItem(1).as("py"))
+        .localCheckpoint() // 1 row; consumed by the output AND the next fold
+      cur = cur.crossJoin(broadcast(top.select("px", "py")))
+        .select(col("word"), col("n"),
+          mergeFold(col("syms"), col("px"), col("py")).as("syms"))
+      top.select(lit(k).as("step"), col("pair"), col("cnt").as("n"))
+    }
+    tops.reduce(_.unionByName(_))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Decontaminate, Dedup, Multimodal, QualityRules, Sampling, SeqPack, Similarity, TextOps}
+import graft.operators.{Bpe, Decontaminate, Dedup, Multimodal, QualityRules, Sampling, SeqPack, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -153,6 +153,9 @@ object Training {
   /** Deterministic epoch shuffle: (shard, position) global training order
     * as a pure function of (salt, doc_id). */
   val tEpochShuffle: Q = (s, d) => Sampling.epochShuffle(docs(s, d), 8, "ep1")
+
+  /** First 3 learned BPE merges (the tokenizer-training recurrence). */
+  val tBpeMerges: Q = (s, d) => Bpe.merges(docs(s, d), 3)
 
   /** Gopher-style repetition signals (dup n-gram fractions, top-token
     * share). */
@@ -345,6 +348,7 @@ object Training {
     "t_decontam" -> tDecontam,
     "t_decontam2" -> tDecontam2,
     "t_epoch_shuffle" -> tEpochShuffle,
+    "t_bpe_merges" -> tBpeMerges,
     "t_rep_stats" -> tRepStats,
     "t_quality_clf" -> tQualityClf,
     "t_c4_rules" -> tC4Rules,

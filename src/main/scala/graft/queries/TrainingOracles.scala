@@ -708,6 +708,48 @@ object TrainingOracles {
          |WHERE f.split = 'train' GROUP BY 1""".stripMargin
     },
 
+    // BPE merge mirror: same pair counts, same tie-break, same
+    // greedy-leftmost fold — DuckDB's list_reduce needs acc type ==
+    // element type, so the fold carries the merged word as a
+    // "|s1|s2|..." string (the LIKE '%|x' suffix test is the
+    // symbol-boundary-safe "last symbol == x" check) and re-splits
+    "t_bpe_merges" -> {
+      def fold(symcol: String, px: String, py: String) =
+        s"string_split(substr(list_reduce(list_prepend('', $symcol), " +
+          s"(acc, s) -> CASE WHEN acc LIKE '%|' || $px AND s = $py " +
+          s"THEN substr(acc, 1, len(acc) - len($px)) || $px || $py " +
+          s"ELSE acc || '|' || s END), 2), '|')"
+      def prs(symcol: String) =
+        s"list_transform(range(0, len($symcol) - 1), " +
+          s"i -> $symcol[i+1] || ' ' || $symcol[i+2])"
+      def topCte(p: String) =
+        s"""SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+           |         string_split(pair, ' ')[1] AS px, string_split(pair, ' ')[2] AS py
+           |       FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn
+           |             FROM $p) WHERE rn = 1""".stripMargin
+      s"""$TokCte,
+         |words AS (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+         |w0 AS (SELECT word, n,
+         |         list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+         |       FROM words),
+         |p1 AS (SELECT pair, sum(n) AS cnt FROM (
+         |    SELECT n, unnest(${prs("syms")}) AS pair FROM w0) GROUP BY 1),
+         |t1 AS (${topCte("p1")}),
+         |w1 AS (SELECT word, n, ${fold("syms", "t1.px", "t1.py")} AS syms FROM w0, t1),
+         |p2 AS (SELECT pair, sum(n) AS cnt FROM (
+         |    SELECT n, unnest(${prs("syms")}) AS pair FROM w1) GROUP BY 1),
+         |t2 AS (${topCte("p2")}),
+         |w2 AS (SELECT word, n, ${fold("syms", "t2.px", "t2.py")} AS syms FROM w1, t2),
+         |p3 AS (SELECT pair, sum(n) AS cnt FROM (
+         |    SELECT n, unnest(${prs("syms")}) AS pair FROM w2) GROUP BY 1),
+         |t3 AS (${topCte("p3")})
+         |SELECT 1 AS step, pair, cnt AS n FROM t1
+         |UNION ALL SELECT 2, pair, cnt FROM t2
+         |UNION ALL SELECT 3, pair, cnt FROM t3""".stripMargin
+    },
+
     // epoch shuffle mirror: same shard hash (13-hex md5 mod), same
     // independent order hash, same tie-break
     "t_epoch_shuffle" ->

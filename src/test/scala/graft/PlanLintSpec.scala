@@ -28,7 +28,9 @@ class PlanLintSpec extends AnyFunSuite {
       "d_semdedup",
       // MMR re-ranks bruteTopK's output — the broadcast-query NLJ is
       // the candidate generator, not the rerank (which is all equi)
-      "s_mmr")
+      "s_mmr",
+      // each BPE step broadcasts its 1-row top pair into the next fold
+      "t_bpe_merges")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

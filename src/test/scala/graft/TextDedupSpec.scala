@@ -263,6 +263,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(nKept === distinctSpans)
   }
 
+  test("BPE merges: hand-computed pair counts, tie-breaks, greedy-leftmost fold") {
+    // words: "aaab" ×2, "ab" ×1.
+    // step 1: (a,a) = 4 beats (a,b) = 3 → aaab = [aa,a,b]
+    // step 2: (a,b) = 3 beats (aa,a) = 2 → aaab = [aa,ab], ab = [ab]
+    // step 3: (aa,ab) = 2
+    val out = graft.operators.Bpe.merges(
+      docsOf((1L, "aaab aaab"), (2L, "ab")), steps = 3)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
+  }
+
   test("semdedup: min vec_id per cell always kept; drops need a lower-id witness") {
     val out = Dedup.semDedup(graft.Tables.embeddings(spark, TestSpark.Sf))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
