@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram LM quality scoring (Wenzek et al. 2020,
+  * arXiv:1911.00359 §3.3): train a bigram LM on the corpus itself and
+  * score each document by its surprisal under that model — boilerplate
+  * and gibberish sit at the tails, which is exactly how the CCNet/LLaMA
+  * pipelines bucket web text into quality tiers.
+  *
+  * Cross-engine float discipline: the usual `-log2 p(w2|w1)` is a libm
+  * double whose last bits differ between engines, so the model here is
+  * the EXACT-INTEGER proxy `floor(log2 c(w1)) - floor(log2 c(w1,w2))`
+  * (≥ 0 since c(w1) ≥ c(w1,w2)). `floor(log2 n) = len(bin(n)) - 1`
+  * bit-identically in Spark and DuckDB — no float touches the output.
+  * The context count c(w1) is derived FROM the bigram table (sum of
+  * counts of bigrams starting with w1), so the model is self-consistent
+  * (probabilities per context sum to 1) without a second corpus pass.
+  *
+  * Scale stance (100 TB): the corpus is scanned once into exploded
+  * bigrams; the count aggregation is map-side combined; the per-bigram
+  * bits table is DISTINCT-bigram sized (corpus-sublinear) and its
+  * c1⋈c2 build never touches the corpus. Scoring is one equi-join of
+  * the exploded bigrams against that table (AQE broadcasts it at test
+  * scale; at real scale it degrades to a keyed shuffle join — same
+  * query) plus one per-doc agg. No all-pairs term anywhere. */
+object NgramLm {
+
+  /** floor(log2 n) as an exact integer — `bin` is the codegen'd
+    * long→binary-string builtin in both engines. */
+  private def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+
+  private def nBigrams(toks: Column): Column = size(toks) - 1
+
+  private def bigramsOf(toks: Column): Column =
+    zip_with(slice(toks, lit(1), nBigrams(toks)), slice(toks, lit(2), nBigrams(toks)),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Per-doc surprisal: (doc_id, n_bigrams, total_bits, bits_x1000)
+    * over docs with ≥ 2 tokens. `bits_x1000` is the floor-scaled mean
+    * surprisal per bigram — the quality-tier sort key. */
+  def surprisal(docs: DataFrame): DataFrame = {
+    val bg = Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bg"))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = c2
+      .groupBy(split(col("bg"), " ").getItem(0).as("w1")).agg(sum("c2").as("c1"))
+    val bits = c2
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c1, "w1")
+      .select(col("bg"), (fl2(col("c1")) - fl2(col("c2"))).as("bits"))
+    bg.join(bits, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("total_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
+        floor(col("total_bits") * 1000 / col("n_bigrams")).cast("long").as("bits_x1000"))
+  }
+}

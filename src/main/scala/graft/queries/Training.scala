@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, Multimodal, QualityRules, Sampling, SeqPack, Similarity, TextOps}
+import graft.operators.{Bpe, Decontaminate, Dedup, Multimodal, NgramLm, QualityRules, Sampling, SeqPack, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -156,6 +156,9 @@ object Training {
 
   /** First 3 learned BPE merges (the tokenizer-training recurrence). */
   val tBpeMerges: Q = (s, d) => Bpe.merges(docs(s, d), 3)
+
+  /** CCNet-style bigram-LM surprisal scoring (exact-integer log2 proxy). */
+  val tLmScore: Q = (s, d) => NgramLm.surprisal(docs(s, d))
 
   /** Gopher-style repetition signals (dup n-gram fractions, top-token
     * share). */
@@ -349,6 +352,7 @@ object Training {
     "t_decontam2" -> tDecontam2,
     "t_epoch_shuffle" -> tEpochShuffle,
     "t_bpe_merges" -> tBpeMerges,
+    "t_lm_score" -> tLmScore,
     "t_rep_stats" -> tRepStats,
     "t_quality_clf" -> tQualityClf,
     "t_c4_rules" -> tC4Rules,

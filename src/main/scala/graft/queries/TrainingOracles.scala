@@ -750,6 +750,24 @@ object TrainingOracles {
          |UNION ALL SELECT 3, pair, cnt FROM t3""".stripMargin
     },
 
+    // bigram-LM surprisal mirror: context counts derived from the bigram
+    // table, exact-integer floor-log2 via len(bin(n))-1 in both engines
+    "t_lm_score" ->
+      s"""$TokCte,
+         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+         |                 i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |       FROM tok WHERE len(toks) >= 2),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+         |       FROM c2 GROUP BY 1),
+         |bits AS (SELECT c2.bg,
+         |           (len(bin(c1.c1)) - 1) - (len(bin(c2.c2)) - 1) AS bits
+         |         FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
+         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(bits.bits) AS BIGINT) AS total_bits,
+         |       CAST((sum(bits.bits) * 1000) // count(*) AS BIGINT) AS bits_x1000
+         |FROM bg JOIN bits USING (bg) GROUP BY 1""".stripMargin,
+
     // epoch shuffle mirror: same shard hash (13-hex md5 mod), same
     // independent order hash, same tie-break
     "t_epoch_shuffle" ->

@@ -15,6 +15,17 @@ class QualitySpec extends AnyFunSuite {
     if (h < f"$trainUpto%02x") "train" else if (h < f"$valUpto%02x") "val" else "test"
   }
 
+  test("bigram LM surprisal: hand-computed integer floor-log2 bits") {
+    // bigrams: "a b" ×2 (docs 1, 2), "a c" ×1 (doc 3) → c1(a) = 3.
+    // floor(log2): c1(a)=1, c2("a b")=1, c2("a c")=0
+    // bits("a b") = 0, bits("a c") = 1; doc 4 has 1 token → no row.
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.NgramLm.surprisal(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L), (3L, 1L, 1L, 1000L)))
+  }
+
   test("contamination flags exactly the train docs sharing a shingle with held-out docs") {
     val (trainUpto, valUpto, salt) = (230, 243, "split1")
     val ids = (1L to 60L)
