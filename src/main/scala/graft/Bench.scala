@@ -97,6 +97,7 @@ object Bench {
     "s_mmr" -> 2.3,
     "t_bpe_merges" -> 1.9,
     "t_lm_score" -> 2.0,
+    "d_lpa" -> 2.7,
     "d_semdedup" -> 1.6,
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,

@@ -246,6 +246,55 @@ object Dedup {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007,
+    * arXiv:0709.2938) over an undirected pair graph — the community
+    * signal between exact connectivity and centrality: CC says "reachable
+    * at all", LPA says "densely tied". Each round every vertex adopts the
+    * most frequent label among its NEIGHBORS (ties → smallest label);
+    * `iters` is fixed and ties are pinned, so the result is a
+    * deterministic pure function of the graph — the property the
+    * cross-engine oracle needs (free-running async LPA is
+    * order-dependent by construction). Vertices outside the edge set
+    * keep their own id, stitched back with one left join like
+    * [[connectedComponents]].
+    *
+    * Scale shape: per round one labels×edges shuffled join (key-
+    * partitioned, ReuseExchange serves the edge side) + two map-side-
+    * combined aggs — (vertex, label) count, then the per-vertex argmax
+    * as a single `max(struct(cnt, -label))` so no window/sort touches
+    * the corpus-scale relation. `localCheckpoint` truncates lineage per
+    * round (swap for durable `checkpoint()` on a real cluster, as in
+    * [[connectedComponents]]'s `reliable` mode). */
+  def labelPropagation(vertices: DataFrame, pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nbr")), "dst")
+        .groupBy("src", "nbr").agg(count(lit(1)).as("cnt"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(max(struct(col("cnt").as("c"), (-col("nbr")).as("nl"))).as("top"))
+        .select(col("doc_id"), (-col("top.nl")).as("label"))
+        .localCheckpoint()
+    }
+    vertices.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+  }
+
+  /** LPA communities over the LSH candidate graph (vertices = minhash
+    * domain, singletons are their own community). */
+  def lpaCommunities(docs: DataFrame): DataFrame =
+    labelPropagation(
+      // no Spread on the vertex arm — same stitch-join rationale as
+      // duplicateClusters
+      minhashSignatures(docs, spread = false).select(col("doc_id")),
+      lshCandidatePairs(docs))
+
   /** Incremental (cross-shard) exact dedup — the shape production ingest
     * actually runs: an already-deduplicated INDEX shard (the fingerprints
     * of everything ingested so far) plus an INCOMING shard, and a per-doc

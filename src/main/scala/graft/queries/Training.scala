@@ -58,6 +58,7 @@ object Training {
   val dDedupKeep: Q = (s, d) => Dedup.dedupKeep(docs(s, d))
   val dIncremental: Q = (s, d) => Dedup.incrementalNew(docs(s, d))
   val dPagerank: Q = (s, d) => Dedup.pageRankOnCandidates(docs(s, d))
+  val dLpa: Q = (s, d) => Dedup.lpaCommunities(docs(s, d))
   val dSpanDedup: Q = (s, d) => Dedup.spanDedup(docs(s, d))
   val dSemdedup: Q = (s, d) => Dedup.semDedup(emb(s, d))
   val dChunkDups: Q = (s, d) => Dedup.sharedChunks(docs(s, d))
@@ -341,6 +342,7 @@ object Training {
     "d_dedup_keep" -> dDedupKeep,
     "d_incremental" -> dIncremental,
     "d_pagerank" -> dPagerank,
+    "d_lpa" -> dLpa,
     "d_span_dedup" -> dSpanDedup,
     "d_semdedup" -> dSemdedup,
     "d_chunk_dups" -> dChunkDups,

@@ -362,6 +362,34 @@ object TrainingOracles {
          |  FROM deg d CROSS JOIN nv LEFT JOIN c3 c ON c.doc_id = d.doc_id)
          |SELECT doc_id, rank FROM r3""".stripMargin,
 
+    // synchronous LPA over the candidate graph, 3 unrolled rounds of the
+    // engine's exact recurrence: per vertex the most frequent NEIGHBOR
+    // label, ties to the smallest label; minhash-domain singletons keep
+    // their own id
+    "d_lpa" -> {
+      def round(prev: String, n: String, l: String) =
+        s"""$n AS (SELECT e.src AS doc_id, l.label, count(*) AS cnt
+           |  FROM edges e JOIN $prev l ON l.doc_id = e.dst GROUP BY 1, 2),
+           |$l AS (SELECT doc_id, label FROM (
+           |  SELECT doc_id, label,
+           |         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, label ASC) AS rn
+           |  FROM $n) t WHERE rn = 1)""".stripMargin
+      s"""$SigCte,
+         |bands0 AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 64),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+         |${round("l0", "n1", "l1")},
+         |${round("l1", "n2", "l2")},
+         |${round("l2", "n3", "l3")}
+         |SELECT s.doc_id, coalesce(l3.label, s.doc_id) AS label
+         |FROM sig s LEFT JOIN l3 ON l3.doc_id = s.doc_id""".stripMargin
+    },
+
     "d_jaccard" ->
       s"""$SigCte,
          |bands0 AS (SELECT doc_id, unnest([sig0, sig1, sig2, sig3]) AS band FROM sig),

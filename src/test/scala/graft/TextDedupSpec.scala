@@ -263,6 +263,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(nKept === distinctSpans)
   }
 
+  test("label propagation: sync rounds, min-label ties, singleton stitch") {
+    // triangle {1,2,3} + pendant pair {4,5} + isolated vertex 6.
+    // r1: 1→2 (tie {2,3}), 2→1, 3→1, 4→5, 5→4
+    // r2: 1→1 ({1,1}), 2→1 (tie {2,1}), 3→1 (tie {2,1}), 4→4, 5→5
+    // r3: triangle all 1; the pendant pair oscillates (4→5, 5→4) —
+    // sync LPA's known behavior; fixed rounds + pinned ties make it
+    // deterministic, which is the contract under test
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val verts = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val out = Dedup.labelPropagation(verts, pairs, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 4L, 6L -> 6L))
+  }
+
   test("BPE merges: hand-computed pair counts, tie-breaks, greedy-leftmost fold") {
     // words: "aaab" ×2, "ab" ×1.
     // step 1: (a,a) = 4 beats (a,b) = 3 → aaab = [aa,a,b]
