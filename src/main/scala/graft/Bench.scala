@@ -96,6 +96,7 @@ object Bench {
     "t_epoch_shuffle" -> 0.4,
     "s_mmr" -> 2.3,
     "t_bpe_merges" -> 1.9,
+    "t_bpe_encode" -> 1.9,
     "t_lm_score" -> 2.0,
     "d_lpa" -> 2.7,
     "d_semdedup" -> 1.6,

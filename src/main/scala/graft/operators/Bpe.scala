@@ -41,8 +41,9 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(concat(px, py))))
         .otherwise(concat(acc, array(s))))
 
-  /** The merge table: (step, pair, n) for the first `steps` merges. */
-  def merges(docs: DataFrame, steps: Int = 3): DataFrame = {
+  /** The training loop: per-step 1-row top-pair tables plus the final
+    * vocabulary (word, n, syms) with all `steps` merges applied. */
+  private def learn(docs: DataFrame, steps: Int): (Seq[DataFrame], DataFrame) = {
     val words = Spread(docs)
       .select(explode(TextOps.tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
@@ -63,6 +64,28 @@ object Bpe {
           mergeFold(col("syms"), col("px"), col("py")).as("syms"))
       top.select(lit(k).as("step"), col("pair"), col("cnt").as("n"))
     }
-    tops.reduce(_.unionByName(_))
+    (tops, cur)
+  }
+
+  /** The merge table: (step, pair, n) for the first `steps` merges. */
+  def merges(docs: DataFrame, steps: Int = 3): DataFrame =
+    learn(docs, steps)._1.reduce(_.unionByName(_))
+
+  /** Tokenizer serving: segment every document with the learned merge
+    * table — (doc_id, n_tokens, n_subwords) for docs with ≥ 1 token.
+    * The per-word subword count lives on the distinct-word VOCABULARY
+    * (corpus-sublinear); scoring is one equi-join of the exploded corpus
+    * tokens against it (AQE broadcasts it at test scale, keyed shuffle
+    * at real scale — same query) plus one per-doc agg. The corpus text
+    * is never re-segmented row by row — that's the point of training on
+    * the word-frequency table. */
+  def encode(docs: DataFrame, steps: Int = 3): DataFrame = {
+    val vocab = learn(docs, steps)._2
+      .select(col("word"), size(col("syms")).cast("long").as("w_sub"))
+    Spread(docs)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+      .join(vocab, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w_sub").as("n_subwords"))
   }
 }

@@ -158,6 +158,9 @@ object Training {
   /** First 3 learned BPE merges (the tokenizer-training recurrence). */
   val tBpeMerges: Q = (s, d) => Bpe.merges(docs(s, d), 3)
 
+  /** Tokenizer serving: per-doc subword counts under the learned merges. */
+  val tBpeEncode: Q = (s, d) => Bpe.encode(docs(s, d), 3)
+
   /** CCNet-style bigram-LM surprisal scoring (exact-integer log2 proxy). */
   val tLmScore: Q = (s, d) => NgramLm.surprisal(docs(s, d))
 
@@ -354,6 +357,7 @@ object Training {
     "t_decontam2" -> tDecontam2,
     "t_epoch_shuffle" -> tEpochShuffle,
     "t_bpe_merges" -> tBpeMerges,
+    "t_bpe_encode" -> tBpeEncode,
     "t_lm_score" -> tLmScore,
     "t_rep_stats" -> tRepStats,
     "t_quality_clf" -> tQualityClf,

@@ -40,6 +40,49 @@ object TrainingOracles {
        |sig AS (SELECT doc_id, ${minhash(0)} AS sig0, ${minhash(1)} AS sig1,
        |               ${minhash(2)} AS sig2, ${minhash(3)} AS sig3 FROM shi)""".stripMargin
 
+  /** BPE oracle plumbing — DuckDB's list_reduce needs acc type ==
+    * element type, so the greedy-leftmost fold carries the merged word
+    * as a "|s1|s2|..." string (the LIKE '%|x' suffix test is the
+    * symbol-boundary-safe "last symbol == x" check) and re-splits. */
+  private def bpeFold(symcol: String, px: String, py: String) =
+    s"string_split(substr(list_reduce(list_prepend('', $symcol), " +
+      s"(acc, s) -> CASE WHEN acc LIKE '%|' || $px AND s = $py " +
+      s"THEN substr(acc, 1, len(acc) - len($px)) || $px || $py " +
+      s"ELSE acc || '|' || s END), 2), '|')"
+
+  private def bpePairs(symcol: String) =
+    s"list_transform(range(0, len($symcol) - 1), " +
+      s"i -> $symcol[i+1] || ' ' || $symcol[i+2])"
+
+  private def bpeTop(p: String) =
+    s"""SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+       |         string_split(pair, ' ')[1] AS px, string_split(pair, ' ')[2] AS py
+       |       FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn
+       |             FROM $p) WHERE rn = 1""".stripMargin
+
+  /** BPE chain through 3 merge steps: t1..t3 top-pair CTEs, w0..w2 the
+    * vocabulary after 0..2 folds (consumers add w3 if they need the
+    * final segmentation). */
+  private val BpeChain =
+    s"""$TokCte,
+       |words AS (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
+       |w0 AS (SELECT word, n,
+       |         list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+       |       FROM words),
+       |p1 AS (SELECT pair, sum(n) AS cnt FROM (
+       |    SELECT n, unnest(${bpePairs("syms")}) AS pair FROM w0) GROUP BY 1),
+       |t1 AS (${bpeTop("p1")}),
+       |w1 AS (SELECT word, n, ${bpeFold("syms", "t1.px", "t1.py")} AS syms FROM w0, t1),
+       |p2 AS (SELECT pair, sum(n) AS cnt FROM (
+       |    SELECT n, unnest(${bpePairs("syms")}) AS pair FROM w1) GROUP BY 1),
+       |t2 AS (${bpeTop("p2")}),
+       |w2 AS (SELECT word, n, ${bpeFold("syms", "t2.px", "t2.py")} AS syms FROM w1, t2),
+       |p3 AS (SELECT pair, sum(n) AS cnt FROM (
+       |    SELECT n, unnest(${bpePairs("syms")}) AS pair FROM w2) GROUP BY 1),
+       |t3 AS (${bpeTop("p3")})""".stripMargin
+
   /** Quantized-embedding CTE: vec_id, label, qv, n2, bucket. */
   private val EmbCte =
     """WITH q AS (
@@ -737,46 +780,22 @@ object TrainingOracles {
     },
 
     // BPE merge mirror: same pair counts, same tie-break, same
-    // greedy-leftmost fold — DuckDB's list_reduce needs acc type ==
-    // element type, so the fold carries the merged word as a
-    // "|s1|s2|..." string (the LIKE '%|x' suffix test is the
-    // symbol-boundary-safe "last symbol == x" check) and re-splits
-    "t_bpe_merges" -> {
-      def fold(symcol: String, px: String, py: String) =
-        s"string_split(substr(list_reduce(list_prepend('', $symcol), " +
-          s"(acc, s) -> CASE WHEN acc LIKE '%|' || $px AND s = $py " +
-          s"THEN substr(acc, 1, len(acc) - len($px)) || $px || $py " +
-          s"ELSE acc || '|' || s END), 2), '|')"
-      def prs(symcol: String) =
-        s"list_transform(range(0, len($symcol) - 1), " +
-          s"i -> $symcol[i+1] || ' ' || $symcol[i+2])"
-      def topCte(p: String) =
-        s"""SELECT pair, CAST(cnt AS BIGINT) AS cnt,
-           |         string_split(pair, ' ')[1] AS px, string_split(pair, ' ')[2] AS py
-           |       FROM (SELECT *, row_number() OVER (ORDER BY cnt DESC, pair ASC) AS rn
-           |             FROM $p) WHERE rn = 1""".stripMargin
-      s"""$TokCte,
-         |words AS (
-         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n FROM (
-         |    SELECT unnest(toks) AS w FROM tok) GROUP BY 1),
-         |w0 AS (SELECT word, n,
-         |         list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
-         |       FROM words),
-         |p1 AS (SELECT pair, sum(n) AS cnt FROM (
-         |    SELECT n, unnest(${prs("syms")}) AS pair FROM w0) GROUP BY 1),
-         |t1 AS (${topCte("p1")}),
-         |w1 AS (SELECT word, n, ${fold("syms", "t1.px", "t1.py")} AS syms FROM w0, t1),
-         |p2 AS (SELECT pair, sum(n) AS cnt FROM (
-         |    SELECT n, unnest(${prs("syms")}) AS pair FROM w1) GROUP BY 1),
-         |t2 AS (${topCte("p2")}),
-         |w2 AS (SELECT word, n, ${fold("syms", "t2.px", "t2.py")} AS syms FROM w1, t2),
-         |p3 AS (SELECT pair, sum(n) AS cnt FROM (
-         |    SELECT n, unnest(${prs("syms")}) AS pair FROM w2) GROUP BY 1),
-         |t3 AS (${topCte("p3")})
+    // greedy-leftmost fold (chain CTEs shared with t_bpe_encode)
+    "t_bpe_merges" ->
+      s"""$BpeChain
          |SELECT 1 AS step, pair, cnt AS n FROM t1
          |UNION ALL SELECT 2, pair, cnt FROM t2
-         |UNION ALL SELECT 3, pair, cnt FROM t3""".stripMargin
-    },
+         |UNION ALL SELECT 3, pair, cnt FROM t3""".stripMargin,
+
+    // tokenizer serving mirror: every corpus token joined to its
+    // post-merge subword count on the w3 vocabulary
+    "t_bpe_encode" ->
+      s"""$BpeChain,
+         |w3 AS (SELECT word, n, ${bpeFold("syms", "t3.px", "t3.py")} AS syms FROM w2, t3)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(len(w3.syms)) AS BIGINT) AS n_subwords
+         |FROM (SELECT doc_id, unnest(toks) AS word FROM tok) t
+         |JOIN w3 ON t.word = w3.word GROUP BY 1""".stripMargin,
 
     // bigram-LM surprisal mirror: context counts derived from the bigram
     // table, exact-integer floor-log2 via len(bin(n))-1 in both engines

@@ -288,6 +288,15 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1, "a a", 4L), (2, "a b", 3L), (3, "aa ab", 2L)))
   }
 
+  test("BPE encode: subword counts under the learned merges") {
+    // same corpus as the merges test; ALL learned merges apply, so after
+    // (a,a), (a,b), (aa,ab): "aaab" → [aaab] (1 subword), "ab" → [ab] (1)
+    val out = graft.operators.Bpe.encode(
+      docsOf((1L, "aaab aaab"), (2L, "ab")), steps = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
   test("semdedup: min vec_id per cell always kept; drops need a lower-id witness") {
     val out = Dedup.semDedup(graft.Tables.embeddings(spark, TestSpark.Sf))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
