@@ -79,13 +79,26 @@ object Bpe {
     * at real scale — same query) plus one per-doc agg. The corpus text
     * is never re-segmented row by row — that's the point of training on
     * the word-frequency table. */
-  def encode(docs: DataFrame, steps: Int = 3): DataFrame = {
-    val vocab = learn(docs, steps)._2
+  def encode(docs: DataFrame, steps: Int = 3): DataFrame =
+    encodeWith(Spread(docs), vocab(docs, steps))
+
+  /** The trained tokenizer: (word, w_sub) — each distinct word's subword
+    * count under the learned merges. Corpus-sublinear. */
+  def vocab(docs: DataFrame, steps: Int = 3): DataFrame =
+    learn(docs, steps)._2
       .select(col("word"), size(col("syms")).cast("long").as("w_sub"))
-    Spread(docs)
+
+  /** Serving: segment `docs` against an already-trained vocabulary.
+    * Words unseen at train time are segmented as single characters —
+    * the no-merges-apply fallback (a left join + per-char count), so the
+    * stream leg accepts out-of-vocabulary input instead of dropping it.
+    * On the train corpus itself every word joins, reproducing
+    * [[encode]] exactly. */
+  def encodeWith(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
-      .join(vocab, "word")
+      .join(vocab, Seq("word"), "left")
+      .withColumn("w_sub", coalesce(col("w_sub"), length(col("word")).cast("long")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("w_sub").as("n_subwords"))
-  }
 }

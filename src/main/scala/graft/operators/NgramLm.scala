@@ -37,25 +37,39 @@ object NgramLm {
     zip_with(slice(toks, lit(1), nBigrams(toks)), slice(toks, lit(2), nBigrams(toks)),
       (a, b) => concat(a, lit(" "), b))
 
-  /** Per-doc surprisal: (doc_id, n_bigrams, total_bits, bits_x1000)
-    * over docs with ≥ 2 tokens. `bits_x1000` is the floor-scaled mean
-    * surprisal per bigram — the quality-tier sort key. */
-  def surprisal(docs: DataFrame): DataFrame = {
-    val bg = Spread(docs)
+  private def docBigrams(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(bigramsOf(col("toks"))).as("bg"))
-    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+
+  /** The trained model: the per-bigram surprisal table (bg, bits) —
+    * distinct-bigram sized, corpus-sublinear. */
+  def bitsTable(docs: DataFrame): DataFrame = {
+    val c2 = docBigrams(Spread(docs)).groupBy("bg").agg(count(lit(1)).as("c2"))
     val c1 = c2
       .groupBy(split(col("bg"), " ").getItem(0).as("w1")).agg(sum("c2").as("c1"))
-    val bits = c2
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    c2.withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(c1, "w1")
       .select(col("bg"), (fl2(col("c1")) - fl2(col("c2"))).as("bits"))
-    bg.join(bits, "bg")
+  }
+
+  /** Serving: score `docs` against an already-trained bits table (inner
+    * join — bigrams unseen at train time contribute nothing; the
+    * train-corpus self-score sees every bigram by construction). This is
+    * the leg a stream runs per micro-batch against the static model. */
+  def scoreWith(docs: DataFrame, bits: DataFrame): DataFrame =
+    docBigrams(docs).join(bits, "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("total_bits"))
       .select(col("doc_id"), col("n_bigrams"), col("total_bits"),
         floor(col("total_bits") * 1000 / col("n_bigrams")).cast("long").as("bits_x1000"))
+
+  /** Per-doc surprisal: (doc_id, n_bigrams, total_bits, bits_x1000)
+    * over docs with ≥ 2 tokens. `bits_x1000` is the floor-scaled mean
+    * surprisal per bigram — the quality-tier sort key. */
+  def surprisal(docs: DataFrame): DataFrame = {
+    val d = Spread(docs)
+    scoreWith(d, bitsTable(d))
   }
 }

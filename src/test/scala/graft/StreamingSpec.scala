@@ -291,6 +291,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(deconBatch.except(deconStream).count() === 0)
   }
 
+  test("trained LM bits and BPE vocab serve a document stream (stream-static model join)") {
+    import graft.operators.{Bpe, NgramLm}
+    val docsBatch = Tables.documents(spark, TestSpark.Sf)
+    val srcDir = tmp("model-src")
+    docsBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
+    // models are trained ONCE on the static snapshot; micro-batches
+    // score/segment against them — the production serve shape
+    val bits = NgramLm.bitsTable(docsBatch).cache()
+    val voc = Bpe.vocab(docsBatch, 3).cache()
+    val outLm = tmp("lm-out"); val outBpe = tmp("bpe-out"); val ckpt = tmp("model-ckpt")
+    val q = spark.readStream
+      .schema(docsBatch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        NgramLm.scoreWith(batch, bits).write.mode("append").parquet(outLm)
+        Bpe.encodeWith(batch, voc).write.mode("append").parquet(outBpe)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val lmBatch = NgramLm.surprisal(docsBatch)
+    val lmStream = spark.read.parquet(outLm)
+    assert(lmStream.count() === lmBatch.count())
+    assert(lmStream.except(lmBatch).count() === 0)
+    assert(lmBatch.except(lmStream).count() === 0)
+    val bpeBatch = Bpe.encode(docsBatch, 3)
+    val bpeStream = spark.read.parquet(outBpe)
+    assert(bpeStream.count() === bpeBatch.count())
+    assert(bpeStream.except(bpeBatch).count() === 0)
+    assert(bpeBatch.except(bpeStream).count() === 0)
+  }
+
   test("CMS sketch merges across micro-batches: per-batch cells sum to the batch sketch") {
     // additivity is what makes the sketch distributable: sketch(A ∪ B) =
     // sketch(A) + sketch(B) cell-wise — so a stream maintains it by
