@@ -85,12 +85,18 @@ object Decontaminate {
     * [[scoreAgainst]]; the left join carries a 1-bit flag instead of the
     * semi join. */
   def contaminationFraction(docs: DataFrame, trainUpto: Int, valUpto: Int,
-      salt: String, k: Int = 3, maxPct: Int = 10): DataFrame = {
+      salt: String, k: Int = 3, maxPct: Int = 10): DataFrame =
+    scoreAgainstFraction(docs, heldOutShingles(docs, trainUpto, valUpto, salt, k),
+      trainUpto, valUpto, salt, k, maxPct)
+
+  /** The fractional serve leg: like [[scoreAgainst]], per-doc output
+    * depends only on the doc's own shingles + the static held-out set,
+    * so a stream runs it per micro-batch batch-identically. */
+  def scoreAgainstFraction(docs: DataFrame, held: DataFrame, trainUpto: Int,
+      valUpto: Int, salt: String, k: Int = 3, maxPct: Int = 10): DataFrame = {
     val tok = tokenized(docs, trainUpto, valUpto, salt, k)
-    val held = heldOutShingles(docs, trainUpto, valUpto, salt, k)
-      .withColumn("_hit", lit(true))
     shingleRows(tok, k).filter(col("split") === "train")
-      .join(held, Seq("shash"), "left")
+      .join(held.withColumn("_hit", lit(true)), Seq("shash"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("_hit"), 1L).otherwise(0L)).as("n_shared"))

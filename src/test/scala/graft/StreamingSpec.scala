@@ -262,7 +262,8 @@ class StreamingSpec extends AnyFunSuite {
     // training docs stream through and score against it per micro-batch
     val held = Decontaminate
       .heldOutShingles(docsBatch, SplitTrain, SplitVal, SplitSalt).cache()
-    val outR = tmp("rep-out"); val outD = tmp("decon-out"); val ckpt = tmp("q-ckpt")
+    val outR = tmp("rep-out"); val outD = tmp("decon-out")
+    val outF = tmp("deconf-out"); val ckpt = tmp("q-ckpt")
     val q = spark.readStream
       .schema(docsBatch.schema)
       .option("maxFilesPerTrigger", "1")
@@ -274,6 +275,8 @@ class StreamingSpec extends AnyFunSuite {
         QualityRules.repetitionStats(batch).write.mode("append").parquet(outR)
         Decontaminate.scoreAgainst(batch, held, SplitTrain, SplitVal, SplitSalt)
           .write.mode("append").parquet(outD)
+        Decontaminate.scoreAgainstFraction(batch, held, SplitTrain, SplitVal, SplitSalt)
+          .write.mode("append").parquet(outF)
         ()
       }
       .start()
@@ -289,6 +292,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(deconStream.count() === deconBatch.count())
     assert(deconStream.except(deconBatch).count() === 0)
     assert(deconBatch.except(deconStream).count() === 0)
+    val fracBatch = Decontaminate
+      .contaminationFraction(docsBatch, SplitTrain, SplitVal, SplitSalt)
+    val fracStream = spark.read.parquet(outF)
+    assert(fracStream.count() === fracBatch.count())
+    assert(fracStream.except(fracBatch).count() === 0)
+    assert(fracBatch.except(fracStream).count() === 0)
   }
 
   test("trained LM bits and BPE vocab serve a document stream (stream-static model join)") {
