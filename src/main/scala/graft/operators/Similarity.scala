@@ -345,6 +345,33 @@ object Similarity {
       .select("q_id", "rank", "c_id", "adist")
   }
 
+  /** Two-stage retrieval — the FAISS IVFPQ+refine serving pattern: PQ/ADC
+    * produces `kCoarse` candidates per query from the compressed code
+    * table alone, then ONLY those pairs read their full-precision vectors
+    * back for an exact-cosine re-rank to the final `k`. Refine work is
+    * queries × kCoarse, never queries × corpus — the expensive exact
+    * metric touches a candidate set that is already bounded, the same
+    * candidates-only discipline as [[Dedup.jaccardOnCandidates]].
+    *
+    * Recall dominance (SimilaritySpec): any true top-k member the coarse
+    * stage retrieves at all is GUARANTEED into the refined top-k (every
+    * candidate with a higher exact cosine is itself a true top-≤k
+    * member), so refine ≥ raw PQ at equal k by construction. */
+  def pqRefineTopK(embeddings: DataFrame, kCoarse: Int = 10, k: Int = 3): DataFrame = {
+    val cand = pqTopK(embeddings, kCoarse).select("q_id", "c_id")
+    val v = prepared(embeddings)
+    val qv = v.select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val cv = v.select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    cand.join(qv, "q_id").join(cv, "c_id")
+      .select(col("q_id"), col("c_id"),
+        cosine(col("qq"), col("cq"), col("qn2"), col("cn2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
   /** Default near-dup LSH shape — shared with the DuckDB oracle generator
     * so both sides band identically. */
   val NearDupTables = 4

@@ -83,6 +83,41 @@ object TrainingOracles {
        |    SELECT n, unnest(${bpePairs("syms")}) AS pair FROM w2) GROUP BY 1),
        |t3 AS (${bpeTop("p3")})""".stripMargin
 
+  /** PQ/ADC chain through the approximate-distance `pairs` CTE —
+    * per-subspace centroids carried as (sum vector, count) so every
+    * distance is exact-integer arithmetic until ONE division
+    * (Σ(n·x − S)²/n²); the per-pair fold sums the 8 subspace distances
+    * in j order via list(d2 ORDER BY j) → list_sum, matching Spark's
+    * index-order aggregate() fold bit-for-bit. Shared by s_pq_topk and
+    * s_refine. Defined lazily: EmbCte is referenced before its own
+    * initializer otherwise. */
+  private lazy val PqChain = {
+    val subD2 = "list_sum(list_transform(range(1, 9), t -> " +
+      "pow(c.n * v.qv[c.j*8 + t] - c.sv[t], 2))) / (c.n * c.n)"
+    s"""$EmbCte,
+       |dims AS (SELECT vec_id, label, qv, unnest(range(1, 65)) AS i FROM n),
+       |subcent AS (
+       |  SELECT label AS c_label, (i-1)//8 AS j, i, sum(qv[i]) AS s, count(*) AS cnt
+       |  FROM dims GROUP BY 1, 2, 3),
+       |centv AS (
+       |  SELECT c_label, j, list(s ORDER BY i) AS sv, min(cnt) AS n
+       |  FROM subcent GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT v.vec_id, c.j, c.c_label, $subD2 AS d2
+       |  FROM n v, centv c),
+       |codes AS (
+       |  SELECT vec_id, j, c_label AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |                                 ORDER BY d2 ASC, c_label ASC) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |pairs AS (
+       |  SELECT d.vec_id AS q_id, k.vec_id AS c_id,
+       |    list_sum(list(d.d2 ORDER BY d.j)) AS ad
+       |  FROM scored d JOIN codes k ON d.j = k.j AND d.c_label = k.code
+       |  WHERE d.vec_id % 97 = 0 AND k.vec_id <> d.vec_id
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Quantized-embedding CTE: vec_id, label, qv, n2, bucket. */
   private val EmbCte =
     """WITH q AS (
@@ -651,37 +686,31 @@ object TrainingOracles {
     // division (Σ(n·x − S)²/n²); the per-pair fold sums the 8 subspace
     // distances in j order via list(d2 ORDER BY j) → list_sum, matching
     // Spark's index-order aggregate() fold bit-for-bit.
-    "s_pq_topk" -> {
-      val subD2 = "list_sum(list_transform(range(1, 9), t -> " +
-        "pow(c.n * v.qv[c.j*8 + t] - c.sv[t], 2))) / (c.n * c.n)"
-      s"""$EmbCte,
-         |dims AS (SELECT vec_id, label, qv, unnest(range(1, 65)) AS i FROM n),
-         |subcent AS (
-         |  SELECT label AS c_label, (i-1)//8 AS j, i, sum(qv[i]) AS s, count(*) AS cnt
-         |  FROM dims GROUP BY 1, 2, 3),
-         |centv AS (
-         |  SELECT c_label, j, list(s ORDER BY i) AS sv, min(cnt) AS n
-         |  FROM subcent GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT v.vec_id, c.j, c.c_label, $subD2 AS d2
-         |  FROM n v, centv c),
-         |codes AS (
-         |  SELECT vec_id, j, c_label AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
-         |                                 ORDER BY d2 ASC, c_label ASC) AS rn
-         |    FROM scored) t WHERE rn = 1),
-         |pairs AS (
-         |  SELECT d.vec_id AS q_id, k.vec_id AS c_id,
-         |    list_sum(list(d.d2 ORDER BY d.j)) AS ad
-         |  FROM scored d JOIN codes k ON d.j = k.j AND d.c_label = k.code
-         |  WHERE d.vec_id % 97 = 0 AND k.vec_id <> d.vec_id
-         |  GROUP BY 1, 2)
+    "s_pq_topk" ->
+      s"""$PqChain
          |SELECT q_id, rank, c_id, adist FROM (
          |  SELECT q_id, c_id, floor(ad * 1000000) / 1000000 AS adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS rank
          |  FROM pairs) t
-         |WHERE rank <= 3""".stripMargin
-    },
+         |WHERE rank <= 3""".stripMargin,
+
+    // two-stage refine mirror: PQ top-10 coarse candidates, exact
+    // quantized cosine re-rank to top-3 (chain CTEs shared with
+    // s_pq_topk)
+    "s_refine" ->
+      s"""$PqChain,
+         |cand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS rank
+         |    FROM pairs) t
+         |  WHERE rank <= 10)
+         |SELECT q_id, rank, c_id, cos FROM (
+         |  SELECT cand.q_id, cand.c_id, $CosAB AS cos,
+         |    row_number() OVER (PARTITION BY cand.q_id ORDER BY $CosAB DESC, cand.c_id ASC) AS rank
+         |  FROM cand JOIN n a ON a.vec_id = cand.q_id
+         |            JOIN n b ON b.vec_id = cand.c_id) t
+         |WHERE rank <= 3""".stripMargin,
 
     // PII-redaction mirror: same augmented text, same regexes (simple
     // enough to mean the same under Java regex and RE2), 'g' flag matches

@@ -30,7 +30,9 @@ class PlanLintSpec extends AnyFunSuite {
       // the candidate generator, not the rerank (which is all equi)
       "s_mmr",
       // each BPE step broadcasts its 1-row top pair into the next fold
-      "t_bpe_merges", "t_bpe_encode")
+      "t_bpe_merges", "t_bpe_encode",
+      // refine reuses s_pq_topk's coarse stage (1-row codebook broadcast)
+      "s_refine")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -299,6 +299,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.map(r => (r._2, r._3)).toSeq === Seq((1, 1L), (2, 2L), (3, 3L)))
   }
 
+  test("PQ refine: recall dominance over raw PQ, exact-cosine ordering") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val brute = Similarity.bruteTopK(emb, 3)
+      .select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, 3)
+      .select(col("q_id"), col("c_id")).as[(Long, Long)].collect().toSet
+    val refined = Similarity.pqRefineTopK(emb)
+      .as[(Long, Long, Long, Double)].collect()
+    val refinedSet = refined.map(r => (r._1, r._3)).toSet
+    // any true top-3 member the coarse stage retrieves lands in the
+    // refined top-3 by construction, so refine's recall of the exact
+    // answer is ≥ raw PQ's at equal k
+    assert((brute intersect refinedSet).size >= (brute intersect pq).size)
+    // per query: ranks dense from 1, cos non-increasing in rank order
+    refined.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      })
+    }
+  }
+
   test("MMR on the corpus: rank-1 agrees with brute; selections are distinct top-5 members") {
     val emb = Tables.embeddings(spark, TestSpark.Sf)
     val mmr = Similarity.mmrRerank(emb).as[(Long, Int, Long)].collect()
