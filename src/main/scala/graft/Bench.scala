@@ -98,6 +98,7 @@ object Bench {
     "t_bpe_merges" -> 1.9,
     "t_bpe_encode" -> 1.9,
     "t_lm_score" -> 2.0,
+    "t_dsir" -> 2.5,
     "d_lpa" -> 2.7,
     "s_refine" -> 2.2,
     "d_semdedup" -> 1.6,

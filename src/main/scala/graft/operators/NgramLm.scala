@@ -29,7 +29,7 @@ object NgramLm {
 
   /** floor(log2 n) as an exact integer — `bin` is the codegen'd
     * long→binary-string builtin in both engines. */
-  private def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
+  private[operators] def fl2(c: Column): Column = (length(bin(c)) - 1).cast("long")
 
   private def nBigrams(toks: Column): Column = size(toks) - 1
 
@@ -71,5 +71,62 @@ object NgramLm {
   def surprisal(docs: DataFrame): DataFrame = {
     val d = Spread(docs)
     scoreWith(d, bitsTable(d))
+  }
+}
+
+/** DSIR-style data selection via importance resampling (Xie et al.
+  * 2023, arXiv:2302.03169): score every raw document by how much its
+  * hashed n-gram features look like a TARGET domain relative to the raw
+  * corpus — `Σ_features [log p_target(b) − log p_raw(b)]` over hashed
+  * feature buckets — then keep the high-importance tail. The log ratio
+  * uses [[NgramLm.fl2]]'s exact-integer floor-log2 with add-one
+  * smoothing, so the score is a deterministic BIGINT in both engines.
+  *
+  * Features are token unigrams + bigrams hashed into 1024 buckets by
+  * the 13-hex md5 parity rule the hashed classifier and CMS sketch
+  * share. The target here is the corpus's own `lang = targetLang`
+  * slice — deterministic and self-contained; production swaps any seed
+  * corpus in for the conditional count.
+  *
+  * Scale: one corpus pass builds BOTH count columns of the 1024-row
+  * weight table in a single conditional agg (map-side combined); the
+  * table then broadcasts into the scoring pass — same two-pass
+  * train/serve shape as [[NgramLm]], with an O(1)-size model. */
+object Dsir {
+
+  private def grams(toks: Column): Column =
+    concat(toks, TextOps.shinglesOfTokens(toks, 2))
+
+  private def bucketOf(g: Column): Column =
+    pmod(conv(substring(md5(g), 1, 13), 16, 10).cast("long"), lit(1024L))
+
+  private def docGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+        explode(grams(TextOps.tokens(col("text")))).as("g"))
+      .withColumn("bucket", bucketOf(col("g")))
+
+  /** The trained model: (bucket, w) — 1024 rows. */
+  def weightTable(docs: DataFrame, targetLang: String = "en"): DataFrame =
+    docGrams(Spread(docs))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("c_tgt"))
+      .select(col("bucket"),
+        (NgramLm.fl2(col("c_tgt") + 1) - NgramLm.fl2(col("c_raw") + 1)).as("w"))
+
+  /** Serving: per-doc importance over an already-trained weight table
+    * (docs with ≥ 1 token). `score_x1000` is the floor-scaled mean
+    * feature weight — the resampling sort key. */
+  def scoreWith(docs: DataFrame, weights: DataFrame): DataFrame =
+    docGrams(docs)
+      .join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("dsir_score"))
+      .select(col("doc_id"), col("n_feats"), col("dsir_score"),
+        floor(col("dsir_score") * 1000 / col("n_feats")).cast("long").as("score_x1000"))
+
+  def importance(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    val d = Spread(docs)
+    scoreWith(d, weightTable(d, targetLang))
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, Multimodal, NgramLm, QualityRules, Sampling, SeqPack, Similarity, TextOps}
+import graft.operators.{Bpe, Decontaminate, Dedup, Dsir, Multimodal, NgramLm, QualityRules, Sampling, SeqPack, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -164,6 +164,9 @@ object Training {
 
   /** CCNet-style bigram-LM surprisal scoring (exact-integer log2 proxy). */
   val tLmScore: Q = (s, d) => NgramLm.surprisal(docs(s, d))
+
+  /** DSIR importance weights vs the en-language target slice. */
+  val tDsir: Q = (s, d) => Dsir.importance(docs(s, d))
 
   /** Gopher-style repetition signals (dup n-gram fractions, top-token
     * share). */
@@ -360,6 +363,7 @@ object Training {
     "t_bpe_merges" -> tBpeMerges,
     "t_bpe_encode" -> tBpeEncode,
     "t_lm_score" -> tLmScore,
+    "t_dsir" -> tDsir,
     "t_rep_stats" -> tRepStats,
     "t_quality_clf" -> tQualityClf,
     "t_c4_rules" -> tC4Rules,

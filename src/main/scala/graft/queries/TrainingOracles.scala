@@ -844,6 +844,25 @@ object TrainingOracles {
          |       CAST((sum(bits.bits) * 1000) // count(*) AS BIGINT) AS bits_x1000
          |FROM bg JOIN bits USING (bg) GROUP BY 1""".stripMargin,
 
+    // DSIR mirror: same 13-hex md5 bucket rule as t_quality_clf, both
+    // count columns from one conditional agg, add-one exact floor-log2
+    // ratio weights
+    "t_dsir" ->
+      s"""$TokCte,
+         |g AS (SELECT doc_id, lang,
+         |    ('0x' || substr(md5(gr), 1, 13))::BIGINT % 1024 AS bucket
+         |  FROM (SELECT doc_id, lang, unnest(list_concat(toks,
+         |    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]))) AS gr
+         |  FROM tok) u),
+         |w AS (SELECT bucket,
+         |    (len(bin(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1 AS BIGINT))) - 1)
+         |  - (len(bin(CAST(count(*) + 1 AS BIGINT))) - 1) AS w
+         |  FROM g GROUP BY 1)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |  CAST(sum(w.w) AS BIGINT) AS dsir_score,
+         |  CAST(floor(sum(w.w) * 1000.0 / count(*)) AS BIGINT) AS score_x1000
+         |FROM g JOIN w ON g.bucket = w.bucket GROUP BY 1""".stripMargin,
+
     // epoch shuffle mirror: same shard hash (13-hex md5 mod), same
     // independent order hash, same tie-break
     "t_epoch_shuffle" ->

@@ -26,6 +26,18 @@ class QualitySpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 1L, 0L, 0L), (2L, 1L, 0L, 0L), (3L, 1L, 1L, 1000L)))
   }
 
+  test("DSIR importance: target-slice features weigh 0, raw-only features -1") {
+    // disjoint grams per doc ⇒ each bucket holds one gram (no md5
+    // collision for these literals — deterministic). en doc: every
+    // feature has c_tgt = c_raw = 1 ⇒ w = fl2(2) - fl2(2) = 0.
+    // de doc: c_tgt = 0, c_raw = 1 ⇒ w = fl2(1) - fl2(2) = -1.
+    val docs = Seq((1L, "aa bb", "en"), (2L, "cc dd", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.Dsir.importance(docs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 3L, 0L, 0L), (2L, 3L, -3L, -1000L)))
+  }
+
   test("contamination flags exactly the train docs sharing a shingle with held-out docs") {
     val (trainUpto, valUpto, salt) = (230, 243, "split1")
     val ids = (1L to 60L)
