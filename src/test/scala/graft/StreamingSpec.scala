@@ -301,7 +301,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("trained LM bits and BPE vocab serve a document stream (stream-static model join)") {
-    import graft.operators.{Bpe, NgramLm}
+    import graft.operators.{Bpe, Dsir, NgramLm}
     val docsBatch = Tables.documents(spark, TestSpark.Sf)
     val srcDir = tmp("model-src")
     docsBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
@@ -309,7 +309,9 @@ class StreamingSpec extends AnyFunSuite {
     // score/segment against them — the production serve shape
     val bits = NgramLm.bitsTable(docsBatch).cache()
     val voc = Bpe.vocab(docsBatch, 3).cache()
-    val outLm = tmp("lm-out"); val outBpe = tmp("bpe-out"); val ckpt = tmp("model-ckpt")
+    val wts = Dsir.weightTable(docsBatch).cache()
+    val outLm = tmp("lm-out"); val outBpe = tmp("bpe-out")
+    val outDs = tmp("dsir-out"); val ckpt = tmp("model-ckpt")
     val q = spark.readStream
       .schema(docsBatch.schema)
       .option("maxFilesPerTrigger", "1")
@@ -320,6 +322,7 @@ class StreamingSpec extends AnyFunSuite {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         NgramLm.scoreWith(batch, bits).write.mode("append").parquet(outLm)
         Bpe.encodeWith(batch, voc).write.mode("append").parquet(outBpe)
+        Dsir.scoreWith(batch, wts).write.mode("append").parquet(outDs)
         ()
       }
       .start()
@@ -334,6 +337,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(bpeStream.count() === bpeBatch.count())
     assert(bpeStream.except(bpeBatch).count() === 0)
     assert(bpeBatch.except(bpeStream).count() === 0)
+    val dsBatch = Dsir.importance(docsBatch)
+    val dsStream = spark.read.parquet(outDs)
+    assert(dsStream.count() === dsBatch.count())
+    assert(dsStream.except(dsBatch).count() === 0)
+    assert(dsBatch.except(dsStream).count() === 0)
   }
 
   test("CMS sketch merges across micro-batches: per-batch cells sum to the batch sketch") {
