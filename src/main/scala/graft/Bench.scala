@@ -99,6 +99,7 @@ object Bench {
     "t_bpe_encode" -> 1.9,
     "t_lm_score" -> 2.0,
     "t_dsir" -> 2.5,
+    "t_chunk" -> 1.0,
     "d_lpa" -> 2.7,
     "s_refine" -> 2.2,
     "d_semdedup" -> 1.6,

@@ -45,4 +45,29 @@ object SeqPack {
         (least((col("seq_id") + 1) * b, col("start") + col("n_toks")) -
           greatest(col("seq_id") * b, col("start"))).as("tok_len"))
   }
+
+  /** Overlapping token-window chunking — the RAG/embedding-pipeline
+    * pre-step (each chunk is an embedding/retrieval unit; the overlap
+    * keeps boundary context in two chunks). Per doc with ≥ 1 token:
+    * windows of `window` tokens starting every `stride` tokens while the
+    * start is inside the doc; the tail chunk is the natural partial.
+    * Chunk CONTENT is gated by md5 fingerprint so the relational output
+    * stays narrow while pinning every token of every chunk.
+    *
+    * Purely per-row (one `sequence` explode + clamped `slice`s — no
+    * join, no shuffle, no window): embarrassingly parallel at any
+    * scale, output ≈ corpus_tokens / stride rows. */
+  def chunkWindows(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame =
+    Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("long").as("chunk_idx"),
+        col("start_tok").cast("long"),
+        slice(col("toks"), col("start_tok") + 1, lit(window)).as("ct"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("ct")).cast("long").as("n_chunk_toks"),
+        md5(concat_ws(" ", col("ct"))).as("fp"))
 }

@@ -168,6 +168,9 @@ object Training {
   /** DSIR importance weights vs the en-language target slice. */
   val tDsir: Q = (s, d) => Dsir.importance(docs(s, d))
 
+  /** Overlapping token-window chunks (RAG/embedding unit prep). */
+  val tChunk: Q = (s, d) => SeqPack.chunkWindows(docs(s, d))
+
   /** Gopher-style repetition signals (dup n-gram fractions, top-token
     * share). */
   val tRepStats: Q = (s, d) => QualityRules.repetitionStats(docs(s, d))
@@ -364,6 +367,7 @@ object Training {
     "t_bpe_encode" -> tBpeEncode,
     "t_lm_score" -> tLmScore,
     "t_dsir" -> tDsir,
+    "t_chunk" -> tChunk,
     "t_rep_stats" -> tRepStats,
     "t_quality_clf" -> tQualityClf,
     "t_c4_rules" -> tC4Rules,

@@ -844,6 +844,18 @@ object TrainingOracles {
          |       CAST((sum(bits.bits) * 1000) // count(*) AS BIGINT) AS bits_x1000
          |FROM bg JOIN bits USING (bg) GROUP BY 1""".stripMargin,
 
+    // chunk mirror: same stride-64/48 windows, clamped list slice,
+    // md5-of-joined-tokens content gate (range() excludes its stop,
+    // sequence() includes it — 0..n-1 step 48 lands identically)
+    "t_chunk" ->
+      s"""$TokCte
+         |SELECT doc_id, CAST(st // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(st AS BIGINT) AS start_tok,
+         |  CAST(len(toks[st+1:st+64]) AS BIGINT) AS n_chunk_toks,
+         |  md5(array_to_string(toks[st+1:st+64], ' ')) AS fp
+         |FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st
+         |      FROM tok WHERE len(toks) > 0) u""".stripMargin,
+
     // DSIR mirror: same 13-hex md5 bucket rule as t_quality_clf, both
     // count columns from one conditional agg, add-one exact floor-log2
     // ratio weights

@@ -297,6 +297,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("chunk windows: stride starts, clamped tails, content fingerprints") {
+    import graft.operators.SeqPack
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = (0 until 100).map(i => s"a$i")
+    val out = SeqPack.chunkWindows(docsOf((1L, toks.mkString(" ")), (2L, "x y")))
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    // doc 1 (100 toks): starts 0/48/96 with 64/52/4 tokens; doc 2: one tail
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq === Seq(
+      (1L, 0L, 0L, 64L), (1L, 1L, 48L, 52L), (1L, 2L, 96L, 4L), (2L, 0L, 0L, 2L)))
+    assert(out(1)._5 === md5Of(toks.slice(48, 100).mkString(" ")))
+    assert(out(3)._5 === md5Of("x y"))
+  }
+
   test("semdedup: min vec_id per cell always kept; drops need a lower-id witness") {
     val out = Dedup.semDedup(graft.Tables.embeddings(spark, TestSpark.Sf))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
