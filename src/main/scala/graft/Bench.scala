@@ -100,6 +100,7 @@ object Bench {
     "t_lm_score" -> 2.0,
     "t_dsir" -> 2.5,
     "t_chunk" -> 1.0,
+    "t_lm_tiers" -> 2.1,
     "d_lpa" -> 2.7,
     "s_refine" -> 2.2,
     "d_semdedup" -> 1.6,

@@ -72,6 +72,38 @@ object NgramLm {
     val d = Spread(docs)
     scoreWith(d, bitsTable(d))
   }
+
+  /** CCNet's head/middle/tail bucketing: docs sorted by LM surprisal
+    * split at the tercile boundaries — head (lowest perplexity) is the
+    * high-quality slice the pipeline upsamples. Boundaries are EXACT:
+    * tier t's cut is the smallest score value whose cumulative doc count
+    * reaches ceil(t·n/3); ties share the lower tier by construction (a
+    * value never straddles a cut).
+    *
+    * Scale: no global sort over the corpus — the per-doc pass feeds a
+    * (score value → count) histogram that is DISTINCT-VALUE sized
+    * (bits_x1000 has thousands of values at any corpus size), the
+    * cumulative window runs on that tiny relation, and the two boundary
+    * values broadcast back into a per-doc projection. */
+  def qualityTiers(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = surprisal(docs).select(col("doc_id"), col("bits_x1000"))
+    val hist = scored.groupBy("bits_x1000").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("bits_x1000")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the histogram is tiny — the single-partition cumulative window is
+    // metadata-scale, not a corpus funnel
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy()))
+    val bounds = cum.agg(
+      min(when(col("cum") * 3 >= col("n"), col("bits_x1000"))).as("b1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("bits_x1000"))).as("b2"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("bits_x1000"),
+        when(col("bits_x1000") <= col("b1"), lit(0L))
+          .when(col("bits_x1000") <= col("b2"), lit(1L))
+          .otherwise(lit(2L)).as("tier"))
+  }
 }
 
 /** DSIR-style data selection via importance resampling (Xie et al.

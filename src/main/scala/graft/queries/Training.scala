@@ -171,6 +171,9 @@ object Training {
   /** Overlapping token-window chunks (RAG/embedding unit prep). */
   val tChunk: Q = (s, d) => SeqPack.chunkWindows(docs(s, d))
 
+  /** CCNet head/middle/tail quality terciles over the LM score. */
+  val tLmTiers: Q = (s, d) => NgramLm.qualityTiers(docs(s, d))
+
   /** Gopher-style repetition signals (dup n-gram fractions, top-token
     * share). */
   val tRepStats: Q = (s, d) => QualityRules.repetitionStats(docs(s, d))
@@ -368,6 +371,7 @@ object Training {
     "t_lm_score" -> tLmScore,
     "t_dsir" -> tDsir,
     "t_chunk" -> tChunk,
+    "t_lm_tiers" -> tLmTiers,
     "t_rep_stats" -> tRepStats,
     "t_quality_clf" -> tQualityClf,
     "t_c4_rules" -> tC4Rules,

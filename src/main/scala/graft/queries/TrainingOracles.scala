@@ -40,6 +40,26 @@ object TrainingOracles {
        |sig AS (SELECT doc_id, ${minhash(0)} AS sig0, ${minhash(1)} AS sig1,
        |               ${minhash(2)} AS sig2, ${minhash(3)} AS sig3 FROM shi)""".stripMargin
 
+  /** Bigram-LM surprisal chain ending in the per-doc `lmscore` CTE
+    * (doc_id, n_bigrams, total_bits, bits_x1000) — shared by t_lm_score
+    * and t_lm_tiers. */
+  private val LmScoreCte =
+    s"""$TokCte,
+       |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
+       |                 i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+       |       FROM tok WHERE len(toks) >= 2),
+       |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
+       |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
+       |       FROM c2 GROUP BY 1),
+       |bits AS (SELECT c2.bg,
+       |           (len(bin(c1.c1)) - 1) - (len(bin(c2.c2)) - 1) AS bits
+       |         FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1),
+       |lmscore AS (
+       |  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |         CAST(sum(bits.bits) AS BIGINT) AS total_bits,
+       |         CAST((sum(bits.bits) * 1000) // count(*) AS BIGINT) AS bits_x1000
+       |  FROM bg JOIN bits USING (bg) GROUP BY 1)""".stripMargin
+
   /** BPE oracle plumbing — DuckDB's list_reduce needs acc type ==
     * element type, so the greedy-leftmost fold carries the merged word
     * as a "|s1|s2|..." string (the LIKE '%|x' suffix test is the
@@ -828,21 +848,25 @@ object TrainingOracles {
 
     // bigram-LM surprisal mirror: context counts derived from the bigram
     // table, exact-integer floor-log2 via len(bin(n))-1 in both engines
+    // (chain shared with t_lm_tiers)
     "t_lm_score" ->
-      s"""$TokCte,
-         |bg AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 1),
-         |                 i -> toks[i+1] || ' ' || toks[i+2])) AS bg
-         |       FROM tok WHERE len(toks) >= 2),
-         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1),
-         |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1
-         |       FROM c2 GROUP BY 1),
-         |bits AS (SELECT c2.bg,
-         |           (len(bin(c1.c1)) - 1) - (len(bin(c2.c2)) - 1) AS bits
-         |         FROM c2 JOIN c1 ON string_split(c2.bg, ' ')[1] = c1.w1)
-         |SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |       CAST(sum(bits.bits) AS BIGINT) AS total_bits,
-         |       CAST((sum(bits.bits) * 1000) // count(*) AS BIGINT) AS bits_x1000
-         |FROM bg JOIN bits USING (bg) GROUP BY 1""".stripMargin,
+      s"""$LmScoreCte
+         |SELECT doc_id, n_bigrams, total_bits, bits_x1000 FROM lmscore""".stripMargin,
+
+    // CCNet tercile mirror: distinct-value histogram, cumulative window,
+    // smallest value reaching ceil(t·n/3) as the cut
+    "t_lm_tiers" ->
+      s"""$LmScoreCte,
+         |hist AS (SELECT bits_x1000 AS v, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM lmscore GROUP BY 1),
+         |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+         |               sum(cnt) OVER () AS n FROM hist),
+         |b AS (SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS b1,
+         |             min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS b2 FROM cum)
+         |SELECT s.doc_id, s.bits_x1000,
+         |  CAST(CASE WHEN s.bits_x1000 <= b.b1 THEN 0
+         |            WHEN s.bits_x1000 <= b.b2 THEN 1 ELSE 2 END AS BIGINT) AS tier
+         |FROM lmscore s, b""".stripMargin,
 
     // chunk mirror: same stride-64/48 windows, clamped list slice,
     // md5-of-joined-tokens content gate (range() excludes its stop,

@@ -32,7 +32,9 @@ class PlanLintSpec extends AnyFunSuite {
       // each BPE step broadcasts its 1-row top pair into the next fold
       "t_bpe_merges", "t_bpe_encode",
       // refine reuses s_pq_topk's coarse stage (1-row codebook broadcast)
-      "s_refine")
+      "s_refine",
+      // tercile cuts ride a 1-row broadcast bounds table
+      "t_lm_tiers")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

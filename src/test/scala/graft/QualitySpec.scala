@@ -38,6 +38,26 @@ class QualitySpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 3L, 0L, 0L), (2L, 3L, -3L, -1000L)))
   }
 
+  test("LM quality tiers: exact tercile cuts re-derived independently") {
+    import graft.operators.NgramLm
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val scores = NgramLm.surprisal(docs)
+      .select($"doc_id", $"bits_x1000").as[(Long, Long)].collect()
+    // independent boundary derivation from the sorted score multiset
+    val sorted = scores.map(_._2).sorted
+    val n = sorted.length
+    def cut(t: Int) = sorted((n * t + 2) / 3 - 1) // value at rank ceil(t*n/3)
+    val (b1, b2) = (cut(1), cut(2))
+    val expected = scores.map { case (id, v) =>
+      id -> (if (v <= b1) 0L else if (v <= b2) 1L else 2L)
+    }.toMap
+    val got = NgramLm.qualityTiers(docs)
+      .select($"doc_id", $"tier").as[(Long, Long)].collect().toMap
+    assert(got === expected)
+    // all three tiers are populated at this corpus size
+    assert(got.values.toSet === Set(0L, 1L, 2L))
+  }
+
   test("contamination flags exactly the train docs sharing a shingle with held-out docs") {
     val (trainUpto, valUpto, salt) = (230, 243, "split1")
     val ids = (1L to 60L)
