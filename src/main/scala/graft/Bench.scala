@@ -110,6 +110,7 @@ object Bench {
     "d_simhash_nn" -> 7.5,
     "m_pixels" -> 0.4,
     "m_resize" -> 0.4,
+    "m_dhash" -> 0.4,
     // streaming drain anchors (AvailableNow, forced
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,

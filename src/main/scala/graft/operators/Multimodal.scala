@@ -318,6 +318,49 @@ object Multimodal {
     })
   }
 
+  final case class DHashRow(doc_id: Long, dhash: String, n_ones: Int)
+
+  /** dHash — the difference-hash image fingerprint LAION-style multimodal
+    * dedup runs at corpus scale: decode → 9×8 nearest resize → integer
+    * luminance → 64 horizontal-gradient bits (bit y·8+x set iff
+    * gray(x+1,y) > gray(x,y)). Near-identical images differ in a few
+    * bits, so downstream dedup is hamming banding over these codes —
+    * the same pigeonhole pipeline d_simhash_nn runs on text. All
+    * arithmetic is integer (sum-scaled BT.601 luma with one floor
+    * division), the 64-bit code renders as fixed-width hex (two's
+    * complement == UBIGINT semantics in the oracle), and the kernel is
+    * a narrow `mapPartitions` — no shuffle anywhere. */
+  private[graft] def dhashOf(w: Int, h: Int, rgb: Array[Byte]): (String, Int) = {
+    val g9 = resizeNearest(w, h, rgb, 9, 8)
+    def gray(x: Int, y: Int): Int = {
+      val p = 3 * (y * 9 + x)
+      (299 * (g9(p) & 0xFF) + 587 * (g9(p + 1) & 0xFF) + 114 * (g9(p + 2) & 0xFF)) / 1000
+    }
+    var bits = 0L
+    var n = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (gray(x + 1, y) > gray(x, y)) { bits |= 1L << (y * 8 + x); n += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    (f"$bits%016x", n)
+  }
+
+  def dhashes(docs: DataFrame): Dataset[DHashRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      decodeBmpPixels(synthBmpImage(id)).map { case (w, h, rgb) =>
+        val (hex, n) = dhashOf(w, h, rgb)
+        DHashRow(id, hex, n)
+      }
+    })
+  }
+
   /** Frame sampling: each media row explodes into `1 + n_bytes % 5` frames
     * with evenly spaced timestamps over a nominal 1s clip. Pure column
     * ops over the decode output — the plan Spark would run for real video. */

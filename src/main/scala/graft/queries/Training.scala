@@ -338,6 +338,7 @@ object Training {
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
   val mPixels: Q = (s, d) => Multimodal.pixelStats(docs(s, d)).toDF()
   val mResize: Q = (s, d) => Multimodal.resizeStats(docs(s, d)).toDF()
+  val mDhash: Q = (s, d) => Multimodal.dhashes(docs(s, d)).toDF()
 
   val all: Map[String, Q] = Map(
     "t_text_stats" -> tTextStats,
@@ -395,5 +396,6 @@ object Training {
     "m_audio" -> mAudio,
     "m_pixels" -> mPixels,
     "m_resize" -> mResize,
+    "m_dhash" -> mDhash,
   )
 }

@@ -1197,6 +1197,30 @@ object TrainingOracles {
         |  CAST(sum((5*doc_id + sx + sy) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1""".stripMargin,
 
+    // dHash mirror: the oracle samples the pixel function at the 9×8
+    // nearest-resize coordinates, same integer BT.601 luma, bit y*8+x
+    // via 2^k HUGEINT sum → UBIGINT → fixed-width hex (== Spark's
+    // two's-complement %016x)
+    "m_dhash" -> {
+      def gray(sx: String, sy: String) =
+        s"((299*((doc_id + 7*$sx + 13*$sy) % 256) + " +
+          s"587*((2*doc_id + 11*$sx + 3*$sy) % 256) + " +
+          s"114*((5*doc_id + $sx + $sy) % 256)) // 1000)"
+      val (gxy, gx1y) = (gray("((x * w) // 9)", "((y * h) // 8)"),
+        gray("(((x+1) * w) // 9)", "((y * h) // 8)"))
+      s"""WITH g AS (
+         |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (3*doc_id) % 16 AS h
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, tx.x AS x, ty.y AS y,
+         |    CASE WHEN $gx1y > $gxy THEN 1 ELSE 0 END AS bit
+         |  FROM g, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 8)) AS ty(y))
+         |SELECT doc_id,
+         |  lower(lpad(to_hex(sum(bit * (1::HUGEINT << (y*8 + x)))::UBIGINT), 16, '0')) AS dhash,
+         |  CAST(sum(bit) AS INT) AS n_ones
+         |FROM b GROUP BY 1""".stripMargin
+    },
+
     "m_frames" ->
       """SELECT doc_id, frame_idx, frame_idx * 1000 // n_frames AS frame_ts_ms
         |FROM (SELECT doc_id, 1 + n_bytes % 5 AS n_frames,

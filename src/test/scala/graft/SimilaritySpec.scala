@@ -250,6 +250,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Multimodal.decodeHeader(4L, junk) === MediaMeta(4L, "unknown", 0, 0, 3L))
   }
 
+  test("dHash: monotone gradient sets all 64 bits, constant image none") {
+    def img(f: (Int, Int) => Int): Array[Byte] = {
+      val a = new Array[Byte](3 * 9 * 8)
+      for (y <- 0 until 8; x <- 0 until 9; c <- 0 until 3)
+        a(3 * (y * 9 + x) + c) = f(x, y).toByte
+      a
+    }
+    // equal channels ⇒ BT.601 luma is the channel value exactly
+    val (up, n1) = Multimodal.dhashOf(9, 8, img((x, _) => x * 28))
+    assert((up, n1) === (("ffffffffffffffff", 64)))
+    val (flat, n0) = Multimodal.dhashOf(9, 8, img((_, _) => 77))
+    assert((flat, n0) === (("0000000000000000", 0)))
+  }
+
   test("audio decoder: RIFF chunk walk recovers the synthesized fmt/data fields") {
     import graft.operators.{AudioMeta, Multimodal}
     // stereo doc (odd id), 44.1k (textBytes%3==2), 255 data bytes
