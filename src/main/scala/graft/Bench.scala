@@ -111,6 +111,7 @@ object Bench {
     "m_pixels" -> 0.4,
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,
+    "m_dhash_nn" -> 1.6,
     // streaming drain anchors (AvailableNow, forced
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,

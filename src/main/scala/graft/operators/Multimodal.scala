@@ -361,6 +361,31 @@ object Multimodal {
     })
   }
 
+  /** Hamming-ball image near-dup pairs over [[dhashes]] codes — the
+    * retrieval step of perceptual image dedup. The 64-bit code splits
+    * into 4 chunks of 16 bits (4 hex chars); by pigeonhole any pair at
+    * hamming ≤ 3 agrees EXACTLY on ≥ 1 chunk, so banding on chunk value
+    * has perfect recall at the ≤ 3 threshold (same argument as
+    * [[Dedup.simhashNeighbors]], proven complete in SimilaritySpec).
+    * One band-key self-join with occupancy cap; hamming verified only
+    * on candidates. */
+  def dhashNeighbors(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val codes = dhashes(docs).toDF()
+    val banded = codes.select(col("doc_id"),
+      explode(array((0 until 4).map(c =>
+        concat(lit(s"c$c:"), substring(col("dhash"), 4 * c + 1, 4))): _*)).as("band"))
+    def chunk(h: org.apache.spark.sql.Column, c: Int) =
+      conv(substring(h, 4 * c + 1, 4), 16, 10).cast("long")
+    Dedup.pairsWithinBuckets(banded, "band", maxBucket = 256)
+      .join(codes.select(col("doc_id").as("doc_a"), col("dhash").as("ha")), "doc_a")
+      .join(codes.select(col("doc_id").as("doc_b"), col("dhash").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (0 until 4).map(c =>
+          bit_count(chunk(col("ha"), c).bitwiseXOR(chunk(col("hb"), c))))
+          .reduce(_ + _).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Frame sampling: each media row explodes into `1 + n_bytes % 5` frames
     * with evenly spaced timestamps over a nominal 1s clip. Pure column
     * ops over the decode output — the plan Spark would run for real video. */

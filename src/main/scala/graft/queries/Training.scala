@@ -339,6 +339,7 @@ object Training {
   val mPixels: Q = (s, d) => Multimodal.pixelStats(docs(s, d)).toDF()
   val mResize: Q = (s, d) => Multimodal.resizeStats(docs(s, d)).toDF()
   val mDhash: Q = (s, d) => Multimodal.dhashes(docs(s, d)).toDF()
+  val mDhashNn: Q = (s, d) => Multimodal.dhashNeighbors(docs(s, d))
 
   val all: Map[String, Q] = Map(
     "t_text_stats" -> tTextStats,
@@ -397,5 +398,6 @@ object Training {
     "m_pixels" -> mPixels,
     "m_resize" -> mResize,
     "m_dhash" -> mDhash,
+    "m_dhash_nn" -> mDhashNn,
   )
 }

@@ -138,6 +138,29 @@ object TrainingOracles {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** dHash chain ending in the per-doc `dh` CTE (doc_id, dhash,
+    * n_ones) — shared by m_dhash and m_dhash_nn. */
+  private val DhashCte = {
+    def gray(sx: String, sy: String) =
+      s"((299*((doc_id + 7*$sx + 13*$sy) % 256) + " +
+        s"587*((2*doc_id + 11*$sx + 3*$sy) % 256) + " +
+        s"114*((5*doc_id + $sx + $sy) % 256)) // 1000)"
+    val (gxy, gx1y) = (gray("((x * w) // 9)", "((y * h) // 8)"),
+      gray("(((x+1) * w) // 9)", "((y * h) // 8)"))
+    s"""WITH g AS (
+       |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (3*doc_id) % 16 AS h
+       |  FROM documents),
+       |bb AS (
+       |  SELECT doc_id, tx.x AS x, ty.y AS y,
+       |    CASE WHEN $gx1y > $gxy THEN 1 ELSE 0 END AS bit
+       |  FROM g, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 8)) AS ty(y)),
+       |dh AS (
+       |  SELECT doc_id,
+       |    lower(lpad(to_hex(sum(bit * (1::HUGEINT << (y*8 + x)))::UBIGINT), 16, '0')) AS dhash,
+       |    CAST(sum(bit) AS INT) AS n_ones
+       |  FROM bb GROUP BY 1)""".stripMargin
+  }
+
   /** Quantized-embedding CTE: vec_id, label, qv, n2, bucket. */
   private val EmbCte =
     """WITH q AS (
@@ -1200,25 +1223,29 @@ object TrainingOracles {
     // dHash mirror: the oracle samples the pixel function at the 9×8
     // nearest-resize coordinates, same integer BT.601 luma, bit y*8+x
     // via 2^k HUGEINT sum → UBIGINT → fixed-width hex (== Spark's
-    // two's-complement %016x)
-    "m_dhash" -> {
-      def gray(sx: String, sy: String) =
-        s"((299*((doc_id + 7*$sx + 13*$sy) % 256) + " +
-          s"587*((2*doc_id + 11*$sx + 3*$sy) % 256) + " +
-          s"114*((5*doc_id + $sx + $sy) % 256)) // 1000)"
-      val (gxy, gx1y) = (gray("((x * w) // 9)", "((y * h) // 8)"),
-        gray("(((x+1) * w) // 9)", "((y * h) // 8)"))
-      s"""WITH g AS (
-         |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (3*doc_id) % 16 AS h
-         |  FROM documents),
-         |b AS (
-         |  SELECT doc_id, tx.x AS x, ty.y AS y,
-         |    CASE WHEN $gx1y > $gxy THEN 1 ELSE 0 END AS bit
-         |  FROM g, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 8)) AS ty(y))
-         |SELECT doc_id,
-         |  lower(lpad(to_hex(sum(bit * (1::HUGEINT << (y*8 + x)))::UBIGINT), 16, '0')) AS dhash,
-         |  CAST(sum(bit) AS INT) AS n_ones
-         |FROM b GROUP BY 1""".stripMargin
+    // two's-complement %016x); chain shared with m_dhash_nn
+    "m_dhash" ->
+      s"""$DhashCte
+         |SELECT doc_id, dhash, n_ones FROM dh""".stripMargin,
+
+    // pigeonhole-banded hamming-ball pairs over the dHash codes: 4
+    // chunks of 4 hex chars, 256 occupancy cap, per-chunk xor+bit_count
+    // verification — complete for hamming ≤ 3
+    "m_dhash_nn" -> {
+      val ham = "list_sum(list_transform(range(0, 4), c -> " +
+        "bit_count(xor(('0x' || substr(x.dhash, c*4 + 1, 4))::BIGINT, " +
+        "('0x' || substr(y.dhash, c*4 + 1, 4))::BIGINT))))"
+      s"""$DhashCte,
+         |bands0 AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |    c -> 'c' || c || ':' || substr(dhash, c*4 + 1, 4))) AS band FROM dh),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 256),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(ham AS INT) AS hamming FROM (
+         |  SELECT doc_a, doc_b, $ham AS ham
+         |  FROM pairs JOIN dh x ON x.doc_id = doc_a JOIN dh y ON y.doc_id = doc_b) t
+         |WHERE ham <= 3""".stripMargin
     },
 
     "m_frames" ->

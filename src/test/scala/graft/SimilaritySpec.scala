@@ -264,6 +264,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert((flat, n0) === (("0000000000000000", 0)))
   }
 
+  test("dHash neighbors: banding is complete — equals brute hamming ≤ 3") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val codes = Multimodal.dhashes(docs)
+      .collect().map(r => r.doc_id -> java.lang.Long.parseUnsignedLong(r.dhash, 16))
+    val brute = (for {
+      (a, ha) <- codes; (b, hb) <- codes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    val banded = Multimodal.dhashNeighbors(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // the synthetic corpus does contain image near-dups
+  }
+
   test("audio decoder: RIFF chunk walk recovers the synthesized fmt/data fields") {
     import graft.operators.{AudioMeta, Multimodal}
     // stereo doc (odd id), 44.1k (textBytes%3==2), 255 data bytes
