@@ -344,6 +344,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(dsBatch.except(dsStream).count() === 0)
   }
 
+  test("multimodal decode and dHash run unchanged on a stream") {
+    import graft.operators.Multimodal
+    val docsBatch = Tables.documents(spark, TestSpark.Sf)
+    val srcDir = tmp("mm-src")
+    docsBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val outM = tmp("mm-meta-out"); val outH = tmp("mm-dhash-out"); val ckpt = tmp("mm-ckpt")
+    val q = spark.readStream
+      .schema(docsBatch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Multimodal.decodeMeta(batch).toDF().write.mode("append").parquet(outM)
+        Multimodal.dhashes(batch).toDF().write.mode("append").parquet(outH)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val metaBatch = Multimodal.decodeMeta(docsBatch).toDF()
+    val metaStream = spark.read.parquet(outM)
+    assert(metaStream.count() === metaBatch.count())
+    assert(metaStream.except(metaBatch).count() === 0)
+    assert(metaBatch.except(metaStream).count() === 0)
+    val dhBatch = Multimodal.dhashes(docsBatch).toDF()
+    val dhStream = spark.read.parquet(outH)
+    assert(dhStream.count() === dhBatch.count())
+    assert(dhStream.except(dhBatch).count() === 0)
+    assert(dhBatch.except(dhStream).count() === 0)
+  }
+
   test("CMS sketch merges across micro-batches: per-batch cells sum to the batch sketch") {
     // additivity is what makes the sketch distributable: sketch(A ∪ B) =
     // sketch(A) + sketch(B) cell-wise — so a stream maintains it by
