@@ -101,6 +101,7 @@ object Bench {
     "t_dsir" -> 2.5,
     "t_chunk" -> 1.0,
     "t_lm_tiers" -> 2.1,
+    "t_winnow" -> 1.1,
     "d_lpa" -> 2.7,
     "s_refine" -> 2.2,
     "d_semdedup" -> 1.6,

@@ -246,6 +246,40 @@ object Dedup {
     ranks
   }
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    * algorithm): from each doc's k-gram hash sequence, select the
+    * minimum hash in every sliding window of `w` consecutive k-grams
+    * (ties to the rightmost position) — the guarantee is that any shared
+    * substring of length ≥ w+k−1 tokens yields at least one shared
+    * fingerprint, at ~2/(w+1) sample density. This is the standard
+    * position-robust alternative to [[cdcChunks]]' content-defined
+    * boundaries for overlap detection.
+    *
+    * The windowed argmin rides ONE composite string min — the hash
+    * concatenated with the zero-padded REVERSED position, so min =
+    * (min hash, then max pos), evaluated identically in both engines
+    * with no struct-ordering semantics in play. Per-doc window
+    * partitions are document-length bounded; the final distinct
+    * shuffles only selected fingerprints (~2/(w+1) of k-grams). */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("doc_id").orderBy("kpos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " ")))).as(Seq("kpos", "h")))
+      .withColumn("wmin", min(concat(col("h"), lit(":"),
+        lpad((lit(100000000) - col("kpos")).cast("string"), 9, "0"))).over(win))
+      .filter(col("kpos") >= w - 1) // full windows only
+      .select(col("doc_id"),
+        (lit(100000000L) - substring(col("wmin"), 34, 9).cast("long")).as("pos"),
+        substring(col("wmin"), 1, 32).as("fp"))
+      .distinct()
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007,
     * arXiv:0709.2938) over an undirected pair graph — the community
     * signal between exact connectivity and centrality: CC says "reachable

@@ -59,6 +59,7 @@ object Training {
   val dIncremental: Q = (s, d) => Dedup.incrementalNew(docs(s, d))
   val dPagerank: Q = (s, d) => Dedup.pageRankOnCandidates(docs(s, d))
   val dLpa: Q = (s, d) => Dedup.lpaCommunities(docs(s, d))
+  val tWinnow: Q = (s, d) => Dedup.winnow(docs(s, d))
   val dSpanDedup: Q = (s, d) => Dedup.spanDedup(docs(s, d))
   val dSemdedup: Q = (s, d) => Dedup.semDedup(emb(s, d))
   val dChunkDups: Q = (s, d) => Dedup.sharedChunks(docs(s, d))
@@ -374,6 +375,7 @@ object Training {
     "t_dsir" -> tDsir,
     "t_chunk" -> tChunk,
     "t_lm_tiers" -> tLmTiers,
+    "t_winnow" -> tWinnow,
     "t_rep_stats" -> tRepStats,
     "t_quality_clf" -> tQualityClf,
     "t_c4_rules" -> tC4Rules,

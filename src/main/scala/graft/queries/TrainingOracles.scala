@@ -903,6 +903,24 @@ object TrainingOracles {
          |FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st
          |      FROM tok WHERE len(toks) > 0) u""".stripMargin,
 
+    // winnowing mirror: same 4-gram md5s, same composite-string windowed
+    // argmin (hash || reversed zero-padded position ⇒ min hash, max pos)
+    "t_winnow" ->
+      s"""$TokCte,
+         |kg AS (SELECT doc_id, i AS kpos,
+         |         md5(array_to_string(toks[i+1:i+4], ' ')) AS h
+         |       FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 3)) AS i
+         |             FROM tok WHERE len(toks) >= 4) u),
+         |wm AS (SELECT doc_id, kpos,
+         |         min(h || ':' || lpad(CAST(100000000 - kpos AS VARCHAR), 9, '0'))
+         |           OVER (PARTITION BY doc_id ORDER BY kpos
+         |                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+         |       FROM kg)
+         |SELECT DISTINCT doc_id,
+         |  CAST(100000000 - CAST(substr(wmin, 34, 9) AS BIGINT) AS BIGINT) AS pos,
+         |  substr(wmin, 1, 32) AS fp
+         |FROM wm WHERE kpos >= 3""".stripMargin,
+
     // DSIR mirror: same 13-hex md5 bucket rule as t_quality_clf, both
     // count columns from one conditional agg, add-one exact floor-log2
     // ratio weights

@@ -311,6 +311,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(3)._5 === md5Of("x y"))
   }
 
+  test("winnowing: independent reimplementation; shared substrings share a fingerprint") {
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // independent winnow over one doc's tokens (k=4, w=4, rightmost min)
+    val toks = Seq("t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8", "t9")
+    val kgrams = (0 to toks.length - 4).map(i => i -> md5Of(toks.slice(i, i + 4).mkString(" ")))
+    val expected = (3 until kgrams.length).map { i =>
+      kgrams.slice(i - 3, i + 1).minBy { case (p, h) => (h, -p) }
+    }.toSet
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val out = Dedup.winnow(docsOf(
+      (1L, toks.mkString(" ")),
+      (2L, s"aa bb cc $shared"),
+      (3L, s"$shared zz ww")))
+      .as[(Long, Long, String)].collect()
+    val got1 = out.filter(_._1 == 1L).map(r => (r._2.toInt, r._3)).toSet
+    assert(got1 === expected)
+    // winnowing guarantee: an 8-token shared run (≥ w+k-1 = 7) yields at
+    // least one common fingerprint between docs 2 and 3
+    val fps2 = out.filter(_._1 == 2L).map(_._3).toSet
+    val fps3 = out.filter(_._1 == 3L).map(_._3).toSet
+    assert((fps2 intersect fps3).nonEmpty)
+  }
+
   test("semdedup: min vec_id per cell always kept; drops need a lower-id witness") {
     val out = Dedup.semDedup(graft.Tables.embeddings(spark, TestSpark.Sf))
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
