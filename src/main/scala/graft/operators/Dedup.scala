@@ -246,6 +246,35 @@ object Dedup {
     ranks
   }
 
+  /** Per-vertex triangle participation counts over the LSH candidate
+    * graph — the standard graph-density audit for a dedup candidate set
+    * (a triangle-heavy neighborhood is a near-duplicate CLIQUE, where
+    * transitive verification can be skipped; a triangle-free one is
+    * pairwise noise). Node-iterator-style counting on the id-oriented
+    * edge list: edges are stored once as (doc_a < doc_b), and each
+    * triangle {x<y<z} is found exactly once as the path x→y→z closed by
+    * the (x,z) edge — no post-hoc dedup of permutations needed.
+    *
+    * Scale shape: two keyed equi-joins over the candidate-pair relation,
+    * each a hash shuffle on a vertex id. The [[MaxBucket]] occupancy cap
+    * bounds every vertex's degree by construction (≤ bands·(cap−1)), so
+    * the wedge expansion joins are capped-linear in the edge count —
+    * the skew that makes naive triangle counting explode on power-law
+    * graphs cannot occur here. The pair relation is checkpoint-pinned
+    * once and reused by all three join arms. */
+  def triangleCounts(docs: DataFrame): DataFrame = {
+    val e = lshCandidatePairs(docs).localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(e.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"), col("e2.doc_b").as("c"))
+    tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
     * algorithm): from each doc's k-gram hash sequence, select the
     * minimum hash in every sliding window of `w` consecutive k-grams

@@ -59,6 +59,7 @@ object Training {
   val dIncremental: Q = (s, d) => Dedup.incrementalNew(docs(s, d))
   val dPagerank: Q = (s, d) => Dedup.pageRankOnCandidates(docs(s, d))
   val dLpa: Q = (s, d) => Dedup.lpaCommunities(docs(s, d))
+  val dTriangles: Q = (s, d) => Dedup.triangleCounts(docs(s, d))
   val tWinnow: Q = (s, d) => Dedup.winnow(docs(s, d))
   val dSpanDedup: Q = (s, d) => Dedup.spanDedup(docs(s, d))
   val dSemdedup: Q = (s, d) => Dedup.semDedup(emb(s, d))
@@ -359,6 +360,7 @@ object Training {
     "d_incremental" -> dIncremental,
     "d_pagerank" -> dPagerank,
     "d_lpa" -> dLpa,
+    "d_triangles" -> dTriangles,
     "d_span_dedup" -> dSpanDedup,
     "d_semdedup" -> dSemdedup,
     "d_chunk_dups" -> dChunkDups,

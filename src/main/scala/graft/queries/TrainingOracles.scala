@@ -457,6 +457,22 @@ object TrainingOracles {
     // SAME exact-int64 micro-rank recurrence the engine runs (floor
     // divisions, damping 85/100); sums cast back from HUGEINT so every
     // intermediate and the output stay BIGINT
+    // id-oriented node-iterator triangle counting over the same capped
+    // LSH candidate-pair relation the engine uses: each triangle {x<y<z}
+    // appears once as the x→y→z wedge closed by the (x,z) edge
+    "d_triangles" ->
+      s"""$SigCte,
+         |bands0 AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 64),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |  FROM pairs e1 JOIN pairs e2 ON e1.doc_b = e2.doc_a
+         |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+         |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri) t GROUP BY 1""".stripMargin,
+
     "d_pagerank" ->
       s"""$SigCte,
          |bands0 AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig),

@@ -224,6 +224,29 @@ class TextDedupSpec extends AnyFunSuite {
     assert(r.values.toSet === Set(250000000000L))
   }
 
+  test("triangle counts: cliques give binomial counts, mere pairs give none") {
+    // K4 of exact dups: C(4,3)=4 triangles, each vertex in C(3,2)=3 of
+    // them. A 2-clique has no triangle, so docs 5/6 emit no row.
+    val d = docsOf(
+      (1L, "one two three four five six"), (2L, "one two three four five six"),
+      (3L, "one two three four five six"), (4L, "one two three four five six"),
+      (5L, "seven eight nine ten eleven twelve"), (6L, "seven eight nine ten eleven twelve"))
+    val t = Dedup.triangleCounts(d).as[(Long, Long)].collect().toMap
+    assert(t === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle counts match an independent driver-side enumeration") {
+    val docs = graft.Tables.documents(spark, TestSpark.Sf)
+    val pairs = Dedup.lshCandidatePairs(docs).as[(Long, Long)].collect().toSet
+    val adj = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for { (a, b) <- pairs; c <- adj.getOrElse(b, Set.empty) if pairs((a, c)) } {
+      brute(a) += 1; brute(b) += 1; brute(c) += 1
+    }
+    val got = Dedup.triangleCounts(docs).as[(Long, Long)].collect().toMap
+    assert(got === brute.toMap)
+  }
+
   test("quality score is in [0,1] and rewards stopword-rich text") {
     val q = docsOf(
       (1L, "the cat and the dog of the house is that for"),
