@@ -103,6 +103,7 @@ object Bench {
     "t_lm_tiers" -> 2.1,
     "t_winnow" -> 1.1,
     "d_lpa" -> 2.7,
+    "t_bm25" -> 2.6,
     "s_refine" -> 2.2,
     "d_semdedup" -> 1.6,
     "t_pipeline2" -> 6.0,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, Dsir, Multimodal, NgramLm, QualityRules, Sampling, SeqPack, Similarity, TextOps}
+import graft.operators.{Bpe, Decontaminate, Dedup, Dsir, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -105,6 +105,18 @@ object Training {
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "tok", "tf", "df", "score")
   }
+
+  /** BM25 query workload — the literal set shared with the oracle so
+    * both engines score the identical terms. `dup` is the corpus's one
+    * rare term (df ≈ 25/500 at sf0.01); the rest are common, so the
+    * ranking exercises both ends of the idf range. */
+  val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash join",
+    2 -> "window agg stream",
+    3 -> "dup scan",
+    4 -> "vector filter",
+    5 -> "slow merge sort")
+  val tBm25: Q = (s, d) => Retrieval.bm25TopK(docs(s, d), Bm25Queries, 5)
 
   /** Stratified-sample rate table (1/256 units) — shared with the oracle
     * generator so both engines apply identical thresholds. */
@@ -365,6 +377,7 @@ object Training {
     "d_semdedup" -> dSemdedup,
     "d_chunk_dups" -> dChunkDups,
     "t_top_terms" -> tTopTerms,
+    "t_bm25" -> tBm25,
     "t_sample" -> tSample,
     "t_pack" -> tPack,
     "t_redact" -> tRedact,

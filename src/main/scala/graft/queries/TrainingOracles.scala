@@ -658,6 +658,44 @@ object TrainingOracles {
          |  FROM scored) t
          |WHERE rank <= 3""".stripMargin,
 
+    // same exact-integer BM25 the engine runs: RSJ odds kept linear
+    // (milli-scaled, no log) and tf saturation folded into one floor
+    // division — see Retrieval.bm25TopK for the derivation
+    "t_bm25" -> {
+      val qtVals = Training.Bm25Queries.flatMap { case (qid, text) =>
+        text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => s"($qid, '$t')")
+      }.mkString(", ")
+      s"""$TokCte,
+         |flat AS (SELECT doc_id, unnest(toks) AS tok FROM tok),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM flat GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                 CAST(sum(dl) AS BIGINT) AS total_tok FROM dl),
+         |qt AS (SELECT * FROM (VALUES $qtVals) v(query_id, tok)),
+         |m AS (SELECT qt.query_id, tf.doc_id, tf.tf, df.df, dl.dl,
+         |             s.n_docs, s.total_tok
+         |      FROM tf JOIN qt ON tf.tok = qt.tok
+         |        JOIN df ON tf.tok = df.tok
+         |        JOIN dl ON tf.doc_id = dl.doc_id, stats s),
+         |t AS (SELECT query_id, doc_id, tf,
+         |        (1000*(2*n_docs - 2*df + 1)) // (2*df + 1) AS odds_milli,
+         |        1000*tf + 300 +
+         |          (900*((1000000*dl) // ((1000*total_tok) // n_docs))) // 1000
+         |          AS den_milli
+         |      FROM m),
+         |sc AS (SELECT query_id, doc_id,
+         |        CAST(sum((odds_milli * ((2200000*tf) // den_milli)) // 1000)
+         |          AS BIGINT) AS score_milli,
+         |        CAST(count(*) AS BIGINT) AS n_hit
+         |      FROM t GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, score_milli, n_hit FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score_milli DESC, doc_id ASC) AS rank FROM sc) r
+         |WHERE rank <= 5""".stripMargin
+    },
+
     "s_brute_topk" ->
       s"""$EmbCte
          |SELECT q_id, rank, c_id, cos FROM (

@@ -34,7 +34,10 @@ class PlanLintSpec extends AnyFunSuite {
       // refine reuses s_pq_topk's coarse stage (1-row codebook broadcast)
       "s_refine",
       // tercile cuts ride a 1-row broadcast bounds table
-      "t_lm_tiers")
+      "t_lm_tiers",
+      // BM25 keeps (n_docs, total_tok) in-plan as the same 1-row
+      // broadcast scalar crossJoin as t_top_terms
+      "t_bm25")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
