@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** All-pairs sparse document similarity via a df-capped inverted index —
+  * the classic MapReduce pairwise-similarity shape (Elsayed, Lin &
+  * Oard 2008): pairs are generated ONLY through shared postings, and a
+  * document-frequency cap on the feature vocabulary bounds every
+  * posting list, so total join work is Σ_f df(f)² over capped features —
+  * capped-linear in the corpus, never all-pairs.
+  *
+  * Features are 3-token shingles (the same unit the minhash/LSH family
+  * uses): near-duplicate prose shares rare shingles, while a df cap
+  * drops boilerplate shingles the way similarity pruning drops
+  * stopwords. Cosine is computed over the PRUNED feature space (a
+  * documented semantic: dropped features contribute to neither dot
+  * product nor norms, both engines agree bit-exactly).
+  *
+  * Exact-integer discipline: tf counts are integers, so `dot`,
+  * `n1_sq`, `n2_sq` are exact int64, and the squared cosine surfaces as
+  * `cos2_micro = (10^6·dot²) // (n1_sq·n2_sq)` — one floor division,
+  * no float, no sqrt. int64 bounds: with the df cap ≤ 16 and per-doc
+  * shingle tf ≪ 10³, dot ≤ 10⁴ ⇒ 10⁶·dot² ≤ 10¹⁴.
+  *
+  * Plan shape (what must hold at 100 TB):
+  *  - one explode scan → (doc, shingle, tf) exchange with map-side
+  *    combine;
+  *  - df reduces the SAME tf subtree (AQE exchange reuse) to a
+  *    kept-feature table, semi-filtering both join legs;
+  *  - the postings self-join exchanges on the shingle key — both sides
+  *    are the same kept-postings subtree, so ReuseExchange collapses
+  *    them to one shuffle write;
+  *  - pair partials aggregate on (doc1, doc2) with map-side combine;
+  *    norms are a doc-keyed narrow relation joined at the end.
+  */
+object DocSim {
+
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Pairs with squared-cosine ≥ `minCos2Micro`/10⁶ over df-capped
+    * 3-shingle tf vectors. Output: (doc1, doc2, n_shared, dot,
+    * n1_sq, n2_sq, cos2_micro), doc1 < doc2. */
+  def cosinePairs(docs: DataFrame, dfCap: Int = 16,
+                  minCos2Micro: Long = 100000L): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val shingles = toks.select(col("doc_id"),
+      explode(TextOps.shinglesOfTokens(col("toks"), 3)).as("sh"))
+
+    val tf = shingles.groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+    // kept features: shared by ≥2 docs (a df-1 feature can't generate a
+    // pair) and ≤ dfCap docs (bounds the posting-list self-join)
+    val kept = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+      .select("sh")
+    val postings = tf.join(kept, "sh")
+
+    // norms over the pruned feature space (doc-keyed, corpus-sublinear)
+    val norms = postings.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n_sq"))
+
+    val a = postings.select(col("sh"), col("doc_id").as("doc1"), col("tf").as("tf1"))
+    val b = postings.select(col("sh"), col("doc_id").as("doc2"), col("tf").as("tf2"))
+    val pairs = a.join(b, Seq("sh"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2")
+      .agg(count(lit(1)).as("n_shared"), sum(col("tf1") * col("tf2")).as("dot"))
+
+    pairs
+      .join(norms.select(col("doc_id").as("doc1"), col("n_sq").as("n1_sq")), "doc1")
+      .join(norms.select(col("doc_id").as("doc2"), col("n_sq").as("n2_sq")), "doc2")
+      .withColumn("cos2_micro",
+        idiv(lit(1000000L) * col("dot") * col("dot"), col("n1_sq") * col("n2_sq")))
+      .filter(col("cos2_micro") >= minCos2Micro)
+      .select("doc1", "doc2", "n_shared", "dot", "n1_sq", "n2_sq", "cos2_micro")
+  }
+}

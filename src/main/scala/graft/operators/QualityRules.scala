@@ -102,6 +102,40 @@ object QualityRules {
           .as("top_token_frac"))
   }
 
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Unigram-distribution entropy proxy (the "gibberish vs natural text"
+    * signal of the CCNet/C4 heuristic family): per document, the
+    * Shannon entropy Σ p·log2(1/p) of its token distribution — recast
+    * in the engine-wide exact-integer discipline as
+    * `sum_bits = Σ_tok tf · floor(log2(n // tf))` (floor-log2 of the
+    * floored inverse probability, `len(bin(x)) - 1` in both engines)
+    * with `ent_milli = (1000·sum_bits) // n`. Near-zero for one-token
+    * spam, maximal for uniform token salad; a pure function of the
+    * token multiset, so aggregation order never matters. Also emits the
+    * type-token ratio `ttr_milli = (1000·n_distinct) // n`.
+    *
+    * Plan shape: n rides the explode (no self-join for document
+    * length), one (doc, n, tok) exchange with map-side combine, then a
+    * doc-keyed final agg over the corpus-sublinear tf relation — the
+    * t_lm_score shape without the model join. */
+  def unigramEntropy(docs: DataFrame): DataFrame =
+    Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+        explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "n", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "n")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * NgramLm.fl2(idiv(col("n"), col("tf")))).as("sum_bits"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("n_distinct"),
+        col("sum_bits"),
+        idiv(lit(1000L) * col("sum_bits"), col("n")).as("ent_milli"),
+        idiv(lit(1000L) * col("n_distinct"), col("n")).as("ttr_milli"))
+
   /** Feature-hash dimensionality of the linear quality classifier. */
   val ClfDim = 1024L
 
