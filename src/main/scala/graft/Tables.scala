@@ -22,15 +22,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 has no native
-    * type for. Read nanos as long (legacy conf) and truncate to a µs
-    * timestamp with integer division — double-based division would lose
-    * precision above 2^53 ns.
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (no native Spark 4 type — read
+    * nanos as long via the legacy conf and truncate with *integer*
+    * division, since double division loses precision above 2^53 ns) and
+    * plain timestamp[us] (arrives as TIMESTAMP or TIMESTAMP_NTZ). Branch
+    * on the arriving type so either generation loads; the engine-facing
+    * contract is always a TimestampType `ts` in the UTC session zone
+    * (an NTZ→timestamp cast is value-identical under UTC).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
