@@ -151,6 +151,14 @@ object Bench {
         System.err.println(s"[bench] $name failed: $e"); false }
       name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
     }
+    // Untimed setup runs under the same catch-to-None discipline as the
+    // timed body: one leg whose *input* breaks (r7: Tables.events on a
+    // regenerated testdata schema) must cost only that leg's timing, not
+    // the whole bench JSON.
+    def leg(name: String)(setup: => Unit)(body: => Unit): (String, Option[Double]) =
+      try { setup; timed(name)(body) }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name setup failed: $e"); name -> None }
     def fileStream(src: String) = {
       val schema = spark.read.parquet(src).schema
       spark.readStream.schema(schema)
@@ -162,9 +170,10 @@ object Bench {
     if (wanted("stream_collector")) {
       // full payload build + size gate + good/bad dual parquet sink
       val cfg = graft.operators.CollectorConfig.testScale
-      graft.sources.EventEnvelopeAdapter.envelopes(spark, sfDir)
-        .write.mode("overwrite").parquet(dir("env-src"))
-      out += timed("stream_collector") {
+      out += leg("stream_collector") {
+        graft.sources.EventEnvelopeAdapter.envelopes(spark, sfDir)
+          .write.mode("overwrite").parquet(dir("env-src"))
+      } {
         val q = graft.streaming.StreamingCollector.start(
           fileStream(dir("env-src")), cfg,
           dir("good"), dir("bad"), dir("ckpt-collector"),
@@ -179,9 +188,10 @@ object Bench {
       // date-partitioned lake (dynamic per-batch partitions) — measures
       // the partitioned-append overhead on top of the flat sink
       val cfg = graft.operators.CollectorConfig.testScale
-      graft.sources.EventEnvelopeAdapter.envelopes(spark, sfDir)
-        .write.mode("overwrite").parquet(dir("lake-src"))
-      out += timed("stream_lake") {
+      out += leg("stream_lake") {
+        graft.sources.EventEnvelopeAdapter.envelopes(spark, sfDir)
+          .write.mode("overwrite").parquet(dir("lake-src"))
+      } {
         val q = graft.streaming.StreamingCollector.startToLake(
           fileStream(dir("lake-src")), cfg,
           dir("lake-good"), dir("lake-bad"), dir("ckpt-lake"),
@@ -193,10 +203,11 @@ object Bench {
 
     if (wanted("stream_sessionize")) {
       // flatMapGroupsWithState custom state, one OpenSession per user
-      Tables.events(spark, sfDir)
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-        .write.mode("overwrite").parquet(dir("sess-src"))
-      out += timed("stream_sessionize") {
+      out += leg("stream_sessionize") {
+        Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+          .write.mode("overwrite").parquet(dir("sess-src"))
+      } {
         import spark.implicits._
         val sessions = graft.streaming.Sessionize.sessionize(
           fileStream(dir("sess-src")).as[graft.streaming.SessEvent],
@@ -210,10 +221,11 @@ object Bench {
 
     if (wanted("stream_dedup")) {
       // dropDuplicatesWithinWatermark ingest dedup (watermark-bounded state)
-      Tables.events(spark, sfDir)
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .write.mode("overwrite").parquet(dir("dedup-src"))
-      out += timed("stream_dedup") {
+      out += leg("stream_dedup") {
+        Tables.events(spark, sfDir)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .write.mode("overwrite").parquet(dir("dedup-src"))
+      } {
         val q = graft.streaming.StreamingDedup.dedup(fileStream(dir("dedup-src")))
           .writeStream.format("noop")
           .option("checkpointLocation", dir("ckpt-dedup"))
@@ -224,10 +236,11 @@ object Bench {
 
     if (wanted("stream_window")) {
       // watermarked tumbling-window aggregation (the canonical stream agg)
-      Tables.events(spark, sfDir)
-        .select(col("ts"), col("event_type"), col("value"))
-        .write.mode("overwrite").parquet(dir("win-src"))
-      out += timed("stream_window") {
+      out += leg("stream_window") {
+        Tables.events(spark, sfDir)
+          .select(col("ts"), col("event_type"), col("value"))
+          .write.mode("overwrite").parquet(dir("win-src"))
+      } {
         val q = graft.streaming.WindowedAgg.hourly(fileStream(dir("win-src")))
           .writeStream.format("noop").outputMode("append")
           .option("checkpointLocation", dir("ckpt-win"))
@@ -238,13 +251,14 @@ object Bench {
 
     if (wanted("stream_join")) {
       // watermarked stream-stream interval join (bounded state)
-      val ev = Tables.events(spark, sfDir)
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      ev.filter(col("event_type") === "click").drop("event_type")
-        .write.mode("overwrite").parquet(dir("join-l"))
-      ev.filter(col("event_type") === "purchase").drop("event_type")
-        .write.mode("overwrite").parquet(dir("join-r"))
-      out += timed("stream_join") {
+      out += leg("stream_join") {
+        val ev = Tables.events(spark, sfDir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        ev.filter(col("event_type") === "click").drop("event_type")
+          .write.mode("overwrite").parquet(dir("join-l"))
+        ev.filter(col("event_type") === "purchase").drop("event_type")
+          .write.mode("overwrite").parquet(dir("join-r"))
+      } {
         val joined = graft.streaming.StreamJoin.intervalJoin(
           fileStream(dir("join-l")), fileStream(dir("join-r")),
           "user_id", beforeSec = 3600, afterSec = 3600, watermark = "1 hour")
@@ -283,9 +297,17 @@ object Bench {
     }
     // streaming legs after the batch pass (JVM fully warm); opt out with
     // SPARK_GRAFT_STREAM=0 for batch-only iteration
+    // a wholesale streamBench failure (e.g. tempdir creation) still must
+    // not zero the batch timings already in hand — report every stream
+    // anchor as an error entry instead
     val results: Seq[(String, Option[Double])] =
       batchResults ++ (if (sys.env.get("SPARK_GRAFT_STREAM").contains("0")) Seq.empty
-                       else streamBench(spark, sfDir, only))
+                       else try streamBench(spark, sfDir, only)
+                       catch { case e: Throwable =>
+                         System.err.println(s"[bench] streamBench failed wholesale: $e")
+                         baselineSec.keys.filter(_.startsWith("stream_")).toSeq.sorted
+                           .filter(n => only.forall(_.contains(n))).map(_ -> None)
+                       })
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, None) => "\"" + k + "\"" }

@@ -13,6 +13,12 @@ object Verify {
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that fails to even *build* must not vanish from the round's
+    // correctness report (r7 lost 42 queries to silence this way): leave a
+    // non-parquet `_ERROR` marker in the query's output dir so any
+    // downstream reader of `<out>/<name>` fails loudly as `err`, and
+    // collect every failure into an `errors.json` sidecar.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -20,6 +26,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        val qDir = Paths.get(outDir, name)
+        Files.createDirectories(qDir)
+        Files.writeString(qDir.resolve("_ERROR"), failed(name))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +47,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
   }
 }

@@ -223,7 +223,7 @@ object Dedup {
   def pageRankOnCandidates(docs: DataFrame, iters: Int = 3): DataFrame = {
     val Scale = 1000000000000L
     def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      ((a - pmod(a, b)) / b).cast("long")
+      TextOps.idiv(a, b)
     val pairs = lshCandidatePairs(docs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -20,8 +20,16 @@ import org.apache.spark.sql.functions._
   * Exact-integer discipline: tf counts are integers, so `dot`,
   * `n1_sq`, `n2_sq` are exact int64, and the squared cosine surfaces as
   * `cos2_micro = (10^6·dot²) // (n1_sq·n2_sq)` — one floor division,
-  * no float, no sqrt. int64 bounds: with the df cap ≤ 16 and per-doc
-  * shingle tf ≪ 10³, dot ≤ 10⁴ ⇒ 10⁶·dot² ≤ 10¹⁴.
+  * no float, no sqrt. Bounds (dfCap bounds docs-per-shingle, NOT shared
+  * shingles per pair — near-dup docs share ~L shingles): for per-doc
+  * token count L, dot ≤ Σ tf1·tf2 ≤ L² and n_sq ≤ L·max(tf)² ≤ L³, so
+  * dot and n_sq stay exact int64 for L ≤ 2·10⁶ tokens/doc (2^63^⅓ ≈
+  * 2.1·10⁶). The PRODUCTS 10⁶·dot² (≤ 10⁶·L⁴) and n1_sq·n2_sq (≤ L⁶)
+  * exceed int64 already at L ≈ 10³, so both are carried in
+  * DECIMAL(38,0) ([[TextOps.idiv38]]) — exact up to 10³⁸, i.e.
+  * L ≤ ~2·10⁵ for the L⁶ term; far beyond any shipped document. The
+  * floor division itself is exact at any magnitude (remainder
+  * subtracted first), matching DuckDB's int128 `//` bit-for-bit.
   *
   * Plan shape (what must hold at 100 TB):
   *  - one explode scan → (doc, shingle, tf) exchange with map-side
@@ -36,15 +44,12 @@ import org.apache.spark.sql.functions._
   */
 object DocSim {
 
-  private def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
-
   /** Pairs with squared-cosine ≥ `minCos2Micro`/10⁶ over df-capped
     * 3-shingle tf vectors. Output: (doc1, doc2, n_shared, dot,
     * n1_sq, n2_sq, cos2_micro), doc1 < doc2. */
   def cosinePairs(docs: DataFrame, dfCap: Int = 16,
                   minCos2Micro: Long = 100000L): DataFrame = {
-    val toks = docs
+    val toks = Spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
     val shingles = toks.select(col("doc_id"),
@@ -69,11 +74,15 @@ object DocSim {
       .groupBy("doc1", "doc2")
       .agg(count(lit(1)).as("n_shared"), sum(col("tf1") * col("tf2")).as("dot"))
 
+    // both products can exceed int64 (see the bounds note above) — cast
+    // each multiplicand to DECIMAL(38,0) BEFORE multiplying
+    val num = lit(1000000L).cast(TextOps.D38) *
+      col("dot").cast(TextOps.D38) * col("dot").cast(TextOps.D38)
+    val den = col("n1_sq").cast(TextOps.D38) * col("n2_sq").cast(TextOps.D38)
     pairs
       .join(norms.select(col("doc_id").as("doc1"), col("n_sq").as("n1_sq")), "doc1")
       .join(norms.select(col("doc_id").as("doc2"), col("n_sq").as("n2_sq")), "doc2")
-      .withColumn("cos2_micro",
-        idiv(lit(1000000L) * col("dot") * col("dot"), col("n1_sq") * col("n2_sq")))
+      .withColumn("cos2_micro", TextOps.idiv38(num, den))
       .filter(col("cos2_micro") >= minCos2Micro)
       .select("doc1", "doc2", "n_shared", "dot", "n1_sq", "n2_sq", "cos2_micro")
   }

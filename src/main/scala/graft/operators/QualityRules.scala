@@ -102,8 +102,7 @@ object QualityRules {
           .as("top_token_frac"))
   }
 
-  private def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+  private def idiv(a: Column, b: Column): Column = TextOps.idiv(a, b)
 
   /** Unigram-distribution entropy proxy (the "gibberish vs natural text"
     * signal of the CCNet/C4 heuristic family): per document, the

@@ -98,6 +98,29 @@ object TextOps {
     floor(c * scale) / scale
   }
 
+  /** Exact integer floor division `a // b` (DuckDB's `//`) for
+    * non-negative operands: subtracting the remainder first makes the
+    * double division exact, since the dividend is an exact multiple of b.
+    * Exactness requires |a| < 2^53 — for products that can exceed that,
+    * use [[idiv38]]. Shared home for the engine-wide exact-integer
+    * discipline (QualityRules, DocSim, Dedup's PageRank, t_mix). */
+  def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** [[idiv]] carried in DECIMAL(38,0) — the "d38 pattern" for dividends
+    * built from int64 products (e.g. 10^6·dot² or n1_sq·n2_sq), exact up
+    * to 38 digits. The quotient is an exact integer (remainder subtracted
+    * before dividing), so the decimal division introduces no rounding;
+    * callers must keep the quotient itself < 2^63 for the final long
+    * cast. Cast MULTIPLICANDS to D38 before multiplying — a long multiply
+    * wraps silently before any cast applied to its result. */
+  val D38: org.apache.spark.sql.types.DecimalType =
+    org.apache.spark.sql.types.DecimalType(38, 0)
+  def idiv38(a: Column, b: Column): Column = {
+    val (ad, bd) = (a.cast(D38), b.cast(D38))
+    ((ad - pmod(ad, bd)) / bd).cast("long")
+  }
+
   /** Mean token length, 4 decimals (truncated). */
   def avgWordLen(text: Column): Column = {
     val total = aggregate(tokens(text), lit(0), (a, t) => a + length(t))

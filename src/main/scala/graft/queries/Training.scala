@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, Dsir, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps}
+import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -191,6 +191,15 @@ object Training {
   /** Gopher-style repetition signals (dup n-gram fractions, top-token
     * share). */
   val tRepStats: Q = (s, d) => QualityRules.repetitionStats(docs(s, d))
+
+  /** Unigram-entropy / type-token-ratio gibberish signal (exact-integer
+    * milli scoring). */
+  val tEntropy: Q = (s, d) => QualityRules.unigramEntropy(docs(s, d))
+
+  /** All-pairs cosine near-dups via the df-capped inverted index
+    * (Elsayed/Lin/Oard shape) — the sparse-lexical sibling of
+    * d_jaccard's minhash path. */
+  val dDocsim: Q = (s, d) => DocSim.cosinePairs(docs(s, d))
   val tQualityClf: Q = (s, d) => QualityRules.hashedClassifier(docs(s, d))
 
   /** C4-style boilerplate/code/punctuation gates (augmented corpus). */
@@ -260,7 +269,7 @@ object Training {
     * lifts that one multiply into DECIMAL(38,0) (the d38 pattern). */
   val tMix: Q = (s, d) => {
     import org.apache.spark.sql.Column
-    def idiv(a: Column, b: Column) = ((a - pmod(a, b)) / b).cast("long")
+    def idiv(a: Column, b: Column) = TextOps.idiv(a, b)
     val per = docs(s, d).groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(TextOps.nTokens(col("text")).cast("long")).as("n_tokens"))
@@ -392,6 +401,8 @@ object Training {
     "t_lm_tiers" -> tLmTiers,
     "t_winnow" -> tWinnow,
     "t_rep_stats" -> tRepStats,
+    "t_entropy" -> tEntropy,
+    "d_docsim" -> dDocsim,
     "t_quality_clf" -> tQualityClf,
     "t_c4_rules" -> tC4Rules,
     "t_gopher_keep" -> tGopherKeep,

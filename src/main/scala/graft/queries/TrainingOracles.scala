@@ -1231,6 +1231,48 @@ object TrainingOracles {
          |  floor(CAST(t.max_tf AS DOUBLE) / n.n_tokens * 10000) / 10000 AS top_token_frac
          |FROM narrow n JOIN top t ON t.doc_id = n.doc_id""".stripMargin,
 
+    // unigram entropy proxy: sum_bits = Σ_tok tf · (len(bin(n // tf)) - 1)
+    // — the exact-integer floor-log2 of the floored inverse probability,
+    // identical to Spark's fl2(idiv(n, tf)); milli scores by int floor
+    // division (QualityRules.unigramEntropy)
+    "t_entropy" ->
+      s"""$TokCte,
+         |u AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n, unnest(toks) AS tok
+         |      FROM tok WHERE len(toks) > 0),
+         |tf AS (SELECT doc_id, n, tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM u GROUP BY 1, 2, 3)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(tf * (len(bin(n // tf)) - 1)) AS BIGINT) AS sum_bits,
+         |  CAST((1000 * sum(tf * (len(bin(n // tf)) - 1))) // n AS BIGINT) AS ent_milli,
+         |  CAST((1000 * count(*)) // n AS BIGINT) AS ttr_milli
+         |FROM tf GROUP BY doc_id, n""".stripMargin,
+
+    // df-capped inverted-index cosine pairs (DocSim.cosinePairs): pairs
+    // exist only through shared kept shingles (2 <= df <= 16); DuckDB's
+    // int128 carries the 10^6·dot² and n1_sq·n2_sq products exactly,
+    // mirroring Spark's DECIMAL(38,0) path; `//` == idiv38 bit-for-bit
+    "d_docsim" ->
+      s"""$TokCte,
+         |shi AS (SELECT doc_id, $Shingles AS sh FROM tok WHERE len(toks) >= 3),
+         |shu AS (SELECT doc_id, unnest(sh) AS sh FROM shi),
+         |stf AS (SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS tf
+         |        FROM shu GROUP BY 1, 2),
+         |kept AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM stf GROUP BY 1) t
+         |         WHERE df BETWEEN 2 AND 16),
+         |p AS (SELECT stf.doc_id, stf.sh, stf.tf FROM stf JOIN kept USING (sh)),
+         |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n_sq
+         |          FROM p GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |                 CAST(count(*) AS BIGINT) AS n_shared,
+         |                 CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |          FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc1, doc2, n_shared, dot, x.n_sq AS n1_sq, y.n_sq AS n2_sq,
+         |  CAST((1000000 * dot * dot) // (x.n_sq * y.n_sq) AS BIGINT) AS cos2_micro
+         |FROM pairs JOIN norms x ON x.doc_id = doc1 JOIN norms y ON y.doc_id = doc2
+         |WHERE (1000000 * dot * dot) // (x.n_sq * y.n_sq) >= 100000""".stripMargin,
+
     // The Spark side builds REAL container headers and parses them back
     // (Multimodal.decodeHeader); the oracle recomputes the expected
     // metadata analytically from the same deterministic inputs. Header
