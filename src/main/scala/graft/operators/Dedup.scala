@@ -376,21 +376,54 @@ object Dedup {
     * disjoint shards. The only full-shuffle is the incoming shard's
     * first-copy window on its own fingerprints.
     *
-    * The two driver-side actions (index count for sizing, filter build)
-    * are sketch/metadata-scale by construction — in production both are
-    * maintained incrementally alongside the index, not recomputed. */
+    * Driver involvement is sketch-scale only: the filter is SIZED from
+    * optimizer statistics (file-size-derived row bound, capped — never a
+    * count() pass over the index), BUILT in one pass by Spark's native
+    * `BloomFilterAggregate` (the same codegen'd sketch the runtime
+    * bloom-filter join uses, keyed on xxhash64 of the fingerprint), and
+    * PROBED with the native `BloomFilterMightContain` expression — a
+    * plan literal, not a closure UDF, so the hot path stays inside
+    * whole-stage codegen. An undersized estimate only raises the
+    * effective fpp (more rows pay the verification join); the verdict
+    * stays exact at any fpp. In production the sketch is maintained
+    * incrementally alongside the index, not recomputed. */
   def incrementalNew(docs: DataFrame, mod: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
     val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
     val idx = fp.filter(pmod(col("doc_id"), lit(mod)) =!= 0).select("fingerprint").distinct()
     val inc = fp.filter(pmod(col("doc_id"), lit(mod)) === 0)
       .withColumn("first_in_shard",
         col("doc_id") === min("doc_id").over(Window.partitionBy("fingerprint")))
-    val bloom = idx.stat.bloomFilter("fingerprint", math.max(idx.count(), 1L), 0.01)
-    val mightContain = udf((s: String) => bloom.mightContain(s))
-    val definitelyNew = inc.filter(!mightContain(col("fingerprint")))
+
+    // capacity from plan stats: rowCount under CBO, else a conservative
+    // bytes/row bound off the scan size; the cap (4M items ≈ 4.8 MB at
+    // 1% fpp) keeps the sketch broadcast-sized at any corpus scale
+    val stats = idx.queryExecution.optimizedPlan.stats
+    val est: Long = stats.rowCount.map(_.longValue)
+      .getOrElse((stats.sizeInBytes / 48).min(BigInt(4000000L)).max(BigInt(4096L)).toLong)
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(est, 0.01)
+
+    val bfAgg = new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(col("fingerprint"))),
+      Literal(est), Literal(numBits)).toAggregateExpression()
+    val bloomBytes = idx.select(GraftBridge.column(bfAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    // empty index ⇒ null sketch ⇒ nothing was ever seen
+    def maybeSeen: Column = coalesce(
+      GraftBridge.column(new BloomFilterMightContain(
+        Literal(bloomBytes, BinaryType),
+        GraftBridge.expression(xxhash64(col("fingerprint"))))),
+      lit(false))
+
+    val definitelyNew = inc.filter(!maybeSeen)
       .select(col("doc_id"), col("fingerprint"), col("first_in_shard").as("is_new"))
-    val verified = inc.filter(mightContain(col("fingerprint")))
+    val verified = inc.filter(maybeSeen)
       .join(idx.withColumn("_in_idx", lit(true)), Seq("fingerprint"), "left")
       .select(col("doc_id"), col("fingerprint"),
         (col("first_in_shard") && col("_in_idx").isNull).as("is_new"))

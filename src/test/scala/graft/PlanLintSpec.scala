@@ -106,6 +106,18 @@ class PlanLintSpec extends AnyFunSuite {
       s"q_zscore re-grew the skew-funnel window:\n$zscore")
   }
 
+  test("d_incremental probes with the native bloom expression, not a closure UDF") {
+    // the r7 shape collected the index to a driver-built sketch probed by
+    // a ScalaUDF (serialized per task, opaque to codegen) after an extra
+    // idx.count() sizing pass; the rewrite must keep the probe native
+    val plan = SparkEntry.queries("d_incremental")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"d_incremental lost the native BloomFilterMightContain probe:\n$plan")
+    assert(!plan.contains("UDF"),
+      s"d_incremental re-grew a closure UDF in the probe path:\n$plan")
+  }
+
   test("no query output schema contains DecimalType (hash-representation lint)") {
     // The driver hashes results through arrow->pandas, where int128/decimal
     // columns decay to float64 while Spark's int64 stays int — numerically
