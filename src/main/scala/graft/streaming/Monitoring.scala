@@ -47,10 +47,37 @@ final class PipelineMonitor extends StreamingQueryListener {
     state.asScala.values.map(q => q.name -> q).toMap
   }
 
-  /** The `/health` semantic: no tracked query died with an exception. */
+  @volatile private var shuttingDown = false
+
+  /** The SIGTERM health-flip (reference `Collector.scala:206-233`): a
+    * shutdown request turns `/health` unhealthy IMMEDIATELY — before any
+    * query stops — so an upstream load balancer drains traffic during
+    * the pre-termination window while the queries finish their batches. */
+  def requestShutdown(): Unit = { shuttingDown = true }
+  def isShuttingDown: Boolean = shuttingDown
+
+  /** The `/health` semantic: not draining for shutdown, and no tracked
+    * query died with an exception. */
   def healthy: Boolean = {
     import scala.jdk.CollectionConverters._
-    state.asScala.values.forall(q => q.error.isEmpty)
+    !shuttingDown && state.asScala.values.forall(q => q.error.isEmpty)
+  }
+}
+
+/** R6 + the reference's termination order (`Collector.scala:206-233`):
+  * flip health FIRST, wait out the pre-termination drain window, only
+  * then stop the queries. Checkpointing makes any in-flight micro-batch
+  * replayable, so the data-loss half is already covered; this models the
+  * traffic-drain half. `sleeper` injected for tests. */
+object GracefulShutdown {
+  def stop(
+      monitor: PipelineMonitor,
+      queries: Seq[org.apache.spark.sql.streaming.StreamingQuery],
+      preTerminationMillis: Long = 0L,
+      sleeper: Long => Unit = Thread.sleep): Unit = {
+    monitor.requestShutdown()
+    if (preTerminationMillis > 0) sleeper(preTerminationMillis)
+    queries.foreach(_.stop())
   }
 }
 

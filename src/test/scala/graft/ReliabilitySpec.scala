@@ -255,4 +255,16 @@ class ReliabilitySpec extends AnyFunSuite {
       client.putRecords("s", Seq(ClientSinks.OutRecord(Array[Byte](1), "k")))
     }
   }
+
+  test("real-SDK SQS binding: absent SDK is detected at factory time, not mid-batch") {
+    import graft.sinks.AwsSqsClient
+    // the reference's production pairing is Kinesis + SQS failover
+    // (KinesisSink.scala:281-325) — the secondary needs the same honest
+    // availability check and fail-fast factory as the primary
+    assert(!AwsSqsClient.available())
+    val client = AwsSqsClient()
+    intercept[ClassNotFoundException] {
+      client.sendMessageBatch("q", Seq(ClientSinks.SqsMessage("Ym9keQ==", "k")))
+    }
+  }
 }

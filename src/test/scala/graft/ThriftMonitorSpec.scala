@@ -91,6 +91,35 @@ class ThriftMonitorSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(mon)
   }
 
+  test("graceful shutdown flips health BEFORE the drain sleep and the query stop") {
+    import graft.streaming.{GracefulShutdown, PipelineMonitor}
+    val mon = new PipelineMonitor
+    spark.streams.addListener(mon)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("gs-ckpt").toString
+      val q = spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .queryName("gs-test")
+        .start()
+      // let it start; a live healthy query is the precondition
+      var waited = 0
+      while (!mon.snapshot.contains("gs-test") && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(mon.healthy, "query must be healthy before the shutdown request")
+      // record the observable order: at drain-sleep time health must
+      // already be DOWN while the query is still RUNNING (the LB window)
+      val order = scala.collection.mutable.ArrayBuffer.empty[String]
+      GracefulShutdown.stop(mon, Seq(q), preTerminationMillis = 1L, sleeper = _ => {
+        order += s"sleep: healthy=${mon.healthy} active=${q.isActive}"
+      })
+      order += s"stopped: active=${q.isActive}"
+      assert(order.head === "sleep: healthy=false active=true",
+        s"health must flip before the drain window, got: $order")
+      assert(!q.isActive, "query must be stopped after the drain window")
+      assert(mon.isShuttingDown && !mon.healthy)
+    } finally spark.streams.removeListener(mon)
+  }
+
   test("S6 ops endpoints match the reference's golden responses") {
     import graft.streaming.OpsEndpoints._
     // reference CollectorServiceSpec "flashCrossDomainPolicy" goldens
