@@ -46,44 +46,59 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  private def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
+  private def idiv(a: Column, b: Column): Column = TextOps.idiv(a, b)
 
-  /** BM25 top-k: one output row per (query, rank) with the matched doc,
-    * its exact-integer milli-score, and how many query terms hit.
-    * `queries` is (query_id, whitespace query text) — tiny by
-    * definition (a query workload, not data). */
-  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int): DataFrame = {
+  private def qtermsDF(docs: DataFrame, queries: Seq[(Int, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-
-    val qterms = queries
+    queries
       .flatMap { case (qid, text) =>
         text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _)
       }
       .toDF("query_id", "tok")
-    val qtoks = qterms.select("tok").distinct()
+  }
 
-    // dl rides the explode (each token row carries its doc's length);
-    // the broadcast semi filter runs map-side, before any exchange
-    val toks = docs
+  /** The matched-token tf relation: dl rides the explode (each token row
+    * carries its doc's length); the broadcast semi filter runs map-side,
+    * BEFORE any exchange — the only wide shuffle carries matched tokens. */
+  private def tfRelation(docs: DataFrame, qterms: DataFrame): DataFrame = {
+    val qtoks = qterms.select("tok").distinct()
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("tok"))
       .join(broadcast(qtoks), Seq("tok"), "left_semi")
-    val tf = toks.groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
-    // per-term document frequency: same tf exchange, reduced to a
-    // broadcast-sized table (one row per matched query term)
-    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    // corpus scalars from a second NARROW scan (no explode, no shuffle);
-    // dl > 0 matches the tf-derived domain: token-less docs score nowhere
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+  }
+
+  /** TRAIN half of the serve split: the frozen per-term index stats —
+    * (tok, df, n_docs, total_tok), one row per query term present in the
+    * corpus, the corpus scalars replicated onto each (broadcast-sized by
+    * construction: ≤ |query terms| rows). The df aggregation re-reads
+    * the same tf exchange the scorer builds (identical subtree → AQE
+    * runtime exchange reuse); the scalars come from a second NARROW scan
+    * (no explode, no shuffle), with dl > 0 matching the tf-derived
+    * domain: token-less docs score nowhere. */
+  def bm25Stats(docs: DataFrame, queries: Seq[(Int, String)]): DataFrame = {
+    val df = tfRelation(docs, qtermsDF(docs, queries))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
     val stats = docs
       .select(size(TextOps.tokens(col("text"))).as("dl")).filter(col("dl") > 0)
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tok"))
+    df.crossJoin(broadcast(stats))
+  }
 
-    val matched = tf
+  /** SERVE half: score any documents-shaped relation against FROZEN
+    * index stats — the production retrieval shape (index built once over
+    * the corpus; fresh documents scored per micro-batch via
+    * `foreachBatch`, like NgramLm.scoreWith / Dsir.scoreWith). Output:
+    * one row per (query, doc) with ≥ 1 matched term — bm25TopK's scored
+    * relation before ranking. Stream-safe: the only wide operation is
+    * the per-micro-batch tf groupBy; everything else is broadcast. */
+  def scoreWith(docs: DataFrame, queries: Seq[(Int, String)], stats: DataFrame): DataFrame = {
+    val qterms = qtermsDF(docs, queries)
+    val matched = tfRelation(docs, qterms)
       .join(broadcast(qterms), "tok")
-      .join(broadcast(df), "tok")
-      .crossJoin(broadcast(stats))
+      .join(broadcast(stats), "tok")
 
     val avgdlMilli = idiv(lit(1000L) * col("total_tok"), col("n_docs"))
     val dlrMilli = idiv(lit(1000000L) * col("dl"), avgdlMilli)
@@ -94,11 +109,21 @@ object Retrieval {
     val satMilli = idiv(lit(2200000L) * col("tf"), denMilli)
     val termMilli = idiv(oddsMilli * satMilli, lit(1000L))
 
-    val scored = matched
+    matched
       .withColumn("term_milli", termMilli)
       .groupBy("query_id", "doc_id")
       .agg(sum("term_milli").as("score_milli"), count(lit(1)).as("n_hit"))
+  }
 
+  /** BM25 top-k: one output row per (query, rank) with the matched doc,
+    * its exact-integer milli-score, and how many query terms hit.
+    * `queries` is (query_id, whitespace query text) — tiny by
+    * definition (a query workload, not data). Composes the train/serve
+    * halves over the same corpus; top-k per query is a WindowGroupLimit
+    * over query_id — k rows per query survive the per-partition
+    * pre-limit, never a global sort. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int): DataFrame = {
+    val scored = scoreWith(docs, queries, bm25Stats(docs, queries))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_milli").desc, col("doc_id").asc)
     scored

@@ -344,6 +344,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(dsBatch.except(dsStream).count() === 0)
   }
 
+  test("BM25 serve: frozen index stats score a document stream == batch ranking") {
+    import graft.operators.Retrieval
+    import graft.queries.Training
+    val docsBatch = Tables.documents(spark, TestSpark.Sf)
+    val srcDir = tmp("bm25-src")
+    docsBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
+    // the index (per-term df + corpus scalars) is trained ONCE on the
+    // static corpus snapshot; micro-batches of fresh documents score
+    // against the frozen stats — the production retrieval serve shape
+    val stats = Retrieval.bm25Stats(docsBatch, Training.Bm25Queries).cache()
+    val outBm = tmp("bm25-out"); val ckpt = tmp("bm25-ckpt")
+    val q = spark.readStream
+      .schema(docsBatch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Retrieval.scoreWith(batch, Training.Bm25Queries, stats)
+          .write.mode("append").parquet(outBm)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    // re-ranking the union of micro-batch scores must reproduce the
+    // batch t_bm25 ranking exactly (scores are exact integers, so this
+    // is equality, not tolerance)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+    val streamTopK = spark.read.parquet(outBm)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "doc_id", "score_milli", "n_hit")
+    val batchTopK = Retrieval.bm25TopK(docsBatch, Training.Bm25Queries, 5)
+    assert(streamTopK.count() === batchTopK.count())
+    assert(streamTopK.except(batchTopK).count() === 0)
+    assert(batchTopK.except(streamTopK).count() === 0)
+  }
+
   test("multimodal decode and dHash run unchanged on a stream") {
     import graft.operators.Multimodal
     val docsBatch = Tables.documents(spark, TestSpark.Sf)
