@@ -27,7 +27,16 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
+        // An analysis-time failure happens BEFORE overwrite deletes the
+        // prior run's output — clear the dir first so stale parquet from
+        // a reused out dir can never verify silently next to the marker
+        // (which, underscore-prefixed, parquet globs skip as hidden).
         val qDir = Paths.get(outDir, name)
+        if (Files.exists(qDir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(qDir).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+        }
         Files.createDirectories(qDir)
         Files.writeString(qDir.resolve("_ERROR"), failed(name))
       }

@@ -404,7 +404,7 @@ object Dedup {
     // bytes/row bound off the scan size; the cap (4M items ≈ 4.8 MB at
     // 1% fpp) keeps the sketch broadcast-sized at any corpus scale
     val stats = idx.queryExecution.optimizedPlan.stats
-    val est: Long = stats.rowCount.map(_.longValue)
+    val est: Long = stats.rowCount.map(_.longValue.max(1L))
       .getOrElse((stats.sizeInBytes / 48).min(BigInt(4000000L)).max(BigInt(4096L)).toLong)
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(est, 0.01)
 

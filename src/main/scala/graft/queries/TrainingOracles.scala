@@ -1249,9 +1249,11 @@ object TrainingOracles {
          |FROM tf GROUP BY doc_id, n""".stripMargin,
 
     // df-capped inverted-index cosine pairs (DocSim.cosinePairs): pairs
-    // exist only through shared kept shingles (2 <= df <= 16); DuckDB's
-    // int128 carries the 10^6·dot² and n1_sq·n2_sq products exactly,
-    // mirroring Spark's DECIMAL(38,0) path; `//` == idiv38 bit-for-bit
+    // exist only through shared kept shingles (2 <= df <= 16); the
+    // explicit HUGEINT casts force DuckDB into int128 for the
+    // 10^6·dot² and n1_sq·n2_sq products (BIGINT multiplication would
+    // throw Out of Range at dot ≳ 3·10⁶ — exactly the regime Spark
+    // handles via DECIMAL(38,0)); `//` == idiv38 bit-for-bit
     "d_docsim" ->
       s"""$TokCte,
          |shi AS (SELECT doc_id, $Shingles AS sh FROM tok WHERE len(toks) >= 3),
@@ -1269,9 +1271,9 @@ object TrainingOracles {
          |          FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT doc1, doc2, n_shared, dot, x.n_sq AS n1_sq, y.n_sq AS n2_sq,
-         |  CAST((1000000 * dot * dot) // (x.n_sq * y.n_sq) AS BIGINT) AS cos2_micro
+         |  CAST((1000000::HUGEINT * dot * dot) // (x.n_sq::HUGEINT * y.n_sq) AS BIGINT) AS cos2_micro
          |FROM pairs JOIN norms x ON x.doc_id = doc1 JOIN norms y ON y.doc_id = doc2
-         |WHERE (1000000 * dot * dot) // (x.n_sq * y.n_sq) >= 100000""".stripMargin,
+         |WHERE (1000000::HUGEINT * dot * dot) // (x.n_sq::HUGEINT * y.n_sq) >= 100000""".stripMargin,
 
     // The Spark side builds REAL container headers and parses them back
     // (Multimodal.decodeHeader); the oracle recomputes the expected

@@ -36,8 +36,15 @@ object AwsKinesisClient {
     catch { case _: ClassNotFoundException => false }
 
   /** Build the real client; throws ClassNotFoundException when the SDK is
-    * absent (call [[available]] first, or inject a test client instead). */
-  def apply(): KinesisClient = new KinesisClient {
+    * absent (call [[available]] first, or inject a test client instead).
+    * The presence check runs HERE — the factory `() => AwsKinesisClient()`
+    * is invoked per-partition on the executor, so a missing SDK kills the
+    * task before any record is attempted, making the factory-time claim
+    * above literally true (the SDK client itself still builds lazily on
+    * first use so the returned object serializes cleanly). */
+  def apply(): KinesisClient = {
+    Class.forName(BuilderClass)
+    new KinesisClient {
     // one SDK client per sink client (= per executor task), lazily so the
     // closure serializes without touching SDK classes on the driver
     @transient private lazy val sdk: AnyRef = {
@@ -73,5 +80,6 @@ object AwsKinesisClient {
         Option(rec.getClass.getMethod("errorCode").invoke(rec)).map(_.toString)
       }
     }
+  }
   }
 }

@@ -34,8 +34,15 @@ object AwsSqsClient {
     catch { case _: ClassNotFoundException => false }
 
   /** Build the real client; throws ClassNotFoundException when the SDK is
-    * absent (call [[available]] first, or inject a test client instead). */
-  def apply(): SqsClient = new SqsClient {
+    * absent (call [[available]] first, or inject a test client instead).
+    * The presence check runs HERE — the factory `() => AwsSqsClient()` is
+    * invoked per-partition on the executor, so a missing SDK kills the
+    * task at factory time (before any batch), as the Scaladoc above
+    * claims; the SDK client itself still builds lazily on first use so
+    * the returned object serializes cleanly. */
+  def apply(): SqsClient = {
+    Class.forName(BuilderClass)
+    new SqsClient {
     // one SDK client per sink client (= per executor task), lazily so the
     // closure serializes without touching SDK classes on the driver
     @transient private lazy val sdk: AnyRef = {
@@ -81,5 +88,6 @@ object AwsSqsClient {
       }.toMap
       messages.indices.map(i => codeById.get(i.toString))
     }
+  }
   }
 }

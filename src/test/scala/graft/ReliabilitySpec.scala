@@ -246,14 +246,11 @@ class ReliabilitySpec extends AnyFunSuite {
     import graft.sinks.AwsKinesisClient
     // this sandbox ships no AWS jars — availability must say so honestly
     assert(!AwsKinesisClient.available())
-    // and constructing/using the client without the SDK fails FAST with
-    // the class name, never a partial write: the factory shape
+    // and constructing the client without the SDK fails AT THE FACTORY
+    // CALL with the class name, never a partial write: the factory shape
     // KinesisEventSink(stream, () => AwsKinesisClient()) means the task
     // dies before any record is attempted
-    val client = AwsKinesisClient()
-    intercept[ClassNotFoundException] {
-      client.putRecords("s", Seq(ClientSinks.OutRecord(Array[Byte](1), "k")))
-    }
+    intercept[ClassNotFoundException] { AwsKinesisClient() }
   }
 
   test("real-SDK SQS binding: absent SDK is detected at factory time, not mid-batch") {
@@ -262,9 +259,29 @@ class ReliabilitySpec extends AnyFunSuite {
     // (KinesisSink.scala:281-325) — the secondary needs the same honest
     // availability check and fail-fast factory as the primary
     assert(!AwsSqsClient.available())
-    val client = AwsSqsClient()
+    intercept[ClassNotFoundException] { AwsSqsClient() }
+  }
+
+  test("real-SDK PubSub binding: absent SDK is detected at factory time, not mid-batch") {
+    import graft.sinks.GcpPubSubClient
+    // reference GooglePubSubSink builds the Publisher at sink init and
+    // fails the collector start on a bad build — factory-time is the
+    // micro-batch analog of that init failure
+    assert(!GcpPubSubClient.available())
+    intercept[ClassNotFoundException] { GcpPubSubClient() }
+  }
+
+  test("real-SDK NSQ binding: absent client jar is detected at factory time") {
+    import graft.sinks.NsqProducerClient
+    assert(!NsqProducerClient.available())
+    intercept[ClassNotFoundException] { NsqProducerClient("localhost", 4150) }
+  }
+
+  test("real-SDK RabbitMQ binding: absent amqp-client is detected at factory time") {
+    import graft.sinks.RabbitMqChannelClient
+    assert(!RabbitMqChannelClient.available())
     intercept[ClassNotFoundException] {
-      client.sendMessageBatch("q", Seq(ClientSinks.SqsMessage("Ym9keQ==", "k")))
+      RabbitMqChannelClient("localhost", 5672, Some("raw"))
     }
   }
 }
