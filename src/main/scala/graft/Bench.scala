@@ -122,6 +122,7 @@ object Bench {
     "stream_collector" -> 7.0,
     "stream_sessionize" -> 2.1,
     "stream_join" -> 8.0, // r9 re-baseline: warm floor 7.93 s (BASELINE.md)
+    "stream_incremental" -> 5.5, // r9: incremental dedup serve drain (BASELINE.md)
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
     "stream_lake" -> 10.0)
@@ -249,6 +250,32 @@ object Bench {
           .option("checkpointLocation", dir("ckpt-win"))
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
+      }
+    }
+
+    if (wanted("stream_incremental")) {
+      // incremental dedup serve: durable fingerprint index + merged
+      // bloom sketch, verdicts per micro-batch (IncrementalIndex)
+      import graft.streaming.IncrementalIndex
+      val cfg = IncrementalIndex.IndexConfig(dir(s"inc-idx"), capacity = 4000000L)
+      out += leg("stream_incremental") {
+        val docs = Tables.documents(spark, sfDir)
+        IncrementalIndex.init(spark, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), cfg)
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .write.mode("overwrite").parquet(dir("inc-src"))
+      } {
+        val q = fileStream(dir("inc-src"))
+          .writeStream
+          .option("checkpointLocation", dir("ckpt-inc"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            IncrementalIndex.serveBatch(spark, batch, id, cfg)
+              .write.mode("append").parquet(dir("inc-verdicts"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(spark.read.parquet(dir("inc-verdicts")).count() > 0)
       }
     }
 

@@ -385,8 +385,11 @@ object Dedup {
     * plan literal, not a closure UDF, so the hot path stays inside
     * whole-stage codegen. An undersized estimate only raises the
     * effective fpp (more rows pay the verification join); the verdict
-    * stays exact at any fpp. In production the sketch is maintained
-    * incrementally alongside the index, not recomputed. */
+    * stays exact at any fpp. The production serve shape — the sketch
+    * maintained incrementally alongside a durable index, merged per
+    * micro-batch, never recomputed — is
+    * [[graft.streaming.IncrementalIndex]] (StreamingSpec proves stream
+    * verdicts ≡ this batch verdict). */
   def incrementalNew(docs: DataFrame, mod: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.GraftBridge

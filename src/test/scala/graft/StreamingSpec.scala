@@ -589,4 +589,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() === batch.count())
     assert(streamed.agg(sum("n")).head().getLong(0) === batch.agg(sum("n")).head().getLong(0))
   }
+
+  test("incremental dedup index: streamed verdicts match batch incrementalNew; replay is exact") {
+    import graft.operators.Dedup
+    import graft.streaming.IncrementalIndex
+    import graft.streaming.IncrementalIndex.IndexConfig
+    val docs0 = Tables.documents(spark, TestSpark.Sf)
+    val mod = 3
+    // sf0.001 has no duplicate texts, so plant deterministic ones in the
+    // incoming shard (ids ≡ 0 mod 3): two copies of index-shard texts
+    // (index-hit polarity), a second in-shard copy of one of them, and a
+    // novel text duplicated in-shard only (first-copy-wins polarity)
+    val maxId = docs0.agg(max("doc_id")).head().getLong(0)
+    val m0 = ((maxId / mod) + 1) * mod
+    val donor = docs0.filter(pmod(col("doc_id"), lit(mod)) === 1).orderBy("doc_id").limit(2)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val idxDups = donor.withColumn("k", row_number().over(w))
+      .withColumn("doc_id", lit(m0) + (col("k") - 1) * mod).drop("k")
+    val inShardDup = donor.orderBy("doc_id").limit(1)
+      .withColumn("doc_id", lit(m0 + 2 * mod))
+    val novel = donor.orderBy("doc_id").limit(1)
+      .withColumn("text", concat(col("text"), lit(" graft-novel-dup")))
+    val novelPair = novel.withColumn("doc_id", lit(m0 + 3 * mod))
+      .unionByName(novel.withColumn("doc_id", lit(m0 + 4 * mod)))
+    val docs = docs0.unionByName(idxDups).unionByName(inShardDup).unionByName(novelPair)
+    val cfg = IndexConfig(tmp("inc-idx"), capacity = 100000L)
+    IncrementalIndex.init(spark, docs.filter(pmod(col("doc_id"), lit(mod)) =!= 0), cfg)
+    val incoming = docs.filter(pmod(col("doc_id"), lit(mod)) === 0)
+
+    // ascending doc_id range slices with increasing mtimes: the file
+    // stream serves oldest-first, so the earliest copy of any duplicate
+    // fingerprint lands in the earliest micro-batch — the arrival-order
+    // analog of the batch window's min(doc_id) first-copy election
+    val srcDir = tmp("inc-src")
+    val ids = incoming.select("doc_id").as[Long].collect().sorted
+    val cuts = Seq(ids(ids.length / 4), ids(ids.length / 2), ids(3 * ids.length / 4))
+    val slices = Seq(
+      incoming.filter(col("doc_id") <= cuts(0)),
+      incoming.filter(col("doc_id") > cuts(0) && col("doc_id") <= cuts(1)),
+      incoming.filter(col("doc_id") > cuts(1) && col("doc_id") <= cuts(2)),
+      incoming.filter(col("doc_id") > cuts(2)))
+    val base = System.currentTimeMillis() - 3600000L
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val d = tmp(s"inc-slice-$i")
+      s.coalesce(1).write.mode("overwrite").parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = new java.io.File(srcDir, f"slice-$i%04d.parquet")
+      java.nio.file.Files.copy(part.toPath, dst.toPath)
+      assert(dst.setLastModified(base + i * 60000L))
+    }
+
+    val outV = tmp("inc-verdicts"); val ckpt = tmp("inc-ckpt")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1") // one slice per micro-batch
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        IncrementalIndex.serveBatch(spark, batch, id, cfg)
+          .write.mode("append").parquet(outV)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(outV)
+    val batchV = Dedup.incrementalNew(docs, mod)
+    assert(streamed.count() === batchV.count())
+    assert(streamed.except(batchV).count() === 0)
+    assert(batchV.except(streamed).count() === 0)
+    // the stream actually exercised both verdict polarities
+    assert(streamed.filter(col("is_new")).count() > 0)
+    assert(streamed.filter(!col("is_new")).count() > 0)
+
+    // replay the LAST micro-batch (what checkpoint recovery re-delivers):
+    // the commit marker must make it a read-only re-serve — identical
+    // verdicts (even though the index already holds this batch's
+    // fingerprints) and no new index files or sketch growth
+    val filesBefore = new java.io.File(s"${cfg.fingerprintsDir}").list().toSet
+    val bloomBefore = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cfg.bloomPath)).toSeq
+    val lastSlice = spark.read.parquet(s"$srcDir/slice-0003.parquet")
+    val replayed = IncrementalIndex.serveBatch(spark, lastSlice, 3L, cfg)
+    val original = streamed.join(lastSlice.select("doc_id"), "doc_id")
+      .select("doc_id", "fingerprint", "is_new")
+    assert(replayed.count() === original.count())
+    assert(replayed.except(original).count() === 0)
+    assert(original.except(replayed).count() === 0)
+    assert(new java.io.File(s"${cfg.fingerprintsDir}").list().toSet === filesBefore)
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(cfg.bloomPath)).toSeq === bloomBefore)
+  }
 }
