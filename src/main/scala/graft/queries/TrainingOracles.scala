@@ -316,6 +316,32 @@ object TrainingOracles {
       s"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) >= 0 THEN ${1L << i} ELSE 0 END"
   }.mkString(" + ")
 
+  /** 64-bit simhash CTE chain (mirrors Dedup.simhashes64 bit-for-bit):
+    * vote i reads bit (i mod 4) of hex digit (i div 4) via set
+    * membership (no hex-int conversion in either engine); bits OR
+    * together, with bit 63 spelled `(-max-1)` because DuckDB parses the
+    * bare min-BIGINT literal as INT128. Generated single-line so it
+    * embeds safely inside stripMargin query strings. */
+  private val Simhash64Cte: String = {
+    val hexBitSets = Seq(
+      Seq("1", "3", "5", "7", "9", "b", "d", "f"),
+      Seq("2", "3", "6", "7", "a", "b", "e", "f"),
+      Seq("4", "5", "6", "7", "c", "d", "e", "f"),
+      Seq("8", "9", "a", "b", "c", "d", "e", "f"))
+    val sums = (0 until 64).map { i =>
+      val set = hexBitSets(i % 4).map(c => s"'$c'").mkString(", ")
+      s"sum(CASE WHEN substr(h, ${i / 4 + 1}, 1) IN ($set) THEN 1 ELSE -1 END) AS s$i"
+    }.mkString(", ")
+    val bits = (0 until 64).map { i =>
+      val v = if (i == 63) "(-9223372036854775807 - 1)" else s"${1L << i}"
+      s"CASE WHEN s$i >= 0 THEN $v::BIGINT ELSE 0::BIGINT END"
+    }.mkString(" | ")
+    s"u64 AS (SELECT doc_id, unnest(toks) AS t FROM tok), " +
+      s"h64 AS (SELECT doc_id, md5(t) AS h FROM u64), " +
+      s"sums64 AS (SELECT doc_id, $sums FROM h64 GROUP BY doc_id), " +
+      s"codes64 AS (SELECT doc_id, $bits AS code FROM sums64)"
+  }
+
   /** The full t_pipeline2 gate chain (fuzzy-dedup keepers, sampling +
     * splits, decontamination, gopher + C4 keeps, token counts) as a CTE
     * prefix — t_pipeline2 selects from it directly and t_pipeline3
@@ -561,6 +587,29 @@ object TrainingOracles {
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(x.code, y.code)) AS INT) AS hamming
          |FROM pairs JOIN codes x ON x.doc_id = doc_a JOIN codes y ON y.doc_id = doc_b
+         |WHERE bit_count(xor(x.code, y.code)) <= 2""".stripMargin,
+
+    // production 64-bit simhash codes (one unnest + 64-sum group-by; the
+    // OR of per-bit CASEs mirrors Dedup.simhashes64's bitwiseOR reduce)
+    "d_simhash64" ->
+      s"""$TokCte, $Simhash64Cte
+         |SELECT doc_id, code FROM codes64""".stripMargin,
+
+    // 64-bit hamming-ball pairs at the production 22/21/21 banding
+    // geometry (LSH occupancy cap 64, arithmetic-shift + mask chunk
+    // reads — identical bits in both engines for negative codes)
+    "d_simhash_nn64" ->
+      s"""$TokCte, $Simhash64Cte,
+         |bands640 AS (SELECT doc_id, unnest([
+         |    'c0:' || CAST(code & 4194303 AS VARCHAR),
+         |    'c1:' || CAST((code >> 22) & 2097151 AS VARCHAR),
+         |    'c2:' || CAST((code >> 43) & 2097151 AS VARCHAR)]) AS band FROM codes64),
+         |bands64 AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands640) t WHERE bsz <= 64),
+         |pairs64 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands64 a JOIN bands64 b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(x.code, y.code)) AS INT) AS hamming
+         |FROM pairs64 JOIN codes64 x ON x.doc_id = doc_a JOIN codes64 y ON y.doc_id = doc_b
          |WHERE bit_count(xor(x.code, y.code)) <= 2""".stripMargin,
 
     // Connected components over the capped LSH pair graph: the oracle

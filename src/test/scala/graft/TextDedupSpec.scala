@@ -213,6 +213,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(banded.forall(_._3 <= 2))
   }
 
+  test("simhash64: identical docs equal codes; near-identical docs are hamming-close") {
+    val s = Dedup.simhashes64(docsOf(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "The quick brown fox jumps over the lazy dog again and again today!"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (4L, "completely different words about spark catalyst optimizer internals here")))
+      .as[(Long, Long)].collect().toMap
+    assert(s(1L) === s(2L)) // tokenization-invariant
+    val near = java.lang.Long.bitCount(s(1L) ^ s(3L))
+    val far = java.lang.Long.bitCount(s(1L) ^ s(4L))
+    assert(near < far) // one-token edit moves few bits; disjoint text moves many
+    // empty-token docs drop out rather than emitting a degenerate code
+    assert(Dedup.simhashes64(docsOf((9L, "!!! ..."))).count() === 0)
+  }
+
+  test("simhash64 banding is COMPLETE vs brute force at distance <= 2") {
+    // same pigeonhole claim at the production 22/21/21 geometry: d <= 2
+    // over 3 chunks leaves one chunk intact; at 2^21+-value band spaces
+    // no bucket can trip the cap at this scale
+    val docs = graft.Tables.documents(spark, TestSpark.Sf)
+    val sim = Dedup.simhashes64(docs)
+    val brute = sim.as("a").join(sim.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.code").bitwiseXOR(col("b.code"))).as("hamming"))
+      .filter(col("hamming") <= 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val banded = Dedup.simhashNeighbors64(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === brute)
+    assert(banded.forall(_._3 <= 2))
+  }
+
   test("pagerank on candidates: regular graph sits at the uniform fixed point") {
     // two 2-cliques: every vertex has degree 1 → rank stays Scale/N
     // (base 0.15/N + 0.85·(full neighbor rank) = 1/N) at every iteration
