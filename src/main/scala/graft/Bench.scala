@@ -117,6 +117,8 @@ object Bench {
     // measurable: 2.11 s vs the 16-bit miniature's 7.37 s, same corpus
     "d_simhash_nn64" -> 2.1,
     "m_pixels" -> 0.4,
+    "m_png_pixels" -> 0.5, // r9: zlib inflate+unfilter premium over raw BMP
+
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,
     "m_dhash_nn" -> 1.6,

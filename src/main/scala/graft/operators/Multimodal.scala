@@ -181,8 +181,10 @@ object Multimodal {
     * info header, bottom-up row order, BGR byte order, rows padded to a
     * 4-byte stride — a stock viewer opens the output. BMP is the one
     * mainstream image container with uncompressed pixels, so the full
-    * codec is implementable without the absent JNI libraries; the PNG/GIF
-    * paths stay header-only ([[decodeHeader]]) by declared necessity. */
+    * codec is implementable without the absent JNI libraries; PNG's only
+    * compression is zlib — in the JDK — so it gets a full codec too
+    * ([[encodePng]]/[[decodePngPixels]]); GIF (LZW) stays header-only
+    * ([[decodeHeader]]) by declared necessity. */
   private[graft] def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     val stride = (3 * w + 3) & ~3
     val out = new Array[Byte](54 + stride * h)
@@ -257,6 +259,186 @@ object Multimodal {
       y += 1
     }
     encodeBmp(w, h, rgb)
+  }
+
+  // ---- PNG codec (RFC 2083): real IHDR/IDAT/IEND chunks, zlib via the
+  // JDK Deflater/Inflater, all five scanline filters, CRC-gated ----
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** PNG's Paeth predictor (filter type 4): nearest of left/up/up-left
+    * to the linear estimate, ties broken left, up, up-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** One length+type+data+CRC32 chunk (the CRC spans type and data). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(t); crc.update(data)
+    java.nio.ByteBuffer.allocate(12 + data.length)
+      .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+  }
+
+  /** Encode top-down row-major RGB to a COMPLETE 8-bit truecolor PNG a
+    * stock viewer opens: signature, IHDR, one zlib IDAT, IEND. The
+    * scanline filter CYCLES through all five types (None/Sub/Up/
+    * Average/Paeth, row y uses y mod 5) so a round trip exercises the
+    * whole unfilter matrix, not just the trivial type 0. */
+  private[graft] def encodePng(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val rb = 3 * w // bytes per row
+    val raw = new Array[Byte]((rb + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      val ro = y * (rb + 1)
+      raw(ro) = ft.toByte
+      var i = 0
+      while (i < rb) {
+        val cur = rgb(y * rb + i) & 0xFF
+        val left = if (i >= 3) rgb(y * rb + i - 3) & 0xFF else 0
+        val up = if (y > 0) rgb((y - 1) * rb + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= 3) rgb((y - 1) * rb + i - 3) & 0xFF else 0
+        val f = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(ro + 1 + i) = (f & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) bos.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive filter, no interlace
+      .array()
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", bos.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decode an 8-bit truecolor PNG to top-down row-major RGB: chunk walk
+    * (ancillary chunks skipped, multiple IDATs concatenated), per-chunk
+    * CRC32 verification, JDK Inflater, full five-filter unfilter.
+    * Returns None (never throws) for anything unsupported or corrupt —
+    * paletted/16-bit/interlaced images, bad magic, CRC mismatch,
+    * truncated or malformed zlib, oversized dimensions — a corrupt blob
+    * must poison one row's decode, not a 100 TB job. */
+  private[graft] def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 8 || !b.take(8).sameElements(PngSig)) return None
+    var off = 8
+    var w = 0; var h = 0; var sawIhdr = false; var ended = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!ended) {
+      if (off + 12 > b.length) return None
+      val len = rdBe32(b, off)
+      if (len < 0 || off + 12L + len > b.length) return None
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, off + 4, 4 + len)
+      if (crc.getValue.toInt != rdBe32(b, off + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = rdBe32(b, off + 8); h = rdBe32(b, off + 12)
+          val depth = b(off + 16); val color = b(off + 17)
+          val comp = b(off + 18); val filt = b(off + 19); val inter = b(off + 20)
+          if (depth != 8 || color != 2 || comp != 0 || filt != 0 || inter != 0 ||
+              w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+          sawIhdr = true
+        case "IDAT" =>
+          if (!sawIhdr) return None
+          idat.write(b, off + 8, len)
+        case "IEND" => ended = true
+        case _ => () // ancillary (tEXt, pHYs, ...) — skip
+      }
+      off += 12 + len
+    }
+    if (!sawIhdr) return None
+    val rb = 3 * w
+    val raw = new Array[Byte]((rb + 1) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var n = 0
+      while (n < raw.length) {
+        val k = inf.inflate(raw, n, raw.length - n)
+        if (k == 0) return None // truncated / dictionary-needing stream
+        n += k
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    val rgb = new Array[Byte](rb * h)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (rb + 1)) & 0xFF
+      if (ft > 4) return None
+      var i = 0
+      while (i < rb) {
+        val f = raw(y * (rb + 1) + 1 + i) & 0xFF
+        val left = if (i >= 3) rgb(y * rb + i - 3) & 0xFF else 0
+        val up = if (y > 0) rgb((y - 1) * rb + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= 3) rgb((y - 1) * rb + i - 3) & 0xFF else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case _ => f + paeth(left, up, ul)
+        }
+        rgb(y * rb + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** Deterministic full PNG for a doc: 8–23 × 8–23 px of the same pixel
+    * functions, sized differently from [[synthBmpImage]] so the PNG
+    * oracle is not a re-hash of the BMP one. */
+  private[graft] def synthPngImage(docId: Long): Array[Byte] = {
+    val w = (8 + (5 * docId) % 16).toInt
+    val h = (8 + (11 * docId) % 16).toInt
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = 3 * (y * w + x)
+        rgb(p) = pxR(docId, x, y).toByte
+        rgb(p + 1) = pxG(docId, x, y).toByte
+        rgb(p + 2) = pxB(docId, x, y).toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(w, h, rgb)
+  }
+
+  /** FULL PNG pixel decode + feature extraction — the [[pixelStats]]
+    * shape through the compressed path: synth bytes → chunk walk + CRC
+    * + inflate + unfilter → exact channel sums. Any defect anywhere in
+    * the codec (filter algebra, CRC span, zlib framing) breaks the
+    * oracle hash. Narrow mapPartitions, no shuffle. */
+  def pngPixelStats(docs: DataFrame): Dataset[PixelStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      decodePngPixels(synthPngImage(id)).map { case (w, h, rgb) => statsOf(id, w, h, rgb) }
+    })
   }
 
   /** Nearest-neighbor resize (src pixel = `x*srcW // dstW`, exact integer

@@ -362,6 +362,7 @@ object Training {
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
   val mPixels: Q = (s, d) => Multimodal.pixelStats(docs(s, d)).toDF()
+  val mPngPixels: Q = (s, d) => Multimodal.pngPixelStats(docs(s, d)).toDF()
   val mResize: Q = (s, d) => Multimodal.resizeStats(docs(s, d)).toDF()
   val mDhash: Q = (s, d) => Multimodal.dhashes(docs(s, d)).toDF()
   val mDhashNn: Q = (s, d) => Multimodal.dhashNeighbors(docs(s, d))
@@ -428,6 +429,7 @@ object Training {
     "m_frames" -> mFrames,
     "m_audio" -> mAudio,
     "m_pixels" -> mPixels,
+    "m_png_pixels" -> mPngPixels,
     "m_resize" -> mResize,
     "m_dhash" -> mDhash,
     "m_dhash_nn" -> mDhashNn,

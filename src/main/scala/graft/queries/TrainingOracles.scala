@@ -1367,6 +1367,26 @@ object TrainingOracles {
         |  CAST(sum((5*doc_id + x + y) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
+    // Full PNG decode features: the Spark side synthesizes a real
+    // zlib-compressed PNG (all five scanline filters cycling), DECODES
+    // it (chunk walk + CRC + inflate + unfilter), and sums channels; the
+    // oracle computes the same exact-integer sums straight from the
+    // pixel function over the (w × h) grid — PNG dims differ from BMP's
+    // so this is not a re-hash of m_pixels.
+    "m_png_pixels" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + (5*doc_id) % 16 AS w, 8 + (11*doc_id) % 16 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, tx.x AS x, ty.y AS y
+        |  FROM g, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y))
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  count(*) AS n_px,
+        |  CAST(sum((doc_id + 7*x + 13*y) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((2*doc_id + 11*x + 3*y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((5*doc_id + x + y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
     // Nearest-neighbor resize to 8×8 (src pixel = x*srcW // 8, exact
     // integer mapping) THROUGH a re-encode/decode round trip on the
     // Spark side; the oracle samples the pixel function at the mapped
