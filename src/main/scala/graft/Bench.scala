@@ -113,6 +113,11 @@ object Bench {
     "t_mix" -> 1.3,
     "t_langid2" -> 0.9,
     "d_simhash_nn" -> 7.5,
+    // r9 (both crossed the 1 s rule): d_docsim's target is the PINNED
+    // postings formulation (the unpinned r8 plan re-derived the corpus
+    // explode 16x and measured 12.4 s; see DocSim scaladoc)
+    "d_docsim" -> 3.5,
+    "t_entropy" -> 1.0,
     // r9: 64-bit production simhash NN — the thinned-bucket claim made
     // measurable: 2.11 s vs the 16-bit miniature's 7.37 s, same corpus
     "d_simhash_nn64" -> 2.1,

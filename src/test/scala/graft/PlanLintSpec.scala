@@ -118,6 +118,21 @@ class PlanLintSpec extends AnyFunSuite {
       s"d_incremental re-grew a closure UDF in the probe path:\n$plan")
   }
 
+  test("d_docsim serves from the pinned postings table (no per-consumer corpus re-derivation)") {
+    // the unpinned r8 plan re-derived the explode→tf→df pipeline for
+    // every postings consumer — 16 parquet scans, 12.4 s at sf0.1; the
+    // pinned plan reads the checkpointed postings RDD everywhere, so the
+    // SERVED plan touches parquet zero times (the one corpus pass lives
+    // in the checkpoint-build job) and its scan count can't regress
+    // silently
+    val plan = SparkEntry.queries("d_docsim")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"d_docsim re-grew corpus re-derivation past the postings pin:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"d_docsim no longer reads the pinned postings table:\n$plan")
+  }
+
   test("no query output schema contains DecimalType (hash-representation lint)") {
     // The driver hashes results through arrow->pandas, where int128/decimal
     // columns decay to float64 while Spark's int64 stays int — numerically
