@@ -123,6 +123,7 @@ object Bench {
     "d_simhash_nn64" -> 2.1,
     "m_pixels" -> 0.4,
     "m_png_pixels" -> 0.5, // r9: zlib inflate+unfilter premium over raw BMP
+    "m_gif_pixels" -> 0.7, // r9: LZW decode + palette mapping
 
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,

@@ -183,8 +183,9 @@ object Multimodal {
     * mainstream image container with uncompressed pixels, so the full
     * codec is implementable without the absent JNI libraries; PNG's only
     * compression is zlib — in the JDK — so it gets a full codec too
-    * ([[encodePng]]/[[decodePngPixels]]); GIF (LZW) stays header-only
-    * ([[decodeHeader]]) by declared necessity. */
+    * ([[encodePng]]/[[decodePngPixels]]), and GIF's LZW is pure table
+    * arithmetic, hand-rolled at [[encodeGif]]/[[decodeGifPixels]] and
+    * cross-validated against the JDK ImageIO coder in FuzzSpec. */
   private[graft] def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     val stride = (3 * w + 3) & ~3
     val out = new Array[Byte](54 + stride * h)
@@ -404,6 +405,277 @@ object Multimodal {
       y += 1
     }
     Some((w, h, rgb))
+  }
+
+  // ---- GIF codec (GIF89a): real logical-screen/color-table/image
+  // blocks and a FULL variable-width LZW (9→12-bit growth, 4096-entry
+  // clear-code reset) — LZW is pure table arithmetic, so like PNG's
+  // zlib this needs nothing beyond the JDK. FuzzSpec cross-validates
+  // both directions against javax.imageio's independent GIF coder. ----
+
+  /** GIF-variant LZW compress (LSB-first bit packing). Code width grows
+    * when the next assignable code would not fit; at 4096 entries a
+    * clear code resets the table — the convention every stock decoder
+    * (and [[lzwDecode]]) implements. */
+  private def lzwEncode(data: Array[Byte], minSize: Int): Array[Byte] = {
+    val clear = 1 << minSize; val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nbits = 0; var codeSize = minSize + 1
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nbits; nbits += codeSize
+      while (nbits >= 8) { out.write((cur & 0xFF).toInt); cur >>= 8; nbits -= 8 }
+    }
+    var dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = end + 1
+    emit(clear)
+    var prefix = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xFF
+      if (prefix < 0) prefix = b
+      else dict.get((prefix, b)) match {
+        case Some(c) => prefix = c
+        case None =>
+          emit(prefix)
+          if (next < 4096) {
+            dict((prefix, b)) = next
+            next += 1
+            // one step LATER than the decoder's bump: the decoder's
+            // table is one entry behind at read time (its first data
+            // code defines nothing), so encoder next == decoder next + 1
+            // and the width boundaries land on the same code index
+            if (next == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          } else { // table full: reset, matching the decoder's clear handling
+            emit(clear)
+            dict = scala.collection.mutable.HashMap.empty
+            next = end + 1
+            codeSize = minSize + 1
+          }
+          prefix = b
+      }
+      i += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(end)
+    if (nbits > 0) out.write((cur & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decompress to exactly `expected` bytes; None (never
+    * throws) on truncated streams, codes past the table, or a non-literal
+    * first code — corrupt blobs must not kill the job. Handles the
+    * KwKwK case (code == next) and deferred clear codes. */
+  private def lzwDecode(bytes: Array[Byte], minSize: Int, expected: Int): Option[Array[Byte]] = {
+    if (minSize < 2 || minSize > 11) return None
+    val clear = 1 << minSize; val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream(expected)
+    val prefix = new Array[Int](4096); val suffix = new Array[Byte](4096)
+    var next = end + 1; var codeSize = minSize + 1
+    var cur = 0L; var nbits = 0; var pos = 0; var prev = -1
+    def readCode(): Int = {
+      while (nbits < codeSize && pos < bytes.length) {
+        cur |= (bytes(pos) & 0xFFL) << nbits; pos += 1; nbits += 8
+      }
+      if (nbits < codeSize) -1
+      else {
+        val c = (cur & ((1L << codeSize) - 1)).toInt
+        cur >>= codeSize; nbits -= codeSize; c
+      }
+    }
+    // expand a code through the prefix chain (root codes are literals)
+    def expand(code: Int): Option[Array[Byte]] = {
+      val sb = new scala.collection.mutable.ArrayBuffer[Byte](64)
+      var c = code; var guard = 0
+      while (c > end && guard <= 4096) { sb += suffix(c); c = prefix(c); guard += 1 }
+      if (c >= clear || guard > 4096) None
+      else { sb += c.toByte; Some(sb.reverseIterator.toArray) }
+    }
+    while (out.size < expected) {
+      val code = readCode()
+      if (code < 0) return None
+      if (code == clear) { next = end + 1; codeSize = minSize + 1; prev = -1 }
+      else if (code == end) return None // stream ended short of `expected`
+      else if (prev < 0) {
+        if (code >= clear) return None // first code after clear must be a root
+        out.write(code); prev = code
+      } else {
+        val entry: Array[Byte] =
+          if (code < next) expand(code).getOrElse(return None)
+          else if (code == next) { // KwKwK: the entry being defined right now
+            val p = expand(prev).getOrElse(return None)
+            p :+ p(0)
+          } else return None
+        out.write(entry, 0, entry.length)
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = entry(0); next += 1
+          if (next == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** Encode 8-bit palette indices to a COMPLETE GIF89a a stock viewer
+    * opens: header, logical screen descriptor, 256-entry global color
+    * table (`palette` = 768 RGB bytes), image descriptor, LZW-compressed
+    * data in ≤255-byte sub-blocks, trailer. */
+  private[graft] def encodeGif(w: Int, h: Int, indices: Array[Byte],
+      palette: Array[Byte]): Array[Byte] = {
+    require(palette.length == 768 && indices.length == w * h)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("GIF89a".getBytes("US-ASCII"))
+    bos.write(le16(w), 0, 2); bos.write(le16(h), 0, 2)
+    bos.write(0xF7) // GCT present, 8-bit color resolution, 256 entries
+    bos.write(0); bos.write(0) // background index, aspect ratio
+    bos.write(palette, 0, 768)
+    bos.write(0x2C) // image descriptor
+    bos.write(le16(0), 0, 2); bos.write(le16(0), 0, 2)
+    bos.write(le16(w), 0, 2); bos.write(le16(h), 0, 2)
+    bos.write(0) // no local table, not interlaced
+    bos.write(8) // LZW minimum code size
+    val lzw = lzwEncode(indices, 8)
+    var o = 0
+    while (o < lzw.length) {
+      val n = math.min(255, lzw.length - o)
+      bos.write(n); bos.write(lzw, o, n)
+      o += n
+    }
+    bos.write(0) // block terminator
+    bos.write(0x3B) // trailer
+    bos.toByteArray
+  }
+
+  /** Decode the first frame of a GIF to top-down row-major RGB: screen
+    * descriptor, global/local color tables, extension-block skip, LZW,
+    * four-pass de-interlacing (stock writers — the JDK's included —
+    * interlace by default). None (never throws) for missing color
+    * tables, oversized dimensions, truncation, or any LZW defect. */
+  private[graft] def decodeGifPixels(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 13) return None
+    val magic = new String(b, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    var off = 6
+    val sw = rdLe16(b, off); val sh = rdLe16(b, off + 2)
+    val packed = b(off + 4) & 0xFF
+    off += 7
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (1 << ((packed & 7) + 1))
+      if (off + n > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, off, off + n)
+      off += n
+    }
+    while (off < b.length) {
+      (b(off) & 0xFF) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks to a 0 terminator
+          off += 2
+          while (off < b.length && (b(off) & 0xFF) != 0) off += 1 + (b(off) & 0xFF)
+          if (off >= b.length) return None
+          off += 1
+        case 0x2C =>
+          if (off + 10 > b.length) return None
+          val w = rdLe16(b, off + 5); val h = rdLe16(b, off + 7)
+          val ip = b(off + 9) & 0xFF
+          off += 10
+          val interlaced = (ip & 0x40) != 0
+          var table = gct
+          if ((ip & 0x80) != 0) {
+            val n = 3 * (1 << ((ip & 7) + 1))
+            if (off + n > b.length) return None
+            table = java.util.Arrays.copyOfRange(b, off, off + n)
+            off += n
+          }
+          if (table == null || w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+              off >= b.length) return None
+          val minSize = b(off) & 0xFF
+          off += 1
+          val lzw = new java.io.ByteArrayOutputStream()
+          while (off < b.length && (b(off) & 0xFF) != 0) {
+            val n = b(off) & 0xFF
+            if (off + 1 + n > b.length) return None
+            lzw.write(b, off + 1, n)
+            off += 1 + n
+          }
+          if (off >= b.length) return None
+          val raw = lzwDecode(lzw.toByteArray, minSize, w * h).getOrElse(return None)
+          // GIF interlace: rows arrive in four passes (8k, 8k+4, 4k+2,
+          // 2k+1) — a pure row permutation back to top-down order
+          val indices =
+            if (!interlaced) raw
+            else {
+              val rows = Seq(0 -> 8, 4 -> 8, 2 -> 4, 1 -> 2)
+                .flatMap { case (start, step) => start until h by step }
+              val out = new Array[Byte](raw.length)
+              var k = 0
+              while (k < h) {
+                System.arraycopy(raw, k * w, out, rows(k) * w, w)
+                k += 1
+              }
+              out
+            }
+          val rgb = new Array[Byte](3 * w * h)
+          var p = 0
+          while (p < indices.length) {
+            val idx = indices(p) & 0xFF
+            if (3 * idx + 2 >= table.length) return None
+            rgb(3 * p) = table(3 * idx)
+            rgb(3 * p + 1) = table(3 * idx + 1)
+            rgb(3 * p + 2) = table(3 * idx + 2)
+            p += 1
+          }
+          return Some((w, h, rgb))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Deterministic GIF palette: entry i = (i, (2i) mod 256, (5i) mod
+    * 256) — analytic, so the oracle computes channel sums without
+    * touching bytes. */
+  private[graft] def gifPalette(): Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      p(3 * i) = i.toByte
+      p(3 * i + 1) = ((2 * i) % 256).toByte
+      p(3 * i + 2) = ((5 * i) % 256).toByte
+      i += 1
+    }
+    p
+  }
+
+  /** Deterministic full GIF for a doc: 8–23 × 8–23 px (its own size
+    * formulas), pixel index (id + 3x + 5y) mod 256 through
+    * [[gifPalette]]. Runs of equal indices along rows exercise real LZW
+    * dictionary growth. */
+  private[graft] def synthGifImage(docId: Long): Array[Byte] = {
+    val w = (8 + (7 * docId) % 16).toInt
+    val h = (8 + (13 * docId) % 16).toInt
+    val idx = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        idx(y * w + x) = ((docId + 3L * x + 5L * y) % 256).toInt.toByte
+        x += 1
+      }
+      y += 1
+    }
+    encodeGif(w, h, idx, gifPalette())
+  }
+
+  /** FULL GIF pixel decode + feature extraction — [[pixelStats]] through
+    * the LZW path: synth bytes → block walk + LZW + palette mapping →
+    * exact channel sums. Narrow mapPartitions, no shuffle. */
+  def gifPixelStats(docs: DataFrame): Dataset[PixelStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      decodeGifPixels(synthGifImage(id)).map { case (w, h, rgb) => statsOf(id, w, h, rgb) }
+    })
   }
 
   /** Deterministic full PNG for a doc: 8–23 × 8–23 px of the same pixel

@@ -363,6 +363,7 @@ object Training {
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
   val mPixels: Q = (s, d) => Multimodal.pixelStats(docs(s, d)).toDF()
   val mPngPixels: Q = (s, d) => Multimodal.pngPixelStats(docs(s, d)).toDF()
+  val mGifPixels: Q = (s, d) => Multimodal.gifPixelStats(docs(s, d)).toDF()
   val mResize: Q = (s, d) => Multimodal.resizeStats(docs(s, d)).toDF()
   val mDhash: Q = (s, d) => Multimodal.dhashes(docs(s, d)).toDF()
   val mDhashNn: Q = (s, d) => Multimodal.dhashNeighbors(docs(s, d))
@@ -430,6 +431,7 @@ object Training {
     "m_audio" -> mAudio,
     "m_pixels" -> mPixels,
     "m_png_pixels" -> mPngPixels,
+    "m_gif_pixels" -> mGifPixels,
     "m_resize" -> mResize,
     "m_dhash" -> mDhash,
     "m_dhash_nn" -> mDhashNn,

@@ -1387,6 +1387,26 @@ object TrainingOracles {
         |  CAST(sum((5*doc_id + x + y) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
+    // Full GIF decode features: the Spark side synthesizes a real GIF89a
+    // (256-entry color table + variable-width LZW with dictionary
+    // growth), DECODES it (block walk + LZW + palette mapping), and sums
+    // channels; palette entry i = (i, 2i mod 256, 5i mod 256) and pixel
+    // index (id + 3x + 5y) mod 256 are both analytic, so the oracle
+    // computes the sums without touching bytes.
+    "m_gif_pixels" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + (7*doc_id) % 16 AS w, 8 + (13*doc_id) % 16 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, (doc_id + 3*tx.x + 5*ty.y) % 256 AS i
+        |  FROM g, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y))
+        |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  count(*) AS n_px,
+        |  CAST(sum(i) AS BIGINT) AS sum_r,
+        |  CAST(sum((2*i) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((5*i) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
+
     // Nearest-neighbor resize to 8×8 (src pixel = x*srcW // 8, exact
     // integer mapping) THROUGH a re-encode/decode round trip on the
     // Spark side; the oracle samples the pixel function at the mapped
