@@ -124,6 +124,8 @@ object Bench {
     "m_pixels" -> 0.4,
     "m_png_pixels" -> 0.5, // r9: zlib inflate+unfilter premium over raw BMP
     "m_gif_pixels" -> 0.7, // r9: LZW decode + palette mapping
+    "m_mixed_pixels" -> 0.4, // r9: sniff-dispatched three-codec decode
+    "m_audio_stats" -> 0.3, // r9: PCM sample decode
 
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,

@@ -152,6 +152,80 @@ object Multimodal {
     else AudioMeta(id, "wav", channels, rate, bits, (dataSize / blockAlign).toLong, n)
   }
 
+  /** Exact PCM sample statistics — the audio analog of [[PixelStats]]:
+    * all-integer, order-independent sums over DECODED samples. */
+  final case class AudioStats(doc_id: Long, channels: Int, n_samples: Long,
+      sum_amp: Long, sum_abs: Long, sum_sq: Long, peak: Int)
+
+  /** Synthesized WAV with REAL 16-bit PCM content: sample k is the
+    * deterministic signed value `((docId·31 + k·17) mod 4001) − 2000`,
+    * written little-endian two's complement into the data chunk —
+    * 64–127 frames × 1–2 interleaved channels at 16 kHz. A stock player
+    * plays it (it's noise, but it's honest noise). */
+  private[graft] def synthPcmAudio(docId: Long): Array[Byte] = {
+    val channels = (1 + docId % 2).toInt
+    val frames = (64 + docId % 64).toInt
+    val total = frames * channels
+    val data = new Array[Byte](2 * total)
+    var k = 0
+    while (k < total) {
+      val v = (((docId * 31 + k.toLong * 17) % 4001) - 2000).toInt
+      data(2 * k) = (v & 0xFF).toByte
+      data(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+      k += 1
+    }
+    val blockAlign = channels * 2
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(16000) ++ le32(16000 * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  /** REAL sample decode: the [[decodeAudio]] chunk walk locates fmt and
+    * data, then every 16-bit little-endian two's-complement sample is
+    * read back and reduced to exact integer stats (sum, L1, energy,
+    * peak). None (never throws) for non-PCM/non-16-bit layouts or a
+    * data chunk that overruns the buffer. */
+  private[graft] def decodeAudioSamples(id: Long, b: Array[Byte]): Option[AudioStats] = {
+    val n = b.length.toLong
+    def fourcc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var (o, fmtTag, channels, bits) = (12L, 0, 0, 0)
+    var dataOff = -1L; var dataSize = -1L
+    while (o + 8 <= n) {
+      val oi = o.toInt
+      val (cc, size) = (fourcc(oi), rdLe32(b, oi + 4).toLong & 0xFFFFFFFFL)
+      if (cc == "fmt " && o + 24 <= n) {
+        fmtTag = rdLe16(b, oi + 8); channels = rdLe16(b, oi + 10)
+        bits = rdLe16(b, oi + 22)
+      } else if (cc == "data") { dataOff = o + 8; dataSize = size }
+      o += 8L + size + (size & 1L)
+    }
+    if (fmtTag != 1 || bits != 16 || channels <= 0 ||
+        dataOff < 0 || dataOff + dataSize > n) return None
+    val total = (dataSize / 2).toInt
+    var (sum, l1, sq) = (0L, 0L, 0L); var peak = 0
+    var k = 0
+    while (k < total) {
+      val oi = (dataOff + 2 * k).toInt
+      val v = (b(oi + 1).toInt << 8) | (b(oi) & 0xFF) // sign rides byte 1
+      sum += v; l1 += math.abs(v); sq += v.toLong * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      k += 1
+    }
+    Some(AudioStats(id, channels, total.toLong, sum, l1, sq, peak))
+  }
+
+  /** PCM feature pass: synth real WAV bytes → chunk walk → sample
+    * decode → exact stats. Narrow mapPartitions, no shuffle. */
+  def audioSampleStats(docs: DataFrame): Dataset[AudioStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      decodeAudioSamples(id, synthPcmAudio(id))
+    })
+  }
+
   /** Audio decode pass — same `mapPartitions` batch shape as
     * [[decodeMeta]] (one decoder context per partition). Narrow map. */
   def decodeAudioMeta(docs: DataFrame): Dataset[AudioMeta] = {
@@ -769,6 +843,45 @@ object Multimodal {
         (w, h, rgb) <- decodeBmpPixels(synthBmpImage(id))
         (w2, h2, rgb2) <- decodeBmpPixels(encodeBmp(ow, oh, resizeNearest(w, h, rgb, ow, oh)))
       } yield statsOf(id, w2, h2, rgb2)
+    })
+  }
+
+  /** [[PixelStats]] plus the sniffed container — the mixed-ingest
+    * deliverable's row shape. */
+  final case class MixedPixelStats(doc_id: Long, format: String, width: Int,
+      height: Int, n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Format-agnostic pixel decode: magic-byte sniff → the matching full
+    * codec (BMP / PNG / GIF). This is the shape a real multimodal
+    * ingest runs — ONE binary column, heterogeneous containers, one
+    * decode dispatch — and None for anything unrecognized or corrupt. */
+  private[graft] def decodePixels(b: Array[Byte]): Option[(String, (Int, Int, Array[Byte]))] =
+    if (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+      decodeBmpPixels(b).map("bmp" -> _)
+    else if (b.length >= 8 && b.take(8).sameElements(PngSig))
+      decodePngPixels(b).map("png" -> _)
+    else if (b.length >= 6 && new String(b, 0, 3, "US-ASCII") == "GIF")
+      decodeGifPixels(b).map("gif" -> _)
+    else None
+
+  /** Mixed-container feature pass: each doc's media arrives in the
+    * container its id selects (png / gif / bmp round-robin), and ONE
+    * sniff-dispatched decode feeds the same exact-integer stats — the
+    * end-to-end proof that the three codecs compose behind a single
+    * binary column. Narrow mapPartitions, no shuffle. */
+  def mixedPixelStats(docs: DataFrame): Dataset[MixedPixelStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      val media = (id % 3) match {
+        case 0 => synthPngImage(id)
+        case 1 => synthGifImage(id)
+        case _ => synthBmpImage(id)
+      }
+      decodePixels(media).map { case (fmt, (w, h, rgb)) =>
+        val s = statsOf(id, w, h, rgb)
+        MixedPixelStats(id, fmt, s.width, s.height, s.n_px, s.sum_r, s.sum_g, s.sum_b)
+      }
     })
   }
 

@@ -364,6 +364,8 @@ object Training {
   val mPixels: Q = (s, d) => Multimodal.pixelStats(docs(s, d)).toDF()
   val mPngPixels: Q = (s, d) => Multimodal.pngPixelStats(docs(s, d)).toDF()
   val mGifPixels: Q = (s, d) => Multimodal.gifPixelStats(docs(s, d)).toDF()
+  val mMixedPixels: Q = (s, d) => Multimodal.mixedPixelStats(docs(s, d)).toDF()
+  val mAudioStats: Q = (s, d) => Multimodal.audioSampleStats(docs(s, d)).toDF()
   val mResize: Q = (s, d) => Multimodal.resizeStats(docs(s, d)).toDF()
   val mDhash: Q = (s, d) => Multimodal.dhashes(docs(s, d)).toDF()
   val mDhashNn: Q = (s, d) => Multimodal.dhashNeighbors(docs(s, d))
@@ -432,6 +434,8 @@ object Training {
     "m_pixels" -> mPixels,
     "m_png_pixels" -> mPngPixels,
     "m_gif_pixels" -> mGifPixels,
+    "m_mixed_pixels" -> mMixedPixels,
+    "m_audio_stats" -> mAudioStats,
     "m_resize" -> mResize,
     "m_dhash" -> mDhash,
     "m_dhash_nn" -> mDhashNn,

@@ -1407,6 +1407,55 @@ object TrainingOracles {
         |  CAST(sum((5*i) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
+    // Mixed-container decode: doc_id mod 3 selects the container
+    // (png/gif/bmp), one magic-sniff dispatch decodes all three; the
+    // oracle unions the three analytic branches with each format's own
+    // dimensions and channel functions.
+    "m_mixed_pixels" ->
+      """WITH png AS (
+        |  SELECT doc_id, 'png' AS format, 8 + (5*doc_id) % 16 AS w, 8 + (11*doc_id) % 16 AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |gif AS (
+        |  SELECT doc_id, 'gif' AS format, 8 + (7*doc_id) % 16 AS w, 8 + (13*doc_id) % 16 AS h
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |bmp AS (
+        |  SELECT doc_id, 'bmp' AS format, 8 + doc_id % 16 AS w, 8 + (3*doc_id) % 16 AS h
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |gg AS (SELECT * FROM png UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM bmp),
+        |px AS (
+        |  SELECT doc_id, format, w, h, tx.x AS x, ty.y AS y,
+        |    (doc_id + 3*tx.x + 5*ty.y) % 256 AS gi
+        |  FROM gg, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y))
+        |SELECT doc_id, format, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  count(*) AS n_px,
+        |  CAST(sum(CASE WHEN format = 'gif' THEN gi
+        |           ELSE (doc_id + 7*x + 13*y) % 256 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN format = 'gif' THEN (2*gi) % 256
+        |           ELSE (2*doc_id + 11*x + 3*y) % 256 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN format = 'gif' THEN (5*gi) % 256
+        |           ELSE (5*doc_id + x + y) % 256 END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // Real PCM sample decode: sample k of doc = ((id·31 + k·17) mod
+    // 4001) − 2000, written as 16-bit LE two's complement into a real
+    // WAV data chunk and read BACK by the chunk walk; the oracle
+    // computes the same exact-integer amplitude stats analytically.
+    "m_audio_stats" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    (64 + doc_id % 64) * (1 + doc_id % 2) AS total
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, channels, total,
+        |    ((doc_id*31 + k.k*17) % 4001) - 2000 AS v
+        |  FROM g, UNNEST(range(0, total)) AS k(k))
+        |SELECT doc_id, channels, CAST(total AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_amp,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(sum(v*v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS INT) AS peak
+        |FROM s GROUP BY 1, 2, 3""".stripMargin,
+
     // Nearest-neighbor resize to 8×8 (src pixel = x*srcW // 8, exact
     // integer mapping) THROUGH a re-encode/decode round trip on the
     // Spark side; the oracle samples the pixel function at the mapped
