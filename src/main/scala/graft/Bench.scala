@@ -126,6 +126,7 @@ object Bench {
     "m_gif_pixels" -> 0.7, // r9: LZW decode + palette mapping
     "m_mixed_pixels" -> 0.4, // r9: sniff-dispatched three-codec decode
     "m_audio_stats" -> 0.3, // r9: PCM sample decode
+    "m_video_frames" -> 0.5, // r9: AVI nested-RIFF walk + frame sampling
 
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,

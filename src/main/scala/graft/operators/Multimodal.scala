@@ -226,6 +226,119 @@ object Multimodal {
     })
   }
 
+  /** One decoded-and-sampled video frame's exact pixel features. */
+  final case class FrameStats(doc_id: Long, frame_idx: Int, n_frames: Int,
+      width: Int, height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Synthesized AVI: a REAL nested-RIFF layout — `RIFF('AVI ' LIST
+    * ('hdrl' avih) LIST('movi' '00db'×n))` — whose avih carries
+    * (frames, w, h) and whose movi stream holds n uncompressed
+    * top-down RGB frames; frame t's pixel (x,y) channels are the still
+    * image's pixel functions shifted by 11t, so motion is analytic.
+    * 4–8 frames of 8–15 × 8–15 px. */
+  private[graft] def synthAviVideo(docId: Long): Array[Byte] = {
+    val w = (8 + docId % 8).toInt
+    val h = (8 + (3 * docId) % 8).toInt
+    val frames = (4 + docId % 5).toInt
+    def frame(t: Int): Array[Byte] = {
+      val px = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = 3 * (y * w + x)
+          px(p) = ((docId + 7L * x + 13L * y + 11L * t) % 256).toInt.toByte
+          px(p + 1) = ((2L * docId + 11L * x + 3L * y + 11L * t) % 256).toInt.toByte
+          px(p + 2) = ((5L * docId + x + y + 11L * t) % 256).toInt.toByte
+          x += 1
+        }
+        y += 1
+      }
+      px
+    }
+    // avih main header: dwMicroSecPerFrame .. dwTotalFrames at +16,
+    // dwWidth/dwHeight at +32/+36 (56-byte body)
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(33366), 0, avih, 0, 4)
+    System.arraycopy(le32(frames), 0, avih, 16, 4)
+    System.arraycopy(le32(w), 0, avih, 32, 4)
+    System.arraycopy(le32(h), 0, avih, 36, 4)
+    def chunk(cc: String, body: Array[Byte]): Array[Byte] =
+      cc.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val hdrl = list("hdrl", chunk("avih", avih))
+    val movi = list("movi",
+      (0 until frames).map(t => chunk("00db", frame(t))).reduce(_ ++ _))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** REAL nested-RIFF walk + deterministic frame sampling: verify
+    * RIFF/'AVI ', recurse into LISTs to find avih (frames/w/h) and the
+    * movi stream, then decode EVERY `stride`-th '00db' frame to exact
+    * channel sums — the frame-sampling op a video training pipeline
+    * runs (decode cost ∝ sampled frames, the rest of the stream is
+    * skipped by chunk arithmetic without touching pixel bytes). None
+    * (never throws) on malformed structure or frame-size mismatch. */
+  private[graft] def decodeAviFrames(id: Long, b: Array[Byte],
+      stride: Int = 2): Option[Seq[FrameStats]] = {
+    val n = b.length
+    def fourcc(o: Int): String =
+      if (o + 4 <= n) new String(b, o, 4, "US-ASCII") else ""
+    if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
+    var (frames, w, h) = (0, 0, 0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FrameStats]
+    var frameIdx = 0
+    // walk one chunk run [o, end); recursion depth bounded by nesting
+    def walk(o0: Int, end: Int, depth: Int): Boolean = {
+      var o = o0
+      if (depth > 8) return false
+      while (o + 8 <= end) {
+        val cc = fourcc(o)
+        val size = rdLe32(b, o + 4)
+        if (size < 0 || o + 8L + size > end) return false
+        if (cc == "LIST") {
+          if (size < 4) return false
+          if (!walk(o + 12, o + 8 + size, depth + 1)) return false
+        } else if (cc == "avih") {
+          if (size < 40) return false
+          frames = rdLe32(b, o + 8 + 16)
+          w = rdLe32(b, o + 8 + 32); h = rdLe32(b, o + 8 + 36)
+        } else if (cc == "00db") {
+          if (w <= 0 || h <= 0 || size != 3 * w * h) return false
+          if (frameIdx % stride == 0) {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var p = o + 8
+            val pEnd = o + 8 + size
+            while (p < pEnd) {
+              sr += b(p) & 0xFF; sg += b(p + 1) & 0xFF; sb += b(p + 2) & 0xFF
+              p += 3
+            }
+            out += FrameStats(id, frameIdx, frames, w, h, sr, sg, sb)
+          }
+          frameIdx += 1
+        }
+        o += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, n, 0) || frames <= 0 || frameIdx != frames) None
+    else Some(out.toSeq)
+  }
+
+  /** Video frame-sample pass: synth real AVI bytes → nested-RIFF walk →
+    * every-2nd-frame decode → exact per-frame stats. One row per SAMPLED
+    * frame. Narrow mapPartitions, no shuffle. */
+  def videoFrameStats(docs: DataFrame): Dataset[FrameStats] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      decodeAviFrames(id, synthAviVideo(id)).getOrElse(Seq.empty)
+    })
+  }
+
   /** Audio decode pass — same `mapPartitions` batch shape as
     * [[decodeMeta]] (one decoder context per partition). Narrow map. */
   def decodeAudioMeta(docs: DataFrame): Dataset[AudioMeta] = {

@@ -366,6 +366,7 @@ object Training {
   val mGifPixels: Q = (s, d) => Multimodal.gifPixelStats(docs(s, d)).toDF()
   val mMixedPixels: Q = (s, d) => Multimodal.mixedPixelStats(docs(s, d)).toDF()
   val mAudioStats: Q = (s, d) => Multimodal.audioSampleStats(docs(s, d)).toDF()
+  val mVideoFrames: Q = (s, d) => Multimodal.videoFrameStats(docs(s, d)).toDF()
   val mResize: Q = (s, d) => Multimodal.resizeStats(docs(s, d)).toDF()
   val mDhash: Q = (s, d) => Multimodal.dhashes(docs(s, d)).toDF()
   val mDhashNn: Q = (s, d) => Multimodal.dhashNeighbors(docs(s, d))
@@ -436,6 +437,7 @@ object Training {
     "m_gif_pixels" -> mGifPixels,
     "m_mixed_pixels" -> mMixedPixels,
     "m_audio_stats" -> mAudioStats,
+    "m_video_frames" -> mVideoFrames,
     "m_resize" -> mResize,
     "m_dhash" -> mDhash,
     "m_dhash_nn" -> mDhashNn,

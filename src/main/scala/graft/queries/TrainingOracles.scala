@@ -1456,6 +1456,28 @@ object TrainingOracles {
         |  CAST(max(abs(v)) AS INT) AS peak
         |FROM s GROUP BY 1, 2, 3""".stripMargin,
 
+    // Video frame sampling: the Spark side synthesizes a real nested
+    // RIFF AVI (avih header + movi '00db' frame chunks), walks it back,
+    // and decodes every 2nd frame; motion is the +11t channel shift, so
+    // the oracle enumerates (doc, even t, x, y) analytically.
+    "m_video_frames" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (3*doc_id) % 8 AS h,
+        |    4 + doc_id % 5 AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, h, n_frames, t.t AS t
+        |  FROM g, UNNEST(range(0, n_frames)) AS t(t) WHERE t.t % 2 = 0),
+        |px AS (
+        |  SELECT doc_id, w, h, n_frames, t, tx.x AS x, ty.y AS y
+        |  FROM f, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y))
+        |SELECT doc_id, CAST(t AS INT) AS frame_idx, CAST(n_frames AS INT) AS n_frames,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum((doc_id + 7*x + 13*y + 11*t) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((2*doc_id + 11*x + 3*y + 11*t) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((5*doc_id + x + y + 11*t) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
     // Nearest-neighbor resize to 8×8 (src pixel = x*srcW // 8, exact
     // integer mapping) THROUGH a re-encode/decode round trip on the
     // Spark side; the oracle samples the pixel function at the mapped
