@@ -93,4 +93,77 @@ object DocSim {
       .filter(col("cos2_micro") >= minCos2Micro)
       .select("doc1", "doc2", "n_shared", "dot", "n1_sq", "n2_sq", "cos2_micro")
   }
+
+  /** TRAIN half of the ingest-time near-dup detector: the df-capped
+    * inverted index over the frozen corpus — postings (sh, doc_id, tf)
+    * plus per-doc pruned norms, both pinned. This is [[cosinePairs]]'
+    * index-build prefix factored out so serving never re-derives it
+    * (the BM25 `bm25Stats`/`scoreWith` split, applied to similarity).
+    * In production these two relations persist as tables partitioned on
+    * the shingle key.
+    *
+    * `pin` trades materialization for reuse: true (the serve default)
+    * checkpoints the index once so every micro-batch reads it for free
+    * — the index here is near-corpus-sized (singletons are kept: an
+    * incoming doc matching a corpus singleton is exactly the hit ingest
+    * dedup wants), so at cluster scale this is a persisted TABLE, not
+    * an executor-memory pin. false leaves the relations lazy for
+    * one-shot compositions (the d_docsim_serve batch query), where
+    * Catalyst plans build+serve as one job and an eager pin would pay a
+    * corpus-sized materialization it reads exactly once (measured 13.5
+    * pinned vs 3.2 s unpinned at sf0.1). */
+  def postingsIndex(docs: DataFrame, dfCap: Int = 16,
+                    pin: Boolean = true): (DataFrame, DataFrame) = {
+    val toks = Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val tf = toks
+      .select(col("doc_id"), explode(TextOps.shinglesOfTokens(col("toks"), 3)).as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+    // serve-side keep rule: any feature ≤ dfCap docs (df = 1 still
+    // matters here — an incoming doc can match a corpus singleton)
+    val kept = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("sh")
+    val postings0 = tf.join(kept, "sh")
+    val postings = if (pin) postings0.localCheckpoint() else postings0
+    val norms0 = postings.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("n_sq"))
+    (postings, if (pin) norms0.localCheckpoint() else norms0)
+  }
+
+  /** SERVE half: score an INCOMING batch of docs against the frozen
+    * index — near-dup verdicts for ingest (is this new doc ≥ cos²
+    * threshold of anything already in the corpus?). Each incoming doc's
+    * pruned features (kept = present in the index postings, the frozen
+    * vocabulary) join the posting lists; work is Σ_f df(f)·tf_in(f),
+    * capped-linear in the batch, zero corpus rescans. Norms on the
+    * incoming side use the same pruned feature space, so a doc
+    * re-ingested verbatim scores cos²=1 against its stored copy.
+    * Output: (in_doc_id, doc_id, n_shared, dot, cos2_micro). */
+  def scoreAgainstIndex(batch: DataFrame, postings: DataFrame, norms: DataFrame,
+                        minCos2Micro: Long = 100000L): DataFrame = {
+    val toks = batch
+      .select(col("doc_id").as("in_doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val tfIn = toks
+      .select(col("in_doc_id"), explode(TextOps.shinglesOfTokens(col("toks"), 3)).as("sh"))
+      .groupBy("in_doc_id", "sh").agg(count(lit(1)).as("tf_in"))
+      // frozen vocabulary: only features the index kept participate
+      .join(postings.select("sh").distinct(), "sh")
+    val normsIn = tfIn.groupBy("in_doc_id")
+      .agg(sum(col("tf_in") * col("tf_in")).as("n_in_sq"))
+    val pairs = tfIn
+      .join(postings.select(col("sh"), col("doc_id"), col("tf")), Seq("sh"))
+      .groupBy("in_doc_id", "doc_id")
+      .agg(count(lit(1)).as("n_shared"), sum(col("tf_in") * col("tf")).as("dot"))
+    val num = lit(1000000L).cast(TextOps.D38) *
+      col("dot").cast(TextOps.D38) * col("dot").cast(TextOps.D38)
+    val den = col("n_in_sq").cast(TextOps.D38) * col("n_sq").cast(TextOps.D38)
+    pairs
+      .join(normsIn, "in_doc_id")
+      .join(norms.select(col("doc_id"), col("n_sq")), "doc_id")
+      .withColumn("cos2_micro", TextOps.idiv38(num, den))
+      .filter(col("cos2_micro") >= minCos2Micro)
+      .select("in_doc_id", "doc_id", "n_shared", "dot", "cos2_micro")
+  }
 }

@@ -367,6 +367,14 @@ object Training {
   val mMixedPixels: Q = (s, d) => Multimodal.mixedPixelStats(docs(s, d)).toDF()
   val mAudioStats: Q = (s, d) => Multimodal.audioSampleStats(docs(s, d)).toDF()
   val mVideoFrames: Q = (s, d) => Multimodal.videoFrameStats(docs(s, d)).toDF()
+  val dDocsimServe: Q = (s, d) => {
+    val all = docs(s, d)
+    // one-shot composition: unpinned, so build+serve plan as one job
+    val (postings, norms) =
+      DocSim.postingsIndex(all.filter(pmod(col("doc_id"), lit(3)) =!= 0), pin = false)
+    DocSim.scoreAgainstIndex(
+      all.filter(pmod(col("doc_id"), lit(3)) === 0), postings, norms)
+  }
   val mResize: Q = (s, d) => Multimodal.resizeStats(docs(s, d)).toDF()
   val mDhash: Q = (s, d) => Multimodal.dhashes(docs(s, d)).toDF()
   val mDhashNn: Q = (s, d) => Multimodal.dhashNeighbors(docs(s, d))
@@ -438,6 +446,7 @@ object Training {
     "m_mixed_pixels" -> mMixedPixels,
     "m_audio_stats" -> mAudioStats,
     "m_video_frames" -> mVideoFrames,
+    "d_docsim_serve" -> dDocsimServe,
     "m_resize" -> mResize,
     "m_dhash" -> mDhash,
     "m_dhash_nn" -> mDhashNn,

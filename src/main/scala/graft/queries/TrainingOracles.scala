@@ -1324,6 +1324,38 @@ object TrainingOracles {
          |FROM pairs JOIN norms x ON x.doc_id = doc1 JOIN norms y ON y.doc_id = doc2
          |WHERE (1000000::HUGEINT * dot * dot) // (x.n_sq::HUGEINT * y.n_sq) >= 100000""".stripMargin,
 
+    // Ingest-time near-dup serving: the frozen df-capped inverted index
+    // over the index shard (doc_id % 3 <> 0; df <= 16, no df >= 2 floor
+    // — a corpus singleton can match an incoming doc), incoming docs
+    // (doc_id % 3 = 0) pruned to the frozen vocabulary and joined
+    // through the posting lists; same HUGEINT-carried exact cos² as
+    // d_docsim.
+    "d_docsim_serve" ->
+      s"""$TokCte,
+         |shi AS (SELECT doc_id, $Shingles AS sh FROM tok WHERE len(toks) >= 3),
+         |shu AS (SELECT doc_id, unnest(sh) AS sh FROM shi),
+         |stf AS (SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS tf
+         |        FROM shu GROUP BY 1, 2),
+         |itf0 AS (SELECT doc_id, sh, tf FROM stf WHERE doc_id % 3 <> 0),
+         |kept AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM itf0 GROUP BY 1) t
+         |         WHERE df <= 16),
+         |p AS (SELECT itf0.doc_id, itf0.sh, itf0.tf FROM itf0 JOIN kept USING (sh)),
+         |norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n_sq
+         |          FROM p GROUP BY 1),
+         |intf AS (SELECT stf.doc_id AS in_doc_id, stf.sh, stf.tf AS tf_in
+         |         FROM stf JOIN kept USING (sh) WHERE stf.doc_id % 3 = 0),
+         |normsin AS (SELECT in_doc_id, CAST(sum(tf_in * tf_in) AS BIGINT) AS n_in_sq
+         |            FROM intf GROUP BY 1),
+         |pairs AS (SELECT intf.in_doc_id, p.doc_id,
+         |                 CAST(count(*) AS BIGINT) AS n_shared,
+         |                 CAST(sum(intf.tf_in * p.tf) AS BIGINT) AS dot
+         |          FROM intf JOIN p ON intf.sh = p.sh
+         |          GROUP BY 1, 2)
+         |SELECT in_doc_id, doc_id, n_shared, dot,
+         |  CAST((1000000::HUGEINT * dot * dot) // (x.n_in_sq::HUGEINT * y.n_sq) AS BIGINT) AS cos2_micro
+         |FROM pairs JOIN normsin x USING (in_doc_id) JOIN norms y USING (doc_id)
+         |WHERE (1000000::HUGEINT * dot * dot) // (x.n_in_sq::HUGEINT * y.n_sq) >= 100000""".stripMargin,
+
     // The Spark side builds REAL container headers and parses them back
     // (Multimodal.decodeHeader); the oracle recomputes the expected
     // metadata analytically from the same deterministic inputs. Header

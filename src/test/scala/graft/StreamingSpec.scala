@@ -590,6 +590,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.agg(sum("n")).head().getLong(0) === batch.agg(sum("n")).head().getLong(0))
   }
 
+  test("near-dup serving: per-batch scoreAgainstIndex matches the batch query") {
+    // the d_docsim_serve shape as a stream: the df-capped inverted index
+    // freezes on the corpus snapshot, incoming docs score against it per
+    // micro-batch — scoring is stateless given the index, so micro-batch
+    // boundaries must be invisible
+    import graft.operators.DocSim
+    val all = Tables.documents(spark, TestSpark.Sf)
+    val idxDocs = all.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val incoming = all.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val (postings, norms) = DocSim.postingsIndex(idxDocs)
+    val srcDir = tmp("nds-src")
+    incoming.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val outS = tmp("nds-out"); val ckpt = tmp("nds-ckpt")
+    val q = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        DocSim.scoreAgainstIndex(batch, postings, norms)
+          .write.mode("append").parquet(outS)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outS)
+    val batchEq = DocSim.scoreAgainstIndex(incoming, postings, norms)
+    assert(streamed.count() === batchEq.count())
+    assert(streamed.except(batchEq).count() === 0)
+    assert(batchEq.except(streamed).count() === 0)
+    // a verbatim re-ingest of an index doc must score cos2 = 1 exactly
+    val reingest = idxDocs.orderBy("doc_id").limit(1)
+      .withColumn("doc_id", col("doc_id") + lit(3000000L))
+    val self = DocSim.scoreAgainstIndex(reingest, postings, norms)
+    assert(self.filter(col("cos2_micro") === 1000000L).count() >= 1)
+  }
+
   test("incremental dedup index: streamed verdicts match batch incrementalNew; replay is exact") {
     import graft.operators.Dedup
     import graft.streaming.IncrementalIndex
