@@ -118,6 +118,7 @@ object Bench {
     // explode 16x and measured 12.4 s; see DocSim scaladoc)
     "d_docsim" -> 3.5,
     "d_docsim_serve" -> 3.3, // r9: ingest near-dup serving (one-shot build+score)
+    "s_hybrid" -> 2.6, // r9: MLT hybrid retrieval, BM25 + cosine legs, RRF fusion
     "t_entropy" -> 1.0,
     // r9: 64-bit production simhash NN — the thinned-bucket claim made
     // measurable: 2.11 s vs the 16-bit miniature's 7.37 s, same corpus

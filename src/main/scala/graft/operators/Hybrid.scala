@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval with reciprocal-rank fusion (Cormack/Clarke/Büttcher
+  * 2009) — the serving pattern modern RAG/data pipelines run: a lexical
+  * leg and a vector leg retrieve top-k independently, and ranks fuse as
+  * `Σ 1/(60 + rank)` so neither leg's score scale has to be calibrated
+  * against the other.
+  *
+  * The query workload here is "more-like-this": the query IS a corpus
+  * item (a doc whose id has an embedding and `id % 97 == 0`, the same
+  * query rule the s_* family uses). Its lexical form is its own most
+  * DISCRIMINATIVE terms — distinct tokens with corpus df ≤ `dfCap`,
+  * ranked (df asc, tok asc), top `maxTerms` — the classic MLT
+  * interesting-terms selection; its vector form is its embedding.
+  * Size `dfCap` to the corpus's vocabulary shape: on Zipfian natural
+  * text a small absolute cap (~32) isolates genuinely rare terms; on a
+  * closed-vocabulary corpus (the synthetic test tables: 31 tokens,
+  * median df = 0.78·n_docs) the cap must sit near n_docs or the
+  * selection goes empty and the lexical leg contributes nothing.
+  *
+  * Exact-integer discipline: the lexical leg reuses
+  * [[Retrieval.termScoreMilli]] bit-for-bit; RRF contributions are
+  * `1000000 // (60 + rank)`; absent-leg contributions are 0 and the
+  * leg ranks surface as nullable columns. Fusion ties break on id.
+  *
+  * Plan shape at 100 TB: the (doc, tok, tf) relation is built once per
+  * leg-pass with map-side combine; query-term selection touches only
+  * the ~n/97 query docs' postings; the lexical match carries only
+  * tokens surviving the ≤ dfCap semi filter (broadcast-sized: ≤
+  * queries × maxTerms rows with df ≤ dfCap docs each, so matched ≤
+  * queries·maxTerms·dfCap rows — independent of corpus size); the
+  * vector leg is [[Similarity.bruteTopK]] (the labeled exact verifier —
+  * swap in ivfProbe at scale); fusion joins two ≤ queries×kLeg
+  * relations. One WindowGroupLimit per ranking, never a global sort.
+  */
+object Hybrid {
+
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 5,
+                 kLeg: Int = 10, qMod: Int = 97, dfCap: Int = 32,
+                 maxTerms: Int = 16, rrfK: Int = 60): DataFrame = {
+    import graft.operators.TextOps.idiv
+
+    val tfAll = Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfAll = tfAll.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs
+      .select(size(TextOps.tokens(col("text"))).as("dl")).filter(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tok"))
+
+    // MLT query terms: the query doc's rarest dfCap-bounded tokens
+    val qids = embeddings.filter(pmod(col("vec_id"), lit(qMod)) === 0)
+      .select(col("vec_id").as("query_id"))
+    val qt = tfAll.join(broadcast(qids), col("doc_id") === col("query_id"))
+      .join(dfAll, "tok")
+      .filter(col("df") <= dfCap)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("df").asc, col("tok").asc)))
+      .filter(col("rn") <= maxTerms)
+      .select(col("query_id"), col("tok"), col("df"))
+
+    // lexical leg: BM25 milli-scores of every doc sharing a query term
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+    val lex = tfAll
+      .join(broadcast(qt), "tok")
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_milli", Retrieval.termScoreMilli)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("term_milli").as("score_milli"))
+      .withColumn("rank_lex", row_number().over(wLex))
+      .filter(col("rank_lex") <= kLeg)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank_lex"))
+
+    // vector leg: exact cosine top-k under the same query rule
+    val vec = Similarity.bruteTopK(embeddings, kLeg)
+      .select(col("q_id").as("query_id"), col("c_id").as("id"),
+        col("rank").as("rank_vec"))
+
+    val wFuse = Window.partitionBy("query_id")
+      .orderBy(col("rrf_milli").desc, col("id").asc)
+    lex.join(vec, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(idiv(lit(1000000L), lit(rrfK.toLong) + col("rank_lex")), lit(0L)) +
+          coalesce(idiv(lit(1000000L), lit(rrfK.toLong) + col("rank_vec")), lit(0L)))
+      .withColumn("rank", row_number().over(wFuse))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("rrf_milli"),
+        col("rank_lex").cast("int").as("rank_lex"),
+        col("rank_vec").cast("int").as("rank_vec"))
+  }
+}

@@ -94,12 +94,11 @@ object Retrieval {
     * one row per (query, doc) with ≥ 1 matched term — bm25TopK's scored
     * relation before ranking. Stream-safe: the only wide operation is
     * the per-micro-batch tf groupBy; everything else is broadcast. */
-  def scoreWith(docs: DataFrame, queries: Seq[(Int, String)], stats: DataFrame): DataFrame = {
-    val qterms = qtermsDF(docs, queries)
-    val matched = tfRelation(docs, qterms)
-      .join(broadcast(qterms), "tok")
-      .join(broadcast(stats), "tok")
-
+  /** The exact-integer BM25 term contribution (milli-units), over
+    * columns (tf, df, dl, n_docs, total_tok) — k1=1.2, b=0.75 folded
+    * into the 2200/1000/300/900 constants. Public so composite
+    * retrievers ([[Hybrid]]) score with bit-identical algebra. */
+  def termScoreMilli: Column = {
     val avgdlMilli = idiv(lit(1000L) * col("total_tok"), col("n_docs"))
     val dlrMilli = idiv(lit(1000000L) * col("dl"), avgdlMilli)
     val oddsMilli = idiv(
@@ -107,10 +106,17 @@ object Retrieval {
       lit(2L) * col("df") + lit(1L))
     val denMilli = lit(1000L) * col("tf") + lit(300L) + idiv(lit(900L) * dlrMilli, lit(1000L))
     val satMilli = idiv(lit(2200000L) * col("tf"), denMilli)
-    val termMilli = idiv(oddsMilli * satMilli, lit(1000L))
+    idiv(oddsMilli * satMilli, lit(1000L))
+  }
+
+  def scoreWith(docs: DataFrame, queries: Seq[(Int, String)], stats: DataFrame): DataFrame = {
+    val qterms = qtermsDF(docs, queries)
+    val matched = tfRelation(docs, qterms)
+      .join(broadcast(qterms), "tok")
+      .join(broadcast(stats), "tok")
 
     matched
-      .withColumn("term_milli", termMilli)
+      .withColumn("term_milli", termScoreMilli)
       .groupBy("query_id", "doc_id")
       .agg(sum("term_milli").as("score_milli"), count(lit(1)).as("n_hit"))
   }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps}
+import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -367,6 +367,10 @@ object Training {
   val mMixedPixels: Q = (s, d) => Multimodal.mixedPixelStats(docs(s, d)).toDF()
   val mAudioStats: Q = (s, d) => Multimodal.audioSampleStats(docs(s, d)).toDF()
   val mVideoFrames: Q = (s, d) => Multimodal.videoFrameStats(docs(s, d)).toDF()
+  // dfCap 400: the synthetic corpus has a closed ~31-token vocabulary
+  // (median df 388 at 500 docs) — an absolute rare-term cap selects
+  // nothing; see Hybrid scaladoc
+  val sHybrid: Q = (s, d) => Hybrid.hybridTopK(docs(s, d), emb(s, d), dfCap = 400)
   val dDocsimServe: Q = (s, d) => {
     val all = docs(s, d)
     // one-shot composition: unpinned, so build+serve plan as one job
@@ -447,6 +451,7 @@ object Training {
     "m_audio_stats" -> mAudioStats,
     "m_video_frames" -> mVideoFrames,
     "d_docsim_serve" -> dDocsimServe,
+    "s_hybrid" -> sHybrid,
     "m_resize" -> mResize,
     "m_dhash" -> mDhash,
     "m_dhash_nn" -> mDhashNn,

@@ -1324,6 +1324,69 @@ object TrainingOracles {
          |FROM pairs JOIN norms x ON x.doc_id = doc1 JOIN norms y ON y.doc_id = doc2
          |WHERE (1000000::HUGEINT * dot * dot) // (x.n_sq::HUGEINT * y.n_sq) >= 100000""".stripMargin,
 
+    // Hybrid more-like-this retrieval with reciprocal-rank fusion:
+    // lexical leg = BM25 (same milli algebra as t_bm25) over the query
+    // doc's rarest df<=400 tokens (top 16 by df asc, tok asc; the cap
+    // sits near n_docs because the synthetic vocabulary is closed — see
+    // Hybrid scaladoc); vector
+    // leg = exact quantized cosine top-10 under the vec_id % 97 query
+    // rule; fusion = sum of 1000000 // (60 + rank) with absent legs
+    // contributing 0, ties on id.
+    "s_hybrid" ->
+      s"""$TokCte,
+         |flat AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok
+         |         FROM tok WHERE len(toks) > 0),
+         |tfh AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |        FROM flat GROUP BY 1, 2, 3),
+         |dfh AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfh GROUP BY 1),
+         |statsh AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                  CAST(sum(len(toks)) AS BIGINT) AS total_tok
+         |           FROM tok WHERE len(toks) > 0),
+         |qids AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 97 = 0),
+         |qth AS (SELECT query_id, tok, df FROM (
+         |    SELECT q.query_id, t.tok, d.df,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY d.df ASC, t.tok ASC) AS rn
+         |    FROM tfh t JOIN qids q ON t.doc_id = q.query_id
+         |      JOIN dfh d ON t.tok = d.tok
+         |    WHERE d.df <= 400) z WHERE rn <= 16),
+         |lexsc AS (SELECT query_id, doc_id,
+         |    CAST(sum((((1000*(2*s.n_docs - 2*q.df + 1)) // (2*q.df + 1))
+         |      * ((2200000*t.tf) // (1000*t.tf + 300 +
+         |          (900*((1000000*t.dl) // ((1000*s.total_tok) // s.n_docs))) // 1000)))
+         |      // 1000) AS BIGINT) AS score_milli
+         |  FROM tfh t JOIN qth q ON t.tok = q.tok, statsh s
+         |  WHERE t.doc_id <> q.query_id
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT query_id, doc_id AS id, CAST(rank_lex AS INT) AS rank_lex FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_milli DESC, doc_id ASC) AS rank_lex FROM lexsc) r
+         |  WHERE rank_lex <= 10),
+         |eq AS (SELECT vec_id,
+         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS qv
+         |  FROM embeddings),
+         |en AS (SELECT vec_id, qv,
+         |    list_sum(list_transform(qv, x -> x * x)) AS n2 FROM eq),
+         |vec AS (SELECT query_id, id, CAST(rank_vec AS INT) AS rank_vec FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS id,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |        floor(list_sum(list_transform(range(1, len(a.qv) + 1),
+         |          i -> a.qv[i] * b.qv[i])) / (sqrt(a.n2) * sqrt(b.n2)) * 1000000)
+         |          / 1000000 DESC, b.vec_id ASC) AS rank_vec
+         |    FROM en a JOIN en b ON b.vec_id <> a.vec_id
+         |    WHERE a.vec_id % 97 = 0) t
+         |  WHERE rank_vec <= 10),
+         |fused AS (SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+         |    coalesce(lex.id, vec.id) AS id, rank_lex, rank_vec,
+         |    CAST(coalesce(1000000 // (60 + rank_lex), 0) +
+         |         coalesce(1000000 // (60 + rank_vec), 0) AS BIGINT) AS rrf_milli
+         |  FROM lex FULL OUTER JOIN vec
+         |    ON lex.query_id = vec.query_id AND lex.id = vec.id)
+         |SELECT query_id, CAST(rank AS INT) AS rank, id, rrf_milli, rank_lex, rank_vec
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rrf_milli DESC, id ASC) AS rank FROM fused) f
+         |WHERE rank <= 5""".stripMargin,
+
     // Ingest-time near-dup serving: the frozen df-capped inverted index
     // over the index shard (doc_id % 3 <> 0; df <= 16, no df >= 2 floor
     // — a corpus singleton can match an incoming doc), incoming docs

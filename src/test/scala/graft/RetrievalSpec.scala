@@ -53,4 +53,35 @@ class RetrievalSpec extends AnyFunSuite {
     val twice = Retrieval.bm25TopK(docs, Seq(1 -> "rare rare"), 3).collect()
     assert(once.map(_.toSeq).toSet === twice.map(_.toSeq).toSet)
   }
+
+  test("hybrid RRF: both legs contribute and dual-leg hits outrank single-leg ties") {
+    import graft.operators.Hybrid
+    import org.apache.spark.sql.functions._
+    val docsT = Tables.documents(spark, TestSpark.Sf)
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val fused = Hybrid.hybridTopK(docsT, emb, dfCap = 400).cache()
+    // every query yields exactly k rows with dense ranks 1..k
+    val perQ = fused.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perQ.filter(col("n") =!= 5 || col("mx") =!= 5 || col("mn") =!= 1).count() === 0)
+    // both legs surface in the fused top-k somewhere
+    assert(fused.filter(col("rank_lex").isNotNull).count() > 0)
+    assert(fused.filter(col("rank_vec").isNotNull).count() > 0)
+    // RRF algebra: rrf_milli == contributions recomputed from the ranks
+    val bad = fused.withColumn("expect",
+        coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L)))
+      .filter(col("expect") =!= col("rrf_milli"))
+    assert(bad.count() === 0)
+    // dominance: an id on BOTH legs at rank r beats any single-leg id
+    // whose sole rank is also r (1/(60+r) + something > 1/(60+r))
+    val dual = fused.filter(col("rank_lex").isNotNull && col("rank_vec").isNotNull)
+    val single = fused.filter(col("rank_lex").isNull || col("rank_vec").isNull)
+    val viol = dual.alias("d").join(single.alias("s"),
+      col("d.query_id") === col("s.query_id") &&
+        coalesce(col("s.rank_lex"), col("s.rank_vec")) ===
+          least(col("d.rank_lex"), col("d.rank_vec")) &&
+        col("d.rank") > col("s.rank"))
+    assert(viol.count() === 0)
+  }
 }
