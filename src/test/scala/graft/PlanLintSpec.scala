@@ -37,7 +37,10 @@ class PlanLintSpec extends AnyFunSuite {
       "t_lm_tiers",
       // BM25 keeps (n_docs, total_tok) in-plan as the same 1-row
       // broadcast scalar crossJoin as t_top_terms
-      "t_bm25")
+      "t_bm25",
+      // hybrid fuses the t_bm25 lexical leg (same 1-row stats scalar)
+      // with bruteTopK's broadcast-query NLJ vector leg
+      "s_hybrid")
 
   test("no query plans a CartesianProduct; non-equi broadcasts only where intended") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
