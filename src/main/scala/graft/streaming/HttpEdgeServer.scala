@@ -1,0 +1,163 @@
+package graft.streaming
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.operators.CollectorConfig
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.io.ByteArrayOutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.Executors
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import scala.jdk.CollectionConverters._
+
+/** The collector's HTTP front door, on the JDK's built-in server — the
+  * reference's ingestion tier (`Collector.scala:170-189` binds Pekko
+  * HTTP; we bind `com.sun.net.httpserver`, zero added dependencies)
+  * fused to the Spark pipeline:
+  *
+  *  - every request is answered synchronously by [[HttpEdge.respond]]
+  *    (pixel GIF, 302 redirects with the nuid macro, Set-Cookie / CORS /
+  *    P3P headers, ops endpoints — all column-parity-pinned);
+  *  - every TRACKING request appends one envelope record to a JSONL
+  *    spool, atomically published (write-temp + rename) in
+  *    `flushEvery`-request files so [[stream]] — a plain
+  *    `readStream.json` file source — only ever lists complete files.
+  *
+  * The spool is the local analog of the reference's sink buffer
+  * (`KinesisSink.scala:87-142` byte/record/time flush): `flushEvery`
+  * plays recordLimit, and a production deployment would point the same
+  * envelope schema at Kafka (`sources/KafkaEnvelopeSource`) instead of
+  * files. Exactly-once from the spool onward is the file-source +
+  * checkpoint contract; the HTTP→spool hop is at-least-once on crash,
+  * the same regime as the reference's buffers (SURVEY §7.4.4) but
+  * without dropping acknowledged data (unflushed tail is bounded by
+  * `flushEvery`).
+  */
+final class HttpEdgeServer(
+    cfg: CollectorConfig,
+    spoolDir: String,
+    clock: () => Long = () => System.currentTimeMillis(),
+    flushEvery: Int = 64) {
+
+  private val spool: Path = Files.createDirectories(Paths.get(spoolDir))
+  private val nextId = new AtomicLong(1L)
+  private val nextFile = new AtomicLong(0L)
+  private val healthy = new AtomicBoolean(true)
+  private val sinkHealthy = new AtomicBoolean(true)
+  private val buf = new java.lang.StringBuilder
+  private var buffered = 0
+
+  private var server: HttpServer = _
+
+  def setHealthy(h: Boolean): Unit = healthy.set(h)
+  def setSinkHealthy(h: Boolean): Unit = sinkHealthy.set(h)
+
+  /** Bind on an ephemeral loopback port; returns the bound port. */
+  def start(): Int = synchronized {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (exchange: HttpExchange) => handle(exchange))
+    server.setExecutor(Executors.newFixedThreadPool(4))
+    server.start()
+    port
+  }
+
+  def port: Int = server.getAddress.getPort
+
+  private def readBody(ex: HttpExchange): Option[String] = {
+    val in = ex.getRequestBody
+    val out = new ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    var n = in.read(chunk)
+    while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
+    val s = out.toString(StandardCharsets.UTF_8)
+    if (s.isEmpty) None else Some(s)
+  }
+
+  private def parseCookies(headerValues: Seq[String]): Map[String, String] =
+    headerValues.flatMap(_.split(";")).flatMap { part =>
+      val kv = part.trim.split("=", 2)
+      if (kv.length == 2 && kv(0).nonEmpty) Some(kv(0) -> kv(1)) else None
+    }.toMap
+
+  private def buildRequest(ex: HttpExchange): EdgeRequest = {
+    val h = ex.getRequestHeaders
+    def first(name: String): Option[String] =
+      Option(h.getFirst(name)).filter(_.nonEmpty)
+    val rawUri = first("Raw-Request-Uri").getOrElse(ex.getRequestURI.toString)
+    val cookies = parseCookies(
+      Option(h.get("Cookie")).map(_.asScala.toSeq).getOrElse(Nil))
+    val remoteIp = first("X-Forwarded-For")
+      .map(_.split(",")(0).trim)
+      .orElse(Option(ex.getRemoteAddress.getAddress).map(_.getHostAddress))
+    // rendered like the envelope fixture: "Name: value" per header line
+    val headerLines = h.entrySet().asScala.toSeq.flatMap { e =>
+      e.getValue.asScala.map(v => s"${e.getKey}: $v")
+    }.sorted
+    EdgeRequest(
+      eventId = nextId.getAndIncrement(),
+      timestampMs = clock(),
+      method = ex.getRequestMethod.toUpperCase,
+      rawUri = rawUri,
+      body = if (ex.getRequestMethod.equalsIgnoreCase("POST")) readBody(ex) else None,
+      contentType = first("Content-Type"),
+      userAgent = first("User-Agent"),
+      referer = first("Referer"),
+      host = first("Host").getOrElse(""),
+      remoteIp = remoteIp,
+      origin = first("Origin"),
+      spAnonymous = first("SP-Anonymous"),
+      cookies = cookies,
+      headers = headerLines)
+  }
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val req = buildRequest(ex)
+      val resp = HttpEdge.respond(req, cfg, healthy.get(), sinkHealthy.get())
+      if (HttpEdge.isTracking(req)) append(HttpEdge.envelopeJson(req, cfg))
+      resp.headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+      val noBody = resp.body.isEmpty || req.method == "HEAD"
+      ex.sendResponseHeaders(resp.status, if (noBody) -1L else resp.body.length.toLong)
+      if (!noBody) ex.getResponseBody.write(resp.body)
+      ex.close()
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        // a hostile request must never kill the edge (FuzzSpec discipline)
+        try {
+          ex.sendResponseHeaders(500, -1L); ex.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+  private def append(line: String): Unit = synchronized {
+    buf.append(line).append('\n')
+    buffered += 1
+    if (buffered >= flushEvery) flushLocked()
+  }
+
+  /** Publish buffered envelopes as one complete spool file (atomic
+    * rename — a listing reader never sees a partial file). */
+  def flush(): Unit = synchronized { flushLocked() }
+
+  private def flushLocked(): Unit =
+    if (buffered > 0) {
+      val n = nextFile.getAndIncrement()
+      val tmp = spool.resolve(s".tmp-part-$n")
+      Files.write(tmp, buf.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, spool.resolve(f"part-$n%05d.jsonl"),
+        StandardCopyOption.ATOMIC_MOVE)
+      buf.setLength(0)
+      buffered = 0
+    }
+
+  def stop(): Unit = synchronized {
+    flushLocked()
+    if (server != null) server.stop(0)
+  }
+
+  /** The spool as a streaming envelope DataFrame — feed it straight to
+    * [[StreamingCollector.start]]. */
+  def stream(spark: SparkSession): DataFrame =
+    spark.readStream.schema(HttpEdge.envelopeSchema).json(spoolDir)
+}

@@ -1,0 +1,344 @@
+package graft
+
+import graft.operators.{CollectorConfig, CollectorPipeline}
+import graft.sources.EventEnvelopeAdapter
+import graft.streaming.{EdgeRequest, HttpEdge, HttpEdgeServer, StreamingCollector}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.io.{BufferedOutputStream, ByteArrayOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** The HTTP edge tier: column parity with the pipeline over the full
+  * sf0.001 corpus, plus live-socket behavior of every route.
+  */
+class HttpEdgeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import CollectorConfig._
+
+  // ---- corpus → EdgeRequest ----
+
+  private def opt(r: Row, name: String): Option[String] =
+    Option(r.getAs[String](name))
+
+  private def edgeRequest(r: Row, cfg: CollectorConfig): EdgeRequest = {
+    val cookies =
+      opt(r, "cookie_sp").map(cfg.cookieName -> _).toMap ++
+        opt(r, "cookie_dnt").map(cfg.dntCookieName -> _).toMap
+    EdgeRequest(
+      eventId = r.getAs[Long]("event_id"),
+      timestampMs = r.getAs[Long]("timestamp_ms"),
+      method = r.getAs[String]("method"),
+      rawUri = r.getAs[String]("raw_uri"),
+      body = opt(r, "body"),
+      contentType = opt(r, "content_type"),
+      userAgent = opt(r, "user_agent"),
+      referer = opt(r, "referer"),
+      host = r.getAs[String]("hostname"),
+      remoteIp = opt(r, "remote_ip"),
+      origin = opt(r, "origin"),
+      spAnonymous = opt(r, "sp_anonymous"),
+      cookies = cookies,
+      headers = r.getSeq[String](r.fieldIndex("headers")).toList)
+  }
+
+  private lazy val corpus: Array[Row] =
+    EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf).collect()
+
+  private def byId(df: org.apache.spark.sql.DataFrame): Map[Long, Row] =
+    df.collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+
+  test("edge response kind matches the pipeline's responses column on every corpus row") {
+    val expected = byId(
+      CollectorPipeline.responses(EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf), testScale))
+    corpus.foreach { r =>
+      val req = edgeRequest(r, testScale)
+      assert(HttpEdge.responseKind(req, testScale) ===
+        expected(req.eventId).getAs[String]("response_kind"),
+        s"event ${req.eventId} uri=${req.rawUri}")
+    }
+  }
+
+  test("edge Set-Cookie matches setCookieHeaders on every corpus row (cookieScale)") {
+    val expected = byId(
+      CollectorPipeline.setCookieHeaders(EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf), cookieScale))
+    corpus.foreach { r =>
+      val req = edgeRequest(r, cookieScale)
+      val exp = expected(req.eventId)
+      val got = HttpEdge.setCookieHeader(req, cookieScale)
+      assert(got.isDefined === exp.getAs[Boolean]("emitted"), s"event ${req.eventId}")
+      assert(got === Option(exp.getAs[String]("set_cookie")), s"event ${req.eventId}")
+    }
+  }
+
+  test("edge CORS decision matches corsDecisions on every corpus row (corsScale)") {
+    val expected = byId(
+      CollectorPipeline.corsDecisions(EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf), corsScale))
+    corpus.foreach { r =>
+      val req = edgeRequest(r, corsScale)
+      val exp = expected(req.eventId)
+      val (allowed, allowOrigin) = HttpEdge.cors(req, corsScale)
+      assert(allowed === exp.getAs[Boolean]("allowed"), s"event ${req.eventId}")
+      assert(allowOrigin === Option(exp.getAs[String]("allow_origin")), s"event ${req.eventId}")
+    }
+  }
+
+  test("edge redirect resolution matches redirects on every /r/* corpus row (redirectScale)") {
+    val expected = byId(
+      CollectorPipeline.redirects(EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf), redirectScale))
+    val redirectRows = corpus.filter(r => r.getAs[String]("path").startsWith("/r/"))
+    assert(redirectRows.nonEmpty)
+    redirectRows.foreach { r =>
+      val req = edgeRequest(r, redirectScale)
+      val exp = expected(req.eventId)
+      val (target, allowed, location) = HttpEdge.redirect(req, redirectScale)
+      assert(target === Option(exp.getAs[String]("target")), s"event ${req.eventId}")
+      assert(allowed === (Option(exp.get(exp.fieldIndex("allowed"))) == Some(true)),
+        s"event ${req.eventId}")
+      assert(location === Option(exp.getAs[String]("location")), s"event ${req.eventId}")
+    }
+  }
+
+  test("edge bounce location matches bounces on every pixel corpus row (bounceScale)") {
+    val expected = byId(
+      CollectorPipeline.bounces(EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf), bounceScale))
+    val pixels = corpus.filter(r => Set("/i", "/ice.png")(r.getAs[String]("path")))
+    assert(pixels.nonEmpty)
+    pixels.foreach { r =>
+      val req = edgeRequest(r, bounceScale)
+      val exp = expected(req.eventId)
+      val got = HttpEdge.bounceLocation(req, bounceScale)
+      assert(got.isDefined === exp.getAs[Boolean]("bounced"), s"event ${req.eventId}")
+      assert(got === Option(exp.getAs[String]("location")), s"event ${req.eventId}")
+    }
+  }
+
+  test("edge envelope JSON round-trips through the spark schema to the adapter's columns") {
+    val cfg = testScale
+    val lines = corpus.take(500).map(r => HttpEdge.envelopeJson(edgeRequest(r, cfg), cfg))
+    val dir = Files.createTempDirectory("edge-envelopes")
+    Files.write(dir.resolve("part-00000.jsonl"),
+      lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val readBack = spark.read.schema(HttpEdge.envelopeSchema).json(dir.toString)
+    val direct = EventEnvelopeAdapter.envelopes(spark, TestSpark.Sf)
+      .filter(org.apache.spark.sql.functions.col("event_id")
+        .isin(corpus.take(500).map(_.getAs[Long]("event_id")).toSeq: _*))
+      .select(readBack.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(readBack.exceptAll(direct).count() === 0L)
+    assert(direct.exceptAll(readBack).count() === 0L)
+  }
+
+  // ---- live socket tests ----
+
+  private def rawHttp(
+      port: Int, method: String, uri: String,
+      headers: Seq[(String, String)] = Nil,
+      body: Option[String] = None): (Int, Map[String, List[String]], Array[Byte]) = {
+    val sock = new Socket("127.0.0.1", port)
+    try {
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val bodyBytes = body.map(_.getBytes(StandardCharsets.UTF_8))
+      val reqLines = new StringBuilder
+      reqLines.append(s"$method $uri HTTP/1.1\r\n")
+      reqLines.append("Host: localhost\r\n")
+      reqLines.append("Connection: close\r\n")
+      headers.foreach { case (k, v) => reqLines.append(s"$k: $v\r\n") }
+      bodyBytes.foreach(b => reqLines.append(s"Content-Length: ${b.length}\r\n"))
+      reqLines.append("\r\n")
+      out.write(reqLines.toString.getBytes(StandardCharsets.UTF_8))
+      bodyBytes.foreach(out.write)
+      out.flush()
+      val all = new ByteArrayOutputStream()
+      val in = sock.getInputStream
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { all.write(chunk, 0, n); n = in.read(chunk) }
+      val bytes = all.toByteArray
+      val sep = {
+        var i = 0; var found = -1
+        while (found < 0 && i + 3 < bytes.length) {
+          if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
+            bytes(i + 2) == '\r' && bytes(i + 3) == '\n') found = i
+          i += 1
+        }
+        found
+      }
+      val head = new String(bytes, 0, sep, StandardCharsets.ISO_8859_1)
+      val respBody = java.util.Arrays.copyOfRange(bytes, sep + 4, bytes.length)
+      val lines = head.split("\r\n")
+      val status = lines(0).split(" ")(1).toInt
+      val hdrs = lines.drop(1).foldLeft(Map.empty[String, List[String]]) { (acc, l) =>
+        val kv = l.split(":", 2)
+        val k = kv(0).trim.toLowerCase
+        acc + (k -> (acc.getOrElse(k, Nil) :+ kv(1).trim))
+      }
+      (status, hdrs, respBody)
+    } finally sock.close()
+  }
+
+  private def withServer[A](cfg: CollectorConfig)(f: (HttpEdgeServer, Int, String) => A): A = {
+    val spool = Files.createTempDirectory("edge-spool").toString
+    val server = new HttpEdgeServer(cfg, spool,
+      clock = () => 1700000000000L, flushEvery = 4)
+    val port = server.start()
+    try f(server, port, spool)
+    finally server.stop()
+  }
+
+  test("live: ops endpoints serve the reference bodies over real sockets") {
+    val cfg = testScale.copy(crossDomainEnabled = true, crossDomainDomains = Seq("*"))
+    withServer(cfg) { (server, port, _) =>
+      val (s1, _, b1) = rawHttp(port, "GET", "/health")
+      assert((s1, new String(b1, "UTF-8")) === ((200, "OK")))
+      server.setHealthy(false)
+      val (s2, _, b2) = rawHttp(port, "GET", "/health")
+      assert((s2, new String(b2, "UTF-8")) === ((503, "Service Unavailable")))
+      server.setHealthy(true)
+      val (s3, _, b3) = rawHttp(port, "GET", "/robots.txt")
+      assert((s3, new String(b3, "UTF-8")) === ((200, "User-agent: *\nDisallow: /")))
+      val (s4, h4, b4) = rawHttp(port, "GET", "/crossdomain.xml")
+      assert(s4 === 200)
+      assert(h4("content-type").head === "text/xml; charset=ISO-8859-1")
+      assert(new String(b4, "ISO-8859-1").contains("<cross-domain-policy>"))
+      val (s5, _, b5) = rawHttp(port, "GET", "/unknown/path/here")
+      assert((s5, new String(b5, "UTF-8")) === ((404, "404 not found")))
+      val (s6, _, _) = rawHttp(port, "GET", "/")
+      assert(s6 === 404) // rootResponse disabled by default
+    }
+  }
+
+  test("live: pixel route returns the exact transparent GIF with cookie + CORS headers") {
+    withServer(testScale) { (_, port, _) =>
+      val (status, headers, body) = rawHttp(port, "GET", "/i?e=pv&aid=app1",
+        headers = Seq("Origin" -> "https://shop.example.com"))
+      assert(status === 200)
+      assert(headers("content-type").head === "image/gif")
+      assert(body.toSeq === HttpEdge.PixelBytes.toSeq)
+      assert(headers("set-cookie").head.startsWith("sp="))
+      assert(headers("set-cookie").head.contains("; Expires="))
+      assert(headers("cache-control").head === "no-cache, no-store, must-revalidate")
+      assert(headers("p3p").head === testScale.p3pHeader)
+      assert(headers("access-control-allow-origin").head === "https://shop.example.com")
+      assert(headers("access-control-allow-credentials").head === "true")
+      // HEAD serves the same status with no body (reference get|head routes)
+      val (hs, _, hb) = rawHttp(port, "HEAD", "/i")
+      assert(hs === 200 && hb.isEmpty)
+    }
+  }
+
+  test("live: redirect route 302s allowed targets, substitutes the nuid macro, 400s the rest") {
+    val cfg = redirectScale
+    withServer(cfg) { (_, port, _) =>
+      val (s1, h1, _) = rawHttp(port, "GET",
+        "/r/tp2?u=https%3A%2F%2Fdest3.example.com%2Flanding")
+      assert(s1 === 302)
+      assert(h1("location").head === "https://dest3.example.com/landing")
+      // disallowed domain → 400
+      val (s2, _, _) = rawHttp(port, "GET",
+        "/r/tp2?u=https%3A%2F%2Fevil.example.org%2Fx")
+      assert(s2 === 400)
+      // macro substitution: uid=${SP_NUID} resolves to the request's nuid
+      val nuid = "11111111-2222-3333-4444-555555555555"
+      val (s3, h3, _) = rawHttp(port, "GET",
+        "/r/tp2?u=https%3A%2F%2Fdest3.example.com%2Fl%3Fuid%3D%24%7BSP_NUID%7D" +
+          s"&nuid=$nuid")
+      assert(s3 === 302)
+      assert(h3("location").head === s"https://dest3.example.com/l?uid=$nuid")
+      // disabled default redirect → 404
+      val off = cfg.copy(enableDefaultRedirect = false)
+      withServer(off) { (_, p2, _) =>
+        val (s4, _, _) = rawHttp(p2, "GET",
+          "/r/tp2?u=https%3A%2F%2Fdest3.example.com%2Flanding")
+        assert(s4 === 404)
+      }
+    }
+  }
+
+  test("live: OPTIONS preflight grants the reference's CORS headers, 403s disallowed origins") {
+    withServer(corsScale) { (_, port, _) =>
+      val (s1, h1, _) = rawHttp(port, "OPTIONS", "/com.snowplowanalytics.snowplow/tp2",
+        headers = Seq("Origin" -> "https://a.allowed.example.com"))
+      assert(s1 === 200)
+      assert(h1("access-control-allow-origin").head === "https://a.allowed.example.com")
+      assert(h1("access-control-allow-credentials").head === "true")
+      assert(h1("access-control-allow-headers").head === "Content-Type, SP-Anonymous")
+      assert(h1("access-control-max-age").head === (corsScale.corsMaxAgeMs / 1000).toString)
+      val (s2, h2, _) = rawHttp(port, "OPTIONS", "/com.snowplowanalytics.snowplow/tp2",
+        headers = Seq("Origin" -> "https://unlisted.example.net"))
+      assert(s2 === 403)
+      assert(!h2.contains("access-control-allow-origin"))
+    }
+  }
+
+  test("live: cookie bounce 302s a fresh pixel user to itself with the marker") {
+    withServer(bounceScale) { (_, port, _) =>
+      val (s1, h1, _) = rawHttp(port, "GET", "/i?e=pv")
+      assert(s1 === 302)
+      assert(h1("location").head === "/i?e=pv&n=1")
+      // the bounced replay (marker present) is served the pixel
+      val (s2, _, body) = rawHttp(port, "GET", "/i?e=pv&n=1")
+      assert(s2 === 200 && body.toSeq === HttpEdge.PixelBytes.toSeq)
+      // a cookie-carrying user never bounces
+      val (s3, _, _) = rawHttp(port, "GET", "/i?e=pv",
+        headers = Seq("Cookie" -> "sp=33333333-3333-3333-3333-333333333333"))
+      assert(s3 === 200)
+    }
+  }
+
+  test("live: hostile requests answer without killing the edge and still spool") {
+    withServer(testScale) { (server, port, spool) =>
+      // the JDK request-line parser 400s malformed escapes itself; the
+      // reference receives such URIs via the Raw-Request-URI header
+      // (`CollectorRoute.scala:61` headers extractor) — so does the edge
+      val (s1, _, _) = rawHttp(port, "GET", "/i",
+        headers = Seq("Raw-Request-Uri" -> "/i?e=%%bad&&=="))
+      assert(s1 === 200) // response unaffected; the event routes to bad rows downstream
+      val (s2, _, b2) = rawHttp(port, "POST", "/com.snowplowanalytics.snowplow/tp2",
+        headers = Seq("Content-Type" -> "application/json"),
+        body = Some("{\"not\":\"an envelope\"}"))
+      assert(s2 === 200 && new String(b2, "UTF-8") === "ok")
+      server.flush()
+      val spooled = spark.read.schema(HttpEdge.envelopeSchema)
+        .json(spool)
+      assert(spooled.count() === 2L)
+      assert(spooled.filter("querystring = 'e=%%bad&&=='").count() === 1L)
+    }
+  }
+
+  test("live: HTTP requests flow through the spool into the streaming collector") {
+    withServer(testScale) { (server, port, spool) =>
+      // a deterministic mix: tp2 POSTs, pixels, a DNT pixel, a malformed qs
+      (1 to 8).foreach { i =>
+        rawHttp(port, "POST", "/com.snowplowanalytics.snowplow/tp2",
+          headers = Seq("Content-Type" -> "application/json"),
+          body = Some(
+            s"""{"schema":"iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4","data":[{"e":"pv","idx":$i}]}"""))
+      }
+      (1 to 4).foreach(i => rawHttp(port, "GET", s"/i?e=pv&aid=app$i"))
+      rawHttp(port, "GET", "/i?e=pv", headers = Seq("Cookie" -> "sp-dnt=true"))
+      rawHttp(port, "GET", "/i", headers = Seq("Raw-Request-Uri" -> "/i?e=%%bad&&=="))
+      server.flush()
+
+      val good = Files.createTempDirectory("edge-good").toString
+      val bad = Files.createTempDirectory("edge-bad").toString
+      val ckpt = Files.createTempDirectory("edge-ckpt").toString
+      val q = StreamingCollector.start(
+        server.stream(spark), testScale, good, bad, ckpt,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(120000)
+
+      val goodDf = spark.read.parquet(good)
+      val badDf = spark.read.parquet(bad)
+      // batch reference: the same spool through the same batch pipeline
+      val batchEnv = spark.read.schema(HttpEdge.envelopeSchema).json(spool)
+      assert(goodDf.count() ===
+        CollectorPipeline.payloads(batchEnv, testScale).count())
+      assert(badDf.count() ===
+        CollectorPipeline.badRows(batchEnv, testScale).count())
+      assert(goodDf.count() === 12L) // 8 POSTs + 4 clean pixels; DNT + bad qs withheld
+      assert(badDf.count() >= 1L)
+    }
+  }
+}
