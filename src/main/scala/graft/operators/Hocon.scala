@@ -37,8 +37,17 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *    include. A name absent from the resolver is silently skipped
   *    (Typesafe's plain-include semantics); include recursion is capped.
   *
-  * NOT implemented (unused by the example files): concatenations of
-  * quoted strings, `required()`/`file()`/`url()` include modifiers.
+  *  - value concatenations mixing quoted strings, unquoted runs and
+  *    substitutions (`path = "/var/"${USER}"/logs"`): whitespace GAPS
+  *    between parts join with a single space, directly-adjacent parts
+  *    splice verbatim — Typesafe's string-concatenation semantics. A
+  *    multi-part result is always a string (no numeric coercion).
+  *  - `required()` / `file()` / `url()` include modifiers
+  *    (`include required(file("sink"))`): the name still resolves
+  *    through the injected map — hermetic, the modifier only changes
+  *    MISSING-include behavior (`required` → loud error, else silently
+  *    skipped, exactly Typesafe's contract).
+  *
   * The output is a Jackson tree, shared with the JSON loader — both front
   * ends funnel into the same key extraction, so their semantics cannot
   * drift. Driver-side only, like the JSON loader. */
@@ -68,8 +77,8 @@ object Hocon {
       includes: Map[String, String], includeDepth: Int): ObjectNode = {
     if (includeDepth > 50)
       throw new IllegalArgumentException("HOCON includes nested deeper than 50 (cycle?)")
-    val toks = tokenize(text)
-    val p = new P(toks, env, includes, includeDepth)
+    val (toks, glued) = tokenize(text)
+    val p = new P(toks, glued, env, includes, includeDepth)
     if (p.peek == Some("{")) { p.next(); p.obj() }
     else p.objBody(topLevel = true) // HOCON allows a brace-less root
   }
@@ -156,13 +165,25 @@ object Hocon {
 
   // --- tokenizer ---------------------------------------------------------
   // tokens: "{" "}" "[" "]" "," ":" "=" "\n" quoted-string ("\u0000"-prefixed
-  // to mark it as quoted) and raw runs (unquoted words)
-  private def tokenize(text: String): Vector[String] = {
+  // to mark it as quoted) and raw runs (unquoted words). The BitSet marks
+  // tokens with NO whitespace before them (directly glued to the previous
+  // token) — value concatenation needs the distinction: gaps join with a
+  // single space, glued parts splice verbatim.
+  private def tokenize(text: String): (Vector[String], scala.collection.immutable.BitSet) = {
     val out = Vector.newBuilder[String]
+    val gluedB = scala.collection.immutable.BitSet.newBuilder
+    var count = 0
+    var prevEnd = -1 // text index just past the previous token
     var i = 0
     val n = text.length
     def isCommentStart(j: Int) =
       text(j) == '#' || (text(j) == '/' && j + 1 < n && text(j + 1) == '/')
+    def emit(tok: String, start: Int, end: Int): Unit = {
+      out += tok
+      if (start == prevEnd) gluedB += count
+      count += 1
+      prevEnd = end
+    }
     while (i < n) {
       val c = text(i)
       if (c == '"' && i + 2 < n && text(i + 1) == '"' && text(i + 2) == '"') {
@@ -172,9 +193,10 @@ object Hocon {
         if (close < 0)
           throw new IllegalArgumentException("unterminated triple-quoted string")
         while (close + 3 < n && text(close + 3) == '"') close += 1
-        out += "\u0000" + text.substring(i + 3, close)
+        emit("\u0000" + text.substring(i + 3, close), i, close + 3)
         i = close + 3
       } else if (c == '"') {
+        val qstart = i
         val sb = new StringBuilder
         i += 1
         while (i < n && text(i) != '"') {
@@ -187,33 +209,35 @@ object Hocon {
           } else { sb.append(text(i)); i += 1 }
         }
         i += 1 // closing quote
-        out += "\u0000" + sb.toString //  marks "was quoted"
+        emit("\u0000" + sb.toString, qstart, i) //  marks "was quoted"
       } else if (isCommentStart(i)) {
         while (i < n && text(i) != '\n') i += 1
-      } else if (c == '\n') { out += "\n"; i += 1 }
+      } else if (c == '\n') { emit("\n", i, i + 1); i += 1 }
       else if (c == ' ' || c == '\t' || c == '\r') i += 1
       else if (c == '$' && i + 1 < n && text(i + 1) == '{') {
         // ${VAR} / ${?VAR} substitution → marker token for the parser
         val close = text.indexOf('}', i + 2)
         if (close < 0)
           throw new IllegalArgumentException("unterminated ${} substitution")
-        out += SubMark + text.substring(i + 2, close).trim
+        emit(SubMark + text.substring(i + 2, close).trim, i, close + 1)
         i = close + 1
-      } else if ("{}[]:,=".indexOf(c) >= 0) { out += c.toString; i += 1 }
+      } else if ("{}[]:,=".indexOf(c) >= 0) { emit(c.toString, i, i + 1); i += 1 }
       else {
+        val rstart = i
         val sb = new StringBuilder
         while (i < n && "{}[]:,=\n\" \t\r".indexOf(text(i)) < 0 && !isCommentStart(i)
             && !(text(i) == '$' && i + 1 < n && text(i + 1) == '{')) {
           sb.append(text(i)); i += 1
         }
-        out += sb.toString
+        emit(sb.toString, rstart, i)
       }
     }
-    out.result()
+    (out.result(), gluedB.result())
   }
 
   // --- parser ------------------------------------------------------------
-  private final class P(toks: Vector[String], env: Map[String, String],
+  private final class P(toks: Vector[String], glued: scala.collection.immutable.BitSet,
+      env: Map[String, String],
       includes: Map[String, String], includeDepth: Int) {
     private var pos = 0
     /** recursion guard: hostile `a{a{a{…` input must fail with a clean
@@ -254,10 +278,36 @@ object Hocon {
         // `include "name"`: an UNQUOTED include keyword followed by a
         // quoted string is a statement, not a key (a key spelled include
         // continues to `=`/`:`/`{` below, per HOCON)
-        if (keyTok == "include" && peek.exists(_.startsWith("\u0000"))) {
-          val name = unmark(next())
-          includes.get(name).foreach { text =>
-            deepMerge(o, parseTree(text, env, includes, includeDepth + 1))
+        val includeModifier = keyTok == "include" && peek.exists(t =>
+          !t.startsWith("\u0000") && IncludeModRe.matches(t))
+        if (keyTok == "include" &&
+            (peek.exists(_.startsWith("\u0000")) || includeModifier)) {
+          // `include "name"` or `include required(file("name"))`-style:
+          // the modifier chain only changes MISSING-name behavior
+          // (required → loud error); file()/url() names still resolve
+          // through the injected map — hermetic, no engine I/O
+          val required = includeModifier && {
+            val mods = next()
+            mods.contains("required(")
+          }
+          val nameTok = next()
+          if (!nameTok.startsWith("\u0000"))
+            throw new IllegalArgumentException(
+              s"include expects a quoted name, got '$nameTok'")
+          val name = unmark(nameTok)
+          if (includeModifier) {
+            val closing = next()
+            if (!closing.forall(_ == ')'))
+              throw new IllegalArgumentException(
+                s"malformed include modifier: expected ')' after \"$name\", got '$closing'")
+          }
+          includes.get(name) match {
+            case Some(text) =>
+              deepMerge(o, parseTree(text, env, includes, includeDepth + 1))
+            case None if required =>
+              throw new IllegalArgumentException(
+                s"required include '$name' not found")
+            case None => () // plain-include semantics: silently skipped
           }
         } else peek match {
           case Some("{") => next(); mergeIn(o, key, obj())
@@ -301,25 +351,34 @@ object Hocon {
 
     private def scalar(): (String, Boolean) = {
       val first = next()
-      if (first.startsWith("\u0000")) (unmark(first), true)
+      if (first.startsWith("\u0000") && runEnds) (unmark(first), true)
       // a LONE ${...} keeps its marker (config-path refs resolve in the
       // post-pass); one glued into a longer run must env-resolve now
       else if (first.startsWith(SubMark) && runEnds) (first, false)
       else {
-        val parts = scala.collection.mutable.ArrayBuffer(
-          if (first.startsWith(SubMark)) envConcat(first) else first)
+        // value concatenation run (quoted strings, unquoted words and
+        // `${}` substitutions freely mixed): whitespace GAPS between
+        // parts join with a single space, directly-glued parts splice
+        // verbatim — Typesafe's string-concatenation semantics. Env
+        // substitutions resolve in place (a config-path ref can't
+        // splice into a half-built string). A multi-part result is
+        // always a string, never numerically coerced.
+        val sb = new StringBuilder(
+          if (first.startsWith(SubMark)) envConcat(first) else unmark(first))
+        var quoted = first.startsWith("\u0000")
         var done = false
         while (!done && pos < toks.length) {
           val t = toks(pos)
           if (t == "\n" || t == "," || t == "}" || t == "]") done = true
-          else if (t.startsWith("\u0000")) { parts += unmark(nextRaw()) }
-          else if (t.startsWith(SubMark)) {
-            // concatenation (`host:${PORT}`): env-resolve in place —
-            // a config-path ref can't splice into a half-built string
-            parts += envConcat(nextRaw())
-          } else parts += nextRaw()
+          else {
+            if (!glued.contains(pos)) sb.append(' ')
+            nextRaw()
+            if (t.startsWith("\u0000")) { quoted = true; sb.append(unmark(t)) }
+            else if (t.startsWith(SubMark)) sb.append(envConcat(t))
+            else sb.append(t)
+          }
         }
-        (parts.mkString(" "), false)
+        (sb.toString, quoted)
       }
     }
 
@@ -432,6 +491,9 @@ object Hocon {
         case _ => a.add(s); ()
       }
   }
+
+  /** `required(` / `file(` / `url(` chains before a quoted include name. */
+  private val IncludeModRe = "^(?:(?:required|file|url)\\()+$".r
 
   private val IntRe = "^-?[0-9]+$".r
   private val NumRe = "^-?[0-9]+\\.[0-9]+([eE][+-]?[0-9]+)?$".r

@@ -453,4 +453,54 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.sink.minBackoffMs === 1000)          // pubsub default holds
     assert(cfg.sink.bufferRecordLimit === 40)
   }
+
+  test("HOCON value concatenation: quoted/unquoted/substitution splicing") {
+    import graft.operators.Hocon
+    val env = Map("USER" -> "alice", "PORT" -> "8080")
+    val doc =
+      """gap = "foo" "bar"
+        |glueq = "foo""bar"
+        |mixed = "/var/"${USER}"/logs"
+        |addr = example.com:${PORT}
+        |words = pre"mid"post
+        |numish = "1" "2"
+        |tail = "x" y z
+        |""".stripMargin
+    val t = Hocon.parse(doc, env)
+    assert(t.get("gap").asText === "foo bar") // whitespace gap survives
+    assert(t.get("glueq").asText === "foobar") // glued quotes splice
+    assert(t.get("mixed").asText === "/var/alice/logs")
+    assert(t.get("addr").asText === "example.com:8080")
+    assert(t.get("words").asText === "premidpost")
+    // a multi-part concatenation is a string, never numerically coerced
+    assert(t.get("numish").isTextual && t.get("numish").asText === "1 2")
+    assert(t.get("tail").asText === "x y z")
+  }
+
+  test("HOCON include modifiers: required()/file()/url() resolve hermetically") {
+    import graft.operators.Hocon
+    val includes = Map(
+      "sink" -> "kind = kinesis",
+      "https://example.com/cfg" -> "region = eu-west-1")
+    // file()/url() still resolve through the injected map; required()
+    // turns a missing name into a loud error instead of a silent skip
+    val t = Hocon.parse(
+      """include required(file("sink"))
+        |include url("https://example.com/cfg")
+        |include file("absent-is-fine")
+        |extra = 1
+        |""".stripMargin, Map.empty[String, String], includes)
+    assert(t.get("kind").asText === "kinesis")
+    assert(t.get("region").asText === "eu-west-1")
+    assert(t.get("extra").asInt === 1)
+    val err = intercept[IllegalArgumentException](
+      Hocon.parse("""include required("nope")""", Map.empty[String, String], includes))
+    assert(err.getMessage.contains("required include"))
+    // a key literally named include still parses as a key
+    val t2 = Hocon.parse("include = 5", Map.empty[String, String])
+    assert(t2.get("include").asInt === 5)
+    // malformed modifier chain fails loudly, not silently
+    intercept[IllegalArgumentException](
+      Hocon.parse("""include required(sink)""", Map.empty[String, String], includes))
+  }
 }
