@@ -40,16 +40,67 @@ object CollectorMain {
       trigger = trigger)
   }
 
+  /** LIVE HTTP mode — the full reference shape in one process: bind the
+    * [[graft.streaming.HttpEdgeServer]] edge, stream its spool through the
+    * assembled dataflow, answer `/health` from the pipeline monitor, and
+    * honor the reference's SIGTERM order (health down BEFORE the drain
+    * window and query stop — `Collector.scala:206-233`). Returns
+    * (server, running) so tests can drive it; `main` awaits. */
+  def wireHttp(spark: SparkSession, spoolDir: String, goodDir: String,
+      badDir: String, checkpointDir: String, trigger: Trigger,
+      cfg: CollectorConfig = CollectorConfig.testScale)
+      : (graft.streaming.HttpEdgeServer, CollectorApp.Running) = {
+    @volatile var running: CollectorApp.Running = null
+    val server = new graft.streaming.HttpEdgeServer(
+      cfg, spoolDir, flushEvery = 256,
+      healthSource = Some(() => running != null && running.monitor.healthy))
+    val port = server.start()
+    running = CollectorApp.start(
+      spark,
+      server.stream(spark),
+      cfg,
+      goodSink = CollectorApp.defaultGoodSink(goodDir, goodDir + "-fallback"),
+      badSink = new ParquetDirSink(badDir, "bad"),
+      checkpointDir = checkpointDir,
+      trigger = trigger)
+    println(s"graft-collector listening on http://127.0.0.1:$port")
+    (server, running)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 4,
-      "usage: CollectorMain <envelopeDir> <goodDir> <badDir> <checkpointDir> [triggerMs]")
+    val http = args.headOption.contains("--http")
+    val rest = if (http) args.drop(1) else args
+    require(rest.length >= 4,
+      "usage: CollectorMain [--http] <envelopeDir|spoolDir> <goodDir> <badDir> <checkpointDir> [triggerMs]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-collector")
     spark.sparkContext.setLogLevel("WARN")
-    val trigger =
-      if (args.length >= 5) Trigger.ProcessingTime(args(4).toLong)
-      else Trigger.ProcessingTime(5000L) // the reference's buffer.timeLimit
-    val running = wire(spark, args(0), args(1), args(2), args(3), trigger)
-    running.query.awaitTermination()
+    val triggerMs = if (rest.length >= 5) rest(4).toLong else 5000L
+    val trigger = Trigger.ProcessingTime(triggerMs) // reference buffer.timeLimit
+    if (http) {
+      val (server, running) =
+        wireHttp(spark, rest(0), rest(1), rest(2), rest(3), trigger)
+      // time-limit analog of the reference's buffer flush: publish the
+      // spool tail even under low traffic (flushEvery is the record limit)
+      val flusher = new Thread(() => {
+        while (!running.monitor.isShuttingDown) {
+          Thread.sleep(triggerMs); server.flush()
+        }
+      }, "edge-spool-flusher")
+      flusher.setDaemon(true)
+      flusher.start()
+      sys.addShutdownHook {
+        // reference SIGTERM order: health flips down first (the monitor's
+        // healthy goes false on requestShutdown, which /health serves),
+        // then the drain window, then query stop, then unbind
+        graft.streaming.GracefulShutdown.stop(
+          running.monitor, Seq(running.query), preTerminationMillis = triggerMs)
+        server.stop()
+      }
+      running.query.awaitTermination()
+    } else {
+      val running = wire(spark, rest(0), rest(1), rest(2), rest(3), trigger)
+      running.query.awaitTermination()
+    }
   }
 }

@@ -39,7 +39,9 @@ final class HttpEdgeServer(
     cfg: CollectorConfig,
     spoolDir: String,
     clock: () => Long = () => System.currentTimeMillis(),
-    flushEvery: Int = 64) {
+    flushEvery: Int = 64,
+    healthSource: Option[() => Boolean] = None,
+    sinkHealthSource: Option[() => Boolean] = None) {
 
   private val spool: Path = Files.createDirectories(Paths.get(spoolDir))
   private val nextId = new AtomicLong(1L)
@@ -50,15 +52,26 @@ final class HttpEdgeServer(
   private var buffered = 0
 
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def setHealthy(h: Boolean): Unit = healthy.set(h)
   def setSinkHealthy(h: Boolean): Unit = sinkHealthy.set(h)
 
   /** Bind on an ephemeral loopback port; returns the bound port. */
   def start(): Int = synchronized {
+    // the JDK server writes response head and body as separate packets;
+    // without TCP_NODELAY, Nagle holds the second until the client's
+    // delayed ACK (~40 ms) — a 250x throughput cliff on keep-alive
+    // loopback traffic. ServerConfig reads this property once, at the
+    // first HttpServer class load, so set it before create().
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (exchange: HttpExchange) => handle(exchange))
-    server.setExecutor(Executors.newFixedThreadPool(4))
+    // daemon workers: a forgotten stop() must never pin the JVM open
+    pool = Executors.newFixedThreadPool(
+      math.max(4, Runtime.getRuntime.availableProcessors() / 4),
+      (r: Runnable) => { val t = new Thread(r, "edge-http"); t.setDaemon(true); t })
+    server.setExecutor(pool)
     server.start()
     port
   }
@@ -115,7 +128,11 @@ final class HttpEdgeServer(
   private def handle(ex: HttpExchange): Unit =
     try {
       val req = buildRequest(ex)
-      val resp = HttpEdge.respond(req, cfg, healthy.get(), sinkHealthy.get())
+      // health answers come from the wired monitor when one is attached
+      // (CollectorMain --http), else the settable local flags (tests)
+      val h = healthSource.map(_()).getOrElse(healthy.get())
+      val sh = sinkHealthSource.map(_()).getOrElse(sinkHealthy.get())
+      val resp = HttpEdge.respond(req, cfg, h, sh)
       if (HttpEdge.isTracking(req)) append(HttpEdge.envelopeJson(req, cfg))
       resp.headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
       val noBody = resp.body.isEmpty || req.method == "HEAD"
@@ -154,6 +171,7 @@ final class HttpEdgeServer(
   def stop(): Unit = synchronized {
     flushLocked()
     if (server != null) server.stop(0)
+    if (pool != null) pool.shutdown()
   }
 
   /** The spool as a streaming envelope DataFrame — feed it straight to

@@ -341,4 +341,42 @@ class HttpEdgeSpec extends AnyFunSuite {
       assert(badDf.count() >= 1L)
     }
   }
+
+  test("live: CollectorMain --http wiring runs the full dataflow with monitor-backed health") {
+    val spool = Files.createTempDirectory("edge-wire-spool").toString
+    val good = Files.createTempDirectory("edge-wire-good").toString
+    val bad = Files.createTempDirectory("edge-wire-bad").toString
+    val ckpt = Files.createTempDirectory("edge-wire-ckpt").toString
+    val (server, running) = graft.CollectorMain.wireHttp(
+      spark, spool, good, bad, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(250L),
+      cfg = CollectorConfig.testScale)
+    try {
+      val port = server.port
+      // health comes from the live pipeline monitor
+      val (hs, _, hb) = rawHttp(port, "GET", "/health")
+      assert((hs, new String(hb, "UTF-8")) === ((200, "OK")))
+      (1 to 6).foreach { i =>
+        rawHttp(port, "POST", "/com.snowplowanalytics.snowplow/tp2",
+          headers = Seq("Content-Type" -> "application/json"),
+          body = Some(
+            s"""{"schema":"iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4","data":[{"e":"pv","idx":$i}]}"""))
+      }
+      rawHttp(port, "GET", "/i?e=pv")
+      server.flush()
+      running.query.processAllAvailable()
+      // good leg carries thrift wire bytes + partition key (CollectorApp)
+      val wire = spark.read.parquet(good)
+      assert(wire.count() === 7L)
+      assert(wire.columns.toSet === Set("event_id", "partition_key", "thrift"))
+      // reference SIGTERM order: health flips down BEFORE queries stop
+      running.monitor.requestShutdown()
+      val (ds, _, _) = rawHttp(port, "GET", "/health")
+      assert(ds === 503)
+      assert(running.query.isActive) // drain window: still running
+    } finally {
+      graft.streaming.GracefulShutdown.stop(running.monitor, Seq(running.query))
+      server.stop()
+    }
+  }
 }
