@@ -64,6 +64,10 @@ object CollectorMain {
       checkpointDir = checkpointDir,
       trigger = trigger)
     println(s"graft-collector listening on http://127.0.0.1:$port")
+    // R8: experimental self-warmup against the live port (reference
+    // `Collector.scala:167` runs it right after the HTTP bind)
+    if (cfg.warmup.enable)
+      graft.streaming.EdgeWarmup.run(port, cfg.warmup, s => println(s"[warmup] $s"))
     (server, running)
   }
 

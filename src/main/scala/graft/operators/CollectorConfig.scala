@@ -61,6 +61,7 @@ final case class CollectorConfig(
     rootResponseStatus: Int = 302,
     rootResponseBody: String = "",
     telemetry: TelemetrySettings = TelemetrySettings(),
+    warmup: WarmupSettings = WarmupSettings(),
     statsd: StatsdSettings = StatsdSettings(),
     sink: SinkSettings = SinkSettings(),
 ) {
@@ -83,6 +84,14 @@ final case class TelemetrySettings(
     secure: Boolean = true)
 
 /** R9 StatsD export settings (reference `monitoring.metrics.statsd`). */
+/** R8: the reference's experimental self-warmup knobs
+  * (`model.scala:218-223`, example configs `experimental.warmup`). */
+final case class WarmupSettings(
+    enable: Boolean = false,
+    numRequests: Int = 2000,
+    maxConnections: Int = 2000,
+    maxCycles: Int = 3)
+
 final case class StatsdSettings(
     enabled: Boolean = false,
     hostname: String = "localhost",
@@ -254,6 +263,14 @@ object CollectorConfig {
         // was silently unparsed until r5 — the drift this loader's golden
         // now exists to catch
         bool(c.path("enableDefaultRedirect"), d.enableDefaultRedirect),
+      warmup = {
+        val w = c.path("experimental").path("warmup"); val wd = d.warmup
+        WarmupSettings(
+          enable = bool(w.path("enable"), wd.enable),
+          numRequests = int(w.path("numRequests"), wd.numRequests),
+          maxConnections = int(w.path("maxConnections"), wd.maxConnections),
+          maxCycles = int(w.path("maxCycles"), wd.maxCycles))
+      },
       analyticsJsBridgeEnabled =
         bool(c.path("experimental").path("enableAnalyticsJsBridge"), d.analyticsJsBridgeEnabled),
       amplitudeBridgeEnabled =

@@ -4,9 +4,9 @@ package graft.streaming
   * the engine side of `/health`, `/sink-health`, `/crossdomain.xml`,
   * `/robots.txt`, and the configurable root response (reference
   * `CollectorRoute.scala:158-236`, `CollectorService.scala:222-246`).
-  * The HTTP server itself is out of engine scope (SURVEY §7.1); these
-  * produce the exact status/body the reference's routes emit, driven by
-  * [[PipelineMonitor]] / sink health for the dynamic ones. Golden-pinned
+  * These produce the exact status/body the reference's routes emit,
+  * driven by [[PipelineMonitor]] / sink health for the dynamic ones;
+  * [[HttpEdgeServer]] serves them over real sockets (r9). Golden-pinned
   * against the reference's CollectorServiceSpec strings.
   */
 object OpsEndpoints {

@@ -248,6 +248,10 @@ class ConfigSpec extends AnyFunSuite {
         assert(cfg.cookieExpirationMs === 365L * 86400000, f.getName)
         assert(cfg.cookieName === "sp", f.getName)
         assert(!cfg.enableDefaultRedirect, f.getName)
+        // R8 warmup block (experimental.warmup) — shipped disabled with
+        // these literal knobs in every extended config
+        assert(cfg.warmup ===
+          graft.operators.WarmupSettings(false, 2000, 2000, 3), f.getName)
         // rabbitmq's example ships different exchange names (raw/bad-1)
         if (f.getName.contains("rabbitmq"))
           assert(cfg.sink.goodStream === "raw" && cfg.sink.badStream === "bad-1", f.getName)

@@ -379,4 +379,30 @@ class HttpEdgeSpec extends AnyFunSuite {
       server.stop()
     }
   }
+
+  test("live: R8 warmup cycles grow until maxCycles, saturate cleanly, and fail loudly on a dead port") {
+    import graft.operators.WarmupSettings
+    import graft.streaming.EdgeWarmup
+    withServer(testScale) { (_, port, _) =>
+      val logs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val results = EdgeWarmup.run(port,
+        WarmupSettings(enable = true, numRequests = 6, maxConnections = 2, maxCycles = 3),
+        logs += _)
+      // reference shape: requests and connections scale with the cycle
+      assert(results.map(r => (r.cycle, r.connections, r.requests)) ===
+        Seq((1, 2, 6), (2, 4, 12), (3, 6, 18)))
+      assert(results.forall(_.failures === 0))
+      assert(logs.exists(_.contains("Finished all warmup cycles")))
+    }
+    // disabled → no cycles
+    assert(EdgeWarmup.run(1, WarmupSettings(enable = false)) === Nil)
+    // a dead port fails in cycle 1 and stops (the saturation exit)
+    val dead = {
+      val ss = new java.net.ServerSocket(0)
+      val p = ss.getLocalPort; ss.close(); p
+    }
+    val failed = EdgeWarmup.run(dead,
+      WarmupSettings(enable = true, numRequests = 4, maxConnections = 2, maxCycles = 5))
+    assert(failed.length === 1 && failed.head.failures > 0)
+  }
 }
