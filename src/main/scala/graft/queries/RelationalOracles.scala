@@ -503,6 +503,15 @@ object RelationalOracles {
     // the strongest possible front-door parity statement
     "q_sql_q6" -> graft.queries.Relational.SqlQ6,
     "q_sql_exists" -> graft.queries.Relational.SqlExists,
+    "q_sql_q4" -> graft.queries.Relational.SqlQ4,
+    "q_sql_q7" -> graft.queries.Relational.SqlQ7,
+    "q_sql_q8" -> graft.queries.Relational.SqlQ8,
+    "q_sql_q10" -> graft.queries.Relational.SqlQ10,
+    "q_sql_q13" -> graft.queries.Relational.SqlQ13,
+    "q_sql_q14" -> graft.queries.Relational.SqlQ14,
+    "q_sql_q15" -> graft.queries.Relational.SqlQ15,
+    "q_sql_q17" -> graft.queries.Relational.SqlQ17,
+    "q_sql_q18" -> graft.queries.Relational.SqlQ18,
 
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n_rows,

@@ -12,6 +12,36 @@ import java.util.concurrent.Executors
 import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 import scala.jdk.CollectionConverters._
 
+/** R9's HTTP dimension: per-request counters by (method, status) plus
+  * per-method latency sums — what the reference's pekko-http-metrics
+  * registry tracks at the server (`Collector.scala:138-160`:
+  * requests/responses with method and status dimensions). Lock-free
+  * LongAdders; rendered to StatsD lines by
+  * [[StatsdExport.edgeLines]] next to the query-health metrics.
+  */
+final class EdgeMetrics {
+  import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.atomic.LongAdder
+  private val counts = new ConcurrentHashMap[(String, Int), LongAdder]()
+  private val durationMicros = new ConcurrentHashMap[String, LongAdder]()
+
+  def record(method: String, status: Int, nanos: Long): Unit = {
+    counts.computeIfAbsent((method, status), _ => new LongAdder).increment()
+    durationMicros.computeIfAbsent(method, _ => new LongAdder)
+      .add(nanos / 1000L)
+  }
+
+  def requestCounts: Map[(String, Int), Long] = {
+    import scala.jdk.CollectionConverters._
+    counts.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
+
+  def durationMicrosByMethod: Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    durationMicros.asScala.map { case (k, v) => k -> v.sum() }.toMap
+  }
+}
+
 /** The collector's HTTP front door, on the JDK's built-in server — the
   * reference's ingestion tier (`Collector.scala:170-189` binds Pekko
   * HTTP; we bind `com.sun.net.httpserver`, zero added dependencies)
@@ -56,6 +86,9 @@ final class HttpEdgeServer(
 
   def setHealthy(h: Boolean): Unit = healthy.set(h)
   def setSinkHealthy(h: Boolean): Unit = sinkHealthy.set(h)
+
+  /** R9: live request metrics (method/status counts, latency sums). */
+  val metrics = new EdgeMetrics
 
   /** Bind on an ephemeral loopback port; returns the bound port. */
   def start(): Int = synchronized {
@@ -127,6 +160,7 @@ final class HttpEdgeServer(
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      val t0 = System.nanoTime()
       val req = buildRequest(ex)
       // health answers come from the wired monitor when one is attached
       // (CollectorMain --http), else the settable local flags (tests)
@@ -139,6 +173,7 @@ final class HttpEdgeServer(
       ex.sendResponseHeaders(resp.status, if (noBody) -1L else resp.body.length.toLong)
       if (!noBody) ex.getResponseBody.write(resp.body)
       ex.close()
+      metrics.record(req.method, resp.status, System.nanoTime() - t0)
     } catch {
       case scala.util.control.NonFatal(_) =>
         // a hostile request must never kill the edge (FuzzSpec discipline)

@@ -96,4 +96,18 @@ object StatsdExport {
         s"$b.rows_per_sec:${q.processedRowsPerSecond}|g",
         s"$b.alive:${if (q.alive) 1 else 0}|g")
     }
+
+  /** R9's HTTP dimension (reference pekko-http-metrics: request counts
+    * and durations by method/status, `Collector.scala:138-160`) rendered
+    * from the live edge's [[EdgeMetrics]]. */
+  def edgeLines(m: EdgeMetrics, prefix: String = "graft"): Seq[String] = {
+    val counts = m.requestCounts.toSeq
+      .sortBy { case ((meth, st), _) => (meth, st) }
+      .map { case ((meth, st), n) =>
+        s"$prefix.http.requests.${sanitize(meth.toLowerCase)}.$st:$n|c" }
+    val durations = m.durationMicrosByMethod.toSeq.sortBy(_._1)
+      .map { case (meth, us) =>
+        s"$prefix.http.duration_us.${sanitize(meth.toLowerCase)}:$us|c" }
+    counts ++ durations
+  }
 }

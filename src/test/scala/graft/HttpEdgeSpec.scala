@@ -405,4 +405,27 @@ class HttpEdgeSpec extends AnyFunSuite {
       WarmupSettings(enable = true, numRequests = 4, maxConnections = 2, maxCycles = 5))
     assert(failed.length === 1 && failed.head.failures > 0)
   }
+
+  test("live: edge metrics count (method, status) and render as StatsD lines") {
+    import graft.streaming.StatsdExport
+    withServer(redirectScale) { (server, port, _) =>
+      rawHttp(port, "GET", "/i?e=pv")
+      rawHttp(port, "GET", "/i?e=pv")
+      rawHttp(port, "GET", "/health")
+      rawHttp(port, "POST", "/com.snowplowanalytics.snowplow/tp2",
+        headers = Seq("Content-Type" -> "application/json"), body = Some("{}"))
+      rawHttp(port, "GET", "/r/tp2?u=https%3A%2F%2Fevil.example.org%2Fx") // 400
+      rawHttp(port, "GET", "/nowhere/at/all/four") // 404
+      val counts = server.metrics.requestCounts
+      assert(counts(("GET", 200)) === 3L)
+      assert(counts(("POST", 200)) === 1L)
+      assert(counts(("GET", 400)) === 1L)
+      assert(counts(("GET", 404)) === 1L)
+      assert(server.metrics.durationMicrosByMethod.keySet === Set("GET", "POST"))
+      val lines = StatsdExport.edgeLines(server.metrics)
+      assert(lines.contains("graft.http.requests.get.200:3|c"))
+      assert(lines.contains("graft.http.requests.post.200:1|c"))
+      assert(lines.exists(_.startsWith("graft.http.duration_us.get:")))
+    }
+  }
 }
