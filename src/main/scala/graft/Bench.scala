@@ -133,6 +133,17 @@ object Bench {
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,
     "m_dhash_nn" -> 1.6,
+    // r9: the TPC-H long-tail additions (one shared SQL text per query,
+    // both front doors) — first warm sf0.1 measurements
+    "q_sql_q4" -> 1.0,
+    "q_sql_q7" -> 1.3,
+    "q_sql_q8" -> 1.2,
+    "q_sql_q10" -> 1.1,
+    "q_sql_q13" -> 0.9,
+    "q_sql_q14" -> 0.7,
+    "q_sql_q15" -> 2.5, // CTE feeds both the join and the scalar max — two lineitem passes by design (shared-text purity)
+    "q_sql_q17" -> 1.4,
+    "q_sql_q18" -> 1.8,
     // streaming drain anchors (AvailableNow, forced
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,

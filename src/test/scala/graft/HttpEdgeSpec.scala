@@ -428,4 +428,31 @@ class HttpEdgeSpec extends AnyFunSuite {
       assert(lines.exists(_.startsWith("graft.http.duration_us.get:")))
     }
   }
+
+  test("live: hostile raw bytes never kill the edge (fuzz discipline over real sockets)") {
+    withServer(testScale) { (server, port, _) =>
+      val hostile = Seq[Array[Byte]](
+        "GARBAGE\r\n\r\n".getBytes("UTF-8"),
+        "GET \u0000\u0001\u0002 HTTP/1.1\r\nHost: x\r\n\r\n".getBytes("UTF-8"),
+        ("GET /" + "a" * 40000 + " HTTP/1.1\r\nHost: x\r\n\r\n").getBytes("UTF-8"),
+        "POST /com.acme/track HTTP/1.1\r\nHost: x\r\nContent-Length: 99999\r\n\r\nshort".getBytes("UTF-8"),
+        "GET /i HTTP/1.1\r\nHost: x\r\nCookie: ;;==;;\r\nRaw-Request-Uri: /i?\u0007=\u0007\r\n\r\n".getBytes("UTF-8"),
+        Array.fill[Byte](512)(-1))
+      hostile.foreach { bytes =>
+        val sock = new Socket("127.0.0.1", port)
+        try {
+          sock.setSoTimeout(5000)
+          sock.getOutputStream.write(bytes)
+          sock.getOutputStream.flush()
+          try { while (sock.getInputStream.read() != -1) () }
+          catch { case _: java.net.SocketTimeoutException => () } // short-body POST: server waits; fine
+        } finally sock.close()
+      }
+      // the edge is still alive and correct after every hostile exchange
+      val (s, _, body) = rawHttp(port, "GET", "/i?e=pv")
+      assert(s === 200 && body.toSeq === HttpEdge.PixelBytes.toSeq)
+      val (hs, _, hb) = rawHttp(port, "GET", "/health")
+      assert((hs, new String(hb, "UTF-8")) === ((200, "OK")))
+    }
+  }
 }
