@@ -55,7 +55,9 @@ class PlanLintSpec extends AnyFunSuite {
   }
 
   test("every dim join in the headline relational queries broadcasts") {
-    for (q <- Seq("q3_join", "q5_join", "q_rollup")) {
+    for (q <- Seq("q3_join", "q5_join", "q_rollup",
+        // r9 TPC-H long tail: dims must broadcast, facts must stream
+        "q_sql_q7", "q_sql_q8", "q_sql_q10", "q_sql_q18")) {
       val plan = SparkEntry.queries(q)(spark, TestSpark.Sf)
         .queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$plan")
