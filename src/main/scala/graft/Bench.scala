@@ -123,6 +123,9 @@ object Bench {
     // r9: 64-bit production simhash NN — the thinned-bucket claim made
     // measurable: 2.11 s vs the 16-bit miniature's 7.37 s, same corpus
     "d_simhash_nn64" -> 2.1,
+    // r9: IVF-PQ composition (coarse quantizer + candidate-only ADC) —
+    // train both halves + encode + probe in one query
+    "s_ivfpq_topk" -> 3.3,
     "m_pixels" -> 0.4,
     "m_png_pixels" -> 0.5, // r9: zlib inflate+unfilter premium over raw BMP
     "m_gif_pixels" -> 0.7, // r9: LZW decode + palette mapping

@@ -298,10 +298,10 @@ object Similarity {
     * [[assignCells]]); probe = codes ⋈ broadcast(dtab) + one (q_id, c_id)
     * exchange + WindowGroupLimit top-k. No corpus-sized non-bin shuffle.
     */
-  def pqTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val corpus = prepared(embeddings, spread = true)
-    // per-(label, subspace) centroid as (sum vector, count)
-    val cents = corpus
+  /** PQ codebook as ONE broadcast row: per-(label, subspace) centroid
+    * carried as (sum vector, count). */
+  private def pqCodebook(corpus: DataFrame): DataFrame =
+    corpus
       .select(col("label").as("c_label"), posexplode(col("q")).as(Seq("i0", "x")))
       .withColumn("j", (col("i0") / PqDim).cast("int"))
       .groupBy("c_label", "j", "i0")
@@ -309,10 +309,12 @@ object Similarity {
       .groupBy("c_label", "j")
       .agg(transform(array_sort(collect_list(struct(col("i0"), col("s")))),
         e => e("s")).as("sv"), first("cnt").as("n"))
-    val centArr = cents.agg(
-      collect_list(struct(col("j"), col("c_label"), col("sv"), col("n"))).as("cents"))
-    // encode: argmin centroid per subspace → PqM codes per vector
-    val coded = corpus.crossJoin(broadcast(centArr))
+      .agg(collect_list(struct(col("j"), col("c_label"), col("sv"), col("n"))).as("cents"))
+
+  /** Encode: argmin centroid per subspace → PqM codes per vector (one
+    * narrow pass over ONE broadcast codebook row). */
+  private def pqEncode(corpus: DataFrame, centArr: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centArr))
       .select(col("vec_id"), transform(sequence(lit(0), lit(PqM - 1)), j =>
         element_at(array_sort(transform(
           filter(col("cents"), c => c.getField("j") === j),
@@ -321,28 +323,90 @@ object Similarity {
               c.getField("sv"), c.getField("n")).as("d2"),
             c.getField("c_label").as("lbl")))), 1).getField("lbl").as("code"))
         .as("codes"))
-    // per-query distance table: (q_id, j, label) → d2; labels×PqM rows/query
-    val dtab = corpus.filter(col("vec_id") % 97 === 0)
+
+  /** Per-query ADC distance table: (q_id, j, label) → d2; labels×PqM
+    * tiny rows per query, broadcast into the probe join. */
+  private def pqDistTable(queries: DataFrame, centArr: DataFrame): DataFrame =
+    queries
       .crossJoin(broadcast(centArr))
       .select(col("vec_id").as("q_id"), col("q"), explode(col("cents")).as("c"))
       .select(col("q_id"), col("c.j").as("j"), col("c.c_label").as("c_label"),
         subD2(slice(col("q"), col("c.j") * PqDim + 1, lit(PqDim)),
           col("c.sv"), col("c.n")).as("d2"))
-    val flat = coded.select(col("vec_id").as("c_id"),
+
+  /** ADC rank of a (q_id, c_id) candidate relation: codes ⋈ broadcast
+    * distance table, the PqM partial distances folded in j order (exact
+    * sequential double sum). `cand = None` scans all (query, code) pairs
+    * — the flat-PQ shape; `Some(pairs)` restricts the fold to the given
+    * candidate pairs (the IVF-PQ shape). */
+  private def pqRank(coded: DataFrame, dtab: DataFrame, k: Int,
+      cand: Option[DataFrame]): DataFrame = {
+    val flat0 = coded.select(col("vec_id").as("c_id"),
       posexplode(col("codes")).as(Seq("j", "code")))
-    val w = Window.partitionBy(col("q_id"))
+    val flat = cand match {
+      case None => flat0
+      // no broadcast hint: AQE broadcasts the candidate relation at test
+      // scale; a many-query production probe correctly shuffles on c_id
+      case Some(pairs) => flat0.join(pairs, Seq("c_id"))
+    }
+    val joinCond = cand match {
+      case None => flat0("j") === dtab("j") && col("code") === col("c_label") &&
+        col("q_id") =!= col("c_id")
+      // the candidate relation already carries q_id (and excludes self)
+      case Some(_) => flat("j") === dtab("j") && col("code") === col("c_label") &&
+        flat("q_id") === dtab("q_id")
+    }
+    val w = Window.partitionBy(dtab("q_id"))
       .orderBy(col("adist").asc, col("c_id").asc)
-    flat.join(broadcast(dtab),
-        flat("j") === dtab("j") && col("code") === col("c_label") &&
-          col("q_id") =!= col("c_id"))
-      .groupBy("q_id", "c_id")
+    flat.join(broadcast(dtab), joinCond)
+      .groupBy(dtab("q_id"), col("c_id"))
       .agg(aggregate(
         transform(array_sort(collect_list(struct(dtab("j"), col("d2")))), e => e("d2")),
         lit(0.0d), (a, x) => a + x).as("ad"))
       .withColumn("adist", TextOps.trunc(col("ad"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("q_id", "rank", "c_id", "adist")
+      .select(dtab("q_id").as("q_id"), col("rank"), col("c_id"), col("adist"))
+  }
+
+  def pqTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared(embeddings, spread = true)
+    val centArr = pqCodebook(corpus)
+    val coded = pqEncode(corpus, centArr)
+    val dtab = pqDistTable(corpus.filter(col("vec_id") % 97 === 0), centArr)
+    pqRank(coded, dtab, k, cand = None)
+  }
+
+  /** IVF-PQ — the production composition of the two index halves
+    * (FAISS's IVFPQ layout, here without residual encoding, documented):
+    * the IVF coarse quantizer restricts each query to its `nprobe`
+    * cells' candidates, and the ADC distance is then computed from the
+    * PqM-byte CODES of those candidates alone — the probe never reads a
+    * full-precision vector OR a code outside the probed cells. At 100 TB
+    * the cells partition the code table (`partitionBy("cell")`), so a
+    * probe reads `nprobe` partitions of an already-compressed relation:
+    * the scan is smaller than flat-PQ by the cell fan-out AND smaller
+    * than IVF-Flat by the code compression, which is exactly why this is
+    * the layout production vector stores ship. Exactness discipline
+    * unchanged: every distance is the same exact-integer ADC fold, so
+    * the composition is oracle-checkable bit-for-bit. */
+  def ivfPqTopK(embeddings: DataFrame, k: Int = 3, lloydIters: Int = 1,
+      nprobe: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    val (corpus, cents) = trained(embeddings, lloydIters, trainSampleMod)
+    val cells = assignCells(corpus, cents)
+    val queries = corpus.filter(col("vec_id") % 97 === 0)
+    // IVF arm: each query's nprobe cells → candidate (q_id, c_id) pairs
+    val probes = nearestCells(queries, cents, nprobe)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cand = cells.select(col("vec_id").as("c_id"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("c_id") =!= col("q_id"))
+      .select("q_id", "c_id")
+    // PQ arm: full-corpus codebook (the pqTopK convention), candidate-only ADC
+    val centArr = pqCodebook(corpus)
+    val coded = pqEncode(corpus, centArr)
+    val dtab = pqDistTable(queries, centArr)
+    pqRank(coded, dtab, k, cand = Some(cand))
   }
 
   /** Two-stage retrieval — the FAISS IVFPQ+refine serving pattern: PQ/ADC

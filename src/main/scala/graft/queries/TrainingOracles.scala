@@ -832,6 +832,53 @@ object TrainingOracles {
     // division (Σ(n·x − S)²/n²); the per-pair fold sums the 8 subspace
     // distances in j order via list(d2 ORDER BY j) → list_sum, matching
     // Spark's index-order aggregate() fold bit-for-bit.
+    // IVF-PQ composition: the ivfCells chain supplies cells + probes,
+    // the PQ chain (p-prefixed CTEs — `dims` collides) supplies codes +
+    // the per-query subspace distances; ADC folds ONLY over candidate
+    // pairs drawn from each query's two probed cells. Mirrors
+    // Similarity.ivfPqTopK (IVF trained on the %7 sample, PQ codebook on
+    // the full corpus, both the engine's conventions).
+    "s_ivfpq_topk" -> {
+      val subD2p = "list_sum(list_transform(range(1, 9), t -> " +
+        "pow(c.n * v.qv[c.j*8 + t] - c.sv[t], 2))) / (c.n * c.n)"
+      s"""${ivfCellsCte("vec_id % 7 = 0")},
+         |probes AS (
+         |  SELECT vec_id AS q_id, c_label AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY score ASC, c_label ASC) AS rn
+         |    FROM scored1 WHERE vec_id % 97 = 0) t WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id AS c_id
+         |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.q_id),
+         |pdims AS (SELECT vec_id, label, qv, unnest(range(1, 65)) AS i FROM n),
+         |psubcent AS (
+         |  SELECT label AS c_label, (i-1)//8 AS j, i, sum(qv[i]) AS s, count(*) AS cnt
+         |  FROM pdims GROUP BY 1, 2, 3),
+         |pcentv AS (
+         |  SELECT c_label, j, list(s ORDER BY i) AS sv, min(cnt) AS n
+         |  FROM psubcent GROUP BY 1, 2),
+         |pscored AS (
+         |  SELECT v.vec_id, c.j, c.c_label, $subD2p AS d2
+         |  FROM n v, pcentv c),
+         |pcodes AS (
+         |  SELECT vec_id, j, c_label AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |                                 ORDER BY d2 ASC, c_label ASC) AS rn
+         |    FROM pscored) t WHERE rn = 1),
+         |ppairs AS (
+         |  SELECT d.vec_id AS q_id, k.vec_id AS c_id,
+         |    list_sum(list(d.d2 ORDER BY d.j)) AS ad
+         |  FROM pscored d
+         |  JOIN pcodes k ON d.j = k.j AND d.c_label = k.code
+         |  JOIN cand ON cand.q_id = d.vec_id AND cand.c_id = k.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, rank, c_id, adist FROM (
+         |  SELECT q_id, c_id, floor(ad * 1000000) / 1000000 AS adist,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS rank
+         |  FROM ppairs) t
+         |WHERE rank <= 3""".stripMargin
+    },
+
     "s_pq_topk" ->
       s"""$PqChain
          |SELECT q_id, rank, c_id, adist FROM (

@@ -18,6 +18,9 @@ class PlanLintSpec extends AnyFunSuite {
       // PQ codebook rides as ONE broadcast array row (labels × subspaces
       // structs) into the encode and distance-table arms
       "s_pq_topk",
+      // IVF-PQ composes both: the centroid-row AND codebook-row
+      // broadcasts (candidate restriction itself is all equi joins)
+      "s_ivfpq_topk",
       // pagerank keeps the vertex count in-plan as a 1-row broadcast
       // scalar (crossJoin per iteration), like t_top_terms' corpus size
       "d_pagerank",

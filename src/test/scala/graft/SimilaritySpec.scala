@@ -364,4 +364,43 @@ class SimilaritySpec extends AnyFunSuite {
       rows.foreach(r => assert(top5Set((q, r._3)), s"q=$q selected outside top-5"))
     }
   }
+
+  test("IVF-PQ: candidates confined to probed cells; ADC metric identical to flat PQ") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val got = Similarity.ivfPqTopK(emb, 3, trainSampleMod = 7)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // ranks are 1..<=3, distinct per query, adist ascending
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.toSeq, s"q=$q adist not ascending")
+    }
+    // candidate discipline: every returned c_id lives in one of the
+    // query's 2 nearest cells (recomputed here from the trained
+    // centroids with the same exact integer arithmetic)
+    val (cells, cents) = Similarity.ivfIndex(emb, trainSampleMod = 7)
+    val cellOf = cells.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val cs = cents.select("c_label", "cv", "cn2")
+      .as[(Long, Seq[Double], Double)].collect()
+    val qv = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def probedCells(q: Seq[Double]): Set[Long] =
+      cs.map { case (label, cv, cn2) =>
+        (cn2 - 2.0 * q.zip(cv).map { case (a, b) => a * b }.sum, label)
+      }.sortBy(identity).take(2).map(_._2).toSet
+    got.foreach { case (qId, _, cId, _) =>
+      assert(probedCells(qv(qId)).contains(cellOf(cId)),
+        s"candidate $cId for query $qId is outside the probed cells")
+    }
+    // metric consistency: the composition changes the CANDIDATE SET, not
+    // the distance — every (q, c) adist matches flat PQ's for that pair
+    val flat = Similarity.pqTopK(emb, 100000)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    got.foreach { case (qId, _, cId, adist) =>
+      assert(flat((qId, cId)) === adist, s"ADC drift for ($qId, $cId)")
+    }
+  }
 }
