@@ -421,8 +421,13 @@ object Similarity {
     * stage retrieves at all is GUARANTEED into the refined top-k (every
     * candidate with a higher exact cosine is itself a true top-≤k
     * member), so refine ≥ raw PQ at equal k by construction. */
-  def pqRefineTopK(embeddings: DataFrame, kCoarse: Int = 10, k: Int = 3): DataFrame = {
-    val cand = pqTopK(embeddings, kCoarse).select("q_id", "c_id")
+  def pqRefineTopK(embeddings: DataFrame, kCoarse: Int = 10, k: Int = 3): DataFrame =
+    refineExact(pqTopK(embeddings, kCoarse).select("q_id", "c_id"), embeddings, k)
+
+  /** Exact-cosine re-rank of an arbitrary (q_id, c_id) candidate
+    * relation: only those pairs read their full-precision vectors back.
+    * Shared by the flat-PQ and IVF-PQ refine paths. */
+  private def refineExact(cand: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
     val v = prepared(embeddings)
     val qv = v.select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
     val cv = v.select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
@@ -435,6 +440,17 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "rank", "c_id", "cos")
   }
+
+  /** The full FAISS-style serving stack — IVF coarse cells → PQ/ADC over
+    * candidate codes → exact re-rank of the kCoarse survivors. Refine
+    * work stays queries × kCoarse; everything upstream reads only probed
+    * cells' codes (see [[ivfPqTopK]]). */
+  def ivfPqRefineTopK(embeddings: DataFrame, kCoarse: Int = 10, k: Int = 3,
+      lloydIters: Int = 1, nprobe: Int = 2, trainSampleMod: Int = 1): DataFrame =
+    refineExact(
+      ivfPqTopK(embeddings, kCoarse, lloydIters, nprobe, trainSampleMod)
+        .select("q_id", "c_id"),
+      embeddings, k)
 
   /** Default near-dup LSH shape — shared with the DuckDB oracle generator
     * so both sides band identically. */

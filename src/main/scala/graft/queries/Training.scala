@@ -84,6 +84,8 @@ object Training {
   val sPqTopk: Q = (s, d) => Similarity.pqTopK(emb(s, d), 3)
   val sRefine: Q = (s, d) => Similarity.pqRefineTopK(emb(s, d))
   val sIvfPqTopk: Q = (s, d) => Similarity.ivfPqTopK(emb(s, d), 3, trainSampleMod = 7)
+  val sIvfPqRefine: Q = (s, d) =>
+    Similarity.ivfPqRefineTopK(emb(s, d), trainSampleMod = 7)
 
   /** TF-IDF-ish top terms: tf per (doc, token), df per token, score =
     * tf·N/df (a single multiply + divide — bit-identical cross-engine,
@@ -442,6 +444,7 @@ object Training {
     "s_pq_topk" -> sPqTopk,
     "s_refine" -> sRefine,
     "s_ivfpq_topk" -> sIvfPqTopk,
+    "s_ivfpq_refine" -> sIvfPqRefine,
     "s_mmr" -> ((s, d) => Similarity.mmrRerank(emb(s, d))),
     "m_decode" -> mDecode,
     "m_frames" -> mFrames,

@@ -111,6 +111,49 @@ object TrainingOracles {
     * index-order aggregate() fold bit-for-bit. Shared by s_pq_topk and
     * s_refine. Defined lazily: EmbCte is referenced before its own
     * initializer otherwise. */
+  /** IVF-PQ candidate chain ending in `ppairs(q_id, c_id, ad)` — the
+    * ivfCells chain supplies cells + probes, the p-prefixed PQ CTEs
+    * (`dims` collides) supply codes + per-query subspace distances, and
+    * ADC folds ONLY over candidate pairs drawn from each query's two
+    * probed cells. Mirrors Similarity.ivfPqTopK (IVF trained on the %7
+    * sample, PQ codebook on the full corpus). Shared by s_ivfpq_topk and
+    * s_ivfpq_refine. */
+  private lazy val IvfPqChain: String = {
+      val subD2p = "list_sum(list_transform(range(1, 9), t -> " +
+        "pow(c.n * v.qv[c.j*8 + t] - c.sv[t], 2))) / (c.n * c.n)"
+      s"""${ivfCellsCte("vec_id % 7 = 0")},
+         |probes AS (
+         |  SELECT vec_id AS q_id, c_label AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY score ASC, c_label ASC) AS rn
+         |    FROM scored1 WHERE vec_id % 97 = 0) t WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.q_id, c.vec_id AS c_id
+         |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.q_id),
+         |pdims AS (SELECT vec_id, label, qv, unnest(range(1, 65)) AS i FROM n),
+         |psubcent AS (
+         |  SELECT label AS c_label, (i-1)//8 AS j, i, sum(qv[i]) AS s, count(*) AS cnt
+         |  FROM pdims GROUP BY 1, 2, 3),
+         |pcentv AS (
+         |  SELECT c_label, j, list(s ORDER BY i) AS sv, min(cnt) AS n
+         |  FROM psubcent GROUP BY 1, 2),
+         |pscored AS (
+         |  SELECT v.vec_id, c.j, c.c_label, $subD2p AS d2
+         |  FROM n v, pcentv c),
+         |pcodes AS (
+         |  SELECT vec_id, j, c_label AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |                                 ORDER BY d2 ASC, c_label ASC) AS rn
+         |    FROM pscored) t WHERE rn = 1),
+         |ppairs AS (
+         |  SELECT d.vec_id AS q_id, k.vec_id AS c_id,
+         |    list_sum(list(d.d2 ORDER BY d.j)) AS ad
+         |  FROM pscored d
+         |  JOIN pcodes k ON d.j = k.j AND d.c_label = k.code
+         |  JOIN cand ON cand.q_id = d.vec_id AND cand.c_id = k.vec_id
+         |  GROUP BY 1, 2)""".stripMargin
+  }
+
   private lazy val PqChain = {
     val subD2 = "list_sum(list_transform(range(1, 9), t -> " +
       "pow(c.n * v.qv[c.j*8 + t] - c.sv[t], 2))) / (c.n * c.n)"
@@ -838,46 +881,30 @@ object TrainingOracles {
     // pairs drawn from each query's two probed cells. Mirrors
     // Similarity.ivfPqTopK (IVF trained on the %7 sample, PQ codebook on
     // the full corpus, both the engine's conventions).
-    "s_ivfpq_topk" -> {
-      val subD2p = "list_sum(list_transform(range(1, 9), t -> " +
-        "pow(c.n * v.qv[c.j*8 + t] - c.sv[t], 2))) / (c.n * c.n)"
-      s"""${ivfCellsCte("vec_id % 7 = 0")},
-         |probes AS (
-         |  SELECT vec_id AS q_id, c_label AS cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |                                 ORDER BY score ASC, c_label ASC) AS rn
-         |    FROM scored1 WHERE vec_id % 97 = 0) t WHERE rn <= 2),
-         |cand AS (
-         |  SELECT p.q_id, c.vec_id AS c_id
-         |  FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.q_id),
-         |pdims AS (SELECT vec_id, label, qv, unnest(range(1, 65)) AS i FROM n),
-         |psubcent AS (
-         |  SELECT label AS c_label, (i-1)//8 AS j, i, sum(qv[i]) AS s, count(*) AS cnt
-         |  FROM pdims GROUP BY 1, 2, 3),
-         |pcentv AS (
-         |  SELECT c_label, j, list(s ORDER BY i) AS sv, min(cnt) AS n
-         |  FROM psubcent GROUP BY 1, 2),
-         |pscored AS (
-         |  SELECT v.vec_id, c.j, c.c_label, $subD2p AS d2
-         |  FROM n v, pcentv c),
-         |pcodes AS (
-         |  SELECT vec_id, j, c_label AS code FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
-         |                                 ORDER BY d2 ASC, c_label ASC) AS rn
-         |    FROM pscored) t WHERE rn = 1),
-         |ppairs AS (
-         |  SELECT d.vec_id AS q_id, k.vec_id AS c_id,
-         |    list_sum(list(d.d2 ORDER BY d.j)) AS ad
-         |  FROM pscored d
-         |  JOIN pcodes k ON d.j = k.j AND d.c_label = k.code
-         |  JOIN cand ON cand.q_id = d.vec_id AND cand.c_id = k.vec_id
-         |  GROUP BY 1, 2)
+    "s_ivfpq_topk" ->
+      s"""$IvfPqChain
          |SELECT q_id, rank, c_id, adist FROM (
          |  SELECT q_id, c_id, floor(ad * 1000000) / 1000000 AS adist,
          |    row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS rank
          |  FROM ppairs) t
-         |WHERE rank <= 3""".stripMargin
-    },
+         |WHERE rank <= 3""".stripMargin,
+
+    // full serving stack: IVF-PQ coarse top-10 per query, exact-cosine
+    // re-rank to 3 (the s_refine tail over the IVF-PQ candidate chain)
+    "s_ivfpq_refine" ->
+      s"""$IvfPqChain,
+         |icand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY ad ASC, c_id ASC) AS rank
+         |    FROM ppairs) t
+         |  WHERE rank <= 10)
+         |SELECT q_id, rank, c_id, cos FROM (
+         |  SELECT icand.q_id, icand.c_id, $CosAB AS cos,
+         |    row_number() OVER (PARTITION BY icand.q_id ORDER BY $CosAB DESC, icand.c_id ASC) AS rank
+         |  FROM icand JOIN n a ON a.vec_id = icand.q_id
+         |             JOIN n b ON b.vec_id = icand.c_id) t
+         |WHERE rank <= 3""".stripMargin,
 
     "s_pq_topk" ->
       s"""$PqChain

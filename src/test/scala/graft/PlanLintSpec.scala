@@ -19,8 +19,9 @@ class PlanLintSpec extends AnyFunSuite {
       // structs) into the encode and distance-table arms
       "s_pq_topk",
       // IVF-PQ composes both: the centroid-row AND codebook-row
-      // broadcasts (candidate restriction itself is all equi joins)
-      "s_ivfpq_topk",
+      // broadcasts (candidate restriction itself is all equi joins);
+      // the refine tail adds only equi joins on top
+      "s_ivfpq_topk", "s_ivfpq_refine",
       // pagerank keeps the vertex count in-plan as a 1-row broadcast
       // scalar (crossJoin per iteration), like t_top_terms' corpus size
       "d_pagerank",

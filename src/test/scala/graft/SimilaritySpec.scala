@@ -403,4 +403,23 @@ class SimilaritySpec extends AnyFunSuite {
       assert(flat((qId, cId)) === adist, s"ADC drift for ($qId, $cId)")
     }
   }
+
+  test("IVF-PQ refine: output is the exact-cosine rerank of the coarse top-10") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val coarse = Similarity.ivfPqTopK(emb, 10, trainSampleMod = 7)
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val refined = Similarity.ivfPqRefineTopK(emb, trainSampleMod = 7)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(refined.nonEmpty)
+    refined.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      // exact cosine descends with rank, and every survivor came from
+      // the coarse candidate set
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sorted.reverse.toSeq)
+      sorted.foreach { r => assert(coarse(q).contains(r._3),
+        s"refined candidate ${r._3} for query $q not in coarse top-10") }
+    }
+  }
 }
