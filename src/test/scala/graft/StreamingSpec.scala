@@ -720,4 +720,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(cfg.bloomPath)).toSeq === bloomBefore)
   }
+
+  test("streaming IVF ingest: per-micro-batch ivfAppend equals the batch append path") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    // train + index the base corpus once; centroids are then FROZEN
+    val (cells0, cents) = Similarity.ivfIndex(base, trainSampleMod = 7)
+    val cellsDir = tmp("ivf-cells")
+    cells0.write.mode("overwrite").partitionBy("cell").parquet(cellsDir)
+    // stream the delta through per-micro-batch assignment against the
+    // frozen centroids, appending to the same cell-partitioned index
+    // (forced multi-micro-batch so append really runs incrementally)
+    val deltaDir = tmp("ivf-delta")
+    delta.repartition(6).write.mode("overwrite").parquet(deltaDir)
+    val q = spark.readStream.schema(delta.schema)
+      .option("maxFilesPerTrigger", "2").parquet(deltaDir)
+      .writeStream
+      .option("checkpointLocation", tmp("ivf-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.ivfAppend(batch, cents)
+          .write.mode("append").partitionBy("cell").parquet(cellsDir)
+        ()
+      }
+      .start()
+    q.awaitTermination(180000)
+    // probe the streamed index; must equal the BATCH append path
+    // bit-for-bit (assignment is a pure function of the frozen centroids)
+    val streamed = Similarity.ivfProbe(
+      spark.read.parquet(cellsDir), cents,
+      emb.transform(d => {
+        val p = d.select(col("vec_id"),
+          Similarity.quantized(col("embedding")).as("q"))
+        p.withColumn("n2", graft.operators.Similarity.dot(col("q"), col("q")))
+      }).filter(col("vec_id") % 97 === 0),
+      k = 3, nprobe = 2)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val batchPath = Similarity.ivfAppendTopK(emb, 3, trainSampleMod = 7)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(streamed === batchPath)
+    assert(streamed.nonEmpty)
+  }
 }
