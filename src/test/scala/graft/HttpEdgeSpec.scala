@@ -455,4 +455,53 @@ class HttpEdgeSpec extends AnyFunSuite {
       assert((hs, new String(hb, "UTF-8")) === ((200, "OK")))
     }
   }
+
+  test("edge decisions match the pipeline on the 400-envelope hostile fuzz corpus") {
+    import org.apache.spark.sql.functions.{col => fcol}
+    val fuzz = HostileCorpus.corpus
+    // edge view of a hostile envelope: the raw URI is path?querystring
+    // (the corpus has no '#'/'?' collisions, so the extraction regex
+    // recovers the querystring column exactly)
+    def req(e: HostileCorpus.Env, cfg: CollectorConfig): EdgeRequest = {
+      val rawUri = Option(e.path).getOrElse("") +
+        Option(e.querystring).map("?" + _).getOrElse("")
+      EdgeRequest(
+        eventId = e.event_id, timestampMs = e.timestamp_ms,
+        method = e.method, rawUri = rawUri,
+        body = Option(e.body), contentType = Option(e.content_type),
+        userAgent = Option(e.user_agent), referer = Option(e.referer),
+        host = Option(e.hostname).getOrElse(""), remoteIp = Option(e.remote_ip),
+        origin = Option(e.origin), spAnonymous = Option(e.sp_anonymous),
+        cookies = Option(e.cookie_sp).map(cfg.cookieName -> _).toMap ++
+          Option(e.cookie_dnt).map(cfg.dntCookieName -> _).toMap,
+        headers = e.headers.toList)
+    }
+    val df = spark.createDataFrame(fuzz)
+      .withColumn("raw_uri",
+        org.apache.spark.sql.functions.concat_ws("",
+          org.apache.spark.sql.functions.coalesce(fcol("path"),
+            org.apache.spark.sql.functions.lit("")),
+          org.apache.spark.sql.functions.when(fcol("querystring").isNotNull,
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("?"), fcol("querystring")))))
+    // response kinds (dntEnabled testScale), cookies (cookieScale), CORS
+    // (corsScale) — parity row-for-row over all 400 hostile envelopes
+    val kinds = byId(CollectorPipeline.responses(df, testScale))
+    val cookies = byId(CollectorPipeline.setCookieHeaders(df, cookieScale))
+    val cors = byId(CollectorPipeline.corsDecisions(df, corsScale))
+    fuzz.foreach { e =>
+      val rT = req(e, testScale)
+      assert(HttpEdge.responseKind(rT, testScale) ===
+        kinds(e.event_id).getAs[String]("response_kind"), s"kind @${e.event_id}")
+      val rC = req(e, cookieScale)
+      val exp = cookies(e.event_id)
+      assert(HttpEdge.setCookieHeader(rC, cookieScale) ===
+        Option(exp.getAs[String]("set_cookie")), s"cookie @${e.event_id}")
+      val rO = req(e, corsScale)
+      val ec = cors(e.event_id)
+      val (allowed, allowOrigin) = HttpEdge.cors(rO, corsScale)
+      assert(allowed === ec.getAs[Boolean]("allowed"), s"cors-allowed @${e.event_id}")
+      assert(allowOrigin === Option(ec.getAs[String]("allow_origin")), s"cors-origin @${e.event_id}")
+    }
+  }
 }
