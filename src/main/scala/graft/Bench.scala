@@ -127,6 +127,7 @@ object Bench {
     // train both halves + encode + probe in one query
     "s_ivfpq_topk" -> 3.3,
     "s_ivfpq_refine" -> 3.6, // r9: + exact re-rank of the kCoarse survivors
+    "s_sq_topk" -> 2.2, // r9: int8 scalar quantization, brute over codes
     "m_pixels" -> 0.4,
     "m_png_pixels" -> 0.5, // r9: zlib inflate+unfilter premium over raw BMP
     "m_gif_pixels" -> 0.7, // r9: LZW decode + palette mapping

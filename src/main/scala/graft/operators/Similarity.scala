@@ -452,6 +452,51 @@ object Similarity {
         .select("q_id", "c_id"),
       embeddings, k)
 
+  /** Scalar quantization (SQ8) top-k — the third production compression
+    * layout next to PQ and IVF-PQ (Lucene / pgvector's int8 path): each
+    * dimension is affinely mapped to 0..255 by the corpus per-dim
+    * min/max, every vector becomes 64 single-byte codes, and search is a
+    * SYMMETRIC exact-integer L2 over the codes. Unlike PQ there is no
+    * codebook — the decode is two constants per dimension — and unlike
+    * IVF there is no pruning: the win is pure scan bandwidth (1 byte/dim
+    * vs 8, an 8× smaller corpus read at equal layout), so the plan is
+    * the brute shape over a compressed relation: queries broadcast, ONE
+    * corpus pass, top-k per query. Every quantity (mins, maxes, codes,
+    * distances) is an exact integer — floor((q-mn)*255/(mx-mn)) of
+    * integer-valued doubles — so the oracle mirrors it bit-for-bit. */
+  def sqTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared(embeddings, spread = true)
+    // per-dimension min/max over the corpus, collected as ONE broadcast row
+    val stats = corpus
+      .select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+          e => e("mn")).as("mns"),
+        transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+          e => e("mx")).as("mxs"))
+    def encode(q: Column, mns: Column, mxs: Column): Column =
+      transform(sequence(lit(1), lit(64)), i => {
+        val mn = element_at(mns, i)
+        val d = greatest(element_at(mxs, i) - mn, lit(1.0d))
+        floor((element_at(q, i) - mn) * lit(255.0d) / d)
+      })
+    val coded = corpus.crossJoin(broadcast(stats))
+      .select(col("vec_id"), encode(col("q"), col("mns"), col("mxs")).as("codes"))
+    val queries = coded.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("codes").as("qc"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2").asc, col("c_id").asc)
+    coded.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        aggregate(sequence(lit(1), lit(64)), lit(0.0d), (acc, i) =>
+          acc + pow(element_at(col("qc"), i) - element_at(col("codes"), i), lit(2)))
+          .as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "d2")
+  }
+
   /** Default near-dup LSH shape — shared with the DuckDB oracle generator
     * so both sides band identically. */
   val NearDupTables = 4

@@ -86,6 +86,7 @@ object Training {
   val sIvfPqTopk: Q = (s, d) => Similarity.ivfPqTopK(emb(s, d), 3, trainSampleMod = 7)
   val sIvfPqRefine: Q = (s, d) =>
     Similarity.ivfPqRefineTopK(emb(s, d), trainSampleMod = 7)
+  val sSqTopk: Q = (s, d) => Similarity.sqTopK(emb(s, d), 3)
 
   /** TF-IDF-ish top terms: tf per (doc, token), df per token, score =
     * tf·N/df (a single multiply + divide — bit-identical cross-engine,
@@ -445,6 +446,7 @@ object Training {
     "s_refine" -> sRefine,
     "s_ivfpq_topk" -> sIvfPqTopk,
     "s_ivfpq_refine" -> sIvfPqRefine,
+    "s_sq_topk" -> sSqTopk,
     "s_mmr" -> ((s, d) => Similarity.mmrRerank(emb(s, d))),
     "m_decode" -> mDecode,
     "m_frames" -> mFrames,

@@ -906,6 +906,32 @@ object TrainingOracles {
          |             JOIN n b ON b.vec_id = icand.c_id) t
          |WHERE rank <= 3""".stripMargin,
 
+    // SQ8 mirror: per-dim min/max over the quantized corpus, affine
+    // 0..255 codes by exact floor division, symmetric integer L2 —
+    // every intermediate an exact integer in both engines
+    "s_sq_topk" ->
+      s"""$EmbCte,
+         |ddims AS (SELECT vec_id, qv, unnest(range(1, 65)) AS i FROM n),
+         |dstats AS (SELECT i, min(qv[i]) AS mn, max(qv[i]) AS mx
+         |           FROM ddims GROUP BY i),
+         |statrow AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |            FROM dstats),
+         |coded AS (
+         |  SELECT vec_id,
+         |    list_transform(range(1, 65), i ->
+         |      floor((qv[i] - mns[i]) * 255 / greatest(mxs[i] - mns[i], 1))) AS codes
+         |  FROM n, statrow)
+         |SELECT q_id, rank, c_id, d2 FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    list_sum(list_transform(range(1, 65), i ->
+         |      pow(a.codes[i] - b.codes[i], 2))) AS d2,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      list_sum(list_transform(range(1, 65), i ->
+         |        pow(a.codes[i] - b.codes[i], 2))) ASC, b.vec_id ASC) AS rank
+         |  FROM coded a JOIN coded b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rank <= 3""".stripMargin,
+
     "s_pq_topk" ->
       s"""$PqChain
          |SELECT q_id, rank, c_id, adist FROM (

@@ -22,6 +22,9 @@ class PlanLintSpec extends AnyFunSuite {
       // broadcasts (candidate restriction itself is all equi joins);
       // the refine tail adds only equi joins on top
       "s_ivfpq_topk", "s_ivfpq_refine",
+      // SQ8 is deliberately the brute shape over the compressed code
+      // relation: stats row + query side broadcast, one corpus pass
+      "s_sq_topk",
       // pagerank keeps the vertex count in-plan as a 1-row broadcast
       // scalar (crossJoin per iteration), like t_top_terms' corpus size
       "d_pagerank",

@@ -422,4 +422,21 @@ class SimilaritySpec extends AnyFunSuite {
         s"refined candidate ${r._3} for query $q not in coarse top-10") }
     }
   }
+
+  test("SQ8: identical vectors code identically (d2=0 at rank 1); codes bounded 0..255") {
+    val d = embOf(
+      (0L, Seq.tabulate(64)(i => (i - 30).toFloat / 7f)),
+      (97L, Seq.tabulate(64)(i => (i - 30).toFloat / 7f)), // query, identical to 0
+      (2L, Seq.tabulate(64)(i => (40 - i).toFloat / 3f)))
+    val got = Similarity.sqTopK(d, 2).as[(Long, Int, Long, Double)].collect()
+    val forQ = got.filter(_._1 == 97L).sortBy(_._2)
+    assert(forQ.head._3 === 0L && forQ.head._4 === 0.0) // identical → zero distance
+    assert(forQ.last._4 > 0.0)
+    // corpus codes live in 0..255 (the int8 contract)
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val full = Similarity.sqTopK(emb, 3).as[(Long, Int, Long, Double)].collect()
+    assert(full.nonEmpty)
+    // symmetric integer L2 over 64 dims is bounded by 64 * 255^2
+    assert(full.forall(r => r._4 >= 0.0 && r._4 <= 64.0 * 255 * 255))
+  }
 }
