@@ -283,7 +283,9 @@ object Bench {
           }
       } {
         val server = new graft.streaming.HttpEdgeServer(
-          cfg, dir("http-spool"), flushEvery = 4096)
+          cfg, dir("http-spool"), flushEvery = 4096,
+          // bench harness pre-renders hostile URIs via Raw-Request-Uri
+          trustRawRequestUri = true)
         val port = server.start()
         try {
           val threads = 8

@@ -132,34 +132,43 @@ object CollectorPipeline {
         (!anon || (!h.startsWith("X-Forwarded-For:") &&
           !h.startsWith("X-Real-Ip:") && !h.startsWith("Cookie:"))))
 
+  /** The reference's `pixelExpected` route flag as a column
+    * (`CollectorRoute.scala:115-152`): pixel paths and GET/HEAD
+    * vendor/version routes serve the GIF; POST routes don't. */
+  def pixelExpected: Column =
+    isPixel || (col("method").isin("GET", "HEAD") && !isRedirect)
+
   /** F2: cookie-bounce suppression — a fresh user (no nuid source) on a
-    * pixel route gets a 302-to-self with the bounce param instead of
-    * being stored; the bounced request (param present) is stored
-    * (reference `CollectorService.scala:134-141,437-464`). Disabled
-    * config ⇒ constant false (folds away in codegen). */
+    * pixel-expected route gets a 302-to-self with the bounce param instead
+    * of being stored; the bounced request (param present) is stored
+    * (reference `CollectorService.scala:134-141,437-464`: the gate is
+    * `pixelExpected && !redirect`, so GET/HEAD vendor/version routes
+    * bounce too — widened in r10 from pixel-paths-only). Disabled config
+    * ⇒ constant false (folds away in codegen). */
   def bounceSuppressed(cfg: CollectorConfig): Column =
     if (!cfg.bounceEnabled) lit(false)
     else !anon && qsValid(col("querystring")) &&
       qp(col("querystring"), "nuid").isNull && col("cookie_sp").isNull &&
-      qp(col("querystring"), cfg.bounceParamName).isNull && isPixel
+      qp(col("querystring"), cfg.bounceParamName).isNull &&
+      pixelExpected && !isRedirect
 
-  /** F2 projection: which pixel requests bounce, and where to. The
-    * location appends the bounce marker to the ORIGINAL querystring
-    * (reference `CollectorService.scala` bounce redirect: same URI with
-    * the marker param added) — a request with no/empty querystring still
-    * gets a well-formed `path?name=1` location, never null. */
+  /** F2 projection: which pixel-expected requests bounce, and where to.
+    * The location appends the reference's literal marker value `true`
+    * (`CollectorService.scala:458`: `name -> "true"`) to the ORIGINAL
+    * querystring — a request with no/empty querystring still gets a
+    * well-formed `path?name=true` location, never null. */
   def bounces(env: DataFrame, cfg: CollectorConfig): DataFrame = {
     val qsPrefix =
       when(col("querystring").isNull || col("querystring") === "", lit(""))
         .otherwise(concat(col("querystring"), lit("&")))
     env
-      .filter(isPixel)
+      .filter(pixelExpected && !isRedirect)
       .select(
         col("event_id"),
         bounceSuppressed(cfg).as("bounced"),
         when(bounceSuppressed(cfg),
           concat(col("path"), lit("?"), qsPrefix,
-            lit(cfg.bounceParamName + "=1"))).as("location"))
+            lit(cfg.bounceParamName + "=true"))).as("location"))
   }
 
   /** P8: Set-Cookie domain resolution — first configured domain that any

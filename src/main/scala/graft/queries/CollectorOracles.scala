@@ -500,9 +500,14 @@ object CollectorOracles {
          |            AND user_id % 4 = 0
          |       THEN path || '?' ||
          |            CASE WHEN querystring IS NULL OR querystring = ''
-         |                 THEN '' ELSE querystring || '&' END || 'n=1'
+         |                 THEN '' ELSE querystring || '&' END || 'n=true'
          |       END AS location
-         |FROM env2 WHERE path IN ('/i', '/ice.png')""".stripMargin,
+         |-- pixelExpected && !redirect (r10): in this fixture every GET/HEAD
+         |-- non-redirect row IS a pixel row, so the widened route set is
+         |-- exactly the pixel paths
+         |FROM env2
+         |WHERE path IN ('/i', '/ice.png')
+         |   OR (method IN ('GET', 'HEAD') AND path NOT LIKE '/r/%')""".stripMargin,
 
     // F2 second pass: pixel payloads under an active bounce config.
     // First-pass bouncing rows (no nuid source, no marker) are EXCLUDED

@@ -232,17 +232,29 @@ object HttpEdge {
   private def isAmplitude(path: String) = path.startsWith("/com.amplitude/")
   private def isSegment(path: String) = path.startsWith("/com.segment/")
 
+  /** The reference's `pixelExpected` route flag (`CollectorRoute.scala:
+    * 115-152`): pixel paths and GET/HEAD vendor/version routes serve the
+    * GIF; POST routes don't. */
+  def pixelExpected(req: EdgeRequest): Boolean =
+    isPixel(req.path) ||
+      ((req.method == "GET" || req.method == "HEAD") && !isRedirect(req.path))
+
   /** F2 mirror of `bounceSuppressed` + `bounces`: Some(location) when this
-    * pixel request must 302-to-self with the bounce marker. */
+    * request must 302-to-self with the bounce marker. R10: the gate is the
+    * reference's `pixelExpected && !redirect` (`CollectorService.scala:
+    * 136-137`) — GET/HEAD vendor/version routes bounce too, not just
+    * `/i`/`/ice.png` — and the marker value is the reference's literal
+    * `true` (`CollectorService.scala:458`). */
   def bounceLocation(req: EdgeRequest, cfg: CollectorConfig): Option[String] = {
     val qs = querystring(req.rawUri)
     val suppressed = cfg.bounceEnabled && !anon(req) && qsValid(qs) &&
       qp(qs, "nuid").isEmpty && req.cookies.get(cfg.cookieName).isEmpty &&
-      qp(qs, cfg.bounceParamName).isEmpty && isPixel(req.path)
+      qp(qs, cfg.bounceParamName).isEmpty &&
+      pixelExpected(req) && !isRedirect(req.path)
     if (!suppressed) None
     else {
       val prefix = qs.filter(_.nonEmpty).map(_ + "&").getOrElse("")
-      Some(req.path + "?" + prefix + cfg.bounceParamName + "=1")
+      Some(req.path + "?" + prefix + cfg.bounceParamName + "=true")
     }
   }
 
@@ -295,6 +307,12 @@ object HttpEdge {
           "Access-Control-Allow-Headers" -> "Content-Type, SP-Anonymous",
           "Access-Control-Max-Age" -> (cfg.corsMaxAgeMs / 1000).toString),
         Array.emptyByteArray)
+    } else if (!methodAllowed(req)) {
+      // the reference's route table is method-gated (`CollectorRoute.scala:
+      // 95-152`: vendor/version = post|get|head, pixels = get|head, ops =
+      // get); anything unmatched falls to the 404 fallback — a PUT to /i
+      // or a stray preflight-shaped DELETE never builds an event
+      EdgeResponse(404, Nil, utf8("404 not found"))
     } else p match {
       case "/health" =>
         val (s, b) = OpsEndpoints.health(healthy); EdgeResponse(s, Nil, utf8(b))
@@ -326,6 +344,24 @@ object HttpEdge {
       segs.length == 2
     }
   }
+
+  /** R10 method gate, mirroring the reference's route-table directives
+    * (`CollectorRoute.scala:95-152`): pixel paths accept GET|HEAD only,
+    * vendor/version paths POST|GET|HEAD, ops endpoints GET (HEAD allowed —
+    * pekko's transparent-head regime); everything else 404s. OPTIONS is
+    * handled before this gate (the global corsRoute). */
+  def methodAllowed(req: EdgeRequest): Boolean =
+    if (isPixel(req.path)) req.method == "GET" || req.method == "HEAD"
+    else if (isTracking(req))
+      req.method == "GET" || req.method == "HEAD" || req.method == "POST"
+    else req.method == "GET" || req.method == "HEAD"
+
+  /** Should this exchange append a spool envelope? The route table's event
+    * arm: a tracking-shaped path under an event-producing method. An
+    * OPTIONS preflight (or PUT/DELETE/garbage) to `/i` is answered but
+    * never recorded — preflight traffic must not inflate the good stream. */
+  def producesEnvelope(req: EdgeRequest): Boolean =
+    isTracking(req) && methodAllowed(req)
 
   private def respondTracking(req: EdgeRequest, cfg: CollectorConfig): EdgeResponse = {
     val p = req.path

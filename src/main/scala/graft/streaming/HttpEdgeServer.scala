@@ -60,10 +60,20 @@ final class EdgeMetrics {
   * plays recordLimit, and a production deployment would point the same
   * envelope schema at Kafka (`sources/KafkaEnvelopeSource`) instead of
   * files. Exactly-once from the spool onward is the file-source +
-  * checkpoint contract; the HTTP→spool hop is at-least-once on crash,
-  * the same regime as the reference's buffers (SURVEY §7.4.4) but
-  * without dropping acknowledged data (unflushed tail is bounded by
-  * `flushEvery`).
+  * checkpoint contract. The HTTP→spool hop is AT-MOST-ONCE for the
+  * buffered tail: up to `flushEvery - 1` envelopes whose 200s were
+  * already sent sit only in the in-memory buffer and are lost on crash —
+  * the same acknowledged-but-buffered regime as the reference's sink
+  * buffers (SURVEY §7.4.4), with the loss bounded by `flushEvery`.
+  *
+  * `trustRawRequestUri`: the reference's `Raw-Request-URI` is synthesized
+  * by pekko-http from the wire bytes, NOT read from client headers. The
+  * JDK server offers no such hook, so the bench/test harness smuggles
+  * hostile URIs (which the JDK request-line parser would 400) through a
+  * `Raw-Request-Uri` header — honored ONLY when this flag is on. Off
+  * (the default, and `CollectorMain --http`), the envelope's raw_uri is
+  * always the actual request line; a client cannot desync
+  * raw_uri/querystring from what was requested.
   */
 final class HttpEdgeServer(
     cfg: CollectorConfig,
@@ -71,7 +81,8 @@ final class HttpEdgeServer(
     clock: () => Long = () => System.currentTimeMillis(),
     flushEvery: Int = 64,
     healthSource: Option[() => Boolean] = None,
-    sinkHealthSource: Option[() => Boolean] = None) {
+    sinkHealthSource: Option[() => Boolean] = None,
+    trustRawRequestUri: Boolean = false) {
 
   private val spool: Path = Files.createDirectories(Paths.get(spoolDir))
   private val nextId = new AtomicLong(1L)
@@ -131,7 +142,9 @@ final class HttpEdgeServer(
     val h = ex.getRequestHeaders
     def first(name: String): Option[String] =
       Option(h.getFirst(name)).filter(_.nonEmpty)
-    val rawUri = first("Raw-Request-Uri").getOrElse(ex.getRequestURI.toString)
+    val rawUri =
+      if (trustRawRequestUri) first("Raw-Request-Uri").getOrElse(ex.getRequestURI.toString)
+      else ex.getRequestURI.toString
     val cookies = parseCookies(
       Option(h.get("Cookie")).map(_.asScala.toSeq).getOrElse(Nil))
     val remoteIp = first("X-Forwarded-For")
@@ -167,7 +180,9 @@ final class HttpEdgeServer(
       val h = healthSource.map(_()).getOrElse(healthy.get())
       val sh = sinkHealthSource.map(_()).getOrElse(sinkHealthy.get())
       val resp = HttpEdge.respond(req, cfg, h, sh)
-      if (HttpEdge.isTracking(req)) append(HttpEdge.envelopeJson(req, cfg))
+      // method-gated (r10): an OPTIONS preflight or PUT/DELETE to a
+      // tracking-shaped path is answered but never spooled
+      if (HttpEdge.producesEnvelope(req)) append(HttpEdge.envelopeJson(req, cfg))
       resp.headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
       val noBody = resp.body.isEmpty || req.method == "HEAD"
       ex.sendResponseHeaders(resp.status, if (noBody) -1L else resp.body.length.toLong)

@@ -299,8 +299,9 @@ class CollectorPipelineSpec extends AnyFunSuite {
     * ported as fully-specified envelope → expected-value fixtures (their
     * bouncingService: bounce enabled, param "bounce", fallback nuid
     * "new-nuid"). Expected values are the reference's literals, adapted
-    * only where our wire shape differs by declared convention (marker
-    * value "1", original path preserved in the location). */
+    * only where our wire shape differs by declared convention (original
+    * path preserved in the location; the marker value is the
+    * reference-exact "true" since r10). */
   test("bounce goldens: first pass redirects, second pass stores the fallback nuid") {
     val bCfg = CollectorConfig(bounceEnabled = true, bounceParamName = "bounce",
       bounceFallbackNuid = "new-nuid")
@@ -319,12 +320,12 @@ class CollectorPipelineSpec extends AnyFunSuite {
     val firstPass = pixelRow(2L, None, None)
     val r2 = CollectorPipeline.bounces(firstPass, bCfg).collect().head
     assert(r2.getAs[Boolean]("bounced"))
-    assert(r2.getAs[String]("location") === "/i?bounce=1")
+    assert(r2.getAs[String]("location") === "/i?bounce=true")
     assert(CollectorPipeline.payloads(firstPass, bCfg).count() === 0)
     // original querystring is preserved in the bounce location
     val withQs = pixelRow(3L, Some("e=pv&aid=app1"), None)
     assert(CollectorPipeline.bounces(withQs, bCfg).collect().head
-      .getAs[String]("location") === "/i?e=pv&aid=app1&bounce=1")
+      .getAs[String]("location") === "/i?e=pv&aid=app1&bounce=true")
 
     // "store stuff if having already bounced with the fallback nuid" —
     // marker present, still no cookie: store with the configured fallback

@@ -181,7 +181,9 @@ class HttpEdgeSpec extends AnyFunSuite {
   private def withServer[A](cfg: CollectorConfig)(f: (HttpEdgeServer, Int, String) => A): A = {
     val spool = Files.createTempDirectory("edge-spool").toString
     val server = new HttpEdgeServer(cfg, spool,
-      clock = () => 1700000000000L, flushEvery = 4)
+      clock = () => 1700000000000L, flushEvery = 4,
+      // parity tests smuggle reference-shaped hostile URIs via the header
+      trustRawRequestUri = true)
     val port = server.start()
     try f(server, port, spool)
     finally server.stop()
@@ -276,14 +278,40 @@ class HttpEdgeSpec extends AnyFunSuite {
     withServer(bounceScale) { (_, port, _) =>
       val (s1, h1, _) = rawHttp(port, "GET", "/i?e=pv")
       assert(s1 === 302)
-      assert(h1("location").head === "/i?e=pv&n=1")
+      assert(h1("location").head === "/i?e=pv&n=true")
       // the bounced replay (marker present) is served the pixel
-      val (s2, _, body) = rawHttp(port, "GET", "/i?e=pv&n=1")
+      val (s2, _, body) = rawHttp(port, "GET", "/i?e=pv&n=true")
       assert(s2 === 200 && body.toSeq === HttpEdge.PixelBytes.toSeq)
       // a cookie-carrying user never bounces
       val (s3, _, _) = rawHttp(port, "GET", "/i?e=pv",
         headers = Seq("Cookie" -> "sp=33333333-3333-3333-3333-333333333333"))
       assert(s3 === 200)
+    }
+  }
+
+  test("live: route table is method-gated — no envelope from OPTIONS/PUT/DELETE, 404 fallback") {
+    withServer(testScale) { (server, port, spool) =>
+      // OPTIONS preflight to a tracking path: answered by the CORS route,
+      // never spooled (reference routes OPTIONS to corsRoute)
+      val (so, ho, _) = rawHttp(port, "OPTIONS", "/i?e=pv",
+        headers = Seq("Origin" -> "https://shop.example.com"))
+      assert(so === 200 && ho.contains("access-control-allow-headers"))
+      // methods outside the route table fall to the 404 fallback
+      val (sPut, _, bPut) = rawHttp(port, "PUT", "/i?e=pv")
+      assert((sPut, new String(bPut, "UTF-8")) === ((404, "404 not found")))
+      val (sDel, _, _) = rawHttp(port, "DELETE", "/com.acme/track")
+      assert(sDel === 404)
+      // POST to a pixel path: the reference's pixel route is get|head only
+      val (sPost, _, _) = rawHttp(port, "POST", "/i?e=pv",
+        headers = Seq("Content-Type" -> "application/json"), body = Some("{}"))
+      assert(sPost === 404)
+      // one real event so the spool is non-empty, then: exactly one envelope
+      val (sGet, _, _) = rawHttp(port, "GET", "/i?e=pv")
+      assert(sGet === 200)
+      server.flush()
+      val spooled = spark.read.schema(HttpEdge.envelopeSchema).json(spool)
+      assert(spooled.count() === 1L)
+      assert(spooled.head().getAs[String]("method") === "GET")
     }
   }
 
