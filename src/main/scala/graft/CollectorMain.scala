@@ -63,7 +63,8 @@ object CollectorMain {
       badSink = new ParquetDirSink(badDir, "bad"),
       checkpointDir = checkpointDir,
       trigger = trigger)
-    println(s"graft-collector listening on http://127.0.0.1:$port")
+    println(s"graft-collector listening on http://${cfg.interface}:$port" +
+      (if (cfg.ssl.enable) s" + https://${cfg.interface}:${server.httpsPort}" else ""))
     // R8: experimental self-warmup against the live port (reference
     // `Collector.scala:167` runs it right after the HTTP bind)
     if (cfg.warmup.enable)
@@ -72,10 +73,21 @@ object CollectorMain {
   }
 
   def main(args: Array[String]): Unit = {
-    val http = args.headOption.contains("--http")
-    val rest = if (http) args.drop(1) else args
+    val http = args.contains("--http")
+    // R10: `--config <file>` loads a reference-shaped HOCON document
+    // (interface/port/ssl/limits and all collector knobs) — the drop-in
+    // path for an operator migrating off the reference (docs/USAGE.md)
+    val cfgIdx = args.indexOf("--config")
+    val cfg =
+      if (cfgIdx >= 0 && cfgIdx + 1 < args.length)
+        CollectorConfig.fromHocon(
+          java.nio.file.Files.readString(java.nio.file.Paths.get(args(cfgIdx + 1))))
+      else CollectorConfig.testScale
+    val rest = args.filterNot(_ == "--http").patch(
+      if (cfgIdx >= 0) args.filterNot(_ == "--http").indexOf("--config") else 0,
+      Nil, if (cfgIdx >= 0) 2 else 0)
     require(rest.length >= 4,
-      "usage: CollectorMain [--http] <envelopeDir|spoolDir> <goodDir> <badDir> <checkpointDir> [triggerMs]")
+      "usage: CollectorMain [--http] [--config <hocon>] <envelopeDir|spoolDir> <goodDir> <badDir> <checkpointDir> [triggerMs]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(s"local[$cpus]", cpus.toInt, "graft-collector")
     spark.sparkContext.setLogLevel("WARN")
@@ -83,7 +95,7 @@ object CollectorMain {
     val trigger = Trigger.ProcessingTime(triggerMs) // reference buffer.timeLimit
     if (http) {
       val (server, running) =
-        wireHttp(spark, rest(0), rest(1), rest(2), rest(3), trigger)
+        wireHttp(spark, rest(0), rest(1), rest(2), rest(3), trigger, cfg)
       // time-limit analog of the reference's buffer flush: publish the
       // spool tail even under low traffic (flushEvery is the record limit)
       val flusher = new Thread(() => {
@@ -103,7 +115,7 @@ object CollectorMain {
       }
       running.query.awaitTermination()
     } else {
-      val running = wire(spark, rest(0), rest(1), rest(2), rest(3), trigger)
+      val running = wire(spark, rest(0), rest(1), rest(2), rest(3), trigger, cfg)
       running.query.awaitTermination()
     }
   }

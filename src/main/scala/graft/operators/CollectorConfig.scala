@@ -26,6 +26,19 @@ final case class CollectorConfig(
     appName: String = "graft",
     appVersion: String = "0.1.0",
     sinkName: String = "spark",
+    // R10 edge bind (reference `model.scala:232-233` + shipped configs'
+    // `interface = "0.0.0.0"`, `port = 8080`). Tests bind ephemeral
+    // loopback by overriding port = 0 / interface = "127.0.0.1".
+    interface: String = "0.0.0.0",
+    port: Int = 8080,
+    ssl: SslSettings = SslSettings(),
+    // R10 server limits (the reference enforces these via the pekko block:
+    // `examples/config.kinesis.extended.hocon:332-339` ships
+    // max-uri-length 32768 / max-connections 2048; the case-class
+    // defaults are pekko-http's own defaults). An over-long request URI
+    // answers 414 and never builds an envelope.
+    maxUriLength: Int = 2048,
+    serverMaxConnections: Int = 1024,
     cookieEnabled: Boolean = true,
     cookieName: String = "sp",
     dntEnabled: Boolean = false,
@@ -72,6 +85,16 @@ final case class CollectorConfig(
   def p3pHeader: String =
     "policyref=\"%s\", CP=\"%s\"".format(p3pPolicyRef, p3pCP)
 }
+
+/** R10 TLS termination settings (reference `model.scala:212-216`
+  * SSLConfig + `Collector.scala:105-191`: when enabled, a second HTTPS
+  * bind on `port` using the JVM-default SSLContext; `redirect` 301s
+  * plain-HTTP traffic — and `X-Forwarded-Proto: http` traffic — to the
+  * https scheme). */
+final case class SslSettings(
+    enable: Boolean = false,
+    redirect: Boolean = false,
+    port: Int = 443)
 
 /** R7 heartbeat connection settings (reference `telemetry` block +
   * `TelemetryConfig` defaults: `core/.../model.scala`). */
@@ -178,18 +201,46 @@ object CollectorConfig {
     * front end feeding the same Jackson-tree extraction as [[fromJson]],
     * so the two spellings cannot drift semantically. */
   def fromHocon(hocon: String): CollectorConfig =
-    fromTree(Hocon.parse(hocon).path("collector"))
+    fromRoot(Hocon.parse(hocon))
 
   /** [[fromHocon]] with an explicit substitution environment (tests; a
     * deployment's real entry point uses the process env via the 1-arg
     * overload, exactly like Typesafe Config). */
   def fromHocon(hocon: String, env: Map[String, String]): CollectorConfig =
-    fromTree(Hocon.parse(hocon, env).path("collector"))
+    fromRoot(Hocon.parse(hocon, env))
 
   def fromJson(json: String): CollectorConfig = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    fromTree(mapper.readTree(json).path("collector"))
+    fromRoot(mapper.readTree(json))
   }
+
+  /** R10: whole-document extraction — the `collector` namespace plus the
+    * sibling `pekko`/`akka` HTTP-server block the reference deploys with
+    * (`examples/config.kinesis.extended.hocon:318-340`: `pekko.http.server
+    * { parsing.max-uri-length, max-connections }`). */
+  private def fromRoot(root: com.fasterxml.jackson.databind.JsonNode): CollectorConfig = {
+    val base = fromTree(root.path("collector"))
+    val actor =
+      if (!root.path("pekko").isMissingNode) root.path("pekko")
+      else root.path("akka") // the pre-rename spelling still in the wild
+    val server = actor.path("http").path("server")
+    val uri = server.path("parsing").path("max-uri-length")
+    val conns = server.path("max-connections")
+    base.copy(
+      maxUriLength = if (uri.isMissingNode) base.maxUriLength else sizeInt(uri),
+      serverMaxConnections =
+        if (conns.isMissingNode) base.serverMaxConnections else sizeInt(conns))
+  }
+
+  /** A pekko size-ish int: plain number, or `32k`/`2m` suffix form. */
+  private def sizeInt(n: com.fasterxml.jackson.databind.JsonNode): Int =
+    if (n.isNumber) n.asInt
+    else {
+      val t = n.asText.trim.toLowerCase
+      if (t.endsWith("k")) t.dropRight(1).trim.toInt * 1024
+      else if (t.endsWith("m")) t.dropRight(1).trim.toInt * 1024 * 1024
+      else t.toInt
+    }
 
   private def fromTree(c: com.fasterxml.jackson.databind.JsonNode): CollectorConfig = {
     val d = CollectorConfig()
@@ -218,6 +269,15 @@ object CollectorConfig {
       appName = str(c.path("appName"), d.appName),
       appVersion = str(c.path("appVersion"), d.appVersion),
       sinkName = str(c.path("sinkName"), d.sinkName),
+      interface = str(c.path("interface"), d.interface),
+      port = int(c.path("port"), d.port),
+      ssl = {
+        val s = c.path("ssl"); val sd = d.ssl
+        SslSettings(
+          enable = bool(s.path("enable"), sd.enable),
+          redirect = bool(s.path("redirect"), sd.redirect),
+          port = int(s.path("port"), sd.port))
+      },
       cookieName = str(cookie.path("name"), d.cookieName),
       cookieSecure = if (cookie.path("secure").isMissingNode) d.cookieSecure else cookie.path("secure").asBoolean,
       cookieHttpOnly = if (cookie.path("httpOnly").isMissingNode) d.cookieHttpOnly else cookie.path("httpOnly").asBoolean,
@@ -371,8 +431,11 @@ object CollectorConfig {
     * `SplitBatch.scala:87` — exercises both branches. */
   val testScale: CollectorConfig =
     // dntEnabled: the fixture's DNT slice (%13) must actually suppress —
-    // the engine default mirrors the reference's shipped default (off)
-    CollectorConfig(maxBytes = 800, dntEnabled = true)
+    // the engine default mirrors the reference's shipped default (off).
+    // interface/port: ephemeral loopback so specs and bench never collide
+    // with a real deployment's 0.0.0.0:8080.
+    CollectorConfig(maxBytes = 800, dntEnabled = true,
+      interface = "127.0.0.1", port = 0)
 
   /** maxBytes for the split-batch query surface: 2 tracker elements per
     * sub-batch at the synthetic element sizes. */

@@ -39,9 +39,9 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *
   *  - value concatenations mixing quoted strings, unquoted runs and
   *    substitutions (`path = "/var/"${USER}"/logs"`): whitespace GAPS
-  *    between parts join with a single space, directly-adjacent parts
-  *    splice verbatim — Typesafe's string-concatenation semantics. A
-  *    multi-part result is always a string (no numeric coercion).
+  *    between parts are preserved exactly as written, directly-adjacent
+  *    parts splice verbatim — Typesafe's string-concatenation semantics.
+  *    A multi-part result is always a string (no numeric coercion).
   *  - `required()` / `file()` / `url()` include modifiers
   *    (`include required(file("sink"))`): the name still resolves
   *    through the injected map — hermetic, the modifier only changes
@@ -77,8 +77,8 @@ object Hocon {
       includes: Map[String, String], includeDepth: Int): ObjectNode = {
     if (includeDepth > 50)
       throw new IllegalArgumentException("HOCON includes nested deeper than 50 (cycle?)")
-    val (toks, glued) = tokenize(text)
-    val p = new P(toks, glued, env, includes, includeDepth)
+    val (toks, gaps) = tokenize(text)
+    val p = new P(toks, gaps, env, includes, includeDepth)
     if (p.peek == Some("{")) { p.next(); p.obj() }
     else p.objBody(topLevel = true) // HOCON allows a brace-less root
   }
@@ -165,14 +165,15 @@ object Hocon {
 
   // --- tokenizer ---------------------------------------------------------
   // tokens: "{" "}" "[" "]" "," ":" "=" "\n" quoted-string ("\u0000"-prefixed
-  // to mark it as quoted) and raw runs (unquoted words). The BitSet marks
-  // tokens with NO whitespace before them (directly glued to the previous
-  // token) — value concatenation needs the distinction: gaps join with a
-  // single space, glued parts splice verbatim.
-  private def tokenize(text: String): (Vector[String], scala.collection.immutable.BitSet) = {
+  // to mark it as quoted) and raw runs (unquoted words). `gaps(i)` is the
+  // EXACT whitespace text between token i-1 and token i (empty = directly
+  // glued) — HOCON string concatenation preserves inter-token whitespace
+  // verbatim (`a = 365   days` keeps all three spaces), so the parser
+  // splices gaps as-is rather than normalizing to one space (r10; was a
+  // glued/not-glued bit with single-space joins).
+  private def tokenize(text: String): (Vector[String], Vector[String]) = {
     val out = Vector.newBuilder[String]
-    val gluedB = scala.collection.immutable.BitSet.newBuilder
-    var count = 0
+    val gapsB = Vector.newBuilder[String]
     var prevEnd = -1 // text index just past the previous token
     var i = 0
     val n = text.length
@@ -180,8 +181,8 @@ object Hocon {
       text(j) == '#' || (text(j) == '/' && j + 1 < n && text(j + 1) == '/')
     def emit(tok: String, start: Int, end: Int): Unit = {
       out += tok
-      if (start == prevEnd) gluedB += count
-      count += 1
+      gapsB += (if (prevEnd < 0 || start == prevEnd) ""
+                else text.substring(prevEnd, start))
       prevEnd = end
     }
     while (i < n) {
@@ -232,11 +233,11 @@ object Hocon {
         emit(sb.toString, rstart, i)
       }
     }
-    (out.result(), gluedB.result())
+    (out.result(), gapsB.result())
   }
 
   // --- parser ------------------------------------------------------------
-  private final class P(toks: Vector[String], glued: scala.collection.immutable.BitSet,
+  private final class P(toks: Vector[String], gaps: Vector[String],
       env: Map[String, String],
       includes: Map[String, String], includeDepth: Int) {
     private var pos = 0
@@ -342,7 +343,7 @@ object Hocon {
     }
 
     /** scalar value: quoted string, or an unquoted run to end of line /
-      * structural token, joined with single spaces ("365 days"). */
+      * structural token, whitespace gaps preserved verbatim ("365 days"). */
     /** true when the current value run ends here (newline / structural) */
     private def runEnds: Boolean =
       pos >= toks.length || {
@@ -358,27 +359,32 @@ object Hocon {
       else {
         // value concatenation run (quoted strings, unquoted words and
         // `${}` substitutions freely mixed): whitespace GAPS between
-        // parts join with a single space, directly-glued parts splice
-        // verbatim — Typesafe's string-concatenation semantics. Env
-        // substitutions resolve in place (a config-path ref can't
+        // parts are preserved EXACTLY (r10; HOCON keeps the whitespace
+        // text as-is in a string concatenation), directly-glued parts
+        // splice verbatim — Typesafe's string-concatenation semantics.
+        // Env substitutions resolve in place (a config-path ref can't
         // splice into a half-built string). A multi-part result is
-        // always a string, never numerically coerced.
+        // ALWAYS a string, never numerically coerced — even an
+        // all-unquoted glued run like `port = ${P}0` (r10; the glued
+        // bit used to leak numeric coercion).
         val sb = new StringBuilder(
           if (first.startsWith(SubMark)) envConcat(first) else unmark(first))
         var quoted = first.startsWith("\u0000")
+        var parts = 1
         var done = false
         while (!done && pos < toks.length) {
           val t = toks(pos)
           if (t == "\n" || t == "," || t == "}" || t == "]") done = true
           else {
-            if (!glued.contains(pos)) sb.append(' ')
+            sb.append(gaps(pos))
             nextRaw()
+            parts += 1
             if (t.startsWith("\u0000")) { quoted = true; sb.append(unmark(t)) }
             else if (t.startsWith(SubMark)) sb.append(envConcat(t))
             else sb.append(t)
           }
         }
-        (sb.toString, quoted)
+        (sb.toString, quoted || parts > 1)
       }
     }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpServer, HttpsConfigurator, HttpsServer}
 import graft.operators.CollectorConfig
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -82,7 +82,12 @@ final class HttpEdgeServer(
     flushEvery: Int = 64,
     healthSource: Option[() => Boolean] = None,
     sinkHealthSource: Option[() => Boolean] = None,
-    trustRawRequestUri: Boolean = false) {
+    trustRawRequestUri: Boolean = false,
+    // R10 TLS: the HTTPS bind's SSLContext. None + ssl.enable follows the
+    // reference exactly — `SSLContext.getDefault` (`Collector.scala:183`),
+    // i.e. the JVM-wide `javax.net.ssl.keyStore*` properties; tests inject
+    // a context built from a throwaway keystore instead.
+    sslContext: Option[javax.net.ssl.SSLContext] = None) {
 
   private val spool: Path = Files.createDirectories(Paths.get(spoolDir))
   private val nextId = new AtomicLong(1L)
@@ -93,6 +98,7 @@ final class HttpEdgeServer(
   private var buffered = 0
 
   private var server: HttpServer = _
+  private var httpsServerOpt: Option[HttpsServer] = None
   private var pool: java.util.concurrent.ExecutorService = _
 
   def setHealthy(h: Boolean): Unit = healthy.set(h)
@@ -101,7 +107,11 @@ final class HttpEdgeServer(
   /** R9: live request metrics (method/status counts, latency sums). */
   val metrics = new EdgeMetrics
 
-  /** Bind on an ephemeral loopback port; returns the bound port. */
+  /** Bind on the CONFIGURED `interface:port` (reference `model.scala:
+    * 232-233`, `Collector.scala:170-189`; test configs use
+    * `127.0.0.1:0` = ephemeral loopback) and, when `ssl.enable`, a second
+    * HTTPS bind on `ssl.port` (ephemeral when the plain port is 0 —
+    * tests can't take 443). Returns the plain bound port. */
   def start(): Int = synchronized {
     // the JDK server writes response head and body as separate packets;
     // without TCP_NODELAY, Nagle holds the second until the client's
@@ -109,18 +119,36 @@ final class HttpEdgeServer(
     // loopback traffic. ServerConfig reads this property once, at the
     // first HttpServer class load, so set it before create().
     System.setProperty("sun.net.httpserver.nodelay", "true")
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.createContext("/", (exchange: HttpExchange) => handle(exchange))
-    // daemon workers: a forgotten stop() must never pin the JVM open
+    server = HttpServer.create(new InetSocketAddress(cfg.interface, cfg.port), 0)
+    server.createContext("/", (exchange: HttpExchange) => handle(exchange, secure = false))
+    // daemon workers shared by both binds: a forgotten stop() must never
+    // pin the JVM open. Sized from the configured connection envelope
+    // (reference pekko `max-connections`), capped at the core count —
+    // a blocking-handler server's true concurrency ceiling (r10; the
+    // fixed cores/4 pool was the 64-connection throughput ceiling).
     pool = Executors.newFixedThreadPool(
-      math.max(4, Runtime.getRuntime.availableProcessors() / 4),
+      math.max(4, math.min(cfg.serverMaxConnections,
+        Runtime.getRuntime.availableProcessors())),
       (r: Runnable) => { val t = new Thread(r, "edge-http"); t.setDaemon(true); t })
     server.setExecutor(pool)
     server.start()
+    if (cfg.ssl.enable) {
+      val ctx = sslContext.getOrElse(javax.net.ssl.SSLContext.getDefault)
+      val hs = HttpsServer.create(
+        new InetSocketAddress(cfg.interface, if (cfg.port == 0) 0 else cfg.ssl.port), 0)
+      hs.setHttpsConfigurator(new HttpsConfigurator(ctx))
+      hs.createContext("/", (exchange: HttpExchange) => handle(exchange, secure = true))
+      hs.setExecutor(pool)
+      hs.start()
+      httpsServerOpt = Some(hs)
+    }
     port
   }
 
   def port: Int = server.getAddress.getPort
+
+  /** The HTTPS bind's port (throws unless `ssl.enable`). */
+  def httpsPort: Int = httpsServerOpt.get.getAddress.getPort
 
   private def readBody(ex: HttpExchange): Option[String] = {
     val in = ex.getRequestBody
@@ -171,18 +199,56 @@ final class HttpEdgeServer(
       headers = headerLines)
   }
 
-  private def handle(ex: HttpExchange): Unit =
+  /** Host header minus any `:port` suffix (for https Location rebuilds). */
+  private def bareHost(host: String): String = {
+    val i = host.lastIndexOf(':')
+    if (i > 0 && host.drop(i + 1).forall(_.isDigit)) host.substring(0, i) else host
+  }
+
+  private def handle(ex: HttpExchange, secure: Boolean): Unit =
     try {
       val t0 = System.nanoTime()
+      // R10 pekko `parsing.max-uri-length` parity: gate on the WIRE
+      // request line (never the trusted test header) before any envelope
+      // work — an over-long URI answers 414 and is never recorded
+      val wireUri = ex.getRequestURI.toString
+      if (wireUri.length > cfg.maxUriLength) {
+        val msg = "414 URI Too Long".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(414, msg.length.toLong)
+        ex.getResponseBody.write(msg)
+        ex.close()
+        metrics.record(ex.getRequestMethod.toUpperCase, 414, System.nanoTime() - t0)
+        return
+      }
       val req = buildRequest(ex)
-      // health answers come from the wired monitor when one is attached
-      // (CollectorMain --http), else the settable local flags (tests)
-      val h = healthSource.map(_()).getOrElse(healthy.get())
-      val sh = sinkHealthSource.map(_()).getOrElse(sinkHealthy.get())
-      val resp = HttpEdge.respond(req, cfg, h, sh)
-      // method-gated (r10): an OPTIONS preflight or PUT/DELETE to a
-      // tracking-shaped path is answered but never spooled
-      if (HttpEdge.producesEnvelope(req)) append(HttpEdge.envelopeJson(req, cfg))
+      val forwardedProto =
+        Option(ex.getRequestHeaders.getFirst("X-Forwarded-Proto")).map(_.toLowerCase)
+      val resp =
+        if (!secure && cfg.ssl.enable && cfg.ssl.redirect) {
+          // the reference's plain-HTTP bind under SSLConfig(true, true):
+          // every request 301s to the https scheme on the ssl port
+          // (`Collector.scala:107-117` redirectToHttps)
+          val sslPort = httpsServerOpt.map(_.getAddress.getPort).getOrElse(cfg.ssl.port)
+          EdgeResponse(301,
+            Seq("Location" -> s"https://${bareHost(req.host)}:$sslPort${req.rawUri}"),
+            Array.emptyByteArray)
+        } else if (cfg.ssl.redirect && forwardedProto.contains("http")) {
+          // `X-Forwarded-Proto: http` behind a TLS-terminating LB
+          // (`Collector.scala:119-127`: withPort(0) = the scheme default)
+          EdgeResponse(301,
+            Seq("Location" -> s"https://${bareHost(req.host)}${req.rawUri}"),
+            Array.emptyByteArray)
+        } else {
+          // health answers come from the wired monitor when one is attached
+          // (CollectorMain --http), else the settable local flags (tests)
+          val h = healthSource.map(_()).getOrElse(healthy.get())
+          val sh = sinkHealthSource.map(_()).getOrElse(sinkHealthy.get())
+          val r = HttpEdge.respond(req, cfg, h, sh)
+          // method-gated (r10): an OPTIONS preflight or PUT/DELETE to a
+          // tracking-shaped path is answered but never spooled
+          if (HttpEdge.producesEnvelope(req)) append(HttpEdge.envelopeJson(req, cfg))
+          r
+        }
       resp.headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
       val noBody = resp.body.isEmpty || req.method == "HEAD"
       ex.sendResponseHeaders(resp.status, if (noBody) -1L else resp.body.length.toLong)
@@ -221,6 +287,7 @@ final class HttpEdgeServer(
   def stop(): Unit = synchronized {
     flushLocked()
     if (server != null) server.stop(0)
+    httpsServerOpt.foreach(_.stop(0))
     if (pool != null) pool.shutdown()
   }
 

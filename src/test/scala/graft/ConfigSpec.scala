@@ -271,6 +271,31 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.sink.bufferByteLimit === 3145728L && cfg.sink.bufferRecordLimit === 500)
     assert(cfg.telemetry.url === "sp.snowcatcloud.com" && cfg.telemetry.intervalMs === 3600000L)
     assert(cfg.statsd.tags === Map("app" -> "collector"))
+    // r10: edge bind + TLS + the sibling pekko server-limit block
+    assert(cfg.interface === "0.0.0.0" && cfg.port === 8080)
+    assert(cfg.ssl === graft.operators.SslSettings(enable = false, redirect = false, port = 443))
+    assert(cfg.maxUriLength === 32768)      // pekko.http.server.parsing.max-uri-length
+    assert(cfg.serverMaxConnections === 2048) // pekko.http.server.max-connections
+  }
+
+  test("ssl/interface/pekko-limit parsing: explicit values, akka alias, size suffixes") {
+    val cfg = CollectorConfig.fromHocon(
+      """collector {
+        |  interface = "10.0.0.5"
+        |  port = 9090
+        |  ssl { enable = true, redirect = true, port = 8443 }
+        |}
+        |akka.http.server {
+        |  parsing { max-uri-length = 16k }
+        |  max-connections = 512
+        |}""".stripMargin)
+    assert(cfg.interface === "10.0.0.5" && cfg.port === 9090)
+    assert(cfg.ssl === graft.operators.SslSettings(enable = true, redirect = true, port = 8443))
+    assert(cfg.maxUriLength === 16384 && cfg.serverMaxConnections === 512)
+    // absent blocks keep the pekko defaults
+    val d = CollectorConfig.fromHocon("collector { appName = x }")
+    assert(d.maxUriLength === 2048 && d.serverMaxConnections === 1024)
+    assert(d.interface === "0.0.0.0" && d.port === 8080 && !d.ssl.enable)
   }
 
   test("HOCON parser: hostile input terminates — parses or throws, never hangs") {
@@ -479,6 +504,15 @@ class ConfigSpec extends AnyFunSuite {
     // a multi-part concatenation is a string, never numerically coerced
     assert(t.get("numish").isTextual && t.get("numish").asText === "1 2")
     assert(t.get("tail").asText === "x y z")
+    // r10: inter-token whitespace is preserved EXACTLY (HOCON keeps the
+    // gap text as-is, not a normalized single space)...
+    val t2 = Hocon.parse("wide = 365   days\nmix = \"a\"  \tb\n", env)
+    assert(t2.get("wide").asText === "365   days")
+    assert(t2.get("mix").asText === "a  \tb")
+    // ...and an all-unquoted GLUED run is still a string: ${P}0 must not
+    // numeric-coerce into 80800
+    val t3 = Hocon.parse("port = ${PORT}0\n", env)
+    assert(t3.get("port").isTextual && t3.get("port").asText === "80800")
   }
 
   test("HOCON include modifiers: required()/file()/url() resolve hermetically") {

@@ -289,6 +289,135 @@ class HttpEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("live: binds the CONFIGURED interface:port (reference model.scala:232-233)") {
+    val probe = new java.net.ServerSocket(0)
+    val wanted = probe.getLocalPort
+    probe.close()
+    val spool = Files.createTempDirectory("edge-bind").toString
+    val server = new HttpEdgeServer(
+      testScale.copy(interface = "127.0.0.1", port = wanted), spool)
+    try {
+      assert(server.start() === wanted)
+      val (s, _, b) = rawHttp(wanted, "GET", "/health")
+      assert((s, new String(b, "UTF-8")) === ((200, "OK")))
+    } finally server.stop()
+  }
+
+  test("live: over-long request URIs answer 414 and never spool (pekko max-uri-length parity)") {
+    // the reference deploys with parsing.max-uri-length = 32768
+    // (config.kinesis.extended.hocon:335); use a small cap so the test
+    // stays cheap, and verify the wire gate beats the envelope build
+    withServer(testScale.copy(maxUriLength = 256)) { (server, port, spool) =>
+      val (sOk, _, _) = rawHttp(port, "GET", "/i?e=pv")
+      assert(sOk === 200)
+      val (s414, _, b414) = rawHttp(port, "GET", "/i?e=pv&pad=" + "a" * 300)
+      assert((s414, new String(b414, "UTF-8")) === ((414, "414 URI Too Long")))
+      server.flush()
+      val spooled = spark.read.schema(HttpEdge.envelopeSchema).json(spool)
+      assert(spooled.count() === 1L) // only the short request produced an envelope
+    }
+  }
+
+  // ---- TLS (reference Collector.scala:105-191, model.scala:212-216) ----
+
+  /** Throwaway PKCS12 keystore via the JDK's own keytool; returns
+    * (server SSLContext with the key, client SSLContext trusting it). */
+  private lazy val tlsContexts: Option[(javax.net.ssl.SSLContext, javax.net.ssl.SSLContext)] = {
+    import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
+    val dir = Files.createTempDirectory("edge-tls")
+    val ksPath = dir.resolve("ks.p12").toString
+    val keytool = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "keytool").getPath
+    val cmd = Seq(keytool, "-genkeypair", "-alias", "edge", "-keyalg", "RSA",
+      "-keysize", "2048", "-validity", "2", "-storetype", "PKCS12",
+      "-keystore", ksPath, "-storepass", "changeit",
+      "-dname", "CN=localhost", "-ext", "SAN=dns:localhost,ip:127.0.0.1")
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val ok = p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) && p.exitValue() == 0
+    if (!ok) None
+    else {
+      val store = java.security.KeyStore.getInstance("PKCS12")
+      val in = new java.io.FileInputStream(ksPath)
+      try store.load(in, "changeit".toCharArray) finally in.close()
+      val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+      kmf.init(store, "changeit".toCharArray)
+      val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(store)
+      val serverCtx = SSLContext.getInstance("TLS")
+      serverCtx.init(kmf.getKeyManagers, null, null)
+      val clientCtx = SSLContext.getInstance("TLS")
+      clientCtx.init(null, tmf.getTrustManagers, null)
+      Some((serverCtx, clientCtx))
+    }
+  }
+
+  private def httpsGet(clientCtx: javax.net.ssl.SSLContext, port: Int, uri: String,
+      headers: Seq[(String, String)] = Nil): java.net.http.HttpResponse[Array[Byte]] = {
+    val client = java.net.http.HttpClient.newBuilder().sslContext(clientCtx).build()
+    val b = java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(s"https://localhost:$port$uri"))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    client.send(b.GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+  }
+
+  test("live: TLS termination — real HTTPS handshake serves the routes; envelopes spool") {
+    assume(tlsContexts.isDefined, "keytool unavailable")
+    val (serverCtx, clientCtx) = tlsContexts.get
+    val spool = Files.createTempDirectory("edge-tls-spool").toString
+    val cfg = testScale.copy(ssl = graft.operators.SslSettings(enable = true))
+    val server = new HttpEdgeServer(cfg, spool,
+      clock = () => 1700000000000L, sslContext = Some(serverCtx))
+    server.start()
+    try {
+      val hp = server.httpsPort
+      val health = httpsGet(clientCtx, hp, "/health")
+      assert(health.statusCode() === 200)
+      assert(new String(health.body(), "UTF-8") === "OK")
+      val pixel = httpsGet(clientCtx, hp, "/i?e=pv")
+      assert(pixel.statusCode() === 200)
+      assert(pixel.headers().firstValue("Content-Type").get() === "image/gif")
+      assert(pixel.body().toSeq === HttpEdge.PixelBytes.toSeq)
+      // ssl.enable + redirect=false: the plain bind still serves normally
+      val (sPlain, _, _) = rawHttp(server.port, "GET", "/i?e=pv")
+      assert(sPlain === 200)
+      server.flush()
+      val spooled = spark.read.schema(HttpEdge.envelopeSchema).json(spool)
+      assert(spooled.count() === 2L) // the HTTPS pixel AND the plain pixel
+    } finally server.stop()
+  }
+
+  test("live: ssl.redirect 301s plain HTTP to the https port and honors X-Forwarded-Proto") {
+    assume(tlsContexts.isDefined, "keytool unavailable")
+    val (serverCtx, clientCtx) = tlsContexts.get
+    val spool = Files.createTempDirectory("edge-tls-redir").toString
+    val cfg = testScale.copy(
+      ssl = graft.operators.SslSettings(enable = true, redirect = true))
+    val server = new HttpEdgeServer(cfg, spool, sslContext = Some(serverCtx))
+    server.start()
+    try {
+      val hp = server.httpsPort
+      // plain bind: every request 301s to https on the ssl port
+      // (reference redirectToHttps(collectorConf.ssl.port))
+      val (s1, h1, _) = rawHttp(server.port, "GET", "/i?e=pv")
+      assert(s1 === 301)
+      assert(h1("location").head === s"https://localhost:$hp/i?e=pv")
+      // ...and the redirected request is NOT an envelope
+      server.flush()
+      assert(!Files.list(java.nio.file.Paths.get(spool)).findFirst().isPresent)
+      // LB-terminated TLS: X-Forwarded-Proto: http on the secure bind
+      // redirects to the scheme default port (reference withPort(0))
+      val fwd = httpsGet(clientCtx, hp, "/health",
+        headers = Seq("X-Forwarded-Proto" -> "http"))
+      assert(fwd.statusCode() === 301)
+      assert(fwd.headers().firstValue("Location").get() === "https://localhost/health")
+      // a proper https-marked request is served
+      val ok = httpsGet(clientCtx, hp, "/health",
+        headers = Seq("X-Forwarded-Proto" -> "https"))
+      assert(ok.statusCode() === 200)
+    } finally server.stop()
+  }
+
   test("live: route table is method-gated — no envelope from OPTIONS/PUT/DELETE, 404 fallback") {
     withServer(testScale) { (server, port, spool) =>
       // OPTIONS preflight to a tracking path: answered by the CORS route,
