@@ -69,6 +69,13 @@ object CollectorMain {
     // `Collector.scala:167` runs it right after the HTTP bind)
     if (cfg.warmup.enable)
       graft.streaming.EdgeWarmup.run(port, cfg.warmup, s => println(s"[warmup] $s"))
+    // R10: real telemetry heartbeat over the wire (reference
+    // `Collector.scala:97` starts it alongside the bind; disabled via
+    // `telemetry.disable` exactly like the reference)
+    if (!cfg.telemetry.disable)
+      graft.streaming.Telemetry.schedule(cfg,
+        math.max(1L, cfg.telemetry.intervalMs / 60000L),
+        graft.streaming.Telemetry.httpSender(cfg, log = s => println(s"[telemetry] $s")))
     (server, running)
   }
 

@@ -435,7 +435,10 @@ object CollectorConfig {
     // interface/port: ephemeral loopback so specs and bench never collide
     // with a real deployment's 0.0.0.0:8080.
     CollectorConfig(maxBytes = 800, dntEnabled = true,
-      interface = "127.0.0.1", port = 0)
+      interface = "127.0.0.1", port = 0,
+      // no heartbeat from specs/bench (the wire sender is spec'd against
+      // a local receiver; zero-egress discipline everywhere else)
+      telemetry = TelemetrySettings(disable = true))
 
   /** maxBytes for the split-batch query surface: 2 tracker elements per
     * sub-batch at the synthetic element sizes. */

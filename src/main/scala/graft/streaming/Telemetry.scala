@@ -75,4 +75,62 @@ object Telemetry {
     exec.scheduleAtFixedRate(() => send(payload),
       0, intervalMinutes, TimeUnit.MINUTES)
   }
+
+  // ---- R10: the real wire transport ------------------------------------
+
+  /** The tracker-protocol POST body the reference's scala-tracker emits
+    * (`TelemetryAkkaService.scala:88-101`: `trackSelfDescribingEvent` via
+    * a SyncEmitter): a `payload_data` envelope whose single event is an
+    * unstruct (`e=ue`) wrapping the heartbeat, with the tracker namespace
+    * `tna=telemetry` and `aid=<appName>` exactly as the reference
+    * constructs its Tracker. `ue_pr` is the JSON-escaped unstruct_event
+    * envelope (the tracker's non-base64 wire spelling). */
+  val PayloadDataSchemaUri =
+    "iglu:com.snowplowanalytics.snowplow/payload_data/jsonschema/1-0-4"
+  val UnstructSchemaUri =
+    "iglu:com.snowplowanalytics.snowplow/unstruct_event/jsonschema/1-0-0"
+
+  def trackerBody(
+      heartbeat: String, appName: String, nowMs: Long): String = {
+    val uePr = s"""{"schema": ${q(UnstructSchemaUri)}, "data": $heartbeat}"""
+    s"""{"schema": ${q(PayloadDataSchemaUri)}, "data": [{"e": "ue", """ +
+      s""""ue_pr": ${q(uePr)}, "tna": "telemetry", "aid": ${q(appName)}, """ +
+      s""""p": "srv", "dtm": "$nowMs"}]}"""
+  }
+
+  /** A real HTTP sender for [[schedule]]: POSTs the tracker body to
+    * `http(s)://{url}:{port}/com.snowplowanalytics.snowplow/tp2` — the
+    * scala-tracker SyncEmitter's endpoint shape
+    * (`TelemetryAkkaService.scala:88-92`: EndpointParams(url, port,
+    * https)). Failures are logged and swallowed, never thrown into the
+    * scheduler (the reference's emitterCallback warns and continues —
+    * telemetry must never take the collector down). */
+  def httpSender(
+      cfg: CollectorConfig,
+      clock: () => Long = () => System.currentTimeMillis(),
+      log: String => Unit = _ => ()): String => Unit = {
+    val t = cfg.telemetry
+    val scheme = if (t.secure) "https" else "http"
+    val uri = java.net.URI.create(
+      s"$scheme://${t.url}:${t.port}${CollectorConfig.Tp2Path}")
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+    payload => {
+      try {
+        val body = trackerBody(payload, cfg.appName, clock())
+        val req = java.net.http.HttpRequest.newBuilder(uri)
+          .header("Content-Type", "application/json; charset=utf-8")
+          .timeout(java.time.Duration.ofSeconds(10))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.discarding())
+        if (resp.statusCode() / 100 != 2)
+          log(s"telemetry got unexpected HTTP ${resp.statusCode()} from $uri")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          log(s"telemetry failed to reach $uri: ${e.getClass.getSimpleName}")
+      }
+    }
+  }
 }

@@ -160,6 +160,55 @@ class CollectorPipelineSpec extends AnyFunSuite {
     fut.cancel(true)
   }
 
+  test("telemetry wire transport POSTs the tracker envelope to tp2 on a live socket") {
+    import graft.streaming.Telemetry
+    // a local receiver standing in for the configured telemetry host
+    val got = new java.util.concurrent.LinkedBlockingQueue[(String, String, String)]()
+    val rcv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    rcv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      got.put((ex.getRequestMethod, ex.getRequestURI.toString, body))
+      ex.sendResponseHeaders(200, -1L); ex.close()
+    })
+    rcv.start()
+    try {
+      val cfg = CollectorConfig(
+        appName = "graft-wire",
+        sink = SinkSettings.defaultsFor("kinesis").copy(region = Some("us-east-1")),
+        telemetry = graft.operators.TelemetrySettings(
+          url = "127.0.0.1", port = rcv.getAddress.getPort, secure = false))
+      val send = Telemetry.httpSender(cfg, clock = () => 1700000000123L)
+      send(Telemetry.heartbeatForConfig(cfg))
+      val (method, uri, body) = got.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      // reference SyncEmitter endpoint: POST {url}:{port}/com.snowplowanalytics.snowplow/tp2
+      assert(method === "POST")
+      assert(uri === "/com.snowplowanalytics.snowplow/tp2")
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(body)
+      assert(node.get("schema").asText === Telemetry.PayloadDataSchemaUri)
+      val ev = node.get("data").get(0)
+      assert(ev.get("e").asText === "ue")
+      assert(ev.get("tna").asText === "telemetry") // the reference's tracker namespace
+      assert(ev.get("aid").asText === "graft-wire") // appName, as the reference's Tracker
+      assert(ev.get("dtm").asText === "1700000000123")
+      // ue_pr is the JSON-escaped unstruct envelope around the heartbeat
+      val ue = om.readTree(ev.get("ue_pr").asText)
+      assert(ue.get("schema").asText === Telemetry.UnstructSchemaUri)
+      val hb = ue.get("data")
+      assert(hb.get("schema").asText === Telemetry.SchemaUri)
+      assert(hb.get("data").get("cloud").asText === "AWS")
+      assert(hb.get("data").get("applicationName").asText === "graft-wire")
+      // a dead endpoint is swallowed + logged, never thrown (reference
+      // emitterCallback discipline: telemetry must not kill the collector)
+      rcv.stop(0)
+      val logs = scala.collection.mutable.ArrayBuffer.empty[String]
+      val send2 = Telemetry.httpSender(cfg, log = logs += _)
+      send2(Telemetry.heartbeatForConfig(cfg)) // must not throw
+      assert(logs.exists(_.contains("telemetry failed")) || logs.exists(_.contains("unexpected HTTP")))
+    } finally rcv.stop(0)
+  }
+
   test("telemetry cloud-vendor detection matches the reference trichotomy") {
     // ref telemetry/TelemetryAkkaService.scala:119-124: Kinesis/Sqs → AWS
     // with the sink region, GooglePubSub → GCP without one, else neither
