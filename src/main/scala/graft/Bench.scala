@@ -158,10 +158,15 @@ object Bench {
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
     "stream_lake" -> 10.0,
-    // r9: live HTTP edge — 50k loopback requests (8 keep-alive
-    // connections) + spool flush + streaming drain to parquet; measured
-    // 8.5/9.1 s warm (~6k req/s end-to-end incl. the drain)
-    "stream_http" -> 8.8)
+    // r10 re-baseline: the edge worker pool is now sized from
+    // max-connections capped at core count (was cores/4) — the 8-thread
+    // pool was the ceiling; measured solo floor 3.26 s (was 8.5/9.1)
+    "stream_http" -> 4.5,
+    // r10: same 50k requests over 64 keep-alive connections, edge tier
+    // only (no drain) — measured 0.50 s ≈ 100k req/s
+    "stream_http_c64" -> 0.9,
+    // r10: live edge → date-partitioned lake anchor; measured 3.40 s
+    "stream_http_lake" -> 4.5)
 
   /** Streaming legs: wall seconds to drain the full sf through each
     * structured-streaming operator under `Trigger.AvailableNow` with
@@ -196,7 +201,7 @@ object Bench {
     // regenerated testdata schema) must cost only that leg's timing, not
     // the whole bench JSON.
     def leg(name: String)(setup: => Unit)(body: => Unit): (String, Option[Double]) =
-      try { setup; timed(name)(body) }
+      try { sweepBlocks(spark); setup; timed(name)(body) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name setup failed: $e"); name -> None }
     def fileStream(src: String) = {
@@ -241,20 +246,12 @@ object Bench {
       }
     }
 
-    if (wanted("stream_http")) {
-      // the reference's own job, end to end: live HTTP requests over
-      // loopback sockets → edge responses + envelope spool → streaming
-      // collector drain to parquet. Request bytes are pre-rendered in the
-      // untimed setup; the timed body covers drive + flush + drain, so
-      // the number reads directly as single-node ingest throughput
-      // (requests capped — the HTTP tier measures per-request cost, not
-      // corpus size). Each driver thread holds ONE keep-alive connection,
-      // the way a tracker fleet's load balancer would.
-      val cfg = graft.operators.CollectorConfig.testScale
-      val HttpN = 50000
-      var reqs: Array[Array[Byte]] = null
-      out += leg("stream_http") {
-        reqs = graft.sources.EventEnvelopeAdapter.envelopes(spark, sfDir)
+    // live-HTTP legs share pre-rendered request bytes (untimed setup)
+    val HttpN = 50000
+    var httpReqs: Array[Array[Byte]] = null
+    def renderHttpReqs(): Unit =
+      if (httpReqs == null)
+        httpReqs = graft.sources.EventEnvelopeAdapter.envelopes(spark, sfDir)
           .select("method", "raw_uri", "body", "content_type")
           .limit(HttpN).collect()
           .map { r =>
@@ -281,55 +278,73 @@ object Bench {
             val hb = head.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             if (method == "POST") hb ++ bodyBytes else hb
           }
-      } {
-        val server = new graft.streaming.HttpEdgeServer(
-          cfg, dir("http-spool"), flushEvery = 4096,
-          // bench harness pre-renders hostile URIs via Raw-Request-Uri
-          trustRawRequestUri = true)
+
+    /** Drive every request over `threads` keep-alive loopback connections
+      * (each thread holds ONE connection, the way a tracker fleet's load
+      * balancer would); returns the count of non-2xx/3xx/4xx responses. */
+    def driveHttp(port: Int, threads: Int): Long = {
+      val reqs = httpReqs
+      val errors = new java.util.concurrent.atomic.AtomicLong
+      val pool = (0 until threads).map { t =>
+        val th = new Thread(() => {
+          val sock = new java.net.Socket("127.0.0.1", port)
+          sock.setTcpNoDelay(true)
+          val os = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+          val is = new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)
+          def readLine(): String = {
+            val sb = new java.lang.StringBuilder
+            var c = is.read()
+            while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = is.read() }
+            sb.toString
+          }
+          try {
+            var i = t
+            while (i < reqs.length) {
+              os.write(reqs(i)); os.flush()
+              val status = readLine()
+              if (!status.startsWith("HTTP/1.1 2") && !status.startsWith("HTTP/1.1 3") &&
+                  !status.startsWith("HTTP/1.1 4")) errors.incrementAndGet()
+              var len = 0
+              var line = readLine()
+              while (line.nonEmpty) {
+                val kv = line.split(":", 2)
+                if (kv(0).equalsIgnoreCase("Content-Length")) len = kv(1).trim.toInt
+                line = readLine()
+              }
+              var left = len
+              while (left > 0) {
+                val skipped = is.skip(left.toLong).toInt
+                if (skipped <= 0) { if (is.read() == -1) left = 0 else left -= 1 }
+                else left -= skipped
+              }
+              i += threads
+            }
+          } finally sock.close()
+        }, s"http-driver-$t")
+        th.setDaemon(true); th.start(); th
+      }
+      pool.foreach(_.join())
+      errors.get()
+    }
+
+    def edgeServer(spool: String) = new graft.streaming.HttpEdgeServer(
+      graft.operators.CollectorConfig.testScale, spool, flushEvery = 4096,
+      // bench harness pre-renders hostile URIs via Raw-Request-Uri
+      trustRawRequestUri = true)
+
+    if (wanted("stream_http")) {
+      // the reference's own job, end to end: live HTTP requests over
+      // loopback sockets → edge responses + envelope spool → streaming
+      // collector drain to parquet. The timed body covers drive + flush
+      // + drain, so the number reads directly as single-node ingest
+      // throughput (requests capped — the HTTP tier measures per-request
+      // cost, not corpus size).
+      val cfg = graft.operators.CollectorConfig.testScale
+      out += leg("stream_http") { renderHttpReqs() } {
+        val server = edgeServer(dir("http-spool"))
         val port = server.start()
         try {
-          val threads = 8
-          val errors = new java.util.concurrent.atomic.AtomicLong
-          val pool = (0 until threads).map { t =>
-            val th = new Thread(() => {
-              val sock = new java.net.Socket("127.0.0.1", port)
-              sock.setTcpNoDelay(true)
-              val os = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
-              val is = new java.io.BufferedInputStream(sock.getInputStream, 1 << 16)
-              def readLine(): String = {
-                val sb = new java.lang.StringBuilder
-                var c = is.read()
-                while (c != -1 && c != '\n') { if (c != '\r') sb.append(c.toChar); c = is.read() }
-                sb.toString
-              }
-              try {
-                var i = t
-                while (i < reqs.length) {
-                  os.write(reqs(i)); os.flush()
-                  val status = readLine()
-                  if (!status.startsWith("HTTP/1.1 2") && !status.startsWith("HTTP/1.1 3") &&
-                      !status.startsWith("HTTP/1.1 4")) errors.incrementAndGet()
-                  var len = 0
-                  var line = readLine()
-                  while (line.nonEmpty) {
-                    val kv = line.split(":", 2)
-                    if (kv(0).equalsIgnoreCase("Content-Length")) len = kv(1).trim.toInt
-                    line = readLine()
-                  }
-                  var left = len
-                  while (left > 0) {
-                    val skipped = is.skip(left.toLong).toInt
-                    if (skipped <= 0) { if (is.read() == -1) left = 0 else left -= 1 }
-                    else left -= skipped
-                  }
-                  i += threads
-                }
-              } finally sock.close()
-            }, s"http-driver-$t")
-            th.setDaemon(true); th.start(); th
-          }
-          pool.foreach(_.join())
-          require(errors.get() == 0L, s"${errors.get()} server errors")
+          require(driveHttp(port, threads = 8) == 0L, "server errors")
           server.flush()
           val q = graft.streaming.StreamingCollector.start(
             server.stream(spark), cfg,
@@ -337,6 +352,48 @@ object Bench {
             trigger = Trigger.AvailableNow())
           q.awaitTermination()
           require(spark.read.parquet(dir("http-good")).count() > 0)
+        } finally server.stop()
+      }
+    }
+
+    if (wanted("stream_http_c64")) {
+      // R10 edge-concurrency envelope: the SAME 50k requests over 64
+      // keep-alive connections (the reference deploys max-connections
+      // 2048 — config.kinesis.extended.hocon:339). Edge tier only, no
+      // streaming drain, so the number isolates request/response cost
+      // under contention; compare against stream_http's 8-connection
+      // drive to see whether the worker pool is the ceiling.
+      out += leg("stream_http_c64") { renderHttpReqs() } {
+        val server = edgeServer(dir("http64-spool"))
+        val port = server.start()
+        try {
+          require(driveHttp(port, threads = 64) == 0L, "server errors")
+          server.flush()
+        } finally server.stop()
+      }
+    }
+
+    if (wanted("stream_http_lake")) {
+      // R10 end-to-end anchor: live HTTP in → date-partitioned lake out,
+      // bad leg routed — the two proven halves (HttpEdgeServer.stream →
+      // StreamingCollector.startToLake) composed as one measured job.
+      val cfg = graft.operators.CollectorConfig.testScale
+      out += leg("stream_http_lake") { renderHttpReqs() } {
+        val server = edgeServer(dir("lakehttp-spool"))
+        val port = server.start()
+        try {
+          require(driveHttp(port, threads = 8) == 0L, "server errors")
+          server.flush()
+          val q = graft.streaming.StreamingCollector.startToLake(
+            server.stream(spark), cfg,
+            dir("lakehttp-good"), dir("lakehttp-bad"), dir("ckpt-lakehttp"),
+            trigger = Trigger.AvailableNow())
+          q.awaitTermination()
+          // the lake layout actually materialized: date partition dirs
+          val dirs = new java.io.File(dir("lakehttp-good")).listFiles()
+          require(dirs != null && dirs.exists(_.getName.startsWith("event_date=")),
+            "lake output is not date-partitioned")
+          require(spark.read.parquet(dir("lakehttp-good")).count() > 0)
         } finally server.stop()
       }
     }
@@ -437,6 +494,19 @@ object Bench {
     out.result()
   }
 
+  /** R10 leg hygiene: queries pin blocks (`localCheckpoint`ed postings /
+    * IVF indexes, persisted stage outputs) that outlive their leg — 157
+    * legs of accumulation squeezed the storage pool until in-suite
+    * first-pass times spiked 10-20× under memory contention (driver r9:
+    * t_pipeline2 first 101.4 s vs solo 5.28 s). Release everything
+    * between legs; each leg re-pins only its own working set, exactly as
+    * a fresh job would. Non-blocking: the removal races nothing (the
+    * next leg's RDDs are new). */
+  private def sweepBlocks(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -452,6 +522,7 @@ object Bench {
     // warm-up: JIT, codegen cache, parquet footer cache
     queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      sweepBlocks(spark)
     }
     // a query that throws is recorded as null (the errors array is the
     // failure signal), never as a (fast) timing — otherwise a broken
@@ -459,7 +530,9 @@ object Bench {
     val batchResults: Seq[(String, Option[Double])] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+      val sec = (System.nanoTime() - t0) / 1e9
+      sweepBlocks(spark) // outside the timed window
+      name -> (if (ok) Some(sec) else None)
     }
     // streaming legs after the batch pass (JVM fully warm); opt out with
     // SPARK_GRAFT_STREAM=0 for batch-only iteration
@@ -492,6 +565,7 @@ object Bench {
         if (k.startsWith("stream_"))
           streamBench(spark, sfDir, Some(Set(k))).headOption.flatMap(_._2).getOrElse(fallback)
         else {
+          sweepBlocks(spark)
           val t0 = System.nanoTime()
           SparkEntry.queries(k)(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
