@@ -389,7 +389,16 @@ object Similarity {
     * than IVF-Flat by the code compression, which is exactly why this is
     * the layout production vector stores ship. Exactness discipline
     * unchanged: every distance is the same exact-integer ADC fold, so
-    * the composition is oracle-checkable bit-for-bit. */
+    * the composition is oracle-checkable bit-for-bit.
+    *
+    * SCALE BOUND (r10, PlanLint-pinned): the candidate restriction
+    * broadcasts the PROBES relation (queries × nprobe rows) into the
+    * code-table join — correct only while queries ≪ corpus, which is
+    * the definition of a serving query set. A corpus-scale query
+    * stream (e.g. all-pairs self-join shapes) must NOT reuse this
+    * composition as-is: drop the `broadcast()` hint so the cell join
+    * becomes a keyed shuffle on `cell` — same query, both sides
+    * exchange on the cell key, no driver-sized collect anywhere. */
   def ivfPqTopK(embeddings: DataFrame, k: Int = 3, lloydIters: Int = 1,
       nprobe: Int = 2, trainSampleMod: Int = 1): DataFrame = {
     val (corpus, cents) = trained(embeddings, lloydIters, trainSampleMod)

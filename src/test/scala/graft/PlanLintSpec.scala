@@ -130,6 +130,39 @@ class PlanLintSpec extends AnyFunSuite {
       s"d_incremental re-grew a closure UDF in the probe path:\n$plan")
   }
 
+  test("ivf-pq candidate restriction broadcasts the PROBES side, never the corpus codes") {
+    // ivfPqTopK's cell join carries a broadcast() hint on the probes
+    // relation (queries × nprobe rows) — Similarity.scala documents the
+    // queries ≪ corpus bound. This pin fails if a refactor ever flips
+    // the hint onto the corpus/code side (a corpus-sized broadcast is a
+    // driver OOM at scale) or drops the restriction join entirely.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    def joins(p: SparkPlan): Seq[BroadcastHashJoinExec] = {
+      val here = p match { case b: BroadcastHashJoinExec => Seq(b); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(joins)
+    }
+    for (q <- Seq("s_ivfpq_topk", "s_ivfpq_refine")) {
+      val plan = SparkEntry.queries(q)(spark, TestSpark.Sf).queryExecution.executedPlan
+      val cellJoins = joins(plan).filter(j =>
+        (j.leftKeys ++ j.rightKeys).exists(_.toString.contains("cell")))
+      assert(cellJoins.nonEmpty, s"$q lost the IVF cell-restriction join")
+      cellJoins.foreach { j =>
+        val built = if (j.buildSide == BuildLeft) j.left else j.right
+        // the probes subtree carries the query-set filter (vec_id % 97);
+        // the corpus/code side never does
+        assert(built.toString.contains("% 97"),
+          s"$q broadcasts the corpus side of the cell join:\n$plan")
+      }
+    }
+  }
+
   test("d_docsim serves from the pinned postings table (no per-consumer corpus re-derivation)") {
     // the unpinned r8 plan re-derived the explode→tf→df pipeline for
     // every postings consumer — 16 parquet scans, 12.4 s at sf0.1; the
