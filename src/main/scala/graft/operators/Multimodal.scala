@@ -10,6 +10,10 @@ final case class MediaMeta(doc_id: Long, format: String, width: Int, height: Int
 final case class AudioMeta(doc_id: Long, container: String, channels: Int,
     sample_rate: Int, bits: Int, n_samples: Long, n_bytes: Long)
 
+/** Decoded-JPEG metadata row (SOF header probe — R10). */
+final case class JpegMeta(doc_id: Long, format: String, progressive: Boolean,
+    width: Int, height: Int, n_bytes: Long)
+
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, decode / feature-extract / frame-sample as partition-batched
   * operators.
@@ -85,7 +89,96 @@ object Multimodal {
       MediaMeta(id, "gif", rdLe16(bytes, 6), rdLe16(bytes, 8), n)
     else if (n >= 26 && bytes(0) == 'B' && bytes(1) == 'M')
       MediaMeta(id, "bmp", rdLe32(bytes, 18), rdLe32(bytes, 22), n)
+    else if (n >= 4 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte)
+      // R10: JPEG — most real crawl images. Dimensions need a segment
+      // walk to the SOF marker, not a fixed offset; a SOI with no
+      // reachable SOF (truncation, garbage tail) is still sniffed as
+      // jpeg with 0×0 dims, never a throw.
+      jpegDims(bytes) match {
+        case Some((w, h, _)) => MediaMeta(id, "jpeg", w, h, n)
+        case None => MediaMeta(id, "jpeg", 0, 0, n)
+      }
     else MediaMeta(id, "unknown", 0, 0, n)
+  }
+
+  /** R10 REAL JPEG header decode (ITU T.81 §B.2): walk the marker
+    * segments from SOI to the first start-of-frame and read the
+    * dimensions out of its fixed-layout head — `FF Cx LEN(2) PRECISION
+    * H(2,BE) W(2,BE)`. Every SOFn marker counts (C0-C3, C5-C7, C9-CB,
+    * CD-CF — C4/C8/CC are DHT/JPG/DAC, not frames); `progressive` is
+    * SOF2, the web's other common coding. Entropy decode stays declared
+    * out (SURVEY §2 multimodal: header probes real, pixel decode for
+    * formats needing a full huffman/DCT stack is out of container
+    * scope) — so the walk STOPS at SOS. Returns None on desync,
+    * truncation, or SOS/EOI before any SOF: hostile bytes can't throw. */
+  private[graft] def jpegDims(b: Array[Byte]): Option[(Int, Int, Boolean)] = {
+    if (b.length < 4 || b(0) != 0xFF.toByte || b(1) != 0xD8.toByte) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (b(i) != 0xFF.toByte) return None // lost marker sync
+      var j = i + 1
+      while (j < b.length && b(j) == 0xFF.toByte) j += 1 // fill bytes
+      if (j >= b.length) return None
+      val marker = b(j) & 0xFF
+      if (marker == 0xD9 || marker == 0xDA) return None // EOI / SOS first
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) i = j + 1 // standalone
+      else {
+        if (j + 2 >= b.length) return None
+        val len = ((b(j + 1) & 0xFF) << 8) | (b(j + 2) & 0xFF)
+        if (len < 2) return None
+        val isSof = marker >= 0xC0 && marker <= 0xCF &&
+          marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+        if (isSof) {
+          if (j + 7 >= b.length) return None
+          val h = ((b(j + 4) & 0xFF) << 8) | (b(j + 5) & 0xFF)
+          val w = ((b(j + 6) & 0xFF) << 8) | (b(j + 7) & 0xFF)
+          return Some((w, h, marker == 0xC2))
+        }
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  /** Deterministic REAL JPEG byte stream: SOI, JFIF APP0, a DQT the
+    * walker must skip over, SOF0 (baseline) or SOF2 (progressive, odd
+    * ids), an SOS head, `doc_id % 64` entropy bytes, EOI. A stock
+    * header parser (ImageIO's JPEGImageReader included — FuzzSpec
+    * cross-validates) reads the dimensions from these bytes. */
+  private[graft] def synthJpeg(docId: Long): Array[Byte] = {
+    val w = (32 + docId % 512).toInt
+    val h = (32 + (5 * docId) % 512).toInt
+    val sofMarker: Byte = if (docId % 2 == 1) 0xC2.toByte else 0xC0.toByte
+    def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte, 0x00, 0x10) ++
+      "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00)
+    val dqt = Array[Byte](0xFF.toByte, 0xDB.toByte, 0x00, 0x43, 0x00) ++
+      Array.tabulate[Byte](64)(k => (1 + k % 16).toByte)
+    val sof = Array[Byte](0xFF.toByte, sofMarker, 0x00, 0x11, 0x08) ++
+      be16(h) ++ be16(w) ++
+      Array[Byte](0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x00, 0x03, 0x11, 0x00)
+    val sos = Array[Byte](0xFF.toByte, 0xDA.toByte, 0x00, 0x0C, 0x03,
+      0x01, 0x00, 0x02, 0x00, 0x03, 0x00, 0x00, 0x3F, 0x00)
+    val entropy = Array.tabulate[Byte]((docId % 64).toInt)(k => ((k * 7 + 1) % 255).toByte)
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++ dqt ++ sof ++ sos ++
+      entropy ++ Array[Byte](0xFF.toByte, 0xD9.toByte)
+  }
+
+  /** JPEG metadata pass over the corpus: synthesize per-doc JPEG bytes,
+    * decode them back through the real segment walker. Same narrow
+    * `mapPartitions` batch shape as [[decodeMeta]]. */
+  def jpegMeta(docs: DataFrame): Dataset[JpegMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = synthJpeg(id)
+        jpegDims(bytes) match {
+          case Some((w, h, prog)) => JpegMeta(id, "jpeg", prog, w, h, bytes.length.toLong)
+          case None => JpegMeta(id, "jpeg", progressive = false, 0, 0, bytes.length.toLong)
+        }
+      })
   }
 
   /** Decode pass: `mapPartitions` so a per-partition decoder instance

@@ -363,6 +363,7 @@ object Training {
   }
 
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
+  val mJpegMeta: Q = (s, d) => Multimodal.jpegMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
   val mPixels: Q = (s, d) => Multimodal.pixelStats(docs(s, d)).toDF()
@@ -449,6 +450,7 @@ object Training {
     "s_sq_topk" -> sSqTopk,
     "s_mmr" -> ((s, d) => Similarity.mmrRerank(emb(s, d))),
     "m_decode" -> mDecode,
+    "m_jpeg_meta" -> mJpegMeta,
     "m_frames" -> mFrames,
     "m_audio" -> mAudio,
     "m_pixels" -> mPixels,

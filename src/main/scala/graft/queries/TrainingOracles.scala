@@ -1532,6 +1532,18 @@ object TrainingOracles {
         |    + doc_id % 64 AS n_bytes
         |FROM documents""".stripMargin,
 
+    // mirrors Multimodal.synthJpeg's deterministic SOF fields; the Spark
+    // side walks REAL JPEG marker segments (SOI -> APP0 -> DQT -> SOFn)
+    // to recover them. n_bytes = 124 fixed header/trailer bytes + the
+    // doc's entropy payload.
+    "m_jpeg_meta" ->
+      """SELECT doc_id, 'jpeg' AS format,
+        |  (doc_id % 2 = 1) AS progressive,
+        |  CAST(32 + doc_id % 512 AS INT) AS width,
+        |  CAST(32 + (5 * doc_id) % 512 AS INT) AS height,
+        |  124 + doc_id % 64 AS n_bytes
+        |FROM documents""".stripMargin,
+
     // mirrors Multimodal.synthAudio's deterministic header fields; the
     // Spark side PARSES them back out of real RIFF bytes (chunk walk)
     "m_audio" ->
