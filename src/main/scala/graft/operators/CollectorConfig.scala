@@ -39,6 +39,10 @@ final case class CollectorConfig(
     // answers 414 and never builds an envelope.
     maxUriLength: Int = 2048,
     serverMaxConnections: Int = 1024,
+    // pekko `parsing.max-content-length` (8m default): an over-long
+    // request BODY answers 413 and never builds an envelope — without
+    // it one hostile POST buffers unbounded heap at the edge.
+    maxContentLength: Long = 8388608L,
     cookieEnabled: Boolean = true,
     cookieName: String = "sp",
     dntEnabled: Boolean = false,
@@ -225,9 +229,12 @@ object CollectorConfig {
       else root.path("akka") // the pre-rename spelling still in the wild
     val server = actor.path("http").path("server")
     val uri = server.path("parsing").path("max-uri-length")
+    val body = server.path("parsing").path("max-content-length")
     val conns = server.path("max-connections")
     base.copy(
       maxUriLength = if (uri.isMissingNode) base.maxUriLength else sizeInt(uri),
+      maxContentLength =
+        if (body.isMissingNode) base.maxContentLength else sizeInt(body).toLong,
       serverMaxConnections =
         if (conns.isMissingNode) base.serverMaxConnections else sizeInt(conns))
   }

@@ -150,12 +150,22 @@ final class HttpEdgeServer(
   /** The HTTPS bind's port (throws unless `ssl.enable`). */
   def httpsPort: Int = httpsServerOpt.get.getAddress.getPort
 
+  /** Thrown when a request body crosses `maxContentLength` mid-read (a
+    * chunked body carries no Content-Length to pre-reject on). */
+  private final class BodyTooLarge extends RuntimeException
+
   private def readBody(ex: HttpExchange): Option[String] = {
     val in = ex.getRequestBody
     val out = new ByteArrayOutputStream()
     val chunk = new Array[Byte](8192)
     var n = in.read(chunk)
-    while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
+    while (n >= 0) {
+      out.write(chunk, 0, n)
+      // pekko `parsing.max-content-length` parity: never buffer past the
+      // cap — one hostile streamed POST must not take the edge's heap
+      if (out.size() > cfg.maxContentLength) throw new BodyTooLarge
+      n = in.read(chunk)
+    }
     val s = out.toString(StandardCharsets.UTF_8)
     if (s.isEmpty) None else Some(s)
   }
@@ -220,7 +230,28 @@ final class HttpEdgeServer(
         metrics.record(ex.getRequestMethod.toUpperCase, 414, System.nanoTime() - t0)
         return
       }
-      val req = buildRequest(ex)
+      // declared Content-Length past the cap: reject before reading a byte
+      val declaredLen =
+        Option(ex.getRequestHeaders.getFirst("Content-Length")).flatMap(_.toLongOption)
+      if (declaredLen.exists(_ > cfg.maxContentLength)) {
+        val msg = "413 Payload Too Large".getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(413, msg.length.toLong)
+        ex.getResponseBody.write(msg)
+        ex.close()
+        metrics.record(ex.getRequestMethod.toUpperCase, 413, System.nanoTime() - t0)
+        return
+      }
+      val req =
+        try buildRequest(ex)
+        catch {
+          case _: BodyTooLarge =>
+            val msg = "413 Payload Too Large".getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(413, msg.length.toLong)
+            ex.getResponseBody.write(msg)
+            ex.close()
+            metrics.record(ex.getRequestMethod.toUpperCase, 413, System.nanoTime() - t0)
+            return
+        }
       val forwardedProto =
         Option(ex.getRequestHeaders.getFirst("X-Forwarded-Proto")).map(_.toLowerCase)
       val resp =

@@ -292,9 +292,12 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.interface === "10.0.0.5" && cfg.port === 9090)
     assert(cfg.ssl === graft.operators.SslSettings(enable = true, redirect = true, port = 8443))
     assert(cfg.maxUriLength === 16384 && cfg.serverMaxConnections === 512)
+    assert(CollectorConfig.fromHocon(
+      "akka.http.server.parsing { max-content-length = 2m }").maxContentLength === 2097152L)
     // absent blocks keep the pekko defaults
     val d = CollectorConfig.fromHocon("collector { appName = x }")
     assert(d.maxUriLength === 2048 && d.serverMaxConnections === 1024)
+    assert(d.maxContentLength === 8388608L) // pekko max-content-length default
     assert(d.interface === "0.0.0.0" && d.port === 8080 && !d.ssl.enable)
   }
 

@@ -318,6 +318,24 @@ class HttpEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("live: over-long request bodies answer 413 and never spool (pekko max-content-length parity)") {
+    withServer(testScale.copy(maxContentLength = 1024L)) { (server, port, spool) =>
+      // declared Content-Length past the cap: rejected before the read
+      val (s413, _, b413) = rawHttp(port, "POST", "/com.snowplowanalytics.snowplow/tp2",
+        headers = Seq("Content-Type" -> "application/json"),
+        body = Some("{\"pad\":\"" + "x" * 2000 + "\"}"))
+      assert((s413, new String(b413, "UTF-8")) === ((413, "413 Payload Too Large")))
+      // at the boundary: accepted
+      val (sOk, _, _) = rawHttp(port, "POST", "/com.snowplowanalytics.snowplow/tp2",
+        headers = Seq("Content-Type" -> "application/json"),
+        body = Some("{\"pad\":\"" + "x" * 500 + "\"}"))
+      assert(sOk === 200)
+      server.flush()
+      val spooled = spark.read.schema(HttpEdge.envelopeSchema).json(spool)
+      assert(spooled.count() === 1L) // only the small body produced an envelope
+    }
+  }
+
   // ---- TLS (reference Collector.scala:105-191, model.scala:212-216) ----
 
   /** Throwaway PKCS12 keystore via the JDK's own keytool; returns
