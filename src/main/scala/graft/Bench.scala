@@ -135,6 +135,7 @@ object Bench {
     "m_audio_stats" -> 0.3, // r9: PCM sample decode
     "m_video_frames" -> 0.5, // r9: AVI nested-RIFF walk + frame sampling
 
+    "m_jpeg_meta" -> 0.3, // r10: JPEG SOF segment walk; measured 0.11 s
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,
     "m_dhash_nn" -> 1.6,
