@@ -136,6 +136,8 @@ object Bench {
     "m_video_frames" -> 0.5, // r9: AVI nested-RIFF walk + frame sampling
 
     "m_jpeg_meta" -> 0.3, // r10: JPEG SOF segment walk; measured 0.11 s
+    "t_url_norm" -> 0.6, // r10: URL canonicalization projection; measured 0.26 s
+    "d_url_dups" -> 1.0, // r10: canonical-key dup groups; measured 0.54 s
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,
     "m_dhash_nn" -> 1.6,

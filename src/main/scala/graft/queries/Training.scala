@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps}
+import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UrlOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -362,6 +362,11 @@ object Training {
           cf("c4_keep") && cf("clf_keep")).as("keep"))
   }
 
+  /** R10: URL canonicalization (crawl-pipeline normal form) and the
+    * URL-keyed dup groups content dedup runs after. */
+  val tUrlNorm: Q = (s, d) => UrlOps.urlNormalize(docs(s, d))
+  val dUrlDups: Q = (s, d) => UrlOps.urlDups(docs(s, d))
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mJpegMeta: Q = (s, d) => Multimodal.jpegMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
@@ -426,6 +431,8 @@ object Training {
     "t_chunk" -> tChunk,
     "t_lm_tiers" -> tLmTiers,
     "t_winnow" -> tWinnow,
+    "t_url_norm" -> tUrlNorm,
+    "d_url_dups" -> dUrlDups,
     "t_rep_stats" -> tRepStats,
     "t_entropy" -> tEntropy,
     "d_docsim" -> dDocsim,

@@ -1108,6 +1108,44 @@ object TrainingOracles {
 
     // winnowing mirror: same 4-gram md5s, same composite-string windowed
     // argmin (hash || reversed zero-padded position ⇒ min hash, max pos)
+    // r10 URL canonicalization: the oracle rebuilds BOTH the dressed URL
+    // (mirror of UrlOps.synthUrl's column arithmetic) and the canonical
+    // form analytically; the Spark side genuinely PARSES the dressed
+    // string back (regexp scheme/host/port/path/qs splits, tracking-param
+    // filter, bytewise param sort).
+    "t_url_norm" ->
+      """WITH u AS (
+        |  SELECT doc_id, doc_id % 250 AS g,
+        |    CASE WHEN doc_id % 4 = 1 THEN 'HTTPS'
+        |         WHEN doc_id % 4 = 3 THEN 'Https' ELSE 'https' END ||
+        |    '://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'www.'
+        |         WHEN doc_id % 9 = 1 THEN 'WWW.' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'Site' ELSE 'site' END ||
+        |      (doc_id % 250) || '.example.com' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+        |    '/a' || ((doc_id % 250) % 10) || '/p' || (doc_id % 250) || '?' ||
+        |    CASE WHEN doc_id % 2 = 1 THEN 'ref=home&id=' || (doc_id % 250)
+        |         ELSE 'id=' || (doc_id % 250) || '&ref=home' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN '&utm_source=feed' || (doc_id % 3) ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN '&fbclid=f' || doc_id ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0 THEN '#sec' || (doc_id % 4) ELSE '' END AS url
+        |  FROM documents
+        |)
+        |SELECT doc_id, url,
+        |  'https://site' || g || '.example.com/a' || (g % 10) || '/p' || g ||
+        |    '?id=' || g || '&ref=home' AS canonical_url
+        |FROM u""".stripMargin,
+
+    "d_url_dups" ->
+      """SELECT
+        |  'https://site' || (doc_id % 250) || '.example.com/a' ||
+        |    ((doc_id % 250) % 10) || '/p' || (doc_id % 250) ||
+        |    '?id=' || (doc_id % 250) || '&ref=home' AS canonical_url,
+        |  count(*) AS n_dups, min(doc_id) AS keep_doc
+        |FROM documents
+        |GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
     "t_winnow" ->
       s"""$TokCte,
          |kg AS (SELECT doc_id, i AS kpos,

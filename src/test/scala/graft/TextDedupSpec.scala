@@ -11,6 +11,41 @@ class TextDedupSpec extends AnyFunSuite {
   private def docsOf(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("URL canonicalization: goldens for every normal-form rule, hostile inputs degrade") {
+    import graft.operators.UrlOps
+    import spark.implicits._
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("url").select(UrlOps.canonicalize(col("url")).as("c"))
+        .as[String].collect().toSeq
+    // each rule in isolation, reference-style goldens
+    assert(canon("HTTPS://WWW.Example.COM/Path?b=2&a=1") ===
+      Seq("https://example.com/Path?a=1&b=2")) // scheme/host case, www, sort; path case KEPT
+    assert(canon("https://site.io:443/x", "http://site.io:80/x", "https://site.io:8443/x") ===
+      Seq("https://site.io/x", "http://site.io/x", "https://site.io:8443/x"))
+    assert(canon("https://h/p?utm_source=a&id=1&fbclid=z&gclid=g&ref=r") ===
+      Seq("https://h/p?id=1&ref=r")) // tracking params dropped
+    assert(canon("https://h/p?id=1#frag", "https://h/p#frag", "https://h") ===
+      Seq("https://h/p?id=1", "https://h/p", "https://h/")) // fragment dropped, empty path -> /
+    assert(canon("https://h/p?") === Seq("https://h/p")) // bare ? drops
+    // hostile shapes: no scheme, garbage, empties — per-component
+    // degradation, never a throw
+    assert(canon("", "notaurl", "://x", "https://", "https://:443/p?&&=") ===
+      Seq(":///", ":///", ":///", "https:///", "https:///p?="))
+    // URL-dup grouping over the synthesized corpus: every group is >= 2
+    // docs sharing one canonical id, and the kept doc is the minimum
+    val docs = graft.Tables.documents(spark, TestSpark.Sf)
+    val dups = UrlOps.urlDups(docs).collect()
+    assert(dups.nonEmpty)
+    val norm = UrlOps.urlNormalize(docs)
+      .select("doc_id", "canonical_url").as[(Long, String)].collect()
+    val byCanon = norm.groupBy(_._2)
+    dups.foreach { r =>
+      val grp = byCanon(r.getAs[String]("canonical_url")).map(_._1)
+      assert(grp.length === r.getAs[Long]("n_dups"))
+      assert(grp.min === r.getAs[Long]("keep_doc"))
+    }
+  }
+
   test("tokenize normalizes case, punctuation, whitespace") {
     val out = docsOf((1L, "Hello,  World! 42"))
       .select(TextOps.tokens(col("text")).as("t")).as[Seq[String]].head()
