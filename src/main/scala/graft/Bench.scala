@@ -138,6 +138,8 @@ object Bench {
     "m_jpeg_meta" -> 0.3, // r10: JPEG SOF segment walk; measured 0.11 s
     "t_url_norm" -> 0.6, // r10: URL canonicalization projection; measured 0.26 s
     "d_url_dups" -> 1.0, // r10: canonical-key dup groups; measured 0.54 s
+    "t_warc_records" -> 0.9, // r10: WARC container round-trip; measured 0.42 s
+    "t_warc_gzip" -> 1.1, // r10: + gzip member deflate/inflate; measured 0.53 s
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,
     "m_dhash_nn" -> 1.6,

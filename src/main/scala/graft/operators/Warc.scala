@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+/** One parsed WARC record: identity from `WARC-Record-ID`, the target
+  * URI, the declared payload length, and an md5 over the payload bytes
+  * (proves the payload round-trips bit-exactly through the container —
+  * and through gzip members on the compressed path). */
+final case class WarcRecord(
+    doc_id: Long, warc_type: String, target_uri: String,
+    content_length: Long, payload_md5: String)
+
+/** WARC (ISO 28500) record plumbing — the container crawl corpora
+  * actually ship in (Common Crawl's WARC/WET files are the canonical
+  * LLM-pretraining input). Same discipline as the other multimodal
+  * codecs ([[Multimodal]]): REAL container bytes synthesized
+  * deterministically, then genuinely parsed back — version line, header
+  * block, `Content-Length`-delimited payload, record separator — with
+  * the gzip path reading the per-record-member layout `.warc.gz` files
+  * use (each record an independent gzip member, members concatenated).
+  *
+  * Scale shape: records are self-contained, so parsing is a narrow
+  * `mapPartitions` over byte streams — embarrassingly parallel, no
+  * shuffle; at 100 TB each task walks its own file split exactly like
+  * the production WARC readers. The parser is tolerant: garbage between
+  * records is skipped by scanning to the next `WARC/1.0` magic,
+  * truncation yields the records completed so far — one corrupt crawl
+  * file must never kill the job.
+  */
+object Warc {
+
+  private val Crlf = "\r\n"
+
+  /** Deterministic REAL WARC record for a document: response-type header
+    * block + the document text as the payload. A stock WARC reader
+    * (warcio et al.) parses these bytes. */
+  private[graft] def synthRecord(docId: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes(StandardCharsets.UTF_8)
+    val head =
+      "WARC/1.0" + Crlf +
+        "WARC-Type: response" + Crlf +
+        s"WARC-Record-ID: <urn:graft:$docId>" + Crlf +
+        "WARC-Date: 2026-01-01T00:00:00Z" + Crlf +
+        s"WARC-Target-URI: https://site${docId % 250}.example.com/p$docId" + Crlf +
+        "Content-Type: text/plain" + Crlf +
+        s"Content-Length: ${payload.length}" + Crlf +
+        Crlf
+    head.getBytes(StandardCharsets.UTF_8) ++ payload ++
+      (Crlf + Crlf).getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** One gzip MEMBER per record — the `.warc.gz` layout (members
+    * concatenated; readers inflate member-by-member). */
+  private[graft] def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(record); gz.close()
+    out.toByteArray
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  /** Parse a (possibly hostile) stream of concatenated WARC records.
+    * Malformed stretches are skipped by scanning to the next record
+    * magic; a record whose payload is truncated is dropped. Never
+    * throws. */
+  private[graft] def parseStream(bytes: Array[Byte]): Iterator[WarcRecord] = {
+    val magic = "WARC/1.0\r\n".getBytes(StandardCharsets.UTF_8)
+    def findMagic(from: Int): Int = {
+      var i = math.max(0, from)
+      while (i + magic.length <= bytes.length) {
+        var j = 0
+        while (j < magic.length && bytes(i + j) == magic(j)) j += 1
+        if (j == magic.length) return i
+        i += 1
+      }
+      -1
+    }
+    new Iterator[WarcRecord] {
+      private var pos = findMagic(0)
+      private var nextRec: WarcRecord = _
+      advance()
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null && pos >= 0) {
+          parseOneIn(bytes, pos) match {
+            case Some((rec, end)) => nextRec = rec; pos = findMagic(end)
+            case None => pos = findMagic(pos + 1)
+          }
+        }
+      }
+      def hasNext: Boolean = nextRec != null
+      def next(): WarcRecord = { val r = nextRec; advance(); r }
+    }
+  }
+
+  /** One record at `start` (which points at the magic): Some(record,
+    * endOffset) or None when the header block / payload is malformed or
+    * truncated. */
+  private def parseOneIn(bytes: Array[Byte], start: Int): Option[(WarcRecord, Int)] = {
+    // header block ends at the first blank line
+    var i = start
+    def lineEnd(from: Int): Int = {
+      var k = from
+      while (k + 1 < bytes.length && !(bytes(k) == '\r' && bytes(k + 1) == '\n')) k += 1
+      if (k + 1 < bytes.length) k else -1
+    }
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    var firstLine = true
+    var done = false
+    while (!done) {
+      val e = lineEnd(i)
+      if (e < 0) return None // truncated header block
+      val line = new String(bytes, i, e - i, StandardCharsets.UTF_8)
+      i = e + 2
+      if (line.isEmpty) done = true
+      else if (firstLine) {
+        if (line != "WARC/1.0") return None
+        firstLine = false
+      } else {
+        val kv = line.split(":", 2)
+        if (kv.length == 2) headers(kv(0).trim.toLowerCase) = kv(1).trim
+      }
+    }
+    for {
+      lenStr <- headers.get("content-length")
+      len <- lenStr.toLongOption
+      if len >= 0 && i + len <= bytes.length
+      idStr <- headers.get("warc-record-id")
+      id <- "<urn:graft:([0-9]+)>".r.findFirstMatchIn(idStr).map(_.group(1).toLong)
+    } yield {
+      val payload = java.util.Arrays.copyOfRange(bytes, i, (i + len).toInt)
+      (WarcRecord(
+        doc_id = id,
+        warc_type = headers.getOrElse("warc-type", ""),
+        target_uri = headers.getOrElse("warc-target-uri", ""),
+        content_length = len,
+        payload_md5 = md5hex(payload)),
+        (i + len).toInt + 4) // skip the \r\n\r\n record separator
+    }
+  }
+
+  /** Inflate a stream of concatenated gzip members back to the plain
+    * record stream (GZIPInputStream reads multi-member streams natively;
+    * trailing garbage after the last member is dropped, matching the
+    * tolerant-parse discipline). */
+  private[graft] def gunzipMembers(bytes: Array[Byte]): Array[Byte] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 1 << 16)
+      val out = new ByteArrayOutputStream()
+      val chunk = new Array[Byte](1 << 16)
+      var n = in.read(chunk)
+      while (n >= 0) { out.write(chunk, 0, n); n = in.read(chunk) }
+      out.toByteArray
+    } catch {
+      case _: java.io.IOException => Array.emptyByteArray
+    }
+
+  private def parsed(docs: DataFrame, gzip: Boolean): Dataset[WarcRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        // one concatenated stream per partition — exactly the shape of a
+        // WARC file split — then the REAL parse back
+        val out = new ByteArrayOutputStream()
+        it.foreach { case (id, text) =>
+          val rec = synthRecord(id, text)
+          out.write(if (gzip) gzipMember(rec) else rec)
+        }
+        val stream = out.toByteArray
+        parseStream(if (gzip) gunzipMembers(stream) else stream)
+      }
+  }
+
+  /** Plain WARC stream → parsed records (one row per document). */
+  def warcRecords(docs: DataFrame): DataFrame = parsed(docs, gzip = false).toDF()
+
+  /** `.warc.gz` member-per-record stream → parsed records; output is
+    * bit-identical to [[warcRecords]] (same oracle) — which is the
+    * point: compression is transport, not semantics. */
+  def warcRecordsGzip(docs: DataFrame): DataFrame = parsed(docs, gzip = true).toDF()
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UrlOps}
+import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UrlOps, Warc}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -362,6 +362,11 @@ object Training {
           cf("c4_keep") && cf("clf_keep")).as("keep"))
   }
 
+  /** R10: WARC container round-trip — plain and .warc.gz member-per-
+    * record streams parsed back by the real record walker. */
+  val tWarcRecords: Q = (s, d) => Warc.warcRecords(docs(s, d))
+  val tWarcGzip: Q = (s, d) => Warc.warcRecordsGzip(docs(s, d))
+
   /** R10: URL canonicalization (crawl-pipeline normal form) and the
     * URL-keyed dup groups content dedup runs after. */
   val tUrlNorm: Q = (s, d) => UrlOps.urlNormalize(docs(s, d))
@@ -431,6 +436,8 @@ object Training {
     "t_chunk" -> tChunk,
     "t_lm_tiers" -> tLmTiers,
     "t_winnow" -> tWinnow,
+    "t_warc_records" -> tWarcRecords,
+    "t_warc_gzip" -> tWarcGzip,
     "t_url_norm" -> tUrlNorm,
     "d_url_dups" -> dUrlDups,
     "t_rep_stats" -> tRepStats,

@@ -1108,6 +1108,27 @@ object TrainingOracles {
 
     // winnowing mirror: same 4-gram md5s, same composite-string windowed
     // argmin (hash || reversed zero-padded position ⇒ min hash, max pos)
+    // r10 WARC: the oracle states the per-doc record fields analytically
+    // (strlen = payload UTF-8 bytes; md5 over the same bytes); the Spark
+    // side writes REAL WARC bytes and parses them back — and the gzip
+    // variant must produce the IDENTICAL relation after inflating the
+    // member stream, so both share this SQL.
+    "t_warc_records" ->
+      """WITH w AS (SELECT doc_id, text FROM documents)
+        |SELECT doc_id, 'response' AS warc_type,
+        |  'https://site' || (doc_id % 250) || '.example.com/p' || doc_id AS target_uri,
+        |  CAST(strlen(text) AS BIGINT) AS content_length,
+        |  md5(text) AS payload_md5
+        |FROM w""".stripMargin,
+
+    "t_warc_gzip" ->
+      """WITH w AS (SELECT doc_id, text FROM documents)
+        |SELECT doc_id, 'response' AS warc_type,
+        |  'https://site' || (doc_id % 250) || '.example.com/p' || doc_id AS target_uri,
+        |  CAST(strlen(text) AS BIGINT) AS content_length,
+        |  md5(text) AS payload_md5
+        |FROM w""".stripMargin,
+
     // r10 URL canonicalization: the oracle rebuilds BOTH the dressed URL
     // (mirror of UrlOps.synthUrl's column arithmetic) and the canonical
     // form analytically; the Spark side genuinely PARSES the dressed
