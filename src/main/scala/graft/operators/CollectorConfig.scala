@@ -473,6 +473,11 @@ object CollectorConfig {
     * only good/split occur). */
   val wireRouteScale: CollectorConfig = testScale.copy(maxBytes = 700)
 
+  /** testScale with both experimental bridges enabled (S5/P10-P13 live
+    * dispatch + the bridge-JSON response surface, r10). */
+  val bridgesScale: CollectorConfig = testScale.copy(
+    analyticsJsBridgeEnabled = true, amplitudeBridgeEnabled = true)
+
   /** testScale with cookie domain resolution on (P8/P9 query surface). */
   val cookieScale: CollectorConfig = testScale.copy(
     cookieDomains = Seq("allowed.example.com", "partner.io"),

@@ -410,8 +410,14 @@ object CollectorPipeline {
   }
 
   /** Response-kind projection (SURVEY §7.4 hard part 2: per-request
-    * response semantics as columns, served by an out-of-scope HTTP tier).
-    * DNT suppression changes sinking, not the response. */
+    * response semantics as columns, served by `streaming/HttpEdge` —
+    * column-parity-pinned). DNT suppression changes sinking, not the
+    * response. R10: method- and gate-aware like the reference route
+    * table — bridge JSON only for POSTs on an ENABLED bridge
+    * (`CollectorService.scala:356-367`; segment letters + amplitude
+    * httpapi/batch shapes exact), an unknown segment event letter
+    * answers 400, GET/HEAD vendor routes are pixel-expected (GIF),
+    * POST vendor routes answer "ok". */
   def responses(env: DataFrame, cfg: CollectorConfig): DataFrame = {
     val uEnc = qp(col("querystring"), "u")
     val target = expr("try_url_decode(u_enc)")
@@ -425,6 +431,15 @@ object CollectorPipeline {
     val allowed = cfg.redirectDomains
       .map(d => hostOrNull === d || hostOrNull.endsWith("." + d))
       .reduce(_ || _)
+    val segKnown =
+      col("path").rlike("^/com\\.segment/v1/(i|t|p|s|g|a)$") &&
+        lit(cfg.analyticsJsBridgeEnabled)
+    val segUnknown =
+      col("path").rlike("^/com\\.segment/v1/[^/]+$") &&
+        lit(cfg.analyticsJsBridgeEnabled) && !segKnown
+    val amp =
+      col("path").rlike("^/com\\.amplitude/2/(httpapi|batch)$") &&
+        lit(cfg.amplitudeBridgeEnabled)
     env
       .withColumn("u_enc", uEnc)
       .withColumn("target", target)
@@ -434,7 +449,9 @@ object CollectorPipeline {
           .when(isRedirect && !lit(cfg.enableDefaultRedirect), lit("404"))
           .when(isRedirect && col("target").isNotNull && allowed, lit("302"))
           .when(isRedirect, lit("400"))
-          .when(isAmplitude || isSegment, lit("json"))
+          .when((segKnown || amp) && col("method") === "POST", lit("json"))
+          .when(segUnknown, lit("400"))
+          .when(col("method").isin("GET", "HEAD"), lit("gif"))
           .otherwise(lit("ok")).as("response_kind"))
   }
 }

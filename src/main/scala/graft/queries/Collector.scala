@@ -80,6 +80,11 @@ object Collector {
   /** Response-kind projection (pixel GIF / 302 / 400 / bridge json / ok). */
   val cResponse: Q = (s, d) => CollectorPipeline.responses(env(s, d), cfg)
 
+  /** R10: response kinds under ENABLED bridges — the POST bridge rows
+    * answer the reference's jsonResponse. */
+  val cResponseBridge: Q = (s, d) =>
+    CollectorPipeline.responses(env(s, d), CollectorConfig.bridgesScale)
+
   /** F2: bounce decisions under a bounce-enabled config. */
   val cBounce: Q = (s, d) =>
     CollectorPipeline.bounces(env(s, d), CollectorConfig.bounceScale)
@@ -153,6 +158,7 @@ object Collector {
     "c_cors" -> cCors,
     "c_set_cookie" -> cSetCookie,
     "c_response" -> cResponse,
+    "c_response_bridge" -> cResponseBridge,
     "c_bounce" -> cBounce,
     "c_bounce_nuid" -> cBounceNuid,
     "c_partition_counts" -> cPartitionCounts,

@@ -485,6 +485,25 @@ object CollectorOracles {
          |  CASE WHEN path IN ('/i', '/ice.png') THEN 'gif'
          |       WHEN m = 16 AND NOT qs_bad AND has_qs AND user_id % 10 <> 0 THEN '302'
          |       WHEN m = 16 THEN '400'
+         |       -- r10 method/gate-aware: the m=19 bridge rows are POSTs
+         |       -- and testScale ships both bridges DISABLED, so they
+         |       -- answer the plain vendor-route 'ok' (reference: a
+         |       -- disabled bridge's 3-segment path falls through); the
+         |       -- only GET/HEAD fixture rows are the pixel/redirect arms
+         |       -- already matched above
+         |       ELSE 'ok' END AS response_kind
+         |FROM env2""".stripMargin,
+
+    // r10: same projection under CollectorConfig.bridgesScale
+    "c_response_bridge" ->
+      s"""$Env
+         |SELECT event_id,
+         |  CASE WHEN path IN ('/i', '/ice.png') THEN 'gif'
+         |       WHEN m = 16 AND NOT qs_bad AND has_qs AND user_id % 10 <> 0 THEN '302'
+         |       WHEN m = 16 THEN '400'
+         |       -- bridges ENABLED: the m=19 POSTs hit the exact bridge
+         |       -- shapes (/com.amplitude/2/httpapi, /com.segment/v1/t)
+         |       -- and answer the reference jsonResponse
          |       WHEN m = 19 THEN 'json'
          |       ELSE 'ok' END AS response_kind
          |FROM env2""".stripMargin,

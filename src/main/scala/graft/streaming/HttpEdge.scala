@@ -229,8 +229,28 @@ object HttpEdge {
 
   def isPixel(path: String): Boolean = path == "/i" || path == "/ice.png"
   def isRedirect(path: String): Boolean = path.startsWith("/r/")
-  private def isAmplitude(path: String) = path.startsWith("/com.amplitude/")
-  private def isSegment(path: String) = path.startsWith("/com.segment/")
+
+  private val SegLetters = Set("i", "t", "p", "s", "g", "a")
+
+  /** R10 config-gated bridge dispatch, the reference's bridgeMap + inner
+    * routes exactly (`CollectorRoute.scala:80-90`;
+    * `AnalyticsJsBridge.scala:28-42`: `com.segment/v1/<letter>` with the
+    * six event letters, unknown letter → 400;
+    * `AmplitudeBridge.scala:114-116`: `com.amplitude/2/{httpapi,batch}`).
+    * A DISABLED bridge's paths fall through to the two-segment
+    * collector route — which a three-segment path never matches, so
+    * they 404 like the reference. */
+  def bridgeArm(req: EdgeRequest, cfg: CollectorConfig): Option[String] = {
+    val segs = req.path.split("/").filter(_.nonEmpty)
+    if (segs.length != 3) None
+    else (segs(0), segs(1)) match {
+      case ("com.segment", "v1") if cfg.analyticsJsBridgeEnabled =>
+        Some(if (SegLetters(segs(2))) "segment" else "segment-bad")
+      case ("com.amplitude", "2") if cfg.amplitudeBridgeEnabled &&
+          (segs(2) == "httpapi" || segs(2) == "batch") => Some("amplitude")
+      case _ => None
+    }
+  }
 
   /** The reference's `pixelExpected` route flag (`CollectorRoute.scala:
     * 115-152`): pixel paths and GET/HEAD vendor/version routes serve the
@@ -258,15 +278,24 @@ object HttpEdge {
     }
   }
 
-  /** Response-kind mirror of `responses` (same CASE order). */
+  /** Response-kind mirror of `responses` (same CASE order). R10: method-
+    * and gate-aware like the reference route table — bridge JSON only
+    * for a POST on an ENABLED bridge (`CollectorService.scala:356-367`:
+    * jsonResponse only when a bridge event rode in), GET/HEAD vendor
+    * routes are pixel-expected (`CollectorRoute.scala:115-130` serves
+    * the GIF), POST vendor routes answer "ok". */
   def responseKind(req: EdgeRequest, cfg: CollectorConfig): String = {
     val p = req.path
+    val bridge = bridgeArm(req, cfg)
     if (isPixel(p)) "gif"
     else if (isRedirect(p) && !cfg.enableDefaultRedirect) "404"
     else if (isRedirect(p)) {
       val (target, allowed, _) = redirect(req, cfg)
       if (target.isDefined && allowed) "302" else "400"
-    } else if (isAmplitude(p) || isSegment(p)) "json"
+    } else if (bridge.exists(a => a == "segment" || a == "amplitude") &&
+        req.method == "POST") "json"
+    else if (bridge.contains("segment-bad")) "400"
+    else if (req.method == "GET" || req.method == "HEAD") "gif"
     else "ok"
   }
 
@@ -307,7 +336,12 @@ object HttpEdge {
           "Access-Control-Allow-Headers" -> "Content-Type, SP-Anonymous",
           "Access-Control-Max-Age" -> (cfg.corsMaxAgeMs / 1000).toString),
         Array.emptyByteArray)
-    } else if (!methodAllowed(req)) {
+    } else if (bridgeArm(req, cfg).contains("segment-bad")) {
+      // reference segment bridge: unknown event letter answers 400 for
+      // any method (`AnalyticsJsBridge.scala:81`: the else-arm completes
+      // BadRequest outside the post directive)
+      EdgeResponse(400, Nil, Array.emptyByteArray)
+    } else if (!methodAllowed(req, cfg)) {
       // the reference's route table is method-gated (`CollectorRoute.scala:
       // 95-152`: vendor/version = post|get|head, pixels = get|head, ops =
       // get); anything unmatched falls to the 404 fallback — a PUT to /i
@@ -327,7 +361,7 @@ object HttpEdge {
         val (s, b) = OpsEndpoints.robots; EdgeResponse(s, Nil, utf8(b))
       case "/" =>
         val (s, b) = OpsEndpoints.rootResponse(cfg); EdgeResponse(s, Nil, utf8(b))
-      case _ if isTracking(req) =>
+      case _ if isTracking(req) || bridgeArm(req, cfg).isDefined =>
         respondTracking(req, cfg)
       case _ =>
         EdgeResponse(404, Nil, utf8("404 not found"))
@@ -347,21 +381,26 @@ object HttpEdge {
 
   /** R10 method gate, mirroring the reference's route-table directives
     * (`CollectorRoute.scala:95-152`): pixel paths accept GET|HEAD only,
-    * vendor/version paths POST|GET|HEAD, ops endpoints GET (HEAD allowed —
+    * vendor/version paths POST|GET|HEAD, enabled-bridge paths POST only
+    * (their routes are `post { ... }`), ops endpoints GET (HEAD allowed —
     * pekko's transparent-head regime); everything else 404s. OPTIONS is
     * handled before this gate (the global corsRoute). */
-  def methodAllowed(req: EdgeRequest): Boolean =
+  def methodAllowed(req: EdgeRequest, cfg: CollectorConfig): Boolean =
     if (isPixel(req.path)) req.method == "GET" || req.method == "HEAD"
     else if (isTracking(req))
       req.method == "GET" || req.method == "HEAD" || req.method == "POST"
+    else if (bridgeArm(req, cfg).isDefined) req.method == "POST"
     else req.method == "GET" || req.method == "HEAD"
 
   /** Should this exchange append a spool envelope? The route table's event
-    * arm: a tracking-shaped path under an event-producing method. An
-    * OPTIONS preflight (or PUT/DELETE/garbage) to `/i` is answered but
-    * never recorded — preflight traffic must not inflate the good stream. */
-  def producesEnvelope(req: EdgeRequest): Boolean =
-    isTracking(req) && methodAllowed(req)
+    * arm: a tracking-shaped path — or an enabled bridge path — under an
+    * event-producing method. An OPTIONS preflight (or PUT/DELETE/garbage)
+    * to `/i` is answered but never recorded — preflight traffic must not
+    * inflate the good stream. */
+  def producesEnvelope(req: EdgeRequest, cfg: CollectorConfig): Boolean =
+    (isTracking(req) && methodAllowed(req, cfg)) ||
+      (bridgeArm(req, cfg).exists(a => a == "segment" || a == "amplitude") &&
+        req.method == "POST")
 
   private def respondTracking(req: EdgeRequest, cfg: CollectorConfig): EdgeResponse = {
     val p = req.path

@@ -277,7 +277,7 @@ final class HttpEdgeServer(
           val r = HttpEdge.respond(req, cfg, h, sh)
           // method-gated (r10): an OPTIONS preflight or PUT/DELETE to a
           // tracking-shaped path is answered but never spooled
-          if (HttpEdge.producesEnvelope(req)) append(HttpEdge.envelopeJson(req, cfg))
+          if (HttpEdge.producesEnvelope(req, cfg)) append(HttpEdge.envelopeJson(req, cfg))
           r
         }
       resp.headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }

@@ -462,6 +462,45 @@ class HttpEdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("live: enabled bridges dispatch like the reference (POST json, GET 404, unknown letter 400)") {
+    val cfg = CollectorConfig.bridgesScale
+    withServer(cfg) { (server, port, spool) =>
+      // POST to the segment bridge: the reference jsonResponse + envelope
+      val (s1, h1, b1) = rawHttp(port, "POST", "/com.segment/v1/t",
+        headers = Seq("Content-Type" -> "application/json"),
+        body = Some("""{"type":"track","userId":"u1"}"""))
+      assert(s1 === 200)
+      assert(h1("content-type").head === "application/json")
+      assert(new String(b1, "UTF-8") === """{"success":true}""")
+      // POST to the amplitude bridge: same json contract
+      val (s2, _, b2) = rawHttp(port, "POST", "/com.amplitude/2/httpapi",
+        headers = Seq("Content-Type" -> "application/json"),
+        body = Some("""{"api_key":"k","events":[]}"""))
+      assert(s2 === 200 && new String(b2, "UTF-8") === """{"success":true}""")
+      // GET on a bridge path: the bridge route is post-only and the
+      // 3-segment path never matches the vendor/version route -> 404
+      val (s3, _, _) = rawHttp(port, "GET", "/com.segment/v1/t")
+      assert(s3 === 404)
+      // unknown segment event letter answers 400 (reference else-arm)
+      val (s4, _, _) = rawHttp(port, "POST", "/com.segment/v1/x",
+        headers = Seq("Content-Type" -> "application/json"), body = Some("{}"))
+      assert(s4 === 400)
+      server.flush()
+      val spooled = spark.read.schema(HttpEdge.envelopeSchema).json(spool)
+      assert(spooled.count() === 2L) // only the two bridge POSTs
+      // DISABLED bridges: the same 3-segment POST falls through to 404
+      // and never spools (reference: empty bridgeMap + 2-segment-only
+      // collector route)
+      withServer(testScale) { (server2, port2, spool2) =>
+        val (sd, _, _) = rawHttp(port2, "POST", "/com.segment/v1/t",
+          headers = Seq("Content-Type" -> "application/json"), body = Some("{}"))
+        assert(sd === 404)
+        server2.flush()
+        assert(!Files.list(java.nio.file.Paths.get(spool2)).findFirst().isPresent)
+      }
+    }
+  }
+
   test("live: hostile requests answer without killing the edge and still spool") {
     withServer(testScale) { (server, port, spool) =>
       // the JDK request-line parser 400s malformed escapes itself; the
