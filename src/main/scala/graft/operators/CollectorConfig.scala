@@ -55,6 +55,14 @@ final case class CollectorConfig(
     bounceEnabled: Boolean = false,
     bounceParamName: String = "n",
     bounceFallbackNuid: String = "00000000-0000-4000-A000-000000000000",
+    // R10: `cookieBounce.forwardedProtocolHeader` (reference
+    // `model.scala:77`, `CollectorService.scala:444-455`): when set, a
+    // valid http/https value in that request header makes the bounce
+    // Location ABSOLUTE on that scheme (LB-terminated TLS keeps the
+    // client on https through the bounce hop). Unset/invalid → the
+    // relative Location (equivalent to the reference's keep-request-
+    // scheme fallback per RFC 7231 Location resolution).
+    bounceForwardedProtocolHeader: Option[String] = None,
     redirectMacroEnabled: Boolean = false,
     redirectMacroPlaceholder: Option[String] = None,
     corsEnabled: Boolean = false,
@@ -323,6 +331,9 @@ object CollectorConfig {
       bounceParamName = str(c.path("cookieBounce").path("name"), d.bounceParamName),
       bounceFallbackNuid =
         str(c.path("cookieBounce").path("fallbackNetworkUserId"), d.bounceFallbackNuid),
+      bounceForwardedProtocolHeader =
+        strOpt(c.path("cookieBounce").path("forwardedProtocolHeader"),
+          d.bounceForwardedProtocolHeader),
       redirectMacroEnabled = bool(c.path("redirectMacro").path("enabled"), d.redirectMacroEnabled),
       redirectMacroPlaceholder =
         strOpt(c.path("redirectMacro").path("placeholder"), d.redirectMacroPlaceholder),

@@ -161,14 +161,28 @@ object CollectorPipeline {
     val qsPrefix =
       when(col("querystring").isNull || col("querystring") === "", lit(""))
         .otherwise(concat(col("querystring"), lit("&")))
+    val rel = concat(col("path"), lit("?"), qsPrefix,
+      lit(cfg.bounceParamName + "=true"))
+    // forwardedProtocolHeader (reference `CollectorService.scala:444-455`):
+    // a valid http/https value in the configured header upgrades the
+    // Location to absolute on that scheme; invalid values are ignored
+    // with the relative fallback. Pure HOF filter over the header lines.
+    val location = cfg.bounceForwardedProtocolHeader match {
+      case None => rel
+      case Some(name) =>
+        val value = lower(trim(regexp_extract(
+          try_element_at(filter(col("headers"),
+            h => lower(h).startsWith(name.toLowerCase + ":")), lit(1)),
+          "(?i)^" + java.util.regex.Pattern.quote(name) + ":\\s*(.*)$", 1)))
+        when(value.isin("http", "https"),
+          concat(value, lit("://"), col("hostname"), rel)).otherwise(rel)
+    }
     env
       .filter(pixelExpected && !isRedirect)
       .select(
         col("event_id"),
         bounceSuppressed(cfg).as("bounced"),
-        when(bounceSuppressed(cfg),
-          concat(col("path"), lit("?"), qsPrefix,
-            lit(cfg.bounceParamName + "=true"))).as("location"))
+        when(bounceSuppressed(cfg), location).as("location"))
   }
 
   /** P8: Set-Cookie domain resolution — first configured domain that any

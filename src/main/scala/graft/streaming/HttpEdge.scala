@@ -274,7 +274,17 @@ object HttpEdge {
     if (!suppressed) None
     else {
       val prefix = qs.filter(_.nonEmpty).map(_ + "&").getOrElse("")
-      Some(req.path + "?" + prefix + cfg.bounceParamName + "=true")
+      val rel = req.path + "?" + prefix + cfg.bounceParamName + "=true"
+      // forwardedProtocolHeader (`CollectorService.scala:444-455`): a
+      // valid http/https value in the configured header makes the
+      // Location absolute on that scheme (mirror of the pipeline column)
+      val scheme = cfg.bounceForwardedProtocolHeader.flatMap { name =>
+        req.headers.collectFirst {
+          case h if h.toLowerCase.startsWith(name.toLowerCase + ":") =>
+            h.substring(h.indexOf(':') + 1).trim.toLowerCase
+        }.filter(v => v == "http" || v == "https")
+      }
+      Some(scheme.fold(rel)(s => s"$s://${req.host}$rel"))
     }
   }
 

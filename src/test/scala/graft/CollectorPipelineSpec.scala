@@ -389,6 +389,44 @@ class CollectorPipelineSpec extends AnyFunSuite {
       .filter(col("bounced")).count() === 0)
   }
 
+  /** forwardedProtocolHeader goldens — reference
+    * `CollectorServiceSpec.scala:700-717` ("location header with
+    * forwarded protocol"): a valid http/https value in the configured
+    * header makes the bounce Location absolute on that scheme; an
+    * invalid value falls back. Both the pipeline column and the edge
+    * mirror are asserted. */
+  test("bounce forwardedProtocolHeader goldens: absolute scheme when valid, fallback otherwise") {
+    import graft.streaming.{EdgeRequest, HttpEdge}
+    val bCfg = CollectorConfig(bounceEnabled = true, bounceParamName = "bounce",
+      bounceForwardedProtocolHeader = Some("X-Forwarded-Proto"))
+    def withHeaders(hs: Seq[String]) = {
+      import spark2.implicits._
+      pixelRow(10L, Some("a=b"), None)
+        .withColumn("headers", typedLit(hs))
+    }
+    def loc(hs: Seq[String]): String =
+      CollectorPipeline.bounces(withHeaders(hs), bCfg).collect().head.getAs[String]("location")
+    // reference golden: "https://st?a=b&bounce=true" shape (our host is
+    // the fixture's hostname 'h', path '/i')
+    assert(loc(Seq("X-Forwarded-Proto: https")) === "https://h/i?a=b&bounce=true")
+    assert(loc(Seq("X-Forwarded-Proto: http")) === "http://h/i?a=b&bounce=true")
+    // invalid protocol value → relative fallback (reference logs + drops)
+    assert(loc(Seq("X-Forwarded-Proto: gopher")) === "/i?a=b&bounce=true")
+    assert(loc(Nil) === "/i?a=b&bounce=true")
+    // case-insensitive header match, value trimmed
+    assert(loc(Seq("x-forwarded-proto:  HTTPS ")) === "https://h/i?a=b&bounce=true")
+    // edge mirror row-for-row
+    def edgeLoc(hs: Seq[String]): Option[String] =
+      HttpEdge.bounceLocation(EdgeRequest(
+        eventId = 10L, timestampMs = 0L, method = "GET", rawUri = "/i?a=b",
+        body = None, contentType = None, userAgent = None, referer = None,
+        host = "h", remoteIp = None, origin = None, spAnonymous = None,
+        cookies = Map.empty, headers = hs), bCfg)
+    assert(edgeLoc(Seq("X-Forwarded-Proto: https")) === Some("https://h/i?a=b&bounce=true"))
+    assert(edgeLoc(Seq("X-Forwarded-Proto: gopher")) === Some("/i?a=b&bounce=true"))
+    assert(edgeLoc(Nil) === Some("/i?a=b&bounce=true"))
+  }
+
   test("enable gates: DNT off stores DNT rows; cookie off emits no Set-Cookie") {
     // reference ships doNotTrackCookie.enabled = false — with the gate
     // off, the %13 DNT slice must reach payloads like any other row

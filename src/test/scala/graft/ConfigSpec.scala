@@ -49,7 +49,8 @@ class ConfigSpec extends AnyFunSuite {
       |  "cookieBounce": {
       |    "enabled": false,
       |    "name": "n3pc",
-      |    "fallbackNetworkUserId": "00000000-0000-4000-A000-000000000000"
+      |    "fallbackNetworkUserId": "00000000-0000-4000-A000-000000000000",
+      |    "forwardedProtocolHeader": "X-Forwarded-Proto"
       |  },
       |  "enableDefaultRedirect": false,
       |  "redirectDomains": [],
@@ -108,6 +109,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(!cfg.bounceEnabled)
     assert(cfg.bounceParamName === "n3pc")
     assert(cfg.bounceFallbackNuid === "00000000-0000-4000-A000-000000000000")
+    assert(cfg.bounceForwardedProtocolHeader === Some("X-Forwarded-Proto"))
     // redirects: the example DISABLES /r/* (our engine default is enabled;
     // this key was silently unparsed before r5)
     assert(!cfg.enableDefaultRedirect)
