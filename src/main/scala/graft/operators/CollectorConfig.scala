@@ -85,6 +85,10 @@ final case class CollectorConfig(
     rootResponseEnabled: Boolean = false,
     rootResponseStatus: Int = 302,
     rootResponseBody: String = "",
+    // R10: `rootResponse.headers` (reference `CollectorService.scala:
+    // 242-246` emits them as RawHeaders — the common use is a Location
+    // on a 302 root)
+    rootResponseHeaders: Map[String, String] = Map.empty,
     telemetry: TelemetrySettings = TelemetrySettings(),
     warmup: WarmupSettings = WarmupSettings(),
     statsd: StatsdSettings = StatsdSettings(),
@@ -361,6 +365,15 @@ object CollectorConfig {
       rootResponseEnabled = bool(c.path("rootResponse").path("enabled"), d.rootResponseEnabled),
       rootResponseStatus = int(c.path("rootResponse").path("statusCode"), d.rootResponseStatus),
       rootResponseBody = str(c.path("rootResponse").path("body"), d.rootResponseBody),
+      rootResponseHeaders = {
+        val h = c.path("rootResponse").path("headers")
+        if (!h.isObject) d.rootResponseHeaders
+        else {
+          val it = h.fields()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+            .map(e => e.getKey -> e.getValue.asText).toMap
+        }
+      },
       corsEnabled =
         if (c.path("cors").path("enabled").isMissingNode) d.corsEnabled
         else c.path("cors").path("enabled").asBoolean,

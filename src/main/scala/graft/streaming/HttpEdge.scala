@@ -370,7 +370,11 @@ object HttpEdge {
       case "/robots.txt" =>
         val (s, b) = OpsEndpoints.robots; EdgeResponse(s, Nil, utf8(b))
       case "/" =>
-        val (s, b) = OpsEndpoints.rootResponse(cfg); EdgeResponse(s, Nil, utf8(b))
+        val (s, b) = OpsEndpoints.rootResponse(cfg)
+        // configured rootResponse.headers ride only on the ENABLED
+        // response (the reference's 404 fallback carries none)
+        val hs = if (cfg.rootResponseEnabled) cfg.rootResponseHeaders.toSeq else Nil
+        EdgeResponse(s, hs, utf8(b))
       case _ if isTracking(req) || bridgeArm(req, cfg).isDefined =>
         respondTracking(req, cfg)
       case _ =>

@@ -209,6 +209,19 @@ class HttpEdgeSpec extends AnyFunSuite {
       val (s6, _, _) = rawHttp(port, "GET", "/")
       assert(s6 === 404) // rootResponse disabled by default
     }
+    // r10: enabled rootResponse serves the configured status + body AND
+    // the configured headers (reference CollectorService.scala:242-246;
+    // the common shape: a 302 root with a Location)
+    val rootCfg = testScale.copy(
+      rootResponseEnabled = true, rootResponseStatus = 302,
+      rootResponseBody = "moved",
+      rootResponseHeaders = Map("Location" -> "https://www.example.com/"))
+    withServer(rootCfg) { (_, port, _) =>
+      val (s7, h7, b7) = rawHttp(port, "GET", "/")
+      assert(s7 === 302)
+      assert(h7("location").head === "https://www.example.com/")
+      assert(new String(b7, "UTF-8") === "moved")
+    }
   }
 
   test("live: pixel route returns the exact transparent GIF with cookie + CORS headers") {
