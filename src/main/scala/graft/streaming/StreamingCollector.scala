@@ -85,6 +85,14 @@ object StreamingCollector {
           CollectorPipeline.payloads(batch, cfg)
             .withColumn("event_date",
               date_format(timestamp_millis(col("timestamp_ms")), "yyyy-MM-dd"))
+            // R10: ONE exchange on the partition key before the
+            // partitioned write — without it every task writes a file
+            // per day it happens to see (tasks × days × micro-batches
+            // small files, the classic lake-ingest file explosion); with
+            // it each day's rows land in few tasks and the listing stays
+            // proportional to days, not task fan-out. The standard
+            // dynamic-partition-write discipline at 100 TB.
+            .repartition(col("event_date"))
             .write.mode("append").partitionBy("event_date").parquet(lakeDir)
           (if (badRowsSelfDescribing) CollectorPipeline.badRowsJson(batch, cfg)
            else CollectorPipeline.badRows(batch, cfg))

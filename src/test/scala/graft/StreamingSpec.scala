@@ -104,6 +104,20 @@ class StreamingSpec extends AnyFunSuite {
     val lake = spark.read.parquet(lakeDir)
     assert(lake.count() === expected.count())
     assert(lake.select("event_id").except(expected.select("event_id")).count() === 0)
+    // r10 small-file discipline: the pre-write repartition on the
+    // partition key means each micro-batch writes at most ONE file per
+    // day (without it: one per task per day per batch — the lake-ingest
+    // file explosion). maxFilesPerTrigger=4 on the source bounds the
+    // batch count; assert every day dir stays within it.
+    val batches = new java.io.File(lakeDir).listFiles
+      .filter(_.isDirectory).map(d =>
+        d.getName -> d.listFiles.count(_.getName.endsWith(".parquet"))).toMap
+    val maxBatches = math.max(1,
+      new java.io.File(srcDir).listFiles.count(_.getName.endsWith(".parquet")) / 4 + 1)
+    batches.foreach { case (dayDir, nFiles) =>
+      assert(nFiles <= maxBatches,
+        s"$dayDir holds $nFiles files for <= $maxBatches micro-batches — task fan-out leaked into the layout")
+    }
     // a one-day read prunes at listing time (never a post-scan data filter)
     val day = dirs.map(_.stripPrefix("event_date=")).sorted.head
     val one = graft.operators.PartitionedLake.readDay(spark, lakeDir, day)
