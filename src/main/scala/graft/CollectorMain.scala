@@ -117,7 +117,9 @@ object CollectorMain {
         // healthy goes false on requestShutdown, which /health serves),
         // then the drain window, then query stop, then unbind
         graft.streaming.GracefulShutdown.stop(
-          running.monitor, Seq(running.query), preTerminationMillis = triggerMs)
+          running.monitor, Seq(running.query),
+          // reference terminationDeadline (model.scala:249; shipped 10s)
+          preTerminationMillis = cfg.terminationDeadlineMs)
         server.stop()
       }
       running.query.awaitTermination()

@@ -89,6 +89,10 @@ final case class CollectorConfig(
     // 242-246` emits them as RawHeaders — the common use is a Location
     // on a 302 root)
     rootResponseHeaders: Map[String, String] = Map.empty,
+    // R10: `terminationDeadline` (reference `model.scala:249`, shipped
+    // `10 seconds`) — the SIGTERM drain window between flipping /health
+    // down and stopping the queries.
+    terminationDeadlineMs: Long = 10000L,
     telemetry: TelemetrySettings = TelemetrySettings(),
     warmup: WarmupSettings = WarmupSettings(),
     statsd: StatsdSettings = StatsdSettings(),
@@ -379,6 +383,8 @@ object CollectorConfig {
         else c.path("cors").path("enabled").asBoolean,
       corsDomains = strSeq(c.path("cors").path("domains"), d.corsDomains),
       corsMaxAgeMs = dur(c.path("cors").path("accessControlMaxAge"), d.corsMaxAgeMs),
+      terminationDeadlineMs =
+        dur(c.path("terminationDeadline"), d.terminationDeadlineMs),
       telemetry = {
         val t = c.path("telemetry"); val td = d.telemetry
         TelemetrySettings(

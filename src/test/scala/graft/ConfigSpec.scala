@@ -111,6 +111,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.bounceFallbackNuid === "00000000-0000-4000-A000-000000000000")
     assert(cfg.bounceForwardedProtocolHeader === Some("X-Forwarded-Proto"))
     assert(cfg.rootResponseHeaders === Map.empty) // headers = {} in the golden
+    assert(cfg.terminationDeadlineMs === 10000L) // terminationDeadline = 10 seconds
     // redirects: the example DISABLES /r/* (our engine default is enabled;
     // this key was silently unparsed before r5)
     assert(!cfg.enableDefaultRedirect)
