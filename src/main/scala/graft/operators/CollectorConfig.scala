@@ -1,9 +1,9 @@
 package graft.operators
 
 /** Engine configuration — the Spark analog of the reference's pureconfig
-  * model (reference `core/.../model.scala:54-298`). Only the knobs that
-  * affect dataflow semantics live here; HTTP-tier settings are out of
-  * engine scope (SURVEY.md §7.1).
+  * model (reference `core/.../model.scala:54-298`). Covers BOTH the
+  * dataflow semantics and (since r10) the HTTP tier the live edge binds
+  * with: interface/port, TLS, and the pekko server limits.
   *
   * @param appName          collector application name
   * @param appVersion       collector version
