@@ -73,6 +73,96 @@ object NgramLm {
     scoreWith(d, bitsTable(d))
   }
 
+  // ---- R10: stupid-backoff trigram scoring ------------------------------
+
+  private def nTrigrams(toks: Column): Column = size(toks) - 2
+
+  private def trigramsOf(toks: Column): Column =
+    transform(sequence(lit(1), nTrigrams(toks)), i => struct(
+      element_at(toks, i).as("w1"),
+      element_at(toks, i + 1).as("w2"),
+      element_at(toks, i + 2).as("w3")))
+
+  /** Stupid-backoff penalty per level, in milli-bits: the canonical
+    * α = 0.4 (Brants et al. 2007 §3) is -log2(0.4) ≈ 1.3219 bits —
+    * pinned to the integer constant 1322 so no float enters the score. */
+  val BackoffPenaltyMilli = 1322L
+
+  /** Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §3 — the web-scale scoring
+    * rule KenLM-backed CCNet filters approximate): trigram surprisal
+    * when the trigram is in the model, else back off to the bigram with
+    * a fixed penalty, else to the unigram, else to the worst case.
+    *
+    * TRAIN/SERVE SPLIT — the shape that actually exercises backoff: the
+    * model trains on the `doc_id % 2 = 0` half (CCNet trains on
+    * Wikipedia and scores CommonCrawl; the half-corpus is the
+    * deterministic stand-in) and every document is scored against it.
+    * All exact integers ([[fl2]] floor-log2, milli-bit scaling,
+    * truncating integer division) — bit-identical to the DuckDB oracle.
+    *
+    * Per trigram position (counts from the TRAIN half; N = train tokens):
+    *  - c(w1w2w3) > 0: 1000·(fl2 c(w1w2) − fl2 c(w1w2w3))
+    *  - else c(w2w3) > 0: 1322 + 1000·(fl2 c(w2) − fl2 c(w2w3))
+    *  - else c(w3) > 0: 2644 + 1000·(fl2 N − fl2 c(w3))
+    *  - else (unseen word): 2644 + 1000·fl2 N
+    *
+    * Scale stance: three explode+count passes over the train half build
+    * DISTINCT-n-gram-sized model tables; scoring is the exploded corpus
+    * LEFT-joined against those sublinear relations (AQE broadcasts them
+    * at test scale, keyed shuffle at real scale) + one per-doc agg. The
+    * 1-row token total rides as a broadcast scalar. No all-pairs term. */
+  def backoffScore(docs: DataFrame): DataFrame = {
+    val d = Spread(docs)
+    def toks(df: DataFrame) =
+      df.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val train = toks(d.filter(col("doc_id") % 2 === 0))
+    val uni = train.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bi = train.filter(size(col("toks")) >= 2)
+      .select(explode(bigramsOf(col("toks"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+    val tri = train.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(transform(trigramsOf(col("toks")),
+          t => concat_ws(" ", t.getField("w1"), t.getField("w2"), t.getField("w3")))).as("tg"))
+      .groupBy("tg").agg(count(lit(1)).as("ct"))
+    val total = uni.agg(sum("cu").as("n_train_tokens"))
+    val pos = toks(d).filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(trigramsOf(col("toks"))).as("t"))
+      .select(col("doc_id"),
+        col("t.w1").as("w1"), col("t.w2").as("w2"), col("t.w3").as("w3"))
+      .withColumn("tg", concat_ws(" ", col("w1"), col("w2"), col("w3")))
+      .withColumn("bg_ctx", concat_ws(" ", col("w1"), col("w2")))
+      .withColumn("bg", concat_ws(" ", col("w2"), col("w3")))
+    val ctx = bi.select(col("bg").as("bg_ctx"), col("cb").as("cb_ctx"))
+    val u2 = uni.select(col("w").as("w2"), col("cu").as("cu2"))
+    val u3 = uni.select(col("w").as("w3"), col("cu").as("cu3"))
+    val p = lit(BackoffPenaltyMilli)
+    val mbits =
+      when(col("ct").isNotNull, (fl2(col("cb_ctx")) - fl2(col("ct"))) * 1000)
+        .when(col("cb").isNotNull, p + (fl2(col("cu2")) - fl2(col("cb"))) * 1000)
+        .when(col("cu3").isNotNull,
+          p * 2 + (fl2(col("n_train_tokens")) - fl2(col("cu3"))) * 1000)
+        .otherwise(p * 2 + fl2(col("n_train_tokens")) * 1000)
+    pos
+      .join(tri, Seq("tg"), "left")
+      .join(ctx, Seq("bg_ctx"), "left")
+      .join(bi, Seq("bg"), "left")
+      .join(u2, Seq("w2"), "left")
+      .join(u3, Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), mbits.as("mbits"),
+        when(col("ct").isNull, lit(1L)).otherwise(lit(0L)).as("backed"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum("backed").as("n_backoff"),
+        sum("mbits").as("total_mbits"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_backoff"),
+        col("total_mbits"),
+        expr("total_mbits div n_trigrams").as("mean_mbits"))
+  }
+
   /** CCNet's head/middle/tail bucketing: docs sorted by LM surprisal
     * split at the tercile boundaries — head (lowest perplexity) is the
     * high-quality slice the pipeline upsamples. Boundaries are EXACT:

@@ -435,6 +435,7 @@ object Training {
     "t_dsir" -> tDsir,
     "t_chunk" -> tChunk,
     "t_lm_tiers" -> tLmTiers,
+    "t_lm_backoff" -> ((s, d) => NgramLm.backoffScore(docs(s, d))),
     "t_winnow" -> tWinnow,
     "t_warc_records" -> tWarcRecords,
     "t_warc_gzip" -> tWarcGzip,

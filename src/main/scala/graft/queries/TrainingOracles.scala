@@ -1075,6 +1075,53 @@ object TrainingOracles {
     // bigram-LM surprisal mirror: context counts derived from the bigram
     // table, exact-integer floor-log2 via len(bin(n))-1 in both engines
     // (chain shared with t_lm_tiers)
+    // r10 stupid-backoff trigram LM (train on doc_id % 2 = 0, score all;
+    // alpha = 0.4 pinned as the 1322 milli-bit penalty; all-integer).
+    // Mirrors NgramLm.backoffScore join-for-join.
+    "t_lm_backoff" ->
+      s"""$TokCte,
+         |tr AS (SELECT toks FROM tok WHERE doc_id % 2 = 0),
+         |uw AS (SELECT unnest(toks) AS w FROM tr),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM uw GROUP BY 1),
+         |bw AS (SELECT unnest(list_transform(range(0, len(toks) - 1),
+         |                i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |       FROM tr WHERE len(toks) >= 2),
+         |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bw GROUP BY 1),
+         |tw AS (SELECT unnest(list_transform(range(0, len(toks) - 2),
+         |                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS tg
+         |        FROM tr WHERE len(toks) >= 3),
+         |tri AS (SELECT tg, CAST(count(*) AS BIGINT) AS ct FROM tw GROUP BY 1),
+         |n AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM uni),
+         |pos AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 2),
+         |                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS tg
+         |        FROM tok WHERE len(toks) >= 3),
+         |pk AS (SELECT doc_id, tg,
+         |         string_split(tg, ' ')[1] || ' ' || string_split(tg, ' ')[2] AS bg_ctx,
+         |         string_split(tg, ' ')[2] || ' ' || string_split(tg, ' ')[3] AS bg,
+         |         string_split(tg, ' ')[2] AS w2, string_split(tg, ' ')[3] AS w3
+         |       FROM pos),
+         |sc AS (SELECT p.doc_id,
+         |    CASE WHEN t.ct IS NOT NULL
+         |           THEN ((len(bin(cx.cb)) - 1) - (len(bin(t.ct)) - 1)) * 1000
+         |         WHEN b.cb IS NOT NULL
+         |           THEN 1322 + ((len(bin(u2.cu)) - 1) - (len(bin(b.cb)) - 1)) * 1000
+         |         WHEN u3.cu IS NOT NULL
+         |           THEN 2644 + ((len(bin(n.nt)) - 1) - (len(bin(u3.cu)) - 1)) * 1000
+         |         ELSE 2644 + (len(bin(n.nt)) - 1) * 1000 END AS mbits,
+         |    CASE WHEN t.ct IS NULL THEN 1 ELSE 0 END AS backed
+         |  FROM pk p
+         |  LEFT JOIN tri t ON p.tg = t.tg
+         |  LEFT JOIN bi cx ON p.bg_ctx = cx.bg
+         |  LEFT JOIN bi b ON p.bg = b.bg
+         |  LEFT JOIN uni u2 ON p.w2 = u2.w
+         |  LEFT JOIN uni u3 ON p.w3 = u3.w
+         |  CROSS JOIN n)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(backed) AS BIGINT) AS n_backoff,
+         |  CAST(sum(mbits) AS BIGINT) AS total_mbits,
+         |  CAST(sum(mbits) // count(*) AS BIGINT) AS mean_mbits
+         |FROM sc GROUP BY 1""".stripMargin,
+
     "t_lm_score" ->
       s"""$LmScoreCte
          |SELECT doc_id, n_bigrams, total_bits, bits_x1000 FROM lmscore""".stripMargin,

@@ -15,6 +15,9 @@ class PlanLintSpec extends AnyFunSuite {
     * 1-row bit-set broadcast. */
   private val AllowedNonEqui =
     Set("s_brute_topk", "s_ivf_topk", "s_ivf_append", "t_top_terms", "q_bloom_filter",
+      // backoff LM: the 1-row train-token total rides as a broadcast
+      // scalar into the scoring projection (same shape as t_top_terms)
+      "t_lm_backoff",
       // PQ codebook rides as ONE broadcast array row (labels × subspaces
       // structs) into the encode and distance-table arms
       "s_pq_topk",

@@ -15,6 +15,38 @@ class QualitySpec extends AnyFunSuite {
     if (h < f"$trainUpto%02x") "train" else if (h < f"$valUpto%02x") "val" else "test"
   }
 
+  test("stupid-backoff trigram LM: hand-computed goldens on every arm + corpus non-vacuity") {
+    import graft.operators.NgramLm
+    // TRAIN half = even doc_ids {0: "a b c a b c", 2: "a b d"}:
+    //   uni a:3 b:3 c:2 d:1 (N=9); bi "a b":3 "b c":2 "c a":1 "b d":1;
+    //   tri "a b c":2 "b c a":1 "c a b":1 "a b d":1
+    val docs = Seq(
+      (0L, "a b c a b c", "en", "s"),
+      (2L, "a b d", "en", "s"),
+      (1L, "b a b", "en", "s"), // trigram unseen, bigram "a b" seen -> arm 2
+      (3L, "d d d", "en", "s"), // bigram unseen, unigram d seen     -> arm 3
+      (5L, "x y z", "en", "s")  // everything unseen                 -> arm 4
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = NgramLm.backoffScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_trigrams"), x.getAs[Long]("n_backoff"),
+         x.getAs[Long]("total_mbits"), x.getAs[Long]("mean_mbits"))).toMap
+    // doc 0 self-score: (a,b,c)=0, (b,c,a)=1000, (c,a,b)=0, (a,b,c)=0
+    assert(r(0L) === ((4L, 0L, 1000L, 250L)))
+    // doc 2 self-score: (a,b,d): fl2(c("a b")=3)-fl2(1) = 1000
+    assert(r(2L) === ((1L, 0L, 1000L, 1000L)))
+    // arm 2: 1322 + (fl2(c(a)=3) - fl2(c("a b")=3))*1000 = 1322
+    assert(r(1L) === ((1L, 1L, 1322L, 1322L)))
+    // arm 3: 2644 + (fl2(9) - fl2(1))*1000 = 5644
+    assert(r(3L) === ((1L, 1L, 5644L, 5644L)))
+    // arm 4 (unseen word): 2644 + fl2(9)*1000 = 5644
+    assert(r(5L) === ((1L, 1L, 5644L, 5644L)))
+    // the corpus split genuinely exercises backoff (odd docs contain
+    // trigrams the even half never saw)
+    val corpus = NgramLm.backoffScore(graft.Tables.documents(spark, TestSpark.Sf))
+    assert(corpus.filter(org.apache.spark.sql.functions.col("n_backoff") > 0).count() > 0)
+  }
+
   test("bigram LM surprisal: hand-computed integer floor-log2 bits") {
     // bigrams: "a b" ×2 (docs 1, 2), "a c" ×1 (doc 3) → c1(a) = 3.
     // floor(log2): c1(a)=1, c2("a b")=1, c2("a c")=0
