@@ -67,6 +67,7 @@ object Bench {
     "t_decontam" -> 0.8,
     "t_rep_stats" -> 1.1,
     "d_dedup_keep" -> 2.1,
+    "d_dedup_best" -> 3.2, // r10: quality-aware keep (clusters + argmax); measured 2.38 s
     "d_chunk_dups" -> 1.3,
     "q_range_join" -> 1.4,
     "q_interval_join" -> 0.9,

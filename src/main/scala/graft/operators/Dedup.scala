@@ -203,6 +203,28 @@ object Dedup {
       .select(col("cluster").as("doc_id"), col("n_docs"))
   }
 
+  /** R10 quality-aware keep: within each duplicate cluster keep the
+    * HIGHEST-quality copy instead of the smallest id — the
+    * RefinedWeb/Dolma "keep the best copy" policy (near-dup cluster
+    * members differ in boilerplate/punctuation, and throwing away the
+    * cleaner copy because its id is larger wastes signal). Exact argmax
+    * via `max(struct(quality, -doc_id))` — deterministic under any
+    * partitioning (quality is per-row arithmetic; ties break to the
+    * smallest id, degrading to [[dedupKeep]]'s policy on exact dups).
+    * Cost over [[dedupKeep]]: one per-row quality projection + the same
+    * single map-side-combined aggregate on the cluster key. */
+  def dedupKeepBest(docs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(docs)
+    val q = docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("q"))
+    clusters.join(q, "doc_id")
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster"), col("n_docs"),
+        (-col("best.nid")).as("keep_doc"), col("best.q").as("keep_quality"))
+  }
+
   /** PageRank over the LSH candidate graph — the graph-centrality signal a
     * training pipeline uses alongside cluster membership (a doc whose
     * near-dup neighborhood is large and well-connected is boilerplate; CC

@@ -58,6 +58,7 @@ object Training {
   val dDupClusters: Q = (s, d) => Dedup.duplicateClusters(docs(s, d))
   val dCdcChunks: Q = (s, d) => Dedup.cdcChunks(docs(s, d))
   val dDedupKeep: Q = (s, d) => Dedup.dedupKeep(docs(s, d))
+  val dDedupBest: Q = (s, d) => Dedup.dedupKeepBest(docs(s, d))
   val dIncremental: Q = (s, d) => Dedup.incrementalNew(docs(s, d))
   val dPagerank: Q = (s, d) => Dedup.pageRankOnCandidates(docs(s, d))
   val dLpa: Q = (s, d) => Dedup.lpaCommunities(docs(s, d))
@@ -414,6 +415,7 @@ object Training {
     "d_dup_clusters" -> dDupClusters,
     "d_cdc_chunks" -> dCdcChunks,
     "d_dedup_keep" -> dDedupKeep,
+    "d_dedup_best" -> dDedupBest,
     "d_incremental" -> dIncremental,
     "d_pagerank" -> dPagerank,
     "d_lpa" -> dLpa,

@@ -670,6 +670,25 @@ object TrainingOracles {
          |SELECT cluster AS doc_id, CAST(count(*) AS BIGINT) AS n_docs
          |FROM clustered GROUP BY 1""".stripMargin,
 
+    // r10 quality-aware keep: same clusters, argmax by (quality, -id) —
+    // the oracle recomputes quality from the t_text_stats mirror and
+    // picks via a window (naive is fine oracle-side)
+    "d_dedup_best" ->
+      s"""$ClusterCte,
+         |qsc AS (SELECT t.doc_id,
+         |  floor((0.4 * (CAST(${hits("en")} AS DOUBLE) / len(toks))
+         |      + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |      + 0.3 * (1.0 - CAST(length(lower(text)) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))) * 10000) / 10000 AS q
+         |  FROM tok t),
+         |rr AS (SELECT c.cluster, c.doc_id, qsc.q,
+         |         row_number() OVER (PARTITION BY c.cluster
+         |                            ORDER BY qsc.q DESC, c.doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY c.cluster) AS n_docs
+         |       FROM clustered c JOIN qsc USING (doc_id))
+         |SELECT cluster, CAST(n_docs AS BIGINT) AS n_docs,
+         |  doc_id AS keep_doc, q AS keep_quality
+         |FROM rr WHERE rn = 1""".stripMargin,
+
     // incremental ingest verdict: index shard = doc_id % 3 <> 0, incoming
     // shard = doc_id % 3 = 0; new = absent from the index AND first copy
     // within the incoming shard (the oracle states the exact semantics the
