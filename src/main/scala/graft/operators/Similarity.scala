@@ -554,7 +554,13 @@ object Similarity {
     * rows per query and every greedy step is a per-query window argmax.
     */
   def mmrRerank(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val cand = bruteTopK(embeddings, k) // q_id, rank, c_id, cos
+    // Both pinned (`localCheckpoint`): the unrolled greedy steps consume
+    // `cand` four times and `ps` three — unpinned, each consumer re-ran
+    // the corpus-scale bruteTopK + vector-fetch subtree (76 parquet
+    // scans, r10 plan audit). Both relations are candidate-bounded
+    // (queries·k and queries·k² rows), so the pin is metadata-sized;
+    // the corpus is now scanned only in the two build jobs.
+    val cand = bruteTopK(embeddings, k).localCheckpoint() // q_id, rank, c_id, cos
     val corpus = prepared(embeddings)
     val va = corpus.select(col("vec_id").as("a_id"), col("q").as("qa"), col("n2").as("na"))
     val vb = corpus.select(col("vec_id").as("b_id"), col("q").as("qb"), col("n2").as("nb"))
@@ -564,6 +570,7 @@ object Similarity {
       .join(va, "a_id").join(vb, "b_id")
       .select(col("q_id"), col("a_id"), col("b_id"),
         cosine(col("qa"), col("qb"), col("na"), col("nb")).as("sim"))
+      .localCheckpoint()
     def simTo(sel: String) = ps.select(col("q_id"), col("a_id").as("c_id"),
       col("b_id").as(s"${sel}_id"), col("sim").as(s"sim_$sel"))
     val w = Window.partitionBy("q_id").orderBy(col("sc").desc, col("c_id").asc)

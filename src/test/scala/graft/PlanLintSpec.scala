@@ -181,6 +181,33 @@ class PlanLintSpec extends AnyFunSuite {
       s"d_docsim no longer reads the pinned postings table:\n$plan")
   }
 
+  test("LM model tables are pinned — scoring plans never re-derive the train aggregates") {
+    // the unpinned r10 plans re-ran the corpus-scale tokenize+explode+
+    // aggregate passes per model-table consumer: t_lm_backoff 14 parquet
+    // scans / 0 ReusedExchange, t_lm_tiers 12. Pinned (localCheckpoint,
+    // the d_docsim precedent) the SERVED plan reads checkpointed
+    // distinct-n-gram relations; only the scoring pass touches parquet.
+    def scans(q: String): (Int, String) = {
+      val plan = SparkEntry.queries(q)(spark, TestSpark.Sf)
+        .queryExecution.executedPlan.toString
+      ("Scan parquet".r.findAllIn(plan).size, plan)
+    }
+    val (backoff, bp) = scans("t_lm_backoff")
+    assert(backoff <= 1, s"t_lm_backoff re-grew model re-derivation ($backoff scans):\n$bp")
+    assert(bp.contains("ExistingRDD"), s"t_lm_backoff no longer reads pinned model tables:\n$bp")
+    val (score, sp) = scans("t_lm_score")
+    assert(score <= 1, s"t_lm_score re-grew model re-derivation ($score scans):\n$sp")
+    val (tiers, tp) = scans("t_lm_tiers")
+    assert(tiers == 0, s"t_lm_tiers re-grew corpus re-derivation ($tiers scans):\n$tp")
+    assert(tp.contains("ExistingRDD"), s"t_lm_tiers no longer reads the pinned scores:\n$tp")
+    // s_mmr: the unrolled greedy steps re-derived bruteTopK + the
+    // vector fetch per consumer (76 scans) — pinned cand/ps relations
+    // are candidate-bounded, served plan reads them only
+    val (mmr, mp) = scans("s_mmr")
+    assert(mmr == 0, s"s_mmr re-grew candidate re-derivation ($mmr scans):\n$mp")
+    assert(mp.contains("ExistingRDD"), s"s_mmr no longer reads pinned candidates:\n$mp")
+  }
+
   test("no query output schema contains DecimalType (hash-representation lint)") {
     // The driver hashes results through arrow->pandas, where int128/decimal
     // columns decay to float64 while Spark's int64 stays int — numerically
