@@ -118,8 +118,12 @@ object CollectorMain {
         // then the drain window, then query stop, then unbind
         graft.streaming.GracefulShutdown.stop(
           running.monitor, Seq(running.query),
-          // reference terminationDeadline (model.scala:249; shipped 10s)
-          preTerminationMillis = cfg.terminationDeadlineMs)
+          // reference two-phase order (Collector.scala:211-220): drain
+          // sleep = preTerminationPeriod, stop deadline =
+          // terminationDeadline (awaited 2x), health flip opt-in
+          preTerminationMillis = cfg.preTerminationPeriodMs,
+          preTerminationUnhealthy = cfg.preTerminationUnhealthy,
+          terminationDeadlineMs = cfg.terminationDeadlineMs)
         server.stop()
       }
       running.query.awaitTermination()

@@ -89,10 +89,17 @@ final case class CollectorConfig(
     // 242-246` emits them as RawHeaders — the common use is a Location
     // on a 302 root)
     rootResponseHeaders: Map[String, String] = Map.empty,
-    // R10: `terminationDeadline` (reference `model.scala:249`, shipped
-    // `10 seconds`) — the SIGTERM drain window between flipping /health
-    // down and stopping the queries.
+    // R10: `terminationDeadline` (reference `model.scala:249`,
+    // reference.conf:3 `10.seconds`) — the coordinated-shutdown stop
+    // deadline (the reference awaits termination at 2x this).
     terminationDeadlineMs: Long = 10000L,
+    // R11: `preTerminationPeriod` / `preTerminationUnhealthy` (reference
+    // `model.scala:250-251`, reference.conf:4-5, shipped extended configs
+    // e.g. config.kinesis.extended.hocon:293-297): the SIGTERM drain
+    // sleep — distinct from `terminationDeadline` — and the opt-in
+    // 503-on-/health flip during it (`Collector.scala:211-216`).
+    preTerminationPeriodMs: Long = 10000L,
+    preTerminationUnhealthy: Boolean = false,
     telemetry: TelemetrySettings = TelemetrySettings(),
     warmup: WarmupSettings = WarmupSettings(),
     statsd: StatsdSettings = StatsdSettings(),
@@ -385,6 +392,10 @@ object CollectorConfig {
       corsMaxAgeMs = dur(c.path("cors").path("accessControlMaxAge"), d.corsMaxAgeMs),
       terminationDeadlineMs =
         dur(c.path("terminationDeadline"), d.terminationDeadlineMs),
+      preTerminationPeriodMs =
+        dur(c.path("preTerminationPeriod"), d.preTerminationPeriodMs),
+      preTerminationUnhealthy =
+        bool(c.path("preTerminationUnhealthy"), d.preTerminationUnhealthy),
       telemetry = {
         val t = c.path("telemetry"); val td = d.telemetry
         TelemetrySettings(

@@ -48,25 +48,41 @@ final class PipelineMonitor extends StreamingQueryListener {
   }
 
   @volatile private var shuttingDown = false
+  @volatile private var markedUnhealthy = false
 
-  /** The SIGTERM health-flip (reference `Collector.scala:206-233`): a
-    * shutdown request turns `/health` unhealthy IMMEDIATELY — before any
-    * query stops — so an upstream load balancer drains traffic during
-    * the pre-termination window while the queries finish their batches. */
-  def requestShutdown(): Unit = { shuttingDown = true }
+  /** The SIGTERM health-flip (reference `Collector.scala:211-214`): a
+    * shutdown request marks the monitor draining IMMEDIATELY — before any
+    * query stops. Whether `/health` ALSO flips to 503 during the drain is
+    * the reference's opt-in `preTerminationUnhealthy` (model.scala:251,
+    * reference.conf:5, default false): an upstream LB that watches
+    * /health drains traffic during the pre-termination window only when
+    * the deployment asks for it. The no-arg overload keeps the explicit
+    * operator flip (health down now). */
+  def requestShutdown(): Unit = requestShutdown(markUnhealthy = true)
+  def requestShutdown(markUnhealthy: Boolean): Unit = {
+    shuttingDown = true
+    if (markUnhealthy) markedUnhealthy = true
+  }
   def isShuttingDown: Boolean = shuttingDown
 
-  /** The `/health` semantic: not draining for shutdown, and no tracked
-    * query died with an exception. */
+  /** The `/health` semantic: not flipped unhealthy for a drain, and no
+    * tracked query died with an exception. A shutdown request WITHOUT
+    * `preTerminationUnhealthy` keeps /health at 200 while draining —
+    * reference `Collector.scala:211-216` only calls `health.toUnhealthy()`
+    * inside the `if (preTerminationUnhealthy)` arm. */
   def healthy: Boolean = {
     import scala.jdk.CollectionConverters._
-    !shuttingDown && state.asScala.values.forall(q => q.error.isEmpty)
+    !markedUnhealthy && state.asScala.values.forall(q => q.error.isEmpty)
   }
 }
 
-/** R6 + the reference's termination order (`Collector.scala:206-233`):
-  * flip health FIRST, wait out the pre-termination drain window, only
-  * then stop the queries. Checkpointing makes any in-flight micro-batch
+/** R6 + the reference's two-phase termination (`Collector.scala:206-233`):
+  * (1) optionally flip health (the `preTerminationUnhealthy` arm), (2)
+  * sleep `preTerminationPeriod` — the traffic-drain window, distinct from
+  * (3) the stop phase, which the reference bounds by the coordinated-
+  * shutdown `terminationDeadline` (awaited at 2x, Collector.scala:219-220).
+  * R10 conflated the two durations (terminationDeadline WAS the sleep);
+  * r11 wires both. Checkpointing makes any in-flight micro-batch
   * replayable, so the data-loss half is already covered; this models the
   * traffic-drain half. `sleeper` injected for tests. */
 object GracefulShutdown {
@@ -74,10 +90,23 @@ object GracefulShutdown {
       monitor: PipelineMonitor,
       queries: Seq[org.apache.spark.sql.streaming.StreamingQuery],
       preTerminationMillis: Long = 0L,
+      preTerminationUnhealthy: Boolean = false,
+      terminationDeadlineMs: Long = 10000L,
       sleeper: Long => Unit = Thread.sleep): Unit = {
-    monitor.requestShutdown()
+    monitor.requestShutdown(markUnhealthy = preTerminationUnhealthy)
     if (preTerminationMillis > 0) sleeper(preTerminationMillis)
-    queries.foreach(_.stop())
+    queries.foreach { q =>
+      try {
+        q.stop()
+        // reference awaits system.terminate() for terminationDeadline * 2
+        q.awaitTermination(terminationDeadlineMs * 2)
+      } catch {
+        // reference log-and-continues on termination failure
+        // (Collector.scala:222-224); a failed query's exception re-
+        // surfaces through the monitor's health, not the shutdown path
+        case scala.util.control.NonFatal(_) => ()
+      }
+    }
   }
 }
 

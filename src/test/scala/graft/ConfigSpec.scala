@@ -25,9 +25,10 @@ class ConfigSpec extends AnyFunSuite {
 
   /** `examples/config.kinesis.extended.hocon` (reference, 341 lines),
     * collector namespace, 1:1 — every setting the engine consumes, with
-    * the example's literal values. HTTP-tier-only blocks (interface/port,
-    * ssl, p3p, crossDomain, rootResponse, preTermination*, warmup, pekko)
-    * are out of engine scope (SURVEY §7.1) and have no loader keys. */
+    * the example's literal values. Only the pekko logging-stack keys
+    * (`loggers`/`loglevel`) remain out of scope (SURVEY §7.1); the HTTP
+    * tier (interface/port, ssl, p3p, crossDomain, rootResponse,
+    * preTermination*, warmup, server limits) is parsed since r10/r11. */
   private val kinesisExtended =
     """{"collector": {
       |  "paths": {},
@@ -55,6 +56,9 @@ class ConfigSpec extends AnyFunSuite {
       |  "enableDefaultRedirect": false,
       |  "redirectDomains": [],
       |  "redirectMacro": {"enabled": false},
+      |  "terminationDeadline": "10 seconds",
+      |  "preTerminationPeriod": "10 seconds",
+      |  "preTerminationUnhealthy": false,
       |  "cors": {"accessControlMaxAge": "60 minutes"},
       |  "streams": {
       |    "good": "good",
@@ -112,6 +116,9 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.bounceForwardedProtocolHeader === Some("X-Forwarded-Proto"))
     assert(cfg.rootResponseHeaders === Map.empty) // headers = {} in the golden
     assert(cfg.terminationDeadlineMs === 10000L) // terminationDeadline = 10 seconds
+    // r11: the two-phase shutdown keys (shipped :293-297)
+    assert(cfg.preTerminationPeriodMs === 10000L) // preTerminationPeriod = 10 seconds
+    assert(!cfg.preTerminationUnhealthy) // preTerminationUnhealthy = false
     // redirects: the example DISABLES /r/* (our engine default is enabled;
     // this key was silently unparsed before r5)
     assert(!cfg.enableDefaultRedirect)
@@ -303,6 +310,26 @@ class ConfigSpec extends AnyFunSuite {
     assert(d.maxUriLength === 2048 && d.serverMaxConnections === 1024)
     assert(d.maxContentLength === 8388608L) // pekko max-content-length default
     assert(d.interface === "0.0.0.0" && d.port === 8080 && !d.ssl.enable)
+  }
+
+  test("two-phase shutdown keys: preTerminationPeriod is the drain sleep, not terminationDeadline") {
+    // reference model.scala:249-251 keeps THREE distinct knobs; r10
+    // conflated the first two (a deployment tuning preTerminationPeriod
+    // silently got terminationDeadline as its drain) — parse all three
+    // with non-default values and assert they land on distinct fields
+    val cfg = CollectorConfig.fromHocon(
+      """collector {
+        |  terminationDeadline = 20 seconds
+        |  preTerminationPeriod = 30 seconds
+        |  preTerminationUnhealthy = true
+        |}""".stripMargin)
+    assert(cfg.terminationDeadlineMs === 20000L)
+    assert(cfg.preTerminationPeriodMs === 30000L)
+    assert(cfg.preTerminationUnhealthy)
+    // reference.conf:3-5 defaults: 10s / 10s / false
+    val d = CollectorConfig.fromHocon("collector { appName = x }")
+    assert(d.terminationDeadlineMs === 10000L && d.preTerminationPeriodMs === 10000L
+      && !d.preTerminationUnhealthy)
   }
 
   test("HOCON parser: hostile input terminates — parses or throws, never hangs") {

@@ -107,16 +107,50 @@ class ThriftMonitorSpec extends AnyFunSuite {
       while (!mon.snapshot.contains("gs-test") && waited < 100) { Thread.sleep(100); waited += 1 }
       assert(mon.healthy, "query must be healthy before the shutdown request")
       // record the observable order: at drain-sleep time health must
-      // already be DOWN while the query is still RUNNING (the LB window)
+      // already be DOWN while the query is still RUNNING (the LB window).
+      // r11: the drain sleep is preTerminationPeriod (here 1 ms), DISTINCT
+      // from the terminationDeadline stop bound (here 5 s) — the sleeper
+      // must receive the former, never the latter (reference
+      // Collector.scala:215-220 keeps them separate)
       val order = scala.collection.mutable.ArrayBuffer.empty[String]
-      GracefulShutdown.stop(mon, Seq(q), preTerminationMillis = 1L, sleeper = _ => {
-        order += s"sleep: healthy=${mon.healthy} active=${q.isActive}"
-      })
+      GracefulShutdown.stop(mon, Seq(q),
+        preTerminationMillis = 1L, preTerminationUnhealthy = true,
+        terminationDeadlineMs = 5000L, sleeper = ms => {
+          order += s"sleep($ms): healthy=${mon.healthy} active=${q.isActive}"
+        })
       order += s"stopped: active=${q.isActive}"
-      assert(order.head === "sleep: healthy=false active=true",
-        s"health must flip before the drain window, got: $order")
+      assert(order.head === "sleep(1): healthy=false active=true",
+        s"health must flip before the preTerminationPeriod drain, got: $order")
       assert(!q.isActive, "query must be stopped after the drain window")
       assert(mon.isShuttingDown && !mon.healthy)
+    } finally spark.streams.removeListener(mon)
+  }
+
+  test("preTerminationUnhealthy=false drains with /health still green (reference default)") {
+    import graft.streaming.{GracefulShutdown, PipelineMonitor}
+    // reference Collector.scala:211-214 flips health only inside the
+    // `if (preTerminationUnhealthy)` arm; reference.conf:5 defaults false,
+    // so a stock deployment drains with /health at 200 the whole window
+    val mon = new PipelineMonitor
+    spark.streams.addListener(mon)
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("gs2-ckpt").toString
+      val q = spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .queryName("gs2-test")
+        .start()
+      var waited = 0
+      while (!mon.snapshot.contains("gs2-test") && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(mon.healthy)
+      val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+      GracefulShutdown.stop(mon, Seq(q), preTerminationMillis = 1L,
+        sleeper = _ => { seen += s"sleep: healthy=${mon.healthy}" })
+      assert(seen.head === "sleep: healthy=true",
+        s"stock config must NOT 503 /health during the drain, got: $seen")
+      assert(mon.isShuttingDown, "the drain state itself is still tracked")
+      assert(mon.healthy, "health stays green after a healthy-drain stop")
+      assert(!q.isActive)
     } finally spark.streams.removeListener(mon)
   }
 
