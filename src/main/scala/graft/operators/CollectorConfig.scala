@@ -160,6 +160,14 @@ final case class SinkSettings(
     goodStream: String = "good",
     badStream: String = "bad",
     region: Option[String] = None,
+    // R11: the `aws { accessKey, secretKey }` block (reference
+    // `model.scala:107` AWSConfig; kinesis/sqs `application.conf:7-10`
+    // default both to "iam"; shipped extended configs :217-220). The
+    // sentinel values "default"/"iam"/"env" select a provider chain,
+    // anything else is an explicit static key pair —
+    // [[graft.sinks.AwsCredentials.mode]] resolves them.
+    awsAccessKey: String = "iam",
+    awsSecretKey: String = "iam",
     threadPoolSize: Int = 10,
     sinkMaxBytes: Int = 1000000,
     sqsMaxBytes: Int = 192000,
@@ -436,6 +444,8 @@ object CollectorConfig {
           goodStream = str(streams.path("good"), base.goodStream),
           badStream = str(streams.path("bad"), base.badStream),
           region = strOpt(sk.path("region"), base.region),
+          awsAccessKey = str(sk.path("aws").path("accessKey"), base.awsAccessKey),
+          awsSecretKey = str(sk.path("aws").path("secretKey"), base.awsSecretKey),
           threadPoolSize = int(sk.path("threadPoolSize"), base.threadPoolSize),
           sinkMaxBytes = int(sk.path("maxBytes"), base.sinkMaxBytes),
           sqsMaxBytes = int(sk.path("sqsMaxBytes"), base.sqsMaxBytes),

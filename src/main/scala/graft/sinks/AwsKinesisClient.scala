@@ -42,13 +42,20 @@ object AwsKinesisClient {
     * task before any record is attempted, making the factory-time claim
     * above literally true (the SDK client itself still builds lazily on
     * first use so the returned object serializes cleanly). */
-  def apply(): KinesisClient = {
+  def apply(): KinesisClient = apply(AwsCredentials.DefaultChain)
+
+  /** R11: the configured credentials mode (`aws { accessKey, secretKey }`,
+    * reference `KinesisSink.scala:509-521` passes the resolved provider
+    * into `KinesisClient.builder().credentialsProvider(...)`) rides into
+    * the builder the same way. */
+  def apply(creds: AwsCredentials.Mode): KinesisClient = {
     Class.forName(BuilderClass)
     new KinesisClient {
     // one SDK client per sink client (= per executor task), lazily so the
     // closure serializes without touching SDK classes on the driver
     @transient private lazy val sdk: AnyRef = {
       val builder = Class.forName(BuilderClass).getMethod("builder").invoke(null)
+      AwsCredentials.applyTo(builder, creds)
       builder.getClass.getMethod("build").invoke(builder)
     }
 

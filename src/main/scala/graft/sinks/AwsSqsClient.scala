@@ -40,13 +40,19 @@ object AwsSqsClient {
     * task at factory time (before any batch), as the Scaladoc above
     * claims; the SDK client itself still builds lazily on first use so
     * the returned object serializes cleanly. */
-  def apply(): SqsClient = {
+  def apply(): SqsClient = apply(AwsCredentials.DefaultChain)
+
+  /** R11: the configured credentials mode (`aws { accessKey, secretKey }`
+    * — the reference's SQS binding resolves the same AWSConfig through
+    * `credentialsProvider(...)` on the builder). */
+  def apply(creds: AwsCredentials.Mode): SqsClient = {
     Class.forName(BuilderClass)
     new SqsClient {
     // one SDK client per sink client (= per executor task), lazily so the
     // closure serializes without touching SDK classes on the driver
     @transient private lazy val sdk: AnyRef = {
       val builder = Class.forName(BuilderClass).getMethod("builder").invoke(null)
+      AwsCredentials.applyTo(builder, creds)
       builder.getClass.getMethod("build").invoke(builder)
     }
 

@@ -280,15 +280,32 @@ object ClientSinks {
       sqs: => Option[() => SqsClient] = None,
       sleeper: Long => Unit = Thread.sleep): EventSink = s.kind match {
     case "kinesis" =>
-      val f = kinesis.getOrElse(
-        throw new IllegalArgumentException("kinesis sink enabled but no client factory"))
+      // R11: with no injected factory (= production), the reflection SDK
+      // binding carries the config's `aws { accessKey, secretKey }` mode
+      // (reference KinesisSink.scala:509-521). The mode RESOLVES at
+      // wiring time — a half-set sentinel pair fails startup, like the
+      // reference's leftMap — while SDK presence still surfaces at
+      // factory time on the executor.
+      val f = kinesis.getOrElse { sdkKinesisFactory(s) }
       new KinesisEventSink(s.goodStream, f,
         maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
     case "sqs" =>
-      val f = sqs.getOrElse(
-        throw new IllegalArgumentException("sqs sink enabled but no client factory"))
+      val f = sqs.getOrElse { sdkSqsFactory(s) }
       new SqsEventSink(s.goodStream, f,
         maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
     case _ => new ParquetDirSink(parquetDir)
+  }
+
+  /** The production K1 factory: resolve the credentials mode NOW (config
+    * errors at startup), bind the SDK client per executor task later. */
+  def sdkKinesisFactory(s: graft.operators.SinkSettings): () => KinesisClient = {
+    val mode = AwsCredentials.modeFor(s)
+    () => AwsKinesisClient(mode)
+  }
+
+  /** The production K2 factory — same two-phase contract. */
+  def sdkSqsFactory(s: graft.operators.SinkSettings): () => SqsClient = {
+    val mode = AwsCredentials.modeFor(s)
+    () => AwsSqsClient(mode)
   }
 }

@@ -67,6 +67,7 @@ class ConfigSpec extends AnyFunSuite {
       |    "sink": {
       |      "enabled": "kinesis",
       |      "region": "eu-central-1",
+      |      "aws": {"accessKey": "iam", "secretKey": "iam"},
       |      "threadPoolSize": 10,
       |      "sqsMaxBytes": 192000,
       |      "backoffPolicy": {"minBackoff": 500, "maxBackoff": 1500, "maxRetries": 3},
@@ -146,6 +147,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(cfg.sink.goodStream === "good" && cfg.sink.badStream === "bad")
     assert(!cfg.useIpAsPartitionKey)
     assert(cfg.sink.region === Some("eu-central-1"))
+    assert(cfg.sink.awsAccessKey === "iam" && cfg.sink.awsSecretKey === "iam")
     assert(cfg.sink.threadPoolSize === 10)
     assert(cfg.sink.sinkMaxBytes === 1000000 && cfg.maxBytes === 1000000)
     assert(cfg.sink.sqsMaxBytes === 192000)
@@ -276,6 +278,9 @@ class ConfigSpec extends AnyFunSuite {
       new String(java.nio.file.Files.readAllBytes(kin.toPath), "UTF-8"))
     assert(cfg.sink.kind === "kinesis")
     assert(cfg.sink.region === Some("eu-central-1"))
+    // r11: the shipped aws credentials block (:217-220 `accessKey = iam`)
+    assert(cfg.sink.awsAccessKey === "iam" && cfg.sink.awsSecretKey === "iam")
+    assert(graft.sinks.AwsCredentials.modeFor(cfg.sink) === graft.sinks.AwsCredentials.Iam)
     assert(cfg.sink.minBackoffMs === 500 && cfg.sink.maxBackoffMs === 1500
       && cfg.sink.maxRetries === 3)
     assert(cfg.sink.sqsMaxBytes === 192000 && cfg.maxBytes === 1000000)

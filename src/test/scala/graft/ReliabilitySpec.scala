@@ -253,6 +253,58 @@ class ReliabilitySpec extends AnyFunSuite {
     intercept[ClassNotFoundException] { AwsKinesisClient() }
   }
 
+  test("aws credentials: sentinel pairs select the reference's provider modes") {
+    import graft.sinks.AwsCredentials
+    import graft.sinks.AwsCredentials._
+    // reference KinesisSink.scala:487-505 verbatim: pairing rules + the
+    // exact mismatch messages
+    assert(AwsCredentials.mode("default", "default") === Right(DefaultChain))
+    assert(AwsCredentials.mode("iam", "iam") === Right(Iam))
+    assert(AwsCredentials.mode("env", "env") === Right(Env))
+    assert(AwsCredentials.mode("AKIAEXAMPLE", "s3cr3t") ===
+      Right(Static("AKIAEXAMPLE", "s3cr3t")))
+    assert(AwsCredentials.mode("default", "s") ===
+      Left("accessKey and secretKey must both be set to 'default' or neither"))
+    assert(AwsCredentials.mode("a", "iam") ===
+      Left("accessKey and secretKey must both be set to 'iam' or neither"))
+    assert(AwsCredentials.mode("env", "s") ===
+      Left("accessKey and secretKey must both be set to 'env' or neither"))
+    // each mode names its genuine SDK provider class (the reflection target)
+    assert(providerClass(DefaultChain).endsWith(".DefaultCredentialsProvider"))
+    assert(providerClass(Iam).endsWith(".InstanceProfileCredentialsProvider"))
+    assert(providerClass(Env).endsWith(".EnvironmentVariableCredentialsProvider"))
+    assert(providerClass(Static("a", "s")).endsWith(".StaticCredentialsProvider"))
+    // and the reflective build targets that class for real: absent SDK
+    // surfaces as CNFE naming the provider, proving the path is live
+    val cnfe = intercept[ClassNotFoundException] { providerFor(Static("a", "s")) }
+    assert(cnfe.getMessage.contains("StaticCredentialsProvider"))
+  }
+
+  test("aws credentials: the configured mode reaches the K1/K2 factories at wiring time") {
+    import graft.sinks.{AwsCredentials, ClientSinks}
+    import graft.operators.SinkSettings
+    // production wiring: sdk factories resolve the config's aws block NOW
+    val good = SinkSettings(kind = "kinesis", awsAccessKey = "env", awsSecretKey = "env")
+    assert(AwsCredentials.modeFor(good) === AwsCredentials.Env)
+    val f = ClientSinks.sdkKinesisFactory(good) // resolves; SDK bind deferred
+    // invoking the factory binds the SDK — absent here, CNFE at factory
+    // time names the kinesis client class (the existing contract)
+    intercept[ClassNotFoundException] { f() }
+    // a half-set sentinel is a STARTUP error (reference leftMap →
+    // IllegalArgumentException), before any executor ever runs
+    val bad = SinkSettings(kind = "sqs", awsAccessKey = "iam", awsSecretKey = "nope")
+    val err = intercept[IllegalArgumentException] { ClientSinks.sdkSqsFactory(bad) }
+    assert(err.getMessage === "accessKey and secretKey must both be set to 'iam' or neither")
+    // and sinkFromSettings falls back to the SDK factory when none is
+    // injected — the config error still surfaces at wiring
+    intercept[IllegalArgumentException] {
+      ClientSinks.sinkFromSettings(bad, "/tmp/unused")
+    }
+    // explicit static keys resolve to the static mode end-to-end
+    val stat = SinkSettings(kind = "sqs", awsAccessKey = "AKIA", awsSecretKey = "sk")
+    assert(AwsCredentials.modeFor(stat) === AwsCredentials.Static("AKIA", "sk"))
+  }
+
   test("real-SDK SQS binding: absent SDK is detected at factory time, not mid-batch") {
     import graft.sinks.AwsSqsClient
     // the reference's production pairing is Kinesis + SQS failover
