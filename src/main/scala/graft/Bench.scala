@@ -142,6 +142,7 @@ object Bench {
     "d_url_dups" -> 1.0, // r10: canonical-key dup groups; measured 0.54 s
     "t_warc_records" -> 0.9, // r10: WARC container round-trip; measured 0.42 s
     "t_warc_gzip" -> 1.1, // r10: + gzip member deflate/inflate; measured 0.53 s
+    "t_warc_mixed" -> 0.8, // r11: 3-record captures + sniffed image decode; measured 0.36 s solo
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,
     "m_dhash_nn" -> 1.6,

@@ -38,15 +38,23 @@ object Warc {
   /** Deterministic REAL WARC record for a document: response-type header
     * block + the document text as the payload. A stock WARC reader
     * (warcio et al.) parses these bytes. */
-  private[graft] def synthRecord(docId: Long, text: String): Array[Byte] = {
-    val payload = text.getBytes(StandardCharsets.UTF_8)
+  private[graft] def synthRecord(docId: Long, text: String): Array[Byte] =
+    synthRecord(docId, "response", "text/plain",
+      text.getBytes(StandardCharsets.UTF_8))
+
+  /** R11: the general record writer — real crawls interleave
+    * `request`/`response`/`metadata` records (ISO 28500 §6.3-6.9) and
+    * carry arbitrary binary payloads, so the type and content-type are
+    * caller-chosen and the payload is raw bytes. */
+  private[graft] def synthRecord(docId: Long, warcType: String,
+      contentType: String, payload: Array[Byte]): Array[Byte] = {
     val head =
       "WARC/1.0" + Crlf +
-        "WARC-Type: response" + Crlf +
+        s"WARC-Type: $warcType" + Crlf +
         s"WARC-Record-ID: <urn:graft:$docId>" + Crlf +
         "WARC-Date: 2026-01-01T00:00:00Z" + Crlf +
         s"WARC-Target-URI: https://site${docId % 250}.example.com/p$docId" + Crlf +
-        "Content-Type: text/plain" + Crlf +
+        s"Content-Type: $contentType" + Crlf +
         s"Content-Length: ${payload.length}" + Crlf +
         Crlf
     head.getBytes(StandardCharsets.UTF_8) ++ payload ++
@@ -66,11 +74,18 @@ object Warc {
     java.security.MessageDigest.getInstance("MD5").digest(b)
       .map("%02x".format(_)).mkString
 
+  /** A parsed record with its FULL header map and payload bytes — the
+    * shape record-type filtering and payload sniffing consume. */
+  private[graft] final case class RawWarc(
+      doc_id: Long, headers: Map[String, String], payload: Array[Byte]) {
+    def warcType: String = headers.getOrElse("warc-type", "")
+  }
+
   /** Parse a (possibly hostile) stream of concatenated WARC records.
     * Malformed stretches are skipped by scanning to the next record
     * magic; a record whose payload is truncated is dropped. Never
     * throws. */
-  private[graft] def parseStream(bytes: Array[Byte]): Iterator[WarcRecord] = {
+  private[graft] def parseStreamRaw(bytes: Array[Byte]): Iterator[RawWarc] = {
     val magic = "WARC/1.0\r\n".getBytes(StandardCharsets.UTF_8)
     def findMagic(from: Int): Int = {
       var i = math.max(0, from)
@@ -82,9 +97,9 @@ object Warc {
       }
       -1
     }
-    new Iterator[WarcRecord] {
+    new Iterator[RawWarc] {
       private var pos = findMagic(0)
-      private var nextRec: WarcRecord = _
+      private var nextRec: RawWarc = _
       advance()
       private def advance(): Unit = {
         nextRec = null
@@ -96,14 +111,25 @@ object Warc {
         }
       }
       def hasNext: Boolean = nextRec != null
-      def next(): WarcRecord = { val r = nextRec; advance(); r }
+      def next(): RawWarc = { val r = nextRec; advance(); r }
     }
   }
+
+  /** The metadata projection of [[parseStreamRaw]] (the r10 surface). */
+  private[graft] def parseStream(bytes: Array[Byte]): Iterator[WarcRecord] =
+    parseStreamRaw(bytes).map { r =>
+      WarcRecord(
+        doc_id = r.doc_id,
+        warc_type = r.warcType,
+        target_uri = r.headers.getOrElse("warc-target-uri", ""),
+        content_length = r.payload.length.toLong,
+        payload_md5 = md5hex(r.payload))
+    }
 
   /** One record at `start` (which points at the magic): Some(record,
     * endOffset) or None when the header block / payload is malformed or
     * truncated. */
-  private def parseOneIn(bytes: Array[Byte], start: Int): Option[(WarcRecord, Int)] = {
+  private def parseOneIn(bytes: Array[Byte], start: Int): Option[(RawWarc, Int)] = {
     // header block ends at the first blank line
     var i = start
     def lineEnd(from: Int): Int = {
@@ -136,12 +162,7 @@ object Warc {
       id <- "<urn:graft:([0-9]+)>".r.findFirstMatchIn(idStr).map(_.group(1).toLong)
     } yield {
       val payload = java.util.Arrays.copyOfRange(bytes, i, (i + len).toInt)
-      (WarcRecord(
-        doc_id = id,
-        warc_type = headers.getOrElse("warc-type", ""),
-        target_uri = headers.getOrElse("warc-target-uri", ""),
-        content_length = len,
-        payload_md5 = md5hex(payload)),
+      (RawWarc(id, headers.toMap, payload),
         (i + len).toInt + 4) // skip the \r\n\r\n record separator
     }
   }
@@ -187,4 +208,71 @@ object Warc {
     * bit-identical to [[warcRecords]] (same oracle) — which is the
     * point: compression is transport, not semantics. */
   def warcRecordsGzip(docs: DataFrame): DataFrame = parsed(docs, gzip = true).toDF()
+
+  /** One mixed-ingest row: the record that survived the type filter,
+    * its sniffed payload container, and either the exact-integer pixel
+    * sums (images — any container corruption changes them) or the
+    * payload md5 (text). */
+  final case class WarcMixedRow(
+      doc_id: Long, warc_type: String, format: String,
+      width: Int, height: Int, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, text_md5: String)
+
+  /** R11 mixed-container ingest — the shape real crawl WARCs actually
+    * have (ISO 28500 §6: request/response/metadata record types
+    * interleaved per fetch; Common Crawl ships exactly this). Each doc
+    * contributes a THREE-record capture — a `request` record, the
+    * `response` whose payload is the doc's text or a binary image
+    * (png/gif/bmp by doc id), and a `metadata` record. The reader then
+    * does what a production WARC pipeline does: parse every record,
+    * FILTER on the `WARC-Type` header to responses, and sniff-dispatch
+    * the payload bytes through the [[Multimodal]] magic decode — one
+    * binary stream, heterogeneous payloads, no per-format branching
+    * upstream of the sniff.
+    *
+    * Scale shape: identical to [[warcRecords]] — a narrow
+    * `mapPartitions`, no shuffle; the type filter drops 2/3 of the
+    * records inside the partition walk before any decode runs, which at
+    * 100 TB is the difference between decoding the crawl and decoding
+    * only its responses. */
+  def warcMixed(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val out = new ByteArrayOutputStream()
+        it.foreach { case (id, text) =>
+          out.write(synthRecord(id, "request", "application/http;msgtype=request",
+            s"GET /p$id HTTP/1.1\r\nHost: site${id % 250}.example.com\r\n\r\n"
+              .getBytes(StandardCharsets.UTF_8)))
+          val (payload, ctype) = (id % 4) match {
+            case 0 => (text.getBytes(StandardCharsets.UTF_8), "text/plain")
+            case 1 => (Multimodal.synthPngImage(id), "image/png")
+            case 2 => (Multimodal.synthGifImage(id), "image/gif")
+            case _ => (Multimodal.synthBmpImage(id), "image/bmp")
+          }
+          out.write(synthRecord(id, "response", ctype, payload))
+          out.write(synthRecord(id, "metadata", "application/warc-fields",
+            s"fetchTimeMs: ${10 + id % 90}".getBytes(StandardCharsets.UTF_8)))
+        }
+        parseStreamRaw(out.toByteArray)
+          .filter(_.warcType == "response") // the WARC-Type record filter
+          .map { r =>
+            Multimodal.decodePixels(r.payload) match {
+              case Some((fmt, (w, h, rgb))) =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var p = 0
+                while (p < rgb.length) {
+                  sr += rgb(p) & 0xFF; sg += rgb(p + 1) & 0xFF
+                  sb += rgb(p + 2) & 0xFF; p += 3
+                }
+                WarcMixedRow(r.doc_id, "response", fmt, w, h,
+                  w.toLong * h, sr, sg, sb, "")
+              case None =>
+                WarcMixedRow(r.doc_id, "response", "text", 0, 0, 0L,
+                  0L, 0L, 0L, md5hex(r.payload))
+            }
+          }
+      }.toDF()
+  }
 }

@@ -367,6 +367,9 @@ object Training {
     * record streams parsed back by the real record walker. */
   val tWarcRecords: Q = (s, d) => Warc.warcRecords(docs(s, d))
   val tWarcGzip: Q = (s, d) => Warc.warcRecordsGzip(docs(s, d))
+  /** R11: interleaved request/response/metadata records with text and
+    * binary-image payloads — type-filtered, then sniff-dispatched. */
+  val tWarcMixed: Q = (s, d) => Warc.warcMixed(docs(s, d))
 
   /** R10: URL canonicalization (crawl-pipeline normal form) and the
     * URL-keyed dup groups content dedup runs after. */
@@ -441,6 +444,7 @@ object Training {
     "t_winnow" -> tWinnow,
     "t_warc_records" -> tWarcRecords,
     "t_warc_gzip" -> tWarcGzip,
+    "t_warc_mixed" -> tWarcMixed,
     "t_url_norm" -> tUrlNorm,
     "d_url_dups" -> dUrlDups,
     "t_rep_stats" -> tRepStats,

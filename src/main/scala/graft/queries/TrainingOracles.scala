@@ -1195,6 +1195,50 @@ object TrainingOracles {
         |  md5(text) AS payload_md5
         |FROM w""".stripMargin,
 
+    // r11 mixed-container WARC: the oracle states the SURVIVING records
+    // analytically — only the response arm of each 3-record capture,
+    // with the image payloads' exact-integer pixel sums (the
+    // m_mixed_pixels formulas — any container corruption changes them)
+    // and md5(text) for the text payloads. The Spark side writes the
+    // full interleaved request/response/metadata stream as REAL WARC
+    // bytes, parses it back, filters on the WARC-Type header, and
+    // sniff-dispatches the payload through the Multimodal codecs.
+    "t_warc_mixed" ->
+      """WITH img AS (
+        |  SELECT doc_id, 'png' AS format,
+        |    8 + (5*doc_id) % 16 AS w, 8 + (11*doc_id) % 16 AS h
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 'gif', 8 + (7*doc_id) % 16, 8 + (13*doc_id) % 16
+        |  FROM documents WHERE doc_id % 4 = 2
+        |  UNION ALL
+        |  SELECT doc_id, 'bmp', 8 + doc_id % 16, 8 + (3*doc_id) % 16
+        |  FROM documents WHERE doc_id % 4 = 3),
+        |px AS (
+        |  SELECT doc_id, format, w, h, tx.x AS x, ty.y AS y,
+        |    (doc_id + 3*tx.x + 5*ty.y) % 256 AS gi
+        |  FROM img, UNNEST(range(0, w)) AS tx(x), UNNEST(range(0, h)) AS ty(y)),
+        |ia AS (
+        |  SELECT doc_id, format, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |    CAST(count(*) AS BIGINT) AS n_px,
+        |    CAST(sum(CASE WHEN format = 'gif' THEN gi
+        |             ELSE (doc_id + 7*x + 13*y) % 256 END) AS BIGINT) AS sum_r,
+        |    CAST(sum(CASE WHEN format = 'gif' THEN (2*gi) % 256
+        |             ELSE (2*doc_id + 11*x + 3*y) % 256 END) AS BIGINT) AS sum_g,
+        |    CAST(sum(CASE WHEN format = 'gif' THEN (5*gi) % 256
+        |             ELSE (5*doc_id + x + y) % 256 END) AS BIGINT) AS sum_b
+        |  FROM px GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, 'response' AS warc_type, format, width, height,
+        |  n_px, sum_r, sum_g, sum_b, '' AS text_md5
+        |FROM ia
+        |UNION ALL
+        |SELECT doc_id, 'response' AS warc_type, 'text' AS format,
+        |  CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+        |  CAST(0 AS BIGINT) AS n_px, CAST(0 AS BIGINT) AS sum_r,
+        |  CAST(0 AS BIGINT) AS sum_g, CAST(0 AS BIGINT) AS sum_b,
+        |  md5(text) AS text_md5
+        |FROM documents WHERE doc_id % 4 = 0""".stripMargin,
+
     // r10 URL canonicalization: the oracle rebuilds BOTH the dressed URL
     // (mirror of UrlOps.synthUrl's column arithmetic) and the canonical
     // form analytically; the Spark side genuinely PARSES the dressed
