@@ -609,7 +609,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"regressions":$regJson,"retimes":$ledgerJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"regressions":$regJson,"retimes":$ledgerJson,"sf":"$sfDir"}"""
+    println(line)
+    // R11: the driver archives only a stdout TAIL (BENCH_r{N}.json keeps
+    // the last ~2000 chars), which truncates the per-query families on a
+    // full run — so the complete line is ALSO written to a file in the
+    // repo (committed per round → cross-round per-query comparison never
+    // loses legs). Overridable for ad-hoc runs.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $benchOut: $e") }
     spark.stop()
     if (regressions.nonEmpty) {
       System.err.println(s"BENCH GUARD FAILED (2x rule): ${regressions.mkString("; ")}")
