@@ -449,6 +449,51 @@ class HttpEdgeSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("live: malformed TLS client hellos never kill the HTTPS bind") {
+    // the r10 verdict's TLS tail-risk item: the handshake surface must
+    // shrug off garbage — a plaintext request on the TLS port, random
+    // bytes, a truncated-then-hung-up hello — and still serve real
+    // handshakes afterwards
+    assume(tlsContexts.isDefined, "keytool unavailable")
+    val (serverCtx, clientCtx) = tlsContexts.get
+    val spool = Files.createTempDirectory("edge-tls-fuzz").toString
+    val cfg = testScale.copy(ssl = graft.operators.SslSettings(enable = true))
+    val server = new HttpEdgeServer(cfg, spool,
+      clock = () => 1700000000000L, sslContext = Some(serverCtx))
+    server.start()
+    try {
+      val hp = server.httpsPort
+      def fire(bytes: Array[Byte]): Unit = {
+        val s = new Socket("127.0.0.1", hp)
+        try {
+          s.setSoTimeout(5000)
+          s.getOutputStream.write(bytes); s.getOutputStream.flush()
+          try s.getInputStream.read() catch { case _: java.io.IOException => () }
+        } catch { case _: java.io.IOException => () } finally s.close()
+      }
+      // plaintext HTTP where a hello belongs
+      fire("GET /health HTTP/1.1\r\nHost: x\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1))
+      // random garbage at several sizes
+      val rnd = new scala.util.Random(31)
+      Seq(1, 5, 16, 64, 512).foreach(n => fire(Array.fill[Byte](n)(rnd.nextInt.toByte)))
+      // a record that CLAIMS to be a client hello then lies about length
+      // (0x16 handshake, TLS 1.2, declared 512-byte record, 4 bytes sent)
+      fire(Array[Byte](0x16, 0x03, 0x03, 0x02, 0x00, 0x01, 0x00, 0x00, 0x00))
+      // immediate hangup after one hello byte
+      fire(Array[Byte](0x16))
+      // the bind SURVIVES: a genuine handshake + request round-trips
+      val health = httpsGet(clientCtx, hp, "/health")
+      assert(health.statusCode() === 200)
+      assert(new String(health.body(), "UTF-8") === "OK")
+      val pixel = httpsGet(clientCtx, hp, "/i?e=pv")
+      assert(pixel.statusCode() === 200)
+      assert(pixel.body().toSeq === HttpEdge.PixelBytes.toSeq)
+      // hostile pre-handshake bytes never reached the handler: the
+      // request ledger holds only the two real requests
+      assert(server.metrics.requestCounts === Map(("GET", 200) -> 2L))
+    } finally server.stop()
+  }
+
   test("live: route table is method-gated — no envelope from OPTIONS/PUT/DELETE, 404 fallback") {
     withServer(testScale) { (server, port, spool) =>
       // OPTIONS preflight to a tracking path: answered by the CORS route,
