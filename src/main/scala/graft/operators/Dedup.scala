@@ -24,6 +24,57 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_docs"))
 
+  /** R11: line-level boilerplate dedup — the CCNet/FineWeb pre-dedup
+    * step: a LINE that recurs across ≥ `minDocs` distinct documents is
+    * boilerplate (nav bars, cookie banners, footers) and is dropped from
+    * every document; unique lines are kept in order. Per doc: line
+    * counts and the md5 of the kept text, so the oracle proves exact
+    * reconstruction, not just counts.
+    *
+    * Scale shape: three shuffles, all keyed and map-side combined —
+    * (1) line-frequency aggregate on the 32-hex md5 of the line (the
+    * shuffle carries the hash, never the line text; the distinct-line
+    * relation is corpus-sublinear), (2) the frequency joined back to the
+    * doc-side lines on the same hash, (3) the per-doc re-assembly
+    * aggregate. No window over the corpus: line order is restored with
+    * `array_sort` over (pos, line) structs INSIDE the per-doc aggregate.
+    * At 100 TB this is the published CCNet shape (Wenzek 2020 §3.1:
+    * hash-shard the lines, count, drop). */
+  /** Deterministic multi-line dressing for the line-dedup oracle: the
+    * driver's `documents.text` has no newlines, so (the m_decode /
+    * t_url_norm pattern) each doc is wrapped in the boilerplate real
+    * pages carry — a per-site-group nav header, a global cookie banner
+    * on even ids, the doc's own text as the content line, a
+    * whitespace-only line, and a footer shared across ~1% of docs. The
+    * oracle rebuilds the same string analytically; [[lineDedup]] then
+    * genuinely splits, counts and reconstructs. */
+  def synthLines(docId: Column, text: Column): Column =
+    concat(
+      lit("== site "), (docId % 7).cast("string"), lit(" navigation ==\n"),
+      when(docId % 2 === 0, lit("accept cookies to continue\n")).otherwise(lit("")),
+      text, lit("\n   \ncontact admin "), (docId % 100).cast("string"))
+
+  def lineDedup(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+    val lines = Spread(docs)
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos"), trim(col("raw")).as("line"))
+      .filter(col("line") =!= "")
+      .withColumn("lh", md5(col("line")))
+    val freq = lines.groupBy("lh")
+      .agg(count_distinct(col("doc_id")).as("ndocs"))
+    lines.join(freq, "lh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("ndocs") < minDocs, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_dropped"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("ndocs") < minDocs, struct(col("pos"), col("line"))))),
+            s => s.getField("line")))).as("kept_md5"))
+  }
+
   /** Per-doc MinHash signature: 4 salted minhashes over 3-shingles. Docs
     * with < 3 tokens have no shingles and are dropped (declared domain).
     * Tokens and shingles are materialized as named columns so each is

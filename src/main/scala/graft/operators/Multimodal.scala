@@ -14,6 +14,10 @@ final case class AudioMeta(doc_id: Long, container: String, channels: Int,
 final case class JpegMeta(doc_id: Long, format: String, progressive: Boolean,
     width: Int, height: Int, n_bytes: Long)
 
+/** R11: one WebP header row — the sniffed chunk dialect and its dims. */
+final case class WebpMeta(doc_id: Long, format: String,
+    width: Int, height: Int, n_bytes: Long)
+
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, decode / feature-extract / frame-sample as partition-batched
   * operators.
@@ -177,6 +181,93 @@ object Multimodal {
         jpegDims(bytes) match {
           case Some((w, h, prog)) => JpegMeta(id, "jpeg", prog, w, h, bytes.length.toLong)
           case None => JpegMeta(id, "jpeg", progressive = false, 0, 0, bytes.length.toLong)
+        }
+      })
+  }
+
+  // ---- R11: WebP (RFC 9649 / RIFF container; VP8 / VP8L / VP8X) ------
+
+  private def le24(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte)
+  private def rdLe24(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
+
+  /** Deterministic REAL WebP container for a doc, cycling the three
+    * chunk dialects a crawl actually sees (RFC 9649 §2): `VP8 ` lossy
+    * (frame tag + 9D 01 2A start code + 14-bit LE dims), `VP8L`
+    * lossless (0x2F signature + 14-bit-packed dims-minus-one), `VP8X`
+    * extended (flags + 24-bit LE canvas dims-minus-one). Payload filler
+    * keeps every chunk even-length (RIFF padding rule never triggers,
+    * so `n_bytes` stays analytic). */
+  private[graft] def synthWebp(docId: Long): Array[Byte] = {
+    val filler2 = (2 * (docId % 16)).toInt
+    val (fourcc, payload) = (docId % 3) match {
+      case 0 =>
+        val w = (16 + (3 * docId) % 64).toInt
+        val h = (16 + (5 * docId) % 64).toInt
+        // 3-byte frame tag (keyframe, deterministic), start code, dims
+        ("VP8 ", Array[Byte](
+          (docId % 256).toByte, 0x01, 0x00,
+          0x9D.toByte, 0x01, 0x2A) ++ le16(w) ++ le16(h) ++
+          Array.tabulate[Byte](filler2)(i => ((docId + i) % 256).toByte))
+      case 1 =>
+        val w = (16 + (7 * docId) % 64).toInt
+        val h = (16 + (9 * docId) % 64).toInt
+        // bits 0-13 w-1, 14-27 h-1, 28 alpha=0, 29-31 version=0
+        val bits = (w - 1).toLong | ((h - 1).toLong << 14)
+        ("VP8L", Array[Byte](0x2F) ++ le32(bits.toInt) ++
+          Array.tabulate[Byte](filler2 + 1)(i => ((docId + i) % 256).toByte))
+      case _ =>
+        val w = (16 + (11 * docId) % 200).toInt
+        val h = (16 + (13 * docId) % 200).toInt
+        // 1 flags byte + 3 reserved, then 24-bit LE canvas dims - 1
+        ("VP8X", Array[Byte](0x00, 0x00, 0x00, 0x00) ++
+          le24(w - 1) ++ le24(h - 1) ++
+          Array.tabulate[Byte](filler2)(i => ((docId + i) % 256).toByte))
+    }
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + 8 + payload.length) ++
+      "WEBP".getBytes("US-ASCII") ++ fourcc.getBytes("US-ASCII") ++
+      le32(payload.length) ++ payload
+  }
+
+  /** REAL WebP header probe: RIFF/WEBP magic, first-chunk fourcc
+    * dispatch, dimensions at the dialect's documented offsets. Returns
+    * None on truncation, bad magic, a missing VP8 start code, or a
+    * declared chunk length past the buffer — hostile bytes can't throw. */
+  private[graft] def webpDims(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def ascii(o: Int, n: Int) =
+      if (o + n <= b.length) new String(b, o, n, "US-ASCII") else ""
+    if (b.length < 20 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WEBP") return None
+    val len = rdLe32(b, 16)
+    if (len < 0 || 20L + len > b.length) return None
+    ascii(12, 4) match {
+      case "VP8 " if len >= 10 =>
+        // start code guards against a lying fourcc
+        if (b(23) != 0x9D.toByte || b(24) != 0x01 || b(25) != 0x2A) None
+        else Some(("vp8", rdLe16(b, 26) & 0x3FFF, rdLe16(b, 28) & 0x3FFF))
+      case "VP8L" if len >= 5 =>
+        if (b(20) != 0x2F) None
+        else {
+          val bits = rdLe32(b, 21).toLong & 0xFFFFFFFFL
+          Some(("vp8l", (bits & 0x3FFF).toInt + 1, ((bits >> 14) & 0x3FFF).toInt + 1))
+        }
+      case "VP8X" if len >= 10 =>
+        Some(("vp8x", rdLe24(b, 24) + 1, rdLe24(b, 27) + 1))
+      case _ => None
+    }
+  }
+
+  /** WebP header pass — the m_jpeg_meta shape for the web's other
+    * dominant image container. Narrow mapPartitions, no shuffle. */
+  def webpMeta(docs: DataFrame): Dataset[WebpMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = synthWebp(id)
+        webpDims(bytes) match {
+          case Some((fmt, w, h)) => WebpMeta(id, fmt, w, h, bytes.length.toLong)
+          case None => WebpMeta(id, "unknown", 0, 0, bytes.length.toLong)
         }
       })
   }

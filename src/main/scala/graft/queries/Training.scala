@@ -48,6 +48,12 @@ object Training {
     docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
 
   val dExact: Q = (s, d) => Dedup.exactGroups(docs(s, d))
+  /** R11: CCNet/FineWeb line-level boilerplate dedup over multi-line
+    * dressed docs (nav header / cookie banner / footer recur across
+    * docs; content lines mostly unique). */
+  val dLineDedup: Q = (s, d) => Dedup.lineDedup(
+    docs(s, d).select(col("doc_id"),
+      Dedup.synthLines(col("doc_id"), col("text")).as("text")))
   val dMinhash: Q = (s, d) => Dedup.minhashSignatures(docs(s, d))
   val dLshPairs: Q = (s, d) => Dedup.lshCandidatePairs(docs(s, d))
   val dJaccard: Q = (s, d) => Dedup.jaccardOnCandidates(docs(s, d))
@@ -378,6 +384,8 @@ object Training {
 
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mJpegMeta: Q = (s, d) => Multimodal.jpegMeta(docs(s, d)).toDF()
+  /** R11: WebP header probe — RIFF walk + VP8/VP8L/VP8X dialect dims. */
+  val mWebpMeta: Q = (s, d) => Multimodal.webpMeta(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
   val mPixels: Q = (s, d) => Multimodal.pixelStats(docs(s, d)).toDF()
@@ -408,6 +416,7 @@ object Training {
     "t_langid2" -> tLangid2,
     "t_fingerprint" -> tFingerprint,
     "d_exact" -> dExact,
+    "d_line_dedup" -> dLineDedup,
     "d_minhash" -> dMinhash,
     "d_lsh_pairs" -> dLshPairs,
     "d_jaccard" -> dJaccard,
@@ -472,6 +481,7 @@ object Training {
     "s_mmr" -> ((s, d) => Similarity.mmrRerank(emb(s, d))),
     "m_decode" -> mDecode,
     "m_jpeg_meta" -> mJpegMeta,
+    "m_webp_meta" -> mWebpMeta,
     "m_frames" -> mFrames,
     "m_audio" -> mAudio,
     "m_pixels" -> mPixels,

@@ -508,6 +508,36 @@ object TrainingOracles {
          |  min(doc_id) AS canonical_doc_id, count(*) AS n_docs
          |FROM tok GROUP BY 1""".stripMargin,
 
+    // r11 line-level boilerplate dedup: the oracle rebuilds the dressed
+    // multi-line text analytically (Dedup.synthLines mirror), splits,
+    // counts line recurrence across distinct docs, and reconstructs the
+    // kept text md5 — full-computation mirror, no assumptions. (The
+    // Spark side shuffles on md5(line) instead of the line text — a
+    // transport choice invisible to the result.)
+    "d_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '== site ' || (doc_id % 7) || ' navigation ==' || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'accept cookies to continue' || chr(10) ELSE '' END ||
+        |    text || chr(10) || '   ' || chr(10) ||
+        |    'contact admin ' || (doc_id % 100) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |ln AS (SELECT doc_id, CAST(i.i AS INT) AS pos, trim(ls[i.i + 1]) AS line
+        |       FROM l, UNNEST(range(0, len(ls))) AS i(i)),
+        |ne AS (SELECT * FROM ln WHERE line <> ''),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS ndocs FROM ne GROUP BY line),
+        |j AS (SELECT ne.doc_id, ne.pos, ne.line, freq.ndocs
+        |      FROM ne JOIN freq ON ne.line = freq.line)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN ndocs < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN ndocs < 3 THEN line END,
+        |        chr(10) ORDER BY pos), '')) AS kept_md5
+        |FROM j GROUP BY doc_id""".stripMargin,
+
     "d_minhash" ->
       s"""$SigCte
          |SELECT doc_id, sig0, sig1, sig2, sig3 FROM sig""".stripMargin,
@@ -1711,6 +1741,22 @@ object TrainingOracles {
         |  CAST(32 + doc_id % 512 AS INT) AS width,
         |  CAST(32 + (5 * doc_id) % 512 AS INT) AS height,
         |  124 + doc_id % 64 AS n_bytes
+        |FROM documents""".stripMargin,
+
+    // r11 WebP: mirrors Multimodal.synthWebp's deterministic dialect
+    // cycle and dims; the Spark side writes REAL RIFF/WEBP containers
+    // and probes them back (fourcc dispatch, VP8 start-code guard,
+    // VP8L bit-unpack, VP8X 24-bit canvas)
+    "m_webp_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'vp8' WHEN 1 THEN 'vp8l' ELSE 'vp8x' END AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (3*doc_id) % 64
+        |       WHEN 1 THEN 16 + (7*doc_id) % 64
+        |       ELSE 16 + (11*doc_id) % 200 END AS INT) AS width,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (5*doc_id) % 64
+        |       WHEN 1 THEN 16 + (9*doc_id) % 64
+        |       ELSE 16 + (13*doc_id) % 200 END AS INT) AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN 26 ELSE 30 END + 2*(doc_id % 16) AS n_bytes
         |FROM documents""".stripMargin,
 
     // mirrors Multimodal.synthAudio's deterministic header fields; the
