@@ -168,6 +168,15 @@ final case class SinkSettings(
     // [[graft.sinks.AwsCredentials.mode]] resolves them.
     awsAccessKey: String = "iam",
     awsSecretKey: String = "iam",
+    // R11: `customEndpoint` (reference `model.scala:114,120-126` — when
+    // absent the endpoint derives from the region, with the China
+    // partition's `.amazonaws.com.cn` special cases) and the Kinesis
+    // sink's SQS buffer pair (`model.scala:115-116`, shipped example
+    // :199-210): when `sqsGoodBuffer` is set the reference pairs the
+    // Kinesis primary with an SQS fallback (`KinesisSink.scala:53,145`).
+    customEndpoint: Option[String] = None,
+    sqsGoodBuffer: Option[String] = None,
+    sqsBadBuffer: Option[String] = None,
     threadPoolSize: Int = 10,
     sinkMaxBytes: Int = 1000000,
     sqsMaxBytes: Int = 192000,
@@ -178,7 +187,16 @@ final case class SinkSettings(
     bufferByteLimit: Long = 3145728,
     bufferRecordLimit: Int = 500,
     bufferTimeLimitMs: Long = 5000,
-    startupCheckIntervalMs: Long = 1000)
+    startupCheckIntervalMs: Long = 1000) {
+
+  /** The Kinesis endpoint the reference derives (`model.scala:120-126`):
+    * the explicit `customEndpoint` wins; otherwise the region's public
+    * endpoint, with the China partition's `.cn` suffix special-cased. */
+  def kinesisEndpoint: String = customEndpoint.getOrElse(region.getOrElse("") match {
+    case cn @ ("cn-north-1" | "cn-northwest-1") => s"https://kinesis.$cn.amazonaws.com.cn"
+    case r => s"https://kinesis.$r.amazonaws.com"
+  })
+}
 
 object SinkSettings {
 
@@ -446,6 +464,9 @@ object CollectorConfig {
           region = strOpt(sk.path("region"), base.region),
           awsAccessKey = str(sk.path("aws").path("accessKey"), base.awsAccessKey),
           awsSecretKey = str(sk.path("aws").path("secretKey"), base.awsSecretKey),
+          customEndpoint = strOpt(sk.path("customEndpoint"), base.customEndpoint),
+          sqsGoodBuffer = strOpt(sk.path("sqsGoodBuffer"), base.sqsGoodBuffer),
+          sqsBadBuffer = strOpt(sk.path("sqsBadBuffer"), base.sqsBadBuffer),
           threadPoolSize = int(sk.path("threadPoolSize"), base.threadPoolSize),
           sinkMaxBytes = int(sk.path("maxBytes"), base.sinkMaxBytes),
           sqsMaxBytes = int(sk.path("sqsMaxBytes"), base.sqsMaxBytes),

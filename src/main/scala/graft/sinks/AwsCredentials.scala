@@ -106,4 +106,35 @@ object AwsCredentials {
       .invoke(builder, providerFor(m, cl))
     builder
   }
+
+  /** R11: `builder.region(Region.of(r))` — what the reference sets from
+    * the sink config's `region` key. No-op when the config has none. */
+  def applyRegion(builder: AnyRef, region: Option[String]): AnyRef = {
+    region.foreach { r =>
+      val cl = builder.getClass.getClassLoader
+      val regionCls = Class.forName("software.amazon.awssdk.regions.Region", true, cl)
+      val regionObj = regionCls.getMethod("of", classOf[String]).invoke(null, r)
+      builder.getClass.getMethods
+        .find(mm => mm.getName == "region" && mm.getParameterCount == 1)
+        .getOrElse(throw new NoSuchMethodException("region(Region)"))
+        .invoke(builder, regionObj)
+    }
+    builder
+  }
+
+  /** R11: `builder.endpointOverride(URI)` — the reference passes its
+    * derived endpoint (`SinkSettings.kinesisEndpoint`: customEndpoint or
+    * the region default incl. the China partition) into the client
+    * builder (`KinesisSink.scala:509-521` createKinesisClient). Only an
+    * EXPLICIT `customEndpoint` is overridden here: with none configured
+    * the SDK derives the same regional default itself. */
+  def applyEndpoint(builder: AnyRef, endpoint: Option[String]): AnyRef = {
+    endpoint.foreach { e =>
+      builder.getClass.getMethods
+        .find(mm => mm.getName == "endpointOverride" && mm.getParameterCount == 1)
+        .getOrElse(throw new NoSuchMethodException("endpointOverride(URI)"))
+        .invoke(builder, java.net.URI.create(e))
+    }
+    builder
+  }
 }

@@ -47,8 +47,11 @@ object AwsKinesisClient {
   /** R11: the configured credentials mode (`aws { accessKey, secretKey }`,
     * reference `KinesisSink.scala:509-521` passes the resolved provider
     * into `KinesisClient.builder().credentialsProvider(...)`) rides into
-    * the builder the same way. */
-  def apply(creds: AwsCredentials.Mode): KinesisClient = {
+    * the builder the same way, along with the sink's `region` and any
+    * explicit `customEndpoint`. */
+  def apply(creds: AwsCredentials.Mode,
+      region: Option[String] = None,
+      endpoint: Option[String] = None): KinesisClient = {
     Class.forName(BuilderClass)
     new KinesisClient {
     // one SDK client per sink client (= per executor task), lazily so the
@@ -56,6 +59,8 @@ object AwsKinesisClient {
     @transient private lazy val sdk: AnyRef = {
       val builder = Class.forName(BuilderClass).getMethod("builder").invoke(null)
       AwsCredentials.applyTo(builder, creds)
+      AwsCredentials.applyRegion(builder, region)
+      AwsCredentials.applyEndpoint(builder, endpoint)
       builder.getClass.getMethod("build").invoke(builder)
     }
 

@@ -44,8 +44,9 @@ object AwsSqsClient {
 
   /** R11: the configured credentials mode (`aws { accessKey, secretKey }`
     * — the reference's SQS binding resolves the same AWSConfig through
-    * `credentialsProvider(...)` on the builder). */
-  def apply(creds: AwsCredentials.Mode): SqsClient = {
+    * `credentialsProvider(...)` on the builder), plus the sink's region. */
+  def apply(creds: AwsCredentials.Mode,
+      region: Option[String] = None): SqsClient = {
     Class.forName(BuilderClass)
     new SqsClient {
     // one SDK client per sink client (= per executor task), lazily so the
@@ -53,6 +54,7 @@ object AwsSqsClient {
     @transient private lazy val sdk: AnyRef = {
       val builder = Class.forName(BuilderClass).getMethod("builder").invoke(null)
       AwsCredentials.applyTo(builder, creds)
+      AwsCredentials.applyRegion(builder, region)
       builder.getClass.getMethod("build").invoke(builder)
     }
 

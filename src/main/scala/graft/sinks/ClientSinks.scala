@@ -287,8 +287,24 @@ object ClientSinks {
       // reference's leftMap — while SDK presence still surfaces at
       // factory time on the executor.
       val f = kinesis.getOrElse { sdkKinesisFactory(s) }
-      new KinesisEventSink(s.goodStream, f,
+      val primary = new KinesisEventSink(s.goodStream, f,
         maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
+      // R11: the reference's production pairing — a configured
+      // `sqsGoodBuffer` makes SQS the Kinesis failover target
+      // (KinesisSink.scala:53,145: batches that exhaust Kinesis retries
+      // divert to the buffer queue; a downstream replayer drains it)
+      s.sqsGoodBuffer match {
+        case Some(buffer) =>
+          val sf = sqs.getOrElse { sdkSqsFactory(s) }
+          new FailoverSink(
+            primary,
+            new SqsEventSink(buffer, sf,
+              maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper),
+            new RetryPolicy(s.minBackoffMs, s.maxBackoffMs, s.maxRetries, seed = 17L),
+            new CircuitBreaker(maxFailures = 5, resetMs = 60000L),
+            sleeper = sleeper)
+        case None => primary
+      }
     case "sqs" =>
       val f = sqs.getOrElse { sdkSqsFactory(s) }
       new SqsEventSink(s.goodStream, f,
@@ -297,15 +313,19 @@ object ClientSinks {
   }
 
   /** The production K1 factory: resolve the credentials mode NOW (config
-    * errors at startup), bind the SDK client per executor task later. */
+    * errors at startup), bind the SDK client per executor task later —
+    * carrying the sink's region and any explicit customEndpoint into the
+    * builder (reference createKinesisClient, KinesisSink.scala:509-521). */
   def sdkKinesisFactory(s: graft.operators.SinkSettings): () => KinesisClient = {
     val mode = AwsCredentials.modeFor(s)
-    () => AwsKinesisClient(mode)
+    val (region, endpoint) = (s.region, s.customEndpoint)
+    () => AwsKinesisClient(mode, region, endpoint)
   }
 
   /** The production K2 factory — same two-phase contract. */
   def sdkSqsFactory(s: graft.operators.SinkSettings): () => SqsClient = {
     val mode = AwsCredentials.modeFor(s)
-    () => AwsSqsClient(mode)
+    val region = s.region
+    () => AwsSqsClient(mode, region)
   }
 }

@@ -253,6 +253,57 @@ class ReliabilitySpec extends AnyFunSuite {
     intercept[ClassNotFoundException] { AwsKinesisClient() }
   }
 
+  test("sqsGoodBuffer pairs Kinesis with an SQS failover (reference production pairing)") {
+    import graft.operators.CollectorConfig
+    // reference KinesisSink.scala:53,145 — a configured sqsGoodBuffer
+    // diverts batches that exhaust Kinesis retries to the buffer queue
+    val cfg = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"good": "gstream", "sink": {
+        |  "enabled": "kinesis", "region": "eu-central-1",
+        |  "sqsGoodBuffer": "sqs-buf", "sqsBadBuffer": "sqs-buf-bad",
+        |  "backoffPolicy": {"minBackoff": 1, "maxBackoff": 2, "maxRetries": 1}
+        |}}}}""".stripMargin)
+    assert(cfg.sink.sqsGoodBuffer === Some("sqs-buf"))
+    assert(cfg.sink.sqsBadBuffer === Some("sqs-buf-bad"))
+    MockClients.reset()
+    val sink = ClientSinks.sinkFromSettings(cfg.sink, parquetDir = sys.error("unused"),
+      kinesis = Some(() => MockClients.kinesisAlwaysFailing()),
+      sqs = Some(() => MockClients.sqs()), sleeper = _ => ())
+    assert(sink.name === "failover(kinesis(gstream)->sqs(sqs-buf))")
+    val wire = (0 until 23).map(i => (s"p$i".getBytes("UTF-8"), s"k$i"))
+      .toDF("thrift", "partition_key")
+    sink.write(wire, 5L) // primary exhausts its retry budget → SQS takes all
+    assert(MockClients.sqsStored.size === 23)
+    assert(MockClients.sqsStored.map(_.kinesisKey).toSet ===
+      (0 until 23).map(i => s"k$i").toSet)
+    // no buffer configured → the sink is the bare Kinesis leg
+    val bare = ClientSinks.sinkFromSettings(
+      cfg.sink.copy(sqsGoodBuffer = None), parquetDir = sys.error("unused"),
+      kinesis = Some(() => MockClients.kinesis(0)), sleeper = _ => ())
+    assert(bare.name === "kinesis(gstream)")
+  }
+
+  test("kinesisEndpoint derives the reference's regional endpoints incl. the China partition") {
+    import graft.operators.SinkSettings
+    // reference model.scala:120-126 verbatim
+    val eu = SinkSettings(region = Some("eu-central-1"))
+    assert(eu.kinesisEndpoint === "https://kinesis.eu-central-1.amazonaws.com")
+    assert(SinkSettings(region = Some("cn-north-1")).kinesisEndpoint ===
+      "https://kinesis.cn-north-1.amazonaws.com.cn")
+    assert(SinkSettings(region = Some("cn-northwest-1")).kinesisEndpoint ===
+      "https://kinesis.cn-northwest-1.amazonaws.com.cn")
+    // explicit customEndpoint wins (localstack-style deployments)
+    assert(eu.copy(customEndpoint = Some("http://localhost:4566")).kinesisEndpoint ===
+      "http://localhost:4566")
+    // and the loader lands the key
+    val cfg = graft.operators.CollectorConfig.fromJson(
+      """{"collector": {"streams": {"sink": {
+        |  "enabled": "kinesis", "customEndpoint": "http://localhost:4566"
+        |}}}}""".stripMargin)
+    assert(cfg.sink.customEndpoint === Some("http://localhost:4566"))
+    assert(cfg.sink.kinesisEndpoint === "http://localhost:4566")
+  }
+
   test("aws credentials: sentinel pairs select the reference's provider modes") {
     import graft.sinks.AwsCredentials
     import graft.sinks.AwsCredentials._
