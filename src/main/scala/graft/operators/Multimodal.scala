@@ -18,6 +18,11 @@ final case class JpegMeta(doc_id: Long, format: String, progressive: Boolean,
 final case class WebpMeta(doc_id: Long, format: String,
     width: Int, height: Int, n_bytes: Long)
 
+/** R11: one EXIF row — TIFF byte order, Orientation (EXIF default 1 when
+  * the tag is absent), IFD0 entry count, and the SOF frame dims. */
+final case class ExifMeta(doc_id: Long, byte_order: String,
+    orientation: Int, n_ifd: Int, width: Int, height: Int)
+
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, decode / feature-extract / frame-sample as partition-batched
   * operators.
@@ -181,6 +186,124 @@ object Multimodal {
         jpegDims(bytes) match {
           case Some((w, h, prog)) => JpegMeta(id, "jpeg", prog, w, h, bytes.length.toLong)
           case None => JpegMeta(id, "jpeg", progressive = false, 0, 0, bytes.length.toLong)
+        }
+      })
+  }
+
+  // ---- R11: EXIF (JPEG APP1 → TIFF IFD0 walk) ------------------------
+
+  /** Deterministic REAL EXIF-carrying JPEG: the r10 [[synthJpeg]] body
+    * with an APP1 segment spliced after SOI — `Exif\0\0` + a genuine
+    * TIFF header (both byte orders exercised by doc id) + a 3-entry IFD0
+    * (Orientation / ResolutionUnit / YCbCrPositioning, SHORT values
+    * inline left-justified per TIFF 6.0 §2). Cameras write exactly this
+    * layout; ImageIO still reads the frame through it. */
+  private[graft] def synthExifJpeg(docId: Long): Array[Byte] = {
+    val little = docId % 2 == 0
+    def u16(v: Int): Array[Byte] =
+      if (little) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u32(v: Int): Array[Byte] =
+      if (little) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      else Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    // SHORT entry: value left-justified in the 4-byte inline field
+    def entryShort(tag: Int, value: Int): Array[Byte] =
+      u16(tag) ++ u16(3) ++ u32(1) ++ u16(value) ++ Array[Byte](0, 0)
+    val ifd = u16(3) ++
+      entryShort(0x0112, (1 + docId % 8).toInt) ++ // Orientation, all 8 values
+      entryShort(0x0128, 2) ++                     // ResolutionUnit: inches
+      entryShort(0x0213, (1 + docId % 2).toInt) ++ // YCbCrPositioning
+      u32(0)                                       // no IFD1
+    val tiff = (if (little) "II" else "MM").getBytes("US-ASCII") ++
+      u16(42) ++ u32(8) ++ ifd
+    val body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      (((body.length + 2) >> 8) & 0xFF).toByte, ((body.length + 2) & 0xFF).toByte) ++ body
+    val base = synthJpeg(docId)
+    base.take(2) ++ app1 ++ base.drop(2)
+  }
+
+  /** REAL EXIF probe: JPEG marker walk to APP1/`Exif\0\0`, then the TIFF
+    * header (II/LE or MM/BE, magic 42) and an IFD0 entry walk reading the
+    * Orientation SHORT (tag 0x0112). Missing Orientation reads as the
+    * EXIF default 1; desync, truncation, a lying byte order, or an IFD
+    * running past the segment are a clean None — hostile bytes can't
+    * throw. Returns (byteOrder, orientation, ifdEntries). */
+  private[graft] def exifMeta(b: Array[Byte]): Option[(String, Int, Int)] = {
+    if (b.length < 4 || b(0) != 0xFF.toByte || b(1) != 0xD8.toByte) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if (b(i) != 0xFF.toByte) return None
+      var j = i + 1
+      while (j < b.length && b(j) == 0xFF.toByte) j += 1
+      if (j >= b.length) return None
+      val marker = b(j) & 0xFF
+      if (marker == 0xD9 || marker == 0xDA) return None // EOI/SOS: no EXIF
+      else if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) i = j + 1
+      else {
+        if (j + 2 >= b.length) return None
+        val len = ((b(j + 1) & 0xFF) << 8) | (b(j + 2) & 0xFF)
+        if (len < 2 || j + 1 + len > b.length) return None
+        if (marker == 0xE1 && len >= 16 &&
+          b(j + 3) == 'E' && b(j + 4) == 'x' && b(j + 5) == 'i' &&
+          b(j + 6) == 'f' && b(j + 7) == 0 && b(j + 8) == 0)
+          return parseTiffIfd0(b, j + 9, j + 1 + len)
+        i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  private def parseTiffIfd0(b: Array[Byte], off: Int, end: Int): Option[(String, Int, Int)] = {
+    if (off + 8 > end || end > b.length) return None
+    val bo = new String(b, off, 2, "US-ASCII")
+    val little = bo == "II"
+    if (!little && bo != "MM") return None
+    def u16(o: Int): Int =
+      if (o < 0 || o + 2 > end) -1
+      else if (little) (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      else ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    def u32(o: Int): Long =
+      if (o < 0 || o + 4 > end) -1L
+      else if (little) (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
+        ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+      else ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    if (u16(off + 2) != 42) return None
+    val ifdOff = u32(off + 4)
+    if (ifdOff < 0 || off + ifdOff > end - 2) return None
+    val ifd = off + ifdOff.toInt
+    val n = u16(ifd)
+    if (n < 0 || n > 1024) return None // hostile count cap
+    var orientation = 1 // EXIF default when the tag is absent
+    var k = 0
+    while (k < n) {
+      val e = ifd + 2 + 12 * k
+      if (e + 12 > end) return None
+      if (u16(e) == 0x0112 && u16(e + 2) == 3) {
+        val v = u16(e + 8)
+        if (v < 1 || v > 8) return None // Orientation domain per EXIF 2.3
+        orientation = v
+      }
+      k += 1
+    }
+    Some((bo, orientation, n))
+  }
+
+  /** EXIF pass — orientation + TIFF byte order per doc alongside the SOF
+    * dims (the two reads a resize/rotate pipeline needs before any pixel
+    * work). Narrow mapPartitions, no shuffle. */
+  def exifMetaPass(docs: DataFrame): Dataset[ExifMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = synthExifJpeg(id)
+        (exifMeta(bytes), jpegDims(bytes)) match {
+          case (Some((bo, o, n)), Some((w, h, _))) => ExifMeta(id, bo, o, n, w, h)
+          case _ => ExifMeta(id, "unknown", 0, 0, 0, 0)
         }
       })
   }

@@ -386,6 +386,9 @@ object Training {
   val mJpegMeta: Q = (s, d) => Multimodal.jpegMeta(docs(s, d)).toDF()
   /** R11: WebP header probe — RIFF walk + VP8/VP8L/VP8X dialect dims. */
   val mWebpMeta: Q = (s, d) => Multimodal.webpMeta(docs(s, d)).toDF()
+  /** R11: EXIF probe — APP1/TIFF IFD0 walk for orientation, both byte
+    * orders. */
+  val mExif: Q = (s, d) => Multimodal.exifMetaPass(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
   val mPixels: Q = (s, d) => Multimodal.pixelStats(docs(s, d)).toDF()
@@ -482,6 +485,7 @@ object Training {
     "m_decode" -> mDecode,
     "m_jpeg_meta" -> mJpegMeta,
     "m_webp_meta" -> mWebpMeta,
+    "m_exif" -> mExif,
     "m_frames" -> mFrames,
     "m_audio" -> mAudio,
     "m_pixels" -> mPixels,

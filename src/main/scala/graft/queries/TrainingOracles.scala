@@ -1759,6 +1759,18 @@ object TrainingOracles {
         |  CASE WHEN doc_id % 3 = 1 THEN 26 ELSE 30 END + 2*(doc_id % 16) AS n_bytes
         |FROM documents""".stripMargin,
 
+    // r11 EXIF: mirrors Multimodal.synthExifJpeg's deterministic TIFF
+    // fields; the Spark side walks REAL JPEG markers to APP1 and parses
+    // the TIFF IFD0 back in the declared byte order
+    "m_exif" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+        |  CAST(3 AS INT) AS n_ifd,
+        |  CAST(32 + doc_id % 512 AS INT) AS width,
+        |  CAST(32 + (5 * doc_id) % 512 AS INT) AS height
+        |FROM documents""".stripMargin,
+
     // mirrors Multimodal.synthAudio's deterministic header fields; the
     // Spark side PARSES them back out of real RIFF bytes (chunk walk)
     "m_audio" ->
