@@ -146,6 +146,7 @@ object Bench {
     "d_line_dedup" -> 1.0, // r11: CCNet line-frequency dedup + per-doc reassembly; measured 0.5 s
     "m_webp_meta" -> 0.4, // r11: RIFF/WEBP header probe, narrow map; measured 0.17 s solo
     "m_exif" -> 0.4, // r11: APP1/TIFF IFD0 walk, narrow map; measured 0.2 s
+    "t_robots" -> 0.9, // r11: broadcast rules + in-agg longest-match argmax; measured 0.55 s solo
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,
     "m_dhash_nn" -> 1.6,

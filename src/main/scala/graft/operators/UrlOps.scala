@@ -110,4 +110,56 @@ object UrlOps {
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc"))
       .filter(col("n_dups") >= 2)
+
+  /** R11: the deterministic per-site robots rule table the filter runs
+    * against (RFC 9309 shapes): every 5th site disallows everything
+    * (`/`), the next bucket disallows `/p` but carves an `Allow: /p1`
+    * exception (exercises longest-match), the next disallows an
+    * unrelated prefix, the rest publish no rules. Real deployments swap
+    * this for rules parsed out of the crawl's robots.txt captures — the
+    * table shape (site, prefix, allow) and the join are unchanged. */
+  def robotsRules(spark: org.apache.spark.sql.SparkSession, sites: Int = 250): DataFrame = {
+    val g = spark.range(0, sites.toLong).toDF("r_site")
+    val s = col("r_site")
+    g.filter(s % 5 === 0).select(s, lit("/").as("prefix"), lit(false).as("allow"))
+      .unionByName(g.filter(s % 5 === 1)
+        .select(s, lit("/p").as("prefix"), lit(false).as("allow")))
+      .unionByName(g.filter(s % 5 === 1)
+        .select(s, lit("/p1").as("prefix"), lit(true).as("allow")))
+      .unionByName(g.filter(s % 5 === 2)
+        .select(s, lit("/q").as("prefix"), lit(false).as("allow")))
+  }
+
+  /** R11: robots.txt compliance filter — RFC 9309 §2.2.2 longest-match
+    * semantics: of all rules whose prefix matches the URL path, the
+    * LONGEST wins; on a length tie the Allow wins (the published
+    * Google/RFC tie-break). No matching rule ⇒ allowed.
+    *
+    * Scale shape: the rule table is site-count sized (KBs against a
+    * 100 TB crawl) and BROADCAST; the corpus side left-joins against it
+    * (≤ a handful of candidate rules per URL) and the winner is an
+    * in-aggregate `max(struct(len, allow, prefix))` argmax grouped on
+    * the doc key — ONE shuffle total, no window over the corpus. */
+  def robotsFilter(docs: DataFrame): DataFrame = {
+    val d = Spread(docs).select(
+      col("doc_id"),
+      (col("doc_id") % 250).as("site"),
+      concat(lit("/p"), col("doc_id").cast("string")).as("path"))
+    val rules = robotsRules(docs.sparkSession)
+    val m = d.join(broadcast(rules),
+      d("site") === rules("r_site") && d("path").startsWith(rules("prefix")),
+      "left")
+    m.groupBy("doc_id", "site", "path")
+      .agg(max(struct(
+        length(col("prefix")).as("l"),
+        col("allow").cast("int").as("a"),
+        col("prefix").as("p"))).as("best"))
+      .select(
+        col("doc_id"),
+        col("site").cast("long").as("site"),
+        col("path"),
+        // null best = no rule matched = allowed (RFC 9309 default)
+        coalesce(col("best.a") === 1, lit(true)).as("allowed"),
+        coalesce(col("best.p"), lit("")).as("matched_rule"))
+  }
 }

@@ -381,6 +381,8 @@ object Training {
     * URL-keyed dup groups content dedup runs after. */
   val tUrlNorm: Q = (s, d) => UrlOps.urlNormalize(docs(s, d))
   val dUrlDups: Q = (s, d) => UrlOps.urlDups(docs(s, d))
+  /** R11: robots.txt longest-match compliance filter (RFC 9309). */
+  val tRobots: Q = (s, d) => UrlOps.robotsFilter(docs(s, d))
 
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mJpegMeta: Q = (s, d) => Multimodal.jpegMeta(docs(s, d)).toDF()
@@ -459,6 +461,7 @@ object Training {
     "t_warc_mixed" -> tWarcMixed,
     "t_url_norm" -> tUrlNorm,
     "d_url_dups" -> dUrlDups,
+    "t_robots" -> tRobots,
     "t_rep_stats" -> tRepStats,
     "t_entropy" -> tEntropy,
     "d_docsim" -> dDocsim,

@@ -1225,6 +1225,30 @@ object TrainingOracles {
         |  md5(text) AS payload_md5
         |FROM w""".stripMargin,
 
+    // r11 robots compliance: the oracle rebuilds the deterministic rule
+    // table (UrlOps.robotsRules mirror) and replays RFC 9309 §2.2.2
+    // longest-match with the allow-wins tie-break as a windowed argmax;
+    // the Spark side broadcasts the rules and resolves the winner with
+    // an in-aggregate struct max — same ordering, one shuffle
+    "t_robots" ->
+      """WITH d AS (SELECT doc_id, doc_id % 250 AS site, '/p' || doc_id AS path
+        |           FROM documents),
+        |s AS (SELECT unnest(range(0, 250)) AS g),
+        |r AS (
+        |  SELECT g AS site, '/' AS prefix, FALSE AS allow FROM s WHERE g % 5 = 0
+        |  UNION ALL SELECT g, '/p', FALSE FROM s WHERE g % 5 = 1
+        |  UNION ALL SELECT g, '/p1', TRUE FROM s WHERE g % 5 = 1
+        |  UNION ALL SELECT g, '/q', FALSE FROM s WHERE g % 5 = 2),
+        |m AS (
+        |  SELECT d.doc_id, d.site, d.path, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+        |  FROM d LEFT JOIN r ON d.site = r.site AND starts_with(d.path, r.prefix))
+        |SELECT doc_id, CAST(site AS BIGINT) AS site, path,
+        |  coalesce(allow, TRUE) AS allowed,
+        |  coalesce(prefix, '') AS matched_rule
+        |FROM m WHERE rn = 1""".stripMargin,
+
     // r11 mixed-container WARC: the oracle states the SURVIVING records
     // analytically — only the response arm of each 3-record capture,
     // with the image payloads' exact-integer pixel sums (the

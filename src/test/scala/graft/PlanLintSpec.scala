@@ -208,6 +208,19 @@ class PlanLintSpec extends AnyFunSuite {
     assert(mp.contains("ExistingRDD"), s"s_mmr no longer reads pinned candidates:\n$mp")
   }
 
+  test("t_robots broadcasts the rule table — the corpus side never shuffles for the join") {
+    // the robots rule relation is site-count sized (KBs at 100 TB); the
+    // only acceptable plan joins it broadcast with the longest-match
+    // argmax as ONE corpus-side aggregate — a sort-merge join here means
+    // the broadcast hint regressed
+    val plan = SparkEntry.queries("t_robots")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"t_robots rules join is not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"t_robots corpus side shuffles for the rules join:\n$plan")
+  }
+
   test("no query output schema contains DecimalType (hash-representation lint)") {
     // The driver hashes results through arrow->pandas, where int128/decimal
     // columns decay to float64 while Spark's int64 stays int — numerically
