@@ -167,6 +167,7 @@ object Bench {
     "stream_sessionize" -> 2.1,
     "stream_join" -> 8.0, // r9 re-baseline: warm floor 7.93 s (BASELINE.md)
     "stream_incremental" -> 5.5, // r9: incremental dedup serve drain (BASELINE.md)
+    "stream_neardup" -> 4.5, // r11: banded near-dup serve drain; measured 2.3 s
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
     "stream_lake" -> 10.0,
@@ -481,6 +482,32 @@ object Bench {
           .start()
         q.awaitTermination()
         require(spark.read.parquet(dir("inc-verdicts")).count() > 0)
+      }
+    }
+
+    if (wanted("stream_neardup")) {
+      // near-dup serve: durable band index, LSH verdicts per micro-batch
+      // (NearDupIndex — the banded sibling of stream_incremental)
+      import graft.streaming.NearDupIndex
+      val ndCfg = NearDupIndex.NearDupConfig(dir("nd-idx"))
+      out += leg("stream_neardup") {
+        val docs = Tables.documents(spark, sfDir)
+        NearDupIndex.init(spark, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), ndCfg)
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .write.mode("overwrite").parquet(dir("nd-src"))
+      } {
+        val q = fileStream(dir("nd-src"))
+          .writeStream
+          .option("checkpointLocation", dir("ckpt-nd"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            NearDupIndex.serveBatch(spark, batch, id, ndCfg)
+              .write.mode("append").parquet(dir("nd-verdicts"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(spark.read.parquet(dir("nd-verdicts")).count() > 0)
       }
     }
 

@@ -642,6 +642,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(self.filter(col("cos2_micro") === 1000000L).count() >= 1)
   }
 
+  test("near-dup index: banded verdicts, in-batch election, signature-consistent near hit, replay exact") {
+    import graft.streaming.NearDupIndex
+    import graft.streaming.NearDupIndex.NearDupConfig
+    import graft.operators.Dedup
+    val cfg = NearDupConfig(tmp("nd-idx"))
+    val idx2Text = "one two three four five six seven eight nine ten"
+    NearDupIndex.init(spark, Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, idx2Text)).toDF("doc_id", "text"), cfg)
+    val nearText = "one two three four five six seven eight nine eleven"
+    val novelText = "completely different words entirely novel tokens here"
+    val batch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // exact copy of 1
+      (11L, novelText),                                       // novel
+      (12L, nearText),                                        // near of index doc 2
+      (13L, novelText),                                       // in-batch copy of 11
+      (14L, "tiny doc")                                       // < 3 tokens: no signature
+    ).toDF("doc_id", "text")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3)))).toMap
+    val v1 = collect(NearDupIndex.serveBatch(spark, batch1, 1L, cfg))
+    // signature-less doc is absent (declared domain — exact leg's job)
+    assert(!v1.contains(14L))
+    // exact copy: all 4 bands agree with index doc 1
+    assert(v1(10L) === ((false, 1L, 1L)))
+    // novel doc: accepted; its LATER in-batch copy matches it (arrival-
+    // order election: earlier id plays "already seen")
+    assert(v1(11L) === ((true, 0L, -1L)))
+    assert(v1(13L) === ((false, 1L, 11L)))
+    // the near-dup verdict is exactly what the signatures say: the
+    // expectation is COMPUTED from minhash agreement, not hand-guessed
+    val sigs = Dedup.minhashSignatures(
+      Seq((2L, idx2Text), (12L, nearText)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    val agree = (0 until 4).count(i => sigs(2L)(i) == sigs(12L)(i))
+    assert(v1(12L)._1 === (agree < cfg.minMatches),
+      s"verdict must match signature agreement ($agree/4 bands)")
+    // batch 2: a copy of the ACCEPTED novel doc hits the grown index
+    val v2 = collect(NearDupIndex.serveBatch(spark,
+      Seq((20L, novelText)).toDF("doc_id", "text"), 2L, cfg))
+    assert(v2(20L) === ((false, 1L, 11L)))
+    // replay of batch 1: verdicts identical, index does not grow
+    def bandFiles = new java.io.File(cfg.bandsDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = bandFiles
+    val v1r = collect(NearDupIndex.serveBatch(spark, batch1, 1L, cfg))
+    assert(v1r === v1, "replayed verdicts must be bit-identical")
+    assert(bandFiles === before, "replay must not append bands")
+  }
+
   test("incremental dedup index: streamed verdicts match batch incrementalNew; replay is exact") {
     import graft.operators.Dedup
     import graft.streaming.IncrementalIndex
