@@ -131,7 +131,15 @@ final case class TelemetrySettings(
     method: String = "POST",
     url: String = "sp.snowcatcloud.com",
     port: Int = 443,
-    secure: Boolean = true)
+    secure: Boolean = true,
+    // R11: the deployment-injected identity params (reference
+    // `model.scala:205-209` — "Params injected by deployment scripts")
+    // that ride into the oss_context heartbeat payload.
+    userProvidedId: Option[String] = None,
+    moduleName: Option[String] = None,
+    moduleVersion: Option[String] = None,
+    instanceId: Option[String] = None,
+    autoGeneratedId: Option[String] = None)
 
 /** R9 StatsD export settings (reference `monitoring.metrics.statsd`). */
 /** R8: the reference's experimental self-warmup knobs
@@ -430,7 +438,12 @@ object CollectorConfig {
           method = str(t.path("method"), td.method),
           url = str(t.path("url"), td.url),
           port = int(t.path("port"), td.port),
-          secure = bool(t.path("secure"), td.secure))
+          secure = bool(t.path("secure"), td.secure),
+          userProvidedId = strOpt(t.path("userProvidedId"), td.userProvidedId),
+          moduleName = strOpt(t.path("moduleName"), td.moduleName),
+          moduleVersion = strOpt(t.path("moduleVersion"), td.moduleVersion),
+          instanceId = strOpt(t.path("instanceId"), td.instanceId),
+          autoGeneratedId = strOpt(t.path("autoGeneratedId"), td.autoGeneratedId))
       },
       statsd = {
         val s = c.path("monitoring").path("metrics").path("statsd"); val sd = d.statsd

@@ -153,6 +153,27 @@ class CollectorPipelineSpec extends AnyFunSuite {
     assert(node.get("data").get("applicationName").asText === cfg.appName)
     assert(node.get("data").get("userProvidedId").asText === "user-1")
     assert(!node.get("data").has("region"))
+    // r11: the deployment-injected identity quartet rides in from the
+    // parsed telemetry block (reference model.scala:205-209 →
+    // TelemetryPayload.scala:19-25); absent options stay absent
+    assert(!node.get("data").has("moduleName") && !node.get("data").has("instanceId"))
+    val injected = CollectorConfig.fromJson(
+      """{"collector": {"telemetry": {
+        |  "userProvidedId": "org-7", "moduleName": "collector-kinesis",
+        |  "moduleVersion": "1.2.3", "instanceId": "i-abc123",
+        |  "autoGeneratedId": "gen-9"
+        |}}}""".stripMargin)
+    val p2 = graft.streaming.Telemetry.heartbeatPayload(injected, None, None)
+    val d2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p2).get("data")
+    assert(d2.get("userProvidedId").asText === "org-7") // config value when no override
+    assert(d2.get("moduleName").asText === "collector-kinesis")
+    assert(d2.get("moduleVersion").asText === "1.2.3")
+    assert(d2.get("instanceId").asText === "i-abc123")
+    assert(d2.get("autoGeneratedId").asText === "gen-9")
+    // explicit override still wins over the config value
+    val p3 = graft.streaming.Telemetry.heartbeatPayload(injected, Some("cli-0"), None)
+    assert(new com.fasterxml.jackson.databind.ObjectMapper().readTree(p3)
+      .get("data").get("userProvidedId").asText === "cli-0")
     // scheduler fires promptly and is cancelable
     val seen = new java.util.concurrent.CountDownLatch(1)
     val fut = graft.streaming.Telemetry.schedule(cfg, 60, _ => seen.countDown())
