@@ -31,15 +31,19 @@ object Dedup {
     * counts and the md5 of the kept text, so the oracle proves exact
     * reconstruction, not just counts.
     *
-    * Scale shape: three shuffles, all keyed and map-side combined —
-    * (1) line-frequency aggregate on the 32-hex md5 of the line (the
+    * Scale shape: the published two-pass CCNet shape (Wenzek 2020 §3.1:
+    * hash-shard the lines, count, drop) — pass 1 scans the corpus for
+    * the line-frequency aggregate on the 32-hex md5 of the line (the
     * shuffle carries the hash, never the line text; the distinct-line
-    * relation is corpus-sublinear), (2) the frequency joined back to the
-    * doc-side lines on the same hash, (3) the per-doc re-assembly
-    * aggregate. No window over the corpus: line order is restored with
-    * `array_sort` over (pos, line) structs INSIDE the per-doc aggregate.
-    * At 100 TB this is the published CCNet shape (Wenzek 2020 §3.1:
-    * hash-shard the lines, count, drop). */
+    * relation is corpus-sublinear), pass 2 re-splits the corpus and
+    * joins the frequency relation back on the same hash (AQE broadcasts
+    * it at test scale; keyed shuffle at real scale), then one per-doc
+    * re-assembly aggregate. The deliberate second corpus scan trades a
+    * cheap re-split against materializing the corpus-SCALE exploded line
+    * relation (the d_docsim pin precedent covers corpus-SUBLINEAR tables
+    * only). No window over the corpus: line order is restored with
+    * `array_sort` over (pos, line) structs INSIDE the per-doc
+    * aggregate. */
   /** Deterministic multi-line dressing for the line-dedup oracle: the
     * driver's `documents.text` has no newlines, so (the m_decode /
     * t_url_norm pattern) each doc is wrapped in the boilerplate real
