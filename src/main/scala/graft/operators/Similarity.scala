@@ -553,6 +553,27 @@ object Similarity {
     * (two hash joins on vec_id); the pair-similarity relation is ≤ k²
     * rows per query and every greedy step is a per-query window argmax.
     */
+  /** R11: ANN serving evaluation — recall@k of the IVF index against the
+    * exact brute-force ground truth, per query. The metric every vector
+    * store publishes (and the gate a deployment tunes nprobe against):
+    * recall@k = |approx ∩ exact| / k, reported in exact integer millis.
+    *
+    * Scale shape: reuses the two serving paths as-is — the IVF arm reads
+    * nprobe cells per query, the ground-truth arm is the brute pass you
+    * run OFFLINE on a sampled query set (here the %97 sample both arms
+    * share) — joined on (q_id, c_id) and folded per query. Evaluation
+    * cost is sample-sized, never corpus². */
+  def annRecall(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    val approx = ivfTopK(embeddings, k, trainSampleMod = 7)
+      .select(col("q_id"), col("c_id")).withColumn("hit", lit(1L))
+    val exact = bruteTopK(embeddings, k).select(col("q_id"), col("c_id"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("q_id"), col("k"), col("n_hits"),
+        expr("n_hits * 1000 DIV k").as("recall_milli"))
+  }
+
   def mmrRerank(embeddings: DataFrame, k: Int = 5): DataFrame = {
     // Both pinned (`localCheckpoint`): the unrolled greedy steps consume
     // `cand` four times and `ps` three — unpinned, each consumer re-ran

@@ -87,6 +87,8 @@ object Training {
     * query's cost: training drops from 2 full-corpus aggregation passes
     * to 2 ~14% passes, serving still assigns and probes everything. */
   val sIvfTopk: Q = (s, d) => Similarity.ivfTopK(emb(s, d), 3, trainSampleMod = 7)
+  /** R11: recall@3 of the IVF serve vs exact ground truth, per query. */
+  val sRecall: Q = (s, d) => Similarity.annRecall(emb(s, d), 3)
   val sIvfAppend: Q = (s, d) => Similarity.ivfAppendTopK(emb(s, d), 3, trainSampleMod = 7)
   val sPqTopk: Q = (s, d) => Similarity.pqTopK(emb(s, d), 3)
   val sRefine: Q = (s, d) => Similarity.pqRefineTopK(emb(s, d))
@@ -478,6 +480,7 @@ object Training {
     "s_near_dups" -> sNearDups,
     "s_sim_pairs" -> sSimPairs,
     "s_ivf_topk" -> sIvfTopk,
+    "s_recall" -> sRecall,
     "s_ivf_append" -> sIvfAppend,
     "s_pq_topk" -> sPqTopk,
     "s_refine" -> sRefine,

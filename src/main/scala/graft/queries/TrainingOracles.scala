@@ -912,6 +912,29 @@ object TrainingOracles {
     // engines, so even the fractional post-Lloyd centroids are bit-equal.
     "s_ivf_topk" -> ivfTopKSql("vec_id % 7 = 0"),
 
+    // r11 ANN evaluation: recall@3 of the IVF serve against the exact
+    // brute ground truth. Both arms are the EXISTING oracle chains
+    // nested as CTE subqueries (local WITH scopes), joined on
+    // (q_id, c_id) and folded per query in exact integer millis.
+    "s_recall" ->
+      s"""WITH ivf AS (
+         |${ivfTopKSql("vec_id % 7 = 0")}
+         |), gt AS (
+         |$EmbCte
+         |SELECT q_id, c_id FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rank <= 3
+         |), j AS (
+         |  SELECT g.q_id, CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM gt g LEFT JOIN ivf i ON g.q_id = i.q_id AND g.c_id = i.c_id)
+         |SELECT q_id, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST((sum(hit) * 1000) // count(*) AS BIGINT) AS recall_milli
+         |FROM j GROUP BY q_id""".stripMargin,
+
     // Incremental-ingest mirror (Similarity.ivfAppendTopK): centroids
     // train on the BASE corpus sample only (the delta batch vec_id%5=0
     // arrives after training); final assignment + probes run over the
