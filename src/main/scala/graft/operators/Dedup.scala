@@ -58,24 +58,35 @@ object Dedup {
       when(docId % 2 === 0, lit("accept cookies to continue\n")).otherwise(lit("")),
       text, lit("\n   \ncontact admin "), (docId % 100).cast("string"))
 
-  def lineDedup(docs: DataFrame, minDocs: Int = 3): DataFrame = {
+  def lineDedup(docs: DataFrame, minDocs: Int = 3): DataFrame =
+    lineDedup(docs, minDocs, keepFirst = false)
+
+  /** `keepFirst = true` switches the drop policy from CCNet's
+    * drop-everywhere to Dolma's paragraph policy (keep the EARLIEST
+    * document's occurrence of a recurring line, drop the later copies):
+    * the frequency aggregate additionally carries `min(doc_id)` per line
+    * hash — same shuffles, one extra map-side-combined column. */
+  def lineDedup(docs: DataFrame, minDocs: Int, keepFirst: Boolean): DataFrame = {
     val lines = Spread(docs)
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "raw")))
       .select(col("doc_id"), col("pos"), trim(col("raw")).as("line"))
       .filter(col("line") =!= "")
       .withColumn("lh", md5(col("line")))
     val freq = lines.groupBy("lh")
-      .agg(count_distinct(col("doc_id")).as("ndocs"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"), min(col("doc_id")).as("first_doc"))
+    val kept =
+      if (keepFirst) col("ndocs") < minDocs || col("doc_id") === col("first_doc")
+      else col("ndocs") < minDocs
     lines.join(freq, "lh")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(when(col("ndocs") < minDocs, 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!kept, 1L).otherwise(0L)).as("n_dropped"),
         md5(concat_ws("\n",
           transform(
             array_sort(collect_list(
-              when(col("ndocs") < minDocs, struct(col("pos"), col("line"))))),
+              when(kept, struct(col("pos"), col("line"))))),
             s => s.getField("line")))).as("kept_md5"))
   }
 

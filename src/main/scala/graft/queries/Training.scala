@@ -54,6 +54,11 @@ object Training {
   val dLineDedup: Q = (s, d) => Dedup.lineDedup(
     docs(s, d).select(col("doc_id"),
       Dedup.synthLines(col("doc_id"), col("text")).as("text")))
+  /** R11: the Dolma keep-first paragraph policy over the same lines. */
+  val dLineKeepFirst: Q = (s, d) => Dedup.lineDedup(
+    docs(s, d).select(col("doc_id"),
+      Dedup.synthLines(col("doc_id"), col("text")).as("text")),
+    minDocs = 3, keepFirst = true)
   val dMinhash: Q = (s, d) => Dedup.minhashSignatures(docs(s, d))
   val dLshPairs: Q = (s, d) => Dedup.lshCandidatePairs(docs(s, d))
   val dJaccard: Q = (s, d) => Dedup.jaccardOnCandidates(docs(s, d))
@@ -424,6 +429,7 @@ object Training {
     "t_fingerprint" -> tFingerprint,
     "d_exact" -> dExact,
     "d_line_dedup" -> dLineDedup,
+    "d_line_keepfirst" -> dLineKeepFirst,
     "d_minhash" -> dMinhash,
     "d_lsh_pairs" -> dLshPairs,
     "d_jaccard" -> dJaccard,

@@ -538,6 +538,35 @@ object TrainingOracles {
         |        chr(10) ORDER BY pos), '')) AS kept_md5
         |FROM j GROUP BY doc_id""".stripMargin,
 
+    // r11 keep-first variant (the Dolma paragraph policy): a recurring
+    // line keeps its EARLIEST document's copy — freq carries min(doc_id)
+    "d_line_keepfirst" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    '== site ' || (doc_id % 7) || ' navigation ==' || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'accept cookies to continue' || chr(10) ELSE '' END ||
+        |    text || chr(10) || '   ' || chr(10) ||
+        |    'contact admin ' || (doc_id % 100) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+        |ln AS (SELECT doc_id, CAST(i.i AS INT) AS pos, trim(ls[i.i + 1]) AS line
+        |       FROM l, UNNEST(range(0, len(ls))) AS i(i)),
+        |ne AS (SELECT * FROM ln WHERE line <> ''),
+        |freq AS (SELECT line, count(DISTINCT doc_id) AS ndocs,
+        |                min(doc_id) AS first_doc
+        |         FROM ne GROUP BY line),
+        |j AS (SELECT ne.doc_id, ne.pos, ne.line,
+        |        (freq.ndocs < 3 OR ne.doc_id = freq.first_doc) AS kept
+        |      FROM ne JOIN freq ON ne.line = freq.line)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(CASE WHEN kept THEN line END,
+        |        chr(10) ORDER BY pos), '')) AS kept_md5
+        |FROM j GROUP BY doc_id""".stripMargin,
+
     "d_minhash" ->
       s"""$SigCte
          |SELECT doc_id, sig0, sig1, sig2, sig3 FROM sig""".stripMargin,

@@ -28,6 +28,10 @@ class PlanLintSpec extends AnyFunSuite {
       // SQ8 is deliberately the brute shape over the compressed code
       // relation: stats row + query side broadcast, one corpus pass
       "s_sq_topk",
+      // r11 recall evaluation composes the IVF and brute arms verbatim,
+      // so it inherits exactly their allowlisted centroid-row/query-side
+      // broadcasts; the recall join itself is equi on (q_id, c_id)
+      "s_recall",
       // pagerank keeps the vertex count in-plan as a 1-row broadcast
       // scalar (crossJoin per iteration), like t_top_terms' corpus size
       "d_pagerank",
