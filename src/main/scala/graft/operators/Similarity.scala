@@ -73,6 +73,34 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cos")
   }
 
+  /** R11: FILTERED vector search — top-k restricted to candidates
+    * satisfying a metadata predicate, here the production-common
+    * same-category filter (`candidate.label = query.label`). The filter
+    * rides IN the join condition — the PRE-filtering strategy every
+    * vector store prefers when the predicate is selective (post-filtering
+    * a plain top-k under-fills k) — and because it is an equi-predicate
+    * the plan upgrades from the brute path's query-broadcast nested loop
+    * to a hash join keyed on label: candidates outside the query's
+    * category are never distance-scored. Same output shape as
+    * [[bruteTopK]]. */
+  def filteredTopK(embeddings: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared(embeddings, spread = true)
+    val queries = corpus
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("q").as("qq"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    corpus
+      .join(broadcast(queries),
+        col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        cosine(col("qq"), col("q"), col("qn2"), col("n2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
   /** LSH/IVF-bucketed approximate top-k: queries only meet candidates in
     * their own sign bucket. Same output shape as [[bruteTopK]]. */
   def bucketedTopK(embeddings: DataFrame, k: Int): DataFrame = {

@@ -875,6 +875,18 @@ object TrainingOracles {
          |  WHERE a.vec_id % 97 = 0) t
          |WHERE rank <= 5""".stripMargin,
 
+    // r11 filtered search: the brute mirror with the same-label
+    // pre-filter in the join condition — candidates outside the query's
+    // category never get a distance
+    "s_filter_topk" ->
+      s"""$EmbCte
+         |SELECT q_id, rank, c_id, cos FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $CosAB AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id AND b.label = a.label
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rank <= 5""".stripMargin,
+
     "s_bucket_topk" ->
       s"""$EmbCte
          |SELECT q_id, rank, c_id, cos FROM (
