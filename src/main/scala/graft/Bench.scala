@@ -143,6 +143,7 @@ object Bench {
     "t_warc_records" -> 0.9, // r10: WARC container round-trip; measured 0.42 s
     "t_warc_gzip" -> 1.1, // r10: + gzip member deflate/inflate; measured 0.53 s
     "t_warc_mixed" -> 0.8, // r11: 3-record captures + sniffed image decode; measured 0.36 s solo
+    "t_wet" -> 0.8, // r11: WET conversion records, container-recovered text stats; measured 0.4 s
     "d_line_dedup" -> 1.0, // r11: CCNet line-frequency dedup + per-doc reassembly; measured 0.5 s
     "d_line_keepfirst" -> 1.0, // r11: Dolma keep-first policy, same shuffles; measured 0.5 s
     "m_webp_meta" -> 0.4, // r11: RIFF/WEBP header probe, narrow map; measured 0.17 s solo

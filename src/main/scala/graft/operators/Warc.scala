@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, length, lit, md5}
 
 import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
@@ -208,6 +208,45 @@ object Warc {
     * bit-identical to [[warcRecords]] (same oracle) — which is the
     * point: compression is transport, not semantics. */
   def warcRecordsGzip(docs: DataFrame): DataFrame = parsed(docs, gzip = true).toDF()
+
+  /** R11: WET extraction records — the format text pipelines actually
+    * read (Common Crawl's `.wet` files: a `warcinfo` header record, then
+    * one `conversion` record per page carrying the EXTRACTED plain
+    * text). The reader parses the container, filters to `conversion`,
+    * and hands the RECOVERED text to the ordinary codegen'd column
+    * functions (char/token counts + md5 — the first pass of every
+    * pretraining pipeline). Narrow mapPartitions for the container walk,
+    * declarative projection after; the md5 proves the text round-tripped
+    * the container bit-exactly. */
+  def wetRecords(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val recovered = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val out = new ByteArrayOutputStream()
+        var first = true
+        it.foreach { case (id, text) =>
+          if (first) {
+            // one warcinfo per file split, like real WET shards
+            out.write(synthRecord(id, "warcinfo", "application/warc-fields",
+              "software: graft-wet-writer\r\nformat: WARC File Format 1.0"
+                .getBytes(StandardCharsets.UTF_8)))
+            first = false
+          }
+          out.write(synthRecord(id, "conversion", "text/plain",
+            text.getBytes(StandardCharsets.UTF_8)))
+        }
+        parseStreamRaw(out.toByteArray)
+          .filter(_.warcType == "conversion")
+          .map(r => (r.doc_id, new String(r.payload, StandardCharsets.UTF_8)))
+      }.toDF("doc_id", "wet_text")
+    recovered.select(
+      col("doc_id"),
+      lit("conversion").as("warc_type"),
+      length(col("wet_text")).cast("long").as("n_chars"),
+      graft.operators.TextOps.nTokens(col("wet_text")).cast("long").as("n_tokens"),
+      md5(col("wet_text")).as("payload_md5"))
+  }
 
   /** One mixed-ingest row: the record that survived the type filter,
     * its sniffed payload container, and either the exact-integer pixel

@@ -385,6 +385,8 @@ object Training {
   /** R11: interleaved request/response/metadata records with text and
     * binary-image payloads — type-filtered, then sniff-dispatched. */
   val tWarcMixed: Q = (s, d) => Warc.warcMixed(docs(s, d))
+  /** R11: WET extraction records — container-recovered text stats. */
+  val tWet: Q = (s, d) => Warc.wetRecords(docs(s, d))
 
   /** R10: URL canonicalization (crawl-pipeline normal form) and the
     * URL-keyed dup groups content dedup runs after. */
@@ -469,6 +471,7 @@ object Training {
     "t_warc_records" -> tWarcRecords,
     "t_warc_gzip" -> tWarcGzip,
     "t_warc_mixed" -> tWarcMixed,
+    "t_wet" -> tWet,
     "t_url_norm" -> tUrlNorm,
     "d_url_dups" -> dUrlDups,
     "t_robots" -> tRobots,

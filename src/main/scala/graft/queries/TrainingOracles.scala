@@ -1289,6 +1289,17 @@ object TrainingOracles {
         |  md5(text) AS payload_md5
         |FROM w""".stripMargin,
 
+    // r11 WET: the oracle states the extracted-text stats analytically
+    // (the payload round-trips the container bit-exactly, so text/toks
+    // over the original column equal the recovered payload's)
+    "t_wet" ->
+      s"""$TokCte
+         |SELECT doc_id, 'conversion' AS warc_type,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  md5(text) AS payload_md5
+         |FROM tok""".stripMargin,
+
     // r11 robots compliance: the oracle rebuilds the deterministic rule
     // table (UrlOps.robotsRules mirror) and replays RFC 9309 §2.2.2
     // longest-match with the allow-wins tie-break as a windowed argmax;
