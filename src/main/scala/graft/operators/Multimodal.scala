@@ -395,6 +395,41 @@ object Multimodal {
       })
   }
 
+  /** R11: one media FILE's sniffed header row. */
+  final case class MediaFileMeta(path: String, format: String,
+      width: Int, height: Int, n_bytes: Long)
+
+  /** R11: real media-file ingestion — point the engine at a directory of
+    * image/audio/video files (Spark `binaryFile` source, one task per
+    * file) and get the sniffed-header relation: the PNG/GIF/BMP/JPEG
+    * magic dispatch, the WebP dialects, and the RIFF family (WAVE/AVI)
+    * resolved in one pass, `unknown` for anything else — never a throw.
+    * This is the header-only triage a multimodal pipeline runs before
+    * deciding which files earn a full decode; narrow, no shuffle. */
+  def readMediaFiles(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, b) =>
+        val n = b.length.toLong
+        def ascii(o: Int, len: Int) =
+          if (o + len <= b.length) new String(b, o, len, "US-ASCII") else ""
+        val (fmt, w, h) =
+          if (ascii(0, 4) == "RIFF") ascii(8, 4) match {
+            case "WEBP" => webpDims(b).getOrElse(("unknown", 0, 0))
+            case "WAVE" => ("wav", 0, 0)
+            case "AVI " => ("avi", 0, 0)
+            case _ => ("unknown", 0, 0)
+          } else {
+            val m = decodeHeader(0L, b)
+            (m.format, m.width, m.height)
+          }
+        MediaFileMeta(p, fmt, w, h, n)
+      }.toDF()
+  }
+
   /** Decode pass: `mapPartitions` so a per-partition decoder instance
     * amortizes across the batch (the Scala analog of `mapInPandas` —
     * same batch shape, same schema contract). Narrow, no shuffle. */
