@@ -105,6 +105,7 @@ object Bench {
     "t_dsir" -> 2.5,
     "t_chunk" -> 1.0,
     "t_lm_tiers" -> 2.1,
+    "t_ccnet_sample" -> 2.6, // r11: tiers + hash-threshold keep filter; measured 1.6 s
     "t_lm_backoff" -> 2.6, // r10: stupid-backoff trigram (train/serve split); measured 1.55 s
     "t_winnow" -> 1.1,
     "d_lpa" -> 2.7,

@@ -224,6 +224,26 @@ object NgramLm {
           .when(col("bits_x1000") <= col("b2"), lit(1L))
           .otherwise(lit(2L)).as("tier"))
   }
+
+  /** R11: the CCNet bucket-sampling stage (Wenzek 2020 §4.3) — the
+    * tiered corpus keeps ALL of the head (the fluent third), a
+    * hash-sampled half of the middle, and ~10% of the tail, so the
+    * output mixture skews fluent without discarding the tail entirely.
+    * The keep decision is the deterministic 2-hex md5 threshold the
+    * sampling family already uses ([[Sampling]] / t_sample): `"zz"`
+    * compares above every hex pair = keep-all, `"80"` = 128/256 = 50%,
+    * `"1a"` = 26/256 ≈ 10%. One filter over the tiers projection — the
+    * model build is [[qualityTiers]]'s pinned single pass; no extra
+    * corpus scan, no shuffle beyond it. */
+  def ccnetSample(docs: DataFrame): DataFrame = {
+    val thr = when(col("tier") === 0L, lit("zz"))
+      .when(col("tier") === 1L, lit("80"))
+      .otherwise(lit("1a"))
+    qualityTiers(docs)
+      .withColumn("skey", substring(md5(concat(lit("ccnet:"), col("doc_id"))), 1, 2))
+      .filter(col("skey") < thr)
+      .select(col("doc_id"), col("bits_x1000"), col("tier"), col("skey"))
+  }
 }
 
 /** DSIR-style data selection via importance resampling (Xie et al.

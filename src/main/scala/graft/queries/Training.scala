@@ -209,6 +209,8 @@ object Training {
 
   /** CCNet head/middle/tail quality terciles over the LM score. */
   val tLmTiers: Q = (s, d) => NgramLm.qualityTiers(docs(s, d))
+  /** R11: CCNet bucket sampling over the tiers (keep-all/50%/10%). */
+  val tCcnetSample: Q = (s, d) => NgramLm.ccnetSample(docs(s, d))
 
   /** Gopher-style repetition signals (dup n-gram fractions, top-token
     * share). */
@@ -466,6 +468,7 @@ object Training {
     "t_dsir" -> tDsir,
     "t_chunk" -> tChunk,
     "t_lm_tiers" -> tLmTiers,
+    "t_ccnet_sample" -> tCcnetSample,
     "t_lm_backoff" -> ((s, d) => NgramLm.backoffScore(docs(s, d))),
     "t_winnow" -> tWinnow,
     "t_warc_records" -> tWarcRecords,

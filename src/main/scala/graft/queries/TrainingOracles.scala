@@ -1254,6 +1254,26 @@ object TrainingOracles {
          |            WHEN s.bits_x1000 <= b.b2 THEN 1 ELSE 2 END AS BIGINT) AS tier
          |FROM lmscore s, b""".stripMargin,
 
+    // r11 CCNet bucket sampling: the tiers chain + the deterministic
+    // 2-hex md5 keep threshold per tier (keep-all / 50% / ~10%) — the
+    // t_sample hashing convention, replayed exactly
+    "t_ccnet_sample" ->
+      s"""$LmScoreCte,
+         |hist AS (SELECT bits_x1000 AS v, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM lmscore GROUP BY 1),
+         |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum,
+         |               sum(cnt) OVER () AS n FROM hist),
+         |b AS (SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS b1,
+         |             min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS b2 FROM cum),
+         |tiered AS (
+         |  SELECT s.doc_id, s.bits_x1000,
+         |    CAST(CASE WHEN s.bits_x1000 <= b.b1 THEN 0
+         |              WHEN s.bits_x1000 <= b.b2 THEN 1 ELSE 2 END AS BIGINT) AS tier,
+         |    substr(md5('ccnet:' || s.doc_id), 1, 2) AS skey
+         |  FROM lmscore s, b)
+         |SELECT doc_id, bits_x1000, tier, skey FROM tiered
+         |WHERE skey < CASE tier WHEN 0 THEN 'zz' WHEN 1 THEN '80' ELSE '1a' END""".stripMargin,
+
     // chunk mirror: same stride-64/48 windows, clamped list slice,
     // md5-of-joined-tokens content gate (range() excludes its stop,
     // sequence() includes it — 0..n-1 step 48 lands identically)

@@ -47,8 +47,9 @@ class PlanLintSpec extends AnyFunSuite {
       "t_bpe_merges", "t_bpe_encode",
       // refine reuses s_pq_topk's coarse stage (1-row codebook broadcast)
       "s_refine",
-      // tercile cuts ride a 1-row broadcast bounds table
-      "t_lm_tiers",
+      // tercile cuts ride a 1-row broadcast bounds table (and the r11
+      // CCNet sampler filters on top of the same tiers plan)
+      "t_lm_tiers", "t_ccnet_sample",
       // BM25 keeps (n_docs, total_tok) in-plan as the same 1-row
       // broadcast scalar crossJoin as t_top_terms
       "t_bm25",
