@@ -195,7 +195,37 @@ final case class SinkSettings(
     bufferByteLimit: Long = 3145728,
     bufferRecordLimit: Int = 500,
     bufferTimeLimitMs: Long = 5000,
-    startupCheckIntervalMs: Long = 1000) {
+    startupCheckIntervalMs: Long = 1000,
+    // R11: the per-sink CONNECTION blocks (reference model.scala:134-173)
+    // — the keys a deployment's sink block actually carries. Defaults
+    // mirror the reference case-class/shipped-example values. Kafka
+    // (`brokers`, `kafkaTimeouts`, free-form `producerConf`):
+    kafkaBrokers: String = "localhost:9092",
+    kafkaMaxBlockMs: Int = 5000,
+    kafkaRequestTimeoutMs: Int = 5000,
+    kafkaDeliveryTimeoutMs: Int = 10000,
+    kafkaMetadataMaxAgeMs: Int = 5000,
+    kafkaProducerConf: Map[String, String] = Map.empty,
+    // PubSub (`googleProjectId` + the RPC-retry backoff knobs):
+    googleProjectId: Option[String] = None,
+    pubsubTotalBackoffMs: Long = 9223372036854L,
+    pubsubMultiplier: Double = 2.0,
+    pubsubInitialRpcTimeoutMs: Long = 10000,
+    pubsubMaxRpcTimeoutMs: Long = 10000,
+    pubsubRpcTimeoutMultiplier: Double = 2.0,
+    pubsubRetryIntervalMs: Long = 10000,
+    // NSQ (`host`/`port` of the nsqd):
+    nsqHost: String = "127.0.0.1",
+    nsqPort: Int = 4150,
+    // RabbitMQ (broker connection + routing keys + backoff multiplier):
+    rabbitHost: String = "localhost",
+    rabbitPort: Int = 5672,
+    rabbitUsername: String = "guest",
+    rabbitPassword: String = "guest",
+    rabbitVirtualHost: String = "/",
+    rabbitRoutingKeyGood: String = "raw",
+    rabbitRoutingKeyBad: String = "bad-1",
+    rabbitMultiplier: Double = 2.0) {
 
   /** The Kinesis endpoint the reference derives (`model.scala:120-126`):
     * the explicit `customEndpoint` wins; otherwise the region's public
@@ -326,6 +356,8 @@ object CollectorConfig {
       if (n.isMissingNode || n.isNull) dflt
       else if (n.isNumber) n.asLong
       else parseDurationMs(n.asText)
+    def dbl(n: com.fasterxml.jackson.databind.JsonNode, dflt: Double) =
+      if (n.isMissingNode || n.isNull) dflt else n.asDouble
     val cookie = c.path("cookie")
     val dnt = c.path("doNotTrackCookie")
     val streams = c.path("streams")
@@ -480,6 +512,48 @@ object CollectorConfig {
           customEndpoint = strOpt(sk.path("customEndpoint"), base.customEndpoint),
           sqsGoodBuffer = strOpt(sk.path("sqsGoodBuffer"), base.sqsGoodBuffer),
           sqsBadBuffer = strOpt(sk.path("sqsBadBuffer"), base.sqsBadBuffer),
+          // r11 per-sink connection blocks: each key lands only in the
+          // field its sink kind consumes (`host`/`port` feed both the
+          // NSQ and RabbitMQ fields — one source key, one consumer)
+          kafkaBrokers = str(sk.path("brokers"), base.kafkaBrokers),
+          kafkaMaxBlockMs =
+            int(sk.path("kafkaTimeouts").path("maxBlockMs"), base.kafkaMaxBlockMs),
+          kafkaRequestTimeoutMs =
+            int(sk.path("kafkaTimeouts").path("requestTimeoutMs"), base.kafkaRequestTimeoutMs),
+          kafkaDeliveryTimeoutMs =
+            int(sk.path("kafkaTimeouts").path("deliveryTimeoutMs"), base.kafkaDeliveryTimeoutMs),
+          kafkaMetadataMaxAgeMs =
+            int(sk.path("kafkaTimeouts").path("metadataMaxAgeMs"), base.kafkaMetadataMaxAgeMs),
+          kafkaProducerConf = {
+            val pc = sk.path("producerConf")
+            if (!pc.isObject) base.kafkaProducerConf
+            else {
+              val it = pc.fields()
+              Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+                .map(e => e.getKey -> e.getValue.asText).toMap
+            }
+          },
+          googleProjectId = strOpt(sk.path("googleProjectId"), base.googleProjectId),
+          pubsubTotalBackoffMs =
+            long(sk.path("backoffPolicy").path("totalBackoff"), base.pubsubTotalBackoffMs),
+          pubsubMultiplier = dbl(sk.path("backoffPolicy").path("multiplier"), base.pubsubMultiplier),
+          pubsubInitialRpcTimeoutMs =
+            long(sk.path("backoffPolicy").path("initialRpcTimeout"), base.pubsubInitialRpcTimeoutMs),
+          pubsubMaxRpcTimeoutMs =
+            long(sk.path("backoffPolicy").path("maxRpcTimeout"), base.pubsubMaxRpcTimeoutMs),
+          pubsubRpcTimeoutMultiplier =
+            dbl(sk.path("backoffPolicy").path("rpcTimeoutMultiplier"), base.pubsubRpcTimeoutMultiplier),
+          pubsubRetryIntervalMs = dur(sk.path("retryInterval"), base.pubsubRetryIntervalMs),
+          nsqHost = str(sk.path("host"), base.nsqHost),
+          nsqPort = int(sk.path("port"), base.nsqPort),
+          rabbitHost = str(sk.path("host"), base.rabbitHost),
+          rabbitPort = int(sk.path("port"), base.rabbitPort),
+          rabbitUsername = str(sk.path("username"), base.rabbitUsername),
+          rabbitPassword = str(sk.path("password"), base.rabbitPassword),
+          rabbitVirtualHost = str(sk.path("virtualHost"), base.rabbitVirtualHost),
+          rabbitRoutingKeyGood = str(sk.path("routingKeyGood"), base.rabbitRoutingKeyGood),
+          rabbitRoutingKeyBad = str(sk.path("routingKeyBad"), base.rabbitRoutingKeyBad),
+          rabbitMultiplier = dbl(sk.path("backoffPolicy").path("multiplier"), base.rabbitMultiplier),
           threadPoolSize = int(sk.path("threadPoolSize"), base.threadPoolSize),
           sinkMaxBytes = int(sk.path("maxBytes"), base.sinkMaxBytes),
           sqsMaxBytes = int(sk.path("sqsMaxBytes"), base.sqsMaxBytes),

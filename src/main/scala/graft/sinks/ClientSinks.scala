@@ -209,11 +209,14 @@ object ClientSinks {
       multiplier: Double = 2.0,
       maxBackoffMs: Long = 10000,
       maxAttempts: Int = 10,
+      // r11: the reference publishes with the configured routing key
+      // (`routingKeyGood`/`routingKeyBad`, model.scala:170-171)
+      routingKey: String = "",
       sleeper: Long => Unit = Thread.sleep) extends EventSink with Serializable {
     val name = s"rabbitmq($exchange)"
     def write(batch: DataFrame, batchId: Long): Unit = {
-      val (ex, cf, minB, mult, maxB, maxA, sl) =
-        (exchange, clientFactory, minBackoffMs, multiplier, maxBackoffMs, maxAttempts, sleeper)
+      val (ex, rk, cf, minB, mult, maxB, maxA, sl) =
+        (exchange, routingKey, clientFactory, minBackoffMs, multiplier, maxBackoffMs, maxAttempts, sleeper)
       batch.select(col(payloadCol).cast("binary")).foreachPartition { rows: Iterator[Row] =>
         val client = cf()
         rows.map(_.getAs[Array[Byte]](0)).foreach { body =>
@@ -221,7 +224,7 @@ object ClientSinks {
           var backoff = 0L
           var done = false
           while (!done) {
-            try { client.basicPublish(ex, "", body); done = true }
+            try { client.basicPublish(ex, rk, body); done = true }
             catch {
               case e: Throwable =>
                 attempt += 1
@@ -278,6 +281,9 @@ object ClientSinks {
       parquetDir: => String,
       kinesis: => Option[() => KinesisClient] = None,
       sqs: => Option[() => SqsClient] = None,
+      pubsub: => Option[() => PubSubClient] = None,
+      nsq: => Option[() => NsqClient] = None,
+      rabbit: => Option[() => RabbitClient] = None,
       sleeper: Long => Unit = Thread.sleep): EventSink = s.kind match {
     case "kinesis" =>
       // R11: with no injected factory (= production), the reflection SDK
@@ -309,6 +315,28 @@ object ClientSinks {
       val f = sqs.getOrElse { sdkSqsFactory(s) }
       new SqsEventSink(s.goodStream, f,
         maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
+    // R11: the remaining reference sink kinds wire their CONNECTION
+    // blocks from the parsed config into the reflection factories
+    case "google-pub-sub" | "pubsub" =>
+      val f = pubsub.getOrElse { () => GcpPubSubClient() }
+      // reference topic path: ProjectTopicName.of(googleProjectId, good)
+      val topic = s.googleProjectId
+        .map(p => s"projects/$p/topics/${s.goodStream}").getOrElse(s.goodStream)
+      new PubSubEventSink(topic, f,
+        maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
+    case "nsq" =>
+      val (host, port) = (s.nsqHost, s.nsqPort)
+      val f = nsq.getOrElse { () => NsqProducerClient(host, port) }
+      new NsqEventSink(s.goodStream, f)
+    case "rabbitmq" =>
+      val (h, p, u, pw, vh) =
+        (s.rabbitHost, s.rabbitPort, s.rabbitUsername, s.rabbitPassword, s.rabbitVirtualHost)
+      val ex = s.goodStream
+      val f = rabbit.getOrElse { () => RabbitMqChannelClient(h, p, Some(ex), u, pw, vh) }
+      new RabbitEventSink(ex, f,
+        minBackoffMs = s.minBackoffMs, multiplier = s.rabbitMultiplier,
+        maxBackoffMs = s.maxBackoffMs, routingKey = s.rabbitRoutingKeyGood,
+        sleeper = sleeper)
     case _ => new ParquetDirSink(parquetDir)
   }
 

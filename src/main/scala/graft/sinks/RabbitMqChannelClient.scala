@@ -36,7 +36,14 @@ object RabbitMqChannelClient {
     * so the returned object serializes cleanly. The passive exchange
     * check runs with the lazy connect — the first publish of a task
     * fails fast on a missing exchange, mirroring the reference's init. */
-  def apply(host: String, port: Int, verifyExchange: Option[String] = None): RabbitClient = {
+  def apply(host: String, port: Int, verifyExchange: Option[String] = None): RabbitClient =
+    apply(host, port, verifyExchange, "guest", "guest", "/")
+
+  /** R11: the full broker connection the reference's config carries
+    * (`model.scala:163-173` — username/password/virtualHost alongside
+    * host/port), applied via the ConnectionFactory setters. */
+  def apply(host: String, port: Int, verifyExchange: Option[String],
+      username: String, password: String, virtualHost: String): RabbitClient = {
     Class.forName(FactoryClass)
     new RabbitClient {
       // one connection+channel per sink client (= per executor task)
@@ -45,6 +52,9 @@ object RabbitMqChannelClient {
         val cf = cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
         cls.getMethod("setHost", classOf[String]).invoke(cf, host)
         cls.getMethod("setPort", Integer.TYPE).invoke(cf, Int.box(port))
+        cls.getMethod("setUsername", classOf[String]).invoke(cf, username)
+        cls.getMethod("setPassword", classOf[String]).invoke(cf, password)
+        cls.getMethod("setVirtualHost", classOf[String]).invoke(cf, virtualHost)
         val conn = cls.getMethod("newConnection").invoke(cf)
         val ch = conn.getClass.getMethod("createChannel").invoke(conn)
         verifyExchange.foreach { ex =>

@@ -281,6 +281,29 @@ class ConfigSpec extends AnyFunSuite {
     // r11: the shipped aws credentials block (:217-220 `accessKey = iam`)
     assert(cfg.sink.awsAccessKey === "iam" && cfg.sink.awsSecretKey === "iam")
     assert(graft.sinks.AwsCredentials.modeFor(cfg.sink) === graft.sinks.AwsCredentials.Iam)
+    // r11: the OTHER shipped sink kinds land their connection blocks
+    def load(name: String) = CollectorConfig.fromHocon(new String(
+      java.nio.file.Files.readAllBytes(
+        files.find(_.getName == name).get.toPath), "UTF-8")).sink
+    val kafka = load("config.kafka.extended.hocon")
+    assert(kafka.kafkaBrokers === "localhost:9092,another.host:9092")
+    assert(kafka.kafkaRetries === 10)
+    assert(kafka.kafkaMaxBlockMs === 5000 && kafka.kafkaRequestTimeoutMs === 5000)
+    assert(kafka.kafkaDeliveryTimeoutMs === 10000 && kafka.kafkaMetadataMaxAgeMs === 5000)
+    val ps = load("config.pubsub.extended.hocon")
+    assert(ps.googleProjectId === Some("google-project-id"))
+    assert(ps.pubsubTotalBackoffMs === 9223372036854L)
+    assert(ps.pubsubMultiplier === 2.0 && ps.pubsubRpcTimeoutMultiplier === 2.0)
+    assert(ps.pubsubInitialRpcTimeoutMs === 10000 && ps.pubsubMaxRpcTimeoutMs === 10000)
+    assert(ps.pubsubRetryIntervalMs === 10000) // retryInterval = 10 seconds
+    val nsq = load("config.nsq.extended.hocon")
+    assert(nsq.nsqHost === "nsqHost" && nsq.nsqPort === 4150)
+    val rmq = load("config.rabbitmq.extended.hocon")
+    assert(rmq.rabbitUsername === "guest" && rmq.rabbitPassword === "guest")
+    assert(rmq.rabbitVirtualHost === "/")
+    assert(rmq.rabbitRoutingKeyGood === "raw" && rmq.rabbitRoutingKeyBad === "bad-1")
+    assert(rmq.rabbitMultiplier === 2.0)
+    assert(rmq.minBackoffMs === 100 && rmq.maxBackoffMs === 10000)
     assert(cfg.sink.minBackoffMs === 500 && cfg.sink.maxBackoffMs === 1500
       && cfg.sink.maxRetries === 3)
     assert(cfg.sink.sqsMaxBytes === 192000 && cfg.maxBytes === 1000000)

@@ -62,6 +62,7 @@ object MockClients {
   private val nCalls = mutable.ArrayBuffer.empty[Seq[Array[Byte]]]
   private val rAttempts = mutable.Map.empty[String, Int].withDefaultValue(0)
   private val rStored = mutable.ArrayBuffer.empty[Array[Byte]]
+  private val rPublishes = mutable.ArrayBuffer.empty[(String, String)]
   private val rBackoffs = mutable.ArrayBuffer.empty[Long]
 
   def pubsubCalls: Seq[Seq[Array[Byte]]] = synchronized(pCalls.toSeq)
@@ -71,7 +72,7 @@ object MockClients {
   def rabbitBackoffs: Seq[Long] = synchronized(rBackoffs.toSeq)
   def recordBackoff(ms: Long): Unit = synchronized(rBackoffs += ms)
 
-  def pubsub(failOnceEvery: Int): PubSubClient = new PubSubClient {
+  def pubsub(failOnceEvery: Int = 0): PubSubClient = new PubSubClient {
     def publish(topic: String, messages: Seq[Array[Byte]]): Seq[Option[String]] =
       MockClients.synchronized {
         pCalls += messages
@@ -96,19 +97,23 @@ object MockClients {
   }
 
   /** Each event fails its first `failuresPerEvent` publishes, then lands. */
-  def rabbit(failuresPerEvent: Int): RabbitClient = new RabbitClient {
+  def rabbit(failuresPerEvent: Int = 0): RabbitClient = new RabbitClient {
     def basicPublish(exchange: String, routingKey: String, body: Array[Byte]): Unit =
       MockClients.synchronized {
         val tag = new String(body, "UTF-8")
         val n = rAttempts(tag)
         rAttempts(tag) = n + 1
         if (n < failuresPerEvent) throw new RuntimeException(s"rabbit transient $n")
+        rPublishes += (exchange -> routingKey)
         rStored += body
       }
   }
 
+  /** r11: the (exchange, routingKey) each successful publish carried. */
+  def rabbitPublishes: Seq[(String, String)] = synchronized(rPublishes.toSeq)
+
   def resetExtras(): Unit = synchronized {
     pCalls.clear(); pStored.clear(); pFailedOnce.clear(); nCalls.clear()
-    rAttempts.clear(); rStored.clear(); rBackoffs.clear()
+    rAttempts.clear(); rStored.clear(); rBackoffs.clear(); rPublishes.clear()
   }
 }

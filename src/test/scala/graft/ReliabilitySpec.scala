@@ -283,6 +283,58 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(bare.name === "kinesis(gstream)")
   }
 
+  test("pubsub/nsq/rabbitmq sink kinds wire their connection config end-to-end") {
+    import graft.operators.CollectorConfig
+    MockClients.resetExtras()
+    val wire = Seq(Tuple1("w-1".getBytes("UTF-8"))).toDF("thrift")
+    // pubsub: the topic path composes googleProjectId + the good stream
+    val ps = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"good": "raw-good", "sink": {
+        |  "enabled": "google-pub-sub", "googleProjectId": "proj-1"
+        |}}}}""".stripMargin).sink
+    val psSink = ClientSinks.sinkFromSettings(ps, sys.error("unused"),
+      pubsub = Some(() => MockClients.pubsub()), sleeper = _ => ())
+    assert(psSink.name === "pubsub(projects/proj-1/topics/raw-good)")
+    psSink.write(wire, 0L)
+    assert(MockClients.pubsubStored.size === 1)
+    // nsq: topic from good stream, host/port parsed (factory injected)
+    val nq = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"good": "raw", "sink": {
+        |  "enabled": "nsq", "host": "nsqHost", "port": 4150
+        |}}}}""".stripMargin).sink
+    assert(nq.nsqHost === "nsqHost" && nq.nsqPort === 4150)
+    val nqSink = ClientSinks.sinkFromSettings(nq, sys.error("unused"),
+      nsq = Some(() => MockClients.nsq()))
+    assert(nqSink.name === "nsq(raw)")
+    nqSink.write(wire, 0L)
+    assert(MockClients.nsqCalls.map(_.size).sum === 1)
+    // rabbitmq: exchange from good stream, the configured routing key
+    // rides every publish, backoff multiplier from the config
+    val rq = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"good": "raw-ex", "sink": {
+        |  "enabled": "rabbitmq", "username": "u1", "password": "p1",
+        |  "virtualHost": "/vh", "routingKeyGood": "rk-good",
+        |  "backoffPolicy": {"minBackoff": 100, "maxBackoff": 10000, "multiplier": 2}
+        |}}}}""".stripMargin).sink
+    assert(rq.rabbitUsername === "u1" && rq.rabbitVirtualHost === "/vh")
+    val rqSink = ClientSinks.sinkFromSettings(rq, sys.error("unused"),
+      rabbit = Some(() => MockClients.rabbit()), sleeper = _ => ())
+    assert(rqSink.name === "rabbitmq(raw-ex)")
+    rqSink.write(wire, 0L)
+    assert(MockClients.rabbitPublishes.exists { case (ex, rk) =>
+      ex == "raw-ex" && rk == "rk-good" }, "configured routing key must ride the publish")
+    // absent the jars, the DEFAULT factories still fail at factory time
+    // on the executor with the client class name (the reflection
+    // contract); Spark surfaces it wrapped in a task failure
+    val err = intercept[Exception] {
+      ClientSinks.sinkFromSettings(nq, sys.error("unused")).write(wire.coalesce(1), 1L)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(err).exists(_.isInstanceOf[ClassNotFoundException]),
+      s"expected a factory-time CNFE in the cause chain, got: $err")
+  }
+
   test("kinesisEndpoint derives the reference's regional endpoints incl. the China partition") {
     import graft.operators.SinkSettings
     // reference model.scala:120-126 verbatim
