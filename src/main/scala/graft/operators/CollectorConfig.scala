@@ -150,6 +150,25 @@ final case class WarmupSettings(
     maxConnections: Int = 2000,
     maxCycles: Int = 3)
 
+/** R12: the Kafka sink's optional SQS backup block (reference
+  * `model.scala:287-297` `Kafka.SQS`; shipped
+  * `kafka/src/test/resources/config.kafka.extended.hocon:31-46`). When
+  * present, events that exhaust Kafka retries divert to the SQS queue
+  * pair (`KafkaCollector.scala:62-71`, `SQSPublisher.scala:30-70` — the
+  * publisher owns its own RetryPolicy + CircuitBreaker(5, 60 s), which
+  * is exactly our [[graft.sinks.FailoverSink]] wiring). */
+final case class KafkaSqsBackupSettings(
+    goodQueueUrl: String,
+    badQueueUrl: String,
+    region: Option[String] = None,
+    maxBufferSize: Int = 100000,
+    threadPoolSize: Int = 10,
+    awsAccessKey: String = "iam",
+    awsSecretKey: String = "iam",
+    minBackoffMs: Long = 500,
+    maxBackoffMs: Long = 5000,
+    maxRetries: Int = 5)
+
 final case class StatsdSettings(
     enabled: Boolean = false,
     hostname: String = "localhost",
@@ -206,8 +225,16 @@ final case class SinkSettings(
     kafkaDeliveryTimeoutMs: Int = 10000,
     kafkaMetadataMaxAgeMs: Int = 5000,
     kafkaProducerConf: Map[String, String] = Map.empty,
+    // R12: Kafka's optional SQS failover block (`sqs { goodQueueUrl,
+    // badQueueUrl, maxBufferSize, ... }` — reference model.scala:287-297)
+    kafkaSqsBackup: Option[KafkaSqsBackupSettings] = None,
     // PubSub (`googleProjectId` + the RPC-retry backoff knobs):
     googleProjectId: Option[String] = None,
+    // R12: `gcpUserAgent { productName }` (reference model.scala:140,182;
+    // GooglePubSubSink.scala:211-219 formats it as
+    // "<productName>/collector (GPN:Snowplow;)" and sets it as the
+    // publisher's fixed User-Agent header)
+    gcpUserAgentProductName: String = "Snowplow OSS",
     pubsubTotalBackoffMs: Long = 9223372036854L,
     pubsubMultiplier: Double = 2.0,
     pubsubInitialRpcTimeoutMs: Long = 10000,
@@ -530,10 +557,42 @@ object CollectorConfig {
             else {
               val it = pc.fields()
               Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+                // r12 (ADVICE): the reference's producerConf is a
+                // free-form Map[String,String] of SCALARS — a nested
+                // object/array would asText to "", silently swallowing
+                // the key; keep only value nodes
+                .filter(_.getValue.isValueNode)
                 .map(e => e.getKey -> e.getValue.asText).toMap
             }
           },
+          kafkaSqsBackup = {
+            // r12: the kafka sink's `sqs { ... }` failover block
+            // (reference model.scala:287-297; both queue URLs are
+            // REQUIRED in the reference case class — an sqs block
+            // missing either is a config error, surfaced at load)
+            val q = sk.path("sqs")
+            if (!q.isObject) base.kafkaSqsBackup
+            else {
+              val good = q.path("goodQueueUrl")
+              val bad = q.path("badQueueUrl")
+              if (good.isMissingNode || bad.isMissingNode)
+                throw new IllegalArgumentException(
+                  "kafka sqs backup block requires goodQueueUrl and badQueueUrl")
+              val d = KafkaSqsBackupSettings(good.asText, bad.asText)
+              Some(d.copy(
+                region = strOpt(q.path("region"), d.region),
+                maxBufferSize = int(q.path("maxBufferSize"), d.maxBufferSize),
+                threadPoolSize = int(q.path("threadPoolSize"), d.threadPoolSize),
+                awsAccessKey = str(q.path("aws").path("accessKey"), d.awsAccessKey),
+                awsSecretKey = str(q.path("aws").path("secretKey"), d.awsSecretKey),
+                minBackoffMs = dur(q.path("backoffPolicy").path("minBackoff"), d.minBackoffMs),
+                maxBackoffMs = dur(q.path("backoffPolicy").path("maxBackoff"), d.maxBackoffMs),
+                maxRetries = int(q.path("backoffPolicy").path("maxRetries"), d.maxRetries)))
+            }
+          },
           googleProjectId = strOpt(sk.path("googleProjectId"), base.googleProjectId),
+          gcpUserAgentProductName =
+            str(sk.path("gcpUserAgent").path("productName"), base.gcpUserAgentProductName),
           pubsubTotalBackoffMs =
             long(sk.path("backoffPolicy").path("totalBackoff"), base.pubsubTotalBackoffMs),
           pubsubMultiplier = dbl(sk.path("backoffPolicy").path("multiplier"), base.pubsubMultiplier),

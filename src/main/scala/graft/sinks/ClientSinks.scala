@@ -136,6 +136,15 @@ object ClientSinks {
     def publish(topic: String, messages: Seq[Array[Byte]]): Seq[Option[String]]
   }
 
+  /** The slice of the Kafka producer API the sink needs (reference
+    * `kafka/.../KafkaSink.scala:280-330` writeBatchToKafka: one
+    * `producer.send(ProducerRecord(topic, key, bytes))` future per
+    * record, failures collected and retried): one batched send with
+    * index-aligned per-record error codes. */
+  trait KafkaClient extends Serializable {
+    def send(topic: String, records: Seq[OutRecord]): Seq[Option[String]]
+  }
+
   /** NSQ's `produceMulti` (reference `NsqSink.scala:31-44`): no key, no
     * per-record status — all-or-nothing, throws on failure. */
   trait NsqClient extends Serializable {
@@ -173,6 +182,38 @@ object ClientSinks {
           .grouped(PubSubMaxPerRequest)
           .foreach(chunk => sendWithRetries[Array[Byte]](
             chunk, client.publish(tp, _), mr, bo, sl))
+      }
+    }
+  }
+
+  /** Kafka send cap per client call (the producer client batches
+    * internally via `linger.ms`/`buffer.memory`; the chunk just bounds
+    * the number of in-flight futures awaited together). */
+  val KafkaMaxPerRequest = 500
+
+  /** K5: Kafka sink — per-record `producer.send` futures awaited per
+    * chunk, failed-record retry with the configured backoff (reference
+    * `KafkaSink.scala:186-260`: collect the failed subset, back off,
+    * resend; exhaustion replays the micro-batch from the checkpoint —
+    * or diverts to the SQS backup when [[FailoverSink]]-wrapped, the
+    * reference's `maybeSqs` path). */
+  final class KafkaEventSink(
+      topic: String,
+      clientFactory: () => KafkaClient,
+      payloadCol: String = "thrift",
+      keyCol: String = "partition_key",
+      maxRetries: Int = 3,
+      backoffMs: Int => Long = _ => 0L,
+      sleeper: Long => Unit = Thread.sleep) extends EventSink with Serializable {
+    val name = s"kafka($topic)"
+    def write(batch: DataFrame, batchId: Long): Unit = {
+      val (tp, cf, mr, bo, sl) = (topic, clientFactory, maxRetries, backoffMs, sleeper)
+      outRecords(batch, payloadCol, keyCol).foreachPartition { rows: Iterator[Row] =>
+        val client = cf()
+        rows.map(r => OutRecord(r.getAs[Array[Byte]](0), r.getString(1)))
+          .grouped(KafkaMaxPerRequest)
+          .foreach(chunk => sendWithRetries[OutRecord](
+            chunk, client.send(tp, _), mr, bo, sl))
       }
     }
   }
@@ -284,6 +325,7 @@ object ClientSinks {
       pubsub: => Option[() => PubSubClient] = None,
       nsq: => Option[() => NsqClient] = None,
       rabbit: => Option[() => RabbitClient] = None,
+      kafka: => Option[() => KafkaClient] = None,
       sleeper: Long => Unit = Thread.sleep): EventSink = s.kind match {
     case "kinesis" =>
       // R11: with no injected factory (= production), the reflection SDK
@@ -318,12 +360,42 @@ object ClientSinks {
     // R11: the remaining reference sink kinds wire their CONNECTION
     // blocks from the parsed config into the reflection factories
     case "google-pub-sub" | "pubsub" =>
-      val f = pubsub.getOrElse { () => GcpPubSubClient() }
+      // r12: the production factory carries the gcpUserAgent header and
+      // the RPC-retry knobs into the Publisher builder (reference
+      // GooglePubSubSink.scala:199-240)
+      val f = pubsub.getOrElse { sdkPubSubFactory(s) }
       // reference topic path: ProjectTopicName.of(googleProjectId, good)
       val topic = s.googleProjectId
         .map(p => s"projects/$p/topics/${s.goodStream}").getOrElse(s.goodStream)
       new PubSubEventSink(topic, f,
         maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
+    case "kafka" =>
+      // r12 (ADVICE + reference KafkaCollector.scala:62-91): explicit
+      // dispatch — a configured Kafka deployment must never silently
+      // write parquet. The producer-level `retries` knob rides in the
+      // client props; THIS retry loop is the sink-level
+      // backoffPolicy.{minBackoff,maxBackoff,maxRetries}.
+      val f = kafka.getOrElse { sdkKafkaFactory(s) }
+      val primary = new KafkaEventSink(s.goodStream, f,
+        maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
+      s.kafkaSqsBackup match {
+        case Some(b) =>
+          // the reference's backup mode: batches that exhaust Kafka
+          // retries divert to the SQS queue, whose publisher owns its
+          // own RetryPolicy + CircuitBreaker(5, 60 s)
+          // (SQSPublisher.scala:51-60) — exactly this FailoverSink shape
+          val sf = sqs.getOrElse { sdkSqsFactoryFor(b) }
+          new FailoverSink(
+            primary,
+            new SqsEventSink(b.goodQueueUrl, sf,
+              maxRetries = b.maxRetries,
+              backoffMs = backoffScheduleFor(b.minBackoffMs, b.maxBackoffMs, b.maxRetries),
+              sleeper = sleeper),
+            new RetryPolicy(s.minBackoffMs, s.maxBackoffMs, s.maxRetries, seed = 17L),
+            new CircuitBreaker(maxFailures = 5, resetMs = 60000L),
+            sleeper = sleeper)
+        case None => primary
+      }
     case "nsq" =>
       val (host, port) = (s.nsqHost, s.nsqPort)
       val f = nsq.getOrElse { () => NsqProducerClient(host, port) }
@@ -337,7 +409,12 @@ object ClientSinks {
         minBackoffMs = s.minBackoffMs, multiplier = s.rabbitMultiplier,
         maxBackoffMs = s.maxBackoffMs, routingKey = s.rabbitRoutingKeyGood,
         sleeper = sleeper)
-    case _ => new ParquetDirSink(parquetDir)
+    case "stdout" => new Base64StdoutSink("thrift")
+    case "" | "parquet" | "file" => new ParquetDirSink(parquetDir)
+    // r12 (ADVICE): parsed-but-unknown kinds fail LOUDLY at wiring time —
+    // a typo'd or unimplemented sink must never silently become parquet
+    case other => throw new IllegalArgumentException(
+      s"unknown sink kind '$other' (expected kinesis|sqs|google-pub-sub|kafka|nsq|rabbitmq|stdout|parquet)")
   }
 
   /** The production K1 factory: resolve the credentials mode NOW (config
@@ -355,5 +432,78 @@ object ClientSinks {
     val mode = AwsCredentials.modeFor(s)
     val region = s.region
     () => AwsSqsClient(mode, region)
+  }
+
+  /** R12: the SQS factory for the Kafka sink's backup block — the
+    * backup's OWN `aws`/`region` pair (reference `Kafka.SQS` carries its
+    * own AWSConfig, model.scala:287-297), resolved at wiring time. */
+  def sdkSqsFactoryFor(b: graft.operators.KafkaSqsBackupSettings): () => SqsClient = {
+    val mode = AwsCredentials.mode(b.awsAccessKey, b.awsSecretKey)
+      .fold(m => throw new IllegalArgumentException(m), identity)
+    val region = b.region
+    () => AwsSqsClient(mode, region)
+  }
+
+  /** A deterministic schedule from explicit numbers (the kafka backup
+    * block's own backoffPolicy rather than the sink-level one). */
+  def backoffScheduleFor(
+      minBackoffMs: Long, maxBackoffMs: Long, maxRetries: Int,
+      seed: Long = 17L): Int => Long = {
+    val policy = new RetryPolicy(minBackoffMs, maxBackoffMs, maxRetries, seed)
+    val schedule = Vector.fill(math.max(maxRetries, 1))(policy.nextBackoffMs())
+    attempt => schedule(math.min(math.max(attempt - 1, 0), schedule.length - 1))
+  }
+
+  /** R12: the producer properties the reference builds
+    * (`KafkaSink.scala:377-401` createProducer) — brokers, acks=all,
+    * producer-level retries, buffer thresholds from the buffer block,
+    * the four timeout knobs, then the free-form `producerConf`
+    * overrides last (reference order). Pure — the spec's assertion
+    * surface; [[sdkKafkaFactory]] feeds it to the reflection client. */
+  def kafkaProducerProps(s: graft.operators.SinkSettings): Map[String, String] =
+    Map(
+      "bootstrap.servers" -> s.kafkaBrokers,
+      "acks" -> "all",
+      "retries" -> s.kafkaRetries.toString,
+      "buffer.memory" -> s.bufferByteLimit.toString,
+      "linger.ms" -> s.bufferTimeLimitMs.toString,
+      "key.serializer" -> "org.apache.kafka.common.serialization.StringSerializer",
+      "value.serializer" -> "org.apache.kafka.common.serialization.ByteArraySerializer",
+      "max.block.ms" -> s.kafkaMaxBlockMs.toString,
+      "request.timeout.ms" -> s.kafkaRequestTimeoutMs.toString,
+      "delivery.timeout.ms" -> s.kafkaDeliveryTimeoutMs.toString,
+      "metadata.max.age.ms" -> s.kafkaMetadataMaxAgeMs.toString
+    ) ++ s.kafkaProducerConf
+
+  /** The production K5 factory: props resolve NOW (config errors at
+    * startup), the reflection producer binds per executor task later. */
+  def sdkKafkaFactory(s: graft.operators.SinkSettings): () => KafkaClient = {
+    val props = kafkaProducerProps(s)
+    () => KafkaProducerClient(props)
+  }
+
+  /** R12: the Publisher-builder knobs the pubsub config carries
+    * (reference `GooglePubSubSink.scala:199-240`): the formatted
+    * User-Agent header ("<productName>/collector (GPN:Snowplow;)",
+    * `createUserAgent` :218-219) plus the RetrySettings numbers from
+    * `backoffPolicy`. Pure derivation — asserted by ReliabilitySpec;
+    * [[sdkPubSubFactory]] hands it to the reflection builder. */
+  def pubsubBuilderSettings(
+      s: graft.operators.SinkSettings): GcpPubSubClient.BuilderSettings =
+    GcpPubSubClient.BuilderSettings(
+      userAgent = s"${s.gcpUserAgentProductName}/collector (GPN:Snowplow;)",
+      initialRetryDelayMs = s.minBackoffMs,
+      maxRetryDelayMs = s.maxBackoffMs,
+      retryDelayMultiplier = s.pubsubMultiplier,
+      totalTimeoutMs = s.pubsubTotalBackoffMs,
+      initialRpcTimeoutMs = s.pubsubInitialRpcTimeoutMs,
+      rpcTimeoutMultiplier = s.pubsubRpcTimeoutMultiplier,
+      maxRpcTimeoutMs = s.pubsubMaxRpcTimeoutMs)
+
+  /** The production K4 factory — settings resolve at wiring time, the
+    * SDK Publisher binds per executor task. */
+  def sdkPubSubFactory(s: graft.operators.SinkSettings): () => PubSubClient = {
+    val bs = pubsubBuilderSettings(s)
+    () => GcpPubSubClient(bs)
   }
 }

@@ -29,6 +29,23 @@ object GcpPubSubClient {
   private val PublisherClass = "com.google.cloud.pubsub.v1.Publisher"
   private val MessageClass = "com.google.pubsub.v1.PubsubMessage"
   private val ByteStringClass = "com.google.protobuf.ByteString"
+  private val HeaderProviderClass = "com.google.api.gax.rpc.FixedHeaderProvider"
+  private val RetrySettingsClass = "com.google.api.gax.retrying.RetrySettings"
+
+  /** R12: the Publisher-builder knobs the reference sets
+    * (`GooglePubSubSink.scala:199-240`): the fixed `User-Agent` header
+    * (`FixedHeaderProvider.create("User-Agent", ua)`, :211) and the
+    * `RetrySettings` built from the config's backoffPolicy (:231-240).
+    * Defaults mirror the reference pubsub `application.conf`. */
+  final case class BuilderSettings(
+      userAgent: String = "Snowplow OSS/collector (GPN:Snowplow;)",
+      initialRetryDelayMs: Long = 1000,
+      maxRetryDelayMs: Long = 1000,
+      retryDelayMultiplier: Double = 2.0,
+      totalTimeoutMs: Long = 9223372036854L,
+      initialRpcTimeoutMs: Long = 10000,
+      rpcTimeoutMultiplier: Double = 2.0,
+      maxRpcTimeoutMs: Long = 10000)
 
   /** Is the Google Cloud PubSub SDK on this classpath? */
   def available(): Boolean =
@@ -45,7 +62,9 @@ object GcpPubSubClient {
     * form the reference's `ProjectTopicName.of(projectId, topic)` renders
     * (`projects/<p>/topics/<t>`) — `Publisher.newBuilder(String)` accepts
     * it directly. */
-  def apply(): PubSubClient = {
+  def apply(): PubSubClient = apply(BuilderSettings())
+
+  def apply(bs: BuilderSettings): PubSubClient = {
     Class.forName(PublisherClass)
     new PubSubClient {
       // one Publisher per topic per sink client (= per executor task);
@@ -58,6 +77,7 @@ object GcpPubSubClient {
         publishers.getOrElseUpdate(topic, {
           val b = Class.forName(PublisherClass)
             .getMethod("newBuilder", classOf[String]).invoke(null, topic)
+          configureBuilder(b, bs)
           b.getClass.getMethod("build").invoke(b)
         })
 
@@ -94,5 +114,54 @@ object GcpPubSubClient {
         }
       }
     }
+  }
+
+  /** Apply the [[BuilderSettings]] to a `Publisher.Builder` reflectively
+    * (reference `GooglePubSubSink.scala:207-213`):
+    * `setHeaderProvider(FixedHeaderProvider.create("User-Agent", ua))` and
+    * `setRetrySettings(RetrySettings.newBuilder()...build())`. Duration
+    * params are built via the setter's own parameter type (`ofMillis`),
+    * so the binding works against both the threeten-bp and java.time
+    * generations of gax. Best-effort by class presence: a classpath
+    * carrying the Publisher but not gax (impossible in a real
+    * deployment) just skips the knob rather than failing publish. */
+  private def configureBuilder(b: AnyRef, bs: BuilderSettings): Unit = {
+    val cl = b.getClass.getClassLoader
+    def setter(name: String): Option[java.lang.reflect.Method] =
+      b.getClass.getMethods.find(m => m.getName == name && m.getParameterCount == 1)
+    // fixed User-Agent header
+    try {
+      val hpCls = Class.forName(HeaderProviderClass, true, cl)
+      val create = hpCls.getMethods
+        .find(m => m.getName == "create" && m.getParameterCount == 1 &&
+          m.getParameterTypes()(0).isArray)
+        .getOrElse(throw new NoSuchMethodException("FixedHeaderProvider.create(String...)"))
+      val hp = create.invoke(null, Array[String]("User-Agent", bs.userAgent))
+      setter("setHeaderProvider").foreach(_.invoke(b, hp))
+    } catch { case _: ClassNotFoundException => () }
+    // RetrySettings from the backoffPolicy numbers
+    try {
+      val rsCls = Class.forName(RetrySettingsClass, true, cl)
+      val rb = rsCls.getMethod("newBuilder").invoke(null)
+      def durationOf(cls: Class[_], ms: Long): AnyRef =
+        cls.getMethod("ofMillis", classOf[Long]).invoke(null, Long.box(ms))
+      def setDur(name: String, ms: Long): Unit =
+        rb.getClass.getMethods.find(m => m.getName == name && m.getParameterCount == 1)
+          .foreach(m => m.invoke(rb, durationOf(m.getParameterTypes()(0), ms)))
+      def setDbl(name: String, v: Double): Unit =
+        rb.getClass.getMethods
+          .find(m => m.getName == name && m.getParameterCount == 1 &&
+            m.getParameterTypes()(0) == java.lang.Double.TYPE)
+          .foreach(_.invoke(rb, Double.box(v)))
+      setDur("setInitialRetryDelay", bs.initialRetryDelayMs)
+      setDur("setMaxRetryDelay", bs.maxRetryDelayMs)
+      setDbl("setRetryDelayMultiplier", bs.retryDelayMultiplier)
+      setDur("setTotalTimeout", bs.totalTimeoutMs)
+      setDur("setInitialRpcTimeout", bs.initialRpcTimeoutMs)
+      setDbl("setRpcTimeoutMultiplier", bs.rpcTimeoutMultiplier)
+      setDur("setMaxRpcTimeout", bs.maxRpcTimeoutMs)
+      val rs = rb.getClass.getMethod("build").invoke(rb)
+      setter("setRetrySettings").foreach(_.invoke(b, rs))
+    } catch { case _: ClassNotFoundException => () }
   }
 }

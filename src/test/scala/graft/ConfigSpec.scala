@@ -292,6 +292,12 @@ class ConfigSpec extends AnyFunSuite {
     assert(kafka.kafkaDeliveryTimeoutMs === 10000 && kafka.kafkaMetadataMaxAgeMs === 5000)
     val ps = load("config.pubsub.extended.hocon")
     assert(ps.googleProjectId === Some("google-project-id"))
+    // r12: the example carries no gcpUserAgent block → the reference's
+    // shipped default (pubsub application.conf:21-23)
+    assert(ps.gcpUserAgentProductName === "Snowplow OSS")
+    // r12: the kafka example's sqs backup block ships commented-out →
+    // no backup parsed
+    assert(kafka.kafkaSqsBackup === None)
     assert(ps.pubsubTotalBackoffMs === 9223372036854L)
     assert(ps.pubsubMultiplier === 2.0 && ps.pubsubRpcTimeoutMultiplier === 2.0)
     assert(ps.pubsubInitialRpcTimeoutMs === 10000 && ps.pubsubMaxRpcTimeoutMs === 10000)
@@ -602,5 +608,28 @@ class ConfigSpec extends AnyFunSuite {
     // malformed modifier chain fails loudly, not silently
     intercept[IllegalArgumentException](
       Hocon.parse("""include required(sink)""", Map.empty[String, String], includes))
+  }
+
+  test("producerConf keeps only scalar values; kafka sqs block validates its queue URLs") {
+    // r12 (ADVICE): the reference's producerConf is Map[String,String] —
+    // a nested object/array must not be swallowed as ""
+    val cfg = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"sink": {
+        |  "enabled": "kafka",
+        |  "producerConf": {"acks": "1", "batch.size": 16384,
+        |    "nested": {"oops": true}, "arr": [1, 2]}
+        |}}}}""".stripMargin)
+    assert(cfg.sink.kafkaProducerConf ===
+      Map("acks" -> "1", "batch.size" -> "16384"))
+    // an sqs backup block missing a queue URL is a LOAD-time error
+    // (reference Kafka.SQS requires both, model.scala:294-295)
+    val err = intercept[IllegalArgumentException] {
+      CollectorConfig.fromJson(
+        """{"collector": {"streams": {"sink": {
+          |  "enabled": "kafka", "sqs": {"region": "us-east-1",
+          |    "goodQueueUrl": "https://sqs.us-east-1.amazonaws.com/1/g"}
+          |}}}}""".stripMargin)
+    }
+    assert(err.getMessage.contains("badQueueUrl"))
   }
 }

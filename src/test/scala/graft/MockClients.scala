@@ -112,8 +112,43 @@ object MockClients {
   /** r11: the (exchange, routingKey) each successful publish carried. */
   def rabbitPublishes: Seq[(String, String)] = synchronized(rPublishes.toSeq)
 
+  private val kfCalls = mutable.ArrayBuffer.empty[(String, Seq[OutRecord])]
+  private val kfStored = mutable.ArrayBuffer.empty[OutRecord]
+  private val kfFailedOnce = mutable.Set.empty[String]
+
+  def kafkaCalls: Seq[(String, Seq[OutRecord])] = synchronized(kfCalls.toSeq)
+  def kafkaStored: Seq[OutRecord] = synchronized(kfStored.toSeq)
+
+  /** r12 K5 mock: per-record outcomes like the kinesis mock — records
+    * whose numeric suffix is ≡ 0 (mod failOnceEvery) error once. */
+  def kafka(failOnceEvery: Int = 0): graft.sinks.ClientSinks.KafkaClient =
+    new graft.sinks.ClientSinks.KafkaClient {
+      def send(topic: String, records: Seq[OutRecord]): Seq[Option[String]] =
+        MockClients.synchronized {
+          kfCalls += (topic -> records)
+          records.map { r =>
+            val tag = new String(r.payload, "UTF-8")
+            if (failOnceEvery > 0 && recordIndex(r.payload) % failOnceEvery == 0 &&
+                !kfFailedOnce.contains(tag)) {
+              kfFailedOnce += tag
+              Some("TimeoutException")
+            } else { kfStored += r; None }
+          }
+        }
+    }
+
+  def kafkaAlwaysFailing(): graft.sinks.ClientSinks.KafkaClient =
+    new graft.sinks.ClientSinks.KafkaClient {
+      def send(topic: String, records: Seq[OutRecord]): Seq[Option[String]] =
+        MockClients.synchronized {
+          kfCalls += (topic -> records)
+          records.map(_ => Some("NotEnoughReplicasException"))
+        }
+    }
+
   def resetExtras(): Unit = synchronized {
     pCalls.clear(); pStored.clear(); pFailedOnce.clear(); nCalls.clear()
     rAttempts.clear(); rStored.clear(); rBackoffs.clear(); rPublishes.clear()
+    kfCalls.clear(); kfStored.clear(); kfFailedOnce.clear()
   }
 }

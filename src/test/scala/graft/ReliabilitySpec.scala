@@ -439,4 +439,135 @@ class ReliabilitySpec extends AnyFunSuite {
       RabbitMqChannelClient("localhost", 5672, Some("raw"))
     }
   }
+
+  test("kafka sink dispatch: explicit arm, producer props, failed-subset retry") {
+    import graft.operators.CollectorConfig
+    import org.apache.spark.sql.functions.{col => c}
+    MockClients.resetExtras()
+    // r12 (ADVICE): enabled=kafka must dispatch to a Kafka sink, never
+    // fall through to parquet
+    val cfg = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"good": "raw-topic",
+        |  "buffer": {"byteLimit": 3145728, "recordLimit": 500, "timeLimit": 5000},
+        |  "sink": {
+        |  "enabled": "kafka", "brokers": "b1:9092,b2:9092", "retries": 7,
+        |  "kafkaTimeouts": {"maxBlockMs": 111, "requestTimeoutMs": 222,
+        |    "deliveryTimeoutMs": 333, "metadataMaxAgeMs": 444},
+        |  "producerConf": {"acks": "1", "compression.type": "zstd"},
+        |  "backoffPolicy": {"minBackoff": 1, "maxBackoff": 2, "maxRetries": 2}
+        |}}}}""".stripMargin)
+    // producer props: reference createProducer order — config-derived
+    // values first, free-form producerConf overrides LAST
+    val props = ClientSinks.kafkaProducerProps(cfg.sink)
+    assert(props("bootstrap.servers") === "b1:9092,b2:9092")
+    assert(props("retries") === "7")
+    assert(props("acks") === "1") // producerConf override wins
+    assert(props("compression.type") === "zstd")
+    assert(props("buffer.memory") === "3145728" && props("linger.ms") === "5000")
+    assert(props("max.block.ms") === "111" && props("request.timeout.ms") === "222")
+    assert(props("delivery.timeout.ms") === "333" && props("metadata.max.age.ms") === "444")
+    val sink = ClientSinks.sinkFromSettings(cfg.sink, sys.error("unused"),
+      kafka = Some(() => MockClients.kafka(failOnceEvery = 3)), sleeper = _ => ())
+    assert(sink.name === "kafka(raw-topic)")
+    val wire = (0 until 9).map(i => (s"p-$i".getBytes("UTF-8"), s"k$i"))
+      .toDF("thrift", "partition_key")
+    sink.write(wire.coalesce(1), 1L)
+    // every record landed exactly once; the ≡0 (mod 3) third failed its
+    // first send and was re-sent alone (failed-subset retry)
+    assert(MockClients.kafkaStored.size === 9)
+    assert(MockClients.kafkaStored.map(r => new String(r.payload, "UTF-8")).toSet ===
+      (0 until 9).map(i => s"p-$i").toSet)
+    assert(MockClients.kafkaCalls.size === 2)
+    assert(MockClients.kafkaCalls(1)._2.size === 3, "retry must carry ONLY the failed subset")
+  }
+
+  test("kafka sqs backup block pairs Kafka with an SQS failover (reference backup mode)") {
+    import graft.operators.CollectorConfig
+    // reference KafkaCollector.scala:62-71 / SQSPublisher.scala:30-70 —
+    // events that exhaust Kafka retries divert to the SQS queue pair;
+    // golden values from the reference's own shipped
+    // kafka/src/test/resources/config.kafka.extended.hocon:31-46
+    val file = new java.io.File(
+      "/root/reference/kafka/src/test/resources/config.kafka.extended.hocon")
+    assume(file.isFile, "reference kafka test config not present")
+    val cfg = CollectorConfig.fromHocon(
+      new String(java.nio.file.Files.readAllBytes(file.toPath), "UTF-8"))
+    assert(cfg.sink.kind === "kafka")
+    assert(cfg.sink.kafkaBrokers === "localhost:9092,another.host:9092")
+    val b = cfg.sink.kafkaSqsBackup.getOrElse(fail("sqs backup block not parsed"))
+    assert(b.goodQueueUrl === "https://sqs.us-east-1.amazonaws.com/123456789/good-events")
+    assert(b.badQueueUrl === "https://sqs.us-east-1.amazonaws.com/123456789/bad-events")
+    assert(b.region === Some("us-east-1") && b.maxBufferSize === 50000)
+    assert(b.threadPoolSize === 10)
+    assert(b.awsAccessKey === "iam" && b.awsSecretKey === "iam")
+    assert(b.minBackoffMs === 500 && b.maxBackoffMs === 5000 && b.maxRetries === 5)
+    // e2e: Kafka down → every event lands on the backup queue
+    MockClients.reset(); MockClients.resetExtras()
+    val fast = cfg.sink.copy(minBackoffMs = 1, maxBackoffMs = 2, maxRetries = 1,
+      kafkaSqsBackup = Some(b.copy(minBackoffMs = 1, maxBackoffMs = 2)))
+    val sink = ClientSinks.sinkFromSettings(fast, sys.error("unused"),
+      kafka = Some(() => MockClients.kafkaAlwaysFailing()),
+      sqs = Some(() => MockClients.sqs()), sleeper = _ => ())
+    assert(sink.name ===
+      "failover(kafka(good)->sqs(https://sqs.us-east-1.amazonaws.com/123456789/good-events))")
+    val wire = (0 until 13).map(i => (s"p$i".getBytes("UTF-8"), s"k$i"))
+      .toDF("thrift", "partition_key")
+    sink.write(wire, 5L)
+    assert(MockClients.sqsStored.size === 13)
+    assert(MockClients.sqsStored.map(_.kinesisKey).toSet ===
+      (0 until 13).map(i => s"k$i").toSet)
+    // no backup block → the sink is the bare Kafka leg
+    MockClients.resetExtras()
+    val bare = ClientSinks.sinkFromSettings(fast.copy(kafkaSqsBackup = None),
+      sys.error("unused"), kafka = Some(() => MockClients.kafka()), sleeper = _ => ())
+    assert(bare.name === "kafka(good)")
+    // and the default factory surfaces the absent kafka-clients jar at
+    // factory time (the reflection contract)
+    import graft.sinks.KafkaProducerClient
+    assert(!KafkaProducerClient.available())
+    intercept[ClassNotFoundException] {
+      KafkaProducerClient(ClientSinks.kafkaProducerProps(fast))
+    }
+  }
+
+  test("pubsub builder settings: gcpUserAgent header + RPC-retry knobs reach the factory") {
+    import graft.operators.CollectorConfig
+    // r12: reference GooglePubSubSink.scala:207-240 — the builder gets
+    // FixedHeaderProvider("User-Agent", "<product>/collector
+    // (GPN:Snowplow;)") and RetrySettings from backoffPolicy
+    val cfg = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"good": "g", "sink": {
+        |  "enabled": "google-pub-sub", "googleProjectId": "p",
+        |  "gcpUserAgent": {"productName": "Acme Collector"},
+        |  "backoffPolicy": {"minBackoff": 100, "maxBackoff": 200,
+        |    "totalBackoff": 5000, "multiplier": 1.5,
+        |    "initialRpcTimeout": 300, "maxRpcTimeout": 400,
+        |    "rpcTimeoutMultiplier": 2.5},
+        |  "retryInterval": 7000
+        |}}}}""".stripMargin)
+    assert(cfg.sink.gcpUserAgentProductName === "Acme Collector")
+    val bs = ClientSinks.pubsubBuilderSettings(cfg.sink)
+    assert(bs.userAgent === "Acme Collector/collector (GPN:Snowplow;)")
+    assert(bs.initialRetryDelayMs === 100 && bs.maxRetryDelayMs === 200)
+    assert(bs.retryDelayMultiplier === 1.5 && bs.totalTimeoutMs === 5000)
+    assert(bs.initialRpcTimeoutMs === 300 && bs.maxRpcTimeoutMs === 400)
+    assert(bs.rpcTimeoutMultiplier === 2.5)
+    // default productName is the reference's shipped value
+    assert(ClientSinks.pubsubBuilderSettings(
+      graft.operators.SinkSettings.defaultsFor("google-pub-sub")).userAgent ===
+      "Snowplow OSS/collector (GPN:Snowplow;)")
+  }
+
+  test("unknown sink kinds fail loudly at wiring time, never silently parquet") {
+    import graft.operators.SinkSettings
+    val err = intercept[IllegalArgumentException] {
+      ClientSinks.sinkFromSettings(SinkSettings(kind = "kineses"), "unused")
+    }
+    assert(err.getMessage.contains("kineses"))
+    // the honest kinds still dispatch
+    assert(ClientSinks.sinkFromSettings(SinkSettings(kind = "stdout"), "unused")
+      .name === "stdout")
+    assert(ClientSinks.sinkFromSettings(SinkSettings(kind = "parquet"), "/tmp/x")
+      .name === "parquet")
+  }
 }
