@@ -45,7 +45,10 @@ import graft.operators.TextOps
   * the index already contains the batch's fingerprints. The sketch
   * needs no rollback: its extra bits only route the replayed rows to
   * the verification join, which the excluded-file index answers
-  * exactly.
+  * exactly. r12: the append itself is fenced by [[CommitProtocol]]'s
+  * intent marker — a crash BETWEEN the parquet append and the commit
+  * marker (the r11 protocol's unguarded window) is detected on restart
+  * and the half-committed files are deleted before anything is read.
   *
   * At 100 TB: the index relation shuffles nothing at serve time (the
   * verification join is keyed on fingerprint and the maybe leg is
@@ -93,23 +96,20 @@ object IncrementalIndex {
     out.toByteArray
   }
 
+  /** r12: atomic (same-dir temp + ATOMIC_MOVE) — a crash mid-write must
+    * never leave a torn `bloom.bin` that `readFrom` chokes on. */
   private def writeFile(path: String, bytes: Array[Byte]): Unit = {
     val p = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, bytes)
+    val tmp = p.resolveSibling(s"${p.getFileName}.tmp")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def listIndexFiles(cfg: IndexConfig): Set[String] = {
-    val d = java.nio.file.Paths.get(cfg.fingerprintsDir)
-    if (!java.nio.file.Files.isDirectory(d)) Set.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(d).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        .toSet
-    }
-  }
+  private def listIndexFiles(cfg: IndexConfig): Set[String] =
+    CommitProtocol.listParquet(cfg.fingerprintsDir)
 
   /** Serve one micro-batch of `(doc_id, text, ...)` documents: returns
     * `(doc_id, fingerprint, is_new)` verdicts — identical semantics to
@@ -122,14 +122,13 @@ object IncrementalIndex {
   def serveBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  cfg: IndexConfig): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val commitPath = java.nio.file.Paths.get(cfg.commitsDir, batchId.toString)
-    val replay = java.nio.file.Files.exists(commitPath)
-    val excluded: Set[String] =
-      if (!replay) Set.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.readAllLines(commitPath).asScala.filter(_.nonEmpty).toSet
-      }
+    // r12: intent/commit fencing — a crash between the parquet append
+    // and the commit marker is rolled back HERE (orphan files deleted)
+    // before anything is read, so the batch re-runs against the exact
+    // pre-append index and never double-appends (ADVICE r11)
+    val proto = CommitProtocol(cfg.fingerprintsDir, cfg.commitsDir, batchId)
+    val replay = proto.beginOrRecover()
+    val excluded: Set[String] = if (replay) proto.committedFiles else Set.empty
     val idxFiles = (listIndexFiles(cfg) -- excluded).toSeq.sorted
       .map(n => s"${cfg.fingerprintsDir}/$n")
     val idx =
@@ -158,20 +157,21 @@ object IncrementalIndex {
     val verdicts = definitelyNew.unionByName(verified).localCheckpoint()
 
     if (!replay) {
-      val before = listIndexFiles(cfg)
-      val newFps = verdicts.filter(col("is_new")).select("fingerprint")
-      newFps.write.mode("append").parquet(cfg.fingerprintsDir)
-      val appended = listIndexFiles(cfg) -- before
-      sketchBytes(newFps, cfg).foreach { batchSketch =>
-        val merged = BloomFilter.readFrom(bloomBytes)
-        merged.mergeInPlace(BloomFilter.readFrom(batchSketch))
-        val out = new java.io.ByteArrayOutputStream()
-        merged.writeTo(out)
-        writeFile(cfg.bloomPath, out.toByteArray)
+      proto.commit {
+        val newFps = verdicts.filter(col("is_new")).select("fingerprint")
+        newFps.write.mode("append").parquet(cfg.fingerprintsDir)
+        // sketch merge INSIDE the fence: a crash after the merge but
+        // before the commit marker re-runs the batch against the
+        // rolled-back index — the stale extra bits only route rows to
+        // the verification join, which answers exactly
+        sketchBytes(newFps, cfg).foreach { batchSketch =>
+          val merged = BloomFilter.readFrom(bloomBytes)
+          merged.mergeInPlace(BloomFilter.readFrom(batchSketch))
+          val out = new java.io.ByteArrayOutputStream()
+          merged.writeTo(out)
+          writeFile(cfg.bloomPath, out.toByteArray)
+        }
       }
-      java.nio.file.Files.createDirectories(commitPath.getParent)
-      java.nio.file.Files.write(commitPath,
-        appended.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     }
     verdicts
   }

@@ -95,17 +95,27 @@ object GracefulShutdown {
       sleeper: Long => Unit = Thread.sleep): Unit = {
     monitor.requestShutdown(markUnhealthy = preTerminationUnhealthy)
     if (preTerminationMillis > 0) sleeper(preTerminationMillis)
-    queries.foreach { q =>
-      try {
-        q.stop()
-        // reference awaits system.terminate() for terminationDeadline * 2
-        q.awaitTermination(terminationDeadlineMs * 2)
-      } catch {
+    // r12 (ADVICE): stop ALL queries first (stop() is async — it signals
+    // the stream execution thread), then await each against ONE shared
+    // 2x-deadline budget, so worst-case shutdown is 2x·deadline total —
+    // the reference awaits the whole system once at 2x
+    // (Collector.scala:219-220), independent of query count — not
+    // N·2x·deadline as the r11 sequential loop allowed.
+    val stopped = queries.filter { q =>
+      try { q.stop(); true }
+      catch {
         // reference log-and-continues on termination failure
         // (Collector.scala:222-224); a failed query's exception re-
         // surfaces through the monitor's health, not the shutdown path
-        case scala.util.control.NonFatal(_) => ()
+        case scala.util.control.NonFatal(_) => false
       }
+    }
+    val deadline = System.nanoTime() + terminationDeadlineMs * 2 * 1000000L
+    stopped.foreach { q =>
+      try {
+        val leftMs = math.max((deadline - System.nanoTime()) / 1000000L, 1L)
+        q.awaitTermination(leftMs)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

@@ -154,6 +154,51 @@ class ThriftMonitorSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(mon)
   }
 
+  test("shutdown stops all queries first and awaits them on ONE shared 2x deadline") {
+    import graft.streaming.{GracefulShutdown, PipelineMonitor}
+    // r12 (ADVICE): the reference awaits the whole system once at 2x the
+    // terminationDeadline (Collector.scala:219-220) — the bound must be
+    // independent of query count, not N·2x as a sequential loop allows
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val budgets = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def stub(n: String): org.apache.spark.sql.streaming.StreamingQuery =
+      new org.apache.spark.sql.streaming.StreamingQuery {
+        def name: String = n
+        def id: java.util.UUID = java.util.UUID.nameUUIDFromBytes(n.getBytes)
+        def runId: java.util.UUID = id
+        def sparkSession: org.apache.spark.sql.SparkSession = spark
+        def isActive: Boolean = false
+        def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] = None
+        def status: org.apache.spark.sql.streaming.StreamingQueryStatus = null
+        def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+          Array.empty
+        def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress = null
+        def awaitTermination(): Unit = ()
+        def awaitTermination(timeoutMs: Long): Boolean = {
+          events.synchronized { events += s"await($n)"; budgets += timeoutMs }
+          Thread.sleep(50)
+          true
+        }
+        def processAllAvailable(): Unit = ()
+        def stop(): Unit = events.synchronized { events += s"stop($n)" }
+        def explain(): Unit = ()
+        def explain(extended: Boolean): Unit = ()
+      }
+    val qs = Seq(stub("q1"), stub("q2"), stub("q3"), stub("q4"))
+    GracefulShutdown.stop(new PipelineMonitor, qs, terminationDeadlineMs = 5000L)
+    // every stop() precedes every awaitTermination()
+    val firstAwait = events.indexWhere(_.startsWith("await"))
+    assert(events.take(firstAwait).toSet === qs.map(q => s"stop(${q.name})").toSet,
+      s"all stops must precede the first await, got: $events")
+    // the await budgets drain ONE shared 2x pool: first ≤ 2x deadline,
+    // later awaits see the earlier sleeps deducted
+    assert(budgets.head <= 10000L)
+    assert(budgets.zip(budgets.tail).forall { case (a, b) => b <= a },
+      s"budgets must be non-increasing: $budgets")
+    assert(budgets.last <= budgets.head - 100L,
+      s"3×50 ms of earlier awaits must come out of the shared budget: $budgets")
+  }
+
   test("S6 ops endpoints match the reference's golden responses") {
     import graft.streaming.OpsEndpoints._
     // reference CollectorServiceSpec "flashCrossDomainPolicy" goldens
