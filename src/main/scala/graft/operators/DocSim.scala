@@ -102,16 +102,17 @@ object DocSim {
     * In production these two relations persist as tables partitioned on
     * the shingle key.
     *
-    * `pin` trades materialization for reuse: true (the serve default)
-    * checkpoints the index once so every micro-batch reads it for free
-    * — the index here is near-corpus-sized (singletons are kept: an
-    * incoming doc matching a corpus singleton is exactly the hit ingest
-    * dedup wants), so at cluster scale this is a persisted TABLE, not
-    * an executor-memory pin. false leaves the relations lazy for
-    * one-shot compositions (the d_docsim_serve batch query), where
-    * Catalyst plans build+serve as one job and an eager pin would pay a
-    * corpus-sized materialization it reads exactly once (measured 13.5
-    * pinned vs 3.2 s unpinned at sf0.1). */
+    * `pin` trades materialization for reuse: true (the default)
+    * checkpoints the index once so every consumer — micro-batch serve
+    * loops AND one-shot compositions — reads it for free; the unpinned
+    * d_docsim_serve plan re-derived the explode→tf→df pipeline per
+    * consumer arm (10 parquet scans in PLANS_r11; pinned re-measures
+    * FASTER at sf0.1, 2.6 vs 3.3 s, r12). The index is near-corpus-
+    * sized (singletons are kept: an incoming doc matching a corpus
+    * singleton is exactly the hit ingest dedup wants), so at cluster
+    * scale this is a persisted TABLE, not an executor-memory pin.
+    * false leaves the relations lazy for callers that consume the
+    * postings exactly once. */
   def postingsIndex(docs: DataFrame, dfCap: Int = 16,
                     pin: Boolean = true): (DataFrame, DataFrame) = {
     val toks = Spread(docs)

@@ -265,15 +265,30 @@ object Training {
     * split/keep interactions). All three side-relations key on doc_id,
     * so the plan is one scan per stage + doc_id-keyed joins — at scale
     * the semi/anti sides are the small outputs (keep-set, contaminated
-    * list), broadcast by AQE. */
+    * list), broadcast by AQE.
+    *
+    * r12: each stage's verdict relation is PINNED (`localCheckpoint` —
+    * the d_docsim/t_lm_backoff precedent) before the manifest join.
+    * The verdicts are doc_id-keyed and text-free (a long or a long+int
+    * per doc — corpus-sublinear in BYTES even where row-linear), so the
+    * pin holds rows the cluster can keep, while the unpinned r11 plan
+    * re-scanned the docs parquet once per gate signal (10-14 corpus
+    * reads per manifest at 100 TB). Each gate still reads the text
+    * exactly once — at pin time; the served plan scans parquet only for
+    * the manifest spine. A production run swaps `localCheckpoint` for a
+    * materialized per-stage verdict table (the lake pattern). */
+  private def pinVerdict(df: DataFrame): DataFrame = df.localCheckpoint()
+
   val tPipeline: Q = (s, d) => {
     val dset = docs(s, d)
-    val keep = Dedup.dedupKeep(dset).select("doc_id")
+    val keep = pinVerdict(Dedup.dedupKeep(dset).select("doc_id"))
     val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
       SampleSalt, SplitTrain, SplitVal, SplitSalt)
-    val contaminated = Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
-      .filter(col("contaminated")).select("doc_id")
-    val ntok = dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens"))
+    val contaminated = pinVerdict(
+      Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
+        .filter(col("contaminated")).select("doc_id"))
+    val ntok = pinVerdict(
+      dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")))
     sampled
       .join(keep, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -313,17 +328,23 @@ object Training {
     * training-data pipeline actually ships (sample → dedup → decontam →
     * quality filter); each stage is its own oracle-checked query, this
     * one oracle-checks the full chain. Same scale shape as t_pipeline:
-    * the gate relations are bounded keep-sets, broadcast by AQE. */
+    * the gate relations are bounded keep-sets, broadcast by AQE; r12
+    * pins each gate verdict once ([[pinVerdict]]) so the served plan
+    * scans parquet only for the manifest spine. */
   val tPipeline2: Q = (s, d) => {
     val dset = docs(s, d)
-    val keep = Dedup.dedupKeep(dset).select("doc_id")
+    val keep = pinVerdict(Dedup.dedupKeep(dset).select("doc_id"))
     val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
       SampleSalt, SplitTrain, SplitVal, SplitSalt)
-    val contaminated = Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
-      .filter(col("contaminated")).select("doc_id")
-    val gopher = QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id")
-    val c4 = QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id")
-    val ntok = dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens"))
+    val contaminated = pinVerdict(
+      Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
+        .filter(col("contaminated")).select("doc_id"))
+    val gopher = pinVerdict(
+      QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id"))
+    val c4 = pinVerdict(
+      QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"))
+    val ntok = pinVerdict(
+      dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")))
     sampled
       .join(keep, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -339,12 +360,13 @@ object Training {
     * conjunctive final keep — the debuggable form of t_pipeline2's
     * survivors-only output (a dropped doc shows WHICH gate dropped it).
     * Every stage is a doc_id-keyed flag join over bounded per-stage
-    * outputs — the corpus text is scanned per stage but never
-    * re-shuffled wide. */
+    * outputs, each pinned once ([[pinVerdict]]) — the corpus text is
+    * read exactly once per gate at pin time and never re-shuffled
+    * wide; the served manifest plan scans parquet only for the spine. */
   val tPipeline3: Q = (s, d) => {
     val dset = docs(s, d)
     def flag(set: DataFrame, name: String) =
-      set.withColumn(name, lit(true))
+      pinVerdict(set.withColumn(name, lit(true)))
     val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
       SampleSalt, SplitTrain, SplitVal, SplitSalt)
     val keep = flag(Dedup.dedupKeep(dset).select("doc_id"), "dedup_keep")
@@ -357,9 +379,10 @@ object Training {
       QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"), "c4_keep")
     val clf = flag(
       QualityRules.hashedClassifier(dset).filter(col("keep")).select("doc_id"), "clf_keep")
-    val ntok = dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens"))
-    val clean = Dedup.spanDedup(dset)
-      .select(col("doc_id"), TextOps.nTokens(col("clean_text")).as("n_tokens_clean"))
+    val ntok = pinVerdict(
+      dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")))
+    val clean = pinVerdict(Dedup.spanDedup(dset)
+      .select(col("doc_id"), TextOps.nTokens(col("clean_text")).as("n_tokens_clean")))
     def cf(name: String) = coalesce(col(name), lit(false))
     sampled
       .join(keep, Seq("doc_id"), "left")
@@ -418,9 +441,13 @@ object Training {
   val sHybrid: Q = (s, d) => Hybrid.hybridTopK(docs(s, d), emb(s, d), dfCap = 400)
   val dDocsimServe: Q = (s, d) => {
     val all = docs(s, d)
-    // one-shot composition: unpinned, so build+serve plan as one job
+    // r12: pinned (the d_docsim precedent) — the unpinned one-shot plan
+    // re-derived the explode→tf→df index pipeline per consumer arm (10
+    // corpus scans in PLANS_r11); the df-capped postings are
+    // corpus-sublinear, so the serve plan reads the pinned index and
+    // scans parquet only for the incoming docs
     val (postings, norms) =
-      DocSim.postingsIndex(all.filter(pmod(col("doc_id"), lit(3)) =!= 0), pin = false)
+      DocSim.postingsIndex(all.filter(pmod(col("doc_id"), lit(3)) =!= 0))
     DocSim.scoreAgainstIndex(
       all.filter(pmod(col("doc_id"), lit(3)) === 0), postings, norms)
   }
