@@ -47,13 +47,20 @@ object Warc {
     * carry arbitrary binary payloads, so the type and content-type are
     * caller-chosen and the payload is raw bytes. */
   private[graft] def synthRecord(docId: Long, warcType: String,
-      contentType: String, payload: Array[Byte]): Array[Byte] = {
+      contentType: String, payload: Array[Byte]): Array[Byte] =
+    synthRecord(docId, warcType, contentType,
+      s"https://site${docId % 250}.example.com/p$docId", payload)
+
+  /** r12: explicit-URI variant — robots.txt captures and other
+    * non-page records carry their own target URI. */
+  private[graft] def synthRecord(docId: Long, warcType: String,
+      contentType: String, uri: String, payload: Array[Byte]): Array[Byte] = {
     val head =
       "WARC/1.0" + Crlf +
         s"WARC-Type: $warcType" + Crlf +
         s"WARC-Record-ID: <urn:graft:$docId>" + Crlf +
         "WARC-Date: 2026-01-01T00:00:00Z" + Crlf +
-        s"WARC-Target-URI: https://site${docId % 250}.example.com/p$docId" + Crlf +
+        s"WARC-Target-URI: $uri" + Crlf +
         s"Content-Type: $contentType" + Crlf +
         s"Content-Length: ${payload.length}" + Crlf +
         Crlf

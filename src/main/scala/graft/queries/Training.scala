@@ -419,6 +419,10 @@ object Training {
   val dUrlDups: Q = (s, d) => UrlOps.urlDups(docs(s, d))
   /** R11: robots.txt longest-match compliance filter (RFC 9309). */
   val tRobots: Q = (s, d) => UrlOps.robotsFilter(docs(s, d))
+  /** R12: the same filter with BOTH sides recovered from WARC — page
+    * site/path parsed from each record's Target-URI, rules parsed from
+    * real robots.txt response captures (hostile dressing included). */
+  val tRobotsWarc: Q = (s, d) => UrlOps.robotsFilterWarc(docs(s, d))
 
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mJpegMeta: Q = (s, d) => Multimodal.jpegMeta(docs(s, d)).toDF()
@@ -505,6 +509,7 @@ object Training {
     "t_url_norm" -> tUrlNorm,
     "d_url_dups" -> dUrlDups,
     "t_robots" -> tRobots,
+    "t_robots_warc" -> tRobotsWarc,
     "t_rep_stats" -> tRepStats,
     "t_entropy" -> tEntropy,
     "d_docsim" -> dDocsim,

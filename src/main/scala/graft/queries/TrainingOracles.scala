@@ -1344,6 +1344,30 @@ object TrainingOracles {
         |  coalesce(prefix, '') AS matched_rule
         |FROM m WHERE rn = 1""".stripMargin,
 
+    // r12: t_robots_warc recovers pages AND rules from real WARC bytes
+    // (robots.txt captures parsed by the RFC 9309 group parser, hostile
+    // dressing included) — the EFFECTIVE rules are the same analytic
+    // table, so the oracle is t_robots' verbatim: the container walk and
+    // the rule-document parsing are transport, not semantics
+    "t_robots_warc" ->
+      """WITH d AS (SELECT doc_id, doc_id % 250 AS site, '/p' || doc_id AS path
+        |           FROM documents),
+        |s AS (SELECT unnest(range(0, 250)) AS g),
+        |r AS (
+        |  SELECT g AS site, '/' AS prefix, FALSE AS allow FROM s WHERE g % 5 = 0
+        |  UNION ALL SELECT g, '/p', FALSE FROM s WHERE g % 5 = 1
+        |  UNION ALL SELECT g, '/p1', TRUE FROM s WHERE g % 5 = 1
+        |  UNION ALL SELECT g, '/q', FALSE FROM s WHERE g % 5 = 2),
+        |m AS (
+        |  SELECT d.doc_id, d.site, d.path, r.prefix, r.allow,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+        |  FROM d LEFT JOIN r ON d.site = r.site AND starts_with(d.path, r.prefix))
+        |SELECT doc_id, CAST(site AS BIGINT) AS site, path,
+        |  coalesce(allow, TRUE) AS allowed,
+        |  coalesce(prefix, '') AS matched_rule
+        |FROM m WHERE rn = 1""".stripMargin,
+
     // r11 mixed-container WARC: the oracle states the SURVIVING records
     // analytically — only the response arm of each 3-record capture,
     // with the image payloads' exact-integer pixel sums (the

@@ -463,4 +463,48 @@ class TextDedupSpec extends AnyFunSuite {
     }
     assert(out.exists(!_._3), "sf0.001 corpus should produce at least one drop")
   }
+
+  test("robots.txt group parser: RFC 9309 semantics under hostile input") {
+    import graft.operators.UrlOps.parseRobotsTxt
+    // BOM + comments + mixed case + CRLF + inline comment on the value
+    assert(parseRobotsTxt(
+      "\uFEFF# header comment\r\nUSER-AGENT: *\r\nDisAllow: /p # inline\r\nALLOW: /p1\r\n")
+      === Seq("/p" -> false, "/p1" -> true))
+    // orphan rules before any group are dropped; colon-less lines ignored
+    assert(parseRobotsTxt(
+      "Disallow: /orphan\nDisallow /no-colon\nUser-agent: *\nDisallow: /x\n")
+      === Seq("/x" -> false))
+    // empty Disallow is a no-op (nothing disallowed)
+    assert(parseRobotsTxt("User-agent: *\nDisallow:\nDisallow: /q\n")
+      === Seq("/q" -> false))
+    // other agents' groups are skipped entirely
+    assert(parseRobotsTxt(
+      "User-agent: badbot\nDisallow: /never\nUser-agent: *\nAllow: /ok\n")
+      === Seq("/ok" -> true))
+    // consecutive UA lines share a group; a second group for * also counts
+    assert(parseRobotsTxt(
+      "User-agent: goodbot\nUser-agent: *\nDisallow: /a\n" +
+        "User-agent: other\nDisallow: /b\nUser-agent: *\nDisallow: /c\n")
+      === Seq("/a" -> false, "/c" -> false))
+    // non-rule directives close the UA run but emit nothing
+    assert(parseRobotsTxt(
+      "User-agent: *\nCrawl-delay: 10\nDisallow: /z\nSitemap: https://x/s.xml\n")
+      === Seq("/z" -> false))
+    // garbage that isn't robots at all yields no rules, never throws
+    assert(parseRobotsTxt(" %PDF-1.4 binary junk ::::\n\n##")
+      === Seq.empty)
+    // the synthesized per-site documents land on the analytic rule table
+    import graft.operators.UrlOps
+    for (site <- 0L until 20L) {
+      val expected = (site % 5) match {
+        case 0 => Seq("/" -> false)
+        case 1 => Seq("/p" -> false, "/p1" -> true)
+        case 2 => Seq("/q" -> false)
+        case _ => Seq.empty
+      }
+      val doc = UrlOps.synthRobotsTxt(site)
+      if (site % 5 == 4) assert(doc.isEmpty, s"site $site serves no robots.txt")
+      else assert(parseRobotsTxt(doc.get) === expected, s"site $site")
+    }
+  }
 }
