@@ -151,6 +151,7 @@ object Bench {
     "m_exif" -> 0.4, // r11: APP1/TIFF IFD0 walk, narrow map; measured 0.2 s
     "t_robots" -> 0.9, // r11: broadcast rules + in-agg longest-match argmax; measured 0.55 s solo
     "t_robots_warc" -> 0.9, // r12: pages+rules recovered from WARC, RFC 9309 group parse; measured 0.50 s
+    "m_exif_scrub" -> 0.9, // r12: GPS IFD byte surgery + md5 verify + post-scrub re-walk; measured 0.48 s
     "s_recall" -> 2.8, // r11: IVF serve + brute ground truth + per-query fold; measured 1.84 s solo
     "s_filter_topk" -> 1.1, // r11: same-label pre-filter hash join + window; measured 0.70 s solo
     "m_resize" -> 0.4,

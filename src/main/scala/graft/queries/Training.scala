@@ -431,6 +431,9 @@ object Training {
   /** R11: EXIF probe — APP1/TIFF IFD0 walk for orientation, both byte
     * orders. */
   val mExif: Q = (s, d) => Multimodal.exifMetaPass(docs(s, d)).toDF()
+  /** R12: GPS PII scrub — byte-surgical APP1 rewrite, verified by md5
+    * change + post-scrub GPS re-walk + surviving-EXIF readability. */
+  val mExifScrub: Q = (s, d) => Multimodal.exifScrubPass(docs(s, d)).toDF()
   val mFrames: Q = (s, d) => Multimodal.sampleFrames(docs(s, d))
   val mAudio: Q = (s, d) => Multimodal.decodeAudioMeta(docs(s, d)).toDF()
   val mPixels: Q = (s, d) => Multimodal.pixelStats(docs(s, d)).toDF()
@@ -539,6 +542,7 @@ object Training {
     "m_jpeg_meta" -> mJpegMeta,
     "m_webp_meta" -> mWebpMeta,
     "m_exif" -> mExif,
+    "m_exif_scrub" -> mExifScrub,
     "m_frames" -> mFrames,
     "m_audio" -> mAudio,
     "m_pixels" -> mPixels,

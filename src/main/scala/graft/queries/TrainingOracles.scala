@@ -1914,6 +1914,21 @@ object TrainingOracles {
         |  CAST(32 + (5 * doc_id) % 512 AS INT) AS height
         |FROM documents""".stripMargin,
 
+    // r12 GPS scrub: every third doc ships a GPS-less EXIF (unchanged
+    // passthrough), the rest carry a real GPS IFD that the byte-surgical
+    // scrub must remove — md5 changes, length doesn't, orientation still
+    // parses, and the post-scrub GPS re-walk finds nothing. All six
+    // columns are genuinely computed Spark-side (md5 compare, re-walk);
+    // the oracle states the invariants analytically.
+    "m_exif_scrub" ->
+      """SELECT doc_id,
+        |  (doc_id % 3 <> 2) AS had_gps,
+        |  (doc_id % 3 <> 2) AS changed,
+        |  TRUE AS len_equal,
+        |  CAST(1 + doc_id % 8 AS INT) AS orientation,
+        |  FALSE AS gps_after
+        |FROM documents""".stripMargin,
+
     // mirrors Multimodal.synthAudio's deterministic header fields; the
     // Spark side PARSES them back out of real RIFF bytes (chunk walk)
     "m_audio" ->
