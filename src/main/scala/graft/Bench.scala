@@ -611,6 +611,14 @@ object Bench {
         if (k.startsWith("stream_"))
           streamBench(spark, sfDir, Some(Set(k))).headOption.flatMap(_._2).getOrElse(fallback)
         else {
+          // r12 (judge #9): one UNTIMED warmup pass first — by solo time
+          // the suite's intervening legs have evicted this query's JIT
+          // profiles and codegen classes, and pin-heavy legs were
+          // measuring their re-materialization (d_lsh_pairs solo 2.48 s
+          // vs in-suite 0.75), making `retimes` noise as a drift signal.
+          sweepBlocks(spark)
+          try { SparkEntry.queries(k)(spark, sfDir).count() }
+          catch { case _: Throwable => () }
           sweepBlocks(spark)
           val t0 = System.nanoTime()
           SparkEntry.queries(k)(spark, sfDir).count()

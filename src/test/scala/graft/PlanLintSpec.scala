@@ -192,10 +192,13 @@ class PlanLintSpec extends AnyFunSuite {
     // scans / 0 ReusedExchange, t_lm_tiers 12. Pinned (localCheckpoint,
     // the d_docsim precedent) the SERVED plan reads checkpointed
     // distinct-n-gram relations; only the scoring pass touches parquet.
+    // r12: count via PlanAudit.summarize — the ONE counting rule the
+    // committed PLANS_r{N} summary lines use, so this pin and the audit
+    // can never disagree on what a "scan" is
     def scans(q: String): (Int, String) = {
       val plan = SparkEntry.queries(q)(spark, TestSpark.Sf)
-        .queryExecution.executedPlan.toString
-      ("Scan parquet".r.findAllIn(plan).size, plan)
+        .queryExecution.executedPlan
+      (graft.PlanAudit.summarize(plan)._1, plan.toString)
     }
     val (backoff, bp) = scans("t_lm_backoff")
     assert(backoff <= 1, s"t_lm_backoff re-grew model re-derivation ($backoff scans):\n$bp")
@@ -219,10 +222,13 @@ class PlanLintSpec extends AnyFunSuite {
     // 10, d_docsim_serve 10 in PLANS_r11). The per-gate verdicts are
     // doc_id-keyed and text-free, so they pin (the d_docsim precedent);
     // the served plan may scan parquet only for the manifest SPINE.
+    // r12: count via PlanAudit.summarize — the ONE counting rule the
+    // committed PLANS_r{N} summary lines use, so this pin and the audit
+    // can never disagree on what a "scan" is
     def scans(q: String): (Int, String) = {
       val plan = SparkEntry.queries(q)(spark, TestSpark.Sf)
-        .queryExecution.executedPlan.toString
-      ("Scan parquet".r.findAllIn(plan).size, plan)
+        .queryExecution.executedPlan
+      (graft.PlanAudit.summarize(plan)._1, plan.toString)
     }
     for (q <- Seq("t_pipeline", "t_pipeline2", "t_pipeline3")) {
       val (n, p) = scans(q)
