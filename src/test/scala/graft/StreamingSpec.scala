@@ -907,6 +907,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(v2 === Map(20L -> false))
   }
 
+  test("CommitProtocol: marker atomicity, stale-intent cleanup, torn temp files ignored") {
+    import graft.streaming.CommitProtocol
+    val base = java.nio.file.Files.createTempDirectory("cp-test")
+    val data = base.resolve("data").toString
+    val commits = base.resolve("commits").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(data))
+    def touch(name: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(data, name), Array[Byte](1))
+    // happy path: commit fences the append; marker lists exactly the diff
+    touch("a.parquet")
+    val p1 = CommitProtocol(data, commits, 1L)
+    assert(!p1.beginOrRecover())
+    p1.commit { touch("b.parquet"); touch("c.parquet") }
+    assert(CommitProtocol(data, commits, 1L).beginOrRecover())
+    assert(CommitProtocol(data, commits, 1L).committedFiles ===
+      Set("b.parquet", "c.parquet"))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(commits, "1.intent")))
+    // crash between append and commit: the intent rollback deletes ONLY
+    // the orphans and the batch re-runs as a first attempt
+    val p2 = CommitProtocol(data, commits, 2L)
+    assert(!p2.beginOrRecover())
+    intercept[RuntimeException] {
+      p2.commit { touch("d.parquet"); throw new RuntimeException("crash mid-append") }
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(data, "d.parquet")))
+    val p2r = CommitProtocol(data, commits, 2L)
+    assert(!p2r.beginOrRecover(), "no commit marker -> not a replay")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(data, "d.parquet")),
+      "orphaned half-commit must be rolled back")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(data, "a.parquet")) &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(data, "b.parquet")),
+      "pre-intent files must survive the rollback")
+    p2r.commit { touch("e.parquet") }
+    assert(CommitProtocol(data, commits, 2L).committedFiles === Set("e.parquet"))
+    // stale intent AFTER a successful commit (crash between marker write
+    // and intent delete) is cleared on the replay path, files untouched
+    java.nio.file.Files.write(java.nio.file.Paths.get(commits, "2.intent"),
+      "a.parquet".getBytes("UTF-8"))
+    assert(CommitProtocol(data, commits, 2L).beginOrRecover())
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(commits, "2.intent")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(data, "e.parquet")))
+    // a torn marker temp file (crash mid-write, before the atomic move)
+    // is invisible: not a marker, not a data file
+    java.nio.file.Files.write(java.nio.file.Paths.get(commits, "3.intent.tmp"),
+      "half-writ".getBytes("UTF-8"))
+    assert(!CommitProtocol(data, commits, 3L).beginOrRecover())
+  }
+
   test("streaming IVF ingest: per-micro-batch ivfAppend equals the batch append path") {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
