@@ -279,15 +279,28 @@ object Training {
     * materialized per-stage verdict table (the lake pattern). */
   private def pinVerdict(df: DataFrame): DataFrame = df.localCheckpoint()
 
+  /** Pin several INDEPENDENT gate verdicts concurrently: each
+    * localCheckpoint is its own Spark job, and the gates share no state,
+    * so running them sequentially leaves the cluster idle between jobs
+    * — concurrent submission lets the scheduler interleave their stages
+    * (same results; each pin materializes per-partition regardless of
+    * ordering). */
+  private def pinVerdicts(dfs: DataFrame*): Seq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(dfs.map(df => Future(pinVerdict(df)))),
+      scala.concurrent.duration.Duration.Inf)
+  }
+
   val tPipeline: Q = (s, d) => {
     val dset = docs(s, d)
-    val keep = pinVerdict(Dedup.dedupKeep(dset).select("doc_id"))
     val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
       SampleSalt, SplitTrain, SplitVal, SplitSalt)
-    val contaminated = pinVerdict(
+    val Seq(keep, contaminated, ntok) = pinVerdicts(
+      Dedup.dedupKeep(dset).select("doc_id"),
       Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
-        .filter(col("contaminated")).select("doc_id"))
-    val ntok = pinVerdict(
+        .filter(col("contaminated")).select("doc_id"),
       dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")))
     sampled
       .join(keep, Seq("doc_id"), "left_semi")
@@ -333,17 +346,14 @@ object Training {
     * scans parquet only for the manifest spine. */
   val tPipeline2: Q = (s, d) => {
     val dset = docs(s, d)
-    val keep = pinVerdict(Dedup.dedupKeep(dset).select("doc_id"))
     val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
       SampleSalt, SplitTrain, SplitVal, SplitSalt)
-    val contaminated = pinVerdict(
+    val Seq(keep, contaminated, gopher, c4, ntok) = pinVerdicts(
+      Dedup.dedupKeep(dset).select("doc_id"),
       Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
-        .filter(col("contaminated")).select("doc_id"))
-    val gopher = pinVerdict(
-      QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id"))
-    val c4 = pinVerdict(
-      QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"))
-    val ntok = pinVerdict(
+        .filter(col("contaminated")).select("doc_id"),
+      QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id"),
+      QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"),
       dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")))
     sampled
       .join(keep, Seq("doc_id"), "left_semi")
@@ -365,24 +375,19 @@ object Training {
     * wide; the served manifest plan scans parquet only for the spine. */
   val tPipeline3: Q = (s, d) => {
     val dset = docs(s, d)
-    def flag(set: DataFrame, name: String) =
-      pinVerdict(set.withColumn(name, lit(true)))
+    def flag(set: DataFrame, name: String) = set.withColumn(name, lit(true))
     val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
       SampleSalt, SplitTrain, SplitVal, SplitSalt)
-    val keep = flag(Dedup.dedupKeep(dset).select("doc_id"), "dedup_keep")
-    val contaminated = flag(
-      Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
-        .filter(col("contaminated")).select("doc_id"), "contam")
-    val gopher = flag(
-      QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id"), "gopher_keep")
-    val c4 = flag(
-      QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"), "c4_keep")
-    val clf = flag(
-      QualityRules.hashedClassifier(dset).filter(col("keep")).select("doc_id"), "clf_keep")
-    val ntok = pinVerdict(
-      dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")))
-    val clean = pinVerdict(Dedup.spanDedup(dset)
-      .select(col("doc_id"), TextOps.nTokens(col("clean_text")).as("n_tokens_clean")))
+    val Seq(keep, contaminated, gopher, c4, clf, ntok, clean) = pinVerdicts(
+      flag(Dedup.dedupKeep(dset).select("doc_id"), "dedup_keep"),
+      flag(Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
+        .filter(col("contaminated")).select("doc_id"), "contam"),
+      flag(QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id"), "gopher_keep"),
+      flag(QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"), "c4_keep"),
+      flag(QualityRules.hashedClassifier(dset).filter(col("keep")).select("doc_id"), "clf_keep"),
+      dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")),
+      Dedup.spanDedup(dset)
+        .select(col("doc_id"), TextOps.nTokens(col("clean_text")).as("n_tokens_clean")))
     def cf(name: String) = coalesce(col(name), lit(false))
     sampled
       .join(keep, Seq("doc_id"), "left")
