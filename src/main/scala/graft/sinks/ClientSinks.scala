@@ -326,7 +326,47 @@ object ClientSinks {
       nsq: => Option[() => NsqClient] = None,
       rabbit: => Option[() => RabbitClient] = None,
       kafka: => Option[() => KafkaClient] = None,
-      sleeper: Long => Unit = Thread.sleep): EventSink = s.kind match {
+      sleeper: Long => Unit = Thread.sleep): EventSink =
+    sinkForLeg(s, parquetDir, good = true, "thrift", "partition_key",
+      kinesis, sqs, pubsub, nsq, rabbit, kafka, sleeper)
+
+  /** R12: the BAD-leg twin — the reference drives both legs from the
+    * same config (K10 dual routing): stream names flip to `streams.bad`,
+    * the Kinesis failover buffer to `sqsBadBuffer`, the kafka backup to
+    * `badQueueUrl`, the rabbit routing key to `routingKeyBad`, and the
+    * stdout sink prints to STDERR (reference StdoutSink.scala:24-40:
+    * good->stdout, bad->stderr). Default payload column is the
+    * self-describing bad-row JSON the bad stream actually carries. */
+  def badSinkFromSettings(
+      s: graft.operators.SinkSettings,
+      parquetDir: => String,
+      payloadCol: String = "bad_row_json",
+      keyCol: String = "event_id",
+      kinesis: => Option[() => KinesisClient] = None,
+      sqs: => Option[() => SqsClient] = None,
+      pubsub: => Option[() => PubSubClient] = None,
+      nsq: => Option[() => NsqClient] = None,
+      rabbit: => Option[() => RabbitClient] = None,
+      kafka: => Option[() => KafkaClient] = None,
+      sleeper: Long => Unit = Thread.sleep): EventSink =
+    sinkForLeg(s, parquetDir, good = false, payloadCol, keyCol,
+      kinesis, sqs, pubsub, nsq, rabbit, kafka, sleeper)
+
+  private def sinkForLeg(
+      s: graft.operators.SinkSettings,
+      parquetDir: => String,
+      good: Boolean,
+      payloadCol: String,
+      keyCol: String,
+      kinesis: => Option[() => KinesisClient],
+      sqs: => Option[() => SqsClient],
+      pubsub: => Option[() => PubSubClient],
+      nsq: => Option[() => NsqClient],
+      rabbit: => Option[() => RabbitClient],
+      kafka: => Option[() => KafkaClient],
+      sleeper: Long => Unit): EventSink = {
+    val stream = if (good) s.goodStream else s.badStream
+    s.kind match {
     case "kinesis" =>
       // R11: with no injected factory (= production), the reflection SDK
       // binding carries the config's `aws { accessKey, secretKey }` mode
@@ -335,18 +375,20 @@ object ClientSinks {
       // reference's leftMap — while SDK presence still surfaces at
       // factory time on the executor.
       val f = kinesis.getOrElse { sdkKinesisFactory(s) }
-      val primary = new KinesisEventSink(s.goodStream, f,
+      val primary = new KinesisEventSink(stream, f,
+        payloadCol = payloadCol, keyCol = keyCol,
         maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
       // R11: the reference's production pairing — a configured
       // `sqsGoodBuffer` makes SQS the Kinesis failover target
       // (KinesisSink.scala:53,145: batches that exhaust Kinesis retries
       // divert to the buffer queue; a downstream replayer drains it)
-      s.sqsGoodBuffer match {
+      (if (good) s.sqsGoodBuffer else s.sqsBadBuffer) match {
         case Some(buffer) =>
           val sf = sqs.getOrElse { sdkSqsFactory(s) }
           new FailoverSink(
             primary,
             new SqsEventSink(buffer, sf,
+              payloadCol = payloadCol, keyCol = keyCol,
               maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper),
             new RetryPolicy(s.minBackoffMs, s.maxBackoffMs, s.maxRetries, seed = 17L),
             new CircuitBreaker(maxFailures = 5, resetMs = 60000L),
@@ -355,7 +397,8 @@ object ClientSinks {
       }
     case "sqs" =>
       val f = sqs.getOrElse { sdkSqsFactory(s) }
-      new SqsEventSink(s.goodStream, f,
+      new SqsEventSink(stream, f,
+        payloadCol = payloadCol, keyCol = keyCol,
         maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
     // R11: the remaining reference sink kinds wire their CONNECTION
     // blocks from the parsed config into the reflection factories
@@ -364,10 +407,10 @@ object ClientSinks {
       // the RPC-retry knobs into the Publisher builder (reference
       // GooglePubSubSink.scala:199-240)
       val f = pubsub.getOrElse { sdkPubSubFactory(s) }
-      // reference topic path: ProjectTopicName.of(googleProjectId, good)
+      // reference topic path: ProjectTopicName.of(googleProjectId, stream)
       val topic = s.googleProjectId
-        .map(p => s"projects/$p/topics/${s.goodStream}").getOrElse(s.goodStream)
-      new PubSubEventSink(topic, f,
+        .map(p => s"projects/$p/topics/$stream").getOrElse(stream)
+      new PubSubEventSink(topic, f, payloadCol = payloadCol,
         maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
     case "kafka" =>
       // r12 (ADVICE + reference KafkaCollector.scala:62-91): explicit
@@ -376,7 +419,8 @@ object ClientSinks {
       // client props; THIS retry loop is the sink-level
       // backoffPolicy.{minBackoff,maxBackoff,maxRetries}.
       val f = kafka.getOrElse { sdkKafkaFactory(s) }
-      val primary = new KafkaEventSink(s.goodStream, f,
+      val primary = new KafkaEventSink(stream, f,
+        payloadCol = payloadCol, keyCol = keyCol,
         maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
       s.kafkaSqsBackup match {
         case Some(b) =>
@@ -387,7 +431,8 @@ object ClientSinks {
           val sf = sqs.getOrElse { sdkSqsFactoryFor(b) }
           new FailoverSink(
             primary,
-            new SqsEventSink(b.goodQueueUrl, sf,
+            new SqsEventSink(if (good) b.goodQueueUrl else b.badQueueUrl, sf,
+              payloadCol = payloadCol, keyCol = keyCol,
               maxRetries = b.maxRetries,
               backoffMs = backoffScheduleFor(b.minBackoffMs, b.maxBackoffMs, b.maxRetries),
               sleeper = sleeper),
@@ -399,22 +444,24 @@ object ClientSinks {
     case "nsq" =>
       val (host, port) = (s.nsqHost, s.nsqPort)
       val f = nsq.getOrElse { () => NsqProducerClient(host, port) }
-      new NsqEventSink(s.goodStream, f)
+      new NsqEventSink(stream, f, payloadCol = payloadCol)
     case "rabbitmq" =>
       val (h, p, u, pw, vh) =
         (s.rabbitHost, s.rabbitPort, s.rabbitUsername, s.rabbitPassword, s.rabbitVirtualHost)
-      val ex = s.goodStream
+      val ex = stream
       val f = rabbit.getOrElse { () => RabbitMqChannelClient(h, p, Some(ex), u, pw, vh) }
-      new RabbitEventSink(ex, f,
+      new RabbitEventSink(ex, f, payloadCol = payloadCol,
         minBackoffMs = s.minBackoffMs, multiplier = s.rabbitMultiplier,
-        maxBackoffMs = s.maxBackoffMs, routingKey = s.rabbitRoutingKeyGood,
+        maxBackoffMs = s.maxBackoffMs,
+        routingKey = if (good) s.rabbitRoutingKeyGood else s.rabbitRoutingKeyBad,
         sleeper = sleeper)
-    case "stdout" => new Base64StdoutSink("thrift")
+    case "stdout" => new Base64StdoutSink(payloadCol, toStderr = !good)
     case "" | "parquet" | "file" => new ParquetDirSink(parquetDir)
     // r12 (ADVICE): parsed-but-unknown kinds fail LOUDLY at wiring time —
     // a typo'd or unimplemented sink must never silently become parquet
     case other => throw new IllegalArgumentException(
       s"unknown sink kind '$other' (expected kinesis|sqs|google-pub-sub|kafka|nsq|rabbitmq|stdout|parquet)")
+  }
   }
 
   /** The production K1 factory: resolve the credentials mode NOW (config

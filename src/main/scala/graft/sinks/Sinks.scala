@@ -25,15 +25,20 @@ final class ParquetDirSink(dir: String, override val name: String = "parquet") e
 }
 
 /** K9 stdout sink: one base64 line per payload, printed executor-side
-  * (reference `stdout/.../StdoutSink.scala:24-40`). `col` must be binary
+  * (reference `stdout/.../StdoutSink.scala:24-40` — the GOOD stream
+  * prints to stdout, the BAD stream to stderr). `col` must be binary
   * or string payload. */
-final class Base64StdoutSink(payloadCol: String) extends EventSink {
-  val name = "stdout"
-  def write(batch: DataFrame, batchId: Long): Unit =
+final class Base64StdoutSink(payloadCol: String, toStderr: Boolean = false)
+    extends EventSink {
+  val name = if (toStderr) "stderr" else "stdout"
+  def write(batch: DataFrame, batchId: Long): Unit = {
+    val err = toStderr
     batch.select(base64(col(payloadCol).cast("binary")).as("b64"))
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        rows.foreach(r => println(r.getString(0)))
+        val out = if (err) System.err else System.out
+        rows.foreach(r => out.println(r.getString(0)))
       }
+  }
 }
 
 /** Kafka writer builder (K5 native mapping): the reference's Kafka sink is

@@ -558,6 +558,59 @@ class ReliabilitySpec extends AnyFunSuite {
       "Snowplow OSS/collector (GPN:Snowplow;)")
   }
 
+  test("bad-leg sink dispatch: streams/buffers/routing keys flip, stdout becomes stderr") {
+    import graft.operators.CollectorConfig
+    // r12: the reference drives BOTH legs from one config (K10) — the
+    // bad leg flips to streams.bad, sqsBadBuffer, badQueueUrl,
+    // routingKeyBad, and the stdout sink prints to stderr
+    val cfg = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"good": "g-str", "bad": "b-str", "sink": {
+        |  "enabled": "kinesis", "region": "eu-central-1",
+        |  "sqsGoodBuffer": "buf-good", "sqsBadBuffer": "buf-bad",
+        |  "backoffPolicy": {"minBackoff": 1, "maxBackoff": 2, "maxRetries": 1}
+        |}}}}""".stripMargin)
+    MockClients.reset()
+    val bad = ClientSinks.badSinkFromSettings(cfg.sink, sys.error("unused"),
+      kinesis = Some(() => MockClients.kinesisAlwaysFailing()),
+      sqs = Some(() => MockClients.sqs()), sleeper = _ => ())
+    assert(bad.name === "failover(kinesis(b-str)->sqs(buf-bad))")
+    // the bad leg carries the self-describing JSON under its own columns
+    val wire = Seq(("{\"bad\":1}".getBytes("UTF-8"), "e-1"))
+      .toDF("bad_row_json", "event_id")
+    bad.write(wire, 1L)
+    assert(MockClients.sqsStored.map(_.kinesisKey) === Seq("e-1"))
+    // kafka bad leg pairs with the backup block's badQueueUrl
+    val kcfg = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"good": "g", "bad": "b", "sink": {
+        |  "enabled": "kafka",
+        |  "sqs": {"goodQueueUrl": "q-good", "badQueueUrl": "q-bad",
+        |    "backoffPolicy": {"minBackoff": 1, "maxBackoff": 2, "maxRetries": 1}},
+        |  "backoffPolicy": {"minBackoff": 1, "maxBackoff": 2, "maxRetries": 1}
+        |}}}}""".stripMargin)
+    val kbad = ClientSinks.badSinkFromSettings(kcfg.sink, sys.error("unused"),
+      kafka = Some(() => MockClients.kafkaAlwaysFailing()),
+      sqs = Some(() => MockClients.sqs()), sleeper = _ => ())
+    assert(kbad.name === "failover(kafka(b)->sqs(q-bad))")
+    // rabbit bad leg publishes with routingKeyBad to the bad exchange
+    MockClients.resetExtras()
+    val rcfg = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"good": "raw", "bad": "bad-ex", "sink": {
+        |  "enabled": "rabbitmq", "routingKeyGood": "rk-g", "routingKeyBad": "rk-b"
+        |}}}}""".stripMargin)
+    val rbad = ClientSinks.badSinkFromSettings(rcfg.sink, sys.error("unused"),
+      rabbit = Some(() => MockClients.rabbit()), sleeper = _ => ())
+    rbad.write(wire, 1L)
+    assert(MockClients.rabbitPublishes.contains(("bad-ex", "rk-b")))
+    // stdout's bad twin is stderr (reference StdoutSink: good->out, bad->err)
+    assert(ClientSinks.badSinkFromSettings(
+      graft.operators.SinkSettings(kind = "stdout"), "unused").name === "stderr")
+    // and the good-leg names are unchanged by the refactor
+    assert(ClientSinks.sinkFromSettings(cfg.sink, sys.error("unused"),
+      kinesis = Some(() => MockClients.kinesis(0)),
+      sqs = Some(() => MockClients.sqs()), sleeper = _ => ())
+      .name === "failover(kinesis(g-str)->sqs(buf-good))")
+  }
+
   test("unknown sink kinds fail loudly at wiring time, never silently parquet") {
     import graft.operators.SinkSettings
     val err = intercept[IllegalArgumentException] {
