@@ -373,21 +373,31 @@ object Training {
     * outputs, each pinned once ([[pinVerdict]]) — the corpus text is
     * read exactly once per gate at pin time and never re-shuffled
     * wide; the served manifest plan scans parquet only for the spine. */
-  val tPipeline3: Q = (s, d) => {
-    val dset = docs(s, d)
+  /** The v3 manifest's per-gate verdict relations, named — ONE
+    * definition shared by the pinned query ([[tPipeline3]]) and the
+    * materialized lake form ([[materializeVerdicts]]). Each is
+    * doc_id-keyed and text-free. */
+  private def gateVerdicts(dset: DataFrame): Seq[(String, DataFrame)] = {
     def flag(set: DataFrame, name: String) = set.withColumn(name, lit(true))
-    val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
-      SampleSalt, SplitTrain, SplitVal, SplitSalt)
-    val Seq(keep, contaminated, gopher, c4, clf, ntok, clean) = pinVerdicts(
-      flag(Dedup.dedupKeep(dset).select("doc_id"), "dedup_keep"),
-      flag(Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
+    Seq(
+      "dedup_keep" -> flag(Dedup.dedupKeep(dset).select("doc_id"), "dedup_keep"),
+      "contam" -> flag(Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
         .filter(col("contaminated")).select("doc_id"), "contam"),
-      flag(QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id"), "gopher_keep"),
-      flag(QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"), "c4_keep"),
-      flag(QualityRules.hashedClassifier(dset).filter(col("keep")).select("doc_id"), "clf_keep"),
-      dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")),
-      Dedup.spanDedup(dset)
+      "gopher_keep" -> flag(
+        QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id"), "gopher_keep"),
+      "c4_keep" -> flag(
+        QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"), "c4_keep"),
+      "clf_keep" -> flag(
+        QualityRules.hashedClassifier(dset).filter(col("keep")).select("doc_id"), "clf_keep"),
+      "ntok" -> dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")),
+      "clean" -> Dedup.spanDedup(dset)
         .select(col("doc_id"), TextOps.nTokens(col("clean_text")).as("n_tokens_clean")))
+  }
+
+  /** Assemble the v3 manifest from the seven gate relations (in
+    * [[gateVerdicts]] order) + the sampled spine. */
+  private def assembleManifest(sampled: DataFrame, gates: Seq[DataFrame]): DataFrame = {
+    val Seq(keep, contaminated, gopher, c4, clf, ntok, clean) = gates
     def cf(name: String) = coalesce(col(name), lit(false))
     sampled
       .join(keep, Seq("doc_id"), "left")
@@ -406,6 +416,42 @@ object Training {
         cf("clf_keep").as("clf_keep"),
         (cf("dedup_keep") && !cf("contam") && cf("gopher_keep") &&
           cf("c4_keep") && cf("clf_keep")).as("keep"))
+  }
+
+  val tPipeline3: Q = (s, d) => {
+    val dset = docs(s, d)
+    val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
+      SampleSalt, SplitTrain, SplitVal, SplitSalt)
+    assembleManifest(sampled, pinVerdicts(gateVerdicts(dset).map(_._2): _*))
+  }
+
+  /** R12: the PRODUCTION form of the pinned manifest — each gate verdict
+    * is materialized ONCE as a parquet table under `dir/<stage>/` (what
+    * the pin scaladocs prescribe for corpus-scale runs: `localCheckpoint`
+    * holds rows in executor memory, a 100 TB manifest wants durable
+    * per-stage tables). Restart-safe (per-stage overwrite), stage-
+    * incremental (re-running one changed gate rewrites one narrow table,
+    * never the corpus), and the stages are submitted concurrently like
+    * [[pinVerdicts]]. Each table reads text exactly once, at write. */
+  def materializeVerdicts(dset: DataFrame, dir: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence(gateVerdicts(dset).map { case (name, df) =>
+        Future(df.write.mode("overwrite").parquet(s"$dir/$name"))
+      }),
+      scala.concurrent.duration.Duration.Inf)
+  }
+
+  /** The manifest served FROM the materialized verdict lake: identical
+    * rows to [[tPipeline3]] (spec-proven), but every gate is a plain
+    * parquet read — the corpus text never enters the plan at all. */
+  def manifestFromLake(spark: SparkSession, dset: DataFrame, dir: String): DataFrame = {
+    val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
+      SampleSalt, SplitTrain, SplitVal, SplitSalt)
+    val names = Seq("dedup_keep", "contam", "gopher_keep", "c4_keep",
+      "clf_keep", "ntok", "clean")
+    assembleManifest(sampled, names.map(n => spark.read.parquet(s"$dir/$n")))
   }
 
   /** R10: WARC container round-trip — plain and .warc.gz member-per-

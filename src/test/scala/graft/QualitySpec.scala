@@ -198,4 +198,37 @@ class QualitySpec extends AnyFunSuite {
     assert(out(1L) === ((1L, 5L, expected, expected >= 0)))
     assert(out(2L) === ((2L, 0L, 0L, true))) // punctuation-only doc: no features
   }
+
+  test("materialized verdict lake serves the identical v3 manifest; gates are narrow tables") {
+    // r12: the production form the pin scaladocs prescribe — each gate
+    // verdict persisted once as a parquet table, the manifest assembled
+    // from the tables. Must be row-identical to the pinned t_pipeline3.
+    import graft.queries.Training
+    val dset = Tables.documents(spark, TestSpark.Sf)
+    val dir = java.nio.file.Files.createTempDirectory("verdict-lake").toString
+    Training.materializeVerdicts(dset, dir)
+    val names = Seq("dedup_keep", "contam", "gopher_keep", "c4_keep",
+      "clf_keep", "ntok", "clean")
+    names.foreach { n =>
+      assert(new java.io.File(s"$dir/$n").isDirectory, s"stage table $n missing")
+      // gate tables are text-free: doc_id + one verdict/count column
+      val cols = spark.read.parquet(s"$dir/$n").columns.toSet
+      assert(cols.contains("doc_id") && cols.size === 2 && !cols.contains("text"),
+        s"stage $n must be a narrow verdict table, got $cols")
+    }
+    val lake = Training.manifestFromLake(spark, dset, dir)
+    val pinned = SparkEntry.queries("t_pipeline3")(spark, TestSpark.Sf)
+    assert(lake.count() === pinned.count())
+    assert(lake.except(pinned).count() === 0)
+    assert(pinned.except(lake).count() === 0)
+    // the lake manifest's gates are plain parquet reads — no pinned RDDs
+    val plan = lake.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"),
+      s"lake manifest must read tables, not memory pins:\n$plan")
+    // re-materializing is a per-stage overwrite (restart-safe): the
+    // manifest re-served afterwards is unchanged
+    Training.materializeVerdicts(dset, dir)
+    val again = Training.manifestFromLake(spark, dset, dir)
+    assert(again.except(pinned).count() === 0 && pinned.except(again).count() === 0)
+  }
 }
