@@ -108,3 +108,48 @@ final class FailoverSink(
     }
   }
 }
+
+/** R5/R12: the reference's background sink STARTUP check
+  * (`KinesisSink.scala:372-420` checkKinesisHealth/checkSqsHealth, same
+  * shape in every sink module): poll a target-existence probe — stream
+  * ACTIVE, queue URL resolvable, broker reachable — every
+  * `startupCheckInterval` until it succeeds; `/sink-health` serves 503
+  * until the flag flips. The probe is injected (the reflection SDK
+  * clients supply the real describe/getQueueUrl calls in a deployment;
+  * specs supply failing-then-passing stubs), the LOOP — bounded probing,
+  * exception-safe, configured interval between attempts — is what this
+  * class owns. `await` runs inline (tests, synchronous startup gates);
+  * [[start]] runs it on a daemon thread like the reference's
+  * executorService.execute. */
+final class SinkStartupCheck(
+    val name: String,
+    probe: () => Boolean,
+    intervalMs: Long,
+    sleeper: Long => Unit = Thread.sleep) {
+  @volatile private var ok = false
+
+  /** Has the target been seen healthy yet? (The `/sink-health` source.) */
+  def healthy: Boolean = ok
+
+  /** Poll until the probe succeeds or `maxAttempts` is spent; a throwing
+    * probe counts as a failed attempt (reference logs-and-retries).
+    * Returns the final state. */
+  def await(maxAttempts: Int = Int.MaxValue): Boolean = {
+    var n = 0
+    while (!ok && n < maxAttempts) {
+      ok = try probe() catch { case scala.util.control.NonFatal(_) => false }
+      n += 1
+      if (!ok && n < maxAttempts) sleeper(intervalMs)
+    }
+    ok
+  }
+
+  /** Background form — the reference's daemon poller. */
+  def start(): Thread = {
+    val t = new Thread(new Runnable { def run(): Unit = { await(); () } },
+      s"startup-check-$name")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+}

@@ -611,6 +611,35 @@ class ReliabilitySpec extends AnyFunSuite {
       .name === "failover(kinesis(g-str)->sqs(buf-good))")
   }
 
+  test("sink startup check polls at startupCheckInterval until the target exists") {
+    import graft.sinks.SinkStartupCheck
+    import graft.operators.CollectorConfig
+    // reference KinesisSink.scala:372-420: describe/getQueueUrl polled
+    // every startupCheckInterval; /sink-health 503s until it succeeds
+    val cfg = CollectorConfig.fromJson(
+      """{"collector": {"streams": {"sink": {
+        |  "enabled": "kinesis", "startupCheckInterval": "3 seconds"
+        |}}}}""".stripMargin)
+    assert(cfg.sink.startupCheckIntervalMs === 3000L)
+    var calls = 0
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val check = new SinkStartupCheck("kinesis", () => {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("stream CREATING") // probe may throw
+      calls >= 4 // then report not-ready once, then ready
+    }, cfg.sink.startupCheckIntervalMs, sleeper = sleeps += _)
+    assert(!check.healthy)
+    assert(graft.streaming.OpsEndpoints.sinkHealth(check.healthy)._1 === 503)
+    assert(check.await(maxAttempts = 10))
+    assert(check.healthy && calls === 4)
+    assert(sleeps.toSeq === Seq(3000L, 3000L, 3000L),
+      "every retry must wait exactly the configured startupCheckInterval")
+    assert(graft.streaming.OpsEndpoints.sinkHealth(check.healthy)._1 === 200)
+    // a target that never appears exhausts the attempt budget, no throw
+    val never = new SinkStartupCheck("sqs", () => false, 1L, sleeper = _ => ())
+    assert(!never.await(maxAttempts = 5) && !never.healthy)
+  }
+
   test("unknown sink kinds fail loudly at wiring time, never silently parquet") {
     import graft.operators.SinkSettings
     val err = intercept[IllegalArgumentException] {
