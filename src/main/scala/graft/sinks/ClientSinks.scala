@@ -410,8 +410,13 @@ object ClientSinks {
       // reference topic path: ProjectTopicName.of(googleProjectId, stream)
       val topic = s.googleProjectId
         .map(p => s"projects/$p/topics/$stream").getOrElse(stream)
+      // r12: the reference re-publishes failed inserts on the FIXED
+      // `retryInterval` cadence (GooglePubSubSink.scala:113-126), not a
+      // jittered schedule — the RPC-level backoff lives in the
+      // Publisher's RetrySettings (pubsubBuilderSettings)
+      val interval = s.pubsubRetryIntervalMs
       new PubSubEventSink(topic, f, payloadCol = payloadCol,
-        maxRetries = s.maxRetries, backoffMs = backoffSchedule(s), sleeper = sleeper)
+        maxRetries = s.maxRetries, backoffMs = _ => interval, sleeper = sleeper)
     case "kafka" =>
       // r12 (ADVICE + reference KafkaCollector.scala:62-91): explicit
       // dispatch — a configured Kafka deployment must never silently

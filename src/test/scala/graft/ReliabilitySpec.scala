@@ -556,6 +556,17 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(ClientSinks.pubsubBuilderSettings(
       graft.operators.SinkSettings.defaultsFor("google-pub-sub")).userAgent ===
       "Snowplow OSS/collector (GPN:Snowplow;)")
+    // r12: failed publishes retry on the FIXED retryInterval cadence
+    // (reference GooglePubSubSink.scala:113-126), never a jitter schedule
+    MockClients.resetExtras()
+    val sink = ClientSinks.sinkFromSettings(cfg.sink.copy(maxRetries = 3),
+      sys.error("unused"),
+      pubsub = Some(() => MockClients.pubsub(failOnceEvery = 1)),
+      sleeper = MockClients.recordBackoff) // static: survives closure serialization
+    sink.write(Seq(Tuple1("pi-1".getBytes("UTF-8"))).toDF("thrift").coalesce(1), 0L)
+    val sleeps = MockClients.rabbitBackoffs
+    assert(sleeps.nonEmpty && sleeps.forall(_ === 7000L),
+      s"pubsub retry delay must be the configured retryInterval, got $sleeps")
   }
 
   test("bad-leg sink dispatch: streams/buffers/routing keys flip, stdout becomes stderr") {
