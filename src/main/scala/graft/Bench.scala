@@ -663,11 +663,17 @@ object Bench {
     // full run — so the complete line is ALSO written to a file in the
     // repo (committed per round → cross-round per-query comparison never
     // loses legs). Overridable for ad-hoc runs.
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write $benchOut: $e") }
+    // r12: a filtered (SPARK_GRAFT_ONLY) iteration run must never clobber
+    // the committed full ledger — write only full runs unless an explicit
+    // SPARK_GRAFT_BENCH_OUT asks for the partial line
+    val benchOut = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("bench_full.json") else None)
+    benchOut.foreach { path =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $path: $e") }
+    }
     spark.stop()
     if (regressions.nonEmpty) {
       System.err.println(s"BENCH GUARD FAILED (2x rule): ${regressions.mkString("; ")}")

@@ -274,13 +274,17 @@ class PlanLintSpec extends AnyFunSuite {
     // the robots rule relation is site-count sized (KBs at 100 TB); the
     // only acceptable plan joins it broadcast with the longest-match
     // argmax as ONE corpus-side aggregate — a sort-merge join here means
-    // the broadcast hint regressed
-    val plan = SparkEntry.queries("t_robots")(spark, TestSpark.Sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
-      s"t_robots rules join is not broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"t_robots corpus side shuffles for the rules join:\n$plan")
+    // the broadcast hint regressed. Same pin for the WARC-recovered
+    // variant (r12): the rules parsed out of robots.txt captures are the
+    // same site-count-sized relation.
+    for (q <- Seq("t_robots", "t_robots_warc")) {
+      val plan = SparkEntry.queries(q)(spark, TestSpark.Sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$q rules join is not broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q corpus side shuffles for the rules join:\n$plan")
+    }
   }
 
   test("no query output schema contains DecimalType (hash-representation lint)") {
