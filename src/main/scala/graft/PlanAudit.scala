@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 
 /** Dumps `.explain("formatted")` for the headline queries to a snapshot
@@ -23,17 +23,27 @@ import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExcha
   */
 object PlanAudit {
 
-  /** `(parquet/file scans, shuffle exchanges, reused exchanges)` of a
-    * physical plan, AQE-aware — each node counted exactly once. */
-  def summarize(plan: SparkPlan): (Int, Int, Int) = {
-    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+  /** Every node of a physical plan, AQE-aware: descends through
+    * `AdaptiveSparkPlanExec.executedPlan` AND through collapsed
+    * `QueryStageExec` leaves (which hide the materialized stage's
+    * exchanges/scans once a plan has executed — counting a
+    * post-execution plan without this returns zeros). The ONE traversal
+    * rule — PlanLintSpec and the other plan walkers reuse it so the
+    * committed PLANS summaries and the test pins can never disagree. */
+  def nodes(plan: SparkPlan): Seq[SparkPlan] =
+    plan +: (plan match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case _ => p.children
-    }).flatMap(subtree)
-    val nodes = subtree(plan)
-    (nodes.count(_.isInstanceOf[FileSourceScanExec]),
-      nodes.count(_.isInstanceOf[ShuffleExchangeExec]),
-      nodes.count(_.isInstanceOf[ReusedExchangeExec]))
+      case q: QueryStageExec => Seq(q.plan)
+      case p => p.children
+    }).flatMap(nodes)
+
+  /** `(parquet/file scans, shuffle exchanges, reused exchanges)` of a
+    * physical plan — each node counted exactly once. */
+  def summarize(plan: SparkPlan): (Int, Int, Int) = {
+    val ns = nodes(plan)
+    (ns.count(_.isInstanceOf[FileSourceScanExec]),
+      ns.count(_.isInstanceOf[ShuffleExchangeExec]),
+      ns.count(_.isInstanceOf[ReusedExchangeExec]))
   }
 
   /** The summary line for one named plan (shared with the spec). */

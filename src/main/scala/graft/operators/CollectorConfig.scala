@@ -575,7 +575,9 @@ object CollectorConfig {
             else {
               val good = q.path("goodQueueUrl")
               val bad = q.path("badQueueUrl")
-              if (good.isMissingNode || bad.isMissingNode)
+              // r12 review: explicit nulls must fail like absences — a
+              // NullNode would asText to the literal string "null"
+              if (good.isMissingNode || good.isNull || bad.isMissingNode || bad.isNull)
                 throw new IllegalArgumentException(
                   "kafka sqs backup block requires goodQueueUrl and badQueueUrl")
               val d = KafkaSqsBackupSettings(good.asText, bad.asText)

@@ -373,13 +373,20 @@ object Training {
     * outputs, each pinned once ([[pinVerdict]]) — the corpus text is
     * read exactly once per gate at pin time and never re-shuffled
     * wide; the served manifest plan scans parquet only for the spine. */
+  /** The v3 manifest's gate-stage names in [[assembleManifest]] order —
+    * the ONE list [[gateVerdicts]] produces and [[manifestFromLake]]
+    * reads (spec-pinned against the verdict tuples, so a gate added to
+    * one place can't silently drift from the other). */
+  val GateNames: Seq[String] =
+    Seq("dedup_keep", "contam", "gopher_keep", "c4_keep", "clf_keep", "ntok", "clean")
+
   /** The v3 manifest's per-gate verdict relations, named — ONE
     * definition shared by the pinned query ([[tPipeline3]]) and the
     * materialized lake form ([[materializeVerdicts]]). Each is
     * doc_id-keyed and text-free. */
   private def gateVerdicts(dset: DataFrame): Seq[(String, DataFrame)] = {
     def flag(set: DataFrame, name: String) = set.withColumn(name, lit(true))
-    Seq(
+    val gates = Seq(
       "dedup_keep" -> flag(Dedup.dedupKeep(dset).select("doc_id"), "dedup_keep"),
       "contam" -> flag(Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
         .filter(col("contaminated")).select("doc_id"), "contam"),
@@ -392,6 +399,9 @@ object Training {
       "ntok" -> dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")),
       "clean" -> Dedup.spanDedup(dset)
         .select(col("doc_id"), TextOps.nTokens(col("clean_text")).as("n_tokens_clean")))
+    require(gates.map(_._1) == GateNames,
+      "gateVerdicts and GateNames drifted — update both together")
+    gates
   }
 
   /** Assemble the v3 manifest from the seven gate relations (in
@@ -449,9 +459,7 @@ object Training {
   def manifestFromLake(spark: SparkSession, dset: DataFrame, dir: String): DataFrame = {
     val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
       SampleSalt, SplitTrain, SplitVal, SplitSalt)
-    val names = Seq("dedup_keep", "contam", "gopher_keep", "c4_keep",
-      "clf_keep", "ntok", "clean")
-    assembleManifest(sampled, names.map(n => spark.read.parquet(s"$dir/$n")))
+    assembleManifest(sampled, GateNames.map(n => spark.read.parquet(s"$dir/$n")))
   }
 
   /** R10: WARC container round-trip — plain and .warc.gz member-per-

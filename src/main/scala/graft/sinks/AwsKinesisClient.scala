@@ -56,7 +56,23 @@ object AwsKinesisClient {
     new KinesisClient {
     // one SDK client per sink client (= per executor task), lazily so the
     // closure serializes without touching SDK classes on the driver
-    @transient private lazy val sdk: AnyRef = {
+    // held in a VAR so close() can release it without constructing one
+    @transient private var created: AnyRef = _
+    private def sdk: AnyRef = {
+      if (created == null) created = buildSdk()
+      created
+    }
+
+    /** `SdkAutoCloseable.close()` — releases the HTTP client pool (r12). */
+    override def close(): Unit = {
+      val c = created
+      created = null
+      if (c != null)
+        try c.getClass.getMethod("close").invoke(c)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+    private def buildSdk(): AnyRef = {
       val builder = Class.forName(BuilderClass).getMethod("builder").invoke(null)
       AwsCredentials.applyTo(builder, creds)
       AwsCredentials.applyRegion(builder, region)

@@ -36,12 +36,16 @@ object ClientSinks {
     * returning an index-aligned error code per record (None = stored). */
   trait KinesisClient extends Serializable {
     def putRecords(stream: String, records: Seq[OutRecord]): Seq[Option[String]]
+    /** Release held resources (SDK client, threads). Called once per
+      * partition task after the drain; default no-op for stateless mocks. */
+    def close(): Unit = ()
   }
 
   /** The slice of the SQS SDK the sink needs: one `sendMessageBatch`
     * call (≤ 10 messages), index-aligned per-message error codes. */
   trait SqsClient extends Serializable {
     def sendMessageBatch(queue: String, messages: Seq[SqsMessage]): Seq[Option[String]]
+    def close(): Unit = ()
   }
 
   /** AWS putRecords hard cap. */
@@ -95,10 +99,11 @@ object ClientSinks {
       val (st, cf, mr, bo, sl) = (stream, clientFactory, maxRetries, backoffMs, sleeper)
       outRecords(batch, payloadCol, keyCol).foreachPartition { rows: Iterator[Row] =>
         val client = cf()
-        rows.map(r => OutRecord(r.getAs[Array[Byte]](0), r.getString(1)))
+        try rows.map(r => OutRecord(r.getAs[Array[Byte]](0), r.getString(1)))
           .grouped(KinesisMaxPerRequest)
           .foreach(chunk => sendWithRetries[OutRecord](
             chunk, client.putRecords(st, _), mr, bo, sl))
+        finally client.close()
       }
     }
   }
@@ -118,12 +123,13 @@ object ClientSinks {
       val (qu, cf, mr, bo, sl) = (queue, clientFactory, maxRetries, backoffMs, sleeper)
       outRecords(batch, payloadCol, keyCol).foreachPartition { rows: Iterator[Row] =>
         val client = cf()
-        rows.map(r => SqsMessage(
+        try rows.map(r => SqsMessage(
             java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]](0)),
             r.getString(1)))
           .grouped(SqsMaxBatchSize)
           .foreach(chunk => sendWithRetries[SqsMessage](
             chunk, client.sendMessageBatch(qu, _), mr, bo, sl))
+        finally client.close()
       }
     }
   }
@@ -134,6 +140,7 @@ object ClientSinks {
     * index-aligned per-message error codes. */
   trait PubSubClient extends Serializable {
     def publish(topic: String, messages: Seq[Array[Byte]]): Seq[Option[String]]
+    def close(): Unit = ()
   }
 
   /** The slice of the Kafka producer API the sink needs (reference
@@ -143,18 +150,23 @@ object ClientSinks {
     * index-aligned per-record error codes. */
   trait KafkaClient extends Serializable {
     def send(topic: String, records: Seq[OutRecord]): Seq[Option[String]]
+    /** Release the producer (background sender thread, buffer.memory,
+      * sockets). Called once per partition task after the drain. */
+    def close(): Unit = ()
   }
 
   /** NSQ's `produceMulti` (reference `NsqSink.scala:31-44`): no key, no
     * per-record status — all-or-nothing, throws on failure. */
   trait NsqClient extends Serializable {
     def produceMulti(topic: String, messages: Seq[Array[Byte]]): Unit
+    def close(): Unit = ()
   }
 
   /** RabbitMQ's per-event `basicPublish` (reference
     * `RabbitMQSink.scala:36-66`; routingKey is always ""). */
   trait RabbitClient extends Serializable {
     def basicPublish(exchange: String, routingKey: String, body: Array[Byte]): Unit
+    def close(): Unit = ()
   }
 
   /** PubSub publish cap per call (client-side batching threshold class —
@@ -178,10 +190,11 @@ object ClientSinks {
       val (tp, cf, mr, bo, sl) = (topic, clientFactory, maxRetries, backoffMs, sleeper)
       batch.select(col(payloadCol).cast("binary")).foreachPartition { rows: Iterator[Row] =>
         val client = cf()
-        rows.map(_.getAs[Array[Byte]](0))
+        try rows.map(_.getAs[Array[Byte]](0))
           .grouped(PubSubMaxPerRequest)
           .foreach(chunk => sendWithRetries[Array[Byte]](
             chunk, client.publish(tp, _), mr, bo, sl))
+        finally client.close()
       }
     }
   }
@@ -210,10 +223,11 @@ object ClientSinks {
       val (tp, cf, mr, bo, sl) = (topic, clientFactory, maxRetries, backoffMs, sleeper)
       outRecords(batch, payloadCol, keyCol).foreachPartition { rows: Iterator[Row] =>
         val client = cf()
-        rows.map(r => OutRecord(r.getAs[Array[Byte]](0), r.getString(1)))
+        try rows.map(r => OutRecord(r.getAs[Array[Byte]](0), r.getString(1)))
           .grouped(KafkaMaxPerRequest)
           .foreach(chunk => sendWithRetries[OutRecord](
             chunk, client.send(tp, _), mr, bo, sl))
+        finally client.close()
       }
     }
   }
@@ -230,8 +244,9 @@ object ClientSinks {
       val (tp, cf, cap) = (topic, clientFactory, maxPerCall)
       batch.select(col(payloadCol).cast("binary")).foreachPartition { rows: Iterator[Row] =>
         val client = cf()
-        rows.map(_.getAs[Array[Byte]](0)).grouped(cap)
+        try rows.map(_.getAs[Array[Byte]](0)).grouped(cap)
           .foreach(client.produceMulti(tp, _))
+        finally client.close()
       }
     }
   }
@@ -260,7 +275,7 @@ object ClientSinks {
         (exchange, routingKey, clientFactory, minBackoffMs, multiplier, maxBackoffMs, maxAttempts, sleeper)
       batch.select(col(payloadCol).cast("binary")).foreachPartition { rows: Iterator[Row] =>
         val client = cf()
-        rows.map(_.getAs[Array[Byte]](0)).foreach { body =>
+        try rows.map(_.getAs[Array[Byte]](0)).foreach { body =>
           var attempt = 0
           var backoff = 0L
           var done = false
@@ -277,6 +292,7 @@ object ClientSinks {
             }
           }
         }
+        finally client.close()
       }
     }
   }

@@ -81,6 +81,17 @@ object GcpPubSubClient {
           b.getClass.getMethod("build").invoke(b)
         })
 
+      /** `Publisher.shutdown()` for every built publisher (releases the
+        * gRPC channels and executor threads); the sink calls this once
+        * per partition task (r12 review finding). */
+      override def close(): Unit = {
+        publishers.values.foreach { pub =>
+          try pub.getClass.getMethod("shutdown").invoke(pub)
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        publishers.clear()
+      }
+
       def publish(topic: String, messages: Seq[Array[Byte]]): Seq[Option[String]] = {
         val pub = publisherFor(topic)
         val cl = pub.getClass.getClassLoader
@@ -138,7 +149,7 @@ object GcpPubSubClient {
         .getOrElse(throw new NoSuchMethodException("FixedHeaderProvider.create(String...)"))
       val hp = create.invoke(null, Array[String]("User-Agent", bs.userAgent))
       setter("setHeaderProvider").foreach(_.invoke(b, hp))
-    } catch { case _: ClassNotFoundException => () }
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort: a knob, never a publish failure
     // RetrySettings from the backoffPolicy numbers
     try {
       val rsCls = Class.forName(RetrySettingsClass, true, cl)
@@ -162,6 +173,6 @@ object GcpPubSubClient {
       setDur("setMaxRpcTimeout", bs.maxRpcTimeoutMs)
       val rs = rb.getClass.getMethod("build").invoke(rb)
       setter("setRetrySettings").foreach(_.invoke(b, rs))
-    } catch { case _: ClassNotFoundException => () }
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort: a knob, never a publish failure
   }
 }

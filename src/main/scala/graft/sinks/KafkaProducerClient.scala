@@ -42,13 +42,30 @@ object KafkaProducerClient {
     new KafkaClient {
       // one producer per client (= per executor task); resolved lazily
       // so the closure serializes without touching kafka classes on the
-      // driver
-      @transient private lazy val producer: AnyRef = {
-        val p = new java.util.Properties()
-        props.foreach { case (k, v) => p.setProperty(k, v) }
-        Class.forName(ProducerClass)
-          .getConstructor(classOf[java.util.Properties])
-          .newInstance(p).asInstanceOf[AnyRef]
+      // driver, held in a VAR so close() can release it without
+      // constructing one
+      @transient private var created: AnyRef = _
+      private def producer: AnyRef = {
+        if (created == null) {
+          val p = new java.util.Properties()
+          props.foreach { case (k, v) => p.setProperty(k, v) }
+          created = Class.forName(ProducerClass)
+            .getConstructor(classOf[java.util.Properties])
+            .newInstance(p).asInstanceOf[AnyRef]
+        }
+        created
+      }
+
+      /** Flush + release the producer's sender thread, buffer and
+        * sockets (`KafkaProducer.close()`); the sink calls this once per
+        * partition task — without it every micro-batch leaks a live
+        * producer (r12 review finding). */
+      override def close(): Unit = {
+        val p = created
+        created = null
+        if (p != null)
+          try p.getClass.getMethod("close").invoke(p)
+          catch { case scala.util.control.NonFatal(_) => () }
       }
 
       def send(topic: String, records: Seq[OutRecord]): Seq[Option[String]] = {

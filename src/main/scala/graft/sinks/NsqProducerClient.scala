@@ -34,13 +34,27 @@ object NsqProducerClient {
   def apply(host: String, port: Int): NsqClient = {
     Class.forName(ProducerClass)
     new NsqClient {
-      // one started producer per sink client (= per executor task)
-      @transient private lazy val producer: AnyRef = {
-        val cls = Class.forName(ProducerClass)
-        val p = cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
-        val withAddr = cls.getMethod("addAddress", classOf[String], Integer.TYPE)
-          .invoke(p, host, Int.box(port))
-        withAddr.getClass.getMethod("start").invoke(withAddr)
+      // one started producer per sink client (= per executor task),
+      // held in a VAR so close() can release it without constructing one
+      @transient private var created: AnyRef = _
+      private def producer: AnyRef = {
+        if (created == null) {
+          val cls = Class.forName(ProducerClass)
+          val p = cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
+          val withAddr = cls.getMethod("addAddress", classOf[String], Integer.TYPE)
+            .invoke(p, host, Int.box(port))
+          created = withAddr.getClass.getMethod("start").invoke(withAddr)
+        }
+        created
+      }
+
+      /** `NSQProducer.shutdown()` — releases the connection pool (r12). */
+      override def close(): Unit = {
+        val p = created
+        created = null
+        if (p != null)
+          try p.getClass.getMethod("shutdown").invoke(p)
+          catch { case scala.util.control.NonFatal(_) => () }
       }
 
       def produceMulti(topic: String, messages: Seq[Array[Byte]]): Unit = {

@@ -46,8 +46,14 @@ object RabbitMqChannelClient {
       username: String, password: String, virtualHost: String): RabbitClient = {
     Class.forName(FactoryClass)
     new RabbitClient {
-      // one connection+channel per sink client (= per executor task)
-      @transient private lazy val channel: AnyRef = {
+      // one connection+channel per sink client (= per executor task),
+      // held in a VAR so close() can release it without constructing one
+      @transient private var created: AnyRef = _
+      private def channel: AnyRef = {
+        if (created == null) created = buildChannel()
+        created
+      }
+      private def buildChannel(): AnyRef = {
         val cls = Class.forName(FactoryClass)
         val cf = cls.getDeclaredConstructor().newInstance().asInstanceOf[AnyRef]
         cls.getMethod("setHost", classOf[String]).invoke(cf, host)
@@ -61,6 +67,18 @@ object RabbitMqChannelClient {
           ch.getClass.getMethod("exchangeDeclarePassive", classOf[String]).invoke(ch, ex)
         }
         ch
+      }
+
+      /** Close the channel AND its connection (socket + consumer
+        * threads) — `Channel.getConnection.close()` (r12). */
+      override def close(): Unit = {
+        val ch = created
+        created = null
+        if (ch != null)
+          try {
+            val conn = ch.getClass.getMethod("getConnection").invoke(ch)
+            conn.getClass.getMethod("close").invoke(conn)
+          } catch { case scala.util.control.NonFatal(_) => () }
       }
 
       def basicPublish(exchange: String, routingKey: String, body: Array[Byte]): Unit = {

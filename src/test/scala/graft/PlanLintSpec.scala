@@ -250,17 +250,11 @@ class PlanLintSpec extends AnyFunSuite {
     // shuffle may ever carry a `line` column, and at most ONE (the
     // doc_id reassembly join — zero when the verdict side broadcasts)
     // may carry `text`, under ANY frequency-relation size.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case _ => p.children
-    }).flatMap(subtree)
     for (q <- Seq("d_line_dedup", "d_line_keepfirst")) {
       val plan = SparkEntry.queries(q)(spark, TestSpark.Sf)
         .queryExecution.executedPlan
-      val shuffles = subtree(plan).collect { case e: ShuffleExchangeExec => e }
+      val shuffles = PlanAudit.nodes(plan).collect { case e: ShuffleExchangeExec => e }
       val lineCarrying = shuffles.filter(_.output.exists(_.name == "line"))
       assert(lineCarrying.isEmpty,
         s"$q shuffles line text (the corpus-scale regression):\n$plan")

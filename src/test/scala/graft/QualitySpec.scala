@@ -207,8 +207,7 @@ class QualitySpec extends AnyFunSuite {
     val dset = Tables.documents(spark, TestSpark.Sf)
     val dir = java.nio.file.Files.createTempDirectory("verdict-lake").toString
     Training.materializeVerdicts(dset, dir)
-    val names = Seq("dedup_keep", "contam", "gopher_keep", "c4_keep",
-      "clf_keep", "ntok", "clean")
+    val names = Training.GateNames
     names.foreach { n =>
       assert(new java.io.File(s"$dir/$n").isDirectory, s"stage table $n missing")
       // gate tables are text-free: doc_id + one verdict/count column

@@ -697,7 +697,6 @@ class StreamingSpec extends AnyFunSuite {
     import graft.streaming.NearDupIndex
     import graft.streaming.NearDupIndex.NearDupConfig
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val cfg = NearDupConfig(tmp("nd-bkt"))
     val idxDocs = (0 until 300).map(i =>
@@ -715,10 +714,12 @@ class StreamingSpec extends AnyFunSuite {
       val plan = NearDupIndex.probeJoin(spark, batch, 99L, cfg)
         .queryExecution.executedPlan
       def kids(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
         case _ => p.children
       }
-      def subtree(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(subtree)
+      def subtree(p: SparkPlan): Seq[SparkPlan] = PlanAudit.nodes(p)
       def hasBandsScan(p: SparkPlan): Boolean = subtree(p).exists {
         case s: FileSourceScanExec =>
           s.relation.location.rootPaths.exists(_.toString.contains("nd-bkt"))
