@@ -127,6 +127,9 @@ object NearDupIndex {
     ensureTable(spark, cfg)
     val proto = CommitProtocol(cfg.bandsDir, cfg.commitsDir, batchId)
     val replay = proto.beginOrRecover()
+    // recovery may have deleted half-committed files out from under the
+    // catalog's cached listing — refresh before any read of the table
+    spark.catalog.refreshTable(cfg.tableName)
 
     // batch_id filter excludes this batch's own committed appends on
     // replay; for a first run it's vacuous. The bucketed scan survives

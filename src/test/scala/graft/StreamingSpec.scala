@@ -908,6 +908,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(v2 === Map(20L -> false))
   }
 
+  test("composed ingest dedup: exact gates near, verdicts replay exactly, half-crash recovers") {
+    import graft.streaming.IngestDedup
+    import graft.streaming.IngestDedup.IngestConfig
+    val cfg = IngestConfig(tmp("ingest-dedup"))
+    val idxText = "alpha beta gamma delta epsilon zeta eta theta"
+    val nearBase = "one two three four five six seven eight nine ten"
+    IngestDedup.init(spark, Seq(
+      (1L, idxText),
+      (2L, nearBase),
+      (3L, idxText) // exact dup in the snapshot: near index keeps ONE copy
+    ).toDF("doc_id", "text"), cfg)
+    // the near store holds bands for the canonical copies only (2 docs × 4)
+    assert(spark.table(cfg.near.tableName).count() === 8L)
+
+    val batch = Seq(
+      (10L, idxText),                                             // exact dup of idx 1
+      (11L, "one two three four five six seven eight nine eleven"), // near dup of idx 2
+      (12L, "completely different words entirely novel tokens"),  // novel
+      (13L, "completely different words entirely novel tokens"),  // in-batch exact dup of 12
+      (14L, "tiny doc")                                           // no signature: exact gate only
+    ).toDF("doc_id", "text")
+    def collectV(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("exact_new"), r.getAs[Boolean]("near_new"),
+          r.getAs[Boolean]("is_new"), r.getAs[Long]("best_match")))).toMap
+    val v = collectV(IngestDedup.serveBatch(spark, batch, 1L, cfg))
+    assert(v(10L) === ((false, false, false, -1L)), "exact dup never reaches the near stage")
+    // near verdict for 11 is whatever the signatures say vs idx 2 —
+    // computed, not guessed (same rule as the NearDupIndex spec)
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      Seq((2L, nearBase), (11L, "one two three four five six seven eight nine eleven"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString)).toMap
+    val agree = (0 until 4).count(i => sigs(2L)(i) == sigs(11L)(i))
+    val expectNearNew = agree < cfg.near.minMatches
+    assert(v(11L)._1 === true && v(11L)._2 === expectNearNew &&
+      v(11L)._3 === expectNearNew, s"near verdict must match $agree/4 band agreement")
+    assert(v(12L) === ((true, true, true, -1L)))
+    assert(v(13L) === ((false, false, false, -1L)), "in-batch exact dup rejected by stage 1")
+    assert(v(14L) === ((true, true, true, -1L)), "signature-less doc passes near vacuously")
+
+    // replay: identical verdicts, neither index grows
+    def files(d: String) = new java.io.File(d).list().count(_.endsWith(".parquet"))
+    val (fpBefore, bandBefore) = (files(cfg.exact.fingerprintsDir), files(cfg.near.bandsDir))
+    val vr = collectV(IngestDedup.serveBatch(spark, batch, 1L, cfg))
+    assert(vr === v, "composed replay must be bit-identical")
+    assert(files(cfg.exact.fingerprintsDir) === fpBefore &&
+      files(cfg.near.bandsDir) === bandBefore)
+
+    // half-crash: stage 2 crashed between append and marker while stage 1
+    // committed — forge it, re-serve, verdicts identical, no double bands
+    val nearCommits = java.nio.file.Paths.get(cfg.near.commitsDir)
+    val marker = nearCommits.resolve("1")
+    val appended = java.nio.file.Files.readAllLines(marker)
+    val all = new java.io.File(cfg.near.bandsDir).list()
+      .filter(_.endsWith(".parquet")).toSet
+    java.nio.file.Files.write(nearCommits.resolve("1.intent"),
+      (all -- appended.toArray.map(_.toString)).toSeq.sorted
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.delete(marker)
+    val vh = collectV(IngestDedup.serveBatch(spark, batch, 1L, cfg))
+    assert(vh === v, "half-crashed composition must recover to identical verdicts")
+    import org.apache.spark.sql.functions.{col => c}
+    assert(spark.table(cfg.near.tableName).filter(c("doc_id") === 12L).count() === 4L,
+      "accepted doc's bands must exist exactly once after recovery")
+  }
+
   test("CommitProtocol: marker atomicity, stale-intent cleanup, torn temp files ignored") {
     import graft.streaming.CommitProtocol
     val base = java.nio.file.Files.createTempDirectory("cp-test")
