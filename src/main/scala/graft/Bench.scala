@@ -175,6 +175,7 @@ object Bench {
     "stream_join" -> 8.0, // r9 re-baseline: warm floor 7.93 s (BASELINE.md)
     "stream_incremental" -> 5.5, // r9: incremental dedup serve drain (BASELINE.md)
     "stream_neardup" -> 4.5, // r11: banded near-dup serve drain; measured 2.3 s
+    "stream_ingest" -> 9.5, // r12: composed exact->near serve (IngestDedup); measured 9.6 s solo
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
     "stream_lake" -> 10.0,
@@ -515,6 +516,32 @@ object Bench {
           .start()
         q.awaitTermination()
         require(spark.read.parquet(dir("nd-verdicts")).count() > 0)
+      }
+    }
+
+    if (wanted("stream_ingest")) {
+      // r12: the COMPOSED serve — exact fingerprint gate, then banded
+      // near-dup over the survivors (IngestDedup)
+      import graft.streaming.IngestDedup
+      val igCfg = IngestDedup.IngestConfig(dir("ig-idx"))
+      out += leg("stream_ingest") {
+        val docs = Tables.documents(spark, sfDir)
+        IngestDedup.init(spark, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), igCfg)
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .write.mode("overwrite").parquet(dir("ig-src"))
+      } {
+        val q = fileStream(dir("ig-src"))
+          .writeStream
+          .option("checkpointLocation", dir("ckpt-ig"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            IngestDedup.serveBatch(spark, batch, id, igCfg)
+              .write.mode("append").parquet(dir("ig-verdicts"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(spark.read.parquet(dir("ig-verdicts")).count() > 0)
       }
     }
 

@@ -46,6 +46,12 @@ final class CommitProtocol(dataDir: String, commitsDir: String, batchId: Long) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  @volatile private var rolled = false
+
+  /** Did [[beginOrRecover]] delete a half-committed append? (Callers
+    * holding cached file listings over `dataDir` must refresh.) */
+  def rolledBack: Boolean = rolled
+
   /** True = this batchId already committed (skip mutation). Side
     * effects: rolls back a crashed half-append (intent without commit)
     * by deleting the orphaned data files; clears a stale intent left by
@@ -59,6 +65,7 @@ final class CommitProtocol(dataDir: String, commitsDir: String, batchId: Long) {
         val snapshot = readMarker(intentPath)
         val orphans = CommitProtocol.listParquet(dataDir) -- snapshot
         orphans.foreach(n => Files.deleteIfExists(Paths.get(dataDir, n)))
+        rolled = orphans.nonEmpty
       }
       false
     }

@@ -127,9 +127,10 @@ object NearDupIndex {
     ensureTable(spark, cfg)
     val proto = CommitProtocol(cfg.bandsDir, cfg.commitsDir, batchId)
     val replay = proto.beginOrRecover()
-    // recovery may have deleted half-committed files out from under the
+    // a rollback deletes half-committed files out from under the
     // catalog's cached listing — refresh before any read of the table
-    spark.catalog.refreshTable(cfg.tableName)
+    // (normal batches skip it: saveAsTable appends refresh themselves)
+    if (proto.rolledBack) spark.catalog.refreshTable(cfg.tableName)
 
     // batch_id filter excludes this batch's own committed appends on
     // replay; for a first run it's vacuous. The bucketed scan survives
