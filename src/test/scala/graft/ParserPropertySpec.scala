@@ -1,0 +1,148 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** R12: property-based coverage for the two new byte/text parsers —
+  * model-driven generators render hundreds of hostile-but-lawful inputs
+  * and the parser must recover the model exactly. Complements the
+  * hand-written goldens (TextDedupSpec / FuzzSpec) with the input
+  * shapes nobody thinks to write by hand. Raw scalacheck (no scalatest
+  * bridge in the dependency set): `SCTest.check` drives the props. */
+class ParserPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- robots.txt group parser ---------------------------------------
+
+  private case class RuleLine(allow: Boolean, prefix: String)
+  private case class Group(agents: List[String], rules: List[RuleLine])
+
+  private val genPrefix: Gen[String] = for {
+    segs <- Gen.choose(1, 3)
+    parts <- Gen.listOfN(segs, Gen.alphaNumStr.map(_.take(6)).suchThat(_.nonEmpty))
+  } yield "/" + parts.mkString("/")
+
+  private val genRule: Gen[RuleLine] = for {
+    allow <- Gen.oneOf(true, false)
+    p <- genPrefix
+  } yield RuleLine(allow, p)
+
+  private val genGroup: Gen[Group] = for {
+    nAgents <- Gen.choose(1, 3)
+    agents <- Gen.listOfN(nAgents,
+      Gen.oneOf("*", "googlebot", "badbot", "x-crawler"))
+    nRules <- Gen.choose(0, 4)
+    rules <- Gen.listOfN(nRules, genRule)
+  } yield Group(agents, rules)
+
+  private val genModel: Gen[(List[Group], Long)] = for {
+    n <- Gen.choose(0, 5)
+    groups <- Gen.listOfN(n, genGroup)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield (groups, seed)
+
+  /** Render a model to a hostile robots.txt: random field-name case,
+    * spaces around colons, inline comments, CRLF/LF mix, and junk lines
+    * placed only where RFC semantics say they cannot matter (colon-less
+    * junk and comments anywhere; orphan rule lines only before the first
+    * group — between groups they would legally attach to the previous
+    * group). */
+  private def render(groups: List[Group], seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    def caseOf(s: String): String = rnd.nextInt(3) match {
+      case 0 => s.toLowerCase
+      case 1 => s.toUpperCase
+      case _ => s
+    }
+    def eol: String = if (rnd.nextBoolean()) "\r\n" else "\n"
+    def colon: String =
+      (if (rnd.nextBoolean()) " " else "") + ":" + (if (rnd.nextBoolean()) "  " else "")
+    def comment: String = if (rnd.nextInt(3) == 0) " # c" + rnd.nextInt(99) else ""
+    def safeJunk: String = rnd.nextInt(4) match {
+      case 0 => "# whole-line comment" + eol
+      case 1 => eol // blank
+      case 2 => "no colon here at all" + eol
+      case _ => "" // nothing
+    }
+    val sb = new StringBuilder
+    if (rnd.nextBoolean()) sb.append("\uFEFF")
+    sb.append(safeJunk)
+    if (rnd.nextBoolean()) sb.append("Disallow").append(colon).append("/orphan").append(eol)
+    groups.foreach { g =>
+      sb.append(safeJunk)
+      g.agents.foreach { a =>
+        sb.append(caseOf("User-agent")).append(colon).append(a).append(comment).append(eol)
+        if (rnd.nextInt(3) == 0) sb.append(safeJunk) // safe between UA lines too
+      }
+      // a rule-less group MUST be closed by a non-rule directive —
+      // otherwise its UA lines and the next group's form one continuous
+      // UA run, which RFC 9309 (and the parser) treat as ONE merged
+      // group; for rule-bearing groups the closer is optional dressing
+      if (g.rules.isEmpty || rnd.nextInt(4) == 0)
+        sb.append(caseOf("Crawl-delay")).append(colon).append("10").append(eol)
+      g.rules.foreach { r =>
+        sb.append(caseOf(if (r.allow) "Allow" else "Disallow"))
+          .append(colon).append(r.prefix).append(comment).append(eol)
+        if (rnd.nextInt(3) == 0) sb.append(safeJunk)
+        if (rnd.nextInt(5) == 0) sb.append(caseOf("Disallow")).append(colon).append(eol) // empty: no-op
+      }
+    }
+    sb.append(safeJunk)
+    sb.toString
+  }
+
+  test("property: robots parser recovers exactly the *-group rules from hostile renderings") {
+    check(Prop.forAll(genModel) { case (groups, seed) =>
+      val expected = groups.filter(_.agents.contains("*"))
+        .flatMap(_.rules).map(r => (r.prefix, r.allow))
+      graft.operators.UrlOps.parseRobotsTxt(render(groups, seed)) == expected
+    })
+  }
+
+  test("property: robots parser never throws on arbitrary text") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 0xFFFF).map(_.toChar)).map(_.mkString)) { s =>
+      graft.operators.UrlOps.parseRobotsTxt(s)
+      true
+    })
+  }
+
+  // ---- EXIF GPS scrub ------------------------------------------------
+
+  test("property: GPS scrub invariants hold for every doc id") {
+    import graft.operators.Multimodal
+    check(Prop.forAll(Gen.choose(0L, 1000000L)) { id =>
+      val bytes = Multimodal.synthGpsExifJpeg(id)
+      val (scrubbed, had) = Multimodal.scrubExifGps(bytes)
+      val (again, hadAgain) = Multimodal.scrubExifGps(scrubbed)
+      had &&
+        scrubbed.length == bytes.length &&
+        !java.util.Arrays.equals(scrubbed, bytes) &&
+        !Multimodal.exifHasGps(scrubbed) &&
+        Multimodal.exifMeta(scrubbed).contains(
+          (if (id % 2 == 0) "II" else "MM", (1 + id % 8).toInt, 3)) &&
+        Multimodal.jpegDims(scrubbed) == Multimodal.jpegDims(bytes) &&
+        !hadAgain && java.util.Arrays.equals(again, scrubbed)
+    }, n = 300)
+  }
+
+  test("property: GPS scrub passes arbitrary bytes through unchanged, never throws") {
+    import graft.operators.Multimodal
+    val genBytes = Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))
+    check(Prop.forAll(genBytes) { bytes =>
+      val (out, had) = Multimodal.scrubExifGps(bytes)
+      !had && java.util.Arrays.equals(out, bytes)
+    })
+    // and every truncation of a real GPS jpeg is safe
+    val good = Multimodal.synthGpsExifJpeg(12L)
+    check(Prop.forAll(Gen.choose(0, good.length)) { n =>
+      Multimodal.scrubExifGps(good.take(n))
+      true
+    }, n = 100)
+  }
+}
