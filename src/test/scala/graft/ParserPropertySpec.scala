@@ -111,6 +111,50 @@ class ParserPropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- WARC record walker --------------------------------------------
+
+  test("property: WARC walker recovers every record — even payloads carrying the magic") {
+    import graft.operators.Warc
+    // payload bytes may contain ANYTHING, including "WARC/1.0\r\n" and
+    // header-shaped text: Content-Length framing must protect them.
+    // Junk between records (including truncated header blocks) is
+    // skipped by the magic scan.
+    val genPayload: Gen[Array[Byte]] = Gen.frequency(
+      3 -> Gen.choose(0, 120).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)),
+      1 -> Gen.const("WARC/1.0\r\nWARC-Type: fake\r\n\r\n".getBytes("UTF-8")),
+      1 -> Gen.const("Content-Length: 99\r\n\r\n".getBytes("UTF-8")),
+      1 -> Gen.const(Array.emptyByteArray))
+    val genDoc: Gen[(Long, Array[Byte])] = for {
+      id <- Gen.choose(0L, 999999L)
+      p <- genPayload
+    } yield (id, p)
+    val genCase: Gen[(List[(Long, Array[Byte])], Long)] = for {
+      n <- Gen.choose(0, 8)
+      docs <- Gen.listOfN(n, genDoc)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (docs, seed)
+    check(Prop.forAll(genCase) { case (docs, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val out = new java.io.ByteArrayOutputStream()
+      def junk(): Unit = rnd.nextInt(3) match {
+        case 0 => out.write(s"--crawl noise ${rnd.nextInt(99)}--\r\n".getBytes("UTF-8"))
+        case 1 => out.write("WARC/1.0\r\nbroken: header".getBytes("UTF-8")) // no blank line before next magic: malformed, skipped
+        case _ => ()
+      }
+      docs.foreach { case (id, p) =>
+        junk()
+        out.write(Warc.synthRecord(id, "response", "application/octet-stream", p))
+      }
+      junk()
+      val parsed = Warc.parseStreamRaw(out.toByteArray).toList
+      parsed.map(_.doc_id) == docs.map(_._1) &&
+        parsed.zip(docs).forall { case (r, (_, p)) =>
+          java.util.Arrays.equals(r.payload, p)
+        }
+    })
+  }
+
   // ---- EXIF GPS scrub ------------------------------------------------
 
   test("property: GPS scrub invariants hold for every doc id") {
