@@ -152,6 +152,10 @@ object Bench {
     "t_robots" -> 0.9, // r11: broadcast rules + in-agg longest-match argmax; measured 0.55 s solo
     "t_robots_warc" -> 0.9, // r12: pages+rules recovered from WARC, RFC 9309 group parse; measured 0.50 s
     "m_exif_scrub" -> 0.9, // r12: GPS IFD byte surgery + md5 verify + post-scrub re-walk; measured 0.48 s
+    "t_html_text" -> 0.9, // r12: HTML tokenizer full-page extraction, narrow kernel; measured 0.30 s solo
+    "t_html_links" -> 0.9, // r12: link edge list out of the same parse; measured 0.32 s solo
+    "t_html_main" -> 0.9, // r12: + link-density boilerplate filter; measured 0.30 s solo
+    "t_html_warc" -> 1.0, // r12: pages recovered from text/html WARC records then parsed; measured 0.26 s solo
     "s_recall" -> 2.8, // r11: IVF serve + brute ground truth + per-query fold; measured 1.84 s solo
     "s_filter_topk" -> 1.1, // r11: same-label pre-filter hash join + window; measured 0.70 s solo
     "m_resize" -> 0.4,

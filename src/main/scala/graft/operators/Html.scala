@@ -1,0 +1,424 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** HTML → text extraction — the stage every web-scale pretraining corpus
+  * runs between the crawl container and the text pipeline (C4 / CCNet /
+  * RefinedWeb all begin by stripping markup out of the WARC response
+  * payloads; WET files are exactly the output of this stage). The
+  * reference collector never parses HTML (its `body` is an opaque JSON
+  * string, `CollectorService.scala:296`); this is the engine's
+  * training-data extension, sitting beside [[Warc]] (container) and
+  * [[QualityRules]] (what runs next).
+  *
+  * The extractor is a single-pass tolerant tokenizer — the discipline
+  * real extractors (jusText, trafilatura, resiliparse) follow:
+  *  - `<script>`/`<style>` elements are dropped wholesale (their content
+  *    is code, and it legally contains `<`, quotes, and fake tags);
+  *  - `<!-- -->` comments are dropped, unterminated ones run to EOF;
+  *  - tag attributes are scanned quote-aware, so a `>` inside a quoted
+  *    attribute value does not close the tag;
+  *  - block-level tags (`p div h1..h6 li br …`) delimit text blocks;
+  *    inline tags (`a b i span …`) vanish without a break;
+  *  - character references decode: the named core (`&amp; &lt; &gt;
+  *    &quot; &apos; &nbsp;`) plus decimal `&#NN;` and hex `&#xHH;`;
+  *    anything malformed stays literal;
+  *  - whitespace runs collapse to one space and blocks trim, so source
+  *    indentation is invisible (the CSS `white-space: normal` model);
+  *  - per-block LINK CHARACTER counts feed the link-density boilerplate
+  *    heuristic (nav/footer chrome is link-saturated, body prose is
+  *    not — the jusText/Arc90 signal), and `<a href>` / anchor-text
+  *    pairs come out in document order for link-graph builds.
+  *
+  * Never throws: any byte soup yields a (possibly empty) document.
+  *
+  * Scale shape: parsing is a narrow `mapPartitions` kernel behind a
+  * [[Spread]] rebalance — embarrassingly parallel, no shuffle, and at
+  * 100 TB each task walks its own WARC split exactly like the container
+  * walk it composes with ([[htmlTextWarc]]). Everything downstream of
+  * the parse is ordinary codegen'd column work.
+  */
+object Html {
+
+  /** One extracted text block with the characters that came from inside
+    * `<a>` elements — the numerator of the link-density signal. */
+  final case class Block(text: String, linkChars: Int)
+
+  /** A parsed page: title, body blocks in order, `(href, anchor)` links
+    * in order. */
+  final case class HtmlDoc(title: String, blocks: Vector[Block],
+                           links: Vector[(String, String)])
+
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
+    "table", "tr", "td", "th", "nav", "header", "footer", "section",
+    "article", "aside", "main", "blockquote", "pre", "form", "hr", "br",
+    "body", "html", "head", "figure", "figcaption", "dl", "dt", "dd")
+
+  /** Decode HTML character references in a text run. Malformed
+    * references (no terminating `;` nearby, unknown name, codepoint out
+    * of range) stay literal — the tolerant-parse discipline. */
+  private[graft] def decodeEntities(s: String): String = {
+    val n = s.length
+    if (s.indexOf('&') < 0) return s
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '&') { out.append(c); i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: Option[String] =
+          if (semi < 0 || semi > i + 10) None
+          else {
+            val body = s.substring(i + 1, semi)
+            body match {
+              case "amp" => Some("&")
+              case "lt" => Some("<")
+              case "gt" => Some(">")
+              case "quot" => Some("\"")
+              case "apos" => Some("'")
+              case "nbsp" => Some(" ")
+              case b if b.length > 1 && b.charAt(0) == '#' =>
+                val cp =
+                  if ((b.charAt(1) == 'x' || b.charAt(1) == 'X') && b.length > 2)
+                    try Some(Integer.parseInt(b.substring(2), 16))
+                    catch { case _: NumberFormatException => None }
+                  else
+                    try Some(Integer.parseInt(b.substring(1)))
+                    catch { case _: NumberFormatException => None }
+                cp.filter(p => p > 0 && p <= 0x10FFFF &&
+                    !(p >= 0xD800 && p <= 0xDFFF))
+                  .map(p => new String(Character.toChars(p)))
+              case _ => None
+            }
+          }
+        decoded match {
+          case Some(d) => out.append(d); i = semi + 1
+          case None => out.append('&'); i += 1
+        }
+      }
+    }
+    out.toString
+  }
+
+  /** Find the end of a tag starting at `lt` (pointing at `<`): the index
+    * just past the closing `>`, honoring single/double quotes around
+    * attribute values. Unterminated tags run to EOF. */
+  private def tagEnd(s: String, lt: Int): Int = {
+    var i = lt + 1
+    var quote: Char = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    n
+  }
+
+  /** Case-insensitive indexOf with per-char folding — index-safe under
+    * Unicode (full-string lowercasing is not length-preserving, e.g.
+    * U+0130, and would misalign offsets on hostile input). `needle`
+    * must be lowercase. */
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val n = hay.length
+    val m = needle.length
+    var i = math.max(0, from)
+    while (i + m <= n) {
+      var j = 0
+      while (j < m && Character.toLowerCase(hay.charAt(i + j)) == needle.charAt(j)) j += 1
+      if (j == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Extract an attribute value from the raw tag text (between `<` and
+    * `>`): `name="v"`, `name='v'`, or unquoted `name=v`. Case-insensitive
+    * name match. Empty string when absent. */
+  private def attr(tag: String, name: String): String = {
+    var from = 0
+    while (from < tag.length) {
+      val at = indexOfIgnoreCase(tag, name, from)
+      if (at < 0) return ""
+      // must be a standalone attribute name followed by =
+      val before = at == 0 || !Character.isLetterOrDigit(tag.charAt(at - 1))
+      var i = at + name.length
+      while (i < tag.length && Character.isWhitespace(tag.charAt(i))) i += 1
+      if (before && i < tag.length && tag.charAt(i) == '=') {
+        var j = i + 1
+        while (j < tag.length && Character.isWhitespace(tag.charAt(j))) j += 1
+        if (j < tag.length && (tag.charAt(j) == '"' || tag.charAt(j) == '\'')) {
+          val q = tag.charAt(j)
+          val end = tag.indexOf(q, j + 1)
+          return if (end < 0) tag.substring(j + 1) else tag.substring(j + 1, end)
+        }
+        var end = j
+        while (end < tag.length && !Character.isWhitespace(tag.charAt(end)) &&
+          tag.charAt(end) != '>') end += 1
+        return tag.substring(j, end)
+      }
+      from = at + name.length
+    }
+    ""
+  }
+
+  /** Collapse whitespace runs to single spaces and trim — the CSS
+    * `white-space: normal` rendering model, shared with the oracle.
+    * All C0 controls count as whitespace (a hostile page can smuggle a
+    * vertical tab in via `&#11;`; crawl-text hygiene maps every control
+    * to whitespace rather than letting it survive into the corpus). */
+  private def collapse(s: String): String = {
+    val out = new java.lang.StringBuilder(s.length)
+    var inWs = true // leading ws drops
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c <= ' ') {
+        if (!inWs) out.append(' ')
+        inWs = true
+      } else { out.append(c); inWs = false }
+      i += 1
+    }
+    // drop the trailing collapsed space, if any
+    val len = out.length
+    if (len > 0 && out.charAt(len - 1) == ' ') out.setLength(len - 1)
+    out.toString
+  }
+
+  /** The parser. One pass, never throws; see object doc for semantics. */
+  def parse(html: String): HtmlDoc = {
+    val n = html.length
+    val blocks = Vector.newBuilder[Block]
+    val links = Vector.newBuilder[(String, String)]
+    val cur = new java.lang.StringBuilder
+    var curLink = 0
+    var title = ""
+    // open-anchor state: href + accumulated anchor text
+    var aHref: String = null
+    val aText = new java.lang.StringBuilder
+
+    def flushBlock(): Unit = {
+      val t = collapse(cur.toString)
+      if (t.nonEmpty) blocks += Block(t, curLink)
+      cur.setLength(0)
+      curLink = 0
+    }
+    def closeAnchor(): Unit = {
+      if (aHref != null) {
+        links += ((aHref, collapse(aText.toString)))
+        aHref = null
+        aText.setLength(0)
+      }
+    }
+    def appendText(raw: String): Unit = {
+      val d = decodeEntities(raw)
+      cur.append(d)
+      if (aHref != null) {
+        aText.append(d)
+        // link chars: the non-whitespace-run-normalized count would
+        // double-count source indentation; count collapsed length
+        curLink += collapse(d).length
+      }
+    }
+    // skip to the close tag of a raw-text element (script/style/title);
+    // returns (innerText, indexPastCloseTag)
+    def rawTextEnd(from: Int, tag: String): (String, Int) = {
+      val close = "</" + tag
+      val at = indexOfIgnoreCase(html, close, from)
+      if (at < 0) (html.substring(from), n)
+      else (html.substring(from, at), tagEnd(html, at))
+    }
+
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { appendText(html.substring(i)); i = n }
+      else {
+        if (lt > i) appendText(html.substring(i, lt))
+        if (lt + 3 < n && html.charAt(lt + 1) == '!' &&
+          html.charAt(lt + 2) == '-' && html.charAt(lt + 3) == '-') {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (lt + 1 < n &&
+          (Character.isLetter(html.charAt(lt + 1)) ||
+            html.charAt(lt + 1) == '/' || html.charAt(lt + 1) == '!' ||
+            html.charAt(lt + 1) == '?')) {
+          val end = tagEnd(html, lt)
+          val rawTag = html.substring(lt + 1, math.max(lt + 1, end - 1))
+          val closing = rawTag.startsWith("/")
+          val nameStart = if (closing) 1 else 0
+          var ne = nameStart
+          while (ne < rawTag.length &&
+            (Character.isLetterOrDigit(rawTag.charAt(ne)))) ne += 1
+          val name = rawTag.substring(nameStart, ne)
+            .toLowerCase(java.util.Locale.ROOT)
+          i = end
+          name match {
+            case "script" | "style" if !closing =>
+              i = rawTextEnd(end, name)._2
+            case "title" if !closing =>
+              val (inner, past) = rawTextEnd(end, name)
+              title = collapse(decodeEntities(inner))
+              i = past
+            case "a" =>
+              if (closing) closeAnchor()
+              else { closeAnchor(); aHref = attr(rawTag, "href"); aText.setLength(0) }
+            case b if BlockTags.contains(b) => flushBlock()
+            case _ => () // inline or unknown tag: no break
+          }
+        } else {
+          // bare '<' not opening a tag: literal text
+          appendText("<")
+          i = lt + 1
+        }
+      }
+    }
+    closeAnchor()
+    flushBlock()
+    HtmlDoc(title, blocks.result(), links.result())
+  }
+
+  /** Link-density boilerplate threshold: a block whose characters are
+    * at least half link text is chrome (nav/footer/related-links), not
+    * prose — the jusText/Arc90 heuristic's core signal. */
+  val BoilerplateLinkDensity: Double = 0.5
+
+  /** Main-content blocks of a parsed page (density below the
+    * threshold). */
+  def mainBlocks(doc: HtmlDoc): Vector[Block] =
+    doc.blocks.filter(b =>
+      b.linkChars.toDouble / math.max(1, b.text.length) < BoilerplateLinkDensity)
+
+  // ------------------------------------------------------------------
+  // Oracle-mirrored synthesis
+  // ------------------------------------------------------------------
+
+  /** The deterministic hostile page each document renders to. The
+    * EXPECTED extraction is uniform across documents — title
+    * `Doc N & friends`, body blocks `Home About / Doc N / half1 /
+    * half2 / A & B C / See ref (N%7) here / Contact`, links
+    * `/home /about https://site(N%250).example.com/pN /contact` — while
+    * the MARKUP varies hostilely by doc id: mixed-case tags, a ghost
+    * comment, a `>` inside a quoted attribute, `<br>` instead of a
+    * paragraph split, decimal/hex character references, script/style
+    * bodies full of fake tags. Every variation must be handled
+    * correctly to reproduce the uniform answer, which is what the
+    * oracle states analytically (the [[UrlOps.synthRobotsTxt]]
+    * discipline). */
+  private[graft] def synthHtml(docId: Long, text: String): String = {
+    val h = text.length / 2
+    val half1 = text.substring(0, h)
+    val half2 = text.substring(h)
+    val up = docId % 2 == 1
+    def t(s: String): String = if (up) s.toUpperCase(java.util.Locale.ROOT) else s
+    val aboutAttr = if (docId % 4 == 1) " title=\"a>b\"" else ""
+    val ghost = if (docId % 3 == 0) "<!-- <p>ghost comment</p> -->\n" else ""
+    val entity =
+      if (docId % 4 == 2) "&#x41; &amp; B&#32;C" // hex A, named &, dec space
+      else "A &amp; B&#32;C"
+    val content =
+      if (docId % 5 == 2) s"<${t("p")}>$half1<${t("br")}>$half2</${t("p")}>\n"
+      else s"<${t("p")}>$half1</${t("p")}>\n<${t("p")}>$half2</${t("p")}>\n"
+    s"""<!DOCTYPE html>
+       |<html><head>
+       |<title>Doc $docId &amp; friends</title>
+       |<style>p { color: #fff } /* <p>ghost-style</p> */</style>
+       |<script type="text/javascript">var s = "</div> <p>ghost-script</p>"; if (1 < 2) { s = s + "&amp;"; }</script>
+       |</head>
+       |<${t("body")}>
+       |<nav><a href="/home">Home</a> <a href="/about"$aboutAttr>About</a></nav>
+       |<${t("h1")}>Doc&#32;$docId</${t("h1")}>
+       |$ghost$content<${t("p")}>$entity</${t("p")}>
+       |<p>See <a href="https://site${docId % 250}.example.com/p$docId">ref ${docId % 7}</a> here</p>
+       |<footer><a href="/contact">Contact</a></footer>
+       |</${t("body")}></html>""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // DataFrame surface
+  // ------------------------------------------------------------------
+
+  private def parsedDocs(docs: DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Spread(docs).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, parse(synthHtml(id, text))) }
+  }
+
+  /** Full-page extraction: (doc_id, title, text, n_blocks, n_links).
+    * `text` is the block sequence newline-joined — the WET-file body
+    * this stage would emit. Narrow kernel, no shuffle. */
+  def htmlText(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    parsedDocs(docs).map { case (id, d) =>
+      (id, d.title, d.blocks.map(_.text).mkString("\n"),
+        d.blocks.length, d.links.length)
+    }.toDF("doc_id", "title", "text", "n_blocks", "n_links")
+  }
+
+  /** The link graph edge list: (doc_id, pos, href, anchor) in document
+    * order — what PageRank-style corpus curation consumes. */
+  def htmlLinks(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    parsedDocs(docs).flatMap { case (id, d) =>
+      d.links.zipWithIndex.map { case ((href, anchor), pos) =>
+        (id, pos, href, anchor)
+      }
+    }.toDF("doc_id", "pos", "href", "anchor")
+  }
+
+  /** Boilerplate-removed main content: the link-density filter keeps
+    * prose blocks and drops nav/footer chrome. (doc_id, main_text,
+    * n_main_blocks). */
+  def htmlMain(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    parsedDocs(docs).map { case (id, d) =>
+      val main = mainBlocks(d)
+      (id, main.map(_.text).mkString("\n"), main.length)
+    }.toDF("doc_id", "main_text", "n_main_blocks")
+  }
+
+  /** The full crawl shape: pages arrive as `text/html` WARC response
+    * records, the container walk recovers the payload bytes, and the
+    * SAME extractor runs over the recovered markup — container and
+    * markup parsing compose, with the site key recovered from
+    * `WARC-Target-URI` (the [[UrlOps.robotsFilterWarc]] discipline).
+    * Output adds `site` to the [[htmlText]] schema; the oracle is the
+    * same uniform expectation, proving the payload round-tripped the
+    * container bit-exactly. */
+  def htmlTextWarc(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Spread(docs).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val out = new java.io.ByteArrayOutputStream()
+        it.foreach { case (id, text) =>
+          // hostile inter-record junk: the walker must scan past it
+          out.write(s"--crawl noise $id--\r\n".getBytes(StandardCharsets.UTF_8))
+          out.write(Warc.synthRecord(id, "response", "text/html",
+            synthHtml(id, text).getBytes(StandardCharsets.UTF_8)))
+        }
+        Warc.parseStreamRaw(out.toByteArray)
+          .filter(r => r.warcType == "response" &&
+            r.headers.getOrElse("content-type", "").startsWith("text/html"))
+          .map { r =>
+            val site = "^https://site([0-9]+)\\.".r
+              .findFirstMatchIn(r.headers.getOrElse("warc-target-uri", ""))
+              .map(_.group(1).toLong).getOrElse(-1L)
+            val d = parse(new String(r.payload, StandardCharsets.UTF_8))
+            (r.doc_id, site, d.title, d.blocks.map(_.text).mkString("\n"),
+              d.blocks.length, d.links.length)
+          }
+      }.toDF("doc_id", "site", "title", "text", "n_blocks", "n_links")
+  }
+}

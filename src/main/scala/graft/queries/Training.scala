@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UrlOps, Warc}
+import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Html, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UrlOps, Warc}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -521,6 +521,15 @@ object Training {
   val mDhash: Q = (s, d) => Multimodal.dhashes(docs(s, d)).toDF()
   val mDhashNn: Q = (s, d) => Multimodal.dhashNeighbors(docs(s, d))
 
+  /** R12: HTML → text extraction (the C4/CCNet markup-stripping stage):
+    * full-page text, the link edge list, link-density boilerplate
+    * removal, and the crawl shape with pages recovered from text/html
+    * WARC response records. */
+  val tHtmlText: Q = (s, d) => Html.htmlText(docs(s, d))
+  val tHtmlLinks: Q = (s, d) => Html.htmlLinks(docs(s, d))
+  val tHtmlMain: Q = (s, d) => Html.htmlMain(docs(s, d))
+  val tHtmlWarc: Q = (s, d) => Html.htmlTextWarc(docs(s, d))
+
   val all: Map[String, Q] = Map(
     "t_text_stats" -> tTextStats,
     "t_langid" -> tLangid,
@@ -615,5 +624,9 @@ object Training {
     "m_resize" -> mResize,
     "m_dhash" -> mDhash,
     "m_dhash_nn" -> mDhashNn,
+    "t_html_text" -> tHtmlText,
+    "t_html_links" -> tHtmlLinks,
+    "t_html_main" -> tHtmlMain,
+    "t_html_warc" -> tHtmlWarc,
   )
 }

@@ -2124,5 +2124,66 @@ object TrainingOracles {
         |              CASE strlen(text) % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 54 END
         |                + doc_id % 64 AS n_bytes
         |            FROM documents) b) t""".stripMargin,
+
+    // r12: HTML extraction — the markup is hostile and varies by doc id
+    // (mixed-case tags, ghost comments/script/style, quoted '>' attrs,
+    // <br> splits, decimal/hex character references) but the EXPECTED
+    // extraction is uniform, so the oracle states it analytically from
+    // the same halves of `text` the synthesis embedded (the
+    // synthRobotsTxt discipline: any parsing defect perturbs the
+    // recovered blocks and breaks the hash)
+    "t_html_text" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    trim(substr(text, 1, strlen(text)//2)) AS h1,
+         |    trim(substr(text, strlen(text)//2 + 1)) AS h2
+         |  FROM documents)
+         |SELECT doc_id,
+         |  'Doc ' || doc_id || ' & friends' AS title,
+         |  'Home About' || chr(10) || 'Doc ' || doc_id || chr(10) || h1 ||
+         |    chr(10) || h2 || chr(10) || 'A & B C' || chr(10) ||
+         |    'See ref ' || (doc_id % 7) || ' here' || chr(10) || 'Contact' AS text,
+         |  CAST(7 AS INT) AS n_blocks, CAST(4 AS INT) AS n_links
+         |FROM h""".stripMargin,
+
+    "t_html_links" ->
+      """SELECT doc_id, CAST(pos AS INT) AS pos,
+        |  CASE pos WHEN 0 THEN '/home' WHEN 1 THEN '/about'
+        |    WHEN 2 THEN 'https://site' || (doc_id % 250) || '.example.com/p' || doc_id
+        |    ELSE '/contact' END AS href,
+        |  CASE pos WHEN 0 THEN 'Home' WHEN 1 THEN 'About'
+        |    WHEN 2 THEN 'ref ' || (doc_id % 7) ELSE 'Contact' END AS anchor
+        |FROM (SELECT doc_id, unnest(range(0, 4)) AS pos FROM documents) t""".stripMargin,
+
+    // the link-density boilerplate filter drops the nav (0.9) and the
+    // footer (1.0) and keeps the five prose blocks (<= 0.36)
+    "t_html_main" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    trim(substr(text, 1, strlen(text)//2)) AS h1,
+        |    trim(substr(text, strlen(text)//2 + 1)) AS h2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) || h1 || chr(10) || h2 || chr(10) ||
+        |    'A & B C' || chr(10) || 'See ref ' || (doc_id % 7) || ' here' AS main_text,
+        |  CAST(5 AS INT) AS n_main_blocks
+        |FROM h""".stripMargin,
+
+    // pages recovered from text/html WARC response records: identical
+    // expectation plus the Target-URI-derived site key — the container
+    // walk and the markup parse compose without perturbing either
+    "t_html_warc" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    trim(substr(text, 1, strlen(text)//2)) AS h1,
+        |    trim(substr(text, strlen(text)//2 + 1)) AS h2
+        |  FROM documents)
+        |SELECT doc_id, doc_id % 250 AS site,
+        |  'Doc ' || doc_id || ' & friends' AS title,
+        |  'Home About' || chr(10) || 'Doc ' || doc_id || chr(10) || h1 ||
+        |    chr(10) || h2 || chr(10) || 'A & B C' || chr(10) ||
+        |    'See ref ' || (doc_id % 7) || ' here' || chr(10) || 'Contact' AS text,
+        |  CAST(7 AS INT) AS n_blocks, CAST(4 AS INT) AS n_links
+        |FROM h""".stripMargin,
   )
 }
