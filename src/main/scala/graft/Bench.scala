@@ -156,6 +156,9 @@ object Bench {
     "t_html_links" -> 0.9, // r12: link edge list out of the same parse; measured 0.32 s solo
     "t_html_main" -> 0.9, // r12: + link-density boilerplate filter; measured 0.30 s solo
     "t_html_warc" -> 1.0, // r12: pages recovered from text/html WARC records then parsed; measured 0.26 s solo
+    "t_wet_build" -> 1.0, // r12: WARC(html)->extract->WET write->WET read composition; measured 0.23 s solo
+    "m_phash" -> 0.5, // r12: integer-exact WHT pHash kernel; measured 0.34 s solo
+    "m_phash_nn" -> 1.6, // r12: banded hamming retrieval over WHT codes (dhash_nn shape); measured 0.86 s solo
     "s_recall" -> 2.8, // r11: IVF serve + brute ground truth + per-query fold; measured 1.84 s solo
     "s_filter_topk" -> 1.1, // r11: same-label pre-filter hash join + window; measured 0.70 s solo
     "m_resize" -> 0.4,

@@ -1616,6 +1616,100 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
   }
 
+  final case class PHashRow(doc_id: Long, phash: String, n_ones: Int)
+
+  /** Frequency-domain perceptual hash — the pHash family's
+    * median-thresholded spectrum signature, built on the Walsh-Hadamard
+    * transform instead of the DCT so every step is EXACT integer
+    * arithmetic (WHT basis values are ±1; the float DCT would make the
+    * median threshold an engine-dependent coin flip on near-ties, which
+    * the cross-engine oracle discipline forbids — same reason the
+    * embedding pipeline quantizes, EmbCte). Complements [[dhashOf]]:
+    * dHash signs local gradients, this signs global sequency
+    * coefficients, so the two miss different perturbation classes —
+    * production image dedup stacks both.
+    *
+    * decode → 8×8 nearest resize → integer BT.601 luma → 2-D WHT
+    * (c(u,v) = Σ luma(x,y)·(−1)^(popcount(x∧u)+popcount(y∧v))) →
+    * bit (v·8+u) set iff the AC coefficient exceeds the median of the
+    * 63 ACs (DC bit always 0 — it's pure brightness). Narrow
+    * mapPartitions kernel, no shuffle. */
+  private[graft] def phashOf(w: Int, h: Int, rgb: Array[Byte]): (String, Int) = {
+    val g8 = resizeNearest(w, h, rgb, 8, 8)
+    def gray(x: Int, y: Int): Int = {
+      val p = 3 * (y * 8 + x)
+      (299 * (g8(p) & 0xFF) + 587 * (g8(p + 1) & 0xFF) + 114 * (g8(p + 2) & 0xFF)) / 1000
+    }
+    val c = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val neg = (Integer.bitCount(x & u) + Integer.bitCount(y & v)) % 2 == 1
+            s += (if (neg) -gray(x, y) else gray(x, y))
+            x += 1
+          }
+          y += 1
+        }
+        c(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = (for { uu <- 0 until 8; vv <- 0 until 8 if uu != 0 || vv != 0 }
+      yield c(uu)(vv)).sorted
+    val med = ac(31) // = quantile_disc(0.5) over the 63 ACs
+    var bits = 0L
+    var n = 0
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if ((u != 0 || v != 0) && c(u)(v) > med) { bits |= 1L << (v * 8 + u); n += 1 }
+        v += 1
+      }
+      u += 1
+    }
+    (f"$bits%016x", n)
+  }
+
+  def phashes(docs: DataFrame): Dataset[PHashRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      decodeBmpPixels(synthBmpImage(id)).map { case (w, h, rgb) =>
+        val (hex, n) = phashOf(w, h, rgb)
+        PHashRow(id, hex, n)
+      }
+    })
+  }
+
+  /** Hamming-ball near-dup pairs over [[phashes]] codes — the same
+    * pigeonhole 4×16-bit banding as [[dhashNeighbors]] (complete at
+    * hamming ≤ 3), band-key self-join with occupancy cap, hamming
+    * verified only on candidates. */
+  def phashNeighbors(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val codes = phashes(docs).toDF()
+    val banded = codes.select(col("doc_id"),
+      explode(array((0 until 4).map(c =>
+        concat(lit(s"c$c:"), substring(col("phash"), 4 * c + 1, 4))): _*)).as("band"))
+    def chunk(h: org.apache.spark.sql.Column, c: Int) =
+      conv(substring(h, 4 * c + 1, 4), 16, 10).cast("long")
+    Dedup.pairsWithinBuckets(banded, "band", maxBucket = 256)
+      .join(codes.select(col("doc_id").as("doc_a"), col("phash").as("ha")), "doc_a")
+      .join(codes.select(col("doc_id").as("doc_b"), col("phash").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (0 until 4).map(c =>
+          bit_count(chunk(col("ha"), c).bitwiseXOR(chunk(col("hb"), c))))
+          .reduce(_ + _).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Frame sampling: each media row explodes into `1 + n_bytes % 5` frames
     * with evenly spaced timestamps over a nominal 1s clip. Pure column
     * ops over the decode output — the plan Spark would run for real video. */

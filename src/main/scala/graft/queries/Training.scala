@@ -520,6 +520,11 @@ object Training {
   val mResize: Q = (s, d) => Multimodal.resizeStats(docs(s, d)).toDF()
   val mDhash: Q = (s, d) => Multimodal.dhashes(docs(s, d)).toDF()
   val mDhashNn: Q = (s, d) => Multimodal.dhashNeighbors(docs(s, d))
+  /** R12: frequency-domain perceptual hash (integer-exact WHT pHash)
+    * and its banded hamming retrieval — stacks with dHash the way
+    * production image dedup does. */
+  val mPhash: Q = (s, d) => Multimodal.phashes(docs(s, d)).toDF()
+  val mPhashNn: Q = (s, d) => Multimodal.phashNeighbors(docs(s, d))
 
   /** R12: HTML → text extraction (the C4/CCNet markup-stripping stage):
     * full-page text, the link edge list, link-density boilerplate
@@ -529,6 +534,10 @@ object Training {
   val tHtmlLinks: Q = (s, d) => Html.htmlLinks(docs(s, d))
   val tHtmlMain: Q = (s, d) => Html.htmlMain(docs(s, d))
   val tHtmlWarc: Q = (s, d) => Html.htmlTextWarc(docs(s, d))
+  /** R12: the complete crawl→corpus pipeline — WARC(html) walked,
+    * extracted, re-emitted as a REAL WET shard, read back by the WET
+    * reader; md5 proves three bit-exact round-trips. */
+  val tWetBuild: Q = (s, d) => Html.wetFromWarcHtml(docs(s, d))
 
   val all: Map[String, Q] = Map(
     "t_text_stats" -> tTextStats,
@@ -624,9 +633,12 @@ object Training {
     "m_resize" -> mResize,
     "m_dhash" -> mDhash,
     "m_dhash_nn" -> mDhashNn,
+    "m_phash" -> mPhash,
+    "m_phash_nn" -> mPhashNn,
     "t_html_text" -> tHtmlText,
     "t_html_links" -> tHtmlLinks,
     "t_html_main" -> tHtmlMain,
     "t_html_warc" -> tHtmlWarc,
+    "t_wet_build" -> tWetBuild,
   )
 }

@@ -204,6 +204,39 @@ object TrainingOracles {
        |  FROM bb GROUP BY 1)""".stripMargin
   }
 
+  /** WHT pHash chain ending in the per-doc `ph` CTE (doc_id, phash,
+    * n_ones) — shared by m_phash and m_phash_nn. All-integer: luma from
+    * the analytic BMP pixel formulas via 8×8 nearest resize, 2-D
+    * Walsh-Hadamard coefficients as ±1-signed sums, discrete median of
+    * the 63 ACs, strict > threshold. */
+  private val PhashCte = {
+    val luma =
+      "((299*((doc_id + 7*((x*w)//8) + 13*((y*h)//8)) % 256) + " +
+        "587*((2*doc_id + 11*((x*w)//8) + 3*((y*h)//8)) % 256) + " +
+        "114*((5*doc_id + ((x*w)//8) + ((y*h)//8)) % 256)) // 1000)"
+    s"""WITH g AS (
+       |  SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (3*doc_id) % 16 AS h
+       |  FROM documents),
+       |lum AS (
+       |  SELECT doc_id, tx.x AS x, ty.y AS y, $luma AS luma
+       |  FROM g, UNNEST(range(0, 8)) AS tx(x), UNNEST(range(0, 8)) AS ty(y)),
+       |wht AS (
+       |  SELECT doc_id, tu.u AS u, tv.v AS v,
+       |    sum(luma * (CASE WHEN (bit_count(x & u) + bit_count(y & v)) % 2 = 0
+       |                THEN 1 ELSE -1 END)) AS c
+       |  FROM lum, UNNEST(range(0, 8)) AS tu(u), UNNEST(range(0, 8)) AS tv(v)
+       |  GROUP BY 1, 2, 3),
+       |med AS (
+       |  SELECT doc_id, quantile_disc(c, 0.5) AS m
+       |  FROM wht WHERE NOT (u = 0 AND v = 0) GROUP BY 1),
+       |ph AS (
+       |  SELECT w.doc_id,
+       |    lower(lpad(to_hex(sum(CASE WHEN NOT (u = 0 AND v = 0) AND c > m
+       |      THEN (1::HUGEINT << (v*8 + u)) ELSE 0 END)::UBIGINT), 16, '0')) AS phash,
+       |    CAST(sum(CASE WHEN NOT (u = 0 AND v = 0) AND c > m THEN 1 ELSE 0 END) AS INT) AS n_ones
+       |  FROM wht w JOIN med USING (doc_id) GROUP BY 1)""".stripMargin
+  }
+
   /** Quantized-embedding CTE: vec_id, label, qv, n2, bucket. */
   private val EmbCte =
     """WITH q AS (
@@ -2116,6 +2149,28 @@ object TrainingOracles {
          |WHERE ham <= 3""".stripMargin
     },
 
+    "m_phash" ->
+      s"""$PhashCte
+         |SELECT doc_id, phash, n_ones FROM ph""".stripMargin,
+
+    // same pigeonhole banding as m_dhash_nn, over the WHT codes
+    "m_phash_nn" -> {
+      val ham = "list_sum(list_transform(range(0, 4), c -> " +
+        "bit_count(xor(('0x' || substr(x.phash, c*4 + 1, 4))::BIGINT, " +
+        "('0x' || substr(y.phash, c*4 + 1, 4))::BIGINT))))"
+      s"""$PhashCte,
+         |bands0 AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |    c -> 'c' || c || ':' || substr(phash, c*4 + 1, 4))) AS band FROM ph),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 256),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(ham AS INT) AS hamming FROM (
+         |  SELECT doc_a, doc_b, $ham AS ham
+         |  FROM pairs JOIN ph x ON x.doc_id = doc_a JOIN ph y ON y.doc_id = doc_b) t
+         |WHERE ham <= 3""".stripMargin
+    },
+
     "m_frames" ->
       """SELECT doc_id, frame_idx, frame_idx * 1000 // n_frames AS frame_ts_ms
         |FROM (SELECT doc_id, 1 + n_bytes % 5 AS n_frames,
@@ -2168,6 +2223,26 @@ object TrainingOracles {
         |    'A & B C' || chr(10) || 'See ref ' || (doc_id % 7) || ' here' AS main_text,
         |  CAST(5 AS INT) AS n_main_blocks
         |FROM h""".stripMargin,
+
+    // the complete crawl->corpus pipeline: WARC(html) -> extractor ->
+    // WET shard -> WET reader; the md5 is over the uniform expected
+    // extraction, so any defect in ANY of the three round-trips (or the
+    // extractor) perturbs it
+    "t_wet_build" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    trim(substr(text, 1, strlen(text)//2)) AS h1,
+        |    trim(substr(text, strlen(text)//2 + 1)) AS h2
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id,
+        |    'Home About' || chr(10) || 'Doc ' || doc_id || chr(10) || h1 ||
+        |      chr(10) || h2 || chr(10) || 'A & B C' || chr(10) ||
+        |      'See ref ' || (doc_id % 7) || ' here' || chr(10) || 'Contact' AS txt
+        |  FROM h)
+        |SELECT doc_id, 'conversion' AS warc_type,
+        |  CAST(strlen(txt) AS BIGINT) AS n_chars, md5(txt) AS payload_md5
+        |FROM t""".stripMargin,
 
     // pages recovered from text/html WARC response records: identical
     // expectation plus the Target-URI-derived site key — the container

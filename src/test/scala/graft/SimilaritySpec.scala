@@ -278,6 +278,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty) // the synthetic corpus does contain image near-dups
   }
 
+  test("WHT pHash: constant image hashes to zero; structure sets ~half the AC bits") {
+    def img8(f: (Int, Int) => Int): Array[Byte] = {
+      val a = new Array[Byte](3 * 8 * 8)
+      for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3)
+        a(3 * (y * 8 + x) + c) = f(x, y).toByte
+      a
+    }
+    // constant image: every AC coefficient is 0, median 0, strict > sets none
+    val (flat, n0) = Multimodal.phashOf(8, 8, img8((_, _) => 123))
+    assert((flat, n0) === (("0000000000000000", 0)))
+    // a checkerboard is 100·(1 + (−1)^(x+y)); the alternating factor is
+    // exactly the (u,v)=(1,1) Walsh basis function (sign
+    // (−1)^(popcount(x&1)+popcount(y&1)) = (−1)^(x+y)), so by
+    // orthogonality that single AC carries all the energy
+    val (cb, ncb) = Multimodal.phashOf(8, 8,
+      img8((x, y) => if ((x + y) % 2 == 0) 200 else 0))
+    assert(ncb === 1)
+    assert(cb === f"${1L << (1 * 8 + 1)}%016x")
+    // DC bit (v=0,u=0) is never set, and with (near-)distinct
+    // coefficients the strict median threshold sets at most 31 of 63
+    // (a linear ramp would set zero — its ACs are all ≤ 0)
+    val (tex, nt) = Multimodal.phashOf(8, 8,
+      img8((x, y) => (x * 37 + y * 101 + x * y * 13) % 200))
+    assert((java.lang.Long.parseUnsignedLong(tex, 16) & 1L) === 0L)
+    assert(nt <= 31 && nt > 0)
+  }
+
+  test("WHT pHash neighbors: banding is complete — equals brute hamming ≤ 3") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val codes = Multimodal.phashes(docs)
+      .collect().map(r => r.doc_id -> java.lang.Long.parseUnsignedLong(r.phash, 16))
+    val brute = (for {
+      (a, ha) <- codes; (b, hb) <- codes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    val banded = Multimodal.phashNeighbors(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty)
+  }
+
   test("audio decoder: RIFF chunk walk recovers the synthesized fmt/data fields") {
     import graft.operators.{AudioMeta, Multimodal}
     // stereo doc (odd id), 44.1k (textBytes%3==2), 255 data bytes
