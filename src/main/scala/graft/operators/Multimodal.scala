@@ -766,6 +766,80 @@ object Multimodal {
     Some(AudioStats(id, channels, total.toLong, sum, l1, sq, peak))
   }
 
+  /** Exact time-domain audio features — the signal-analysis pass audio
+    * curation runs before any model: zero-crossing rate (the classic
+    * voiced/unvoiced + noisiness discriminator) and raw autocorrelation
+    * at lags 1–4 (the basis of pitch detection and periodicity
+    * scoring). Both are EXACT integer arithmetic over the decoded PCM
+    * samples (products of 16-bit samples summed in Long — no float, so
+    * the cross-engine oracle is bit-exact; a spectral-bin variant would
+    * be an engine-dependent float sum, the same reason [[phashOf]]
+    * uses the WHT). */
+  final case class AudioFeatures(doc_id: Long, n_samples: Long, zcr: Long,
+      acf1: Long, acf2: Long, acf3: Long, acf4: Long)
+
+  /** The PCM sample array behind [[decodeAudioSamples]]'s stats — same
+    * tolerant RIFF walk, returning the raw 16-bit samples. */
+  private def pcmSampleArray(b: Array[Byte]): Option[Array[Int]] = {
+    val n = b.length.toLong
+    def fourcc(o: Int): String = new String(b, o, 4, "US-ASCII")
+    if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    var (o, fmtTag, channels, bits) = (12L, 0, 0, 0)
+    var dataOff = -1L; var dataSize = -1L
+    while (o + 8 <= n) {
+      val oi = o.toInt
+      val (cc, size) = (fourcc(oi), rdLe32(b, oi + 4).toLong & 0xFFFFFFFFL)
+      if (cc == "fmt " && o + 24 <= n) {
+        fmtTag = rdLe16(b, oi + 8); channels = rdLe16(b, oi + 10)
+        bits = rdLe16(b, oi + 22)
+      } else if (cc == "data") { dataOff = o + 8; dataSize = size }
+      o += 8L + size + (size & 1L)
+    }
+    if (fmtTag != 1 || bits != 16 || channels <= 0 ||
+        dataOff < 0 || dataOff + dataSize > n) return None
+    val total = (dataSize / 2).toInt
+    val out = new Array[Int](total)
+    var k = 0
+    while (k < total) {
+      val oi = (dataOff + 2 * k).toInt
+      out(k) = (b(oi + 1).toInt << 8) | (b(oi) & 0xFF)
+      k += 1
+    }
+    Some(out)
+  }
+
+  private[graft] def audioFeaturesOf(id: Long, b: Array[Byte]): Option[AudioFeatures] =
+    pcmSampleArray(b).map { v =>
+      val n = v.length
+      var zcr = 0L
+      var k = 1
+      while (k < n) {
+        if (v(k - 1).toLong * v(k) < 0) zcr += 1
+        k += 1
+      }
+      val acf = new Array[Long](5)
+      var lag = 1
+      while (lag <= 4) {
+        var s = 0L
+        var i = 0
+        while (i + lag < n) { s += v(i).toLong * v(i + lag); i += 1 }
+        acf(lag) = s
+        lag += 1
+      }
+      AudioFeatures(id, n.toLong, zcr, acf(1), acf(2), acf(3), acf(4))
+    }
+
+  /** Feature pass over the synthesized WAVs: narrow mapPartitions, no
+    * shuffle — at 100 TB a per-file map stage exactly like the decode
+    * passes. */
+  def audioFeatures(docs: DataFrame): Dataset[AudioFeatures] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      audioFeaturesOf(id, synthPcmAudio(id))
+    })
+  }
+
   /** PCM feature pass: synth real WAV bytes → chunk walk → sample
     * decode → exact stats. Narrow mapPartitions, no shuffle. */
   def audioSampleStats(docs: DataFrame): Dataset[AudioStats] = {

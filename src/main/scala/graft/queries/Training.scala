@@ -525,6 +525,8 @@ object Training {
     * production image dedup does. */
   val mPhash: Q = (s, d) => Multimodal.phashes(docs(s, d)).toDF()
   val mPhashNn: Q = (s, d) => Multimodal.phashNeighbors(docs(s, d))
+  /** R12: exact time-domain audio features (ZCR + autocorrelation). */
+  val mAudioAcf: Q = (s, d) => Multimodal.audioFeatures(docs(s, d)).toDF()
 
   /** R12: HTML → text extraction (the C4/CCNet markup-stripping stage):
     * full-page text, the link edge list, link-density boilerplate
@@ -635,6 +637,7 @@ object Training {
     "m_dhash_nn" -> mDhashNn,
     "m_phash" -> mPhash,
     "m_phash_nn" -> mPhashNn,
+    "m_audio_acf" -> mAudioAcf,
     "t_html_text" -> tHtmlText,
     "t_html_links" -> tHtmlLinks,
     "t_html_main" -> tHtmlMain,

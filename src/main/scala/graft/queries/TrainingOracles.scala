@@ -2081,6 +2081,32 @@ object TrainingOracles {
         |  CAST(max(abs(v)) AS INT) AS peak
         |FROM s GROUP BY 1, 2, 3""".stripMargin,
 
+    // r12: exact time-domain audio features over the same analytic PCM
+    // stream as m_audio_stats — zero crossings via lag(), raw
+    // autocorrelation at lags 1-4 via lead() (NULL tails drop out of
+    // sum, matching the k in [0, n-lag) bound); all-integer
+    "m_audio_acf" ->
+      """WITH g AS (
+        |  SELECT doc_id, (64 + doc_id % 64) * (1 + doc_id % 2) AS total
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, k.k AS k,
+        |    ((doc_id*31 + k.k*17) % 4001) - 2000 AS v
+        |  FROM g, UNNEST(range(0, total)) AS k(k)),
+        |a AS (
+        |  SELECT doc_id, v,
+        |    lag(v) OVER w AS vp,
+        |    lead(v, 1) OVER w AS v1, lead(v, 2) OVER w AS v2,
+        |    lead(v, 3) OVER w AS v3, lead(v, 4) OVER w AS v4
+        |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY k))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CASE WHEN vp * v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+        |  CAST(sum(v * v1) AS BIGINT) AS acf1,
+        |  CAST(sum(v * v2) AS BIGINT) AS acf2,
+        |  CAST(sum(v * v3) AS BIGINT) AS acf3,
+        |  CAST(sum(v * v4) AS BIGINT) AS acf4
+        |FROM a GROUP BY 1""".stripMargin,
+
     // Video frame sampling: the Spark side synthesizes a real nested
     // RIFF AVI (avih header + movi '00db' frame chunks), walks it back,
     // and decodes every 2nd frame; motion is the +11t channel shift, so

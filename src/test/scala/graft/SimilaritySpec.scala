@@ -319,6 +319,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("audio features: ZCR and autocorrelation are exact on a known stream") {
+    // hand-built mono PCM WAV with samples [1, -1, 2, -2]
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val data = Seq(1, -1, 2, -2).flatMap(le16).toArray
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(16000) ++ le32(32000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val f = Multimodal.audioFeaturesOf(9L, wav).get
+    // zcr: 1→-1, -1→2, 2→-2 all cross; acf1 = -1-2-4; acf2 = 2+2;
+    // acf3 = -2; acf4 has no pairs
+    assert(f === Multimodal.AudioFeatures(9L, 4L, 3L, -7L, 4L, -2L, 0L))
+    // corrupt bytes decode to None, never throw
+    assert(Multimodal.audioFeaturesOf(1L, "RIFFxxxx".getBytes).isEmpty)
+    assert(Multimodal.audioFeaturesOf(2L, Array[Byte]()).isEmpty)
+  }
+
   test("audio decoder: RIFF chunk walk recovers the synthesized fmt/data fields") {
     import graft.operators.{AudioMeta, Multimodal}
     // stereo doc (odd id), 44.1k (textBytes%3==2), 255 data bytes
