@@ -527,6 +527,20 @@ object Training {
   val mPhashNn: Q = (s, d) => Multimodal.phashNeighbors(docs(s, d))
   /** R12: exact time-domain audio features (ZCR + autocorrelation). */
   val mAudioAcf: Q = (s, d) => Multimodal.audioFeatures(docs(s, d)).toDF()
+  /** R12: cross-modal duplicate confirmation — the LAION-style pair
+    * gate for image+caption corpora: every caption MinHash-LSH
+    * candidate pair is annotated with whether the IMAGES also sit
+    * within the perceptual-hash hamming ball (confirmed pairs get the
+    * distance, text-only pairs a null). Both sides are banded (never
+    * all-pairs) and the annotation is one pair-keyed left hash join of
+    * two corpus-sublinear candidate relations. */
+  val mPairDups: Q = (s, d) => {
+    val dd = docs(s, d)
+    Dedup.lshCandidatePairs(dd)
+      .join(Multimodal.phashNeighbors(dd), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").isNotNull.as("img_confirmed"), col("hamming"))
+  }
 
   /** R12: HTML → text extraction (the C4/CCNet markup-stripping stage):
     * full-page text, the link edge list, link-density boilerplate
@@ -638,6 +652,7 @@ object Training {
     "m_phash" -> mPhash,
     "m_phash_nn" -> mPhashNn,
     "m_audio_acf" -> mAudioAcf,
+    "m_pair_dups" -> mPairDups,
     "t_html_text" -> tHtmlText,
     "t_html_links" -> tHtmlLinks,
     "t_html_main" -> tHtmlMain,

@@ -2197,6 +2197,35 @@ object TrainingOracles {
          |WHERE ham <= 3""".stripMargin
     },
 
+    // r12: cross-modal duplicate confirmation — intersection of the
+    // caption MinHash-LSH candidate pairs (SigCte bands, cap 64) and
+    // the image WHT-pHash hamming ball (PhashCte bands, cap 256);
+    // both chains merge into one WITH (no CTE name collisions)
+    "m_pair_dups" -> {
+      val ham = "list_sum(list_transform(range(0, 4), c -> " +
+        "bit_count(xor(('0x' || substr(x.phash, c*4 + 1, 4))::BIGINT, " +
+        "('0x' || substr(y.phash, c*4 + 1, 4))::BIGINT))))"
+      s"""$SigCte,
+         |${PhashCte.stripPrefix("WITH ")},
+         |tb0 AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig),
+         |tb AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM tb0) t WHERE bsz <= 64),
+         |tpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tb a JOIN tb b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |pb0 AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |    c -> 'c' || c || ':' || substr(phash, c*4 + 1, 4))) AS band FROM ph),
+         |pb AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM pb0) t WHERE bsz <= 256),
+         |ppairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pb a JOIN pb b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |pham AS (SELECT doc_a, doc_b, CAST(ham AS INT) AS hamming FROM (
+         |  SELECT doc_a, doc_b, $ham AS ham
+         |  FROM ppairs JOIN ph x ON x.doc_id = doc_a JOIN ph y ON y.doc_id = doc_b) t
+         |  WHERE ham <= 3)
+         |SELECT doc_a, doc_b, (hamming IS NOT NULL) AS img_confirmed, hamming
+         |FROM tpairs LEFT JOIN pham USING (doc_a, doc_b)""".stripMargin
+    },
+
     "m_frames" ->
       """SELECT doc_id, frame_idx, frame_idx * 1000 // n_frames AS frame_ts_ms
         |FROM (SELECT doc_id, 1 + n_bytes % 5 AS n_frames,
