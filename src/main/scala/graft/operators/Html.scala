@@ -48,9 +48,14 @@ object Html {
   final case class Block(text: String, linkChars: Int)
 
   /** A parsed page: title, body blocks in order, `(href, anchor)` links
-    * in order. */
+    * in order, plus the head/metadata signals curation pipelines
+    * respect — `<html lang>`, `<meta name=robots content>` (noindex /
+    * nofollow), `<link rel=canonical href>`. First occurrence wins,
+    * empty when absent. */
   final case class HtmlDoc(title: String, blocks: Vector[Block],
-                           links: Vector[(String, String)])
+                           links: Vector[(String, String)],
+                           htmlLang: String = "", metaRobots: String = "",
+                           canonical: String = "")
 
   private val BlockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
@@ -200,6 +205,9 @@ object Html {
     val cur = new java.lang.StringBuilder
     var curLink = 0
     var title = ""
+    var htmlLang = ""
+    var metaRobots = ""
+    var canonical = ""
     // open-anchor state: href + accumulated anchor text
     var aHref: String = null
     val aText = new java.lang.StringBuilder
@@ -270,6 +278,17 @@ object Html {
             case "a" =>
               if (closing) closeAnchor()
               else { closeAnchor(); aHref = attr(rawTag, "href"); aText.setLength(0) }
+            case "html" if !closing =>
+              if (htmlLang.isEmpty) htmlLang = attr(rawTag, "lang")
+              flushBlock()
+            case "meta" if !closing =>
+              if (metaRobots.isEmpty &&
+                attr(rawTag, "name").equalsIgnoreCase("robots"))
+                metaRobots = attr(rawTag, "content")
+            case "link" if !closing =>
+              if (canonical.isEmpty &&
+                attr(rawTag, "rel").equalsIgnoreCase("canonical"))
+                canonical = attr(rawTag, "href")
             case b if BlockTags.contains(b) => flushBlock()
             case _ => () // inline or unknown tag: no break
           }
@@ -282,7 +301,8 @@ object Html {
     }
     closeAnchor()
     flushBlock()
-    HtmlDoc(title, blocks.result(), links.result())
+    HtmlDoc(title, blocks.result(), links.result(),
+      htmlLang, metaRobots, canonical)
   }
 
   /** Link-density boilerplate threshold: a block whose characters are
@@ -312,7 +332,8 @@ object Html {
     * correctly to reproduce the uniform answer, which is what the
     * oracle states analytically (the [[UrlOps.synthRobotsTxt]]
     * discipline). */
-  private[graft] def synthHtml(docId: Long, text: String): String = {
+  private[graft] def synthHtml(docId: Long, text: String,
+                               lang: String = ""): String = {
     val h = text.length / 2
     val half1 = text.substring(0, h)
     val half2 = text.substring(h)
@@ -326,9 +347,23 @@ object Html {
     val content =
       if (docId % 5 == 2) s"<${t("p")}>$half1<${t("br")}>$half2</${t("p")}>\n"
       else s"<${t("p")}>$half1</${t("p")}>\n<${t("p")}>$half2</${t("p")}>\n"
+    // head metadata (mixed-case attr names; the description meta is a
+    // decoy the robots first-win must skip, with a quoted '>' for the
+    // tag scanner)
+    val langAttr = if (lang.isEmpty) "" else s""" ${t("lang")}="$lang""""
+    val robotsMeta = (docId % 7) match {
+      case 0 => s"""<meta ${t("name")}="robots" content="noindex,nofollow">\n"""
+      case 3 => s"""<meta name="ROBOTS" ${t("content")}="index,follow">\n"""
+      case _ => ""
+    }
+    val canonicalLink =
+      if (docId % 3 != 1)
+        s"""<link ${t("rel")}="canonical" href="https://site${docId % 250}.example.com/p$docId">\n"""
+      else ""
     s"""<!DOCTYPE html>
-       |<html><head>
-       |<title>Doc $docId &amp; friends</title>
+       |<html$langAttr><head>
+       |<meta name="description" content="decoy a>b">
+       |$robotsMeta$canonicalLink<title>Doc $docId &amp; friends</title>
        |<style>p { color: #fff } /* <p>ghost-style</p> */</style>
        |<script type="text/javascript">var s = "</div> <p>ghost-script</p>"; if (1 < 2) { s = s + "&amp;"; }</script>
        |</head>
@@ -348,8 +383,9 @@ object Html {
   private def parsedDocs(docs: DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Spread(docs).select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, parse(synthHtml(id, text))) }
+    Spread(docs).select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) => (id, parse(synthHtml(id, text, lang))) }
   }
 
   /** Full-page extraction: (doc_id, title, text, n_blocks, n_links).
@@ -376,6 +412,22 @@ object Html {
     }.toDF("doc_id", "pos", "href", "anchor")
   }
 
+  /** Head/metadata curation signals: `noindex` robots directives (a
+    * page a crawler must not index is a page a training corpus must
+    * not keep — the consent layer above robots.txt), the canonical URL
+    * (dedup key the publisher itself declares — feeds
+    * [[UrlOps.canonicalize]]-style URL dedup), and the declared
+    * language (cross-checked against content langid downstream).
+    * (doc_id, html_lang, meta_robots, canonical, noindex). */
+  def htmlMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    parsedDocs(docs).map { case (id, d) =>
+      (id, d.htmlLang, d.metaRobots, d.canonical,
+        d.metaRobots.toLowerCase(java.util.Locale.ROOT).contains("noindex"))
+    }.toDF("doc_id", "html_lang", "meta_robots", "canonical", "noindex")
+  }
+
   /** Boilerplate-removed main content: the link-density filter keeps
     * prose blocks and drops nav/footer chrome. (doc_id, main_text,
     * n_main_blocks). */
@@ -400,13 +452,14 @@ object Html {
   def wetFromWarcHtml(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Spread(docs).select(col("doc_id"), col("text")).as[(Long, String)]
+    Spread(docs).select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
       .mapPartitions { it =>
         // stage 1: the crawl — html pages as WARC response records
         val crawl = new java.io.ByteArrayOutputStream()
-        it.foreach { case (id, text) =>
+        it.foreach { case (id, text, lang) =>
           crawl.write(Warc.synthRecord(id, "response", "text/html",
-            synthHtml(id, text).getBytes(StandardCharsets.UTF_8)))
+            synthHtml(id, text, lang).getBytes(StandardCharsets.UTF_8)))
         }
         // stage 2: extract each recovered page, write a WET shard
         val wet = new java.io.ByteArrayOutputStream()
@@ -450,14 +503,15 @@ object Html {
   def htmlTextWarc(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Spread(docs).select(col("doc_id"), col("text")).as[(Long, String)]
+    Spread(docs).select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
       .mapPartitions { it =>
         val out = new java.io.ByteArrayOutputStream()
-        it.foreach { case (id, text) =>
+        it.foreach { case (id, text, lang) =>
           // hostile inter-record junk: the walker must scan past it
           out.write(s"--crawl noise $id--\r\n".getBytes(StandardCharsets.UTF_8))
           out.write(Warc.synthRecord(id, "response", "text/html",
-            synthHtml(id, text).getBytes(StandardCharsets.UTF_8)))
+            synthHtml(id, text, lang).getBytes(StandardCharsets.UTF_8)))
         }
         Warc.parseStreamRaw(out.toByteArray)
           .filter(r => r.warcType == "response" &&

@@ -549,6 +549,7 @@ object Training {
   val tHtmlText: Q = (s, d) => Html.htmlText(docs(s, d))
   val tHtmlLinks: Q = (s, d) => Html.htmlLinks(docs(s, d))
   val tHtmlMain: Q = (s, d) => Html.htmlMain(docs(s, d))
+  val tHtmlMeta: Q = (s, d) => Html.htmlMeta(docs(s, d))
   val tHtmlWarc: Q = (s, d) => Html.htmlTextWarc(docs(s, d))
   /** R12: the complete crawl→corpus pipeline — WARC(html) walked,
     * extracted, re-emitted as a REAL WET shard, read back by the WET
@@ -656,6 +657,7 @@ object Training {
     "t_html_text" -> tHtmlText,
     "t_html_links" -> tHtmlLinks,
     "t_html_main" -> tHtmlMain,
+    "t_html_meta" -> tHtmlMeta,
     "t_html_warc" -> tHtmlWarc,
     "t_wet_build" -> tWetBuild,
   )

@@ -2265,6 +2265,20 @@ object TrainingOracles {
         |    WHEN 2 THEN 'ref ' || (doc_id % 7) ELSE 'Contact' END AS anchor
         |FROM (SELECT doc_id, unnest(range(0, 4)) AS pos FROM documents) t""".stripMargin,
 
+    // r12: head/metadata curation signals — the synthesis varies attr
+    // case and plants a decoy description meta (with a quoted '>')
+    // that the robots first-win must skip; lang rides the REAL lang
+    // column through the html lang attribute
+    "t_html_meta" ->
+      """SELECT doc_id, lang AS html_lang,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'noindex,nofollow'
+        |       WHEN doc_id % 7 = 3 THEN 'index,follow' ELSE '' END AS meta_robots,
+        |  CASE WHEN doc_id % 3 <> 1
+        |       THEN 'https://site' || (doc_id % 250) || '.example.com/p' || doc_id
+        |       ELSE '' END AS canonical,
+        |  (doc_id % 7 = 0) AS noindex
+        |FROM documents""".stripMargin,
+
     // the link-density boilerplate filter drops the nav (0.9) and the
     // footer (1.0) and keeps the five prose blocks (<= 0.36)
     "t_html_main" ->

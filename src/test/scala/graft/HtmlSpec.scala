@@ -111,10 +111,31 @@ class HtmlSpec extends AnyFunSuite {
 
   // ---- synthesis golden ----------------------------------------------
 
+  test("metadata: lang, robots (first-win past the decoy), canonical") {
+    val d = Html.parse(
+      """<html LANG="en"><head>
+        |<meta name="description" content="decoy a>b">
+        |<meta NAME="robots" content="noindex">
+        |<meta name="robots" content="index">
+        |<link rel="canonical" href="https://x.example.com/p1">
+        |<link rel="stylesheet" href="/css">
+        |</head><body><p>x</p></body></html>""".stripMargin)
+    assert(d.htmlLang == "en")
+    assert(d.metaRobots == "noindex") // first robots meta wins
+    assert(d.canonical == "https://x.example.com/p1")
+    val none = Html.parse("<html><head></head><body><p>x</p></body></html>")
+    assert(none.htmlLang == "" && none.metaRobots == "" && none.canonical == "")
+  }
+
   test("synthHtml extraction is the uniform expectation for every variant") {
     val text = "alpha beta gamma delta epsilon zeta eta theta"
     for (id <- 0L to 60L) {
-      val d = Html.parse(Html.synthHtml(id, text))
+      val d = Html.parse(Html.synthHtml(id, text, lang = "en"))
+      assert(d.htmlLang == "en", s"id=$id")
+      assert(d.metaRobots == (if (id % 7 == 0) "noindex,nofollow"
+        else if (id % 7 == 3) "index,follow" else ""), s"id=$id")
+      assert(d.canonical == (if (id % 3 != 1)
+        s"https://site${id % 250}.example.com/p$id" else ""), s"id=$id")
       val h = text.length / 2
       assert(d.title == s"Doc $id & friends", s"id=$id")
       assert(d.blocks.map(_.text) == Vector(
