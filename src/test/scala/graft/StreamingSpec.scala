@@ -266,6 +266,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(clfBatch.except(clfStream).count() === 0)
   }
 
+  test("HTML extraction and WET building run unchanged on a stream") {
+    // the crawl arrives as an unbounded stream of pages; extraction and
+    // WET shard building are pure per-row/per-partition kernels, so
+    // micro-batching must be invisible (the same replay-safe map-only
+    // shape as sampling/redaction above)
+    import graft.operators.Html
+    val docsBatch = Tables.documents(spark, TestSpark.Sf)
+    val srcDir = tmp("html-src")
+    docsBatch.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val outT = tmp("html-text-out"); val outW = tmp("wet-out")
+    val ckpt = tmp("html-ckpt")
+    val q = spark.readStream
+      .schema(docsBatch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Html.htmlText(batch).write.mode("append").parquet(outT)
+        Html.wetFromWarcHtml(batch).write.mode("append").parquet(outW)
+        ()
+      }
+      .start()
+    q.awaitTermination(120000)
+    val textStream = spark.read.parquet(outT)
+    val textBatch = Html.htmlText(docsBatch)
+    assert(textStream.count() === textBatch.count())
+    assert(textStream.except(textBatch).count() === 0)
+    assert(textBatch.except(textStream).count() === 0)
+    val wetStream = spark.read.parquet(outW)
+    val wetBatch = Html.wetFromWarcHtml(docsBatch)
+    assert(wetStream.count() === wetBatch.count())
+    assert(wetStream.except(wetBatch).count() === 0)
+    assert(wetBatch.except(wetStream).count() === 0)
+  }
+
   test("repetition stats and decontamination run on a stream (stream-static held-out set)") {
     import graft.operators.{Decontaminate, QualityRules}
     import graft.queries.Training.{SplitSalt, SplitTrain, SplitVal}
