@@ -57,6 +57,10 @@ object Html {
                            htmlLang: String = "", metaRobots: String = "",
                            canonical: String = "")
 
+  /** Compiled once per JVM — the per-record site extraction must not
+    * pay Pattern.compile in the hot container walk. */
+  private val SiteRe = "^https://site([0-9]+)\\.".r
+
   private val BlockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li",
     "table", "tr", "td", "th", "nav", "header", "footer", "section",
@@ -88,13 +92,16 @@ object Html {
               case "apos" => Some("'")
               case "nbsp" => Some(" ")
               case b if b.length > 1 && b.charAt(0) == '#' =>
+                // digits only — parseInt's leading-sign tolerance would
+                // decode '&#+65;', which browsers render literally
+                val hex = (b.charAt(1) == 'x' || b.charAt(1) == 'X') && b.length > 2
+                val digits = b.substring(if (hex) 2 else 1)
+                val wellFormed = digits.nonEmpty && digits.forall(c =>
+                  if (hex) Character.digit(c, 16) >= 0 else c >= '0' && c <= '9')
                 val cp =
-                  if ((b.charAt(1) == 'x' || b.charAt(1) == 'X') && b.length > 2)
-                    try Some(Integer.parseInt(b.substring(2), 16))
-                    catch { case _: NumberFormatException => None }
-                  else
-                    try Some(Integer.parseInt(b.substring(1)))
-                    catch { case _: NumberFormatException => None }
+                  if (!wellFormed) None
+                  else try Some(Integer.parseInt(digits, if (hex) 16 else 10))
+                  catch { case _: NumberFormatException => None }
                 cp.filter(p => p > 0 && p <= 0x10FFFF &&
                     !(p >= 0xD800 && p <= 0xDFFF))
                   .map(p => new String(Character.toChars(p)))
@@ -144,35 +151,47 @@ object Html {
     -1
   }
 
+  /** True when `c` can appear inside an attribute name — used to reject
+    * substring matches (`data-href` must not satisfy a search for
+    * `href`, nor `xml:lang` one for `lang`). */
+  private def attrNameChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '-' || c == ':' || c == '_' || c == '.'
+
   /** Extract an attribute value from the raw tag text (between `<` and
     * `>`): `name="v"`, `name='v'`, or unquoted `name=v`. Case-insensitive
-    * name match. Empty string when absent. */
-  private def attr(tag: String, name: String): String = {
+    * name match; None when absent (an explicitly empty value is
+    * Some("")). */
+  private def attrOpt(tag: String, name: String): Option[String] = {
     var from = 0
     while (from < tag.length) {
       val at = indexOfIgnoreCase(tag, name, from)
-      if (at < 0) return ""
+      if (at < 0) return None
       // must be a standalone attribute name followed by =
-      val before = at == 0 || !Character.isLetterOrDigit(tag.charAt(at - 1))
-      var i = at + name.length
+      val before = at == 0 || !attrNameChar(tag.charAt(at - 1))
+      val afterIdx = at + name.length
+      val after = afterIdx >= tag.length || !attrNameChar(tag.charAt(afterIdx))
+      var i = afterIdx
       while (i < tag.length && Character.isWhitespace(tag.charAt(i))) i += 1
-      if (before && i < tag.length && tag.charAt(i) == '=') {
+      if (before && after && i < tag.length && tag.charAt(i) == '=') {
         var j = i + 1
         while (j < tag.length && Character.isWhitespace(tag.charAt(j))) j += 1
         if (j < tag.length && (tag.charAt(j) == '"' || tag.charAt(j) == '\'')) {
           val q = tag.charAt(j)
           val end = tag.indexOf(q, j + 1)
-          return if (end < 0) tag.substring(j + 1) else tag.substring(j + 1, end)
+          return Some(if (end < 0) tag.substring(j + 1) else tag.substring(j + 1, end))
         }
         var end = j
         while (end < tag.length && !Character.isWhitespace(tag.charAt(end)) &&
           tag.charAt(end) != '>') end += 1
-        return tag.substring(j, end)
+        return Some(tag.substring(j, end))
       }
       from = at + name.length
     }
-    ""
+    None
   }
+
+  private def attr(tag: String, name: String): String =
+    attrOpt(tag, name).getOrElse("")
 
   /** Collapse whitespace runs to single spaces and trim — the CSS
     * `white-space: normal` rendering model, shared with the oracle.
@@ -236,12 +255,23 @@ object Html {
       }
     }
     // skip to the close tag of a raw-text element (script/style/title);
-    // returns (innerText, indexPastCloseTag)
+    // returns (innerText, indexPastCloseTag). Per HTML5 §13.2.5 the
+    // name must be followed by whitespace, '/', '>' or EOF — a longer
+    // name ("</scripts>") does NOT close the element, or script text
+    // would leak into the corpus.
     def rawTextEnd(from: Int, tag: String): (String, Int) = {
       val close = "</" + tag
-      val at = indexOfIgnoreCase(html, close, from)
-      if (at < 0) (html.substring(from), n)
-      else (html.substring(from, at), tagEnd(html, at))
+      var search = from
+      while (search < n) {
+        val at = indexOfIgnoreCase(html, close, search)
+        if (at < 0) return (html.substring(from), n)
+        val nxt = at + close.length
+        if (nxt >= n || Character.isWhitespace(html.charAt(nxt)) ||
+          html.charAt(nxt) == '/' || html.charAt(nxt) == '>')
+          return (html.substring(from, at), tagEnd(html, at))
+        search = at + 1
+      }
+      (html.substring(from), n)
     }
 
     var i = 0
@@ -277,7 +307,15 @@ object Html {
               i = past
             case "a" =>
               if (closing) closeAnchor()
-              else { closeAnchor(); aHref = attr(rawTag, "href"); aText.setLength(0) }
+              else {
+                closeAnchor()
+                // href-less anchors (<a name=...>, onclick-only) are
+                // navigation targets, not link edges
+                attrOpt(rawTag, "href") match {
+                  case Some(h) => aHref = h; aText.setLength(0)
+                  case None => ()
+                }
+              }
             case "html" if !closing =>
               if (htmlLang.isEmpty) htmlLang = attr(rawTag, "lang")
               flushBlock()
@@ -517,7 +555,7 @@ object Html {
           .filter(r => r.warcType == "response" &&
             r.headers.getOrElse("content-type", "").startsWith("text/html"))
           .map { r =>
-            val site = "^https://site([0-9]+)\\.".r
+            val site = SiteRe
               .findFirstMatchIn(r.headers.getOrElse("warc-target-uri", ""))
               .map(_.group(1).toLong).getOrElse(-1L)
             val d = parse(new String(r.payload, StandardCharsets.UTF_8))

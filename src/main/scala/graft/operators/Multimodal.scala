@@ -736,35 +736,18 @@ object Multimodal {
     * read back and reduced to exact integer stats (sum, L1, energy,
     * peak). None (never throws) for non-PCM/non-16-bit layouts or a
     * data chunk that overruns the buffer. */
-  private[graft] def decodeAudioSamples(id: Long, b: Array[Byte]): Option[AudioStats] = {
-    val n = b.length.toLong
-    def fourcc(o: Int): String = new String(b, o, 4, "US-ASCII")
-    if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
-    var (o, fmtTag, channels, bits) = (12L, 0, 0, 0)
-    var dataOff = -1L; var dataSize = -1L
-    while (o + 8 <= n) {
-      val oi = o.toInt
-      val (cc, size) = (fourcc(oi), rdLe32(b, oi + 4).toLong & 0xFFFFFFFFL)
-      if (cc == "fmt " && o + 24 <= n) {
-        fmtTag = rdLe16(b, oi + 8); channels = rdLe16(b, oi + 10)
-        bits = rdLe16(b, oi + 22)
-      } else if (cc == "data") { dataOff = o + 8; dataSize = size }
-      o += 8L + size + (size & 1L)
+  private[graft] def decodeAudioSamples(id: Long, b: Array[Byte]): Option[AudioStats] =
+    pcmDecode(b).map { case (channels, v) =>
+      var (sum, l1, sq) = (0L, 0L, 0L); var peak = 0
+      var k = 0
+      while (k < v.length) {
+        val s = v(k)
+        sum += s; l1 += math.abs(s); sq += s.toLong * s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        k += 1
+      }
+      AudioStats(id, channels, v.length.toLong, sum, l1, sq, peak)
     }
-    if (fmtTag != 1 || bits != 16 || channels <= 0 ||
-        dataOff < 0 || dataOff + dataSize > n) return None
-    val total = (dataSize / 2).toInt
-    var (sum, l1, sq) = (0L, 0L, 0L); var peak = 0
-    var k = 0
-    while (k < total) {
-      val oi = (dataOff + 2 * k).toInt
-      val v = (b(oi + 1).toInt << 8) | (b(oi) & 0xFF) // sign rides byte 1
-      sum += v; l1 += math.abs(v); sq += v.toLong * v
-      if (math.abs(v) > peak) peak = math.abs(v)
-      k += 1
-    }
-    Some(AudioStats(id, channels, total.toLong, sum, l1, sq, peak))
-  }
 
   /** Exact time-domain audio features — the signal-analysis pass audio
     * curation runs before any model: zero-crossing rate (the classic
@@ -778,9 +761,11 @@ object Multimodal {
   final case class AudioFeatures(doc_id: Long, n_samples: Long, zcr: Long,
       acf1: Long, acf2: Long, acf3: Long, acf4: Long)
 
-  /** The PCM sample array behind [[decodeAudioSamples]]'s stats — same
-    * tolerant RIFF walk, returning the raw 16-bit samples. */
-  private def pcmSampleArray(b: Array[Byte]): Option[Array[Int]] = {
+  /** The ONE tolerant RIFF walk + 16-bit PCM sample decode both the
+    * stats pass and the feature pass reduce over: (channels, samples).
+    * None (never throws) for non-PCM/non-16-bit layouts or a data chunk
+    * that overruns the buffer. */
+  private def pcmDecode(b: Array[Byte]): Option[(Int, Array[Int])] = {
     val n = b.length.toLong
     def fourcc(o: Int): String = new String(b, o, 4, "US-ASCII")
     if (n < 12 || fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
@@ -802,14 +787,14 @@ object Multimodal {
     var k = 0
     while (k < total) {
       val oi = (dataOff + 2 * k).toInt
-      out(k) = (b(oi + 1).toInt << 8) | (b(oi) & 0xFF)
+      out(k) = (b(oi + 1).toInt << 8) | (b(oi) & 0xFF) // sign rides byte 1
       k += 1
     }
-    Some(out)
+    Some((channels, out))
   }
 
   private[graft] def audioFeaturesOf(id: Long, b: Array[Byte]): Option[AudioFeatures] =
-    pcmSampleArray(b).map { v =>
+    pcmDecode(b).map { case (_, v) =>
       val n = v.length
       var zcr = 0L
       var k = 1
@@ -1673,16 +1658,23 @@ object Multimodal {
     * [[Dedup.simhashNeighbors]], proven complete in SimilaritySpec).
     * One band-key self-join with occupancy cap; hamming verified only
     * on candidates. */
-  def dhashNeighbors(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val codes = dhashes(docs).toDF()
+  def dhashNeighbors(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    bandedHammingNeighbors(dhashes(docs).toDF(), "dhash", maxDist)
+
+  /** The shared banded hamming retrieval both perceptual-hash families
+    * serve from: 64-bit hex codes split into 4×16-bit chunks (by
+    * pigeonhole, complete at hamming ≤ 3), band-key self-join with
+    * occupancy cap, hamming verified only on candidates. */
+  private def bandedHammingNeighbors(codes: DataFrame, codeCol: String,
+                                     maxDist: Int): DataFrame = {
     val banded = codes.select(col("doc_id"),
       explode(array((0 until 4).map(c =>
-        concat(lit(s"c$c:"), substring(col("dhash"), 4 * c + 1, 4))): _*)).as("band"))
+        concat(lit(s"c$c:"), substring(col(codeCol), 4 * c + 1, 4))): _*)).as("band"))
     def chunk(h: org.apache.spark.sql.Column, c: Int) =
       conv(substring(h, 4 * c + 1, 4), 16, 10).cast("long")
     Dedup.pairsWithinBuckets(banded, "band", maxBucket = 256)
-      .join(codes.select(col("doc_id").as("doc_a"), col("dhash").as("ha")), "doc_a")
-      .join(codes.select(col("doc_id").as("doc_b"), col("dhash").as("hb")), "doc_b")
+      .join(codes.select(col("doc_id").as("doc_a"), col(codeCol).as("ha")), "doc_a")
+      .join(codes.select(col("doc_id").as("doc_b"), col(codeCol).as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (0 until 4).map(c =>
           bit_count(chunk(col("ha"), c).bitwiseXOR(chunk(col("hb"), c))))
@@ -1710,9 +1702,14 @@ object Multimodal {
     * mapPartitions kernel, no shuffle. */
   private[graft] def phashOf(w: Int, h: Int, rgb: Array[Byte]): (String, Int) = {
     val g8 = resizeNearest(w, h, rgb, 8, 8)
-    def gray(x: Int, y: Int): Int = {
-      val p = 3 * (y * 8 + x)
-      (299 * (g8(p) & 0xFF) + 587 * (g8(p + 1) & 0xFF) + 114 * (g8(p + 2) & 0xFF)) / 1000
+    // luma once per pixel, not once per (coefficient, pixel) pair
+    val luma = new Array[Int](64)
+    var p = 0
+    while (p < 64) {
+      val o = 3 * p
+      luma(p) = (299 * (g8(o) & 0xFF) + 587 * (g8(o + 1) & 0xFF) +
+        114 * (g8(o + 2) & 0xFF)) / 1000
+      p += 1
     }
     val c = Array.ofDim[Long](8, 8)
     var u = 0
@@ -1725,7 +1722,8 @@ object Multimodal {
           var x = 0
           while (x < 8) {
             val neg = (Integer.bitCount(x & u) + Integer.bitCount(y & v)) % 2 == 1
-            s += (if (neg) -gray(x, y) else gray(x, y))
+            val g = luma(y * 8 + x)
+            s += (if (neg) -g else g)
             x += 1
           }
           y += 1
@@ -1763,26 +1761,10 @@ object Multimodal {
     })
   }
 
-  /** Hamming-ball near-dup pairs over [[phashes]] codes — the same
-    * pigeonhole 4×16-bit banding as [[dhashNeighbors]] (complete at
-    * hamming ≤ 3), band-key self-join with occupancy cap, hamming
-    * verified only on candidates. */
-  def phashNeighbors(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val codes = phashes(docs).toDF()
-    val banded = codes.select(col("doc_id"),
-      explode(array((0 until 4).map(c =>
-        concat(lit(s"c$c:"), substring(col("phash"), 4 * c + 1, 4))): _*)).as("band"))
-    def chunk(h: org.apache.spark.sql.Column, c: Int) =
-      conv(substring(h, 4 * c + 1, 4), 16, 10).cast("long")
-    Dedup.pairsWithinBuckets(banded, "band", maxBucket = 256)
-      .join(codes.select(col("doc_id").as("doc_a"), col("phash").as("ha")), "doc_a")
-      .join(codes.select(col("doc_id").as("doc_b"), col("phash").as("hb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (0 until 4).map(c =>
-          bit_count(chunk(col("ha"), c).bitwiseXOR(chunk(col("hb"), c))))
-          .reduce(_ + _).cast("int").as("hamming"))
-      .filter(col("hamming") <= maxDist)
-  }
+  /** Hamming-ball near-dup pairs over [[phashes]] codes — served by the
+    * same [[bandedHammingNeighbors]] retrieval as dHash. */
+  def phashNeighbors(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    bandedHammingNeighbors(phashes(docs).toDF(), "phash", maxDist)
 
   /** Frame sampling: each media row explodes into `1 + n_bytes % 5` frames
     * with evenly spaced timestamps over a nominal 1s clip. Pure column

@@ -111,6 +111,42 @@ class HtmlSpec extends AnyFunSuite {
 
   // ---- synthesis golden ----------------------------------------------
 
+  test("attribute names do not match prefixed look-alikes") {
+    // data-href must not shadow href; xml:lang must not shadow lang
+    val d = Html.parse(
+      """<html xml:lang="fr" lang="en"><body>""" +
+        """<p><a data-href="/tracker" href="/real">x</a></p></body></html>""")
+    assert(d.links == Vector(("/real", "x")))
+    assert(d.htmlLang == "en")
+    val m = Html.parse(
+      """<head><meta data-name="x" name="robots" content="noindex"></head>""")
+    assert(m.metaRobots == "noindex")
+  }
+
+  test("raw-text elements close only on a complete close tag (HTML5 13.2.5)") {
+    val d = Html.parse("""<script>x="</scripts>";secret()</script><p>keep</p>""")
+    assert(d.blocks.map(_.text) == Vector("keep"))
+    // same rule for style and title
+    val t = Html.parse("<title>A</titles>B</title><p>x</p>")
+    assert(t.title == "A</titles>B")
+  }
+
+  test("href-less anchors are navigation targets, not link edges") {
+    val d = Html.parse(
+      """<p><a name="top">Top</a> <a onclick="f()">More</a> <a href="/x">Go</a></p>""")
+    assert(d.links == Vector(("/x", "Go")))
+    // their text still reads as prose (zero link chars)
+    assert(d.blocks.map(_.text) == Vector("Top More Go"))
+    assert(d.blocks.head.linkChars == 2)
+  }
+
+  test("signed numeric character references stay literal") {
+    assert(Html.decodeEntities("&#+65;") == "&#+65;")
+    assert(Html.decodeEntities("&#-65;") == "&#-65;")
+    assert(Html.decodeEntities("&#x+41;") == "&#x+41;")
+    assert(Html.decodeEntities("&#65;") == "A")
+  }
+
   test("metadata: lang, robots (first-win past the decoy), canonical") {
     val d = Html.parse(
       """<html LANG="en"><head>
