@@ -184,7 +184,8 @@ object Bench {
     "stream_sessionize" -> 2.1,
     "stream_join" -> 8.0, // r9 re-baseline: warm floor 7.93 s (BASELINE.md)
     "stream_incremental" -> 5.5, // r9: incremental dedup serve drain (BASELINE.md)
-    "stream_neardup" -> 4.5, // r11: banded near-dup serve drain; measured 2.3 s
+    "stream_neardup" -> 4.5,
+    "stream_imagedup" -> 4.5, // r12: bucketed pHash band index serve; measured 2.36 s solo // r11: banded near-dup serve drain; measured 2.3 s
     "stream_ingest" -> 9.5, // r12: composed exact->near serve (IngestDedup); measured 9.6 s solo
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
@@ -526,6 +527,33 @@ object Bench {
           .start()
         q.awaitTermination()
         require(spark.read.parquet(dir("nd-verdicts")).count() > 0)
+      }
+    }
+
+    if (wanted("stream_imagedup")) {
+      // r12: perceptual IMAGE dedup serve — durable bucketed pHash band
+      // index, hamming-verified verdicts per micro-batch (ImageDupIndex,
+      // the multimodal sibling of stream_neardup)
+      import graft.streaming.ImageDupIndex
+      val imCfg = ImageDupIndex.ImageDupConfig(dir("img-idx"))
+      out += leg("stream_imagedup") {
+        val docs = Tables.documents(spark, sfDir)
+        ImageDupIndex.init(spark, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), imCfg)
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .write.mode("overwrite").parquet(dir("img-src"))
+      } {
+        val q = fileStream(dir("img-src"))
+          .writeStream
+          .option("checkpointLocation", dir("ckpt-img"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            ImageDupIndex.serveBatch(spark, batch, id, imCfg)
+              .write.mode("append").parquet(dir("img-verdicts"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(spark.read.parquet(dir("img-verdicts")).count() > 0)
       }
     }
 

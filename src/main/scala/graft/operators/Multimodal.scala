@@ -1661,24 +1661,35 @@ object Multimodal {
   def dhashNeighbors(docs: DataFrame, maxDist: Int = 3): DataFrame =
     bandedHammingNeighbors(dhashes(docs).toDF(), "dhash", maxDist)
 
+  /** Hamming distance between two 16-hex-char 64-bit codes as a pure
+    * column expression (4×16-bit chunk xor + bit_count — all codegen). */
+  private[graft] def hammingHex(ha: org.apache.spark.sql.Column,
+                                hb: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def chunk(h: org.apache.spark.sql.Column, c: Int) =
+      conv(substring(h, 4 * c + 1, 4), 16, 10).cast("long")
+    (0 until 4).map(c => bit_count(chunk(ha, c).bitwiseXOR(chunk(hb, c))))
+      .reduce(_ + _).cast("int")
+  }
+
+  /** The salt-prefixed 16-bit chunk bands of a 64-bit hex code — the
+    * single-column band key shared by the batch retrieval and the
+    * streaming [[graft.streaming.ImageDupIndex]] store. */
+  private[graft] def hexBands(codeCol: String): org.apache.spark.sql.Column =
+    array((0 until 4).map(c =>
+      concat(lit(s"c$c:"), substring(col(codeCol), 4 * c + 1, 4))): _*)
+
   /** The shared banded hamming retrieval both perceptual-hash families
     * serve from: 64-bit hex codes split into 4×16-bit chunks (by
     * pigeonhole, complete at hamming ≤ 3), band-key self-join with
     * occupancy cap, hamming verified only on candidates. */
   private def bandedHammingNeighbors(codes: DataFrame, codeCol: String,
                                      maxDist: Int): DataFrame = {
-    val banded = codes.select(col("doc_id"),
-      explode(array((0 until 4).map(c =>
-        concat(lit(s"c$c:"), substring(col(codeCol), 4 * c + 1, 4))): _*)).as("band"))
-    def chunk(h: org.apache.spark.sql.Column, c: Int) =
-      conv(substring(h, 4 * c + 1, 4), 16, 10).cast("long")
+    val banded = codes.select(col("doc_id"), explode(hexBands(codeCol)).as("band"))
     Dedup.pairsWithinBuckets(banded, "band", maxBucket = 256)
       .join(codes.select(col("doc_id").as("doc_a"), col(codeCol).as("ha")), "doc_a")
       .join(codes.select(col("doc_id").as("doc_b"), col(codeCol).as("hb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (0 until 4).map(c =>
-          bit_count(chunk(col("ha"), c).bitwiseXOR(chunk(col("hb"), c))))
-          .reduce(_ + _).cast("int").as("hamming"))
+        hammingHex(col("ha"), col("hb")).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

@@ -730,6 +730,92 @@ class StreamingSpec extends AnyFunSuite {
     assert(bandFiles === before, "replay must not append bands")
   }
 
+  test("image-dup index: verdicts equal brute hamming, arrival-order election, replay exact, bucketed probe") {
+    import graft.streaming.ImageDupIndex
+    import graft.streaming.ImageDupIndex.ImageDupConfig
+    import graft.operators.Multimodal
+    val cfg = ImageDupConfig(tmp("img-idx"))
+    val all = Tables.documents(spark, TestSpark.Sf)
+    val idxDocs = all.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    ImageDupIndex.init(spark, idxDocs, cfg)
+    // every code up front — the brute expectation below is COMPUTED,
+    // not hand-guessed
+    val batch1 = all.filter(pmod(col("doc_id"), lit(3)) === 0)
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.phashes(df).collect()
+        .map(r => r.doc_id -> java.lang.Long.parseUnsignedLong(r.phash, 16)).toMap
+    var codes = codesOf(all)
+    val idxIds = idxDocs.select("doc_id").as[Long].collect().toSet
+    val b1Ids = batch1.select("doc_id").as[Long].collect().toSet
+    def expect(id: Long, prior: Set[Long]) = {
+      val hits = prior.toSeq
+        .map(o => (java.lang.Long.bitCount(codes(id) ^ codes(o)), o))
+        .filter(_._1 <= cfg.maxDist)
+      if (hits.isEmpty) (true, 0L, -1L, -1)
+      else {
+        val (h, o) = hits.min
+        (false, hits.length.toLong, o, h)
+      }
+    }
+    def collectV(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    val v1 = collectV(ImageDupIndex.serveBatch(spark, batch1, 1L, cfg))
+    for (id <- b1Ids) {
+      val prior = idxIds ++ b1Ids.filter(_ < id) // arrival-order election
+      assert(v1(id) === expect(id, prior), s"doc $id")
+    }
+    assert(v1.values.exists(!_._1), "the synthetic corpus does contain image near-dups")
+    assert(v1.values.exists(_._1), "and novel images")
+    // batch 2: doc_id+256 synthesizes a bit-identical BMP (every pixel
+    // and dim formula is mod-256/mod-16 in the id), so a copy of an
+    // ACCEPTED image must hit it at hamming 0
+    val accepted1 = v1.filter(_._2._1).keySet
+    val copyId = accepted1.max + 256L
+    val batch2 = Seq(copyId).toDF("doc_id")
+    codes = codes ++ codesOf(batch2)
+    val v2 = collectV(ImageDupIndex.serveBatch(spark, batch2, 2L, cfg))
+    assert(v2(copyId) === expect(copyId, idxIds ++ accepted1))
+    assert(v2(copyId)._4 === 0)
+    // replay of batch 1: verdicts bit-identical, index does not grow
+    def bandFiles = new java.io.File(cfg.bandsDir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = bandFiles
+    val v1r = collectV(ImageDupIndex.serveBatch(spark, batch1, 1L, cfg))
+    assert(v1r === v1, "replayed verdicts must be bit-identical")
+    assert(bandFiles === before, "replay must not append bands")
+    // the probe join plans no index-side exchange over the bucketed store
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = ImageDupIndex.probeJoin(spark, batch2, 99L, cfg)
+        .queryExecution.executedPlan
+      def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      def hasBandsScan(p: SparkPlan): Boolean = PlanAudit.nodes(p).exists {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains("img-idx"))
+        case _ => false
+      }
+      val join = PlanAudit.nodes(plan).find(p =>
+        p.nodeName.contains("Join") && kids(p).exists(hasBandsScan))
+        .getOrElse(fail(s"no join over the band store in:\n$plan"))
+      val idxSide = kids(join).find(hasBandsScan).get
+      assert(PlanAudit.nodes(idxSide)
+        .collectFirst { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"index side of the probe join must not shuffle:\n$plan")
+      val scan = PlanAudit.nodes(idxSide).collectFirst {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("img-idx")) => s }.get
+      assert(scan.bucketedScan, s"band-store scan must be bucketed:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("near-dup index: bucketed band store probes with zero index-side exchange; crash rollback") {
     import graft.streaming.NearDupIndex
     import graft.streaming.NearDupIndex.NearDupConfig
