@@ -324,13 +324,23 @@ object Dedup {
     * vertex count stays IN the plan as a broadcast scalar; ≤ iters
     * passes, never a driver-side loop over data. */
   def pageRankOnCandidates(docs: DataFrame, iters: Int = 3): DataFrame = {
-    val Scale = 1000000000000L
-    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      TextOps.idiv(a, b)
     val pairs = lshCandidatePairs(docs)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    pageRankOnEdges(edges, iters)
+  }
+
+  /** The exact-int64 PageRank recurrence over an arbitrary DIRECTED
+    * `(src, dst)` edge relation — shared by the candidate-graph rank
+    * above (which feeds both edge directions) and the real link-graph
+    * rank ([[Html.linkRank]]). Vertex set = sources with out-degree ≥ 1
+    * (the recurrence's own domain); damping 85/100, floor divisions,
+    * everything BIGINT so the oracle is bit-exact. */
+  private[graft] def pageRankOnEdges(edgesIn: DataFrame, iters: Int): DataFrame = {
+    val Scale = 1000000000000L
+    def idiv(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      TextOps.idiv(a, b)
+    val edges = edgesIn.localCheckpoint()
     val deg = edges.groupBy(col("src").as("doc_id")).agg(count(lit(1)).as("deg"))
     val n = deg.agg(count(lit(1)).as("n_verts"))
     var ranks = deg.crossJoin(broadcast(n))

@@ -409,7 +409,7 @@ object Html {
        |<nav><a href="/home">Home</a> <a href="/about"$aboutAttr>About</a></nav>
        |<${t("h1")}>Doc&#32;$docId</${t("h1")}>
        |$ghost$content<${t("p")}>$entity</${t("p")}>
-       |<p>See <a href="https://site${docId % 250}.example.com/p$docId">ref ${docId % 7}</a> here</p>
+       |<p>See <a href="https://site${(7 * docId + 3) % 250}.example.com/p$docId">ref ${docId % 7}</a> here</p>
        |<footer><a href="/contact">Contact</a></footer>
        |</${t("body")}></html>""".stripMargin
   }
@@ -448,6 +448,27 @@ object Html {
         (id, pos, href, anchor)
       }
     }.toDF("doc_id", "pos", "href", "anchor")
+  }
+
+  /** PageRank over the REAL extracted link graph — the classic
+    * crawl→extract→rank pipeline (the quality prior CommonCrawl-scale
+    * corpus curation weights documents by). Site-level directed edges
+    * come from the absolute content hrefs the extractor recovered
+    * (relative nav/footer chrome carries no authority), deduplicated,
+    * then the shared exact-int64 recurrence
+    * ([[Dedup.pageRankOnEdges]]) runs ≤ `iters` joined passes — the
+    * site graph is corpus-SUBLINEAR (one node per site), so at 100 TB
+    * the iteration joins touch a relation millions of times smaller
+    * than the crawl. Output: (site, rank). */
+  def linkRank(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = htmlLinks(docs)
+      .filter(col("href").rlike("^https://site[0-9]+\\.")) // absolute links only
+      .select((col("doc_id") % 250).as("src"),
+        regexp_extract(col("href"), "^https://site([0-9]+)\\.", 1)
+          .cast("long").as("dst"))
+      .distinct()
+    Dedup.pageRankOnEdges(edges, iters)
+      .select(col("doc_id").as("site"), col("rank"))
   }
 
   /** Head/metadata curation signals: `noindex` robots directives (a

@@ -550,6 +550,8 @@ object Training {
   val tHtmlLinks: Q = (s, d) => Html.htmlLinks(docs(s, d))
   val tHtmlMain: Q = (s, d) => Html.htmlMain(docs(s, d))
   val tHtmlMeta: Q = (s, d) => Html.htmlMeta(docs(s, d))
+  /** R12: PageRank over the real extracted link graph. */
+  val tLinkRank: Q = (s, d) => Html.linkRank(docs(s, d))
   val tHtmlWarc: Q = (s, d) => Html.htmlTextWarc(docs(s, d))
   /** R12: the complete crawl→corpus pipeline — WARC(html) walked,
     * extracted, re-emitted as a REAL WET shard, read back by the WET
@@ -658,6 +660,7 @@ object Training {
     "t_html_links" -> tHtmlLinks,
     "t_html_main" -> tHtmlMain,
     "t_html_meta" -> tHtmlMeta,
+    "t_link_rank" -> tLinkRank,
     "t_html_warc" -> tHtmlWarc,
     "t_wet_build" -> tWetBuild,
   )

@@ -2259,7 +2259,7 @@ object TrainingOracles {
     "t_html_links" ->
       """SELECT doc_id, CAST(pos AS INT) AS pos,
         |  CASE pos WHEN 0 THEN '/home' WHEN 1 THEN '/about'
-        |    WHEN 2 THEN 'https://site' || (doc_id % 250) || '.example.com/p' || doc_id
+        |    WHEN 2 THEN 'https://site' || ((7*doc_id + 3) % 250) || '.example.com/p' || doc_id
         |    ELSE '/contact' END AS href,
         |  CASE pos WHEN 0 THEN 'Home' WHEN 1 THEN 'About'
         |    WHEN 2 THEN 'ref ' || (doc_id % 7) ELSE 'Contact' END AS anchor
@@ -2269,6 +2269,29 @@ object TrainingOracles {
     // case and plants a decoy description meta (with a quoted '>')
     // that the robots first-win must skip; lang rides the REAL lang
     // column through the html lang attribute
+    // r12: PageRank over the REAL extracted link graph (site-level
+    // distinct edges from the absolute content hrefs) — the same
+    // exact-int64 recurrence as d_pagerank, directed
+    "t_link_rank" ->
+      """WITH e AS (SELECT DISTINCT doc_id % 250 AS src, (7*doc_id + 3) % 250 AS dst
+        |  FROM documents),
+        |deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |nv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+        |r0 AS (SELECT doc_id, 1000000000000 // n AS rank FROM deg CROSS JOIN nv),
+        |c1 AS (SELECT e.dst AS doc_id, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+        |  FROM e JOIN r0 r ON r.doc_id = e.src JOIN deg d ON d.doc_id = e.src GROUP BY 1),
+        |r1 AS (SELECT d.doc_id, (15000000000000 // (100 * n)) + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |  FROM deg d CROSS JOIN nv LEFT JOIN c1 c ON c.doc_id = d.doc_id),
+        |c2 AS (SELECT e.dst AS doc_id, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+        |  FROM e JOIN r1 r ON r.doc_id = e.src JOIN deg d ON d.doc_id = e.src GROUP BY 1),
+        |r2 AS (SELECT d.doc_id, (15000000000000 // (100 * n)) + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |  FROM deg d CROSS JOIN nv LEFT JOIN c2 c ON c.doc_id = d.doc_id),
+        |c3 AS (SELECT e.dst AS doc_id, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+        |  FROM e JOIN r2 r ON r.doc_id = e.src JOIN deg d ON d.doc_id = e.src GROUP BY 1),
+        |r3 AS (SELECT d.doc_id, (15000000000000 // (100 * n)) + (85 * coalesce(c.s, 0)) // 100 AS rank
+        |  FROM deg d CROSS JOIN nv LEFT JOIN c3 c ON c.doc_id = d.doc_id)
+        |SELECT doc_id AS site, rank FROM r3""".stripMargin,
+
     "t_html_meta" ->
       """SELECT doc_id, lang AS html_lang,
         |  CASE WHEN doc_id % 7 = 0 THEN 'noindex,nofollow'

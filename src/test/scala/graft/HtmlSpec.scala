@@ -180,7 +180,7 @@ class HtmlSpec extends AnyFunSuite {
         "Contact"), s"id=$id")
       assert(d.links == Vector(
         ("/home", "Home"), ("/about", "About"),
-        (s"https://site${id % 250}.example.com/p$id", s"ref ${id % 7}"),
+        (s"https://site${(7 * id + 3) % 250}.example.com/p$id", s"ref ${id % 7}"),
         ("/contact", "Contact")), s"id=$id")
       assert(Html.mainBlocks(d).length == 5, s"id=$id")
     }
