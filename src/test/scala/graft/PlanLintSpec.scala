@@ -34,7 +34,8 @@ class PlanLintSpec extends AnyFunSuite {
       "s_recall",
       // pagerank keeps the vertex count in-plan as a 1-row broadcast
       // scalar (crossJoin per iteration), like t_top_terms' corpus size
-      "d_pagerank",
+      // — both the candidate-graph and link-graph ranks share the core
+      "d_pagerank", "t_link_rank",
       // mixing quotas join each source row against the 1-row totals broadcast
       "t_mix",
       // SemDeDup assigns cells via the same 10-row centroid broadcast as
