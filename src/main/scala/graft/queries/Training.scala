@@ -552,6 +552,20 @@ object Training {
   val tHtmlMeta: Q = (s, d) => Html.htmlMeta(docs(s, d))
   /** R12: PageRank over the real extracted link graph. */
   val tLinkRank: Q = (s, d) => Html.linkRank(docs(s, d))
+  /** R12: the crawl CONSENT layer as one relation — the RFC 9309
+    * robots.txt longest-match verdict joined with the page's own
+    * noindex meta directive; a document enters the corpus only when
+    * BOTH allow it. Two corpus-sublinear gates, one doc_id-keyed
+    * join. */
+  val tConsentFilter: Q = (s, d) => {
+    val dd = docs(s, d)
+    val robots = UrlOps.robotsFilter(dd)
+      .select(col("doc_id"), col("site"), col("allowed").as("robots_allowed"))
+    val meta = Html.htmlMeta(dd).select(col("doc_id"), col("noindex"))
+    robots.join(meta, Seq("doc_id"))
+      .select(col("doc_id"), col("site"), col("robots_allowed"), col("noindex"),
+        (col("robots_allowed") && !col("noindex")).as("kept"))
+  }
   val tHtmlWarc: Q = (s, d) => Html.htmlTextWarc(docs(s, d))
   /** R12: the complete crawl→corpus pipeline — WARC(html) walked,
     * extracted, re-emitted as a REAL WET shard, read back by the WET
@@ -661,6 +675,7 @@ object Training {
     "t_html_main" -> tHtmlMain,
     "t_html_meta" -> tHtmlMeta,
     "t_link_rank" -> tLinkRank,
+    "t_consent_filter" -> tConsentFilter,
     "t_html_warc" -> tHtmlWarc,
     "t_wet_build" -> tWetBuild,
   )

@@ -2292,6 +2292,30 @@ object TrainingOracles {
         |  FROM deg d CROSS JOIN nv LEFT JOIN c3 c ON c.doc_id = d.doc_id)
         |SELECT doc_id AS site, rank FROM r3""".stripMargin,
 
+    // r12: the consent layer — robots longest-match verdict (the
+    // t_robots analytic rules) AND the page's own noindex meta
+    "t_consent_filter" ->
+      """WITH d AS (SELECT doc_id, doc_id % 250 AS site, '/p' || doc_id AS path
+        |           FROM documents),
+        |s AS (SELECT unnest(range(0, 250)) AS g),
+        |r AS (
+        |  SELECT g AS site, '/' AS prefix, FALSE AS allow FROM s WHERE g % 5 = 0
+        |  UNION ALL SELECT g, '/p', FALSE FROM s WHERE g % 5 = 1
+        |  UNION ALL SELECT g, '/p1', TRUE FROM s WHERE g % 5 = 1
+        |  UNION ALL SELECT g, '/q', FALSE FROM s WHERE g % 5 = 2),
+        |m AS (
+        |  SELECT d.doc_id, d.site, r.allow,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+        |  FROM d LEFT JOIN r ON d.site = r.site AND starts_with(d.path, r.prefix)),
+        |v AS (SELECT doc_id, CAST(site AS BIGINT) AS site,
+        |        coalesce(allow, TRUE) AS robots_allowed
+        |      FROM m WHERE rn = 1)
+        |SELECT doc_id, site, robots_allowed,
+        |  (doc_id % 7 = 0) AS noindex,
+        |  (robots_allowed AND NOT (doc_id % 7 = 0)) AS kept
+        |FROM v""".stripMargin,
+
     "t_html_meta" ->
       """SELECT doc_id, lang AS html_lang,
         |  CASE WHEN doc_id % 7 = 0 THEN 'noindex,nofollow'
