@@ -191,6 +191,9 @@ class HtmlSpec extends AnyFunSuite {
   private sealed trait Item
   private case class Para(words: List[String]) extends Item
   private case class Link(href: String, anchor: String) extends Item
+  /** Prose with an inline anchor in the middle — one block, one link. */
+  private case class Mixed(lead: List[String], href: String, anchor: String,
+                           tail: List[String]) extends Item
 
   private val genWord: Gen[String] =
     Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
@@ -200,7 +203,13 @@ class HtmlSpec extends AnyFunSuite {
     1 -> (for {
       h <- genWord.map("/" + _)
       a <- genWord
-    } yield Link(h, a)))
+    } yield Link(h, a)),
+    1 -> (for {
+      lead <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genWord))
+      h <- genWord.map("/m/" + _)
+      a <- genWord
+      tail <- Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genWord))
+    } yield Mixed(lead, h, a, tail)))
 
   private val genModel: Gen[(String, List[Item], Long)] = for {
     title <- Gen.option(Gen.listOfN(3, genWord).map(_.mkString(" "))).map(_.getOrElse(""))
@@ -255,6 +264,17 @@ class HtmlSpec extends AnyFunSuite {
           val q = if (rnd.nextBoolean()) "\"" else "'"
           sb.append(s"<p><a href=$q$href$q${attrs()}>")
             .append(enc(anchor)).append("</a></p>")
+        case Mixed(lead, href, anchor, tail) =>
+          // inline anchor and inline formatting tags mid-prose: no break
+          val q = if (rnd.nextBoolean()) "\"" else "'"
+          val inl = if (rnd.nextBoolean()) ("<" + tcase("b") + ">", "</" + tcase("b") + ">")
+            else ("<" + tcase("span") + " class='s'>", "</" + tcase("span") + ">")
+          sb.append(s"<p${attrs()}>")
+            .append(lead.map(enc).mkString(" ")).append(ws()).append(" ")
+            .append(s"<a href=$q$href$q>").append(enc(anchor)).append("</a>")
+            .append(" ").append(ws())
+            .append(inl._1).append(tail.map(enc).mkString(" ")).append(inl._2)
+            .append("</p>")
       }
     }
     sb.append("</").append(tcase("body")).append("></html>")
@@ -267,9 +287,21 @@ class HtmlSpec extends AnyFunSuite {
       val expBlocks = items.map {
         case Para(words) => words.mkString(" ")
         case Link(_, anchor) => anchor
+        case Mixed(lead, _, anchor, tail) =>
+          (lead :+ anchor) ++ tail mkString " "
       }.toVector
-      val expLinks = items.collect { case Link(h, a) => (h, a) }.toVector
-      d.title == title && d.blocks.map(_.text) == expBlocks && d.links == expLinks
+      val expLinks = items.collect {
+        case Link(h, a) => (h, a)
+        case Mixed(_, h, a, _) => (h, a)
+      }.toVector
+      // link-density bookkeeping: a Mixed block's link chars are exactly
+      // its anchor's collapsed length
+      val mixedOk = items.collect { case m: Mixed => m }.forall { m =>
+        d.blocks.exists(b => b.text.contains(m.anchor) &&
+          b.linkChars >= m.anchor.length)
+      }
+      d.title == title && d.blocks.map(_.text) == expBlocks &&
+        d.links == expLinks && mixedOk
     }
     check(prop)
   }
