@@ -186,8 +186,8 @@ object Bench {
     "stream_sessionize" -> 2.1,
     "stream_join" -> 8.0, // r9 re-baseline: warm floor 7.93 s (BASELINE.md)
     "stream_incremental" -> 5.5, // r9: incremental dedup serve drain (BASELINE.md)
-    "stream_neardup" -> 4.5,
-    "stream_imagedup" -> 4.5, // r12: bucketed pHash band index serve; measured 2.36 s solo // r11: banded near-dup serve drain; measured 2.3 s
+    "stream_neardup" -> 4.5, // r11: banded near-dup serve drain; measured 2.3 s
+    "stream_imagedup" -> 4.5, // r12: bucketed pHash band index serve; measured 2.36 s solo
     "stream_ingest" -> 9.5, // r12: composed exact->near serve (IngestDedup); measured 9.6 s solo
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
@@ -541,7 +541,9 @@ object Bench {
       out += leg("stream_imagedup") {
         val docs = Tables.documents(spark, sfDir)
         ImageDupIndex.init(spark, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), imCfg)
-        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        // the image leg consumes only doc_id (codes synthesize from it);
+        // shipping text through the stream source would tax the timed scan
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0).select("doc_id")
           .write.mode("overwrite").parquet(dir("img-src"))
       } {
         val q = fileStream(dir("img-src"))

@@ -362,7 +362,9 @@ object Html {
     * EXPECTED extraction is uniform across documents — title
     * `Doc N & friends`, body blocks `Home About / Doc N / half1 /
     * half2 / A & B C / See ref (N%7) here / Contact`, links
-    * `/home /about https://site(N%250).example.com/pN /contact` — while
+    * `/home /about https://site((7N+3)%250).example.com/pN /contact`
+    * (the content href crosses sites, so the extracted link graph is a
+    * real directed graph) — while
     * the MARKUP varies hostilely by doc id: mixed-case tags, a ghost
     * comment, a `>` inside a quoted attribute, `<br>` instead of a
     * paragraph split, decimal/hex character references, script/style

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE bucketed band-store scaffolding both streaming dedup indexes
+  * ([[NearDupIndex]] text MinHash, [[ImageDupIndex]] perceptual pHash)
+  * stand on: an external parquet table CLUSTERED BY the single band_val
+  * probe key, registered in the session catalog so a restarted session
+  * re-binds to the same files and bucket spec, with append/reset
+  * helpers. The append pays the bucket shuffle once; every probe join
+  * then co-locates with zero index-side exchange (spec-asserted in
+  * StreamingSpec for both indexes). */
+private[streaming] object BandStore {
+
+  /** Catalog name derived from the directory so concurrent indexes in
+    * one session don't collide. */
+  def tableName(prefix: String, dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    s"${prefix}_$h"
+  }
+
+  /** Register (or re-bind after a restart) the external bucketed band
+    * table over `dir`. Idempotent. */
+  def ensure(spark: SparkSession, name: String, colsDdl: String,
+             dir: String, buckets: Int): Unit =
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name ($colsDdl)
+         |USING PARQUET
+         |CLUSTERED BY (band_val) SORTED BY (band_val) INTO $buckets BUCKETS
+         |LOCATION '$dir'""".stripMargin)
+
+  def append(bands: DataFrame, name: String, dir: String, buckets: Int): Unit =
+    bands.write.mode("append")
+      .bucketBy(buckets, "band_val").sortBy("band_val")
+      .option("path", dir)
+      .saveAsTable(name)
+
+  /** Drop + delete + rewrite the store from an initial band relation,
+    * clearing the commit markers too (stale markers would make a
+    * re-initialized index skip the first re-served batchIds' appends —
+    * [[CommitProtocol.resetMarkers]]). */
+  def reset(spark: SparkSession, name: String, dir: String,
+            commitsDir: String, initial: DataFrame, buckets: Int): Unit = {
+    CommitProtocol.resetMarkers(commitsDir)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val d = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(d)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    initial.write.bucketBy(buckets, "band_val").sortBy("band_val")
+      .option("path", dir)
+      .saveAsTable(name)
+  }
+}

@@ -89,6 +89,20 @@ object CommitProtocol {
   def apply(dataDir: String, commitsDir: String, batchId: Long): CommitProtocol =
     new CommitProtocol(dataDir, commitsDir, batchId)
 
+  /** Drop every intent/commit marker under `commitsDir` — MUST run in
+    * every index `init`/reset: a re-initialized index that keeps old
+    * markers would treat the first re-served batchIds as replays and
+    * silently skip their appends (every later duplicate of those docs
+    * then passes as new). */
+  def resetMarkers(commitsDir: String): Unit = {
+    val d = Paths.get(commitsDir)
+    if (Files.isDirectory(d)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   /** Flat listing of the committed parquet files in a directory
     * (Spark's in-flight `_temporary`/dot files excluded). */
   def listParquet(dir: String): Set[String] = {

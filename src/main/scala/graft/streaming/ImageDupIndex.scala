@@ -48,11 +48,7 @@ object ImageDupIndex {
   final case class ImageDupConfig(dir: String, maxDist: Int = 3, buckets: Int = 8) {
     def bandsDir: String = s"$dir/bands"
     def commitsDir: String = s"$dir/commits"
-    def tableName: String = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      s"graft_imagedup_bands_$h"
-    }
+    def tableName: String = BandStore.tableName("graft_imagedup_bands", dir)
   }
 
   private val TableCols =
@@ -69,33 +65,17 @@ object ImageDupIndex {
       .select(col("band_idx"), col("band_val"), col("doc_id"), col("phash"))
 
   private def ensureTable(spark: SparkSession, cfg: ImageDupConfig): Unit =
-    spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS ${cfg.tableName} ($TableCols)
-         |USING PARQUET
-         |CLUSTERED BY (band_val) SORTED BY (band_val) INTO ${cfg.buckets} BUCKETS
-         |LOCATION '${cfg.bandsDir}'""".stripMargin)
+    BandStore.ensure(spark, cfg.tableName, TableCols, cfg.bandsDir, cfg.buckets)
 
   private def appendBands(bands: DataFrame, cfg: ImageDupConfig): Unit =
-    bands.write.mode("append")
-      .bucketBy(cfg.buckets, "band_val").sortBy("band_val")
-      .option("path", cfg.bandsDir)
-      .saveAsTable(cfg.tableName)
+    BandStore.append(bands, cfg.tableName, cfg.bandsDir, cfg.buckets)
 
   /** Freeze an initial index: every index image accepted as-is
-    * (batch_id −1 = pre-stream). */
-  def init(spark: SparkSession, indexDocs: DataFrame, cfg: ImageDupConfig): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${cfg.tableName}")
-    val d = java.nio.file.Paths.get(cfg.bandsDir)
-    if (java.nio.file.Files.isDirectory(d)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
-    bandsOf(indexDocs).withColumn("batch_id", lit(-1L))
-      .write.bucketBy(cfg.buckets, "band_val").sortBy("band_val")
-      .option("path", cfg.bandsDir)
-      .saveAsTable(cfg.tableName)
-  }
+    * (batch_id −1 = pre-stream). Markers reset too — stale ones would
+    * make re-served batchIds skip their appends. */
+  def init(spark: SparkSession, indexDocs: DataFrame, cfg: ImageDupConfig): Unit =
+    BandStore.reset(spark, cfg.tableName, cfg.bandsDir, cfg.commitsDir,
+      bandsOf(indexDocs).withColumn("batch_id", lit(-1L)), cfg.buckets)
 
   /** Serve one micro-batch; see object doc for semantics. */
   def serveBatch(spark: SparkSession, batch: DataFrame, batchId: Long,

@@ -74,6 +74,7 @@ object IncrementalIndex {
   /** Freeze an initial index: distinct fingerprints of `indexDocs` →
     * parquet, plus the one-pass sketch over the persisted relation. */
   def init(spark: SparkSession, indexDocs: DataFrame, cfg: IndexConfig): Unit = {
+    CommitProtocol.resetMarkers(cfg.commitsDir) // stale markers = skipped appends
     indexDocs.select(TextOps.fingerprint(col("text")).as("fingerprint")).distinct()
       .write.mode("overwrite").parquet(cfg.fingerprintsDir)
     val sketch = sketchBytes(spark.read.parquet(cfg.fingerprintsDir), cfg)

@@ -63,13 +63,7 @@ object NearDupIndex {
   final case class NearDupConfig(dir: String, minMatches: Int = 3, buckets: Int = 8) {
     def bandsDir: String = s"$dir/bands"
     def commitsDir: String = s"$dir/commits"
-    /** Catalog name for the external bucketed band table — derived from
-      * the directory so concurrent indexes in one session don't collide. */
-    def tableName: String = {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      s"graft_neardup_bands_$h"
-    }
+    def tableName: String = BandStore.tableName("graft_neardup_bands", dir)
   }
 
   // band_val is the 32-hex md5 minhash (TextOps.minhash); at 100 TB a
@@ -84,36 +78,18 @@ object NearDupIndex {
         col("sig0"), col("sig1"), col("sig2"), col("sig3"))).as(Seq("band_idx", "band_val")))
       .select(col("band_idx"), col("band_val"), col("doc_id"))
 
-  /** Register (or re-bind after a restart) the external bucketed band
-    * table over `bandsDir`. Idempotent. */
   private def ensureTable(spark: SparkSession, cfg: NearDupConfig): Unit =
-    spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS ${cfg.tableName} ($TableCols)
-         |USING PARQUET
-         |CLUSTERED BY (band_val) SORTED BY (band_val) INTO ${cfg.buckets} BUCKETS
-         |LOCATION '${cfg.bandsDir}'""".stripMargin)
+    BandStore.ensure(spark, cfg.tableName, TableCols, cfg.bandsDir, cfg.buckets)
 
   private def appendBands(bands: DataFrame, cfg: NearDupConfig): Unit =
-    bands.write.mode("append")
-      .bucketBy(cfg.buckets, "band_val").sortBy("band_val")
-      .option("path", cfg.bandsDir)
-      .saveAsTable(cfg.tableName)
+    BandStore.append(bands, cfg.tableName, cfg.bandsDir, cfg.buckets)
 
   /** Freeze an initial index: every index doc is accepted as-is
-    * (batch_id −1 = pre-stream). */
-  def init(spark: SparkSession, indexDocs: DataFrame, cfg: NearDupConfig): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS ${cfg.tableName}")
-    val d = java.nio.file.Paths.get(cfg.bandsDir)
-    if (java.nio.file.Files.isDirectory(d)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
-    bandsOf(indexDocs).withColumn("batch_id", lit(-1L))
-      .write.bucketBy(cfg.buckets, "band_val").sortBy("band_val")
-      .option("path", cfg.bandsDir)
-      .saveAsTable(cfg.tableName)
-  }
+    * (batch_id −1 = pre-stream). Markers reset too — stale ones would
+    * make re-served batchIds skip their appends. */
+  def init(spark: SparkSession, indexDocs: DataFrame, cfg: NearDupConfig): Unit =
+    BandStore.reset(spark, cfg.tableName, cfg.bandsDir, cfg.commitsDir,
+      bandsOf(indexDocs).withColumn("batch_id", lit(-1L)), cfg.buckets)
 
   /** Serve one micro-batch: returns `(doc_id, is_new, n_matches,
     * best_match)` — `best_match` the strongest (most bands, then lowest

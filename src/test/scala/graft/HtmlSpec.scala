@@ -294,12 +294,11 @@ class HtmlSpec extends AnyFunSuite {
         case Link(h, a) => (h, a)
         case Mixed(_, h, a, _) => (h, a)
       }.toVector
-      // link-density bookkeeping: a Mixed block's link chars are exactly
-      // its anchor's collapsed length
-      val mixedOk = items.collect { case m: Mixed => m }.forall { m =>
-        d.blocks.exists(b => b.text.contains(m.anchor) &&
-          b.linkChars >= m.anchor.length)
-      }
+      // link-density bookkeeping: a Mixed block's link chars are EXACTLY
+      // its anchor's length — over-counting (e.g. charging the <b> tail
+      // as link text) would misclassify prose as boilerplate
+      val mixedOk = items.zipWithIndex.collect { case (m: Mixed, i) => (m, i) }
+        .forall { case (m, i) => d.blocks(i).linkChars == m.anchor.length }
       d.title == title && d.blocks.map(_.text) == expBlocks &&
         d.links == expLinks && mixedOk
     }

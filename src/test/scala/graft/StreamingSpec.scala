@@ -816,6 +816,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("index re-init clears stale commit markers: re-served batchIds append again") {
+    // the review-found defect: init() rewrote the band store but kept
+    // old commit markers, so a re-initialized index treated the first
+    // re-served batchIds as replays and silently skipped their appends
+    import graft.streaming.ImageDupIndex
+    import graft.streaming.ImageDupIndex.ImageDupConfig
+    import graft.operators.Multimodal
+    val cfg = ImageDupConfig(tmp("img-reinit"))
+    val idxDocs = Seq(1L).toDF("doc_id")
+    def code(id: Long) = java.lang.Long.parseUnsignedLong(
+      Multimodal.phashes(Seq(id).toDF("doc_id")).collect().head.phash, 16)
+    // pick a probe id guaranteed NOVEL vs the index (hamming > 3)
+    val probe = (500L to 600L)
+      .find(id => java.lang.Long.bitCount(code(id) ^ code(1L)) > 3).get
+    ImageDupIndex.init(spark, idxDocs, cfg)
+    ImageDupIndex.serveBatch(spark, Seq(probe).toDF("doc_id"), 1L, cfg).count()
+    // fresh corpus, SAME dir and SAME batch ids — markers must not leak
+    ImageDupIndex.init(spark, idxDocs, cfg)
+    ImageDupIndex.serveBatch(spark, Seq(probe).toDF("doc_id"), 1L, cfg).count()
+    // the re-served batch's novel image must have been appended: its
+    // bit-identical +256 copy is caught at hamming 0 in the next batch
+    val v2 = ImageDupIndex.serveBatch(
+      spark, Seq(probe + 256L).toDF("doc_id"), 2L, cfg).collect().head
+    assert(!v2.getBoolean(1), "copy of the re-appended image must not be new")
+    assert(v2.getLong(3) === probe && v2.getInt(4) === 0)
+  }
+
   test("near-dup index: bucketed band store probes with zero index-side exchange; crash rollback") {
     import graft.streaming.NearDupIndex
     import graft.streaming.NearDupIndex.NearDupConfig
