@@ -36,6 +36,36 @@ private[streaming] object BandStore {
       .option("path", dir)
       .saveAsTable(name)
 
+  /** Compact the append-accumulated band files. Every streaming append
+    * writes up to `buckets` new parquet files, so a long-running index
+    * accretes O(batches × buckets) small files and the probe's bucketed
+    * scan pays per-file open cost. Compaction rewrites the table in
+    * place — same rows, same bucket spec, so replay semantics (the
+    * batch_id filter) and the zero-exchange probe plan are untouched —
+    * and deliberately KEEPS the commit markers: they record which
+    * batchIds already served, and clearing them would double-append on
+    * a post-compaction stream replay. Safe between micro-batches (the
+    * serve loop is synchronous). The current rows are pinned via
+    * localCheckpoint before the rewrite — index relations are
+    * band-count sized; a 100 TB deployment would stage to a sibling
+    * directory and swap instead. */
+  def compact(spark: SparkSession, name: String, dir: String,
+              buckets: Int): Unit = {
+    val pinned = spark.table(name).localCheckpoint()
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val d = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(d)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+    // one writing task → exactly `buckets` output files
+    pinned.coalesce(1)
+      .write.bucketBy(buckets, "band_val").sortBy("band_val")
+      .option("path", dir)
+      .saveAsTable(name)
+  }
+
   /** Drop + delete + rewrite the store from an initial band relation,
     * clearing the commit markers too (stale markers would make a
     * re-initialized index skip the first re-served batchIds' appends —

@@ -132,6 +132,12 @@ object ImageDupIndex {
     verdicts
   }
 
+  /** Rewrite the accreted append files into one file per bucket — rows,
+    * bucket spec, replay semantics and commit markers all preserved
+    * ([[BandStore.compact]]). Run between micro-batches. */
+  def compact(spark: SparkSession, cfg: ImageDupConfig): Unit =
+    BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets)
+
   /** The probe join over the CURRENT index, exactly as [[serveBatch]]
     * builds it — the assertion surface for the zero-index-exchange
     * claim. */

@@ -156,6 +156,12 @@ object NearDupIndex {
     verdicts
   }
 
+  /** Rewrite the accreted append files into one file per bucket — rows,
+    * bucket spec, replay semantics and commit markers all preserved
+    * ([[BandStore.compact]]). Run between micro-batches. */
+  def compact(spark: SparkSession, cfg: NearDupConfig): Unit =
+    BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets)
+
   /** The probe join over the CURRENT index, exactly as [[serveBatch]]
     * builds it — the assertion surface for the zero-index-exchange
     * claim (spec use: walk the executed plan and check no shuffle sits

@@ -843,6 +843,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(v2.getLong(3) === probe && v2.getInt(4) === 0)
   }
 
+  test("band-store compaction: one file per bucket, verdicts and replay unchanged, probe still bucketed") {
+    import graft.streaming.ImageDupIndex
+    import graft.streaming.ImageDupIndex.ImageDupConfig
+    val all = Tables.documents(spark, TestSpark.Sf)
+    val idxDocs = all.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val b1 = all.filter(pmod(col("doc_id"), lit(6)) === 0)
+    val b2 = all.filter(pmod(col("doc_id"), lit(6)) === 3)
+    def files(cfg: ImageDupConfig) = new java.io.File(cfg.bandsDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    def collectV(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // the compacted index and its untouched twin must stay verdict-identical
+    val cfg = ImageDupConfig(tmp("img-compact"))
+    val twin = ImageDupIndex.ImageDupConfig(tmp("img-twin"))
+    for (c <- Seq(cfg, twin)) {
+      ImageDupIndex.init(spark, idxDocs, c)
+      ImageDupIndex.serveBatch(spark, b1, 1L, c).count()
+    }
+    val v1 = collectV(ImageDupIndex.serveBatch(spark, b1, 1L, cfg)) // replay, pre-compaction
+    val grown = files(cfg)
+    assert(grown > cfg.buckets, "appends must have accreted files")
+    ImageDupIndex.compact(spark, cfg)
+    assert(files(cfg) === cfg.buckets, "compaction leaves one file per bucket")
+    // replay of a pre-compaction batch: same verdicts, no re-append
+    val v1r = collectV(ImageDupIndex.serveBatch(spark, b1, 1L, cfg))
+    assert(v1r === v1, "post-compaction replay must be bit-identical")
+    assert(files(cfg) === cfg.buckets, "replay must not append")
+    // a fresh batch sees the same index content as the untouched twin
+    val v2c = collectV(ImageDupIndex.serveBatch(spark, b2, 2L, cfg))
+    val v2t = collectV(ImageDupIndex.serveBatch(spark, b2, 2L, twin))
+    assert(v2c === v2t, "compaction must not change index content")
+    // and the probe still scans the store bucketed
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = ImageDupIndex.probeJoin(spark, b2, 99L, cfg)
+        .queryExecution.executedPlan
+      val scan = PlanAudit.nodes(plan).collectFirst {
+        case s: FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("img-compact")) => s }.get
+      assert(scan.bucketedScan, s"compacted store must still scan bucketed:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("near-dup index: bucketed band store probes with zero index-side exchange; crash rollback") {
     import graft.streaming.NearDupIndex
     import graft.streaming.NearDupIndex.NearDupConfig
