@@ -151,41 +151,49 @@ object Html {
     -1
   }
 
-  /** True when `c` can appear inside an attribute name — used to reject
-    * substring matches (`data-href` must not satisfy a search for
-    * `href`, nor `xml:lang` one for `lang`). */
-  private def attrNameChar(c: Char): Boolean =
-    Character.isLetterOrDigit(c) || c == '-' || c == ':' || c == '_' || c == '.'
-
   /** Extract an attribute value from the raw tag text (between `<` and
-    * `>`): `name="v"`, `name='v'`, or unquoted `name=v`. Case-insensitive
-    * name match; None when absent (an explicitly empty value is
-    * Some("")). */
+    * `>`): `name="v"`, `name='v'`, or unquoted `name=v`. A real
+    * attribute TOKENIZER, not a substring search — walking name=value
+    * pairs quote-aware means a name occurring inside another
+    * attribute's quoted value (`title="href=/fake"`) or as a prefixed
+    * look-alike (`data-href`, `xml:lang`) can never match.
+    * Case-insensitive name match; None when absent or valueless (an
+    * explicitly empty value is Some("")). */
   private def attrOpt(tag: String, name: String): Option[String] = {
-    var from = 0
-    while (from < tag.length) {
-      val at = indexOfIgnoreCase(tag, name, from)
-      if (at < 0) return None
-      // must be a standalone attribute name followed by =
-      val before = at == 0 || !attrNameChar(tag.charAt(at - 1))
-      val afterIdx = at + name.length
-      val after = afterIdx >= tag.length || !attrNameChar(tag.charAt(afterIdx))
-      var i = afterIdx
-      while (i < tag.length && Character.isWhitespace(tag.charAt(i))) i += 1
-      if (before && after && i < tag.length && tag.charAt(i) == '=') {
-        var j = i + 1
-        while (j < tag.length && Character.isWhitespace(tag.charAt(j))) j += 1
-        if (j < tag.length && (tag.charAt(j) == '"' || tag.charAt(j) == '\'')) {
-          val q = tag.charAt(j)
-          val end = tag.indexOf(q, j + 1)
-          return Some(if (end < 0) tag.substring(j + 1) else tag.substring(j + 1, end))
-        }
-        var end = j
-        while (end < tag.length && !Character.isWhitespace(tag.charAt(end)) &&
-          tag.charAt(end) != '>') end += 1
-        return Some(tag.substring(j, end))
+    val n = tag.length
+    var i = 0
+    // skip the element name
+    while (i < n && !Character.isWhitespace(tag.charAt(i))) i += 1
+    while (i < n) {
+      // skip whitespace and stray '/' (self-closing slash)
+      while (i < n && (Character.isWhitespace(tag.charAt(i)) || tag.charAt(i) == '/')) i += 1
+      if (i >= n) return None
+      val ns = i
+      while (i < n && !Character.isWhitespace(tag.charAt(i)) && tag.charAt(i) != '=') i += 1
+      val aname = tag.substring(ns, i)
+      var j = i
+      while (j < n && Character.isWhitespace(tag.charAt(j))) j += 1
+      if (j < n && tag.charAt(j) == '=') {
+        j += 1
+        while (j < n && Character.isWhitespace(tag.charAt(j))) j += 1
+        val (value, next) =
+          if (j < n && (tag.charAt(j) == '"' || tag.charAt(j) == '\'')) {
+            val q = tag.charAt(j)
+            val e = tag.indexOf(q, j + 1)
+            if (e < 0) (tag.substring(j + 1), n) else (tag.substring(j + 1, e), e + 1)
+          } else {
+            var e = j
+            while (e < n && !Character.isWhitespace(tag.charAt(e)) &&
+              tag.charAt(e) != '>') e += 1
+            (tag.substring(j, e), e)
+          }
+        if (aname.equalsIgnoreCase(name)) return Some(value)
+        i = next
+      } else {
+        // boolean (valueless) attribute: present but carries no value
+        if (aname.equalsIgnoreCase(name)) return None
+        i = j
       }
-      from = at + name.length
     }
     None
   }

@@ -123,6 +123,18 @@ class HtmlSpec extends AnyFunSuite {
     assert(m.metaRobots == "noindex")
   }
 
+  test("attribute names inside other attributes' quoted values do not match") {
+    // 'href=' inside the title VALUE must not shadow the real href —
+    // attrs are tokenized as name=value pairs, not substring-searched
+    val d = Html.parse(
+      """<p><a title="see href=/fake here" href="/real">x</a></p>""")
+    assert(d.links == Vector(("/real", "x")))
+    val m = Html.parse(
+      """<head><meta content="name=robots trick" name="author">""" +
+        """<meta name="robots" content="noindex"></head>""")
+    assert(m.metaRobots == "noindex")
+  }
+
   test("raw-text elements close only on a complete close tag (HTML5 13.2.5)") {
     val d = Html.parse("""<script>x="</scripts>";secret()</script><p>keep</p>""")
     assert(d.blocks.map(_.text) == Vector("keep"))
