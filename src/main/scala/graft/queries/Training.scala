@@ -557,6 +557,20 @@ object Training {
     * noindex meta directive; a document enters the corpus only when
     * BOTH allow it. Two corpus-sublinear gates, one doc_id-keyed
     * join. */
+  /** R12: the end-to-end crawl curation verdict — extraction
+    * (boilerplate-removed main text), consent (robots × noindex) and a
+    * token-budget quality gate composed into one keep decision per
+    * page: the minimal real corpus-build pipeline, every stage oracle-
+    * checked on its own and here in composition. */
+  val tCrawlPipeline: Q = (s, d) => {
+    val main = Html.htmlMain(docs(s, d)).select(col("doc_id"),
+      TextOps.nTokens(col("main_text")).as("n_tokens"))
+    val consent = tConsentFilter(s, d)
+      .select(col("doc_id"), col("site"), col("kept").as("consented"))
+    main.join(consent, Seq("doc_id"))
+      .select(col("doc_id"), col("site"), col("n_tokens"), col("consented"),
+        (col("consented") && col("n_tokens") >= 20).as("kept"))
+  }
   val tConsentFilter: Q = (s, d) => {
     val dd = docs(s, d)
     val robots = UrlOps.robotsFilter(dd)
@@ -676,6 +690,7 @@ object Training {
     "t_html_meta" -> tHtmlMeta,
     "t_link_rank" -> tLinkRank,
     "t_consent_filter" -> tConsentFilter,
+    "t_crawl_pipeline" -> tCrawlPipeline,
     "t_html_warc" -> tHtmlWarc,
     "t_wet_build" -> tWetBuild,
   )

@@ -2294,6 +2294,38 @@ object TrainingOracles {
 
     // r12: the consent layer — robots longest-match verdict (the
     // t_robots analytic rules) AND the page's own noindex meta
+    // r12: the composed crawl curation verdict — main-text token count
+    // (9 fixed tokens + the two halves' word counts: the '&' in the
+    // entity paragraph normalizes to whitespace) x the consent gates
+    "t_crawl_pipeline" ->
+      """WITH hh AS (
+        |  SELECT doc_id,
+        |    trim(substr(text, 1, strlen(text)//2)) AS h1,
+        |    trim(substr(text, strlen(text)//2 + 1)) AS h2
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, 9 + len(string_split(h1, ' ')) + len(string_split(h2, ' ')) AS nt
+        |  FROM hh),
+        |d AS (SELECT doc_id, doc_id % 250 AS site, '/p' || doc_id AS path
+        |      FROM documents),
+        |s AS (SELECT unnest(range(0, 250)) AS g),
+        |r AS (
+        |  SELECT g AS site, '/' AS prefix, FALSE AS allow FROM s WHERE g % 5 = 0
+        |  UNION ALL SELECT g, '/p', FALSE FROM s WHERE g % 5 = 1
+        |  UNION ALL SELECT g, '/p1', TRUE FROM s WHERE g % 5 = 1
+        |  UNION ALL SELECT g, '/q', FALSE FROM s WHERE g % 5 = 2),
+        |m AS (
+        |  SELECT d.doc_id, d.site, r.allow,
+        |    row_number() OVER (PARTITION BY d.doc_id
+        |      ORDER BY len(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+        |  FROM d LEFT JOIN r ON d.site = r.site AND starts_with(d.path, r.prefix)),
+        |v AS (SELECT doc_id, CAST(site AS BIGINT) AS site,
+        |        (coalesce(allow, TRUE) AND NOT (doc_id % 7 = 0)) AS consented
+        |      FROM m WHERE rn = 1)
+        |SELECT v.doc_id, v.site, CAST(t.nt AS INT) AS n_tokens, v.consented,
+        |  (v.consented AND t.nt >= 20) AS kept
+        |FROM v JOIN t ON t.doc_id = v.doc_id""".stripMargin,
+
     "t_consent_filter" ->
       """WITH d AS (SELECT doc_id, doc_id % 250 AS site, '/p' || doc_id AS path
         |           FROM documents),
