@@ -688,7 +688,10 @@ object Bench {
           // vs in-suite 0.75), making `retimes` noise as a drift signal.
           sweepBlocks(spark)
           try { SparkEntry.queries(k)(spark, sfDir).count() }
-          catch { case _: Throwable => () }
+          catch {
+            case scala.util.control.NonFatal(w) =>
+              System.err.println(s"[bench] warmup for $k failed: $w")
+          }
           sweepBlocks(spark)
           val t0 = System.nanoTime()
           SparkEntry.queries(k)(spark, sfDir).count()

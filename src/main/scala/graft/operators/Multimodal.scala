@@ -435,14 +435,26 @@ object Multimodal {
     if (gpsOff <= 0 || gps + 2 > end) return (out, false)
     val g = u16(gps)
     if (g < 0 || g > 1024 || gps + 2 + 12 * g + 4 > end) return (out, false)
-    // zero every out-of-line GPS value payload
+    // zero every out-of-line GPS value payload — but NEVER a span that
+    // overlaps the TIFF header, the IFD0 entry array, or the GPS IFD
+    // block itself: a hostile value offset pointing into those
+    // structures is not a GPS payload, and zeroing it would corrupt the
+    // remaining EXIF (the "never corrupt what we cannot prove we
+    // understand" contract). The GPS pointer entry is removed either
+    // way, so nothing keeps referencing such a span.
+    val protectedSpans = Array(
+      (o.toLong, (o + 8).toLong),
+      (ifd0.toLong, (ifd0 + 2 + 12 * n + 4).toLong),
+      (gps.toLong, (gps + 2 + 12 * g + 4).toLong))
+    def clearOfStructures(s: Long, e2: Long): Boolean =
+      protectedSpans.forall { case (ps, pe) => e2 <= ps || s >= pe }
     var gi = 0
     while (gi < g) {
       val p = gps + 2 + 12 * gi
       val sz = TiffTypeSize.getOrElse(u16(p + 2), 1).toLong * math.max(u32(p + 4), 0L)
       if (sz > 4) {
         val vo = o + u32(p + 8)
-        if (vo >= o && vo + sz <= end)
+        if (vo >= o && vo + sz <= end && clearOfStructures(vo, vo + sz))
           java.util.Arrays.fill(out, vo.toInt, (vo + sz).toInt, 0.toByte)
       }
       gi += 1

@@ -39,32 +39,58 @@ private[streaming] object BandStore {
   /** Compact the append-accumulated band files. Every streaming append
     * writes up to `buckets` new parquet files, so a long-running index
     * accretes O(batches × buckets) small files and the probe's bucketed
-    * scan pays per-file open cost. Compaction rewrites the table in
-    * place — same rows, same bucket spec, so replay semantics (the
-    * batch_id filter) and the zero-exchange probe plan are untouched —
-    * and deliberately KEEPS the commit markers: they record which
-    * batchIds already served, and clearing them would double-append on
-    * a post-compaction stream replay. Safe between micro-batches (the
-    * serve loop is synchronous). The current rows are pinned via
-    * localCheckpoint before the rewrite — index relations are
-    * band-count sized; a 100 TB deployment would stage to a sibling
-    * directory and swap instead. */
+    * scan pays per-file open cost. Compaction rewrites the table —
+    * same rows, same bucket spec, so replay semantics (the batch_id
+    * filter) and the zero-exchange probe plan are untouched — and
+    * deliberately KEEPS the commit markers: they record which batchIds
+    * already served, and clearing them would double-append on a
+    * post-compaction stream replay. Safe between micro-batches (the
+    * serve loop is synchronous).
+    *
+    * Crash safety (r13, advisor): the compacted copy is STAGED to a
+    * sibling directory while the live files stay untouched, then
+    * swapped in by rename; the old copy is deleted only after the new
+    * one is fully in place. At no point is the sole durable copy of
+    * the index gone — a crash before the swap leaves the original
+    * serving, a crash between the two renames leaves a complete
+    * `.old` copy that the next call restores first. */
   def compact(spark: SparkSession, name: String, dir: String,
               buckets: Int): Unit = {
-    val pinned = spark.table(name).localCheckpoint()
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    val d = java.nio.file.Paths.get(dir)
+    import java.nio.file.{Files, Paths}
+    val dirP = Paths.get(dir)
+    val staging = Paths.get(dir.stripSuffix("/") + ".compacting")
+    val old = Paths.get(dir.stripSuffix("/") + ".old")
+    // recover from a crash between the two swap renames: the complete
+    // old copy is the store
+    if (!Files.isDirectory(dirP) && Files.isDirectory(old))
+      Files.move(old, dirP)
+    deleteTree(staging); deleteTree(old)
+    // write the compacted copy to the staging dir while the live table
+    // files still back `name` — the read happens during this write, so
+    // the durable copy is never gone. bucketBy requires saveAsTable, so
+    // stage under a throwaway catalog name (external → DROP keeps files)
+    val tmp = name + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // one writing task → exactly `buckets` output files
+    spark.table(name).coalesce(1)
+      .write.bucketBy(buckets, "band_val").sortBy("band_val")
+      .option("path", staging.toString)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // swap: live → .old, staging → live; the external table `name`
+    // keeps its location and bucket spec, only the files change
+    Files.move(dirP, old)
+    Files.move(staging, dirP)
+    spark.catalog.refreshTable(name)
+    deleteTree(old)
+  }
+
+  private def deleteTree(d: java.nio.file.Path): Unit =
     if (java.nio.file.Files.isDirectory(d)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(java.nio.file.Files.delete)
     }
-    // one writing task → exactly `buckets` output files
-    pinned.coalesce(1)
-      .write.bucketBy(buckets, "band_val").sortBy("band_val")
-      .option("path", dir)
-      .saveAsTable(name)
-  }
 
   /** Drop + delete + rewrite the store from an initial band relation,
     * clearing the commit markers too (stale markers would make a
@@ -74,12 +100,7 @@ private[streaming] object BandStore {
             commitsDir: String, initial: DataFrame, buckets: Int): Unit = {
     CommitProtocol.resetMarkers(commitsDir)
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val d = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.isDirectory(d)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
+    deleteTree(java.nio.file.Paths.get(dir))
     initial.write.bucketBy(buckets, "band_val").sortBy("band_val")
       .option("path", dir)
       .saveAsTable(name)
