@@ -245,6 +245,39 @@ class ConfigSpec extends AnyFunSuite {
       && cfg.sink.bufferTimeLimitMs === 99L)
   }
 
+  test("collector-namespace precedence: namespaced and bare documents load identically") {
+    // reference `Collector.scala:54-58` namespaced(): a document wrapped
+    // in collector{...} is unwrapped with the wrapped keys taking
+    // precedence over same-named top-level siblings (withFallback
+    // order); an un-namespaced document (bare collector keys at the
+    // root) loads identically. CollectorMain --config feeds both
+    // spellings through this same loader.
+    val wrapped =
+      """interface = "127.0.0.9"     # top-level sibling: fallback only
+        |port = 9999                  # loses to the namespaced port
+        |collector {
+        |  port = 8181
+        |  appName = ns-test
+        |  cookie { enabled = true, name = nsc, expiration = 1 days }
+        |}
+        |pekko.http.server.max-connections = 777
+        |""".stripMargin
+    val bare =
+      """interface = "127.0.0.9"
+        |port = 8181
+        |appName = ns-test
+        |cookie { enabled = true, name = nsc, expiration = 1 days }
+        |pekko.http.server.max-connections = 777
+        |""".stripMargin
+    val a = CollectorConfig.fromHocon(wrapped)
+    val b = CollectorConfig.fromHocon(bare)
+    assert(a === b, "namespaced and bare documents must load identically")
+    assert(a.port === 8181, "the collector{} block wins over the top-level sibling")
+    assert(a.interface === "127.0.0.9", "non-shadowed top-level keys ride in as fallback")
+    assert(a.appName === "ns-test" && a.cookieName === "nsc")
+    assert(a.serverMaxConnections === 777, "the pekko sibling block still applies")
+  }
+
   test("the reference's shipped example configs parse UNMODIFIED") {
     // strongest possible fidelity check: the actual files, byte-for-byte,
     // straight through the loader (input data, not copied code; skipped
