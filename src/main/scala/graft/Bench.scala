@@ -164,6 +164,10 @@ object Bench {
     "c_envelopes" -> 0.7,
     "c_partition_counts" -> 1.2,
     "c_segment" -> 0.8,
+    // r13: exact-substring dedup (Lee et al. 2022); measured 0.37 s —
+    // guarded at birth rather than waiting for the 1 s rule (the r12
+    // drift lesson)
+    "d_substr_dedup" -> 0.8,
     "t_consent_filter" -> 1.4, // r12: robots verdict x noindex meta, one doc_id join; measured 0.77 s solo
     "t_link_rank" -> 2.4, // r12: PageRank over the real extracted link graph (site-sublinear); measured 0.97 s solo
     "m_pair_dups" -> 2.2, // r12: cross-modal pair confirmation (text LSH left-joined with pHash ball); measured 1.53 s solo

@@ -746,6 +746,61 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Exact-substring dedup (Lee et al. 2022, arXiv:2107.06499 — the
+    * "ExactSubstr" corpus step): remove every occurrence but the first
+    * of ANY token run of length >= `w` repeated anywhere in the corpus
+    * (across documents or within one). Where [[spanDedup]] dedups FIXED
+    * k-token blocks on fixed boundaries, this removes arbitrary-length
+    * repeats at token granularity: every length-`w` sliding window is
+    * fingerprinted; a window hash seen more than once elects its global
+    * first occurrence (doc_id, then position) as keeper; a token is
+    * dropped iff some non-keeper duplicated window covers it. A shared
+    * run of length L >= w is covered wall-to-wall by its L-w+1 inside
+    * windows, so the run survives only at its first occurrence (the
+    * paper's suffix-array semantics realized with sliding fingerprints;
+    * windows straddling the run's edge mix in neighbor tokens and stay
+    * unique, so removal never chews past the repeat itself).
+    *
+    * Scale stance (100 TB): identical to [[spanDedup]] — the dedup
+    * decision never moves text. The election runs on the narrow
+    * (fp, doc_id, pos) relation (~one 28-byte row per token; the overlap
+    * premium over spanDedup's len/k rows is the price of
+    * arbitrary-boundary repeats — the paper pays an 8x suffix array for
+    * the same), packed-BIGINT winner so the groupBy stays a codegen'd
+    * HashAggregate with map-side combine. Only LOSER window starts flow
+    * back (corpus-sublinear: duplicated windows only), and the document
+    * text crosses exactly ONE exchange — the doc_id join — where each
+    * doc re-derives its tokens locally and filters them against its
+    * loser-start list. */
+  def substrDedup(docs: DataFrame, w: Int = 8): DataFrame = {
+    val occ = Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - w),
+          p => md5(array_join(slice(col("toks"), p + 1, lit(w)), " "))))
+        .as(Seq("pos", "fp")))
+    // pos < 2^20 (the spanDedup 5M-token/doc bound, declared) packs the
+    // (doc_id, pos) winner into one BIGINT
+    val packed = col("doc_id") * (1L << 20) + col("pos")
+    val elected = occ.groupBy("fp")
+      .agg(count(lit(1)).as("c"), min(packed).as("win"))
+    val losers = occ.hint("shuffle_hash").join(elected, "fp")
+      .filter(col("c") >= 2 && packed =!= col("win"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("drop_starts"))
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .join(losers, Seq("doc_id"), "left")
+      .withColumn("drop_starts",
+        coalesce(col("drop_starts"), array().cast("array<int>")))
+      .withColumn("kept_arr", filter(col("toks"), (_, i) =>
+        !exists(col("drop_starts"), p => p <= i && i <= p + (w - 1))))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept_arr"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept_arr"), " ")).as("kept_md5"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * near-duplicate pruning with the quadratic bounded by k-means cells —
     * embeddings cluster via the [[Similarity.ivfIndex]] Lloyd trainer

@@ -76,6 +76,8 @@ object Training {
   val dTriangles: Q = (s, d) => Dedup.triangleCounts(docs(s, d))
   val tWinnow: Q = (s, d) => Dedup.winnow(docs(s, d))
   val dSpanDedup: Q = (s, d) => Dedup.spanDedup(docs(s, d))
+  /** R13: exact-substring dedup (Lee et al. 2022 ExactSubstr). */
+  val dSubstrDedup: Q = (s, d) => Dedup.substrDedup(docs(s, d))
   val dSemdedup: Q = (s, d) => Dedup.semDedup(emb(s, d))
   val dChunkDups: Q = (s, d) => Dedup.sharedChunks(docs(s, d))
 
@@ -621,6 +623,7 @@ object Training {
     "d_lpa" -> dLpa,
     "d_triangles" -> dTriangles,
     "d_span_dedup" -> dSpanDedup,
+    "d_substr_dedup" -> dSubstrDedup,
     "d_semdedup" -> dSemdedup,
     "d_chunk_dups" -> dChunkDups,
     "t_top_terms" -> tTopTerms,

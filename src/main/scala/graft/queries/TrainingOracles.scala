@@ -822,6 +822,42 @@ object TrainingOracles {
          |  coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
 
+    // Exact-substring dedup (Lee et al. 2022): 8-token sliding-window
+    // fingerprints, global first occurrence (doc_id, pos) keeps; a token
+    // is removed iff covered by a non-keeper duplicated window. Same
+    // packed-BIGINT winner election as the Spark side.
+    "d_substr_dedup" ->
+      s"""$TokCte,
+         |occ AS (
+         |  SELECT doc_id, pos,
+         |    md5(array_to_string(list_slice(toks, pos + 1, pos + 8), ' ')) AS fp
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 7)) AS pos
+         |        FROM tok WHERE len(toks) >= 8)),
+         |elected AS (
+         |  SELECT fp, count(*) AS c, min(doc_id * 1048576 + pos) AS win
+         |  FROM occ GROUP BY fp),
+         |losers AS (
+         |  SELECT o.doc_id, o.pos
+         |  FROM occ o JOIN elected e ON o.fp = e.fp
+         |  WHERE e.c >= 2 AND o.doc_id * 1048576 + o.pos <> e.win),
+         |toki AS (
+         |  SELECT doc_id, i, toks[i+1] AS tok
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM tok)),
+         |removed AS (
+         |  SELECT DISTINCT t.doc_id, t.i
+         |  FROM toki t JOIN losers l ON t.doc_id = l.doc_id
+         |    AND t.i BETWEEN l.pos AND l.pos + 7),
+         |agg AS (
+         |  SELECT t.doc_id, count(*) AS n_tokens, count(r.i) AS n_removed,
+         |    md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.i) FILTER (WHERE r.i IS NULL), ''))
+         |      AS kept_md5
+         |  FROM toki t LEFT JOIN removed r ON t.doc_id = r.doc_id AND t.i = r.i
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_removed, 0) AS n_removed,
+         |  coalesce(a.kept_md5, md5('')) AS kept_md5
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin,
+
     // SemDeDup over the s_ivf_topk cell assignment (same sample-trained
     // Lloyd centroids): drop any vector with a lower-id cell-mate at
     // cosine >= 0.3, keep-lowest-id retention.

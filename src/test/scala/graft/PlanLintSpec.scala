@@ -268,6 +268,25 @@ class PlanLintSpec extends AnyFunSuite {
     }
   }
 
+  test("substr dedup decisions are text-free — tokens cross exactly one exchange") {
+    // r13: the ExactSubstr election runs on the narrow (fp, doc_id, pos)
+    // relation; only the doc_id reassembly join may move the token
+    // arrays (same contract as line dedup)
+    // (the Spread round-robin rebalance is excluded: it exists only at
+    // single-file test SF and is the identity at scale)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
+    val plan = SparkEntry.queries("d_substr_dedup")(spark, TestSpark.Sf)
+      .queryExecution.executedPlan
+    val shuffles = PlanAudit.nodes(plan).collect {
+      case e: ShuffleExchangeExec
+          if !e.outputPartitioning.isInstanceOf[RoundRobinPartitioning] => e
+    }
+    val wide = shuffles.filter(_.output.exists(a => a.name == "text" || a.name == "toks"))
+    assert(wide.size <= 1,
+      s"d_substr_dedup moves text/tokens through ${wide.size} keyed exchanges:\n$plan")
+  }
+
   test("t_robots broadcasts the rule table — the corpus side never shuffles for the join") {
     // the robots rule relation is site-count sized (KBs at 100 TB); the
     // only acceptable plan joins it broadcast with the longest-match

@@ -365,6 +365,49 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 2L, "m m m m m z"))) // span 1 dups span 0; tail "z" survives
   }
 
+  test("substr dedup: cross-doc run removed at the repeat, internal repeat keeps first copy") {
+    // doc 1 owns the run "c..j" (8 tokens = w); doc 2 repeats it between
+    // fresh tokens; doc 3 repeats its own 8-token run back-to-back
+    // (straddling windows mix both copies and stay unique, so removal
+    // stops exactly at the repeat's edges)
+    val out = Dedup.substrDedup(docsOf(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x1 x2 c d e f g h i j y1"),
+      (3L, "t1 t2 t3 t4 t5 t6 t7 t8 t1 t2 t3 t4 t5 t6 t7 t8")), w = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) === ((10L, 0L, m("a b c d e f g h i j"))), "keeper doc intact")
+    assert(out(2L) === ((11L, 8L, m("x1 x2 y1"))), "repeat excised, neighbors kept")
+    assert(out(3L) === ((16L, 8L, m("t1 t2 t3 t4 t5 t6 t7 t8"))), "internal repeat keeps first copy")
+  }
+
+  test("substr dedup property: any planted >=w-token shared run survives in exactly one doc") {
+    // globally-unique background tokens per doc isolate the planted run:
+    // the ONLY duplicated windows are the run's inside windows, so the
+    // expected removal is exactly L tokens in every non-keeper doc
+    val rnd = new scala.util.Random(13)
+    for (runLen <- Seq(8, 9, 13)) {
+      val run = (0 until runLen).map(i => s"run$i").mkString(" ")
+      val planted = Seq(2L, 5L, 9L) // keeper = min doc_id = 2
+      val docs = (1L to 10L).map { id =>
+        val bg = (0 until 30).map(j => s"d${id}t$j")
+        val text =
+          if (planted.contains(id)) {
+            val at = rnd.nextInt(bg.length + 1)
+            (bg.take(at) ++ Seq(run) ++ bg.drop(at)).mkString(" ")
+          } else bg.mkString(" ")
+        (id, text)
+      }
+      val out = Dedup.substrDedup(docsOf(docs: _*), w = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      for (id <- 1L to 10L) {
+        val want = if (planted.contains(id) && id != planted.min) runLen.toLong else 0L
+        assert(out(id) === want, s"runLen=$runLen doc=$id removed=${out(id)} want=$want")
+      }
+    }
+  }
+
   test("span dedup: kept spans are globally unique; token mass is conserved") {
     val docs = graft.Tables.documents(spark, TestSpark.Sf)
     val out = Dedup.spanDedup(docs, k = 5)
