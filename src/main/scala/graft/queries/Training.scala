@@ -496,6 +496,11 @@ object Training {
     * real robots.txt response captures (hostile dressing included). */
   val tRobotsWarc: Q = (s, d) => UrlOps.robotsFilterWarc(docs(s, d))
 
+  /** R13: per-site crawl-delay + sitemap directives recovered from the
+    * same robots.txt WARC captures (hostile dressing: duplicate and
+    * non-numeric delays, other-group delays, badbot-group sitemaps). */
+  val tRobotsDelay: Q = (s, _) => UrlOps.robotsDirectivesFromWarc(s)
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mJpegMeta: Q = (s, d) => Multimodal.jpegMeta(docs(s, d)).toDF()
   /** R11: WebP header probe — RIFF walk + VP8/VP8L/VP8X dialect dims. */
@@ -651,6 +656,7 @@ object Training {
     "d_url_dups" -> dUrlDups,
     "t_robots" -> tRobots,
     "t_robots_warc" -> tRobotsWarc,
+    "t_robots_delay" -> tRobotsDelay,
     "t_rep_stats" -> tRepStats,
     "t_entropy" -> tEntropy,
     "d_docsim" -> dDocsim,

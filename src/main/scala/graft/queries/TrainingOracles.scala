@@ -1437,6 +1437,26 @@ object TrainingOracles {
         |  coalesce(prefix, '') AS matched_rule
         |FROM m WHERE rn = 1""".stripMargin,
 
+    // r13: crawl-delay + sitemap directives out of the same robots.txt
+    // captures — the oracle states the per-site expectation analytically
+    // (first valid delay in the * group; sitemaps are global directives
+    // in document order, incl. the one planted in the badbot group; the
+    // orphan and badbot delays never leak; 404 sites absent)
+    "t_robots_delay" ->
+      """WITH s AS (SELECT unnest(range(0, 250)) AS site),
+        |d AS (SELECT site, 'https://site' || site || '.example.com' AS host
+        |      FROM s WHERE site % 5 <> 4)
+        |SELECT CAST(site AS BIGINT) AS site,
+        |  CAST(CASE WHEN site % 5 = 0 THEN 2
+        |            WHEN site % 5 = 2 THEN 5 END AS BIGINT) AS crawl_delay,
+        |  CAST(CASE WHEN site % 5 = 0 THEN 1 WHEN site % 5 = 1 THEN 2
+        |            WHEN site % 5 = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_sitemaps,
+        |  CASE WHEN site % 5 = 0 THEN host || '/sitemap.xml'
+        |       WHEN site % 5 = 1 THEN host || '/sitemap.xml,' || host || '/sitemap2.xml'
+        |       WHEN site % 5 = 2 THEN host || '/from-badbot.xml'
+        |       ELSE '' END AS sitemaps
+        |FROM d""".stripMargin,
+
     // r11 mixed-container WARC: the oracle states the SURVIVING records
     // analytically — only the response arm of each 3-record capture,
     // with the image payloads' exact-integer pixel sums (the

@@ -550,4 +550,46 @@ class TextDedupSpec extends AnyFunSuite {
       else assert(parseRobotsTxt(doc.get) === expected, s"site $site")
     }
   }
+
+  test("robots directives: crawl-delay first-valid-wins in *, sitemaps global") {
+    import graft.operators.UrlOps.parseRobotsDoc
+    // duplicate delays: first valid wins; non-numeric ignored entirely
+    assert(parseRobotsDoc(
+      "User-agent: *\nCrawl-delay: 3\nCrawl-delay: 9\nDisallow: /a\n").crawlDelay
+      === Some(3L))
+    assert(parseRobotsDoc(
+      "User-agent: *\nCrawl-delay: fast\nDisallow: /a\n").crawlDelay === None)
+    assert(parseRobotsDoc(
+      "User-agent: *\nCrawl-delay: nope\nCrawl-delay: 4\n").crawlDelay === Some(4L),
+      "a later valid delay still wins after an ignored non-numeric one")
+    // orphan delay (before any group) and other-group delays never leak
+    assert(parseRobotsDoc("Crawl-delay: 10\nUser-agent: *\nDisallow: /a\n").crawlDelay
+      === None)
+    assert(parseRobotsDoc(
+      "User-agent: badbot\nCrawl-delay: 99\nUser-agent: *\nDisallow: /a\n").crawlDelay
+      === None)
+    // case-insensitive field, inline comment on the value
+    assert(parseRobotsDoc("User-agent: *\nCRAWL-DELAY: 5 # polite\n").crawlDelay
+      === Some(5L))
+    // sitemaps are GLOBAL: collected in document order from anywhere,
+    // including orphan position and other agents' groups; empties dropped
+    assert(parseRobotsDoc(
+      "Sitemap: https://x/a.xml\nUser-agent: badbot\nSitemap: https://x/b.xml\n" +
+        "User-agent: *\nDisallow: /p\nSitemap:\nSitemap: https://x/c.xml\n").sitemaps
+      === Seq("https://x/a.xml", "https://x/b.xml", "https://x/c.xml"))
+    // the synthesized documents land on the analytic directive table
+    import graft.operators.UrlOps
+    for (site <- 0L until 20L; txt <- UrlOps.synthRobotsTxt(site)) {
+      val doc = parseRobotsDoc(txt)
+      val host = s"https://site$site.example.com"
+      val (wantDelay, wantMaps) = (site % 5) match {
+        case 0 => (Some(2L), Seq(s"$host/sitemap.xml"))
+        case 1 => (None, Seq(s"$host/sitemap.xml", s"$host/sitemap2.xml"))
+        case 2 => (Some(5L), Seq(s"$host/from-badbot.xml"))
+        case _ => (None, Seq.empty)
+      }
+      assert(doc.crawlDelay === wantDelay, s"site $site delay")
+      assert(doc.sitemaps === wantMaps, s"site $site sitemaps")
+    }
+  }
 }
