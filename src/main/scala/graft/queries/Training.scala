@@ -565,6 +565,9 @@ object Training {
     * removal, and the crawl shape with pages recovered from text/html
     * WARC response records. */
   val tHtmlText: Q = (s, d) => Html.htmlText(docs(s, d))
+  /** R13: table linearization — one pipe-joined block per row under
+    * hostile colspan/nesting/empty-cell/entity markup. */
+  val tHtmlTable: Q = (s, d) => Html.htmlTableText(docs(s, d))
   val tHtmlLinks: Q = (s, d) => Html.htmlLinks(docs(s, d))
   val tHtmlMain: Q = (s, d) => Html.htmlMain(docs(s, d))
   val tHtmlMeta: Q = (s, d) => Html.htmlMeta(docs(s, d))
@@ -705,6 +708,7 @@ object Training {
     "m_audio_acf" -> mAudioAcf,
     "m_pair_dups" -> mPairDups,
     "t_html_text" -> tHtmlText,
+    "t_html_table" -> tHtmlTable,
     "t_html_links" -> tHtmlLinks,
     "t_html_main" -> tHtmlMain,
     "t_html_meta" -> tHtmlMeta,

@@ -2312,6 +2312,26 @@ object TrainingOracles {
          |  CAST(7 AS INT) AS n_blocks, CAST(4 AS INT) AS n_links
          |FROM h""".stripMargin,
 
+    // r13: table linearization — the synthTableHtml corpus' analytic
+    // expectation: one pipe-joined block per row; caption its own block;
+    // paragraph-split cell content stays one cell; the empty cell drops
+    // from the join; the nested table emits outer-row-so-far, its own
+    // rows, then the outer row resumes
+    "t_html_table" ->
+      """SELECT doc_id,
+        |  'intro ' || doc_id || chr(10) ||
+        |  'spec ' || doc_id || chr(10) ||
+        |  'k | v' || chr(10) ||
+        |  'a ' || doc_id || ' | b1 b2' || chr(10) ||
+        |  CASE WHEN doc_id % 5 = 0 THEN 'c2 & ' || doc_id
+        |       ELSE 'c1 | c2 & ' || doc_id END || chr(10) ||
+        |  CASE WHEN doc_id % 4 = 0
+        |       THEN 'pre' || chr(10) || 'n1 | n2' || chr(10) || 'post | z ' || doc_id || chr(10)
+        |       ELSE '' END ||
+        |  'outro ' || doc_id AS text,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 9 ELSE 6 END AS BIGINT) AS n_blocks
+        |FROM documents""".stripMargin,
+
     "t_html_links" ->
       """SELECT doc_id, CAST(pos AS INT) AS pos,
         |  CASE pos WHEN 0 THEN '/home' WHEN 1 THEN '/about'

@@ -56,6 +56,39 @@ class HtmlSpec extends AnyFunSuite {
     assert(d.blocks.map(_.text) == Vector("a bold c", "x", "y", "z"))
   }
 
+  test("table rows linearize to pipe-joined blocks; cells with block tags stay one cell") {
+    val d = Html.parse(
+      "<p>before</p><table><tr><th>k</th><th>v</th></tr>" +
+        "<tr><td colspan=\"2\">a</td><td><p>b1</p><p>b2</p></td></tr>" +
+        "<tr><td></td><td>c</td></tr></table><p>after</p>")
+    assert(d.blocks.map(_.text) ===
+      Vector("before", "k | v", "a | b1 b2", "c", "after"))
+  }
+
+  test("nested table emits outer row-so-far, its rows, then the outer row resumes") {
+    val d = Html.parse(
+      "<table><tr><td>pre<table><tr><td>n1</td><td>n2</td></tr></table>post</td>" +
+        "<td>z</td></tr></table>")
+    assert(d.blocks.map(_.text) === Vector("pre", "n1 | n2", "post | z"))
+  }
+
+  test("unclosed table at EOF still emits the pending row; caption is its own block") {
+    val d = Html.parse("<table><caption>cap</caption><tr><td>a</td><td>b")
+    assert(d.blocks.map(_.text) === Vector("cap", "a | b"))
+  }
+
+  test("orphan td/tr outside any table keep the old block-delimiter behavior") {
+    val d = Html.parse("x<td>y</td>z</table>w")
+    assert(d.blocks.map(_.text) === Vector("x", "y", "z", "w"))
+  }
+
+  test("anchor text inside a cell counts toward the row's link chars") {
+    val d = Html.parse(
+      "<table><tr><td><a href=\"/x\">click</a></td><td>plain</td></tr></table>")
+    assert(d.blocks === Vector(Html.Block("click | plain", 5)))
+    assert(d.links === Vector(("/x", "click")))
+  }
+
   test("mixed-case tags are recognized") {
     val d = Html.parse("<P>one</P><BR><DIV>two</DIV><SCRIPT>var x;</SCRIPT>")
     assert(d.blocks.map(_.text) == Vector("one", "two"))
