@@ -202,6 +202,7 @@ object Bench {
     "stream_neardup" -> 4.5, // r11: banded near-dup serve drain; measured 2.3 s
     "stream_imagedup" -> 4.5, // r12: bucketed pHash band index serve; measured 2.36 s solo
     "stream_ingest" -> 9.5, // r12: composed exact->near serve (IngestDedup); measured 9.6 s solo
+    "stream_crawl" -> 20.0, // r13: continuous corpus build (WARC->extract->consent->IngestDedup); measured 19.1/19.4 s
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
     "stream_lake" -> 10.0,
@@ -597,6 +598,37 @@ object Bench {
           .start()
         q.awaitTermination()
         require(spark.read.parquet(dir("ig-verdicts")).count() > 0)
+      }
+    }
+
+    if (wanted("stream_crawl")) {
+      // r13: the CONTINUOUS corpus build — WARC shards → Html extract →
+      // robots×noindex consent → token gate → IngestDedup (CrawlPipeline)
+      import graft.streaming.CrawlPipeline
+      val cpCfg = CrawlPipeline.CrawlConfig(dir("cp-idx"))
+      var cpRules: org.apache.spark.sql.DataFrame = null
+      out += leg("stream_crawl") {
+        val docs = Tables.documents(spark, sfDir)
+        CrawlPipeline.init(spark, docs.limit(0), cpCfg)
+        CrawlPipeline.writeWarcShards(docs.repartition(8), dir("cp-src"))
+        cpRules = CrawlPipeline.pinnedRules(spark)
+      } {
+        val q = spark.readStream.format("binaryFile")
+          .schema(CrawlPipeline.BinaryFileSchema)
+          .option("pathGlobFilter", "*.warc*")
+          .option("maxFilesPerTrigger", "2")
+          .load(dir("cp-src"))
+          .writeStream
+          .option("checkpointLocation", dir("ckpt-cp"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            CrawlPipeline.serveBatch(spark, batch, id, cpCfg, cpRules)
+              .write.mode("append").parquet(dir("cp-verdicts"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(spark.read.parquet(dir("cp-verdicts")).count() > 0)
       }
     }
 

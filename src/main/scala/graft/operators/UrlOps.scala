@@ -153,7 +153,7 @@ object UrlOps {
     * by [[robotsFilter]] (analytic rules) and [[robotsFilterWarc]]
     * (rules parsed from ingested robots.txt captures). Broadcast join +
     * one in-aggregate argmax, one corpus shuffle. */
-  private def longestMatch(d: DataFrame, rules: DataFrame): DataFrame = {
+  private[graft] def longestMatch(d: DataFrame, rules: DataFrame): DataFrame = {
     val m = d.join(broadcast(rules),
       d("site") === rules("r_site") && d("path").startsWith(rules("prefix")),
       "left")
