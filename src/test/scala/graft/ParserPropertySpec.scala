@@ -52,8 +52,19 @@ class ParserPropertySpec extends AnyFunSuite {
     * junk and comments anywhere; orphan rule lines only before the first
     * group — between groups they would legally attach to the previous
     * group). */
-  private def render(groups: List[Group], seed: Long): String = {
+  private def render(groups: List[Group], seed: Long): String =
+    renderFull(groups, seed)._1
+
+  /** [[render]] plus the directive expectations it baked in: the first
+    * VALID crawl-delay emitted inside a `*`-group and every sitemap URL
+    * in document order (r13 — the parseRobotsDoc surface). Sitemap
+    * lines are placed only where a UA run is already closed (they ARE
+    * run closers, so one between UA lines would change the grouping). */
+  private def renderFull(groups: List[Group], seed: Long)
+      : (String, Option[Long], List[String]) = {
     val rnd = new scala.util.Random(seed)
+    var delay: Option[Long] = None
+    val maps = List.newBuilder[String]
     def caseOf(s: String): String = rnd.nextInt(3) match {
       case 0 => s.toLowerCase
       case 1 => s.toUpperCase
@@ -70,8 +81,25 @@ class ParserPropertySpec extends AnyFunSuite {
       case _ => "" // nothing
     }
     val sb = new StringBuilder
+    def sitemapMaybe(): Unit =
+      if (rnd.nextInt(3) == 0) {
+        val u = "https://h" + rnd.nextInt(9) + "/s" + rnd.nextInt(9) + ".xml"
+        sb.append(caseOf("Sitemap")).append(colon).append(u).append(comment).append(eol)
+        maps += u
+      }
+    def delayLine(star: Boolean): Unit = {
+      val v = rnd.nextInt(3) match {
+        case 0 => "10"
+        case 1 => rnd.nextInt(100).toString
+        case _ => "soon" // non-numeric: must be ignored
+      }
+      sb.append(caseOf("Crawl-delay")).append(colon).append(v).append(comment).append(eol)
+      if (star && delay.isEmpty && v.forall(_.isDigit))
+        delay = Some(v.toLong)
+    }
     if (rnd.nextBoolean()) sb.append("\uFEFF")
     sb.append(safeJunk)
+    sitemapMaybe() // global directive: counts even before any group
     if (rnd.nextBoolean()) sb.append("Disallow").append(colon).append("/orphan").append(eol)
     groups.foreach { g =>
       sb.append(safeJunk)
@@ -84,16 +112,20 @@ class ParserPropertySpec extends AnyFunSuite {
       // UA run, which RFC 9309 (and the parser) treat as ONE merged
       // group; for rule-bearing groups the closer is optional dressing
       if (g.rules.isEmpty || rnd.nextInt(4) == 0)
-        sb.append(caseOf("Crawl-delay")).append(colon).append("10").append(eol)
+        delayLine(star = g.agents.contains("*"))
       g.rules.foreach { r =>
         sb.append(caseOf(if (r.allow) "Allow" else "Disallow"))
           .append(colon).append(r.prefix).append(comment).append(eol)
         if (rnd.nextInt(3) == 0) sb.append(safeJunk)
         if (rnd.nextInt(5) == 0) sb.append(caseOf("Disallow")).append(colon).append(eol) // empty: no-op
+        if (rnd.nextInt(5) == 0) delayLine(star = g.agents.contains("*"))
+        sitemapMaybe() // UA run already closed by the rule line above
       }
+      if (g.rules.isEmpty) sitemapMaybe() // run closed by the mandatory delay
     }
     sb.append(safeJunk)
-    sb.toString
+    sitemapMaybe()
+    (sb.toString, delay, maps.result())
   }
 
   test("property: robots parser recovers exactly the *-group rules from hostile renderings") {
@@ -101,6 +133,14 @@ class ParserPropertySpec extends AnyFunSuite {
       val expected = groups.filter(_.agents.contains("*"))
         .flatMap(_.rules).map(r => (r.prefix, r.allow))
       graft.operators.UrlOps.parseRobotsTxt(render(groups, seed)) == expected
+    })
+  }
+
+  test("property: crawl-delay and sitemaps recover exactly from hostile renderings") {
+    check(Prop.forAll(genModel) { case (groups, seed) =>
+      val (txt, wantDelay, wantMaps) = renderFull(groups, seed)
+      val doc = graft.operators.UrlOps.parseRobotsDoc(txt)
+      doc.crawlDelay == wantDelay && doc.sitemaps == wantMaps
     })
   }
 
