@@ -345,4 +345,168 @@ object UrlOps {
       regexp_extract(col("target_uri"), "^https://[^/]+(/.*)$", 1).as("path"))
     longestMatch(pages, robotsRulesFromWarc(docs.sparkSession))
   }
+
+  // ------------------------------------------------------------------
+  // Sitemaps (r13) — the other half of the crawl frontier: robots.txt
+  // names the sitemap URLs ([[parseRobotsDoc]]); the sitemap documents
+  // name the pages. sitemaps.org protocol: <urlset><url><loc/lastmod/
+  // priority>, or a <sitemapindex><sitemap><loc> shard index.
+  // ------------------------------------------------------------------
+
+  /** One parsed sitemap entry: `kind` = url|sitemap, decoded `loc`,
+    * `lastmod` as the raw W3C date string ("" when absent), priority in
+    * exact permille (0.5 → 500, 1.0 → 1000; -1 when absent/invalid). */
+  private[graft] final case class SitemapEntry(
+      kind: String, loc: String, lastmod: String, priorityPermille: Int)
+
+  private val SitemapEntryRe =
+    java.util.regex.Pattern.compile("(?is)<(url|sitemap)\\b[^>]*>(.*?)</\\1\\s*>")
+  private val SitemapFieldRe =
+    java.util.regex.Pattern.compile("(?is)<(loc|lastmod|priority)\\b[^>]*>(.*?)</\\1\\s*>")
+  private val XmlCommentRe =
+    java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val PriorityRe =
+    java.util.regex.Pattern.compile("^([01])(?:\\.([0-9]{1,3}))?$")
+
+  /** Tolerant sitemap parse (the [[parseRobotsTxt]] discipline): BOM
+    * stripped, comments removed wholesale (a ghost entry inside one
+    * must not surface), tag case ignored, values trimmed and
+    * entity-decoded (the protocol requires `&` escaped in URLs),
+    * entries without a `<loc>` skipped, malformed priorities → -1.
+    * Never throws on arbitrary text — garbage yields no entries. */
+  private[graft] def parseSitemap(text: String): Seq[SitemapEntry] = {
+    val clean = XmlCommentRe.matcher(text.stripPrefix("\uFEFF")).replaceAll("")
+    val out = Seq.newBuilder[SitemapEntry]
+    val m = SitemapEntryRe.matcher(clean)
+    while (m.find()) {
+      val kind = m.group(1).toLowerCase(java.util.Locale.ROOT)
+      var loc = ""; var lastmod = ""; var priority = -1
+      val f = SitemapFieldRe.matcher(m.group(2))
+      while (f.find()) {
+        val v = Html.decodeEntities(f.group(2).trim)
+        f.group(1).toLowerCase(java.util.Locale.ROOT) match {
+          case "loc" => if (loc.isEmpty) loc = v
+          case "lastmod" => if (lastmod.isEmpty) lastmod = v
+          case "priority" =>
+            val p = PriorityRe.matcher(v)
+            if (priority < 0 && p.matches()) {
+              val whole = p.group(1).toInt * 1000
+              val frac = Option(p.group(2)).getOrElse("")
+              priority = math.min(1000, whole + (frac + "000").take(3).toInt)
+            }
+        }
+      }
+      if (loc.nonEmpty) out += SitemapEntry(kind, loc, lastmod, priority)
+    }
+    out.result()
+  }
+
+  /** The deterministic sitemap DOCUMENT each site serves, with hostile
+    * dressing: BOM on every third site, mixed-case tags on odd sites, a
+    * ghost entry inside a comment, whitespace storms around values, an
+    * entity-encoded `&` in a query-bearing loc, a loc-less entry
+    * (skipped) on sites ≡ 0 (mod 7), lastmod/priority present only on
+    * some entries. Sites ≡ 4 (mod 5) serve a sitemapindex (2 shard
+    * refs) instead of a urlset. */
+  private[graft] def synthSitemapXml(site: Long): String = {
+    val up = site % 2 == 1
+    def t(s: String): String = if (up) s.toUpperCase(java.util.Locale.ROOT) else s
+    val host = s"https://site$site.example.com"
+    val bom = if (site % 3 == 0) "\uFEFF" else ""
+    val ghost = "<!-- <url><loc>https://ghost.example.com/x</loc></url> -->\n"
+    val locless =
+      if (site % 7 == 0) s"<${t("url")}><${t("lastmod")}>2026-01-01</${t("lastmod")}></${t("url")}>\n"
+      else ""
+    if (site % 5 == 4) {
+      val entries = (1 to 2).map(i =>
+        s"<${t("sitemap")}>\n  <${t("loc")}>\n    $host/sitemap$i.xml  </${t("loc")}>\n</${t("sitemap")}>\n")
+        .mkString(if (site % 7 == 0) locless.replace(t("url"), t("sitemap")) else "")
+      bom + "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" + ghost +
+        s"<${t("sitemapindex")} xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        entries + s"</${t("sitemapindex")}>\n"
+    } else {
+      val k = 1 + (site % 3).toInt
+      val entries = (0 until k).map { j =>
+        val loc =
+          if (j == 0) s"$host/p0?a=1&amp;b=2" else s"$host/p$j"
+        val lastmod =
+          if (j % 2 == 0) s"  <${t("lastmod")}> 2026-08-1$j </${t("lastmod")}>\n" else ""
+        val priority = j match {
+          case 0 => s"  <${t("priority")}>0.5</${t("priority")}>\n"
+          case 1 => s"  <${t("priority")}> 1.0 </${t("priority")}>\n"
+          case _ => ""
+        }
+        s"<${t("url")}>\n  <${t("loc")}>  $loc\n  </${t("loc")}>\n$lastmod$priority</${t("url")}>\n"
+      }.mkString(if (site % 7 == 0) locless else "")
+      bom + "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" + ghost +
+        s"<${t("urlset")} xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        entries + s"</${t("urlset")}>\n"
+    }
+  }
+
+  /** Sitemap captures walked out of WARC (every site serves ONE
+    * `/sitemap.xml` response), parsed into the per-entry relation:
+    * (site, kind, pos, loc, lastmod, priority_permille) — pos is the
+    * document order among the entries that survive the parse.
+    * Site-count × entries-per-sitemap sized: frontier scale, corpus-
+    * sublinear. */
+  def sitemapsFromWarc(spark: org.apache.spark.sql.SparkSession,
+                       sites: Int = 250): DataFrame = {
+    import spark.implicits._
+    spark.range(0, sites.toLong).as[Long]
+      .mapPartitions { it =>
+        val out = new java.io.ByteArrayOutputStream()
+        it.foreach { s =>
+          out.write(s"--junk between captures $s--\r\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.write(Warc.synthRecord(s, "response", "application/xml",
+            s"https://site$s.example.com/sitemap.xml",
+            synthSitemapXml(s).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+        Warc.parseStreamRaw(out.toByteArray)
+          .filter(r => r.warcType == "response" &&
+            r.headers.getOrElse("warc-target-uri", "").endsWith("/sitemap.xml"))
+          .flatMap { r =>
+            val txt = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+            parseSitemap(txt).zipWithIndex.map { case (e, pos) =>
+              (r.doc_id, e.kind, pos, e.loc, e.lastmod, e.priorityPermille.toLong)
+            }
+          }
+      }.toDF("site", "kind", "pos", "loc", "lastmod", "priority_permille")
+  }
+
+  /** R13: the CRAWL FRONTIER — the schedule a polite crawler derives
+    * from the two consent documents together: sitemap-declared page
+    * URLs ([[sitemapsFromWarc]], url entries only), filtered by the
+    * RFC 9309 longest-match robots verdict on each URL's path, paced by
+    * the site's crawl-delay ([[robotsDirectivesFromWarc]], default 1 s
+    * when unset): per site, allowed URLs in sitemap order with
+    * `fetch_at_s = (fetch_order - 1) × delay_s` (exact integers).
+    *
+    * Scale shape: everything here is frontier-sized (URLs DECLARED, not
+    * pages crawled) — the rules and delays broadcast, the only window
+    * partitions by site. At 100 TB the frontier is millions of times
+    * smaller than the crawl it schedules. */
+  def crawlFrontier(spark: org.apache.spark.sql.SparkSession,
+                    sites: Int = 250): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val urls = sitemapsFromWarc(spark, sites)
+      .filter(col("kind") === "url")
+      .select(col("site"), col("pos"), col("loc"),
+        regexp_extract(col("loc"), "^https://[^/]+(/[^?#]*)", 1).as("path"))
+      .withColumn("doc_id", col("site") * 1000 + col("pos"))
+    val verdict = longestMatch(
+      urls.select("doc_id", "site", "path"), robotsRulesFromWarc(spark, sites))
+      .select(col("doc_id"), col("allowed"))
+    val delays = robotsDirectivesFromWarc(spark, sites)
+      .select(col("site"), col("crawl_delay"))
+    val w = Window.partitionBy("site").orderBy("pos")
+    urls.join(verdict, Seq("doc_id")).filter(col("allowed"))
+      .join(delays, Seq("site"), "left")
+      .withColumn("delay_s", coalesce(col("crawl_delay"), lit(1L)))
+      .withColumn("fetch_order", row_number().over(w))
+      .select(col("site"), col("loc"), col("fetch_order"),
+        col("delay_s"),
+        ((col("fetch_order") - 1).cast("long") * col("delay_s")).as("fetch_at_s"))
+  }
 }

@@ -501,6 +501,17 @@ object Training {
     * non-numeric delays, other-group delays, badbot-group sitemaps). */
   val tRobotsDelay: Q = (s, _) => UrlOps.robotsDirectivesFromWarc(s)
 
+  /** R13: sitemap documents recovered from WARC and parsed (urlset url
+    * entries + sitemapindex shard refs, hostile dressing: comments,
+    * mixed case, whitespace storms, entity-encoded locs, loc-less
+    * entries skipped). */
+  val tSitemap: Q = (s, _) => UrlOps.sitemapsFromWarc(s)
+
+  /** R13: the crawl frontier — sitemap URLs × robots longest-match ×
+    * crawl-delay pacing, the schedule a polite crawler derives from the
+    * two consent documents together. */
+  val tFrontier: Q = (s, _) => UrlOps.crawlFrontier(s)
+
   val mDecode: Q = (s, d) => Multimodal.decodeMeta(docs(s, d)).toDF()
   val mJpegMeta: Q = (s, d) => Multimodal.jpegMeta(docs(s, d)).toDF()
   /** R11: WebP header probe — RIFF walk + VP8/VP8L/VP8X dialect dims. */
@@ -660,6 +671,8 @@ object Training {
     "t_robots" -> tRobots,
     "t_robots_warc" -> tRobotsWarc,
     "t_robots_delay" -> tRobotsDelay,
+    "t_sitemap" -> tSitemap,
+    "t_frontier" -> tFrontier,
     "t_rep_stats" -> tRepStats,
     "t_entropy" -> tEntropy,
     "d_docsim" -> dDocsim,

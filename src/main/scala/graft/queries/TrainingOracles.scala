@@ -1457,6 +1457,60 @@ object TrainingOracles {
         |       ELSE '' END AS sitemaps
         |FROM d""".stripMargin,
 
+    // r13: sitemap parse — analytic per-site expectation (urlset sites
+    // get 1 + site%3 url entries with the dressed loc/lastmod/priority;
+    // index sites get 2 shard refs; the ghost-comment and loc-less
+    // entries never surface)
+    "t_sitemap" ->
+      """WITH s AS (SELECT unnest(range(0, 250)) AS site),
+        |h AS (SELECT site, 'https://site' || site || '.example.com' AS host FROM s),
+        |idx AS (
+        |  SELECT site, host, unnest(range(0, 2)) AS pos FROM h WHERE site % 5 = 4),
+        |idx2 AS (
+        |  SELECT site, 'sitemap' AS kind, pos,
+        |    host || '/sitemap' || (pos + 1) || '.xml' AS loc,
+        |    '' AS lastmod, CAST(-1 AS BIGINT) AS priority_permille
+        |  FROM idx),
+        |u AS (
+        |  SELECT site, host, unnest(range(0, 1 + site % 3)) AS pos
+        |  FROM h WHERE site % 5 <> 4),
+        |u2 AS (
+        |  SELECT site, 'url' AS kind, pos,
+        |    host || '/p' || pos || CASE WHEN pos = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+        |    CASE WHEN pos % 2 = 0 THEN '2026-08-1' || pos ELSE '' END AS lastmod,
+        |    CAST(CASE WHEN pos = 0 THEN 500 WHEN pos = 1 THEN 1000
+        |              ELSE -1 END AS BIGINT) AS priority_permille
+        |  FROM u)
+        |SELECT CAST(site AS BIGINT) AS site, kind, CAST(pos AS INT) AS pos,
+        |  loc, lastmod, priority_permille
+        |FROM (SELECT * FROM idx2 UNION ALL SELECT * FROM u2)""".stripMargin,
+
+    // r13: the crawl frontier — sitemap url entries filtered by the
+    // robots longest-match on each loc's PATH, paced by the site's
+    // crawl-delay (default 1 s): sites %5=0 lose everything to
+    // Disallow /, %5=1 keep only /p1 (the Allow carve-out), %5=2 keep
+    // all at delay 5, %5=3 keep all at delay 1, %5=4 have no url
+    // entries (index shards)
+    "t_frontier" ->
+      """WITH s AS (SELECT unnest(range(0, 250)) AS site),
+        |u AS (SELECT site, unnest(range(0, 1 + site % 3)) AS pos
+        |      FROM s WHERE site % 5 <> 4),
+        |a AS (
+        |  SELECT site, pos FROM u WHERE site % 5 = 1 AND pos = 1
+        |  UNION ALL SELECT site, pos FROM u WHERE site % 5 IN (2, 3)),
+        |o AS (
+        |  SELECT site, pos,
+        |    row_number() OVER (PARTITION BY site ORDER BY pos) AS fetch_order
+        |  FROM a)
+        |SELECT CAST(site AS BIGINT) AS site,
+        |  'https://site' || site || '.example.com/p' || pos ||
+        |    CASE WHEN pos = 0 THEN '?a=1&b=2' ELSE '' END AS loc,
+        |  CAST(fetch_order AS INT) AS fetch_order,
+        |  CAST(CASE WHEN site % 5 = 2 THEN 5 ELSE 1 END AS BIGINT) AS delay_s,
+        |  CAST((fetch_order - 1) * CASE WHEN site % 5 = 2 THEN 5 ELSE 1 END
+        |    AS BIGINT) AS fetch_at_s
+        |FROM o""".stripMargin,
+
     // r11 mixed-container WARC: the oracle states the SURVIVING records
     // analytically — only the response arm of each 3-record capture,
     // with the image payloads' exact-integer pixel sums (the

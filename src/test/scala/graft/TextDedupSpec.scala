@@ -551,6 +551,37 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sitemap parser: tolerant entries, comments dropped, priorities exact-permille") {
+    import graft.operators.UrlOps.{parseSitemap, SitemapEntry}
+    // mixed case, whitespace storms, entity-encoded loc, comment ghost,
+    // loc-less entry skipped, malformed priority -> -1, 1.0 -> 1000
+    val doc =
+      "﻿<?xml version=\"1.0\"?>\n" +
+        "<!-- <url><loc>https://ghost/x</loc></url> -->\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n" +
+        "<URL>\n  <LOC>  https://a/p?x=1&amp;y=2\n  </LOC>\n" +
+        "  <LastMod> 2026-08-10 </LastMod>\n  <Priority>0.5</Priority>\n</URL>\n" +
+        "<url><lastmod>2026-01-01</lastmod></url>\n" + // loc-less: skipped
+        "<url><loc>https://a/q</loc><priority> 1.0 </priority></url>\n" +
+        "<url><loc>https://a/r</loc><priority>fast</priority></url>\n" +
+        "</urlset>\n"
+    assert(parseSitemap(doc) === Seq(
+      SitemapEntry("url", "https://a/p?x=1&y=2", "2026-08-10", 500),
+      SitemapEntry("url", "https://a/q", "", 1000),
+      SitemapEntry("url", "https://a/r", "", -1)))
+    // sitemapindex entries come out as kind=sitemap
+    assert(parseSitemap(
+      "<sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap></sitemapindex>")
+      === Seq(SitemapEntry("sitemap", "https://a/s1.xml", "", -1)))
+    // garbage never throws, yields nothing
+    assert(parseSitemap("%PDF junk << >> <url>unterminated") === Seq.empty)
+    // fractional permille pads/truncates exactly: 0.25 -> 250, 0.1234 invalid
+    assert(parseSitemap("<url><loc>u</loc><priority>0.25</priority></url>")
+      === Seq(SitemapEntry("url", "u", "", 250)))
+    assert(parseSitemap("<url><loc>u</loc><priority>0.1234</priority></url>")
+      === Seq(SitemapEntry("url", "u", "", -1)))
+  }
+
   test("robots directives: crawl-delay first-valid-wins in *, sitemaps global") {
     import graft.operators.UrlOps.parseRobotsDoc
     // duplicate delays: first valid wins; non-numeric ignored entirely
