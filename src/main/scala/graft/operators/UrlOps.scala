@@ -490,11 +490,15 @@ object UrlOps {
   def crawlFrontier(spark: org.apache.spark.sql.SparkSession,
                     sites: Int = 250): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned (the pinVerdict precedent): the url relation feeds BOTH the
+    // longest-match verdict arm and the schedule join — unpinned, the
+    // sitemap-corpus walk would run twice per consumer
     val urls = sitemapsFromWarc(spark, sites)
       .filter(col("kind") === "url")
       .select(col("site"), col("pos"), col("loc"),
         regexp_extract(col("loc"), "^https://[^/]+(/[^?#]*)", 1).as("path"))
       .withColumn("doc_id", col("site") * 1000 + col("pos"))
+      .localCheckpoint()
     val verdict = longestMatch(
       urls.select("doc_id", "site", "path"), robotsRulesFromWarc(spark, sites))
       .select(col("doc_id"), col("allowed"))
