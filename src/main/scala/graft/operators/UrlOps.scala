@@ -445,11 +445,14 @@ object UrlOps {
   }
 
   /** Sitemap captures walked out of WARC (every site serves ONE
-    * `/sitemap.xml` response), parsed into the per-entry relation:
+    * sitemap response), parsed into the per-entry relation:
     * (site, kind, pos, loc, lastmod, priority_permille) — pos is the
-    * document order among the entries that survive the parse.
-    * Site-count × entries-per-sitemap sized: frontier scale, corpus-
-    * sublinear. */
+    * document order among the entries that survive the parse. Sites
+    * ≡ 3 (mod 7) serve the GZIPPED transport (`/sitemap.xml.gz`, the
+    * sitemaps.org-sanctioned form most large sites actually publish) —
+    * the payload gunzips before the parse, and the oracle's bytes are
+    * identical either way (transport, not semantics). Site-count ×
+    * entries-per-sitemap sized: frontier scale, corpus-sublinear. */
   def sitemapsFromWarc(spark: org.apache.spark.sql.SparkSession,
                        sites: Int = 250): DataFrame = {
     import spark.implicits._
@@ -459,15 +462,24 @@ object UrlOps {
         it.foreach { s =>
           out.write(s"--junk between captures $s--\r\n"
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          out.write(Warc.synthRecord(s, "response", "application/xml",
-            s"https://site$s.example.com/sitemap.xml",
-            synthSitemapXml(s).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val xml = synthSitemapXml(s).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val gz = s % 7 == 3
+          out.write(Warc.synthRecord(s, "response",
+            if (gz) "application/x-gzip" else "application/xml",
+            s"https://site$s.example.com/sitemap.xml" + (if (gz) ".gz" else ""),
+            if (gz) Warc.gzipMember(xml) else xml))
         }
         Warc.parseStreamRaw(out.toByteArray)
-          .filter(r => r.warcType == "response" &&
-            r.headers.getOrElse("warc-target-uri", "").endsWith("/sitemap.xml"))
+          .filter { r =>
+            val uri = r.headers.getOrElse("warc-target-uri", "")
+            r.warcType == "response" &&
+              (uri.endsWith("/sitemap.xml") || uri.endsWith("/sitemap.xml.gz"))
+          }
           .flatMap { r =>
-            val txt = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+            val uri = r.headers.getOrElse("warc-target-uri", "")
+            val body =
+              if (uri.endsWith(".gz")) Warc.gunzipMembers(r.payload) else r.payload
+            val txt = new String(body, java.nio.charset.StandardCharsets.UTF_8)
             parseSitemap(txt).zipWithIndex.map { case (e, pos) =>
               (r.doc_id, e.kind, pos, e.loc, e.lastmod, e.priorityPermille.toLong)
             }
