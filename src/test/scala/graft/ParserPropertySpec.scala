@@ -144,6 +144,97 @@ class ParserPropertySpec extends AnyFunSuite {
     })
   }
 
+  // ---- sitemap parser --------------------------------------------------
+
+  private case class SmEntry(kind: String, loc: String, lastmod: String,
+                             permille: Int)
+
+  private val genSmEntry: Gen[SmEntry] = for {
+    kind <- Gen.oneOf("url", "sitemap")
+    host <- Gen.alphaNumStr.map(_.take(6)).suchThat(_.nonEmpty)
+    path <- Gen.alphaNumStr.map(_.take(8))
+    lastmod <- Gen.oneOf("", "2026-08-15", "2025-01-01T12:00:00Z")
+    permille <- Gen.oneOf(Gen.const(-1), Gen.choose(0, 1000))
+  } yield SmEntry(kind, s"https://$host.example.com/$path?a=1&b=2", lastmod, permille)
+
+  private val genSmModel: Gen[(List[SmEntry], Long)] = for {
+    n <- Gen.choose(0, 6)
+    entries <- Gen.listOfN(n, genSmEntry)
+    seed <- Gen.choose(0L, Long.MaxValue)
+  } yield (entries, seed)
+
+  /** Hostile sitemap rendering: random tag case, whitespace storms
+    * around values, `&` entity-encoded (the protocol requires it) and
+    * random other chars numerically encoded, permille rendered with
+    * random trailing zeros, ghost entries inside comments, loc-less
+    * entries sprinkled between real ones, random container tag. */
+  private def renderSitemap(entries: List[SmEntry], seed: Long): String = {
+    val rnd = new scala.util.Random(seed)
+    def caseOf(s: String): String = rnd.nextInt(3) match {
+      case 0 => s.toLowerCase
+      case 1 => s.toUpperCase
+      case _ => s
+    }
+    def ws(): String = (0 to rnd.nextInt(3)).map(_ => " \n\t".charAt(rnd.nextInt(3))).mkString
+    def encLoc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case c if rnd.nextInt(6) == 0 => s"&#${c.toInt};"
+      case c => c.toString
+    }
+    def permilleText(p: Int): String = {
+      val whole = p / 1000
+      val frac = "%03d".format(p % 1000)
+      if (p % 1000 == 0)
+        rnd.nextInt(3) match {
+          case 0 => whole.toString
+          case 1 => s"$whole.0"
+          case _ => s"$whole.000"
+        }
+      else {
+        val trimmed = frac.reverse.dropWhile(_ == '0').reverse
+        if (rnd.nextBoolean()) s"$whole.$frac" else s"$whole.$trimmed"
+      }
+    }
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\"?>")
+    if (rnd.nextBoolean())
+      sb.append("<!-- <url><loc>https://ghost.example.com/x</loc></url> -->")
+    sb.append(s"<${caseOf("urlset")} xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">")
+    entries.foreach { e =>
+      if (rnd.nextInt(3) == 0) // loc-less ghost: must be skipped
+        sb.append(s"<${caseOf(e.kind)}><${caseOf("lastmod")}>2020-01-01</${caseOf("lastmod")}></${caseOf(e.kind)}>")
+      sb.append(s"<${caseOf(e.kind)}>").append(ws())
+      sb.append(s"<${caseOf("loc")}>").append(ws()).append(encLoc(e.loc))
+        .append(ws()).append(s"</${caseOf("loc")}>")
+      if (e.lastmod.nonEmpty)
+        sb.append(s"<${caseOf("lastmod")}>").append(ws()).append(e.lastmod)
+          .append(ws()).append(s"</${caseOf("lastmod")}>")
+      if (e.permille >= 0)
+        sb.append(s"<${caseOf("priority")}>").append(ws())
+          .append(permilleText(e.permille)).append(ws())
+          .append(s"</${caseOf("priority")}>")
+      sb.append(s"</${caseOf(e.kind)}>").append(ws())
+    }
+    sb.append(s"</${caseOf("urlset")}>")
+    sb.toString
+  }
+
+  test("property: sitemap parser recovers the model entries from hostile renderings") {
+    check(Prop.forAll(genSmModel) { case (entries, seed) =>
+      val got = graft.operators.UrlOps.parseSitemap(renderSitemap(entries, seed))
+      val want = entries.map(e =>
+        graft.operators.UrlOps.SitemapEntry(e.kind, e.loc, e.lastmod, e.permille))
+      got == want
+    })
+  }
+
+  test("property: sitemap parser never throws on arbitrary text") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 0xFFFF).map(_.toChar)).map(_.mkString)) { s =>
+      graft.operators.UrlOps.parseSitemap(s)
+      true
+    })
+  }
+
   test("property: robots parser never throws on arbitrary text") {
     check(Prop.forAll(Gen.listOf(Gen.choose(0, 0xFFFF).map(_.toChar)).map(_.mkString)) { s =>
       graft.operators.UrlOps.parseRobotsTxt(s)
