@@ -197,6 +197,44 @@ object TextOps {
   def emailCount(text: Column): Column = size(regexp_extract_all(text, lit(EmailRe), lit(0)))
   def ipv4Count(text: Column): Column = size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
 
+  /** R13: payment-card candidates — 13-19 digits with optional single
+    * space/dash separators. Same meaning under Java regex and RE2. A
+    * bare regex over-redacts (order ids, timestamps); candidates are
+    * GATED on the Luhn checksum below, the false-positive discipline
+    * production PII scrubs use. */
+  val CardRe = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** Luhn mod-10 sum of a digit string; `offset` shifts the
+    * double-every-second-from-right parity (offset 1 = the payload of a
+    * number whose check digit is yet to be appended). Pure exact-integer
+    * HOF fold — identical arithmetic in the DuckDB oracle. */
+  private[graft] def luhnSum(digits: Column, offset: Int): Column =
+    aggregate(sequence(lit(1), length(digits)), lit(0), (acc, i) => {
+      val v = digits.substr(i.cast("int"), lit(1)).cast("int")
+      val doubled = v * 2 - when(v > 4, 9).otherwise(0)
+      acc + when((length(digits) - i + offset) % 2 === 1, doubled).otherwise(v)
+    })
+
+  /** Luhn validity of one candidate (separators stripped first). */
+  def luhnValid(cand: Column): Column =
+    luhnSum(regexp_replace(cand, "[^0-9]", ""), 0) % 10 === 0
+
+  /** The check digit completing `payload` to a Luhn-valid number. */
+  private[graft] def luhnCheckDigit(payload: Column): Column =
+    (lit(10) - luhnSum(payload, 1) % 10) % 10
+
+  /** Card-number redaction: candidates that pass Luhn are literally
+    * replaced with `<CARD>`; failing candidates stay (a random 16-digit
+    * id is data, not PII). One codegen'd extract + filter + fold,
+    * narrow. */
+  def redactCards(text: Column): Column = {
+    val valid = filter(regexp_extract_all(text, lit(CardRe), lit(0)), luhnValid _)
+    aggregate(valid, text, (acc, c) => replace(acc, c, lit("<CARD>")))
+  }
+
+  def cardCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(CardRe), lit(0)), luhnValid _))
+
   /** 16-bit simhash over tokens: bit i is set when the majority of token
     * md5s have their i-th hex digit's top bit set (+1/-1 vote sum >= 0). */
   def simhash16(text: Column): Column = {

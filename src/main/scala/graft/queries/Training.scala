@@ -180,6 +180,36 @@ object Training {
   }
   val tRedact: Q = (s, d) => redactDocs(docs(s, d))
 
+  /** R13: Luhn-gated card redaction. Each doc is dressed with one
+    * Luhn-VALID card (must redact) and one INVALID twin — same digits,
+    * check digit shifted +5 (mod 10), so it always fails — which must
+    * SURVIVE: the checksum gate is exactly what separates PII from
+    * random ids. Separator format varies by doc (dashes / spaces /
+    * bare). The check digit is derived in-plan by the same exact-int
+    * Luhn fold the validator uses — mirrored verbatim in the oracle. */
+  val tRedactCards: Q = (s, d) => {
+    val payload = concat(lit("453957876"),
+      lpad(pmod(col("doc_id"), lit(1000000)).cast("string"), 6, "0"))
+    val c = TextOps.luhnCheckDigit(payload)
+    val valid = concat(payload, c.cast("string"))
+    val invalid = concat(payload, pmod(c + 5, lit(10)).cast("string"))
+    def fmt(n: org.apache.spark.sql.Column) = {
+      val dash = concat_ws("-", substring(n, 1, 4), substring(n, 5, 4),
+        substring(n, 9, 4), substring(n, 13, 4))
+      val space = concat_ws(" ", substring(n, 1, 4), substring(n, 5, 4),
+        substring(n, 9, 4), substring(n, 13, 4))
+      when(pmod(col("doc_id"), lit(3)) === 0, dash)
+        .when(pmod(col("doc_id"), lit(3)) === 1, space)
+        .otherwise(n)
+    }
+    val aug = concat(col("text"), lit(" pay with "), fmt(valid),
+      lit(" order "), fmt(invalid))
+    docs(s, d).select(
+      col("doc_id"),
+      TextOps.redactCards(aug).as("redacted"),
+      TextOps.cardCount(aug).cast("int").as("n_cards"))
+  }
+
   /** Benchmark decontamination: train-split docs sharing any 3-shingle
     * with the val/test splits (same split constants as t_sample). */
   val tDecontam: Q = (s, d) =>
@@ -650,6 +680,7 @@ object Training {
     "t_sample" -> tSample,
     "t_pack" -> tPack,
     "t_redact" -> tRedact,
+    "t_redact_cards" -> tRedactCards,
     "t_decontam" -> tDecontam,
     "t_decontam2" -> tDecontam2,
     "t_epoch_shuffle" -> tEpochShuffle,

@@ -1155,6 +1155,56 @@ object TrainingOracles {
          |FROM documents""".stripMargin
     },
 
+    // r13: Luhn-gated card redaction — the check digit derives in-SQL
+    // by the same exact-integer fold the validator uses; the +5-shifted
+    // invalid twin must SURVIVE redaction (the checksum gate is what
+    // separates PII from random ids)
+    "t_redact_cards" -> {
+      import graft.operators.TextOps.CardRe
+      // Luhn mod-10 sum of digit string `d` with parity offset `off`
+      def luhn(d: String, off: String) =
+        s"""list_sum(list_transform(range(1, len($d)+1),
+           |  i -> CASE WHEN (len($d) - i + $off) % 2 = 1
+           |        THEN substring($d, i::INT, 1)::INT * 2 -
+           |             CASE WHEN substring($d, i::INT, 1)::INT > 4 THEN 9 ELSE 0 END
+           |        ELSE substring($d, i::INT, 1)::INT END))""".stripMargin
+      val stripped = "regexp_replace(x, '[^0-9]', '', 'g')"
+      // per-doc separator format: dashes / spaces / bare by doc_id % 3
+      def fmt(n: String) =
+        s"""CASE WHEN doc_id % 3 = 0 THEN
+           |    substring($n,1,4) || '-' || substring($n,5,4) || '-' ||
+           |    substring($n,9,4) || '-' || substring($n,13,4)
+           |  WHEN doc_id % 3 = 1 THEN
+           |    substring($n,1,4) || ' ' || substring($n,5,4) || ' ' ||
+           |    substring($n,9,4) || ' ' || substring($n,13,4)
+           |  ELSE $n END""".stripMargin
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    '453957876' || lpad((doc_id % 1000000)::VARCHAR, 6, '0') AS pay
+         |  FROM documents),
+         |chk AS (
+         |  SELECT doc_id, text, pay,
+         |    (10 - (${luhn("pay", "1")} % 10)) % 10 AS c
+         |  FROM base),
+         |nums AS (
+         |  SELECT doc_id, text,
+         |    pay || c::VARCHAR AS v, pay || ((c + 5) % 10)::VARCHAR AS iv
+         |  FROM chk),
+         |aug AS (
+         |  SELECT doc_id,
+         |    text || ' pay with ' || ${fmt("v")} || ' order ' || ${fmt("iv")} AS t
+         |  FROM nums),
+         |red AS (
+         |  SELECT doc_id, t,
+         |    list_filter(regexp_extract_all(t, '$CardRe'),
+         |      x -> ${luhn(stripped, "0")} % 10 = 0) AS valid
+         |  FROM aug)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(t, valid), (a, b) -> replace(a, b, '<CARD>')) AS redacted,
+         |  len(valid)::INT AS n_cards
+         |FROM red""".stripMargin
+    },
+
     // Concat-and-chunk packing mirror: pure integer window arithmetic;
     // CAST ... AS BIGINT on the running sum (DuckDB window sums of BIGINT
     // return HUGEINT, and the driver's hasher is type-sensitive).

@@ -551,6 +551,37 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("card redaction: Luhn-valid numbers redact, invalid twins survive") {
+    import graft.operators.TextOps
+    val out = Seq(
+      // 4539578763621486 is Luhn-valid; flipping the check digit is not
+      (1L, "pay 4539578763621486 now"),
+      (2L, "pay 4539578763621487 now"),          // invalid: survives
+      (3L, "pay 4539-5787-6362-1486 now"),       // separators strip for the check
+      (4L, "pay 4539 5787 6362 1486 now"),
+      (5L, "order 123 and 12345678 stay"),       // too short: never candidates
+      (6L, "a 4539578763621486 b 4539578763621487 c")) // mixed
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.redactCards(col("text")).as("r"),
+        TextOps.cardCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) === (("pay <CARD> now", 1)))
+    assert(out(2L) === (("pay 4539578763621487 now", 0)))
+    assert(out(3L) === (("pay <CARD> now", 1)))
+    assert(out(4L) === (("pay <CARD> now", 1)))
+    assert(out(5L) === (("order 123 and 12345678 stay", 0)))
+    assert(out(6L) === (("a <CARD> b 4539578763621487 c", 1)))
+    // the in-plan check-digit derivation really completes a valid number
+    val derived = Seq(Tuple1(42L)).toDF("doc_id")
+      .select(concat(lit("453957876"),
+        lpad(pmod(col("doc_id"), lit(1000000)).cast("string"), 6, "0")).as("pay"))
+      .select(concat(col("pay"),
+        TextOps.luhnCheckDigit(col("pay")).cast("string")).as("full"))
+      .select(TextOps.luhnValid(col("full")))
+      .head().getBoolean(0)
+    assert(derived, "luhnCheckDigit must complete a Luhn-valid number")
+  }
+
   test("sitemap parser: tolerant entries, comments dropped, priorities exact-permille") {
     import graft.operators.UrlOps.{parseSitemap, SitemapEntry}
     // mixed case, whitespace storms, entity-encoded loc, comment ghost,
