@@ -196,6 +196,14 @@ object Bench {
     "q_sql_q15" -> 2.5, // CTE feeds both the join and the scalar max — two lineitem passes by design (shared-text purity)
     "q_sql_q17" -> 1.4,
     "q_sql_q18" -> 1.8,
+    // r13: the adaptable remainder of the TPC-H set (partsupp-dependent
+    // Q2/Q11/Q16/Q20 are out — the testdata ships no partsupp table);
+    // first warm sf0.1 measurements 0.89/0.74/0.57/1.21/0.73
+    "q_sql_q9" -> 1.6,
+    "q_sql_q12" -> 1.4,
+    "q_sql_q19" -> 1.1,
+    "q_sql_q21" -> 2.2,
+    "q_sql_q22" -> 1.4,
     // streaming drain anchors (AvailableNow, forced
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,

@@ -685,6 +685,102 @@ object Relational {
       |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
       |HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 300""".stripMargin
 
+  /** Q9 (adapted): product-type profit by nation and year. The
+    * reference's `ps_supplycost` lives in the absent partsupp table;
+    * the adapted cost is 1% of retail price per unit — same shape
+    * (revenue minus a quantity-scaled cost), exact DECIMAL arithmetic,
+    * one double cast at the end. */
+  private[queries] val SqlQ9 =
+    s"""SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation, EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       |    $revenueExpr - ${cents("p_retailprice")} *
+       |      CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(4,2)) AS amount
+       |  FROM lineitem
+       |  JOIN part ON p_partkey = l_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE p_name LIKE '%red%') profit
+       |GROUP BY nation, o_year""".stripMargin
+
+  /** Q12 (adapted): shipping-priority accounting. `l_shipmode` is
+    * absent; the return flag partitions the lines the same way, and the
+    * late-receipt predicate becomes ship-after-order (the SqlQ4
+    * lateness witness). count(CASE) keeps both engines on BIGINT. */
+  private[queries] val SqlQ12 =
+    """SELECT l_returnflag,
+      |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |             THEN 1 END) AS high_line_count,
+      |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |             THEN 1 END) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_returnflag IN ('A', 'R')
+      |  AND l_shipdate > o_orderdate
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** Q19 (adapted): discounted revenue under disjunctive brand/size/
+    * quantity predicates — the classic OR-of-ANDs the optimizer must
+    * push into one joined scan, not three. */
+  private[queries] val SqlQ19 =
+    s"""SELECT CAST(sum($revenueExpr) AS DOUBLE) AS revenue
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity >= 1 AND l_quantity <= 20)
+       |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30
+       |       AND l_quantity >= 10 AND l_quantity <= 35)
+       |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 50
+       |       AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin
+
+  /** Q21 (adapted): suppliers who kept finished orders waiting — the
+    * only supplier in a multi-supplier order whose line shipped > 90
+    * days after the order date (the commit/receipt columns are absent;
+    * the 90-day ship lag is the lateness witness). The EXISTS /
+    * NOT EXISTS pair decorrelates into one semi and one anti join. */
+  private[queries] val SqlQ21 =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** Q22 (adapted): the global-sales-opportunity anti-join — customers
+    * above the positive-balance average with no RECENT orders (every
+    * synthetic customer has some order, so "none since 2000" is the
+    * lapsed-customer predicate that keeps the anti-join non-trivial).
+    * The market segment stands in for the absent phone country code,
+    * and the above-average test CROSS-MULTIPLIES against the exact
+    * decimal (sum, count) pair — no float average ever exists, so the
+    * boundary cannot flip between engines. */
+  private[queries] val SqlQ22 =
+    """WITH pos AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS tot,
+      |         count(*) AS cnt
+      |  FROM customer WHERE c_acctbal > 0.00)
+      |SELECT c_mktsegment AS mktsegment, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT cnt FROM pos)
+      |        > (SELECT tot FROM pos)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_mktsegment""".stripMargin
+
   val qSqlQ4: Q = (s, d) => withTpchViews(s, d)(SqlQ4)
   val qSqlQ7: Q = (s, d) => withTpchViews(s, d)(SqlQ7)
   val qSqlQ8: Q = (s, d) => { Tables.region(s, d).createOrReplaceTempView("region"); withTpchViews(s, d)(SqlQ8) }
@@ -694,6 +790,11 @@ object Relational {
   val qSqlQ15: Q = (s, d) => withTpchViews(s, d)(SqlQ15)
   val qSqlQ17: Q = (s, d) => withTpchViews(s, d)(SqlQ17)
   val qSqlQ18: Q = (s, d) => withTpchViews(s, d)(SqlQ18)
+  val qSqlQ9: Q = (s, d) => withTpchViews(s, d)(SqlQ9)
+  val qSqlQ12: Q = (s, d) => withTpchViews(s, d)(SqlQ12)
+  val qSqlQ19: Q = (s, d) => withTpchViews(s, d)(SqlQ19)
+  val qSqlQ21: Q = (s, d) => withTpchViews(s, d)(SqlQ21)
+  val qSqlQ22: Q = (s, d) => withTpchViews(s, d)(SqlQ22)
 
   /** Count-Min frequency sketch over event types — estimates are
     * oracle-EXACT (md5-derived integer buckets, same cells both
@@ -1013,6 +1114,11 @@ object Relational {
     "q_sql_q15" -> qSqlQ15,
     "q_sql_q17" -> qSqlQ17,
     "q_sql_q18" -> qSqlQ18,
+    "q_sql_q9" -> qSqlQ9,
+    "q_sql_q12" -> qSqlQ12,
+    "q_sql_q19" -> qSqlQ19,
+    "q_sql_q21" -> qSqlQ21,
+    "q_sql_q22" -> qSqlQ22,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

@@ -512,6 +512,11 @@ object RelationalOracles {
     "q_sql_q15" -> graft.queries.Relational.SqlQ15,
     "q_sql_q17" -> graft.queries.Relational.SqlQ17,
     "q_sql_q18" -> graft.queries.Relational.SqlQ18,
+    "q_sql_q9" -> graft.queries.Relational.SqlQ9,
+    "q_sql_q12" -> graft.queries.Relational.SqlQ12,
+    "q_sql_q19" -> graft.queries.Relational.SqlQ19,
+    "q_sql_q21" -> graft.queries.Relational.SqlQ21,
+    "q_sql_q22" -> graft.queries.Relational.SqlQ22,
 
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n_rows,
