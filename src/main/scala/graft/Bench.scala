@@ -214,6 +214,7 @@ object Bench {
     "stream_imagedup" -> 4.5, // r12: bucketed pHash band index serve; measured 2.36 s solo
     "stream_ingest" -> 9.5, // r12: composed exact->near serve (IngestDedup); measured 9.6 s solo
     "stream_crawl" -> 20.0, // r13: continuous corpus build (WARC->extract->consent->IngestDedup); measured 19.1/19.4 s
+    "stream_substr" -> 7.5, // r13: streaming exact-substring dedup serve (SubstrIndex); measured 5.4/5.5 s
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
     "stream_lake" -> 10.0,
@@ -609,6 +610,32 @@ object Bench {
           .start()
         q.awaitTermination()
         require(spark.read.parquet(dir("ig-verdicts")).count() > 0)
+      }
+    }
+
+    if (wanted("stream_substr")) {
+      // r13: streaming exact-substring dedup serve (SubstrIndex) — the
+      // ESD stage of a continuous ingest, 2/3 corpus frozen, 1/3 streamed
+      import graft.streaming.SubstrIndex
+      val suCfg = SubstrIndex.SubstrConfig(dir("su-idx"))
+      out += leg("stream_substr") {
+        val docs = Tables.documents(spark, sfDir)
+        SubstrIndex.init(spark, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), suCfg)
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .write.mode("overwrite").parquet(dir("su-src"))
+      } {
+        val q = fileStream(dir("su-src"))
+          .writeStream
+          .option("checkpointLocation", dir("ckpt-su"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            SubstrIndex.serveBatch(spark, batch, id, suCfg)
+              .write.mode("append").parquet(dir("su-verdicts"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(spark.read.parquet(dir("su-verdicts")).count() > 0)
       }
     }
 

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import graft.operators.{Dedup, Spread, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** R13: the streaming serve leg of EXACT-SUBSTRING dedup — the
+  * continuous form of [[Dedup.substrDedup]] (Lee et al. 2022
+  * ExactSubstr): any ≥w-token run already seen — in the frozen index,
+  * a prior micro-batch, or earlier (by packed doc_id/pos order) in the
+  * SAME batch — is removed from the arriving document; the first
+  * occurrence ever seen keeps its text. Completes the streaming dedup
+  * family: [[IncrementalIndex]] exact whole-doc, [[NearDupIndex]]
+  * banded near-dup, this one arbitrary-boundary repeated spans.
+  *
+  * Durable state is the distinct window-fingerprint relation of all
+  * text ever served — one `(band_val, batch_id)` row per fingerprint
+  * (the [[BandStore]] scaffolding; `band_val` carries the 8-token
+  * window md5 here), bucketed on the probe key so the per-batch join
+  * plans ZERO index-side exchange, exactly like the band indexes. The
+  * store is corpus-token sized in ROWS but holds no text — 16-byte
+  * hashes only (the paper's suffix array is 8× the corpus; this is the
+  * store a distributed ESD actually keeps).
+  *
+  * Per micro-batch ([[serveBatch]]): the batch's sliding windows probe
+  * the store (any hit ⇒ every occurrence of that fingerprint in the
+  * batch is a loser) and elect in-batch first occurrences for
+  * fingerprints the store has never seen (packed doc_id/pos BIGINT
+  * min — the batch operator's election, so a single batch over an
+  * empty index reproduces [[Dedup.substrDedup]] bit-for-bit, spec-
+  * pinned). Loser window starts flow back per doc (corpus-sublinear:
+  * duplicated windows only) and each doc re-derives its tokens locally
+  * to excise covered spans — text crosses exactly one keyed exchange,
+  * the batch operator's contract.
+  *
+  * Replay/crash protocol: the [[CommitProtocol]] intent/commit fencing
+  * and the `batch_id =!= current` probe filter, verbatim from the band
+  * indexes — re-served batchIds recompute identical verdicts against
+  * the index minus their own appends and append nothing.
+  */
+object SubstrIndex {
+
+  final case class SubstrConfig(dir: String, w: Int = 8, buckets: Int = 8) {
+    def fpsDir: String = s"$dir/fps"
+    def commitsDir: String = s"$dir/commits"
+    def tableName: String = BandStore.tableName("graft_substr_fps", dir)
+  }
+
+  private val TableCols = "band_val STRING, batch_id BIGINT"
+
+  /** The (band_val, doc_id, pos) sliding-window relation of a doc
+    * batch — [[Dedup.substrDedup]]'s narrow arm. */
+  private def windowsOf(docs: DataFrame, w: Int): DataFrame =
+    Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - w),
+          p => md5(array_join(slice(col("toks"), p + 1, lit(w)), " "))))
+        .as(Seq("pos", "band_val")))
+
+  private def ensureTable(spark: SparkSession, cfg: SubstrConfig): Unit =
+    BandStore.ensure(spark, cfg.tableName, TableCols, cfg.fpsDir, cfg.buckets)
+
+  /** Freeze an initial index from a corpus snapshot (batch_id −1). */
+  def init(spark: SparkSession, indexDocs: DataFrame, cfg: SubstrConfig): Unit =
+    BandStore.reset(spark, cfg.tableName, cfg.fpsDir, cfg.commitsDir,
+      windowsOf(indexDocs, cfg.w).select("band_val").distinct()
+        .withColumn("batch_id", lit(-1L)),
+      cfg.buckets)
+
+  /** Serve one micro-batch of `(doc_id, text, ...)` docs: returns the
+    * batch operator's relation — (doc_id, n_tokens, n_removed,
+    * kept_md5) — and commits the batch's NEW window fingerprints
+    * unless this batchId already committed. */
+  def serveBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                 cfg: SubstrConfig): DataFrame = {
+    ensureTable(spark, cfg)
+    val proto = CommitProtocol(cfg.fpsDir, cfg.commitsDir, batchId)
+    val replay = proto.beginOrRecover()
+    if (proto.rolledBack) spark.catalog.refreshTable(cfg.tableName)
+
+    val idx = spark.table(cfg.tableName)
+      .filter(col("batch_id") =!= lit(batchId))
+      .select(col("band_val"))
+
+    val occ = windowsOf(batch, cfg.w).localCheckpoint() // 3 consumers below
+    // store hit ⇒ EVERY batch occurrence of that fingerprint is a loser
+    // (the keeper lives in the corpus already); zero index-side exchange
+    val knownLosers = occ.join(idx, Seq("band_val"))
+      .select(col("doc_id"), col("pos"))
+    // store-unseen fingerprints elect their in-batch first occurrence —
+    // the batch operator's packed-BIGINT election (pos < 2^20, declared)
+    val packed = col("doc_id") * (1L << 20) + col("pos")
+    val fresh = occ.join(idx, Seq("band_val"), "left_anti")
+    val elected = fresh.groupBy("band_val")
+      .agg(count(lit(1)).as("c"), min(packed).as("win"))
+    val freshLosers = fresh.hint("shuffle_hash").join(elected, "band_val")
+      .filter(col("c") >= 2 && packed =!= col("win"))
+      .select(col("doc_id"), col("pos"))
+    val dropStarts = knownLosers.unionByName(freshLosers).distinct()
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("drop_starts"))
+
+    // reassembly: the batch text crosses one doc_id exchange, each doc
+    // filters its locally re-derived tokens against its loser starts
+    val w = cfg.w
+    val verdicts = batch.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .join(dropStarts, Seq("doc_id"), "left")
+      .withColumn("drop_starts",
+        coalesce(col("drop_starts"), array().cast("array<int>")))
+      .withColumn("kept_arr", filter(col("toks"), (_, i) =>
+        !exists(col("drop_starts"), p => p <= i && i <= p + (w - 1))))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept_arr"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept_arr"), " ")).as("kept_md5"))
+      .localCheckpoint() // pin BEFORE the index these plans read mutates
+
+    if (!replay) {
+      proto.commit {
+        BandStore.append(
+          fresh.select("band_val").distinct().withColumn("batch_id", lit(batchId)),
+          cfg.tableName, cfg.fpsDir, cfg.buckets)
+      }
+    }
+    verdicts
+  }
+
+  /** Rewrite the accreted append files into one file per bucket —
+    * rows, bucket spec, replay semantics and commit markers preserved
+    * ([[BandStore.compact]]). Run between micro-batches. */
+  def compact(spark: SparkSession, cfg: SubstrConfig): Unit =
+    BandStore.compact(spark, cfg.tableName, cfg.fpsDir, cfg.buckets)
+}

@@ -1263,6 +1263,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("substr index: one batch over an empty index IS the batch operator; cross-batch runs removed; replay exact") {
+    import graft.operators.Dedup
+    import graft.streaming.SubstrIndex
+    import graft.streaming.SubstrIndex.SubstrConfig
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // law: serving the whole corpus as ONE batch from scratch must be
+    // bit-identical to Dedup.substrDedup (same election, same removal)
+    val cfg = SubstrConfig(tmp("substr-idx"))
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    SubstrIndex.init(spark, docs.limit(0), cfg)
+    val streamed = SubstrIndex.serveBatch(spark, docs, 0L, cfg)
+    val batch = Dedup.substrDedup(docs)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+    // replay: identical verdicts, the store does not grow
+    def files() = new java.io.File(cfg.fpsDir).list().count(_.endsWith(".parquet"))
+    val before = files()
+    val replayed = SubstrIndex.serveBatch(spark, docs, 0L, cfg)
+    assert(replayed.except(streamed).count() === 0 &&
+      streamed.except(replayed).count() === 0, "replay must be verdict-identical")
+    assert(files() === before, "replay must not append")
+
+    // cross-batch semantics on a hand-built corpus (w = 8)
+    val cfg2 = SubstrConfig(tmp("substr-idx2"))
+    SubstrIndex.init(spark,
+      Seq((1L, "i1 i2 i3 i4 i5 i6 i7 i8 i9 i10")).toDF("doc_id", "text"), cfg2)
+    val b1text = "b1 b2 i1 i2 i3 i4 i5 i6 i7 i8 b3"
+    val v1 = SubstrIndex.serveBatch(spark,
+      Seq((2L, b1text)).toDF("doc_id", "text"), 1L, cfg2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the 8-token run lives in the index: excised; fresh neighbors stay
+    assert(v1(2L) === ((11L, 8L, m("b1 b2 b3"))))
+    // batch 2: an exact copy of doc 2 — every window (including the
+    // straddling ones batch 1 stored) is known, so ALL tokens go; and a
+    // fresh doc with an internal repeat keeps its first copy (in-batch
+    // election, index never saw these windows)
+    val v2 = SubstrIndex.serveBatch(spark, Seq(
+      (3L, b1text),
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text"),
+      2L, cfg2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(v2(3L) === ((11L, 11L, m(""))), "a full repeat of stored text vanishes")
+    assert(v2(4L) === ((16L, 8L, m("c1 c2 c3 c4 c5 c6 c7 c8"))),
+      "in-batch internal repeat keeps the first copy")
+    // replay of batch 2 after its commit: verdicts identical
+    val v2r = SubstrIndex.serveBatch(spark, Seq(
+      (3L, b1text),
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text"),
+      2L, cfg2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(v2r === v2, "post-commit replay must be bit-identical")
+    // compaction: at most one file per bucket (empty buckets write
+    // nothing on this tiny fp set), verdicts unchanged
+    SubstrIndex.compact(spark, cfg2)
+    assert(new java.io.File(cfg2.fpsDir).list().count(_.endsWith(".parquet"))
+      <= cfg2.buckets)
+    val v2c = SubstrIndex.serveBatch(spark, Seq(
+      (3L, b1text),
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8 c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text"),
+      2L, cfg2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(v2c === v2, "compaction must not change verdicts or replay")
+  }
+
   test("streaming crawl pipeline: composed verdict matches batch; corpus accretes dedup'd") {
     // r13 (judge r12 #8): the continuous corpus build — WARC shards →
     // Html extract → robots×noindex consent → token gate → IngestDedup —
