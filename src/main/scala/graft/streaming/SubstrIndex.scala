@@ -90,9 +90,11 @@ object SubstrIndex {
     val knownLosers = occ.join(idx, Seq("band_val"))
       .select(col("doc_id"), col("pos"))
     // store-unseen fingerprints elect their in-batch first occurrence —
-    // the batch operator's packed-BIGINT election (pos < 2^20, declared)
+    // the batch operator's packed-BIGINT election (pos < 2^20, declared).
+    // Pinned: three consumers (election, loser join, the append) would
+    // otherwise re-run the store anti-join each
     val packed = col("doc_id") * (1L << 20) + col("pos")
-    val fresh = occ.join(idx, Seq("band_val"), "left_anti")
+    val fresh = occ.join(idx, Seq("band_val"), "left_anti").localCheckpoint()
     val elected = fresh.groupBy("band_val")
       .agg(count(lit(1)).as("c"), min(packed).as("win"))
     val freshLosers = fresh.hint("shuffle_hash").join(elected, "band_val")
