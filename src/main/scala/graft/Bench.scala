@@ -213,7 +213,7 @@ object Bench {
     "stream_neardup" -> 4.5, // r11: banded near-dup serve drain; measured 2.3 s
     "stream_imagedup" -> 4.5, // r12: bucketed pHash band index serve; measured 2.36 s solo
     "stream_ingest" -> 9.5, // r12: composed exact->near serve (IngestDedup); measured 9.6 s solo
-    "stream_crawl" -> 20.0, // r13: continuous corpus build (WARC->extract->consent->IngestDedup); measured 19.1/19.4 s
+    "stream_crawl" -> 24.0, // r13: continuous corpus build; re-baselined r13b when the SubstrIndex ESD stage joined the composition (BASELINE.md re-baselines) — measured 20.3 s solo with ESD
     "stream_substr" -> 7.5, // r13: streaming exact-substring dedup serve (SubstrIndex); measured 5.4/5.5 s
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,

@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * (boilerplate-removed main text + the noindex meta directive), the
   * consent gate joins the broadcast robots verdict (rules recovered
   * once from the robots.txt WARC captures) with the page's own noindex
-  * flag, a token-budget quality gate prunes stubs, and the curated
-  * keeps flow into [[IngestDedup]] (exact fingerprint gate, then
-  * banded near-dup) so the corpus accretes without duplicates. Every
+  * flag, a token-budget quality gate prunes stubs, the curated keeps
+  * flow into [[IngestDedup]] (exact fingerprint gate, then banded
+  * near-dup) so the corpus accretes without duplicates, and the
+  * admitted docs finally pass [[SubstrIndex]] (r13b) — repeated
+  * ≥w-token runs vs the prior corpus or earlier arrivals are excised
+  * from the text the corpus stores (`corpus_md5`). Every
   * stage is the already-spec'd operator; this wires their COMPOSITION
   * onto the micro-batch loop with the replay fencing IngestDedup
   * already carries (re-served batchIds produce identical verdicts and
@@ -31,6 +34,7 @@ object CrawlPipeline {
 
   final case class CrawlConfig(dir: String, minTokens: Int = 20) {
     def ingest: IngestDedup.IngestConfig = IngestDedup.IngestConfig(s"$dir/ingest")
+    def substr: SubstrIndex.SubstrConfig = SubstrIndex.SubstrConfig(s"$dir/substr")
   }
 
   /** The binaryFile source's fixed schema — streaming sources must have
@@ -43,9 +47,12 @@ object CrawlPipeline {
       .add("content", "binary")
 
   /** Freeze the dedup indexes from a prior corpus snapshot (empty for a
-    * from-scratch build). */
-  def init(spark: SparkSession, indexDocs: DataFrame, cfg: CrawlConfig): Unit =
+    * from-scratch build): the exact/near pair AND the exact-substring
+    * window store, all keyed to the same snapshot. */
+  def init(spark: SparkSession, indexDocs: DataFrame, cfg: CrawlConfig): Unit = {
     IngestDedup.init(spark, indexDocs, cfg.ingest)
+    SubstrIndex.init(spark, indexDocs, cfg.substr)
+  }
 
   /** Write each partition of `(doc_id, text, lang)` docs as one REAL
     * `.warc` shard file under `outDir` — the source files a crawler
@@ -82,10 +89,11 @@ object CrawlPipeline {
   /** Serve one micro-batch of binaryFile rows (`content` = one WARC
     * shard's bytes). Returns one verdict row per page in the batch:
     * (doc_id, site, n_tokens, consented, kept, exact_new, near_new,
-    * corpus_new) — the first five projecting exactly the batch
-    * `t_crawl_pipeline` relation, the last three the dedup outcome
-    * (false for pages the gates dropped: they never reached the
-    * indexes). */
+    * corpus_new, n_span_removed, corpus_md5) — the first five
+    * projecting exactly the batch `t_crawl_pipeline` relation, the
+    * dedup outcome false for pages the gates dropped (they never
+    * reached the indexes), and the ESD columns −1/"" for pages that
+    * never entered the corpus. */
   def serveBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  cfg: CrawlConfig, rules: DataFrame): DataFrame = {
     import spark.implicits._
@@ -127,11 +135,24 @@ object CrawlPipeline {
       .select(col("doc_id"), col("main_text").as("text"))
     val dedup = IngestDedup.serveBatch(spark, keeps, batchId, cfg.ingest)
       .select(col("doc_id"), col("exact_new"), col("near_new"), col("is_new"))
+    // span-level ESD over the docs that actually ENTER the corpus —
+    // the production stage order (whole-doc dedup first keeps the
+    // window store free of texts that never land); repeated >=w-token
+    // runs vs the prior corpus or earlier arrivals are excised from
+    // the text the corpus finally stores
+    val admitted = keeps.join(
+      dedup.filter(col("is_new")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val spans = SubstrIndex.serveBatch(spark, admitted, batchId, cfg.substr)
+      .select(col("doc_id"), col("n_removed").as("n_span_removed"),
+        col("kept_md5").as("corpus_md5"))
     gated.drop("main_text").join(dedup, Seq("doc_id"), "left")
+      .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("site"), col("n_tokens"),
         col("consented"), col("kept"),
         coalesce(col("exact_new"), lit(false)).as("exact_new"),
         coalesce(col("near_new"), lit(false)).as("near_new"),
-        (col("kept") && coalesce(col("is_new"), lit(false))).as("corpus_new"))
+        (col("kept") && coalesce(col("is_new"), lit(false))).as("corpus_new"),
+        coalesce(col("n_span_removed"), lit(-1L)).as("n_span_removed"),
+        coalesce(col("corpus_md5"), lit("")).as("corpus_md5"))
   }
 }

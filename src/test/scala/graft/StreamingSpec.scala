@@ -1382,5 +1382,15 @@ class StreamingSpec extends AnyFunSuite {
     // different-fingerprint content already in the corpus — stage
     // semantics are the IngestDedup spec's job)
     assert(UrlOps.robotsRulesFromWarc(spark).count() > 0) // rules really recovered
+    // 3) the ESD tail (r13b): exactly the corpus-new docs carry span
+    // verdicts; everything the gates or whole-doc dedup dropped never
+    // reached the window store (n_span_removed = -1, corpus_md5 = "")
+    val withSpans = verdicts.filter(col("n_span_removed") >= 0)
+    assert(withSpans.count() === corpusNew.count(),
+      "span verdicts must cover exactly the corpus-new docs")
+    assert(verdicts.filter(col("corpus_new") && col("corpus_md5") === "").count() === 0,
+      "every admitted doc must carry its corpus text md5")
+    assert(verdicts.filter(!col("corpus_new") && col("n_span_removed") >= 0).count() === 0,
+      "non-admitted docs must never reach the window store")
   }
 }
