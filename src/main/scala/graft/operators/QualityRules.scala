@@ -143,6 +143,43 @@ object QualityRules {
     * look up a fixed weight vector, sum — is the deliverable; production
     * swaps this expression for a broadcast weight array without touching
     * the plan shape). */
+  /** R13: exact AUC of the hashed classifier against the independent
+    * language label (en vs rest) — the classifier-EVALUATION primitive
+    * of an ablation loop (the FineWeb-Edu discipline: never ship a
+    * quality scorer without a ranking metric). Scores quantize to
+    * 64-wide bins FIRST, so the rank arithmetic runs on a BOUNDED
+    * histogram (the weight range is ±1001 per gram and doc length is
+    * capped, so the bin count is range/64 — the q_histogram
+    * boundedness discipline; the one unpartitioned window is over
+    * bins, never docs). AUC is then the exact Mann-Whitney U with
+    * half-credit ties, all integer until the final 6-dp truncated
+    * division: 2U = Σ_bins pos(b) · (2·neg_below(b) + neg_eq(b)). */
+  def classifierAuc(docs: DataFrame): DataFrame = {
+    val scored = hashedClassifier(docs).select(col("doc_id"), col("score"))
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")), "doc_id")
+    aucOf(scored)
+  }
+
+  /** The exact rank arithmetic behind [[classifierAuc]], over any
+    * `(score: long, pos: boolean)` relation — factored so the spec can
+    * pin the Mann-Whitney math on hand-computed cases. */
+  private[graft] def aucOf(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored
+      .groupBy(floor(col("score") / 64).cast("long").as("bin"))
+      .agg(count(when(col("pos"), 1)).as("np"),
+        count(when(!col("pos"), 1)).as("nn"))
+    val w = Window.orderBy("bin")
+    val cum = hist.withColumn("neg_below",
+      coalesce(sum("nn").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    cum.agg(
+      sum("np").as("n_pos"), sum("nn").as("n_neg"),
+      sum(col("np") * (lit(2L) * col("neg_below") + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        TextOps.trunc(col("u2").cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
   private def weight(gram: Column): Column = {
     val bucket = pmod(
       conv(substring(md5(gram), 1, 13), 16, 10).cast("long"), lit(ClfDim))

@@ -257,6 +257,8 @@ object Training {
     * d_jaccard's minhash path. */
   val dDocsim: Q = (s, d) => DocSim.cosinePairs(docs(s, d))
   val tQualityClf: Q = (s, d) => QualityRules.hashedClassifier(docs(s, d))
+  /** R13: exact Mann-Whitney AUC of the classifier vs the en label. */
+  val tClfAuc: Q = (s, d) => QualityRules.classifierAuc(docs(s, d))
 
   /** C4-style boilerplate/code/punctuation gates (augmented corpus). */
   val tC4Rules: Q = (s, d) => QualityRules.c4Rules(docs(s, d))
@@ -708,6 +710,7 @@ object Training {
     "t_entropy" -> tEntropy,
     "d_docsim" -> dDocsim,
     "t_quality_clf" -> tQualityClf,
+    "t_clf_auc" -> tClfAuc,
     "t_c4_rules" -> tC4Rules,
     "t_gopher_keep" -> tGopherKeep,
     "t_pipeline" -> tPipeline,

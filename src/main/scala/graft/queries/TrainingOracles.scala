@@ -1896,6 +1896,37 @@ object TrainingOracles {
          |    AS keep
          |FROM g""".stripMargin,
 
+    // r13: exact Mann-Whitney AUC of the hashed classifier vs the en
+    // label — same score SQL as t_quality_clf, quantized to 64-wide
+    // bins, cumulative negatives over the bounded bin histogram,
+    // 2U = sum pos(b)*(2*neg_below(b) + neg_eq(b)), 6-dp floor-trunc
+    // division at the very end (CASTs keep DuckDB off HUGEINT)
+    "t_clf_auc" ->
+      s"""$TokCte,
+         |g AS (SELECT doc_id, lang,
+         |    list_concat(toks,
+         |      list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]))
+         |      AS grams
+         |  FROM tok),
+         |sc AS (SELECT doc_id, lang = 'en' AS pos,
+         |    coalesce(list_sum(list_transform(grams, gr ->
+         |      ((('0x' || substr(md5(gr), 1, 13))::BIGINT % 1024) * 2654435761) % 2003 - 1001)), 0)
+         |      AS score
+         |  FROM g),
+         |hist AS (SELECT CAST(floor(score / 64) AS BIGINT) AS bin,
+         |    CAST(count(CASE WHEN pos THEN 1 END) AS BIGINT) AS np,
+         |    CAST(count(CASE WHEN NOT pos THEN 1 END) AS BIGINT) AS nn
+         |  FROM sc GROUP BY 1),
+         |cum AS (SELECT bin, np, nn,
+         |    CAST(coalesce(sum(nn) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+         |  FROM hist)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) AS u2,
+         |  floor(CAST(sum(np * (2 * neg_below + nn)) AS DOUBLE) /
+         |        (2 * sum(np) * sum(nn)) * 1000000) / 1000000 AS auc
+         |FROM cum""".stripMargin,
+
     "t_rep_stats" ->
       s"""$TokCte,
          |sh AS (SELECT doc_id, toks, len(toks) AS n_tokens,

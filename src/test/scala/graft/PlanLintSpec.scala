@@ -317,7 +317,9 @@ class PlanLintSpec extends AnyFunSuite {
     val BoundedByConstruction: Map[String, String] = Map(
       "q_histogram" -> "input is the fixed-width bin relation (bounded bin count)",
       "t_lm_tiers" -> "tercile cuts run over the distinct quantized-score histogram",
-      "t_ccnet_sample" -> "filters on top of t_lm_tiers' bounded-histogram window")
+      "t_ccnet_sample" -> "filters on top of t_lm_tiers' bounded-histogram window",
+      "t_clf_auc" -> ("the cumulative-negatives window runs over the 64-wide " +
+        "quantized score-bin histogram (score range is weight-bounded), never docs"))
     def planBounded(w: WindowExec): Boolean =
       PlanAudit.nodes(w.child).exists {
         case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |

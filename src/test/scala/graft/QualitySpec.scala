@@ -230,4 +230,25 @@ class QualitySpec extends AnyFunSuite {
     val again = Training.manifestFromLake(spark, dset, dir)
     assert(again.except(pinned).count() === 0 && pinned.except(again).count() === 0)
   }
+
+  test("AUC rank arithmetic: separable 1.0, inverted 0.0, ties half-credit, mixed exact") {
+    import graft.operators.QualityRules
+    def auc(rows: (Long, Boolean)*): (Long, Long, Long, Double) = {
+      val df = rows.toSeq.toDF("score", "pos")
+      val r = QualityRules.aucOf(df).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    // scores are bin-quantized (64-wide), so spread values across bins
+    // 2U maxes at 2*n_pos*n_neg = 8 for the 2x2 case
+    assert(auc((640L, true), (1280L, true), (0L, false), (-640L, false))
+      === ((2L, 2L, 8L, 1.0)), "perfectly separable")
+    assert(auc((0L, true), (-640L, true), (640L, false), (1280L, false))
+      === ((2L, 2L, 0L, 0.0)), "perfectly inverted")
+    // all four share one bin: every pair ties, AUC = 0.5 exactly
+    assert(auc((1L, true), (2L, true), (3L, false), (4L, false))._4 === 0.5)
+    // hand-computed mixed case: pos bins {0, 2}, neg bins {0, 1}
+    // pairs: (0,0) tie=1, (0,1) lose=0, (2,0) win=2, (2,1) win=2 -> 2U=5
+    val m = auc((0L, true), (128L, true), (0L, false), (64L, false))
+    assert(m === ((2L, 2L, 5L, 0.625)))
+  }
 }
