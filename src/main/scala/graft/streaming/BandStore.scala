@@ -21,14 +21,29 @@ private[streaming] object BandStore {
   }
 
   /** Register (or re-bind after a restart) the external bucketed band
-    * table over `dir`. Idempotent. */
+    * table over `dir`. Idempotent. Also the recovery point for a crash
+    * between [[compact]]'s two swap renames — the complete `.old` copy
+    * is restored before anything reads the table. */
   def ensure(spark: SparkSession, name: String, colsDdl: String,
-             dir: String, buckets: Int): Unit =
+             dir: String, buckets: Int): Unit = {
+    recoverSwap(dir)
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS $name ($colsDdl)
          |USING PARQUET
          |CLUSTERED BY (band_val) SORTED BY (band_val) INTO $buckets BUCKETS
          |LOCATION '$dir'""".stripMargin)
+  }
+
+  /** If a [[compact]] crashed between moving the live dir aside and
+    * moving the staged copy in, the `.old` copy IS the store — restore
+    * it. No-op otherwise. */
+  private def recoverSwap(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val dirP = Paths.get(dir)
+    val old = Paths.get(dir.stripSuffix("/") + ".old")
+    if (!Files.isDirectory(dirP) && Files.isDirectory(old))
+      Files.move(old, dirP)
+  }
 
   def append(bands: DataFrame, name: String, dir: String, buckets: Int): Unit =
     bands.write.mode("append")
@@ -60,10 +75,7 @@ private[streaming] object BandStore {
     val dirP = Paths.get(dir)
     val staging = Paths.get(dir.stripSuffix("/") + ".compacting")
     val old = Paths.get(dir.stripSuffix("/") + ".old")
-    // recover from a crash between the two swap renames: the complete
-    // old copy is the store
-    if (!Files.isDirectory(dirP) && Files.isDirectory(old))
-      Files.move(old, dirP)
+    recoverSwap(dir)
     deleteTree(staging); deleteTree(old)
     // write the compacted copy to the staging dir while the live table
     // files still back `name` — the read happens during this write, so

@@ -888,6 +888,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("band-store compaction crash windows: staged-only and mid-swap states both recover") {
+    // r13 (advisor): the compacted rewrite stages to a sibling dir and
+    // swaps by rename, so the durable copy is never gone. Forge both
+    // crash states and prove the next serve recovers.
+    import graft.streaming.ImageDupIndex
+    import graft.streaming.ImageDupIndex.ImageDupConfig
+    import java.nio.file.{Files, Paths}
+    val all = Tables.documents(spark, TestSpark.Sf)
+    val idxDocs = all.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val b1 = all.filter(pmod(col("doc_id"), lit(6)) === 0)
+    def collectV(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    val cfg = ImageDupConfig(tmp("img-crash"))
+    ImageDupIndex.init(spark, idxDocs, cfg)
+    val v1 = collectV(ImageDupIndex.serveBatch(spark, b1, 1L, cfg))
+    // crash state A: staging dir left behind (crash before any rename)
+    val staging = Paths.get(cfg.bandsDir.stripSuffix("/") + ".compacting")
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("garbage.parquet"), "not parquet")
+    val vA = collectV(ImageDupIndex.serveBatch(spark, b1, 1L, cfg))
+    assert(vA === v1, "a stray staging dir must not affect the live store")
+    ImageDupIndex.compact(spark, cfg) // also clears the stray staging
+    assert(!Files.isDirectory(staging) ||
+      Files.list(staging).count() === 0 || !Files.exists(staging.resolve("garbage.parquet")),
+      "compaction must clear stray staging state")
+    // crash state B: between the two swap renames — live dir moved to
+    // .old, staged copy never moved in
+    val dirP = Paths.get(cfg.bandsDir)
+    val old = Paths.get(cfg.bandsDir.stripSuffix("/") + ".old")
+    Files.move(dirP, old)
+    spark.catalog.refreshTable(cfg.tableName)
+    val vB = collectV(ImageDupIndex.serveBatch(spark, b1, 1L, cfg))
+    assert(vB === v1, "mid-swap crash must recover from the .old copy")
+    assert(Files.isDirectory(dirP) && !Files.isDirectory(old),
+      "recovery must restore the live dir and consume .old")
+  }
+
   test("near-dup index: bucketed band store probes with zero index-side exchange; crash rollback") {
     import graft.streaming.NearDupIndex
     import graft.streaming.NearDupIndex.NearDupConfig
