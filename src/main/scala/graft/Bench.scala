@@ -174,6 +174,7 @@ object Bench {
     "t_frontier" -> 1.2, // r13: sitemap x robots x crawl-delay schedule; measured 0.62 s
     "t_redact_cards" -> 1.2, // r13: Luhn-gated card redaction (regex + checksum fold); measured 0.59 s
     "t_clf_auc" -> 1.1, // r13: exact Mann-Whitney AUC over the bounded bin histogram; measured 0.53 s
+    "t_clf_pr" -> 1.0, // r13: keep-threshold confusion matrix + P/R/F1; measured 0.47 s
     "t_consent_filter" -> 1.4, // r12: robots verdict x noindex meta, one doc_id join; measured 0.77 s solo
     "t_link_rank" -> 2.4, // r12: PageRank over the real extracted link graph (site-sublinear); measured 0.97 s solo
     "m_pair_dups" -> 2.2, // r12: cross-modal pair confirmation (text LSH left-joined with pHash ball); measured 1.53 s solo

@@ -180,6 +180,27 @@ object QualityRules {
           (lit(2L) * col("n_pos") * col("n_neg")), 6).as("auc"))
   }
 
+  /** R13: the confusion matrix of the classifier's own keep threshold
+    * (score ≥ 0) against the en label — AUC's operating-point
+    * companion. Exact BIGINT counts; precision/recall/F1 are 6-dp
+    * truncated divisions of exact integers (F1 via the 2tp/(2tp+fp+fn)
+    * form — one division, no float intermediates). One map-side-
+    * combined aggregate, no shuffle beyond it. */
+  def classifierPr(docs: DataFrame): DataFrame = {
+    val scored = hashedClassifier(docs).select(col("doc_id"), col("keep"))
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")), "doc_id")
+    scored.agg(
+      count(when(col("keep") && col("pos"), 1)).as("tp"),
+      count(when(col("keep") && !col("pos"), 1)).as("fp"),
+      count(when(!col("keep") && col("pos"), 1)).as("fn"),
+      count(when(!col("keep") && !col("pos"), 1)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        TextOps.trunc(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("precision"),
+        TextOps.trunc(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("recall"),
+        TextOps.trunc((lit(2L) * col("tp")).cast("double") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+  }
+
   private def weight(gram: Column): Column = {
     val bucket = pmod(
       conv(substring(md5(gram), 1, 13), 16, 10).cast("long"), lit(ClfDim))

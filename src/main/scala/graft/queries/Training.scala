@@ -259,6 +259,8 @@ object Training {
   val tQualityClf: Q = (s, d) => QualityRules.hashedClassifier(docs(s, d))
   /** R13: exact Mann-Whitney AUC of the classifier vs the en label. */
   val tClfAuc: Q = (s, d) => QualityRules.classifierAuc(docs(s, d))
+  /** R13: the keep-threshold confusion matrix + precision/recall/F1. */
+  val tClfPr: Q = (s, d) => QualityRules.classifierPr(docs(s, d))
 
   /** C4-style boilerplate/code/punctuation gates (augmented corpus). */
   val tC4Rules: Q = (s, d) => QualityRules.c4Rules(docs(s, d))
@@ -711,6 +713,7 @@ object Training {
     "d_docsim" -> dDocsim,
     "t_quality_clf" -> tQualityClf,
     "t_clf_auc" -> tClfAuc,
+    "t_clf_pr" -> tClfPr,
     "t_c4_rules" -> tC4Rules,
     "t_gopher_keep" -> tGopherKeep,
     "t_pipeline" -> tPipeline,

@@ -1927,6 +1927,33 @@ object TrainingOracles {
          |        (2 * sum(np) * sum(nn)) * 1000000) / 1000000 AS auc
          |FROM cum""".stripMargin,
 
+    // r13: the keep-threshold confusion matrix — same score SQL, keep =
+    // score >= 0, exact BIGINT counts, 6-dp floor-trunc ratios (F1 via
+    // 2tp/(2tp+fp+fn): one division, no float intermediates)
+    "t_clf_pr" ->
+      s"""$TokCte,
+         |g AS (SELECT doc_id, lang,
+         |    list_concat(toks,
+         |      list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]))
+         |      AS grams
+         |  FROM tok),
+         |sc AS (SELECT doc_id, lang = 'en' AS pos,
+         |    coalesce(list_sum(list_transform(grams, gr ->
+         |      ((('0x' || substr(md5(gr), 1, 13))::BIGINT % 1024) * 2654435761) % 2003 - 1001)), 0)
+         |      >= 0 AS keep
+         |  FROM g),
+         |m AS (SELECT
+         |    CAST(count(CASE WHEN keep AND pos THEN 1 END) AS BIGINT) AS tp,
+         |    CAST(count(CASE WHEN keep AND NOT pos THEN 1 END) AS BIGINT) AS fp,
+         |    CAST(count(CASE WHEN NOT keep AND pos THEN 1 END) AS BIGINT) AS fn,
+         |    CAST(count(CASE WHEN NOT keep AND NOT pos THEN 1 END) AS BIGINT) AS tn
+         |  FROM sc)
+         |SELECT tp, fp, fn, tn,
+         |  floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000) / 1000000 AS precision,
+         |  floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000) / 1000000 AS recall,
+         |  floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000) / 1000000 AS f1
+         |FROM m""".stripMargin,
+
     "t_rep_stats" ->
       s"""$TokCte,
          |sh AS (SELECT doc_id, toks, len(toks) AS n_tokens,
