@@ -176,8 +176,12 @@ object QualityRules {
       sum("np").as("n_pos"), sum("nn").as("n_neg"),
       sum(col("np") * (lit(2L) * col("neg_below") + col("nn"))).as("u2"))
       .select(col("n_pos"), col("n_neg"), col("u2"),
-        TextOps.trunc(col("u2").cast("double") /
-          (lit(2L) * col("n_pos") * col("n_neg")), 6).as("auc"))
+        // degenerate corpus (one class absent) → AUC undefined, NULL —
+        // guarded explicitly so Spark/DuckDB agree instead of relying on
+        // non-ANSI NULL-on-zero vs IEEE inf behavior
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          TextOps.trunc(col("u2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")), 6)).as("auc"))
   }
 
   /** R13: the confusion matrix of the classifier's own keep threshold
@@ -195,10 +199,15 @@ object QualityRules {
       count(when(!col("keep") && col("pos"), 1)).as("fn"),
       count(when(!col("keep") && !col("pos"), 1)).as("tn"))
       .select(col("tp"), col("fp"), col("fn"), col("tn"),
-        TextOps.trunc(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("precision"),
-        TextOps.trunc(col("tp").cast("double") / (col("tp") + col("fn")), 6).as("recall"),
-        TextOps.trunc((lit(2L) * col("tp")).cast("double") /
-          (lit(2L) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+        // empty-denominator operating points (no predicted positives /
+        // no actual positives) → NULL, mirrored as CASE WHEN in the oracle
+        when(col("tp") + col("fp") > 0,
+          TextOps.trunc(col("tp").cast("double") / (col("tp") + col("fp")), 6)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          TextOps.trunc(col("tp").cast("double") / (col("tp") + col("fn")), 6)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          TextOps.trunc((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
   }
 
   private def weight(gram: Column): Column = {

@@ -221,7 +221,10 @@ object UrlOps {
             if (starGroup && value.nonEmpty) rules += ((value, field == "allow"))
           case "crawl-delay" =>
             closeAgentRun()
-            if (starGroup && delay.isEmpty && value.matches("[0-9]+"))
+            // bounded digit run: robots.txt is untrusted web content and
+            // an over-long digit string would overflow toLong — treat it
+            // like any other malformed value (tolerant parse, never throw)
+            if (starGroup && delay.isEmpty && value.matches("[0-9]{1,9}"))
               delay = Some(value.toLong)
           case "sitemap" =>
             closeAgentRun()

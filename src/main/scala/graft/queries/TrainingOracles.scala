@@ -1923,8 +1923,9 @@ object TrainingOracles {
          |  FROM hist)
          |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
          |  CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) AS u2,
-         |  floor(CAST(sum(np * (2 * neg_below + nn)) AS DOUBLE) /
-         |        (2 * sum(np) * sum(nn)) * 1000000) / 1000000 AS auc
+         |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+         |    floor(CAST(sum(np * (2 * neg_below + nn)) AS DOUBLE) /
+         |          (2 * sum(np) * sum(nn)) * 1000000) / 1000000 END AS auc
          |FROM cum""".stripMargin,
 
     // r13: the keep-threshold confusion matrix — same score SQL, keep =
@@ -1949,9 +1950,12 @@ object TrainingOracles {
          |    CAST(count(CASE WHEN NOT keep AND NOT pos THEN 1 END) AS BIGINT) AS tn
          |  FROM sc)
          |SELECT tp, fp, fn, tn,
-         |  floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000) / 1000000 AS precision,
-         |  floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000) / 1000000 AS recall,
-         |  floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000) / 1000000 AS f1
+         |  CASE WHEN tp + fp > 0 THEN
+         |    floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000) / 1000000 END AS precision,
+         |  CASE WHEN tp + fn > 0 THEN
+         |    floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000) / 1000000 END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+         |    floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000) / 1000000 END AS f1
          |FROM m""".stripMargin,
 
     "t_rep_stats" ->

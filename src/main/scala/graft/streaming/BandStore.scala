@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * helpers. The append pays the bucket shuffle once; every probe join
   * then co-locates with zero index-side exchange (spec-asserted in
   * StreamingSpec for both indexes). */
-private[streaming] object BandStore {
+private[graft] object BandStore {
 
   /** Catalog name derived from the directory so concurrent indexes in
     * one session don't collide. */
@@ -83,11 +83,24 @@ private[streaming] object BandStore {
     // stage under a throwaway catalog name (external → DROP keeps files)
     val tmp = name + "_compacting"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    // one writing task → exactly `buckets` output files
-    spark.table(name).coalesce(1)
-      .write.bucketBy(buckets, "band_val").sortBy("band_val")
-      .option("path", staging.toString)
-      .saveAsTable(tmp)
+    // keep the SCAN bucketed for the rewrite: its HashPartitioning
+    // already satisfies the repartition, so AQE elides the exchange and
+    // the rewrite is `buckets` parallel tasks with ZERO shuffle — but
+    // only if DisableUnnecessaryBucketedScan doesn't un-bucket the scan
+    // first (it would drop the alignment and scatter each bucket's rows
+    // across split-sized tasks, multiplying output files)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAuto = spark.conf.getOption(autoKey)
+    spark.conf.set(autoKey, "false")
+    try
+      compactionPlan(spark, name, buckets)
+        .write.bucketBy(buckets, "band_val").sortBy("band_val")
+        .option("path", staging.toString)
+        .saveAsTable(tmp)
+    finally prevAuto match {
+      case Some(v) => spark.conf.set(autoKey, v)
+      case None => spark.conf.unset(autoKey)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     // swap: live → .old, staging → live; the external table `name`
     // keeps its location and bucket spec, only the files change
@@ -95,6 +108,25 @@ private[streaming] object BandStore {
     Files.move(staging, dirP)
     spark.catalog.refreshTable(name)
     deleteTree(old)
+  }
+
+  /** The relation [[compact]] rewrites, factored so the spec can pin its
+    * shape. `repartition(buckets, band_val)` uses the SAME Murmur3-pmod
+    * hash as the bucket spec, so each of the `buckets` parallel tasks
+    * holds exactly one bucket's rows and writes exactly one file —
+    * same file count as the old single-task `coalesce(1)` rewrite, but
+    * the full-index rewrite (corpus-token-scale rows at 100 TB) now
+    * runs `buckets` wide instead of through one executor core. Better
+    * still: the source scan is bucketed on the same key and count, so
+    * its output partitioning already satisfies the repartition and the
+    * executed rewrite plans NO exchange at all — `buckets` tasks, each
+    * reading one bucket's accreted files and writing its one compacted
+    * file ([[compact]] pins `autoBucketedScan=false` for the write so
+    * the planner can't un-bucket the scan and lose the alignment). */
+  private[graft] def compactionPlan(spark: SparkSession, name: String,
+                                    buckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spark.table(name).repartition(buckets, col("band_val"))
   }
 
   private def deleteTree(d: java.nio.file.Path): Unit =

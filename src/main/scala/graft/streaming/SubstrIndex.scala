@@ -90,7 +90,8 @@ object SubstrIndex {
     val knownLosers = occ.join(idx, Seq("band_val"))
       .select(col("doc_id"), col("pos"))
     // store-unseen fingerprints elect their in-batch first occurrence —
-    // the batch operator's packed-BIGINT election (pos < 2^20, declared).
+    // the batch operator's packed-BIGINT election (pos is per-TOKEN here,
+    // so the declared bound is ~2^20 ≈ 1M tokens/doc).
     // Pinned: three consumers (election, loser join, the append) would
     // otherwise re-run the store anti-join each
     val packed = col("doc_id") * (1L << 20) + col("pos")
@@ -105,13 +106,14 @@ object SubstrIndex {
 
     // reassembly: the batch text crosses one doc_id exchange, each doc
     // filters its locally re-derived tokens against its loser starts
+    // (span-merged linear kernel — see Dedup.keptAfterDrops)
     val w = cfg.w
     val verdicts = batch.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .join(dropStarts, Seq("doc_id"), "left")
       .withColumn("drop_starts",
         coalesce(col("drop_starts"), array().cast("array<int>")))
-      .withColumn("kept_arr", filter(col("toks"), (_, i) =>
-        !exists(col("drop_starts"), p => p <= i && i <= p + (w - 1))))
+      .withColumn("kept_arr",
+        graft.operators.Dedup.keptAfterDrops(col("toks"), col("drop_starts"), w))
       .select(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),

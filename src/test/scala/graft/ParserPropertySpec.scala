@@ -88,13 +88,14 @@ class ParserPropertySpec extends AnyFunSuite {
         maps += u
       }
     def delayLine(star: Boolean): Unit = {
-      val v = rnd.nextInt(3) match {
+      val v = rnd.nextInt(4) match {
         case 0 => "10"
         case 1 => rnd.nextInt(100).toString
+        case 2 => "99999999999999999999" // overflows Long: ignored, never thrown
         case _ => "soon" // non-numeric: must be ignored
       }
       sb.append(caseOf("Crawl-delay")).append(colon).append(v).append(comment).append(eol)
-      if (star && delay.isEmpty && v.forall(_.isDigit))
+      if (star && delay.isEmpty && v.forall(_.isDigit) && v.length <= 9)
         delay = Some(v.toLong)
     }
     if (rnd.nextBoolean()) sb.append("\uFEFF")

@@ -251,4 +251,22 @@ class QualitySpec extends AnyFunSuite {
     val m = auc((0L, true), (128L, true), (0L, false), (64L, false))
     assert(m === ((2L, 2L, 5L, 0.625)))
   }
+
+  test("degenerate one-class corpus: AUC and P/R/F1 are NULL, never a crash or inf") {
+    import graft.operators.QualityRules
+    // one class absent -> denominator zero; the guarded division must
+    // yield SQL NULL (not NaN/inf/NULL-by-accident of non-ANSI mode)
+    val onlyPos = Seq((640L, true), (0L, true)).toDF("score", "pos")
+    val r = QualityRules.aucOf(onlyPos).head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L && r.isNullAt(3))
+    val onlyNeg = Seq((640L, false)).toDF("score", "pos")
+    assert(QualityRules.aucOf(onlyNeg).head().isNullAt(3))
+    // P/R/F1 guards: an empty corpus gives tp=fp=fn=tn=0, so every
+    // ratio's denominator is zero — all three must come back NULL
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    val pr = QualityRules.classifierPr(empty).head()
+    assert(pr.getLong(0) === 0L && pr.getLong(1) === 0L && pr.getLong(2) === 0L)
+    assert(pr.isNullAt(4) && pr.isNullAt(5) && pr.isNullAt(6),
+      "all three ratios must be NULL on an empty confusion matrix")
+  }
 }

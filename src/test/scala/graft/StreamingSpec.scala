@@ -867,6 +867,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(grown > cfg.buckets, "appends must have accreted files")
     ImageDupIndex.compact(spark, cfg)
     assert(files(cfg) === cfg.buckets, "compaction leaves one file per bucket")
+    // r14 pin: the rewrite must run `buckets` tasks wide (hash-aligned
+    // repartition on band_val), never a single-task coalesce — the
+    // full-index rewrite is corpus-scale at 100 TB
+    val rewritePlan = graft.streaming.BandStore
+      .compactionPlan(spark, cfg.tableName, cfg.buckets).queryExecution.optimizedPlan
+    val repart = rewritePlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r }
+    assert(repart.nonEmpty, s"compaction rewrite must repartition by band_val:\n$rewritePlan")
+    assert(repart.head.optNumPartitions === Some(cfg.buckets) &&
+      repart.head.partitionExpressions.exists(_.references.map(_.name).toSeq == Seq("band_val")),
+      s"rewrite must hash-partition band_val into exactly `buckets` tasks:\n$rewritePlan")
+    assert(rewritePlan.collect {
+      case c: org.apache.spark.sql.catalyst.plans.logical.Repartition => c }.isEmpty,
+      s"no coalesce/round-robin in the compaction rewrite:\n$rewritePlan")
     // replay of a pre-compaction batch: same verdicts, no re-append
     val v1r = collectV(ImageDupIndex.serveBatch(spark, b1, 1L, cfg))
     assert(v1r === v1, "post-compaction replay must be bit-identical")

@@ -408,6 +408,55 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("substr dedup: near-fully-duplicated doc (ESD's target case) — spans merge, first window survives") {
+    // r14 high-duplication fixture: a doc that is one 8-token run
+    // repeated 250x (period 8, w=8) has every window at pos >= 8 losing
+    // to the pos 0..7 winners, so drop_starts is ~the whole doc — the
+    // case where the pre-span-merge kernel degraded to O(L^2). All
+    // those starts merge into ONE span [8, L); kept = the first 8 tokens.
+    val l = 8 * 250
+    val periodic = (0 until l).map(i => s"r${i % 8}").mkString(" ")
+    // a second doc stresses MANY disjoint merged spans: unique gap
+    // tokens alternating with repeats of doc 1's opening run
+    val run = (0 until 8).map(i => s"r$i").mkString(" ")
+    val gappy = (0 until 12).map(j => s"g$j " + run).mkString(" ") + " gtail"
+    val out = Dedup.substrDedup(docsOf((1L, periodic), (2L, gappy)), w = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) === ((l.toLong, (l - 8).toLong, m(run))),
+      "periodic doc keeps exactly its first period")
+    // doc 2: every run copy is a loser (doc 1 owns the run); straddling
+    // windows mix gap tokens and stay unique, so exactly the 12 run
+    // copies (96 tokens) vanish and the 13 gap tokens survive
+    assert(out(2L) === ((12L * 9 + 1, 96L,
+      m((0 until 12).map(j => s"g$j").mkString(" ") + " gtail"))))
+  }
+
+  test("keptAfterDrops kernel: span-merged result == brute per-token filter on hostile start sets") {
+    // direct equivalence of the linear kernel against the definition it
+    // replaced, over starts that overlap, abut (gap exactly w), touch
+    // both ends, and sit isolated
+    val w = 3
+    val cases = Seq(
+      Seq.empty[Int],            // no drops
+      Seq(0),                    // span at the very start
+      Seq(17),                   // span ending exactly at L
+      Seq(0, 1, 2),              // overlapping chain
+      Seq(0, 3, 6),              // abutting chain (gap == w merges)
+      Seq(0, 4, 8, 12, 16),      // gap == w+1: all separate spans
+      Seq(2, 5, 11, 12, 17))     // mixed
+    val toks = (0 until 20).map(i => s"t$i")
+    for (starts <- cases) {
+      val brute = toks.zipWithIndex.collect {
+        case (t, i) if !starts.exists(p => p <= i && i <= p + w - 1) => t
+      }
+      val df = Seq((toks, starts)).toDF("toks", "drop_starts")
+        .select(Dedup.keptAfterDrops(col("toks"), col("drop_starts"), w).as("kept"))
+      assert(df.head().getSeq[String](0) === brute, s"starts=$starts")
+    }
+  }
+
   test("span dedup: kept spans are globally unique; token mass is conserved") {
     val docs = graft.Tables.documents(spark, TestSpark.Sf)
     val out = Dedup.spanDedup(docs, k = 5)
