@@ -206,6 +206,14 @@ object Bench {
     "q_sql_q19" -> 1.1,
     "q_sql_q21" -> 2.2,
     "q_sql_q22" -> 1.4,
+    // r14: the partsupp four, on the deterministic PartsuppCte synthesis
+    // (distinct lineitem FK pairs) — each pays the distinct-pair
+    // aggregate before its own joins; first warm sf0.1 solos
+    // 1.10/0.95/0.96/0.71
+    "q_sql_q2" -> 1.6,
+    "q_sql_q11" -> 1.4,
+    "q_sql_q16" -> 1.4,
+    "q_sql_q20" -> 1.1,
     // streaming drain anchors (AvailableNow, forced
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,

@@ -515,13 +515,15 @@ object Relational {
   // One SQL text per query, executed verbatim by BOTH Spark and the
   // DuckDB oracle — the strongest front-door parity statement (the SqlQ6
   // precedent). The synthetic tables omit partsupp, l_commitdate /
-  // l_receiptdate / l_shipmode / l_shipinstruct / c_phone, so Q2 / Q9 /
-  // Q11 / Q12 / Q16 / Q19-Q22 are NOT expressible; Q4's lateness
-  // predicate and Q13/Q14's filter classes are adapted to existing
-  // columns (noted per query). Money math follows the engine-wide float
-  // discipline: cent-rounded DECIMAL(18,2) products summed exactly,
-  // ONE cast to double in the final select; quantity comparisons stay in
-  // BIGINT (the q17 avg threshold is cross-multiplied to integers).
+  // l_receiptdate / l_shipmode / l_shipinstruct / c_phone; the
+  // partsupp-dependent Q2 / Q11 / Q16 / Q20 run against the
+  // deterministic [[PartsuppCte]] synthesis (r14), and the remaining
+  // absent-column queries (Q4 / Q9 / Q12 / Q19 / Q21 / Q22, Q13/Q14's
+  // filter classes) are adapted to existing columns (noted per query).
+  // Money math follows the engine-wide float discipline: cent-rounded
+  // DECIMAL(18,2) products summed exactly, ONE cast to double in the
+  // final select; quantity comparisons stay in BIGINT (the q17 avg
+  // threshold is cross-multiplied to integers).
 
   /** `CAST(floor(c*100+0.5)/100 AS DECIMAL(18,2))` — the cent-exact
     * money spelling both engines agree on (SqlQ6 precedent). */
@@ -781,6 +783,117 @@ object Relational {
       |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Deterministic synthetic partsupp (r14): /root/testdata ships no
+    * partsupp table, so the Q2/Q11/Q16/Q20 family derives one —
+    * IDENTICALLY in both engines, inside the one shared SQL text — from
+    * the fact table's own FK pairs: one row per distinct
+    * (l_partkey, l_suppkey), exactly the pairs real TPC-H guarantees
+    * partsupp covers, with availqty and supplycost as exact-integer
+    * multiply-mod functions of the key pair (the m_decode/synthLines
+    * oracle-mirrored-synthesis precedent). Cost lives in cents BIGINT so
+    * every min/sum/threshold below is exact; 41·Δsupp < 99901 for any
+    * two suppliers of one part, so per-part costs never tie and Q2's
+    * min-cost winner is unique. */
+  private[queries] val PartsuppCte =
+    """WITH partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    1 + (ps_partkey * 31 + ps_suppkey * 17) % 9999 AS ps_availqty,
+      |    100 + (ps_partkey * 97 + ps_suppkey * 41) % 99901 AS ps_supplycost_cents
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |        FROM lineitem) pairs)""".stripMargin
+
+  /** Q2 (adapted): minimum-cost supplier per part in a region. p_mfgr
+    * and the supplier address/phone/comment columns are absent — p_brand
+    * stands in and the contact columns are dropped; acctbal reports as
+    * exact cents (the Q10 spelling). The correlated min decorrelates
+    * into an aggregate + join; costs are tie-free by construction so the
+    * LIMIT boundary is pinned by the full ORDER key. */
+  private[queries] val SqlQ2 =
+    s"""$PartsuppCte
+       |SELECT CAST(floor(s_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents,
+       |  s_name, n_name, p_partkey, p_brand
+       |FROM partsupp
+       |JOIN part ON p_partkey = ps_partkey
+       |JOIN supplier ON s_suppkey = ps_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |JOIN region ON r_regionkey = n_regionkey
+       |WHERE p_size = 15 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+       |  AND ps_supplycost_cents = (
+       |    SELECT min(ps2.ps_supplycost_cents)
+       |    FROM partsupp ps2
+       |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+       |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+       |    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+       |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+       |ORDER BY acctbal_cents DESC, s_name, n_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  /** Q11 (adapted): important-stock identification — per-part stock
+    * value for one nation's suppliers, kept when above a share of the
+    * nation's total. The reference's fixed 0.0001/SF fraction is
+    * scale-bound; the adapted threshold is 2× the mean per-part share
+    * (scale-free, ~14% selectivity at every tested sf) and
+    * CROSS-MULTIPLIES — value·n_parts > 2·total — so no float fraction
+    * ever exists; sums CAST to BIGINT on both sides keeps DuckDB off
+    * HUGEINT. */
+  private[queries] val SqlQ11 =
+    s"""$PartsuppCte,
+       |by_part AS (
+       |  SELECT ps_partkey,
+       |    CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
+       |  FROM partsupp
+       |  JOIN supplier ON s_suppkey = ps_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE n_name = 'NATION_7'
+       |  GROUP BY ps_partkey),
+       |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+       |               CAST(count(*) AS BIGINT) AS n_parts FROM by_part)
+       |SELECT ps_partkey, value_cents
+       |FROM by_part, tot
+       |WHERE value_cents * n_parts > 2 * total_cents""".stripMargin
+
+  /** Q16 (adapted): parts/supplier relationship — distinct suppliers
+    * per (brand, type, size) outside one brand/type, over the classic
+    * size list. The reference excludes suppliers with complaint
+    * comments (s_comment absent); negative account balance is the
+    * deterministic complaint surrogate (6% of suppliers). */
+  private[queries] val SqlQ16 =
+    s"""$PartsuppCte
+       |SELECT p_brand, p_type, p_size,
+       |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM partsupp
+       |JOIN part ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#1'
+       |  AND p_type NOT LIKE 'MEDIUM%'
+       |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+       |  AND ps_suppkey NOT IN (
+       |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.00)
+       |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  /** Q20 (adapted): potential part promotion — suppliers in one nation
+    * whose stock of a name-classed part exceeds half of what that
+    * (part, supplier) pair actually shipped in 1996 ('red' stands in
+    * for 'forest', ship date for the absent l_shipdate-vs-commitdate
+    * pair). The half threshold cross-multiplies (availqty*2 > sum);
+    * pairs that shipped nothing in the window yield a NULL sum and drop,
+    * the reference's own semantics. */
+  private[queries] val SqlQ20 =
+    s"""$PartsuppCte
+       |SELECT s_name, s_suppkey
+       |FROM supplier
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE n_name = 'NATION_3'
+       |  AND s_suppkey IN (
+       |    SELECT ps_suppkey FROM partsupp
+       |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+       |      AND ps_availqty * 2 > (
+       |        SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+       |        FROM lineitem
+       |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+       |          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+       |ORDER BY s_name""".stripMargin
+
   val qSqlQ4: Q = (s, d) => withTpchViews(s, d)(SqlQ4)
   val qSqlQ7: Q = (s, d) => withTpchViews(s, d)(SqlQ7)
   val qSqlQ8: Q = (s, d) => { Tables.region(s, d).createOrReplaceTempView("region"); withTpchViews(s, d)(SqlQ8) }
@@ -795,6 +908,10 @@ object Relational {
   val qSqlQ19: Q = (s, d) => withTpchViews(s, d)(SqlQ19)
   val qSqlQ21: Q = (s, d) => withTpchViews(s, d)(SqlQ21)
   val qSqlQ22: Q = (s, d) => withTpchViews(s, d)(SqlQ22)
+  val qSqlQ2: Q = (s, d) => { Tables.region(s, d).createOrReplaceTempView("region"); withTpchViews(s, d)(SqlQ2) }
+  val qSqlQ11: Q = (s, d) => withTpchViews(s, d)(SqlQ11)
+  val qSqlQ16: Q = (s, d) => withTpchViews(s, d)(SqlQ16)
+  val qSqlQ20: Q = (s, d) => withTpchViews(s, d)(SqlQ20)
 
   /** Count-Min frequency sketch over event types — estimates are
     * oracle-EXACT (md5-derived integer buckets, same cells both
@@ -1119,6 +1236,10 @@ object Relational {
     "q_sql_q19" -> qSqlQ19,
     "q_sql_q21" -> qSqlQ21,
     "q_sql_q22" -> qSqlQ22,
+    "q_sql_q2" -> qSqlQ2,
+    "q_sql_q11" -> qSqlQ11,
+    "q_sql_q16" -> qSqlQ16,
+    "q_sql_q20" -> qSqlQ20,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

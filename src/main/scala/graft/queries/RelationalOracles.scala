@@ -517,6 +517,10 @@ object RelationalOracles {
     "q_sql_q19" -> graft.queries.Relational.SqlQ19,
     "q_sql_q21" -> graft.queries.Relational.SqlQ21,
     "q_sql_q22" -> graft.queries.Relational.SqlQ22,
+    "q_sql_q2" -> graft.queries.Relational.SqlQ2,
+    "q_sql_q11" -> graft.queries.Relational.SqlQ11,
+    "q_sql_q16" -> graft.queries.Relational.SqlQ16,
+    "q_sql_q20" -> graft.queries.Relational.SqlQ20,
 
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n_rows,
