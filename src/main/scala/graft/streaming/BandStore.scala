@@ -38,11 +38,9 @@ private[graft] object BandStore {
     * moving the staged copy in, the `.old` copy IS the store — restore
     * it. No-op otherwise. */
   private def recoverSwap(dir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val dirP = Paths.get(dir)
-    val old = Paths.get(dir.stripSuffix("/") + ".old")
-    if (!Files.isDirectory(dirP) && Files.isDirectory(old))
-      Files.move(old, dirP)
+    val old = dir.stripSuffix("/") + ".old"
+    if (!DurableFs.isDirectory(dir) && DurableFs.isDirectory(old))
+      DurableFs.move(old, dir)
   }
 
   def append(bands: DataFrame, name: String, dir: String, buckets: Int): Unit =
@@ -71,12 +69,10 @@ private[graft] object BandStore {
     * `.old` copy that the next call restores first. */
   def compact(spark: SparkSession, name: String, dir: String,
               buckets: Int): Unit = {
-    import java.nio.file.{Files, Paths}
-    val dirP = Paths.get(dir)
-    val staging = Paths.get(dir.stripSuffix("/") + ".compacting")
-    val old = Paths.get(dir.stripSuffix("/") + ".old")
+    val staging = dir.stripSuffix("/") + ".compacting"
+    val old = dir.stripSuffix("/") + ".old"
     recoverSwap(dir)
-    deleteTree(staging); deleteTree(old)
+    DurableFs.deleteTree(staging); DurableFs.deleteTree(old)
     // write the compacted copy to the staging dir while the live table
     // files still back `name` — the read happens during this write, so
     // the durable copy is never gone. bucketBy requires saveAsTable, so
@@ -95,7 +91,7 @@ private[graft] object BandStore {
     try
       compactionPlan(spark, name, buckets)
         .write.bucketBy(buckets, "band_val").sortBy("band_val")
-        .option("path", staging.toString)
+        .option("path", staging)
         .saveAsTable(tmp)
     finally prevAuto match {
       case Some(v) => spark.conf.set(autoKey, v)
@@ -104,10 +100,10 @@ private[graft] object BandStore {
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     // swap: live → .old, staging → live; the external table `name`
     // keeps its location and bucket spec, only the files change
-    Files.move(dirP, old)
-    Files.move(staging, dirP)
+    DurableFs.move(dir, old)
+    DurableFs.move(staging, dir)
     spark.catalog.refreshTable(name)
-    deleteTree(old)
+    DurableFs.deleteTree(old)
   }
 
   /** The relation [[compact]] rewrites, factored so the spec can pin its
@@ -129,13 +125,6 @@ private[graft] object BandStore {
     spark.table(name).repartition(buckets, col("band_val"))
   }
 
-  private def deleteTree(d: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.isDirectory(d)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
-    }
-
   /** Drop + delete + rewrite the store from an initial band relation,
     * clearing the commit markers too (stale markers would make a
     * re-initialized index skip the first re-served batchIds' appends —
@@ -144,7 +133,7 @@ private[graft] object BandStore {
             commitsDir: String, initial: DataFrame, buckets: Int): Unit = {
     CommitProtocol.resetMarkers(commitsDir)
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    deleteTree(java.nio.file.Paths.get(dir))
+    DurableFs.deleteTree(dir)
     initial.write.bucketBy(buckets, "band_val").sortBy("band_val")
       .option("path", dir)
       .saveAsTable(name)

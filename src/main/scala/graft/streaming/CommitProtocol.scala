@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-
 /** R12: atomic append-commit fencing shared by the streaming indexes
   * ([[IncrementalIndex]], [[NearDupIndex]]) — closes the crash window
   * the r11 protocol had between "parquet files appended" and "commit
@@ -23,28 +21,26 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   *     intent. A crash at ANY point leaves either a recoverable intent
   *     or a completed commit — never an unfenced half-append.
   *
-  * Marker writes go through a same-directory temp file + ATOMIC_MOVE so
-  * a torn marker can't be misread as a (partial) file list. On object
-  * stores without atomic rename a deployment maps this onto the store's
-  * conditional-put; the protocol shape is unchanged.
+  * R14: every filesystem call goes through [[DurableFs]] (the Hadoop
+  * `FileSystem` API), so the identical protocol runs on local disk
+  * (today's specs), HDFS (atomic rename by contract), or S3A-style
+  * stores — where rename is copy+delete and the safety argument is the
+  * conservative-read one spelled out in the [[DurableFs]] scaladoc: a
+  * crash mid-rename leaves the marker ABSENT, which every reader
+  * treats as not-committed / no-intent, and recovery is idempotent.
+  * Marker writes go through a same-directory temp file + rename so a
+  * torn marker can't be misread as a (partial) file list.
   */
 final class CommitProtocol(dataDir: String, commitsDir: String, batchId: Long) {
 
-  private val commitPath: Path = Paths.get(commitsDir, batchId.toString)
-  private val intentPath: Path = Paths.get(commitsDir, s"$batchId.intent")
+  private val commitPath: String = s"$commitsDir/$batchId"
+  private val intentPath: String = s"$commitsDir/$batchId.intent"
 
-  private def readMarker(p: Path): Set[String] = {
-    import scala.jdk.CollectionConverters._
-    Files.readAllLines(p).asScala.filter(_.nonEmpty).toSet
-  }
+  private def readMarker(p: String): Set[String] =
+    DurableFs.readUtf8(p).split("\n", -1).filter(_.nonEmpty).toSet
 
-  private def writeMarkerAtomic(p: Path, names: Set[String]): Unit = {
-    Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(s"${p.getFileName}.tmp")
-    Files.write(tmp, names.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
-    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
+  private def writeMarkerAtomic(p: String, names: Set[String]): Unit =
+    DurableFs.writeAtomic(p, names.toSeq.sorted.mkString("\n"))
 
   @volatile private var rolled = false
 
@@ -57,14 +53,14 @@ final class CommitProtocol(dataDir: String, commitsDir: String, batchId: Long) {
     * by deleting the orphaned data files; clears a stale intent left by
     * a crash between commit-marker write and intent delete. */
   def beginOrRecover(): Boolean =
-    if (Files.exists(commitPath)) {
-      Files.deleteIfExists(intentPath)
+    if (DurableFs.exists(commitPath)) {
+      DurableFs.deleteIfExists(intentPath)
       true
     } else {
-      if (Files.exists(intentPath)) {
+      if (DurableFs.exists(intentPath)) {
         val snapshot = readMarker(intentPath)
         val orphans = CommitProtocol.listParquet(dataDir) -- snapshot
-        orphans.foreach(n => Files.deleteIfExists(Paths.get(dataDir, n)))
+        orphans.foreach(n => DurableFs.deleteIfExists(s"$dataDir/$n"))
         rolled = orphans.nonEmpty
       }
       false
@@ -73,7 +69,7 @@ final class CommitProtocol(dataDir: String, commitsDir: String, batchId: Long) {
   /** The files this batch appended (valid only when [[beginOrRecover]]
     * returned true). */
   def committedFiles: Set[String] =
-    if (Files.exists(commitPath)) readMarker(commitPath) else Set.empty
+    if (DurableFs.exists(commitPath)) readMarker(commitPath) else Set.empty
 
   /** Fence `append` between the intent and commit markers. */
   def commit(append: => Unit): Unit = {
@@ -81,7 +77,7 @@ final class CommitProtocol(dataDir: String, commitsDir: String, batchId: Long) {
     writeMarkerAtomic(intentPath, before)
     append
     writeMarkerAtomic(commitPath, CommitProtocol.listParquet(dataDir) -- before)
-    Files.deleteIfExists(intentPath)
+    DurableFs.deleteIfExists(intentPath)
   }
 }
 
@@ -94,28 +90,13 @@ object CommitProtocol {
     * markers would treat the first re-served batchIds as replays and
     * silently skip their appends (every later duplicate of those docs
     * then passes as new). */
-  def resetMarkers(commitsDir: String): Unit = {
-    val d = Paths.get(commitsDir)
-    if (Files.isDirectory(d)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-    }
-  }
+  def resetMarkers(commitsDir: String): Unit =
+    DurableFs.deleteTree(commitsDir)
 
   /** Flat listing of the committed parquet files in a directory
     * (Spark's in-flight `_temporary`/dot files excluded). */
-  def listParquet(dir: String): Set[String] = {
-    val d = Paths.get(dir)
-    if (!Files.isDirectory(d)) Set.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(d)
-      try s.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        .toSet
-      finally s.close()
-    }
-  }
+  def listParquet(dir: String): Set[String] =
+    DurableFs.listFiles(dir)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+      .toSet
 }
