@@ -211,6 +211,8 @@ object Bench {
     // aggregate before its own joins; first warm sf0.1 solos
     // 1.10/0.95/0.96/0.71
     "q_sql_q2" -> 1.6,
+    // r14: NFC audit — codegen'd normalizer kernel, one corpus projection
+    "t_nfc" -> 0.8,
     "q_sql_q11" -> 1.4,
     "q_sql_q16" -> 1.4,
     "q_sql_q20" -> 1.1,

@@ -29,5 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         HyperplaneCodes(args.head, intLit(args(1), "tables"), intLit(args(2), "bits"))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getCanonicalName, "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_nfc takes exactly 1 argument")
+        NfcNormalize(args.head)
+      }))
   }
 }

@@ -47,6 +47,32 @@ object Training {
   val tFingerprint: Q = (s, d) =>
     docs(s, d).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
 
+  /** R14: Unicode NFC canonicalization audit — the cleanup step that
+    * runs before any fingerprint/hash dedup, as a native codegen'd
+    * expression ([[graft.functions.NfcNormalize]]). Text is dressed with
+    * deterministic non-NFC shapes real crawls carry (combining acute,
+    * combining ring, the ANGSTROM compatibility singleton, an
+    * already-composed control, and a pure-ASCII arm exercising the
+    * zero-allocation fast path); the oracle re-normalizes the identical
+    * dressing through DuckDB's independent `nfc_normalize` (utf8proc) —
+    * JDK and utf8proc agreeing per row on md5, changed-flag, and
+    * codepoint counts is the cross-engine statement. */
+  val tNfc: Q = (s, d) => {
+    import graft.functions.NfcNormalize.nfc
+    val dress = when(pmod(col("doc_id"), lit(5)) === 0, lit(" e\u0301"))
+      .when(pmod(col("doc_id"), lit(5)) === 1, lit(" A\u030A"))
+      .when(pmod(col("doc_id"), lit(5)) === 2, lit(" \u212B"))
+      .when(pmod(col("doc_id"), lit(5)) === 3, lit(" \u00E9"))
+      .otherwise(lit(""))
+    docs(s, d).select(col("doc_id"), concat(col("text"), dress).as("dressed"))
+      .select(
+        col("doc_id"),
+        md5(nfc(col("dressed"))).as("nfc_md5"),
+        (nfc(col("dressed")) =!= col("dressed")).as("changed"),
+        length(col("dressed")).cast("long").as("n_before"),
+        length(nfc(col("dressed"))).cast("long").as("n_after"))
+  }
+
   val dExact: Q = (s, d) => Dedup.exactGroups(docs(s, d))
   /** R11: CCNet/FineWeb line-level boilerplate dedup over multi-line
     * dressed docs (nav header / cookie banner / footer recur across
@@ -657,6 +683,7 @@ object Training {
     "t_langid" -> tLangid,
     "t_langid2" -> tLangid2,
     "t_fingerprint" -> tFingerprint,
+    "t_nfc" -> tNfc,
     "d_exact" -> dExact,
     "d_line_dedup" -> dLineDedup,
     "d_line_keepfirst" -> dLineKeepFirst,

@@ -535,6 +535,26 @@ object TrainingOracles {
       s"""$TokCte
          |SELECT doc_id, md5(array_to_string(toks, ' ')) AS fingerprint FROM tok""".stripMargin,
 
+    // r14 NFC audit: the IDENTICAL combining-char dressing (chr() forms
+    // of the Scala \u escapes), re-normalized through DuckDB's own
+    // nfc_normalize (utf8proc) — an independent NFC implementation
+    // agreeing with the JDK kernel per row
+    "t_nfc" ->
+      """WITH dressed AS (
+        |  SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN ' e' || chr(769)
+        |      WHEN 1 THEN ' A' || chr(778)
+        |      WHEN 2 THEN ' ' || chr(8491)
+        |      WHEN 3 THEN ' ' || chr(233)
+        |      ELSE '' END AS dressed
+        |  FROM documents)
+        |SELECT doc_id, md5(nfc_normalize(dressed)) AS nfc_md5,
+        |  nfc_normalize(dressed) <> dressed AS changed,
+        |  CAST(length(dressed) AS BIGINT) AS n_before,
+        |  CAST(length(nfc_normalize(dressed)) AS BIGINT) AS n_after
+        |FROM dressed""".stripMargin,
+
     "d_exact" ->
       s"""$TokCte
          |SELECT md5(array_to_string(toks, ' ')) AS fingerprint,

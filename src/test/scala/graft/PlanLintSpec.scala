@@ -25,6 +25,10 @@ class PlanLintSpec extends AnyFunSuite {
       // broadcasts (candidate restriction itself is all equi joins);
       // the refine tail adds only equi joins on top
       "s_ivfpq_topk", "s_ivfpq_refine",
+      // r14 Q11: the ONE-ROW (total_cents, n_parts) aggregate rides as
+      // an IdentityBroadcast into the share-threshold filter — the
+      // t_link_rank 1-row-scalar shape, intended
+      "q_sql_q11",
       // SQ8 is deliberately the brute shape over the compressed code
       // relation: stats row + query side broadcast, one corpus pass
       "s_sq_topk",

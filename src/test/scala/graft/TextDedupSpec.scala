@@ -662,6 +662,53 @@ class TextDedupSpec extends AnyFunSuite {
       === Seq(SitemapEntry("url", "u", "", -1)))
   }
 
+  test("NFC normalization: composed goldens, singleton, identity arms, codegen + SQL front doors") {
+    import graft.functions.NfcNormalize.nfc
+    // goldens: decomposed -> composed, compatibility singleton -> \u00C5,
+    // already-composed and pure-ASCII pass through unchanged
+    val rows = Seq(
+      (1L, "caf\u0065\u0301"),   // cafe + combining acute -> caf\u00E9
+      (2L, "A\u030A"),            // A + combining ring -> \u00C5
+      (3L, "\u212B"),             // ANGSTROM SIGN -> \u00C5 (canonical singleton)
+      (4L, "caf\u00E9"),          // already NFC: identity
+      (5L, "plain ascii"))         // fast path: identity
+    val out = rows.toDF("doc_id", "s")
+      .select(col("doc_id"), nfc(col("s")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "caf\u00E9")
+    assert(out(2L) === "\u00C5")
+    assert(out(3L) === "\u00C5")
+    assert(out(4L) === "caf\u00E9")
+    assert(out(5L) === "plain ascii")
+    // the expression stays inside whole-stage codegen (no fallback
+    // node) — over a non-local child so ConvertToLocalRelation can't
+    // pre-evaluate the projection
+    val planned = spark.range(8)
+      .select(concat(lit("w"), col("id").cast("string"), lit(" e\u0301")).as("s"))
+      .select(nfc(col("s")))
+      .queryExecution.executedPlan
+    assert(planned.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }.nonEmpty,
+      s"must codegen:\n$planned")
+    // SQL front door via GraftExtensions
+    rows.toDF("doc_id", "s").createOrReplaceTempView("nfc_in")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_nfc(s) AS n FROM nfc_in").as[(Long, String)].collect().toMap
+    assert(viaSql === out)
+    // independent reimplementation over random-ish mixed strings: the
+    // column result equals java.text.Normalizer applied driver-side
+    val mixed = (0 until 64).map { i =>
+      (i.toLong, s"w$i " + (if (i % 2 == 0) "e\u0301" else "\u00E9") +
+        (if (i % 3 == 0) " A\u030A" else "") + (if (i % 5 == 0) " \u212B" else ""))
+    }
+    val got = mixed.toDF("doc_id", "s").select(col("doc_id"), nfc(col("s")))
+      .as[(Long, String)].collect().toMap
+    mixed.foreach { case (id, raw) =>
+      assert(got(id) === java.text.Normalizer.normalize(
+        raw, java.text.Normalizer.Form.NFC), s"doc $id")
+    }
+  }
+
   test("robots directives: crawl-delay first-valid-wins in *, sitemaps global") {
     import graft.operators.UrlOps.parseRobotsDoc
     // duplicate delays: first valid wins; non-numeric ignored entirely
