@@ -125,6 +125,19 @@ private[graft] object BandStore {
     spark.table(name).repartition(buckets, col("band_val"))
   }
 
+  /** R14: the compaction POLICY hook serve loops call between
+    * micro-batches — compacts only when the append-accreted file count
+    * exceeds `maxFiles` (each append writes up to `buckets` files, so
+    * `maxFiles = buckets * k` means "compact every ~k batches"). Returns
+    * whether a compaction ran, so callers can log/meter it. Cheap when
+    * idle: one directory listing. */
+  def maybeCompact(spark: SparkSession, name: String, dir: String,
+                   buckets: Int, maxFiles: Int): Boolean = {
+    val n = CommitProtocol.listParquet(dir).size
+    if (n > maxFiles) { compact(spark, name, dir, buckets); true }
+    else false
+  }
+
   /** Drop + delete + rewrite the store from an initial band relation,
     * clearing the commit markers too (stale markers would make a
     * re-initialized index skip the first re-served batchIds' appends —

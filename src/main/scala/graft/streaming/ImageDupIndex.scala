@@ -138,6 +138,12 @@ object ImageDupIndex {
   def compact(spark: SparkSession, cfg: ImageDupConfig): Unit =
     BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets)
 
+  /** Policy form: compact only past `maxFiles` accreted files
+    * ([[BandStore.maybeCompact]]). */
+  def maybeCompact(spark: SparkSession, cfg: ImageDupConfig,
+                   maxFiles: Int): Boolean =
+    BandStore.maybeCompact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets, maxFiles)
+
   /** The probe join over the CURRENT index, exactly as [[serveBatch]]
     * builds it — the assertion surface for the zero-index-exchange
     * claim. */

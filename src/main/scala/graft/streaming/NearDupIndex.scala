@@ -162,6 +162,12 @@ object NearDupIndex {
   def compact(spark: SparkSession, cfg: NearDupConfig): Unit =
     BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets)
 
+  /** Policy form: compact only past `maxFiles` accreted files
+    * ([[BandStore.maybeCompact]]). */
+  def maybeCompact(spark: SparkSession, cfg: NearDupConfig,
+                   maxFiles: Int): Boolean =
+    BandStore.maybeCompact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets, maxFiles)
+
   /** The probe join over the CURRENT index, exactly as [[serveBatch]]
     * builds it — the assertion surface for the zero-index-exchange
     * claim (spec use: walk the executed plan and check no shuffle sits

@@ -136,4 +136,10 @@ object SubstrIndex {
     * ([[BandStore.compact]]). Run between micro-batches. */
   def compact(spark: SparkSession, cfg: SubstrConfig): Unit =
     BandStore.compact(spark, cfg.tableName, cfg.fpsDir, cfg.buckets)
+
+  /** Policy form: compact only past `maxFiles` accreted files
+    * ([[BandStore.maybeCompact]]). */
+  def maybeCompact(spark: SparkSession, cfg: SubstrConfig,
+                   maxFiles: Int): Boolean =
+    BandStore.maybeCompact(spark, cfg.tableName, cfg.fpsDir, cfg.buckets, maxFiles)
 }

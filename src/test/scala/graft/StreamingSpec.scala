@@ -889,6 +889,16 @@ class StreamingSpec extends AnyFunSuite {
     val v2c = collectV(ImageDupIndex.serveBatch(spark, b2, 2L, cfg))
     val v2t = collectV(ImageDupIndex.serveBatch(spark, b2, 2L, twin))
     assert(v2c === v2t, "compaction must not change index content")
+    // r14 maybeCompact policy: a no-op listing below the threshold,
+    // the full compaction past it
+    val accreted = files(cfg)
+    assert(accreted > cfg.buckets, "batch 2 must have accreted files again")
+    assert(!ImageDupIndex.maybeCompact(spark, cfg, maxFiles = accreted + 1),
+      "below threshold must be a no-op")
+    assert(files(cfg) === accreted, "no-op must not touch files")
+    assert(ImageDupIndex.maybeCompact(spark, cfg, maxFiles = cfg.buckets),
+      "past threshold must compact")
+    assert(files(cfg) === cfg.buckets)
     // and the probe still scans the store bucketed
     import org.apache.spark.sql.execution.FileSourceScanExec
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
