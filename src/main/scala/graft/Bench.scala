@@ -213,6 +213,8 @@ object Bench {
     "q_sql_q2" -> 1.6,
     // r14: NFC audit — codegen'd normalizer kernel, one corpus projection
     "t_nfc" -> 0.8,
+    // r14: language rebalancing — one count agg + broadcast budgets
+    "t_lang_balance" -> 0.9, // measured 0.53 s solo
     "q_sql_q11" -> 1.4,
     "q_sql_q16" -> 1.4,
     "q_sql_q20" -> 1.1,

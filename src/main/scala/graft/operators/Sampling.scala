@@ -96,4 +96,44 @@ object Sampling {
         row_number().over(Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))))
       .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
   }
+
+  /** R14: language REBALANCING to a target mix — the data-mixture step a
+    * multilingual corpus build runs after language ID (the CC-pipeline
+    * "rebalance to target distribution" stage). Given per-language
+    * target shares in permille, the largest achievable corpus preserving
+    * the mix is bounded by the scarcest language:
+    * `N = min_l floor(count_l·1000/target_l)`; each language's budget is
+    * `floor(N·target_l/1000)` and docs are kept by the deterministic
+    * hash-threshold rule `h·count_l < budget_l·2^32` (h = the first 8
+    * md5 hex digits of the salted doc key — cross-multiplied exact
+    * integers, so the boundary can never flip between engines; safe
+    * while per-language counts stay under ~2^31). Languages outside the
+    * target map get budget 0 and are dropped.
+    *
+    * Scale shape: ONE count aggregate over the corpus, a language-count-
+    * sized budget table broadcast back (the 1-row N total rides the same
+    * broadcast — PlanLint-allowlisted), and the keep verdict is a narrow
+    * codegen'd projection. No window over the corpus, no per-language
+    * single-task partitions. */
+  def langBalance(docs: DataFrame,
+                  targetsPermille: Seq[(String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tdf = targetsPermille.toDF("lang", "target_permille")
+    val counts = Spread(docs).groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .join(broadcast(tdf), Seq("lang"), "left")
+      .withColumn("target_permille", coalesce(col("target_permille"), lit(0L)))
+    val nTotal = counts.filter(col("target_permille") > 0)
+      .select(min(expr("n_lang * 1000 div target_permille")).as("n_total"))
+    val budgets = counts.crossJoin(broadcast(nTotal))
+      .select(col("lang"), col("n_lang"), col("target_permille"),
+        expr("n_total * target_permille div 1000").as("budget"))
+    docs.select(col("doc_id"), col("lang"),
+        conv(substring(md5(concat(lit("langbal:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .join(broadcast(budgets), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_lang"),
+        col("target_permille"), col("budget"),
+        (col("h") * col("n_lang") < col("budget") * (1L << 32)).as("kept"))
+  }
 }

@@ -270,6 +270,11 @@ object Training {
   /** R11: CCNet bucket sampling over the tiers (keep-all/50%/10%). */
   val tCcnetSample: Q = (s, d) => NgramLm.ccnetSample(docs(s, d))
 
+  /** R14: language rebalancing to a target mix (en 400‰, others 150‰)
+    * — see [[Sampling.langBalance]]. */
+  val tLangBalance: Q = (s, d) => Sampling.langBalance(docs(s, d),
+    Seq(("en", 400L), ("de", 150L), ("fr", 150L), ("es", 150L), ("zh", 150L)))
+
   /** Gopher-style repetition signals (dup n-gram fractions, top-token
     * share). */
   val tRepStats: Q = (s, d) => QualityRules.repetitionStats(docs(s, d))
@@ -722,6 +727,7 @@ object Training {
     "t_chunk" -> tChunk,
     "t_lm_tiers" -> tLmTiers,
     "t_ccnet_sample" -> tCcnetSample,
+    "t_lang_balance" -> tLangBalance,
     "t_lm_backoff" -> ((s, d) => NgramLm.backoffScore(docs(s, d))),
     "t_winnow" -> tWinnow,
     "t_warc_records" -> tWarcRecords,

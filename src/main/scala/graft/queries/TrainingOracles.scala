@@ -1413,6 +1413,27 @@ object TrainingOracles {
          |SELECT doc_id, bits_x1000, tier, skey FROM tiered
          |WHERE skey < CASE tier WHEN 0 THEN 'zz' WHEN 1 THEN '80' ELSE '1a' END""".stripMargin,
 
+    // r14 language rebalancing: exact-integer mirror — achievable total
+    // bounded by the scarcest targeted language, per-language budgets,
+    // cross-multiplied 32-bit hash threshold (no float rate exists)
+    "t_lang_balance" ->
+      """WITH t(lang, tp) AS (VALUES ('en', 400), ('de', 150),
+        |    ('fr', 150), ('es', 150), ('zh', 150)),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+        |      FROM documents GROUP BY 1),
+        |j AS (SELECT c.lang, c.n_lang,
+        |        CAST(coalesce(t.tp, 0) AS BIGINT) AS target_permille
+        |      FROM c LEFT JOIN t ON t.lang = c.lang),
+        |nt AS (SELECT min(n_lang * 1000 // target_permille) AS n_total
+        |       FROM j WHERE target_permille > 0),
+        |b AS (SELECT lang, n_lang, target_permille,
+        |        CAST(n_total * target_permille // 1000 AS BIGINT) AS budget
+        |      FROM j, nt)
+        |SELECT d.doc_id, d.lang, b.n_lang, b.target_permille, b.budget,
+        |  ('0x' || substr(md5('langbal:' || d.doc_id), 1, 8))::BIGINT * b.n_lang
+        |    < b.budget * 4294967296 AS kept
+        |FROM documents d JOIN b ON b.lang = d.lang""".stripMargin,
+
     // chunk mirror: same stride-64/48 windows, clamped list slice,
     // md5-of-joined-tokens content gate (range() excludes its stop,
     // sequence() includes it — 0..n-1 step 48 lands identically)

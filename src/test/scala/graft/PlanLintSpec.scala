@@ -29,6 +29,9 @@ class PlanLintSpec extends AnyFunSuite {
       // an IdentityBroadcast into the share-threshold filter — the
       // t_link_rank 1-row-scalar shape, intended
       "q_sql_q11",
+      // r14 lang balance: the ONE-ROW achievable-total aggregate rides
+      // as a broadcast into the language-count-sized budget table
+      "t_lang_balance",
       // SQ8 is deliberately the brute shape over the compressed code
       // relation: stats row + query side broadcast, one corpus pass
       "s_sq_topk",

@@ -93,4 +93,46 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(a.exists(r => c(r._1) !== ((r._2, r._3)))) // next epoch reshuffles
   }
+
+  test("lang balance: budgets bounded by the scarcest language; keep rule recomputed independently") {
+    val targets = Seq(("en", 400L), ("de", 150L), ("fr", 150L), ("es", 150L), ("zh", 150L))
+    val out = Sampling.langBalance(docs, targets).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("lang"), r.getAs[Long]("n_lang"),
+          r.getAs[Long]("target_permille"), r.getAs[Long]("budget"),
+          r.getAs[Boolean]("kept")))).toMap
+    // independent budget math from driver-side counts
+    val langOf = docs.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val counts = langOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tmap = targets.toMap
+    val nTotal = counts.collect { case (l, n) if tmap.contains(l) =>
+      n * 1000L / tmap(l) }.min
+    for ((id, (lang, nLang, tp, budget, kept)) <- out) {
+      assert(nLang === counts(lang), s"doc $id count")
+      assert(tp === tmap.getOrElse(lang, 0L), s"doc $id target")
+      assert(budget === nTotal * tmap.getOrElse(lang, 0L) / 1000L, s"doc $id budget")
+      // the keep rule, recomputed from scratch
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"langbal:$id".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex, 16)
+      assert(kept === (h * nLang < budget * (1L << 32)), s"doc $id keep rule")
+    }
+    // achieved counts: within binomial noise of the budget, never wildly off
+    val keptBy = out.values.groupBy(_._1).view
+      .mapValues(v => (v.count(_._5), v.head._4)).toMap
+    keptBy.foreach { case (lang, (k, budget)) =>
+      assert(math.abs(k - budget) <= math.max(10L, budget / 4),
+        s"$lang kept $k vs budget $budget — sampler badly biased")
+    }
+    // the kept mix is closer to the target distribution than the raw
+    // corpus was (L1 distance over the targeted languages)
+    val rawTot = counts.values.sum.toDouble
+    val keptTot = keptBy.values.map(_._1).sum.toDouble
+    def l1(share: String => Double): Double =
+      tmap.map { case (l, t) => math.abs(share(l) - t / 1000.0) }.sum
+    val rawL1 = l1(l => counts.getOrElse(l, 0L) / rawTot)
+    val keptL1 = l1(l => keptBy.get(l).map(_._1.toDouble).getOrElse(0.0) / keptTot)
+    assert(keptL1 <= rawL1 + 1e-9,
+      s"rebalance must move the mix toward the target (raw L1 $rawL1, kept L1 $keptL1)")
+  }
 }
