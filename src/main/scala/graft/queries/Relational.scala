@@ -807,7 +807,10 @@ object Relational {
     * stands in and the contact columns are dropped; acctbal reports as
     * exact cents (the Q10 spelling). The correlated min decorrelates
     * into an aggregate + join; costs are tie-free by construction so the
-    * LIMIT boundary is pinned by the full ORDER key. */
+    * LIMIT boundary is pinned by the full ORDER key. Like q15/q17, the
+    * partsupp CTE feeds both the outer block and the decorrelated min,
+    * so lineitem's distinct-pair agg runs twice — the shared-SQL-text
+    * purity beats a hand-split plan (the q15 precedent). */
   private[queries] val SqlQ2 =
     s"""$PartsuppCte
        |SELECT CAST(floor(s_acctbal*100 + 0.5) AS BIGINT) AS acctbal_cents,

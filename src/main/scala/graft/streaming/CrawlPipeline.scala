@@ -89,6 +89,18 @@ object CrawlPipeline {
   def pinnedRules(spark: SparkSession): DataFrame =
     UrlOps.robotsRulesByHost(spark).localCheckpoint()
 
+  /** R14: between-batch maintenance for the composed pipeline — compacts
+    * whichever of the two band stores (near-dup, exact-substring) has
+    * accreted past `maxFiles` append generations; cheap (two directory
+    * listings) when idle. Returns whether any compaction ran. The exact
+    * index's file-name replay protocol precludes a naive rewrite — see
+    * [[IngestDedup.maintain]]. */
+  def maintain(spark: SparkSession, cfg: CrawlConfig, maxFiles: Int): Boolean = {
+    val a = IngestDedup.maintain(spark, cfg.ingest, maxFiles)
+    val b = SubstrIndex.maybeCompact(spark, cfg.substr, maxFiles)
+    a || b
+  }
+
   /** Serve one micro-batch of binaryFile rows (`content` = one WARC
     * shard's bytes). Returns one verdict row per page in the batch:
     * (doc_id, host, n_tokens, consented, kept, exact_new, near_new,

@@ -75,4 +75,17 @@ object IngestDedup {
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("best_match"), lit(-1L)).as("best_match"))
   }
+
+  /** R14: maintenance hook for the composed ingest — compacts the
+    * near-dup BAND store past `maxFiles` accreted files
+    * ([[BandStore.maybeCompact]]; rows carry batch_id, so replay
+    * exclusion survives the rewrite). The exact stage's fingerprint
+    * index is deliberately NOT rewritten here: its replay protocol
+    * excludes a replayed batch's own appends BY FILE NAME
+    * ([[CommitProtocol.committedFiles]]), which any rewrite would
+    * orphan — re-init it from the deduplicated relation instead, at a
+    * point where no served batch can replay (post-checkpoint-ratchet).
+    * Returns whether a compaction ran. */
+  def maintain(spark: SparkSession, cfg: IngestConfig, maxFiles: Int): Boolean =
+    NearDupIndex.maybeCompact(spark, cfg.near, maxFiles)
 }

@@ -1502,6 +1502,22 @@ class StreamingSpec extends AnyFunSuite {
       "every admitted doc must carry its corpus text md5")
     assert(verdicts.filter(!col("corpus_new") && col("n_span_removed") >= 0).count() === 0,
       "non-admitted docs must never reach the window store")
+    // r14 maintenance hook: serve one more batch, force both band-store
+    // compactions, then REPLAY that batch — verdicts must be
+    // bit-identical (band rows carry batch_id, so replay exclusion
+    // survives the rewrite)
+    val extraBatch = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc*").load(srcDir)
+      .orderBy("path").limit(1).select("path", "modificationTime", "length", "content")
+      .localCheckpoint()
+    val v100 = CrawlPipeline.serveBatch(spark, extraBatch, 100L, cfg, rules).collect()
+    assert(CrawlPipeline.maintain(spark, cfg, maxFiles = 1),
+      "forced maintain must compact at least one store")
+    assert(!CrawlPipeline.maintain(spark, cfg, maxFiles = 1000000),
+      "idle maintain must be a no-op")
+    val v100r = CrawlPipeline.serveBatch(spark, extraBatch, 100L, cfg, rules).collect()
+    assert(v100r.map(_.toString).sorted.toSeq === v100.map(_.toString).sorted.toSeq,
+      "post-compaction replay must be bit-identical")
   }
 
   test("crawl pipeline hostile URIs: consent keys on the canonical host, not a fixture shape") {
