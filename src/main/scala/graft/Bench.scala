@@ -211,6 +211,7 @@ object Bench {
     // aggregate before its own joins; first warm sf0.1 solos
     // 1.10/0.95/0.96/0.71
     "q_sql_q2" -> 1.6,
+    "q_sql_recursive" -> 1.1, // r14: WITH RECURSIVE calendar spine (UnionLoop) + month agg; measured 0.67 s solo
     // r14: NFC audit — codegen'd normalizer kernel, one corpus projection
     "t_nfc" -> 0.8,
     // r14: language rebalancing — one count agg + broadcast budgets

@@ -911,6 +911,38 @@ object Relational {
   val qSqlQ19: Q = (s, d) => withTpchViews(s, d)(SqlQ19)
   val qSqlQ21: Q = (s, d) => withTpchViews(s, d)(SqlQ21)
   val qSqlQ22: Q = (s, d) => withTpchViews(s, d)(SqlQ22)
+  /** R14: recursive CTE through the SQL front door — the calendar-spine
+    * pattern (generate the month series, LEFT JOIN the monthly revenue
+    * so empty months surface as explicit zeros instead of silently
+    * missing rows). Spark 4's `WITH RECURSIVE` (UnionLoop execution)
+    * and DuckDB run the IDENTICAL text; the spine is a fixed 84-month
+    * literal range covering the corpus at every sf (well under Spark's
+    * default 100-level recursion limit), revenue is exact cents.
+    * Scale shape: the recursion generates 84 driver-side rows; the one
+    * corpus pass is the month aggregate; the spine join broadcasts. */
+  private[queries] val SqlRecursive =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months
+      |  WHERE m < TIMESTAMP '2001-12-01 00:00:00'
+      |),
+      |rev AS (
+      |  SELECT date_trunc('month', o_orderdate) AS m,
+      |    CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT months.m AS month_start,
+      |  coalesce(rev_cents, 0) AS rev_cents,
+      |  coalesce(n_orders, 0) AS n_orders
+      |FROM months LEFT JOIN rev ON rev.m = months.m""".stripMargin
+
+  val qSqlRecursive: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(SqlRecursive)
+  }
+
   val qSqlQ2: Q = (s, d) => { Tables.region(s, d).createOrReplaceTempView("region"); withTpchViews(s, d)(SqlQ2) }
   val qSqlQ11: Q = (s, d) => withTpchViews(s, d)(SqlQ11)
   val qSqlQ16: Q = (s, d) => withTpchViews(s, d)(SqlQ16)
@@ -1243,6 +1275,7 @@ object Relational {
     "q_sql_q11" -> qSqlQ11,
     "q_sql_q16" -> qSqlQ16,
     "q_sql_q20" -> qSqlQ20,
+    "q_sql_recursive" -> qSqlRecursive,
     "q_bloom_filter" -> qBloomFilter,
   )
 }
