@@ -212,10 +212,12 @@ object Bench {
     // 1.10/0.95/0.96/0.71
     "q_sql_q2" -> 1.6,
     "q_sql_recursive" -> 1.1, // r14: WITH RECURSIVE calendar spine (UnionLoop) + month agg; measured 0.67 s solo
+    "q_sql_rollup" -> 0.8, // r14: ROLLUP subtotals via one Expand pass
     // r14: NFC audit — codegen'd normalizer kernel, one corpus projection
     "t_nfc" -> 0.8,
     // r14: language rebalancing — one count agg + broadcast budgets
     "t_lang_balance" -> 0.9, // measured 0.53 s solo
+    "s_hard_negatives" -> 1.2, // r14: different-label brute top-k (queries-broadcast)
     "q_sql_q11" -> 1.4,
     "q_sql_q16" -> 1.4,
     "q_sql_q20" -> 1.1,

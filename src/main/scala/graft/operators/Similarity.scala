@@ -101,6 +101,32 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cos")
   }
 
+  /** R14: HARD-NEGATIVE mining — for each query vector, the k most
+    * similar candidates with a DIFFERENT label (the retrieval-training
+    * step contrastive models run over their corpus: nearest wrong-class
+    * examples make the hardest negatives). The inequality predicate
+    * can't hash-join, so this is deliberately the queries-broadcast
+    * shape ([[bruteTopK]]'s documented queries ≪ corpus envelope); at
+    * production scale compose the ANN candidate stage first
+    * ([[ivfTopK]] with a larger k) and apply the label filter to the
+    * candidate relation instead. Same output shape as [[bruteTopK]]. */
+  def hardNegatives(embeddings: DataFrame, k: Int): DataFrame = {
+    val corpus = prepared(embeddings, spread = true)
+    val queries = corpus
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("q").as("qq"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    corpus
+      .join(broadcast(queries), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("c_id"),
+        cosine(col("qq"), col("q"), col("qn2"), col("n2")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "cos")
+  }
+
   /** LSH/IVF-bucketed approximate top-k: queries only meet candidates in
     * their own sign bucket. Same output shape as [[bruteTopK]]. */
   def bucketedTopK(embeddings: DataFrame, k: Int): DataFrame = {

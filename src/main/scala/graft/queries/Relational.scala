@@ -943,6 +943,29 @@ object Relational {
     s.sql(SqlRecursive)
   }
 
+  /** R14: ROLLUP through the SQL front door — subtotal rows at every
+    * prefix level plus the grand total, with `grouping()` markers
+    * distinguishing a genuine NULL key from a rolled-up one. The same
+    * text runs on both engines, so the cross-engine claim covers the
+    * NULL-group marker semantics, not just the math; counts and cents
+    * are exact BIGINTs. One corpus pass — Spark expands the grouping
+    * sets in a single Expand + hash-aggregate, never one pass per
+    * level. */
+  private[queries] val SqlRollup =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS price_cents,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  val qSqlRollup: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(SqlRollup)
+  }
+
   val qSqlQ2: Q = (s, d) => { Tables.region(s, d).createOrReplaceTempView("region"); withTpchViews(s, d)(SqlQ2) }
   val qSqlQ11: Q = (s, d) => withTpchViews(s, d)(SqlQ11)
   val qSqlQ16: Q = (s, d) => withTpchViews(s, d)(SqlQ16)
@@ -1276,6 +1299,7 @@ object Relational {
     "q_sql_q16" -> qSqlQ16,
     "q_sql_q20" -> qSqlQ20,
     "q_sql_recursive" -> qSqlRecursive,
+    "q_sql_rollup" -> qSqlRollup,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

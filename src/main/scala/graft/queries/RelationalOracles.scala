@@ -522,6 +522,7 @@ object RelationalOracles {
     "q_sql_q16" -> graft.queries.Relational.SqlQ16,
     "q_sql_q20" -> graft.queries.Relational.SqlQ20,
     "q_sql_recursive" -> graft.queries.Relational.SqlRecursive,
+    "q_sql_rollup" -> graft.queries.Relational.SqlRollup,
 
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n_rows,

@@ -111,6 +111,8 @@ object Training {
   val sBucketTopk: Q = (s, d) => Similarity.bucketedTopK(emb(s, d), 3)
   /** R11: filtered vector search — same-label top-k (pre-filter join). */
   val sFilterTopk: Q = (s, d) => Similarity.filteredTopK(emb(s, d), 5)
+  /** R14: hard-negative mining — top-k most-similar DIFFERENT-label. */
+  val sHardNegatives: Q = (s, d) => Similarity.hardNegatives(emb(s, d), 5)
   val sNearDups: Q = (s, d) => Similarity.cosineNearDups(emb(s, d), 0.95)
   /** Same LSH machinery, narrow 8-bit codes + low threshold: produces
     * rows on the synthetic corpus (which has no true near-dups — max
@@ -761,6 +763,7 @@ object Training {
     "s_ivf_topk" -> sIvfTopk,
     "s_recall" -> sRecall,
     "s_filter_topk" -> sFilterTopk,
+    "s_hard_negatives" -> sHardNegatives,
     "s_ivf_append" -> sIvfAppend,
     "s_pq_topk" -> sPqTopk,
     "s_refine" -> sRefine,

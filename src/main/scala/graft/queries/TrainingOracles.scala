@@ -976,6 +976,17 @@ object TrainingOracles {
          |  WHERE a.vec_id % 97 = 0) t
          |WHERE rank <= 5""".stripMargin,
 
+    // r14 hard-negative mining: the filtered-topk mirror with the label
+    // predicate FLIPPED (nearest wrong-class candidates)
+    "s_hard_negatives" ->
+      s"""$EmbCte
+         |SELECT q_id, rank, c_id, cos FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id, $CosAB AS cos,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY $CosAB DESC, b.vec_id ASC) AS rank
+         |  FROM n a JOIN n b ON b.label <> a.label
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rank <= 5""".stripMargin,
+
     "s_bucket_topk" ->
       s"""$EmbCte
          |SELECT q_id, rank, c_id, cos FROM (

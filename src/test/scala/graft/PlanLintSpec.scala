@@ -32,6 +32,10 @@ class PlanLintSpec extends AnyFunSuite {
       // r14 lang balance: the ONE-ROW achievable-total aggregate rides
       // as a broadcast into the language-count-sized budget table
       "t_lang_balance",
+      // r14 hard negatives: label INEQUALITY can't hash-join — the
+      // documented queries-broadcast brute shape (see scaladoc: the
+      // scale path composes the ANN candidate stage first)
+      "s_hard_negatives",
       // SQ8 is deliberately the brute shape over the compressed code
       // relation: stats row + query side broadcast, one corpus pass
       "s_sq_topk",
