@@ -161,6 +161,27 @@ object Relational {
 
   /** Sessionization: 30-min inactivity gap starts a new session (batch form
     * of the streaming session_window — same semantics, oracle-checkable). */
+  /** R14: SCD Type-2 dimension build from the event log — per user,
+    * each event_type CHANGE opens a new validity interval; valid_to is
+    * the next change's start (NULL = current row). The warehouse-classic
+    * change-capture shape: one lag to find change points, one
+    * lead/row_number pass over the (much smaller) change relation.
+    * Windows partition on user_id — per-user partitions stay
+    * interaction-history sized at any corpus scale, never a global
+    * funnel. Seconds are exact BIGINTs (cast-truncation = the oracle's
+    * floor(epoch)). */
+  val qScd2: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("valid_from_s"),
+        row_number().over(w).cast("long").as("version"),
+        lead(col("ts").cast("long"), 1).over(w).as("valid_to_s"))
+  }
+
   val qSessionize: Q = (s, d) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     Tables.events(s, d)
@@ -1250,6 +1271,7 @@ object Relational {
     "q_zorder" -> qZorder,
     "q_merge_upsert" -> qMergeUpsert,
     "q_sessionize" -> qSessionize,
+    "q_scd2" -> qScd2,
     "q_retention" -> qRetention,
     "q_hourly_window" -> qHourlyWindow,
     "q_distinct" -> qDistinct,

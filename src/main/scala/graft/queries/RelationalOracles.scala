@@ -158,6 +158,23 @@ object RelationalOracles {
         |                                     ORDER BY ts ASC, event_id ASC))) AS BIGINT) AS gap_s
         |FROM events""".stripMargin,
 
+    // r14 SCD2: change points via lag, intervals via lead over the
+    // change relation; Spark's cast(ts AS long) == floor(epoch(ts))
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts ASC, event_id ASC) AS prev_type
+        |  FROM events),
+        |chg AS (SELECT user_id, event_id, ts, event_type FROM o
+        |        WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS valid_to_s
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,
