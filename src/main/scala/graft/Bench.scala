@@ -219,6 +219,8 @@ object Bench {
     // r14: language rebalancing — one count agg + broadcast budgets
     "t_lang_balance" -> 0.9, // measured 0.53 s solo
     "s_hard_negatives" -> 1.2, // r14: different-label brute top-k (queries-broadcast)
+    "m_audio_fp" -> 0.5, // r14: energy-delta fingerprint decode pass
+    "m_audio_nn" -> 1.4, // r14: banded hamming retrieval over audio codes; measured 0.85 s solo
     "q_sql_q11" -> 1.4,
     "q_sql_q16" -> 1.4,
     "q_sql_q20" -> 1.1,

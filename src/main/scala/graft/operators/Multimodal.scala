@@ -805,6 +805,92 @@ object Multimodal {
     Some((channels, out))
   }
 
+  /** R14: the hash-mixed PCM twin of [[synthPcmAudio]] for the
+    * FINGERPRINT family — the sawtooth synth's window energies follow
+    * the same ramp in every doc (phase-shifted), which correlates
+    * energy-delta codes across unrelated docs (measured: 90 accidental
+    * hamming≤3 pairs per 200 docs); multiplying the doc and sample keys
+    * by large odd constants decorrelates them (3 accidents per 500).
+    * Same RIFF/WAVE container, same decode path. */
+  private[graft] def synthFpAudio(docId: Long, perturb: Boolean): Array[Byte] = {
+    val channels = (1 + docId % 2).toInt
+    val frames = (64 + docId % 64).toInt
+    val total = frames * channels
+    val data = new Array[Byte](2 * total)
+    var k = 0
+    while (k < total) {
+      val base = (((docId * 2654435761L + k.toLong * 2246822519L) % 4001L) - 2000L).toInt
+      val v = if (perturb) base + (((docId + k) % 3) - 1).toInt else base
+      data(2 * k) = (v & 0xFF).toByte
+      data(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+      k += 1
+    }
+    val blockAlign = channels * 2
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(16000) ++ le32(16000 * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  /** R14: 64-bit energy-delta audio fingerprint (the echoprint-family
+    * time-domain shape): the decoded samples split into 65 contiguous
+    * windows (window of sample k = k·65 / n, integer division — empty
+    * tail windows count energy 0), per-window energy Σs² in exact
+    * Longs, bit w = (e(w+1) > e(w)), packed MSB-first into 16 hex
+    * chars — the same code format as [[phashOf]]/[[dhashOf]], so the
+    * banded retrieval scaffolding serves audio unchanged. Exact integer
+    * arithmetic end to end (a spectral variant would be an
+    * engine-dependent float sum — the WHT-over-DCT reasoning). */
+  private[graft] def audioFpOf(b: Array[Byte]): Option[String] =
+    pcmDecode(b).map { case (_, v) =>
+      val n = v.length
+      val e = new Array[Long](65)
+      var k = 0
+      while (k < n) { e((k.toLong * 65 / n).toInt) += v(k).toLong * v(k); k += 1 }
+      val sb = new StringBuilder(16)
+      var d = 0
+      while (d < 16) {
+        var dv = 0
+        var j = 0
+        while (j < 4) {
+          val w = 4 * d + j
+          if (e(w + 1) > e(w)) dv |= 8 >> j
+          j += 1
+        }
+        sb.append("0123456789abcdef".charAt(dv))
+        d += 1
+      }
+      sb.toString
+    }
+
+  final case class AudioFpRow(doc_id: Long, afp: String)
+
+  /** Fingerprint relation: every doc's base audio, plus a RE-ENCODED
+    * variant (doc_id + 1,000,000) for docs ≡ 3 (mod 7) — the same
+    * waveform with deterministic ±1 sample noise, the "same recording,
+    * different encode" rows a retrieval index must re-find. Narrow
+    * mapPartitions decode, no shuffle. */
+  def audioFingerprints(docs: DataFrame): Dataset[AudioFpRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      val base = audioFpOf(synthFpAudio(id, perturb = false))
+        .map(AudioFpRow(id, _))
+      val variant =
+        if (id % 7 == 3)
+          audioFpOf(synthFpAudio(id, perturb = true))
+            .map(AudioFpRow(id + 1000000L, _))
+        else None
+      base.toSeq ++ variant
+    })
+  }
+
+  /** Banded hamming retrieval over the audio fingerprints — the audio
+    * sibling of [[phashNeighbors]]/[[dhashNeighbors]], same 4×16-bit
+    * pigeonhole banding (complete at hamming ≤ 3). */
+  def audioFpNeighbors(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    bandedHammingNeighbors(audioFingerprints(docs).toDF(), "afp", maxDist)
+
   private[graft] def audioFeaturesOf(id: Long, b: Array[Byte]): Option[AudioFeatures] =
     pcmDecode(b).map { case (_, v) =>
       val n = v.length

@@ -620,6 +620,10 @@ object Training {
     * and its banded hamming retrieval — stacks with dHash the way
     * production image dedup does. */
   val mPhash: Q = (s, d) => Multimodal.phashes(docs(s, d)).toDF()
+  /** R14: energy-delta audio fingerprints (base + re-encoded variants). */
+  val mAudioFp: Q = (s, d) => Multimodal.audioFingerprints(docs(s, d)).toDF()
+  /** R14: banded hamming retrieval over the audio fingerprints. */
+  val mAudioNn: Q = (s, d) => Multimodal.audioFpNeighbors(docs(s, d))
   val mPhashNn: Q = (s, d) => Multimodal.phashNeighbors(docs(s, d))
   /** R12: exact time-domain audio features (ZCR + autocorrelation). */
   val mAudioAcf: Q = (s, d) => Multimodal.audioFeatures(docs(s, d)).toDF()
@@ -790,6 +794,8 @@ object Training {
     "m_dhash" -> mDhash,
     "m_dhash_nn" -> mDhashNn,
     "m_phash" -> mPhash,
+    "m_audio_fp" -> mAudioFp,
+    "m_audio_nn" -> mAudioNn,
     "m_phash_nn" -> mPhashNn,
     "m_audio_acf" -> mAudioAcf,
     "m_pair_dups" -> mPairDups,

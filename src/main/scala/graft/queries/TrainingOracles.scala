@@ -209,6 +209,48 @@ object TrainingOracles {
     * the analytic BMP pixel formulas via 8×8 nearest resize, 2-D
     * Walsh-Hadamard coefficients as ±1-signed sums, discrete median of
     * the 63 ACs, strict > threshold. */
+  /** R14 audio-fingerprint relation: base rows + re-encoded variants
+    * (doc_id + 1e6 for doc_id ≡ 3 mod 7, ±1 sample noise), samples
+    * re-derived analytically from the hash-mixed synth, 65 window
+    * energies with empty tail windows as 0, energy-delta bits packed
+    * MSB-first into 16 hex chars. Mirrors Multimodal.audioFpOf. */
+  private val AudioFpCte =
+    """WITH g AS (SELECT doc_id, (64 + doc_id % 64) * (1 + doc_id % 2) AS total
+      |           FROM documents),
+      |ids AS (
+      |  SELECT doc_id AS out_id, doc_id AS base_id, 0 AS pert FROM g
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 1 FROM g WHERE doc_id % 7 = 3),
+      |smp AS (
+      |  SELECT i.out_id, k.k AS k, g.total,
+      |    (((g.doc_id*2654435761 + k.k*2246822519) % 4001) - 2000)
+      |      + i.pert * ((g.doc_id + k.k) % 3 - 1) AS v
+      |  FROM ids i JOIN g ON g.doc_id = i.base_id,
+      |       UNNEST(range(0, g.total)) AS k(k)),
+      |ew AS (
+      |  SELECT out_id, CAST((k * 65) // total AS INT) AS w,
+      |    CAST(sum(v * v) AS BIGINT) AS e
+      |  FROM smp GROUP BY 1, 2),
+      |allw AS (
+      |  SELECT ow.out_id, ow.w, COALESCE(ew.e, 0) AS e
+      |  FROM (SELECT i.out_id, w.w AS w
+      |        FROM ids i, UNNEST(range(0, 65)) AS w(w)) ow
+      |  LEFT JOIN ew ON ew.out_id = ow.out_id AND ew.w = ow.w),
+      |bits AS (
+      |  SELECT out_id, w,
+      |    CASE WHEN lead(e) OVER (PARTITION BY out_id ORDER BY w) > e
+      |         THEN 1 ELSE 0 END AS bit
+      |  FROM allw),
+      |hexd AS (
+      |  SELECT out_id, CAST(w // 4 AS INT) AS d,
+      |    CAST(sum(bit * (CASE CAST(w % 4 AS INT)
+      |      WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS INT) AS dval
+      |  FROM bits WHERE w < 64 GROUP BY 1, 2),
+      |afp_rel AS (
+      |  SELECT out_id AS doc_id,
+      |    string_agg(substr('0123456789abcdef', dval + 1, 1), '' ORDER BY d) AS afp
+      |  FROM hexd GROUP BY 1)""".stripMargin
+
   private val PhashCte = {
     val luma =
       "((299*((doc_id + 7*((x*w)//8) + 13*((y*h)//8)) % 256) + " +
@@ -2452,6 +2494,33 @@ object TrainingOracles {
     "m_phash" ->
       s"""$PhashCte
          |SELECT doc_id, phash, n_ones FROM ph""".stripMargin,
+
+    // r14 audio fingerprints: the synth PCM re-derived analytically
+    // (m_audio_acf precedent, hash-mixed constants), 65 window energies
+    // (empty tail windows = 0), energy-delta bits packed into 16 hex
+    // chars digit-by-digit — the m_phash code format
+    "m_audio_fp" ->
+      s"""$AudioFpCte
+         |SELECT doc_id, afp FROM afp_rel""".stripMargin,
+
+    // banded retrieval over the audio codes — the m_phash_nn banding
+    // verbatim, finding the re-encoded variants (hamming 0-1)
+    "m_audio_nn" -> {
+      val ham = "list_sum(list_transform(range(0, 4), c -> " +
+        "bit_count(xor(('0x' || substr(x.afp, c*4 + 1, 4))::BIGINT, " +
+        "('0x' || substr(y.afp, c*4 + 1, 4))::BIGINT))))"
+      s"""$AudioFpCte,
+         |bands0 AS (SELECT doc_id, unnest(list_transform(range(0, 4),
+         |    c -> 'c' || c || ':' || substr(afp, c*4 + 1, 4))) AS band FROM afp_rel),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 256),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(ham AS INT) AS hamming FROM (
+         |  SELECT doc_a, doc_b, $ham AS ham
+         |  FROM pairs JOIN afp_rel x ON x.doc_id = doc_a JOIN afp_rel y ON y.doc_id = doc_b) t
+         |WHERE ham <= 3""".stripMargin
+    },
 
     // same pigeonhole banding as m_dhash_nn, over the WHT codes
     "m_phash_nn" -> {

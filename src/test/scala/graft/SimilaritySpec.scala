@@ -499,4 +499,39 @@ class SimilaritySpec extends AnyFunSuite {
     // symmetric integer L2 over 64 dims is bounded by 64 * 255^2
     assert(full.forall(r => r._4 >= 0.0 && r._4 <= 64.0 * 255 * 255))
   }
+
+  test("audio fingerprints: re-encoded variants re-found; kernel equals independent recomputation") {
+    import graft.operators.Multimodal
+    val docs = graft.Tables.documents(spark, TestSpark.Sf)
+    val fps = Multimodal.audioFingerprints(docs).collect()
+      .map(r => r.doc_id -> r.afp).toMap
+    // independent (non-kernel) recomputation of one fingerprint from the
+    // synth formula
+    def indep(id: Long, pert: Boolean): String = {
+      val total = ((64 + id % 64) * (1 + id % 2)).toInt
+      val v = (0 until total).map { k =>
+        val base = (((id * 2654435761L + k.toLong * 2246822519L) % 4001L) - 2000L).toInt
+        if (pert) base + (((id + k) % 3) - 1).toInt else base
+      }
+      val e = new Array[Long](65)
+      v.zipWithIndex.foreach { case (x, k) => e((k.toLong * 65 / total).toInt) += x.toLong * x }
+      (0 until 16).map { d =>
+        val dv = (0 until 4).map(j => if (e(4 * d + j + 1) > e(4 * d + j)) 8 >> j else 0).sum
+        "0123456789abcdef".charAt(dv)
+      }.mkString
+    }
+    for (id <- Seq(0L, 1L, 3L, 64L, 127L))
+      assert(fps(id) === indep(id, pert = false), s"doc $id")
+    assert(fps(1000003L) === indep(3L, pert = true), "variant fingerprint")
+    // retrieval: every (base, variant) pair surfaces with tiny hamming
+    val nn = Multimodal.audioFpNeighbors(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val variants = fps.keySet.filter(_ >= 1000000L)
+    assert(variants.nonEmpty)
+    variants.foreach { vid =>
+      val base = vid - 1000000L
+      val h = nn.get((base, vid)).orElse(nn.get((vid, base)))
+      assert(h.isDefined && h.get <= 1, s"variant $vid not re-found (h=$h)")
+    }
+  }
 }
