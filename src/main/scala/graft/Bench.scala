@@ -114,6 +114,7 @@ object Bench {
     "d_semdedup" -> 1.6,
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,
+    "t_mix_sqrt" -> 1.3, // r14: sqrt-temperature quotas, same shape as t_mix
     "t_langid2" -> 0.9,
     "d_simhash_nn" -> 7.5,
     // r9 (both crossed the 1 s rule): d_docsim's target is the PINNED

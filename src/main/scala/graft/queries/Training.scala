@@ -414,6 +414,37 @@ object Training {
       .select("source", "n_docs", "n_tokens", "quota_tokens", "rate_ppm")
   }
 
+  /** R14: SQUARE-ROOT temperature mixing (τ = 0.5) — the classic
+    * multilingual/multi-source rebalance (sampling ∝ √size flattens the
+    * head without starving the tail, the mBERT/XLM-R exponent made
+    * exact): each source's quota is budget·√n_s / Σ√n, capped at its
+    * own supply. √ is the representation-proof integer sqrt (double
+    * seed, one Newton step, exact candidate scan — the q_stats
+    * discipline), so no transcendental ever reaches the output. Same
+    * single-aggregate + 1-row-broadcast shape as [[tMix]]. */
+  val tMixSqrt: Q = (s, d) => {
+    import org.apache.spark.sql.Column
+    def idiv(a: Column, b: Column) = TextOps.idiv(a, b)
+    def isqrtL(x: Column): Column = {
+      val g0 = greatest(floor(sqrt(x.cast("double"))).cast("long"), lit(1L))
+      val g1 = idiv(g0 + idiv(x, g0), lit(2L))
+      Seq(2L, 1L, 0L, -1L, -2L).map(k => g1 + lit(k))
+        .foldLeft(when(lit(false), lit(null))) {
+          (acc, c) => acc.when(c * c <= x, c)
+        }.otherwise(lit(0L)).cast("long")
+    }
+    val per = docs(s, d).groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextOps.nTokens(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("r_sqrt", isqrtL(col("n_tokens")))
+    val tot = per.agg(sum("n_tokens").as("t_tokens"), sum("r_sqrt").as("t_sqrt"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("quota_tokens", least(col("n_tokens"),
+        idiv(idiv(col("t_tokens"), lit(2L)) * col("r_sqrt"), col("t_sqrt"))))
+      .withColumn("rate_ppm", idiv(col("quota_tokens") * lit(1000000L), col("n_tokens")))
+      .select("source", "n_docs", "n_tokens", "r_sqrt", "quota_tokens", "rate_ppm")
+  }
+
   /** The manifest pipeline with the MODERN filter chain: everything
     * [[tPipeline]] does plus the quality-verdict gates — Gopher threshold
     * conjunction AND C4 boilerplate gates — applied as two more
@@ -734,6 +765,7 @@ object Training {
     "t_lm_tiers" -> tLmTiers,
     "t_ccnet_sample" -> tCcnetSample,
     "t_lang_balance" -> tLangBalance,
+    "t_mix_sqrt" -> tMixSqrt,
     "t_lm_backoff" -> ((s, d) => NgramLm.backoffScore(docs(s, d))),
     "t_winnow" -> tWinnow,
     "t_warc_records" -> tWarcRecords,

@@ -1852,6 +1852,31 @@ object TrainingOracles {
          |  (least(n_tokens, greatest((t // 2) // ns, n_tokens // 2)) * 1000000) // n_tokens AS rate_ppm
          |FROM pt CROSS JOIN tot""".stripMargin,
 
+    // r14 sqrt-temperature mixing: same per-source CTE, quotas
+    // proportional to the representation-proof integer sqrt (double
+    // seed + Newton + exact candidate scan — the q_stats mirror)
+    "t_mix_sqrt" ->
+      s"""WITH pt AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(len($Toks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |sg AS (SELECT *, GREATEST(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT), 1) AS g0 FROM pt),
+         |sh AS (SELECT *, (g0 + n_tokens // g0) // 2 AS g1 FROM sg),
+         |si AS (SELECT source, n_docs, n_tokens,
+         |    CASE WHEN (g1+2)*(g1+2) <= n_tokens THEN g1+2
+         |         WHEN (g1+1)*(g1+1) <= n_tokens THEN g1+1
+         |         WHEN g1*g1         <= n_tokens THEN g1
+         |         WHEN (g1-1)*(g1-1) <= n_tokens THEN g1-1
+         |         WHEN (g1-2)*(g1-2) <= n_tokens THEN g1-2
+         |         ELSE 0 END AS r_sqrt
+         |  FROM sh),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t,
+         |               CAST(sum(r_sqrt) AS BIGINT) AS ts FROM si)
+         |SELECT source, n_docs, n_tokens, r_sqrt,
+         |  least(n_tokens, ((t // 2) * r_sqrt) // ts) AS quota_tokens,
+         |  (least(n_tokens, ((t // 2) * r_sqrt) // ts) * 1000000) // n_tokens AS rate_ppm
+         |FROM si CROSS JOIN tot""".stripMargin,
+
     // t_pipeline plus the quality-verdict gates (gopher conjunction, C4
     // keep) as two more EXISTS filters — the same fragments as the
     // standalone t_gopher_keep / t_c4_rules oracles, q*-prefixed to keep

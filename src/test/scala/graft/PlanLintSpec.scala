@@ -48,7 +48,7 @@ class PlanLintSpec extends AnyFunSuite {
       // — both the candidate-graph and link-graph ranks share the core
       "d_pagerank", "t_link_rank",
       // mixing quotas join each source row against the 1-row totals broadcast
-      "t_mix",
+      "t_mix", "t_mix_sqrt",
       // SemDeDup assigns cells via the same 10-row centroid broadcast as
       // s_ivf_topk before its equi self-join on the cell key
       "d_semdedup",
