@@ -987,6 +987,30 @@ object Relational {
     s.sql(SqlRollup)
   }
 
+  /** R14: window functions through the SQL front door — rank, a framed
+    * running sum (ROWS 2 PRECEDING), and lag over one per-customer
+    * ordering, the identical text on both engines (the DataFrame window
+    * battery q_topk_window/q_running_sum/q_analytics has per-engine
+    * oracle texts; this one is the shared-text parity statement). Exact
+    * cents; the full ORDER key pins every tie. One shuffle on the
+    * partition key, per-customer partitions stay order-history sized. */
+  private[queries] val SqlWindow =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents,
+      |  CAST(rank() OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS price_rank,
+      |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS run3_cents,
+      |  lag(o_orderkey) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS prev_orderkey
+      |FROM orders""".stripMargin
+
+  val qSqlWindow: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(SqlWindow)
+  }
+
   val qSqlQ2: Q = (s, d) => { Tables.region(s, d).createOrReplaceTempView("region"); withTpchViews(s, d)(SqlQ2) }
   val qSqlQ11: Q = (s, d) => withTpchViews(s, d)(SqlQ11)
   val qSqlQ16: Q = (s, d) => withTpchViews(s, d)(SqlQ16)
@@ -1322,6 +1346,7 @@ object Relational {
     "q_sql_q20" -> qSqlQ20,
     "q_sql_recursive" -> qSqlRecursive,
     "q_sql_rollup" -> qSqlRollup,
+    "q_sql_window" -> qSqlWindow,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

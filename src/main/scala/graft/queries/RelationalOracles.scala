@@ -540,6 +540,7 @@ object RelationalOracles {
     "q_sql_q20" -> graft.queries.Relational.SqlQ20,
     "q_sql_recursive" -> graft.queries.Relational.SqlRecursive,
     "q_sql_rollup" -> graft.queries.Relational.SqlRollup,
+    "q_sql_window" -> graft.queries.Relational.SqlWindow,
 
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n_rows,
