@@ -215,6 +215,7 @@ object Bench {
     "q_sql_recursive" -> 1.1, // r14: WITH RECURSIVE calendar spine (UnionLoop) + month agg; measured 0.67 s solo
     "q_sql_rollup" -> 0.8, // r14: ROLLUP subtotals via one Expand pass
     "q_sql_window" -> 0.9, // r14: shared-text rank/framed-sum/lag battery
+    "q_sql_lateral" -> 1.6, // r14: decorrelated ORDER-LIMIT lateral; carries a redundant global sort vs q_topk_window (documented negative); measured 1.08 s solo
     "q_scd2" -> 1.3, // r14: SCD2 interval build (lag change points + lead intervals); measured 0.82 s solo
     // r14: NFC audit — codegen'd normalizer kernel, one corpus projection
     "t_nfc" -> 0.8,

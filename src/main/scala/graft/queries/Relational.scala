@@ -1006,6 +1006,33 @@ object Relational {
       |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS prev_orderkey
       |FROM orders""".stripMargin
 
+  /** R14: LATERAL correlated subquery through the SQL front door — the
+    * per-row top-N shape (each customer's two priciest orders) written
+    * the way an analyst writes it. Catalyst decorrelates the
+    * ORDER-BY-LIMIT lateral into a row_number window — never the
+    * per-row re-execution a naive reading implies — but KEEPS the
+    * lateral's ORDER BY as a global range-partitioned sort under the
+    * window (measured: 1.08 s vs q_topk_window's 0.27 s on the same
+    * data — a documented negative, the d_simhash_nn discipline). The
+    * front-door parity statement stands; production per-group top-N
+    * writes the window form (q_topk_window), which plans the
+    * partition-local sort only. Customers with no orders drop (inner
+    * lateral semantics, both engines); exact cents, full ORDER key
+    * pinning the LIMIT boundary. */
+  private[queries] val SqlLateral =
+    """SELECT c_custkey, o.o_orderkey, o.price_cents
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS price_cents
+      |  FROM orders WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""".stripMargin
+
+  val qSqlLateral: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(SqlLateral)
+  }
+
   val qSqlWindow: Q = (s, d) => {
     Tables.orders(s, d).createOrReplaceTempView("orders")
     s.sql(SqlWindow)
@@ -1347,6 +1374,7 @@ object Relational {
     "q_sql_recursive" -> qSqlRecursive,
     "q_sql_rollup" -> qSqlRollup,
     "q_sql_window" -> qSqlWindow,
+    "q_sql_lateral" -> qSqlLateral,
     "q_bloom_filter" -> qBloomFilter,
   )
 }

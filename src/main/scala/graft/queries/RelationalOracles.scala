@@ -541,6 +541,7 @@ object RelationalOracles {
     "q_sql_recursive" -> graft.queries.Relational.SqlRecursive,
     "q_sql_rollup" -> graft.queries.Relational.SqlRollup,
     "q_sql_window" -> graft.queries.Relational.SqlWindow,
+    "q_sql_lateral" -> graft.queries.Relational.SqlLateral,
 
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag, count(*) AS n_rows,
