@@ -224,6 +224,8 @@ object Bench {
     "s_hard_negatives" -> 1.2, // r14: different-label brute top-k (queries-broadcast)
     "m_audio_fp" -> 0.5, // r14: energy-delta fingerprint decode pass
     "m_audio_nn" -> 1.4, // r14: banded hamming retrieval over audio codes; measured 0.85 s solo
+    "m_video_sig" -> 0.6, // r14: per-frame signature decode pass
+    "m_video_dups" -> 1.5, // r14: shot-level shared-signature dedup join; measured 0.95 s solo
     "q_sql_q11" -> 1.4,
     "q_sql_q16" -> 1.4,
     "q_sql_q20" -> 1.1,

@@ -943,11 +943,20 @@ object Multimodal {
     * top-down RGB frames; frame t's pixel (x,y) channels are the still
     * image's pixel functions shifted by 11t, so motion is analytic.
     * 4–8 frames of 8–15 × 8–15 px. */
-  private[graft] def synthAviVideo(docId: Long): Array[Byte] = {
+  private[graft] def synthAviVideo(docId: Long): Array[Byte] =
+    synthAviVideo(docId, trimHead = false)
+
+  /** r14 trim variant: the SAME video with its first frame dropped (the
+    * "re-published clip" a shot-level dedup must catch) — pixel time
+    * starts at 1, frame count drops by one; identical container
+    * layout. */
+  private[graft] def synthAviVideo(docId: Long, trimHead: Boolean): Array[Byte] = {
     val w = (8 + docId % 8).toInt
     val h = (8 + (3 * docId) % 8).toInt
-    val frames = (4 + docId % 5).toInt
-    def frame(t: Int): Array[Byte] = {
+    val frames = (4 + docId % 5).toInt - (if (trimHead) 1 else 0)
+    val tOff = if (trimHead) 1 else 0
+    def frame(t0: Int): Array[Byte] = {
+      val t = t0 + tOff
       val px = new Array[Byte](3 * w * h)
       var y = 0
       while (y < h) {
@@ -1044,6 +1053,58 @@ object Multimodal {
     docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
       decodeAviFrames(id, synthAviVideo(id)).getOrElse(Seq.empty)
     })
+  }
+
+  final case class VideoSigRow(doc_id: Long, frame_idx: Int, fsig: String)
+
+  /** R14: per-frame video signatures — each decoded frame reduced to an
+    * exact-integer signature string `w:h:Σr:Σg:Σb` (the deterministic
+    * stand-in for a per-frame perceptual hash; production swaps
+    * [[dhashOf]]/[[phashOf]] of the frame pixels in — the relation
+    * shape and the dedup join below are unchanged). The corpus carries
+    * TRIMMED re-publications (doc_id + 1e6 for docs ≡ 4 mod 9: the same
+    * video minus its first frame) that shot-level dedup must re-find.
+    * Real bytes through the real nested-RIFF walk, stride 1 (every
+    * frame); narrow mapPartitions, no shuffle. */
+  def videoFrameSigs(docs: DataFrame): Dataset[VideoSigRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions(_.flatMap { id =>
+      Multimodal.videoSigRowsOf(id, id, trim = false) ++
+        (if (id % 9 == 4) Multimodal.videoSigRowsOf(id + 1000000L, id, trim = true)
+         else Seq.empty)
+    })
+  }
+
+  private def videoSigRowsOf(outId: Long, baseId: Long,
+                             trim: Boolean): Seq[VideoSigRow] =
+    decodeAviFrames(outId, synthAviVideo(baseId, trim), stride = 1)
+      .getOrElse(Seq.empty)
+      .map(f => VideoSigRow(outId, f.frame_idx,
+        s"${f.width}:${f.height}:${f.sum_r}:${f.sum_g}:${f.sum_b}"))
+
+  /** R14: SHOT-LEVEL video dedup — pairs of videos sharing ≥ `minShared`
+    * distinct frame signatures (trimmed/contained re-publications and
+    * the synth world's genuine duplicate clips both surface; unrelated
+    * videos share nothing). The d_chunk_dups join shape: distinct
+    * (doc, sig), hot-signature occupancy cap, one self-join shuffled on
+    * the signature key, per-pair count — corpus-linear, never
+    * all-pairs. */
+  def videoDups(docs: DataFrame, minShared: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = videoFrameSigs(docs).toDF()
+      .select(col("doc_id"), col("fsig")).distinct()
+    val capped = sigs
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy("fsig")))
+      .filter(col("_bsz") <= 256)
+      .drop("_bsz")
+      .hint("shuffle_hash")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fsig") === col("b.fsig") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
   }
 
   /** Audio decode pass — same `mapPartitions` batch shape as

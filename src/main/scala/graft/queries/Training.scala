@@ -655,6 +655,10 @@ object Training {
   val mAudioFp: Q = (s, d) => Multimodal.audioFingerprints(docs(s, d)).toDF()
   /** R14: banded hamming retrieval over the audio fingerprints. */
   val mAudioNn: Q = (s, d) => Multimodal.audioFpNeighbors(docs(s, d))
+  /** R14: per-frame video signatures (base + trimmed re-publications). */
+  val mVideoSig: Q = (s, d) => Multimodal.videoFrameSigs(docs(s, d)).toDF()
+  /** R14: shot-level video dedup — >=3 shared frame signatures. */
+  val mVideoDups: Q = (s, d) => Multimodal.videoDups(docs(s, d))
   val mPhashNn: Q = (s, d) => Multimodal.phashNeighbors(docs(s, d))
   /** R12: exact time-domain audio features (ZCR + autocorrelation). */
   val mAudioAcf: Q = (s, d) => Multimodal.audioFeatures(docs(s, d)).toDF()
@@ -828,6 +832,8 @@ object Training {
     "m_phash" -> mPhash,
     "m_audio_fp" -> mAudioFp,
     "m_audio_nn" -> mAudioNn,
+    "m_video_sig" -> mVideoSig,
+    "m_video_dups" -> mVideoDups,
     "m_phash_nn" -> mPhashNn,
     "m_audio_acf" -> mAudioAcf,
     "m_pair_dups" -> mPairDups,

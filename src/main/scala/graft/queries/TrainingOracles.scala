@@ -209,6 +209,34 @@ object TrainingOracles {
     * the analytic BMP pixel formulas via 8×8 nearest resize, 2-D
     * Walsh-Hadamard coefficients as ±1-signed sums, discrete median of
     * the 63 ACs, strict > threshold. */
+  /** R14 video-frame-signature relation: base videos + trimmed
+    * re-publications (doc_id + 1e6 for doc_id ≡ 4 mod 9 — pixel time
+    * shifted by 1, one fewer frame), each frame's exact channel sums
+    * over the analytically re-derived pixel grid. Mirrors
+    * Multimodal.videoFrameSigs. */
+  private val VideoSigCte =
+    """WITH g AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (3*doc_id) % 8 AS h,
+      |             4 + doc_id % 5 AS frames FROM documents),
+      |vids AS (
+      |  SELECT doc_id AS out_id, doc_id AS base_id, 0 AS toff, frames AS nf FROM g
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 1, frames - 1 FROM g WHERE doc_id % 9 = 4),
+      |fr AS (
+      |  SELECT i.out_id, g.doc_id AS d, g.w, g.h,
+      |    CAST(t.t AS INT) AS frame_idx, t.t + i.toff AS t
+      |  FROM vids i JOIN g ON g.doc_id = i.base_id,
+      |       UNNEST(range(0, i.nf)) AS t(t)),
+      |px AS (
+      |  SELECT out_id, d, w, h, frame_idx, t, x.x AS x, y.y AS y
+      |  FROM fr, UNNEST(range(0, w)) AS x(x), UNNEST(range(0, h)) AS y(y)),
+      |vsig AS (
+      |  SELECT out_id AS doc_id, frame_idx,
+      |    w || ':' || h || ':' ||
+      |    CAST(sum((d + 7*x + 13*y + 11*t) % 256) AS BIGINT) || ':' ||
+      |    CAST(sum((2*d + 11*x + 3*y + 11*t) % 256) AS BIGINT) || ':' ||
+      |    CAST(sum((5*d + x + y + 11*t) % 256) AS BIGINT) AS fsig
+      |  FROM px GROUP BY out_id, frame_idx, w, h)""".stripMargin
+
   /** R14 audio-fingerprint relation: base rows + re-encoded variants
     * (doc_id + 1e6 for doc_id ≡ 3 mod 7, ±1 sample noise), samples
     * re-derived analytically from the hash-mixed synth, 65 window
@@ -2519,6 +2547,27 @@ object TrainingOracles {
     "m_phash" ->
       s"""$PhashCte
          |SELECT doc_id, phash, n_ones FROM ph""".stripMargin,
+
+    // r14 video frame signatures: the synth frames re-derived
+    // analytically (pixel grid unnested), each frame reduced to the
+    // exact w:h:sum_r:sum_g:sum_b signature; trimmed re-publications
+    // shift pixel time by 1 and drop a frame
+    "m_video_sig" ->
+      s"""$VideoSigCte
+         |SELECT doc_id, frame_idx, fsig FROM vsig""".stripMargin,
+
+    // shot-level dedup: distinct (doc, sig), occupancy cap, self-join
+    // on the signature, >=3 shared
+    "m_video_dups" ->
+      s"""$VideoSigCte,
+         |dsig AS (SELECT DISTINCT doc_id, fsig FROM vsig),
+         |capped AS (SELECT doc_id, fsig FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY fsig) AS bsz FROM dsig) t
+         |  WHERE bsz <= 256)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM capped a JOIN capped b ON a.fsig = b.fsig AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     // r14 audio fingerprints: the synth PCM re-derived analytically
     // (m_audio_acf precedent, hash-mixed constants), 65 window energies

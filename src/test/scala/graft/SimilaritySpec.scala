@@ -534,4 +534,29 @@ class SimilaritySpec extends AnyFunSuite {
       assert(h.isDefined && h.get <= 1, s"variant $vid not re-found (h=$h)")
     }
   }
+
+  test("video shot dedup: trimmed re-publications re-found with exactly frames-1 shared signatures") {
+    import graft.operators.Multimodal
+    val docs = graft.Tables.documents(spark, TestSpark.Sf)
+    val dups = Multimodal.videoDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ids = docs.select("doc_id").as[Long].collect()
+    val variants = ids.filter(_ % 9 == 4)
+    assert(variants.nonEmpty)
+    variants.foreach { id =>
+      val frames = (4 + id % 5).toInt
+      val n = dups.get((id, id + 1000000L)).orElse(dups.get((id + 1000000L, id)))
+      assert(n.contains((frames - 1).toLong),
+        s"video $id trim variant: shared=$n want ${frames - 1}")
+    }
+    // unrelated docs never pair unless the synth world genuinely
+    // duplicates them — every reported pair shares >= 3 DISTINCT frame
+    // signatures, verified against the signature relation
+    val sigs = Multimodal.videoFrameSigs(docs).collect()
+      .groupBy(_.doc_id).view.mapValues(_.map(_.fsig).toSet).toMap
+    dups.foreach { case ((a, b), n) =>
+      assert(sigs(a).intersect(sigs(b)).size.toLong === n, s"pair ($a,$b)")
+      assert(n >= 3L)
+    }
+  }
 }
