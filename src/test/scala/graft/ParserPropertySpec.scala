@@ -145,6 +145,23 @@ class ParserPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: NFC kernel equals java.text.Normalizer on arbitrary codepoint soup") {
+    check(Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.choose(0x20, 0x7E),       // ASCII (fast path)
+      Gen.choose(0xC0, 0x17F),      // Latin-1/Extended (precomposed forms)
+      Gen.choose(0x300, 0x36F),     // combining diacriticals
+      Gen.choose(0x4E00, 0x4FFF),   // CJK (NFC-stable)
+      Gen.oneOf(0x212B, 0x2126, 0x1E9B))), Gen.size) { (cps: List[Int], _: Int) =>
+      val s = new String(cps.toArray, 0, cps.length)
+      val spark = TestSpark.spark
+      import spark.implicits._
+      val got = Seq(Tuple1(s)).toDF("s")
+        .select(graft.functions.NfcNormalize.nfc(org.apache.spark.sql.functions.col("s")))
+        .head().getString(0)
+      got == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    })
+  }
+
   // ---- sitemap parser --------------------------------------------------
 
   private case class SmEntry(kind: String, loc: String, lastmod: String,
