@@ -241,6 +241,7 @@ object Bench {
     "stream_crawl" -> 24.0, // r13: continuous corpus build; re-baselined r13b when the SubstrIndex ESD stage joined the composition (BASELINE.md re-baselines) — measured 20.3 s solo with ESD
     "stream_substr" -> 7.5, // r13: streaming exact-substring dedup serve (SubstrIndex); measured 5.4/5.5 s
     "stream_compact" -> 1.0, // r14: full band-store rewrite, buckets-wide zero-shuffle; measured 0.27 s solo
+    "stream_audiodup" -> 3.0, // r14: audio near-dup serve on the generic CodeDupIndex
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
     "stream_lake" -> 10.0,
@@ -686,6 +687,34 @@ object Bench {
         SubstrIndex.compact(spark, scCfg)
         require(graft.streaming.CommitProtocol.listParquet(scCfg.fpsDir).size ==
           scCfg.buckets)
+      }
+    }
+
+    if (wanted("stream_audiodup")) {
+      // r14: the fourth modality's ingest dedup — audio fingerprints on
+      // the generic CodeDupIndex (band store, zero-exchange probe)
+      import graft.streaming.AudioDupIndex
+      import graft.streaming.AudioDupIndex.AudioDupConfig
+      val adCfg = AudioDupConfig(dir("ad-idx"))
+      out += leg("stream_audiodup") {
+        val docs = Tables.documents(spark, sfDir)
+        AudioDupIndex.init(spark, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), adCfg)
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select("doc_id")
+          .write.mode("overwrite").parquet(dir("ad-src"))
+      } {
+        val q = fileStream(dir("ad-src"))
+          .writeStream
+          .option("checkpointLocation", dir("ckpt-ad"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            AudioDupIndex.serveBatch(spark, batch, id, adCfg)
+              .write.mode("append").parquet(dir("ad-verdicts"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(spark.read.parquet(dir("ad-verdicts")).count() > 0)
       }
     }
 

@@ -49,111 +49,49 @@ object ImageDupIndex {
     def bandsDir: String = s"$dir/bands"
     def commitsDir: String = s"$dir/commits"
     def tableName: String = BandStore.tableName("graft_imagedup_bands", dir)
+    /** r14: the generic [[CodeDupIndex]] view of this config — same
+      * prefix, table schema, and dirs, so existing stores re-bind. */
+    def cfg: CodeDupIndex.CodeDupConfig = CodeDupIndex.CodeDupConfig(
+      dir, "graft_imagedup_bands", "phash", maxDist, buckets)
   }
-
-  private val TableCols =
-    "band_idx INT, band_val STRING, doc_id BIGINT, phash STRING, batch_id BIGINT"
 
   /** The 4-band relation of an image batch (codes from the per-doc
     * synthesized BMPs — a real deployment feeds
     * [[Multimodal.readMediaFiles]] output through [[Multimodal.phashOf]]
     * instead; the band/probe machinery is unchanged). */
-  private def bandsOf(docs: DataFrame): DataFrame =
-    Multimodal.phashes(docs).toDF()
-      .select(col("doc_id"), col("phash"),
-        posexplode(Multimodal.hexBands("phash")).as(Seq("band_idx", "band_val")))
-      .select(col("band_idx"), col("band_val"), col("doc_id"), col("phash"))
-
-  private def ensureTable(spark: SparkSession, cfg: ImageDupConfig): Unit =
-    BandStore.ensure(spark, cfg.tableName, TableCols, cfg.bandsDir, cfg.buckets)
-
-  private def appendBands(bands: DataFrame, cfg: ImageDupConfig): Unit =
-    BandStore.append(bands, cfg.tableName, cfg.bandsDir, cfg.buckets)
+  private def codesOf(docs: DataFrame): DataFrame =
+    Multimodal.phashes(docs).toDF().select(col("doc_id"), col("phash"))
 
   /** Freeze an initial index: every index image accepted as-is
     * (batch_id −1 = pre-stream). Markers reset too — stale ones would
     * make re-served batchIds skip their appends. */
   def init(spark: SparkSession, indexDocs: DataFrame, cfg: ImageDupConfig): Unit =
-    BandStore.reset(spark, cfg.tableName, cfg.bandsDir, cfg.commitsDir,
-      bandsOf(indexDocs).withColumn("batch_id", lit(-1L)), cfg.buckets)
+    CodeDupIndex.init(spark, codesOf(indexDocs), cfg.cfg)
 
-  /** Serve one micro-batch; see object doc for semantics. */
+  /** Serve one micro-batch; see object doc for semantics. The decode
+    * (synth BMP → WHT pHash) happens here; everything else — banding,
+    * zero-exchange probe, in-batch election, hamming verification,
+    * verdicts, commit fencing — is the generic [[CodeDupIndex]]. */
   def serveBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
-                 cfg: ImageDupConfig): DataFrame = {
-    ensureTable(spark, cfg)
-    val proto = CommitProtocol(cfg.bandsDir, cfg.commitsDir, batchId)
-    val replay = proto.beginOrRecover()
-    if (proto.rolledBack) spark.catalog.refreshTable(cfg.tableName)
-
-    val idx = spark.table(cfg.tableName)
-      .filter(col("batch_id") =!= lit(batchId))
-      .select(col("band_val"), col("doc_id").as("old_id"), col("phash").as("old_phash"))
-
-    val bands = bandsOf(batch).localCheckpoint() // consumed by 3 arms below
-    val idxCand = bands.join(idx, Seq("band_val"))
-      .select(col("doc_id"), col("phash"), col("old_id"), col("old_phash"))
-    val inBatchCand = bands.as("a").join(
-      bands.as("b"),
-      col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") > col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id"), col("a.phash").as("phash"),
-        col("b.doc_id").as("old_id"), col("b.phash").as("old_phash"))
-    val hits = idxCand.unionByName(inBatchCand)
-      .select(col("doc_id"), col("old_id"),
-        Multimodal.hammingHex(col("phash"), col("old_phash")).as("hamming"))
-      .filter(col("hamming") <= cfg.maxDist)
-      .distinct() // several agreeing bands report the same pair once
-      // best match: lowest hamming, lowest prior id on ties
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_matches"),
-        min(struct(col("hamming").as("h"), col("old_id").as("o"))).as("best"))
-      .select(col("doc_id"), col("n_matches"),
-        col("best.o").as("best_match"), col("best.h").as("best_hamming"))
-    val verdicts = bands.select("doc_id").distinct()
-      .join(hits, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"),
-        col("n_matches").isNull.as("is_new"),
-        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-        coalesce(col("best_match"), lit(-1L)).as("best_match"),
-        coalesce(col("best_hamming"), lit(-1)).as("best_hamming"))
-      .localCheckpoint() // pin BEFORE the index these plans read mutates
-
-    if (!replay) {
-      proto.commit {
-        appendBands(
-          bands.join(verdicts.filter(col("is_new")).select("doc_id"), Seq("doc_id"))
-            .select(col("band_idx"), col("band_val"), col("doc_id"), col("phash"),
-              lit(batchId).as("batch_id")),
-          cfg)
-      }
-    }
-    verdicts
-  }
+                 cfg: ImageDupConfig): DataFrame =
+    CodeDupIndex.serveBatch(spark, codesOf(batch), batchId, cfg.cfg)
 
   /** Rewrite the accreted append files into one file per bucket — rows,
     * bucket spec, replay semantics and commit markers all preserved
     * ([[BandStore.compact]]). Run between micro-batches. */
   def compact(spark: SparkSession, cfg: ImageDupConfig): Unit =
-    BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets)
+    CodeDupIndex.compact(spark, cfg.cfg)
 
   /** Policy form: compact only past `maxFiles` accreted files
     * ([[BandStore.maybeCompact]]). */
   def maybeCompact(spark: SparkSession, cfg: ImageDupConfig,
                    maxFiles: Int): Boolean =
-    BandStore.maybeCompact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets, maxFiles)
+    CodeDupIndex.maybeCompact(spark, cfg.cfg, maxFiles)
 
   /** The probe join over the CURRENT index, exactly as [[serveBatch]]
     * builds it — the assertion surface for the zero-index-exchange
     * claim. */
   def probeJoin(spark: SparkSession, batch: DataFrame, batchId: Long,
-                cfg: ImageDupConfig): DataFrame = {
-    ensureTable(spark, cfg)
-    val idx = spark.table(cfg.tableName)
-      .filter(col("batch_id") =!= lit(batchId))
-      .select(col("band_val"), col("doc_id").as("old_id"), col("phash").as("old_phash"))
-    bandsOf(batch).join(idx, Seq("band_val"))
-      .select(col("doc_id"), col("old_id"))
-  }
+                cfg: ImageDupConfig): DataFrame =
+    CodeDupIndex.probeJoin(spark, codesOf(batch), batchId, cfg.cfg)
 }
