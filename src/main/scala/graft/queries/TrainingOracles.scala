@@ -240,8 +240,10 @@ object TrainingOracles {
   /** R14 audio-fingerprint relation: base rows + re-encoded variants
     * (doc_id + 1e6 for doc_id ≡ 3 mod 7, ±1 sample noise), samples
     * re-derived analytically from the hash-mixed synth, 65 window
-    * energies with empty tail windows as 0, energy-delta bits packed
-    * MSB-first into 16 hex chars. Mirrors Multimodal.audioFpOf. */
+    * energies with empty tail windows as 0, MEDIAN-thresholded bits
+    * (quantile_disc(e, 0.5) = the exact sorted(e)(32) order statistic
+    * over 65 values) packed MSB-first into 16 hex chars. Mirrors
+    * Multimodal.audioFpOf. */
   private val AudioFpCte =
     """WITH g AS (SELECT doc_id, (64 + doc_id % 64) * (1 + doc_id % 2) AS total
       |           FROM documents),
@@ -264,11 +266,12 @@ object TrainingOracles {
       |  FROM (SELECT i.out_id, w.w AS w
       |        FROM ids i, UNNEST(range(0, 65)) AS w(w)) ow
       |  LEFT JOIN ew ON ew.out_id = ow.out_id AND ew.w = ow.w),
+      |med AS (
+      |  SELECT out_id, quantile_disc(e, 0.5) AS m FROM allw GROUP BY 1),
       |bits AS (
-      |  SELECT out_id, w,
-      |    CASE WHEN lead(e) OVER (PARTITION BY out_id ORDER BY w) > e
-      |         THEN 1 ELSE 0 END AS bit
-      |  FROM allw),
+      |  SELECT a.out_id, a.w,
+      |    CASE WHEN a.e > med.m THEN 1 ELSE 0 END AS bit
+      |  FROM allw a JOIN med ON med.out_id = a.out_id),
       |hexd AS (
       |  SELECT out_id, CAST(w // 4 AS INT) AS d,
       |    CAST(sum(bit * (CASE CAST(w % 4 AS INT)
@@ -2571,8 +2574,8 @@ object TrainingOracles {
 
     // r14 audio fingerprints: the synth PCM re-derived analytically
     // (m_audio_acf precedent, hash-mixed constants), 65 window energies
-    // (empty tail windows = 0), energy-delta bits packed into 16 hex
-    // chars digit-by-digit — the m_phash code format
+    // (empty tail windows = 0), median-thresholded bits packed into 16
+    // hex chars digit-by-digit — the m_phash code format
     "m_audio_fp" ->
       s"""$AudioFpCte
          |SELECT doc_id, afp FROM afp_rel""".stripMargin,

@@ -133,16 +133,17 @@ object CodeDupIndex {
   * codes: arriving clips are fingerprinted (per-file map stage),
   * probed against the durable band store, and only perceptually-novel
   * audio is accepted and appended. Re-encoded copies (the ±1-noise
-  * variants) land at hamming ≤ 1 and are rejected as duplicates.
+  * variants) land at hamming ≤ 2 and are rejected as duplicates.
   *
   * Precision bound, measured on the synth corpus (StreamingSpec): the
-  * 64-bit energy-delta code is COARSE at the default maxDist 3 — ~40%
-  * of unrelated clips land within hamming 3 of some member of a
-  * 500-clip corpus (the code bits are energy-ramp biased, unlike the
-  * WHT image codes). Production deployments run the EXACT stage first
-  * (byte-identical audio, IncrementalIndex) and widen the code (more
-  * windows / spectral bands) before trusting rejections; the banding,
-  * durability, and replay machinery are unchanged by either. */
+  * 64-bit median-threshold code is still COARSE at the default
+  * maxDist 3 — ~24% of unrelated clips land within hamming 3 of some
+  * member of a 500-clip corpus (down from 40% with the first-cut
+  * adjacent-delta bits, which followed the energy ramp). Production
+  * deployments run the EXACT stage first (byte-identical audio,
+  * IncrementalIndex) and widen the code (more windows / spectral
+  * bands) before trusting rejections; the banding, durability, and
+  * replay machinery are unchanged by either. */
 object AudioDupIndex {
 
   final case class AudioDupConfig(dir: String, maxDist: Int = 3, buckets: Int = 8) {

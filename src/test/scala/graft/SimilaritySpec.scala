@@ -515,8 +515,9 @@ class SimilaritySpec extends AnyFunSuite {
       }
       val e = new Array[Long](65)
       v.zipWithIndex.foreach { case (x, k) => e((k.toLong * 65 / total).toInt) += x.toLong * x }
+      val med = e.sorted.apply(32)
       (0 until 16).map { d =>
-        val dv = (0 until 4).map(j => if (e(4 * d + j + 1) > e(4 * d + j)) 8 >> j else 0).sum
+        val dv = (0 until 4).map(j => if (e(4 * d + j) > med) 8 >> j else 0).sum
         "0123456789abcdef".charAt(dv)
       }.mkString
     }
@@ -531,7 +532,7 @@ class SimilaritySpec extends AnyFunSuite {
     variants.foreach { vid =>
       val base = vid - 1000000L
       val h = nn.get((base, vid)).orElse(nn.get((vid, base)))
-      assert(h.isDefined && h.get <= 1, s"variant $vid not re-found (h=$h)")
+      assert(h.isDefined && h.get <= 2, s"variant $vid not re-found (h=$h)")
     }
   }
 

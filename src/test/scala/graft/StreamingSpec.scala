@@ -950,7 +950,7 @@ class StreamingSpec extends AnyFunSuite {
       "recovery must restore the live dir and consume .old")
   }
 
-  test("audio dup index: re-encoded variants rejected at hamming <= 1; replay appends nothing") {
+  test("audio dup index: re-encoded variants rejected at hamming <= 2; replay appends nothing") {
     // r14: the fourth modality on the generic CodeDupIndex — arriving
     // audio probes the durable band store of every accepted clip
     import graft.streaming.AudioDupIndex
@@ -971,7 +971,7 @@ class StreamingSpec extends AnyFunSuite {
     v1.foreach { case (vid, (isNew, best, ham)) =>
       assert(!isNew, s"variant $vid must be rejected")
       assert(best === vid - 1000000L, s"variant $vid best=$best")
-      assert(ham <= 1, s"variant $vid hamming=$ham")
+      assert(ham <= 2, s"variant $vid hamming=$ham")
     }
     def files() = new java.io.File(c.cfg.bandsDir).listFiles()
       .count(_.getName.endsWith(".parquet"))
@@ -982,17 +982,17 @@ class StreamingSpec extends AnyFunSuite {
         ((r.getBoolean(1), r.getLong(3), r.getInt(4)))).toMap
     assert(v1r === v1, "replay must be bit-identical")
     assert(files() === before, "replay must not append")
-    // batch 2: unseen audio. The 64-bit energy-delta code is COARSE at
-    // maxDist 3 against a crowded corpus (measured: ~40% of unrelated
-    // clips land within hamming 3 of SOME of the 500 structured base
-    // codes — the documented precision bound in the AudioDupIndex
-    // scaladoc; production stacks the exact stage first and longer
-    // codes). The structural claims: novel clips exist and append;
-    // every rejection is hamming-consistent.
+    // batch 2: unseen audio. The 64-bit median-threshold code is still
+    // COARSE at maxDist 3 against a crowded corpus (measured: ~24% of
+    // unrelated clips within hamming 3 of SOME of the 500 structured
+    // base codes — down from 40% with the first-cut delta bits; the
+    // documented precision bound in the AudioDupIndex scaladoc). The
+    // structural claims: novel clips exist and append; every rejection
+    // is hamming-consistent.
     val fresh = docs.select((col("doc_id") * 7919L + 1234567L).as("doc_id"))
     val v2 = AudioDupIndex.serveBatch(spark, fresh, 2L, c).collect()
     val newFrac = v2.count(_.getBoolean(1)).toDouble / v2.length
-    assert(newFrac > 0.3, s"a meaningful share of fresh audio is novel, got $newFrac")
+    assert(newFrac > 0.4, s"a substantial share of fresh audio is novel, got $newFrac")
     v2.filter(!_.getBoolean(1)).foreach { r =>
       assert(r.getInt(4) >= 0 && r.getInt(4) <= c.maxDist,
         s"rejection of ${r.getLong(0)} must carry a verified hamming") }
