@@ -37,7 +37,11 @@ object UrlOps {
     * than throwing — hostile strings cannot kill the job. */
   def canonicalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val authority = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val rawAuthority = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    // RFC 3986 userinfo ("user:pass@") is credentials, not identity —
+    // dropped before host parsing (r14; "user:pass@host" once parsed
+    // "user" as the host)
+    val authority = regexp_replace(rawAuthority, "^[^@]*@", "")
     val hostRaw = lower(regexp_extract(authority, "^([^:]*)", 1))
     val host = regexp_replace(hostRaw, "^www\\.", "")
     val port = regexp_extract(authority, ":([0-9]+)$", 1)
@@ -62,7 +66,8 @@ object UrlOps {
     * string, never a throw. */
   def canonicalHost(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    val authority = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val rawAuthority = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    val authority = regexp_replace(rawAuthority, "^[^@]*@", "")
     val hostRaw = lower(regexp_extract(authority, "^([^:]*)", 1))
     val host = regexp_replace(hostRaw, "^www\\.", "")
     val port = regexp_extract(authority, ":([0-9]+)$", 1)
