@@ -90,11 +90,10 @@ object CrawlPipeline {
     UrlOps.robotsRulesByHost(spark).localCheckpoint()
 
   /** R14: between-batch maintenance for the composed pipeline — compacts
-    * whichever of the two band stores (near-dup, exact-substring) has
-    * accreted past `maxFiles` append generations; cheap (two directory
-    * listings) when idle. Returns whether any compaction ran. The exact
-    * index's file-name replay protocol precludes a naive rewrite — see
-    * [[IngestDedup.maintain]]. */
+    * whichever store (exact fingerprints, near-dup bands,
+    * exact-substring windows) has accreted past `maxFiles` append
+    * generations; cheap (three directory listings) when idle. Returns
+    * whether any compaction ran. */
   def maintain(spark: SparkSession, cfg: CrawlConfig, maxFiles: Int): Boolean = {
     val a = IngestDedup.maintain(spark, cfg.ingest, maxFiles)
     val b = SubstrIndex.maybeCompact(spark, cfg.substr, maxFiles)

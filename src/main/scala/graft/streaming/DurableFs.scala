@@ -81,15 +81,25 @@ private[graft] object DurableFs {
 
   /** Write-then-rename marker write: the destination either holds the
     * complete content or does not exist — never a torn prefix. */
-  def writeAtomic(p: String, content: String): Unit = {
+  def writeAtomic(p: String, content: String): Unit =
+    writeAtomicBytes(p, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Binary twin of [[writeAtomic]] (sketch files, etc.). */
+  def writeAtomicBytes(p: String, content: Array[Byte]): Unit = {
     val f = fs(p)
     val dest = new HPath(p)
     f.mkdirs(dest.getParent)
     val tmp = new HPath(dest.getParent, dest.getName + ".tmp")
     val out = f.create(tmp, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content)
     finally out.close()
     move(tmp.toString, p)
+  }
+
+  def readBytes(p: String): Array[Byte] = {
+    val in = fs(p).open(new HPath(p))
+    try in.readAllBytes()
+    finally in.close()
   }
 
   /** Names of the plain files directly under `dir` (no recursion);

@@ -36,19 +36,22 @@ import graft.operators.TextOps
   * per-batch sketch is merge-compatible with the persisted one.
   *
   * Replay correctness (checkpoint recovery re-delivers the last
-  * uncommitted micro-batch): each commit writes a marker under
-  * `commits/<batchId>` listing exactly the parquet files that batch
-  * appended. A replayed batch sees its marker, SKIPS the index/sketch
-  * mutation (bloom OR is idempotent anyway, but the file append is
-  * not), and verifies against the index MINUS its own files — so the
-  * recomputed verdicts are identical to the original run's even though
-  * the index already contains the batch's fingerprints. The sketch
-  * needs no rollback: its extra bits only route the replayed rows to
-  * the verification join, which the excluded-file index answers
-  * exactly. r12: the append itself is fenced by [[CommitProtocol]]'s
-  * intent marker — a crash BETWEEN the parquet append and the commit
-  * marker (the r11 protocol's unguarded window) is detected on restart
-  * and the half-committed files are deleted before anything is read.
+  * uncommitted micro-batch): every index row carries the `batch_id`
+  * that appended it (r14 — the BandStore discipline, replacing the r12
+  * file-name exclusion that made the index un-rewritable). A replayed
+  * batch sees its commit marker, SKIPS the index/sketch mutation
+  * (bloom OR is idempotent anyway, but the file append is not), and
+  * verifies against the index MINUS its own rows
+  * (`batch_id =!= batchId`) — recomputed verdicts identical to the
+  * original run's even though the index already contains the batch's
+  * fingerprints, and IDENTICAL ACROSS COMPACTIONS, because the rewrite
+  * preserves rows with their batch_ids where a file-name list would be
+  * orphaned. The sketch needs no rollback: its extra bits only route
+  * the replayed rows to the verification join, which the row-excluded
+  * index answers exactly. r12: the append itself is fenced by
+  * [[CommitProtocol]]'s intent marker — a crash BETWEEN the parquet
+  * append and the commit marker is detected on restart and the
+  * half-committed files are deleted before anything is read.
   *
   * At 100 TB: the index relation shuffles nothing at serve time (the
   * verification join is keyed on fingerprint and the maybe leg is
@@ -69,13 +72,16 @@ object IncrementalIndex {
     def numBits: Long = BloomFilter.optimalNumOfBits(capacity, fpp)
   }
 
-  private val FpSchema = StructType(Seq(StructField("fingerprint", StringType)))
+  private val FpSchema = StructType(Seq(
+    StructField("fingerprint", StringType),
+    StructField("batch_id", org.apache.spark.sql.types.LongType)))
 
   /** Freeze an initial index: distinct fingerprints of `indexDocs` →
     * parquet, plus the one-pass sketch over the persisted relation. */
   def init(spark: SparkSession, indexDocs: DataFrame, cfg: IndexConfig): Unit = {
     CommitProtocol.resetMarkers(cfg.commitsDir) // stale markers = skipped appends
     indexDocs.select(TextOps.fingerprint(col("text")).as("fingerprint")).distinct()
+      .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").parquet(cfg.fingerprintsDir)
     val sketch = sketchBytes(spark.read.parquet(cfg.fingerprintsDir), cfg)
       .getOrElse(emptySketch(cfg))
@@ -97,20 +103,48 @@ object IncrementalIndex {
     out.toByteArray
   }
 
-  /** r12: atomic (same-dir temp + ATOMIC_MOVE) — a crash mid-write must
-    * never leave a torn `bloom.bin` that `readFrom` chokes on. */
-  private def writeFile(path: String, bytes: Array[Byte]): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    java.nio.file.Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(s"${p.getFileName}.tmp")
-    java.nio.file.Files.write(tmp, bytes)
-    java.nio.file.Files.move(tmp, p,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  /** r12: atomic write-then-rename — a crash mid-write must never leave
+    * a torn `bloom.bin` that `readFrom` chokes on. r14: through
+    * [[DurableFs]] like every other durable artifact. */
+  private def writeFile(path: String, bytes: Array[Byte]): Unit =
+    DurableFs.writeAtomicBytes(path, bytes)
+
+  /** If a [[compact]] crashed between its two swap renames, the `.old`
+    * copy IS the index — restore it before anything reads. */
+  private def recoverSwap(cfg: IndexConfig): Unit = {
+    val dir = cfg.fingerprintsDir
+    val old = dir.stripSuffix("/") + ".old"
+    if (!DurableFs.isDirectory(dir) && DurableFs.isDirectory(old))
+      DurableFs.move(old, dir)
   }
 
-  private def listIndexFiles(cfg: IndexConfig): Set[String] =
-    CommitProtocol.listParquet(cfg.fingerprintsDir)
+  /** R14: rewrite the append-accreted fingerprint files into `width`
+    * files — rows AND their batch_ids preserved, so replay exclusion
+    * and the commit markers stay valid across the rewrite (the
+    * BandStore staged-swap protocol: the live dir is never the only
+    * copy mid-rewrite, a mid-swap crash recovers from `.old`). Safe
+    * between micro-batches. */
+  def compact(spark: SparkSession, cfg: IndexConfig, width: Int = 8): Unit = {
+    recoverSwap(cfg)
+    val dir = cfg.fingerprintsDir
+    val staging = dir.stripSuffix("/") + ".compacting"
+    val old = dir.stripSuffix("/") + ".old"
+    DurableFs.deleteTree(staging); DurableFs.deleteTree(old)
+    spark.read.schema(FpSchema).parquet(dir)
+      .repartition(width)
+      .write.mode("overwrite").parquet(staging)
+    DurableFs.move(dir, old)
+    DurableFs.move(staging, dir)
+    DurableFs.deleteTree(old)
+  }
+
+  /** Policy form: compact only past `maxFiles` accreted files. */
+  def maybeCompact(spark: SparkSession, cfg: IndexConfig,
+                   maxFiles: Int, width: Int = 8): Boolean = {
+    val n = CommitProtocol.listParquet(cfg.fingerprintsDir).size
+    if (n > maxFiles) { compact(spark, cfg, width); true }
+    else false
+  }
 
   /** Serve one micro-batch of `(doc_id, text, ...)` documents: returns
     * `(doc_id, fingerprint, is_new)` verdicts — identical semantics to
@@ -127,18 +161,20 @@ object IncrementalIndex {
     // and the commit marker is rolled back HERE (orphan files deleted)
     // before anything is read, so the batch re-runs against the exact
     // pre-append index and never double-appends (ADVICE r11)
+    recoverSwap(cfg)
     val proto = CommitProtocol(cfg.fingerprintsDir, cfg.commitsDir, batchId)
     val replay = proto.beginOrRecover()
-    val excluded: Set[String] = if (replay) proto.committedFiles else Set.empty
-    val idxFiles = (listIndexFiles(cfg) -- excluded).toSeq.sorted
+    val idxFiles = CommitProtocol.listParquet(cfg.fingerprintsDir).toSeq.sorted
       .map(n => s"${cfg.fingerprintsDir}/$n")
+    // replay exclusion is ROW-based (batch_id), so it survives compaction
     val idx =
-      if (idxFiles.isEmpty) spark.createDataFrame(
+      (if (idxFiles.isEmpty) spark.createDataFrame(
         new java.util.ArrayList[Row](), FpSchema)
-      else spark.read.schema(FpSchema).parquet(idxFiles: _*)
+      else spark.read.schema(FpSchema).parquet(idxFiles: _*))
+        .filter(col("batch_id") =!= lit(batchId))
+        .select("fingerprint")
 
-    val bloomBytes = java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(cfg.bloomPath))
+    val bloomBytes = DurableFs.readBytes(cfg.bloomPath)
     def maybeSeen: Column = coalesce(
       GraftBridge.column(new BloomFilterMightContain(
         Literal(bloomBytes, BinaryType),
@@ -160,7 +196,8 @@ object IncrementalIndex {
     if (!replay) {
       proto.commit {
         val newFps = verdicts.filter(col("is_new")).select("fingerprint")
-        newFps.write.mode("append").parquet(cfg.fingerprintsDir)
+        newFps.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(cfg.fingerprintsDir)
         // sketch merge INSIDE the fence: a crash after the merge but
         // before the commit marker re-runs the batch against the
         // rolled-back index — the stale extra bits only route rows to

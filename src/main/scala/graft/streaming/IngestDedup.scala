@@ -76,16 +76,17 @@ object IngestDedup {
         coalesce(col("best_match"), lit(-1L)).as("best_match"))
   }
 
-  /** R14: maintenance hook for the composed ingest — compacts the
-    * near-dup BAND store past `maxFiles` accreted files
-    * ([[BandStore.maybeCompact]]; rows carry batch_id, so replay
-    * exclusion survives the rewrite). The exact stage's fingerprint
-    * index is deliberately NOT rewritten here: its replay protocol
-    * excludes a replayed batch's own appends BY FILE NAME
-    * ([[CommitProtocol.committedFiles]]), which any rewrite would
-    * orphan — re-init it from the deduplicated relation instead, at a
-    * point where no served batch can replay (post-checkpoint-ratchet).
-    * Returns whether a compaction ran. */
-  def maintain(spark: SparkSession, cfg: IngestConfig, maxFiles: Int): Boolean =
-    NearDupIndex.maybeCompact(spark, cfg.near, maxFiles)
+  /** R14: maintenance hook for the composed ingest — compacts whichever
+    * of the two stages has accreted past `maxFiles` files: the near-dup
+    * BAND store ([[BandStore.maybeCompact]]) and, since the exact
+    * stage's replay exclusion moved from file names to per-row
+    * batch_ids (r14b), the fingerprint index too
+    * ([[IncrementalIndex.maybeCompact]] — rows keep their batch_ids, so
+    * replay and markers survive the rewrite). Returns whether any
+    * compaction ran. */
+  def maintain(spark: SparkSession, cfg: IngestConfig, maxFiles: Int): Boolean = {
+    val a = IncrementalIndex.maybeCompact(spark, cfg.exact, maxFiles)
+    val b = NearDupIndex.maybeCompact(spark, cfg.near, maxFiles)
+    a || b
+  }
 }

@@ -999,6 +999,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(files() > before, "novel audio must append")
   }
 
+  test("exact-index compaction: batch_id replay exclusion survives the rewrite; mid-swap crash recovers") {
+    // r14b: IncrementalIndex moved replay exclusion from file names to
+    // per-row batch_ids, making the fingerprint index compactable like
+    // the band stores. Prove: post-compaction replay is bit-identical,
+    // file count drops, verdicts continue correctly, and a forged
+    // mid-swap crash recovers from .old.
+    import graft.streaming.IncrementalIndex
+    import graft.streaming.IncrementalIndex.IndexConfig
+    val all = Tables.documents(spark, TestSpark.Sf)
+    val cfg = IndexConfig(tmp("inc-compact"), capacity = 100000L)
+    IncrementalIndex.init(spark, all.filter(pmod(col("doc_id"), lit(3)) =!= 0), cfg)
+    val b1 = all.filter(pmod(col("doc_id"), lit(6)) === 0)
+    val b2 = all.filter(pmod(col("doc_id"), lit(6)) === 3)
+    def collectV(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    val v1 = collectV(IncrementalIndex.serveBatch(spark, b1, 1L, cfg))
+    def files() = graft.streaming.CommitProtocol.listParquet(cfg.fingerprintsDir).size
+    val grown = files()
+    assert(!IncrementalIndex.maybeCompact(spark, cfg, maxFiles = grown + 1),
+      "below threshold: no-op")
+    assert(IncrementalIndex.maybeCompact(spark, cfg, maxFiles = 1, width = 2),
+      "past threshold: compacts")
+    assert(files() === 2, "compaction leaves `width` files")
+    // replay of the pre-compaction batch: identical verdicts, no append
+    val before = files()
+    val v1r = collectV(IncrementalIndex.serveBatch(spark, b1, 1L, cfg))
+    assert(v1r === v1, "post-compaction replay must be bit-identical")
+    assert(files() === before, "replay must not append")
+    // a fresh batch still dedups correctly against the compacted index:
+    // exact copies of batch-1 docs (same text) must be rejected
+    val v2 = collectV(IncrementalIndex.serveBatch(spark, b1, 2L, cfg))
+    assert(v2.values.forall(!_._2), "batch-1 content re-served as batch 2 is all duplicate")
+    // forged mid-swap crash via the abstraction: live dir moved aside
+    graft.streaming.DurableFs.move(cfg.fingerprintsDir,
+      cfg.fingerprintsDir.stripSuffix("/") + ".old")
+    val v2r = collectV(IncrementalIndex.serveBatch(spark, b2, 3L, cfg))
+    assert(v2r.nonEmpty, "mid-swap crash must recover and serve")
+    assert(graft.streaming.DurableFs.isDirectory(cfg.fingerprintsDir) &&
+      !graft.streaming.DurableFs.exists(cfg.fingerprintsDir.stripSuffix("/") + ".old"))
+  }
+
   test("DurableFs: the Hadoop-FS durability surface — atomic markers, swap moves, crash forged through it") {
     // r14 (judge r13 #6): BandStore/CommitProtocol durability runs on
     // the Hadoop FileSystem API. Unit-pin the primitives on the local
