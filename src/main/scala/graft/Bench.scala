@@ -229,6 +229,14 @@ object Bench {
     "q_sql_q11" -> 1.4,
     "q_sql_q16" -> 1.4,
     "q_sql_q20" -> 1.1,
+    // r14 (second closing): in-engine classifier training + the
+    // leakage-safe split family — first warm sf0.1 measurements
+    // 6.28/5.98/2.29/3.21/0.31
+    "t_clf_train" -> 7.5, // mini-batch perceptron: 12 synchronous update steps over the pinned feature relation
+    "t_clf_eval" -> 7.0, // train on 'train' split + held-out confusion matrix on 'test'
+    "d_cluster_split" -> 3.0, // duplicateClusters + cluster-keyed split projection
+    "d_split_leakage" -> 4.0, // clusters + LSH pairs + dual split-rule leak audit
+    "t_reservoir" -> 0.7, // exact-k per-group sample, two-stage bounded ranking
     // streaming drain anchors (AvailableNow, forced
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,

