@@ -237,6 +237,8 @@ object Bench {
     "d_cluster_split" -> 3.0, // duplicateClusters + cluster-keyed split projection
     "d_split_leakage" -> 4.0, // clusters + LSH pairs + dual split-rule leak audit
     "t_reservoir" -> 0.7, // exact-k per-group sample, two-stage bounded ranking
+    "s_rproj_topk" -> 2.2, // sparse JL projection + exact L2 top-k over the pinned reduced index; best measured 1.4 (contention-era range 1.4-5.0)
+    "s_rproj_recall" -> 3.0, // projected vs full-dim L2 recall@5; best measured 0.96
     // streaming drain anchors (AvailableNow, forced
     // micro-batching — see streamBench scaladoc and BASELINE.md rows)
     "stream_collector" -> 7.0,

@@ -113,6 +113,12 @@ object Training {
   val sFilterTopk: Q = (s, d) => Similarity.filteredTopK(emb(s, d), 5)
   /** R14: hard-negative mining — top-k most-similar DIFFERENT-label. */
   val sHardNegatives: Q = (s, d) => Similarity.hardNegatives(emb(s, d), 5)
+  /** R14 (third closing): sparse random projection 64→16 dims — exact
+    * integer L2 top-k in the projected space. */
+  val sRprojTopk: Q = (s, d) => Similarity.rprojTopK(emb(s, d))
+  /** R14 (third closing): JL quality — recall@5 of the projected-space
+    * ranking vs the exact full-dimension L2 ground truth. */
+  val sRprojRecall: Q = (s, d) => Similarity.rprojRecall(emb(s, d))
   val sNearDups: Q = (s, d) => Similarity.cosineNearDups(emb(s, d), 0.95)
   /** Same LSH machinery, narrow 8-bit codes + low threshold: produces
     * rows on the synthetic corpus (which has no true near-dups — max
@@ -867,6 +873,8 @@ object Training {
     "s_recall" -> sRecall,
     "s_filter_topk" -> sFilterTopk,
     "s_hard_negatives" -> sHardNegatives,
+    "s_rproj_topk" -> sRprojTopk,
+    "s_rproj_recall" -> sRprojRecall,
     "s_ivf_append" -> sIvfAppend,
     "s_pq_topk" -> sPqTopk,
     "s_refine" -> sRefine,

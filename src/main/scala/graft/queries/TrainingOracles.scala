@@ -327,6 +327,32 @@ object TrainingOracles {
   private val CosAB =
     "floor(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) / (sqrt(a.n2) * sqrt(b.n2)) * 1000000) / 1000000"
 
+  /** Projected-vector list literal from the SHARED md5-seeded sign
+    * matrix (Similarity.rpSigns — both engines splice the identical
+    * {+1,0,−1} literals; the cross-engine claim is the projection
+    * arithmetic and the retrieval on it, the rate-table discipline). */
+  private val RpProj: String =
+    graft.operators.Similarity.rpSigns.map { row =>
+      row.zipWithIndex.collect { case (s, i) if s != 0 =>
+        (if (s > 0) "+" else "-") + s"qv[${i + 1}]"
+      }.mkString
+    }.mkString("[", ",\n      ", "]")
+
+  /** Projected corpus CTE chain over [[EmbCte]]'s `q`: pn(vec_id, pv,
+    * pn2) — shared by the projected-top-k and recall oracles. */
+  private val RpCte =
+    s"""pn AS (
+       |  SELECT vec_id, pv, list_sum(list_transform(pv, x -> x * x)) AS pn2
+       |  FROM (SELECT vec_id, $RpProj AS pv FROM q) p)""".stripMargin
+
+  /** Exact squared-L2 between two pn rows (integer-valued doubles). */
+  private val RpD2 =
+    "a.pn2 + b.pn2 - 2 * list_sum(list_transform(range(1, len(a.pv) + 1), i -> a.pv[i] * b.pv[i]))"
+
+  /** Exact squared-L2 between two full-dim n rows. */
+  private val FullD2 =
+    "a.n2 + b.n2 - 2 * list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))"
+
   /** IVF serve oracle, parameterized by the Lloyd training-sample filter
     * over `n` (everything downstream — final assignment, probes — always
     * reads the FULL corpus, mirroring Similarity.trained/ivfProbe). */
@@ -1192,6 +1218,48 @@ object TrainingOracles {
     // brute ground truth. Both arms are the EXISTING oracle chains
     // nested as CTE subqueries (local WITH scopes), joined on
     // (q_id, c_id) and folded per query in exact integer millis.
+    // r14 (third closing): sparse random projection 64→16 — exact
+    // integer squared-L2 ranking in the projected space (no sqrt, no
+    // division: the d² form never meets a zero-norm NaN)
+    "s_rproj_topk" ->
+      s"""$EmbCte,
+         |$RpCte
+         |SELECT q_id, rank, c_id, d2 FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    CAST($RpD2 AS BIGINT) AS d2,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $RpD2 ASC, b.vec_id ASC) AS rank
+         |  FROM pn a JOIN pn b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rank <= 5""".stripMargin,
+
+    // r14 (third closing): JL quality — recall@5 of the projected-space
+    // L2 ranking vs the exact full-dimension L2 ground truth, per query
+    "s_rproj_recall" ->
+      s"""$EmbCte,
+         |$RpCte,
+         |ap AS (SELECT q_id, c_id FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $RpD2 ASC, b.vec_id ASC) AS rank
+         |  FROM pn a JOIN pn b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rank <= 5),
+         |gt AS (SELECT q_id, c_id FROM (
+         |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY $FullD2 ASC, b.vec_id ASC) AS rank
+         |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 97 = 0) t
+         |WHERE rank <= 5),
+         |j AS (
+         |  SELECT g.q_id, CASE WHEN x.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM gt g LEFT JOIN ap x ON g.q_id = x.q_id AND g.c_id = x.c_id)
+         |SELECT q_id, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST((sum(hit) * 1000) // count(*) AS BIGINT) AS recall_milli
+         |FROM j GROUP BY q_id""".stripMargin,
+
     "s_recall" ->
       s"""WITH ivf AS (
          |${ivfTopKSql("vec_id % 7 = 0")}
