@@ -252,6 +252,7 @@ object Bench {
     "stream_substr" -> 7.5, // r13: streaming exact-substring dedup serve (SubstrIndex); measured 5.4/5.5 s
     "stream_compact" -> 1.0, // r14: full band-store rewrite, buckets-wide zero-shuffle; measured 0.27 s solo
     "stream_audiodup" -> 3.0, // r14: audio near-dup serve on the generic CodeDupIndex
+    "stream_clf" -> 10.0, // r14: continuous perceptron training (durable gradient log, prequential verdicts); measured 8.8/9.3 s
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
     "stream_lake" -> 10.0,
@@ -673,6 +674,33 @@ object Bench {
           .start()
         q.awaitTermination()
         require(spark.read.parquet(dir("su-verdicts")).count() > 0)
+      }
+    }
+
+    if (wanted("stream_clf")) {
+      // r14: CONTINUOUS classifier training — each micro-batch is one
+      // synchronous perceptron update against the durable gradient log,
+      // verdicts are prequential (scored pre-update). Streams the whole
+      // dressed corpus; the law spec pins stream ≡ batch perceptron.
+      import graft.streaming.ClfStream
+      val clfCfg = ClfStream.ClfConfig(dir("clf-idx"))
+      out += leg("stream_clf") {
+        ClfStream.init(spark, clfCfg)
+        graft.operators.QualityRules.plantedSpamDocs(Tables.documents(spark, sfDir))
+          .write.mode("overwrite").parquet(dir("clf-src"))
+      } {
+        val q = fileStream(dir("clf-src"))
+          .writeStream
+          .option("checkpointLocation", dir("ckpt-clf"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            ClfStream.serveBatch(spark, batch, id, clfCfg)
+              .write.mode("append").parquet(dir("clf-verdicts"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(spark.read.parquet(dir("clf-verdicts")).count() > 0)
       }
     }
 

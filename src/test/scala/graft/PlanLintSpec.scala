@@ -36,6 +36,10 @@ class PlanLintSpec extends AnyFunSuite {
       // documented queries-broadcast brute shape (see scaladoc: the
       // scale path composes the ANN candidate stage first)
       "s_hard_negatives",
+      // r14 random projection: the same queries-broadcast brute shape
+      // over the 4x-smaller PINNED projected index (that shrink is the
+      // operator's point); recall composes it with the full-dim arm
+      "s_rproj_topk", "s_rproj_recall",
       // SQ8 is deliberately the brute shape over the compressed code
       // relation: stats row + query side broadcast, one corpus pass
       "s_sq_topk",

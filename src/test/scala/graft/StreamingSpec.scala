@@ -1651,4 +1651,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(3L)._1 === "shop.example.com")
     assert(got(1L)._1 === "93.184.216.34:8443")
   }
+
+  test("clf stream: N ordered micro-batches ARE the mini-batch perceptron; " +
+    "prequential verdicts honest; replay, crash, and compaction exact") {
+    import graft.streaming.ClfStream
+    import graft.streaming.ClfStream.ClfConfig
+    import graft.operators.QualityRules
+    val docs = QualityRules.plantedSpamDocs(Tables.documents(spark, TestSpark.Sf))
+    val N = 4
+    val cfg = ClfConfig(tmp("clf-stream"))
+    ClfStream.init(spark, cfg)
+    def batchOf(b: Int) = docs.filter(pmod(col("doc_id"), lit(N.toLong)) === b)
+    def vKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Boolean]("pos"), r.getAs[Boolean]("keep"),
+        r.getAs[Long]("margin"), r.getAs[Boolean]("update"))
+    val verdicts = (0 until N).map { b =>
+      ClfStream.serveBatch(spark, batchOf(b), b.toLong, cfg).collect()
+    }
+    // LAW: the streamed gradient-log model IS the batch operator at
+    // epochs=1, miniBatches=N — bucket-for-bucket, bit-for-bit
+    val batchW = QualityRules.perceptronTrain(
+      QualityRules.perceptronFeatures(docs), epochs = 1, miniBatches = N)
+      .withColumnRenamed("w", "bw")
+    val streamW = ClfStream.model(spark, cfg)
+    val disagree = batchW.join(streamW, Seq("bucket"), "full_outer")
+      .filter(coalesce(col("bw"), lit(0L)) =!= coalesce(col("w"), lit(0L)))
+    assert(disagree.count() === 0, "streamed model must equal the batch perceptron")
+    assert(streamW.filter(col("w") =!= 0).count() > 0)
+    // prequential honesty: batch 0 scores against the zero model (no
+    // keeps, every doc updates); by the last batch the model classifies
+    assert(verdicts(0).forall(r => !r.getAs[Boolean]("keep")))
+    assert(verdicts(0).forall(r => r.getAs[Boolean]("update")))
+    val late = verdicts(N - 1)
+    val acc = late.count(r =>
+      r.getAs[Boolean]("keep") == r.getAs[Boolean]("pos")).toDouble / late.length
+    assert(acc > 0.6, s"prequential accuracy of the last batch: $acc")
+    // replay: identical verdicts, the log does not grow
+    def files() = new java.io.File(cfg.gradsDir).list().count(_.endsWith(".parquet"))
+    val before = files()
+    val replayed = ClfStream.serveBatch(spark, batchOf(N - 1), (N - 1).toLong, cfg)
+      .collect()
+    assert(replayed.map(vKey).sortBy(_._1).toSeq ===
+      verdicts(N - 1).map(vKey).sortBy(_._1).toSeq, "replay must be verdict-identical")
+    assert(files() === before, "replay must not append")
+    // forged crash: last batch's commit marker gone, intent present,
+    // appended files on disk — recovery rolls back and re-commits
+    val commits = java.nio.file.Paths.get(cfg.commitsDir)
+    val marker = commits.resolve((N - 1).toString)
+    val appended = java.nio.file.Files.readAllLines(marker)
+    assert(!appended.isEmpty)
+    val all = new java.io.File(cfg.gradsDir).list()
+      .filter(_.endsWith(".parquet")).toSet
+    java.nio.file.Files.write(commits.resolve(s"${N - 1}.intent"),
+      (all -- appended.toArray.map(_.toString)).toSeq.sorted
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.delete(marker)
+    val recovered = ClfStream.serveBatch(spark, batchOf(N - 1), (N - 1).toLong, cfg)
+      .collect()
+    assert(recovered.map(vKey).sortBy(_._1).toSeq ===
+      verdicts(N - 1).map(vKey).sortBy(_._1).toSeq,
+      "post-crash re-run must produce identical verdicts")
+    val disagree2 = batchW.join(ClfStream.model(spark, cfg), Seq("bucket"), "full_outer")
+      .filter(coalesce(col("bw"), lit(0L)) =!= coalesce(col("w"), lit(0L)))
+    assert(disagree2.count() === 0, "post-crash model must not double-count")
+    // compaction: fewer files, rows + batch_ids intact → replay and
+    // model both unchanged
+    ClfStream.compact(spark, cfg, width = 2)
+    assert(files() <= 2)
+    val disagree3 = batchW.join(ClfStream.model(spark, cfg), Seq("bucket"), "full_outer")
+      .filter(coalesce(col("bw"), lit(0L)) =!= coalesce(col("w"), lit(0L)))
+    assert(disagree3.count() === 0, "compaction must preserve the model")
+    val postCompact = ClfStream.serveBatch(spark, batchOf(N - 1), (N - 1).toLong, cfg)
+      .collect()
+    assert(postCompact.map(vKey).sortBy(_._1).toSeq ===
+      verdicts(N - 1).map(vKey).sortBy(_._1).toSeq,
+      "replay exclusion must survive compaction")
+  }
 }
