@@ -340,17 +340,54 @@ object QualityRules {
     * Unseen-in-training buckets carry weight 0 (left join + coalesce);
     * `keep` = margin > 0. Metrics are 6-dp truncated divisions of exact
     * BIGINTs, zero denominators NULL — the [[classifierPr]] discipline. */
-  def perceptronEval(docs: DataFrame, trainUpto: Int, valUpto: Int,
+  /** Held-out margins of the TRAINED model — the shared scoring pass
+    * behind [[perceptronEval]] (threshold metrics), [[perceptronAuc]]
+    * (ranking metric), and [[perceptronCalibration]] (probability
+    * faithfulness): fit on 'train', score the disjoint 'test' split,
+    * return one (doc_id, pos, margin) row per scored doc. */
+  def perceptronTestMargins(docs: DataFrame, trainUpto: Int, valUpto: Int,
       salt: String, epochs: Int = 3, miniBatches: Int = 4): DataFrame = {
     val labeled = plantedSpamDocs(docs)
     val split = Sampling.splitLabel(trainUpto, valUpto, salt)
     val w = perceptronTrain(
       perceptronFeatures(labeled.filter(split === "train")), epochs, miniBatches)
-    val scored = perceptronFeatures(labeled.filter(split === "test"))
+    perceptronFeatures(labeled.filter(split === "test"))
       .join(broadcast(w), Seq("bucket"), "left")
       .groupBy("doc_id", "y")
       .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))
-      .select((col("y") === 1L).as("pos"), (col("margin") > 0).as("keep"))
+      .select(col("doc_id"), (col("y") === 1L).as("pos"), col("margin"))
+  }
+
+  /** Exact Mann-Whitney AUC of the TRAINED model's held-out margins —
+    * [[classifierAuc]]'s rank arithmetic over [[perceptronTestMargins]]
+    * (the fixed-weight t_clf_auc is the untrained before picture). */
+  def perceptronAuc(docs: DataFrame, trainUpto: Int, valUpto: Int,
+      salt: String, epochs: Int = 3, miniBatches: Int = 4): DataFrame =
+    aucOf(perceptronTestMargins(docs, trainUpto, valUpto, salt, epochs, miniBatches)
+      .select(col("margin").as("score"), col("pos")))
+
+  /** Reliability diagram of the trained model: held-out margins bucket
+    * into clamped fixed-width bins (floor division — [[TextOps.idiv]]
+    * keeps Spark's truncate-toward-zero `div` off negative margins so
+    * both engines bin identically) and each bin reports its empirical
+    * positive rate in exact permille. A model whose pos_permille climbs
+    * with the bin is directionally calibrated; the clamp keeps the
+    * relation bounded regardless of margin magnitude. */
+  def perceptronCalibration(docs: DataFrame, trainUpto: Int, valUpto: Int,
+      salt: String, epochs: Int = 3, miniBatches: Int = 4,
+      binWidth: Long = 4096L): DataFrame =
+    perceptronTestMargins(docs, trainUpto, valUpto, salt, epochs, miniBatches)
+      .groupBy(greatest(least(TextOps.idiv(col("margin"), lit(binWidth)), lit(8L)),
+        lit(-8L)).as("bin"))
+      .agg(count(lit(1)).as("n"), count(when(col("pos"), 1)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("n_pos * 1000 div n").as("pos_permille"))
+
+  def perceptronEval(docs: DataFrame, trainUpto: Int, valUpto: Int,
+      salt: String, epochs: Int = 3, miniBatches: Int = 4): DataFrame = {
+    val scored = perceptronTestMargins(docs, trainUpto, valUpto, salt,
+        epochs, miniBatches)
+      .select(col("pos"), (col("margin") > 0).as("keep"))
     scored.agg(
       count(when(col("keep") && col("pos"), 1)).as("tp"),
       count(when(col("keep") && !col("pos"), 1)).as("fp"),

@@ -320,6 +320,16 @@ object Training {
   val tClfEval: Q = (s, d) =>
     QualityRules.perceptronEval(docs(s, d), SplitTrain, SplitVal, SplitSalt,
       PerceptronEpochs, PerceptronBatches)
+  /** R14: exact Mann-Whitney AUC of the TRAINED model's held-out
+    * margins (t_clf_auc is the fixed-weight before picture). */
+  val tClfTrainAuc: Q = (s, d) =>
+    QualityRules.perceptronAuc(docs(s, d), SplitTrain, SplitVal, SplitSalt,
+      PerceptronEpochs, PerceptronBatches)
+  /** R14: reliability diagram — per-margin-bin empirical positive rate
+    * of the trained model, exact permille. */
+  val tClfCalibration: Q = (s, d) =>
+    QualityRules.perceptronCalibration(docs(s, d), SplitTrain, SplitVal,
+      SplitSalt, PerceptronEpochs, PerceptronBatches)
 
   /** R14: exact-k-per-language uniform sample (the eval-set builder);
     * two-stage bounded ranking, no whole-group single-task window. */
@@ -855,6 +865,8 @@ object Training {
     "t_clf_pr" -> tClfPr,
     "t_clf_train" -> tClfTrain,
     "t_clf_eval" -> tClfEval,
+    "t_clf_train_auc" -> tClfTrainAuc,
+    "t_clf_calibration" -> tClfCalibration,
     "t_reservoir" -> tReservoir,
     "d_cluster_split" -> dClusterSplit,
     "d_split_leakage" -> dSplitLeakage,

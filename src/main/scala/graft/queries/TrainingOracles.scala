@@ -476,6 +476,29 @@ object TrainingOracles {
   private val PerceptronLastW =
     s"w${Training.PerceptronEpochs * Training.PerceptronBatches}"
 
+  /** [[PerceptronCtes]] + the held-out scoring chain, ending in
+    * `se(doc_id, y, margin)` — test-split grams → hashed features →
+    * margins against the trained weights (unseen buckets weight 0).
+    * Shared by the eval / trained-AUC / calibration oracles, mirroring
+    * QualityRules.perceptronTestMargins. */
+  private lazy val PerceptronEvalCtes: String = {
+    val last = PerceptronLastW
+    s"""$PerceptronCtes,
+       |ge AS (SELECT doc_id, pos, list_concat(toks,
+       |    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]))
+       |      AS grams
+       |  FROM tok2 WHERE $SplitCase = 'test'),
+       |fe AS (SELECT doc_id,
+       |    CASE WHEN pos THEN 1 ELSE -1 END AS y,
+       |    ('0x' || substr(md5(gr), 1, 13))::BIGINT % 1024 AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, pos, unnest(grams) AS gr FROM ge) u
+       |  GROUP BY 1, 2, 3),
+       |se AS (SELECT fe.doc_id, fe.y,
+       |    CAST(sum(fe.cnt * coalesce($last.w, 0)) AS BIGINT) AS margin
+       |  FROM fe LEFT JOIN $last USING (bucket) GROUP BY 1, 2)""".stripMargin
+  }
+
   /** [[graft.operators.QualityRules.SpamPhrase]] as a SQL literal
     * (defined before [[PerceptronCtes]], which splices it). */
   private val SpamSql = graft.operators.QualityRules.SpamPhrase
@@ -2254,21 +2277,7 @@ object TrainingOracles {
     // BIGINT confusion matrix, 6-dp floor-trunc metrics with
     // zero-denominator NULL guards (the t_clf_pr discipline).
     "t_clf_eval" -> {
-      val last = PerceptronLastW
-      s"""$PerceptronCtes,
-         |ge AS (SELECT doc_id, pos, list_concat(toks,
-         |    list_transform(range(0, len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]))
-         |      AS grams
-         |  FROM tok2 WHERE $SplitCase = 'test'),
-         |fe AS (SELECT doc_id,
-         |    CASE WHEN pos THEN 1 ELSE -1 END AS y,
-         |    ('0x' || substr(md5(gr), 1, 13))::BIGINT % 1024 AS bucket,
-         |    CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT doc_id, pos, unnest(grams) AS gr FROM ge) u
-         |  GROUP BY 1, 2, 3),
-         |se AS (SELECT fe.doc_id, fe.y,
-         |    CAST(sum(fe.cnt * coalesce($last.w, 0)) AS BIGINT) AS margin
-         |  FROM fe LEFT JOIN $last USING (bucket) GROUP BY 1, 2),
+      s"""$PerceptronEvalCtes,
          |m AS (SELECT
          |    CAST(count(CASE WHEN margin > 0 AND y = 1 THEN 1 END) AS BIGINT) AS tp,
          |    CAST(count(CASE WHEN margin > 0 AND y = -1 THEN 1 END) AS BIGINT) AS fp,
@@ -2286,6 +2295,42 @@ object TrainingOracles {
          |    floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) * 1000000) / 1000000 END AS f1
          |FROM m""".stripMargin
     },
+
+    // r14 (third closing): exact Mann-Whitney AUC of the TRAINED
+    // model's held-out margins — the t_clf_auc rank arithmetic over the
+    // shared eval chain (64-wide bins, half-credit ties, 6-dp trunc)
+    "t_clf_train_auc" ->
+      s"""$PerceptronEvalCtes,
+         |hist AS (SELECT CAST(floor(margin / 64) AS BIGINT) AS bin,
+         |    CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS np,
+         |    CAST(count(CASE WHEN y = -1 THEN 1 END) AS BIGINT) AS nn
+         |  FROM se GROUP BY 1),
+         |cum AS (SELECT bin, np, nn,
+         |    CAST(coalesce(sum(nn) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+         |  FROM hist)
+         |SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+         |  CAST(sum(np * (2 * neg_below + nn)) AS BIGINT) AS u2,
+         |  CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN
+         |    floor(CAST(sum(np * (2 * neg_below + nn)) AS DOUBLE) /
+         |          (2 * sum(np) * sum(nn)) * 1000000) / 1000000 END AS auc
+         |FROM cum""".stripMargin,
+
+    // r14 (third closing): reliability diagram of the trained model —
+    // clamped FLOOR-division margin bins (explicit floor(): DuckDB's
+    // `//` truncates toward zero on negatives, Spark's idiv floors —
+    // the one integer-division dialect gap, stated here so it can't
+    // regress), per-bin positive rate in exact permille
+    "t_clf_calibration" ->
+      s"""$PerceptronEvalCtes
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS n_pos,
+         |  CAST((count(CASE WHEN y = 1 THEN 1 END) * 1000) // count(*) AS BIGINT)
+         |    AS pos_permille
+         |FROM (SELECT y,
+         |    greatest(least(CAST(floor(margin / 4096) AS BIGINT), 8), -8) AS bin
+         |  FROM se) b
+         |GROUP BY bin""".stripMargin,
 
     // r14 (second closing): exact-k-per-language uniform sample — the
     // oracle states the semantics as ONE naive window; the engine's

@@ -355,4 +355,29 @@ class QualitySpec extends AnyFunSuite {
     // the bound leaves room for corpus regeneration, not for collapse
     assert(acc > 0.8, s"trained model should recover the planted signal, got $acc")
   }
+
+  test("trained-model ranking + calibration: held-out AUC near-perfect on the " +
+    "planted signal; reliability bins monotone with complete coverage") {
+    import graft.operators.QualityRules
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val auc = QualityRules.perceptronAuc(docs, 230, 243, "split1", 3, 4).head()
+    assert(auc.getLong(0) > 0 && auc.getLong(1) > 0)
+    // measured 1.0 at sf0.001 and sf0.01 — the margins separate the
+    // planted classes completely; the bound allows regeneration noise
+    assert(auc.getDouble(3) > 0.8, s"trained AUC ${auc.getDouble(3)}")
+    val bins = QualityRules.perceptronCalibration(docs, 230, 243, "split1", 3, 4)
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("pos_permille")))
+      .sortBy(_._1)
+    // bins cover every scored doc exactly once
+    val nTest = QualityRules
+      .perceptronTestMargins(docs, 230, 243, "split1", 3, 4).count()
+    assert(bins.map(_._2).sum === nTest)
+    bins.foreach { case (_, n, np, pm) =>
+      assert(np <= n && pm === np * 1000 / n)
+    }
+    // directional calibration: the highest bin is purer than the lowest
+    assert(bins.last._4 > bins.head._4,
+      s"reliability not directional: ${bins.mkString(", ")}")
+  }
 }
