@@ -214,6 +214,8 @@ object Bench {
     "q_sql_q2" -> 1.6,
     "q_sql_recursive" -> 1.1, // r14: WITH RECURSIVE calendar spine (UnionLoop) + month agg; measured 0.67 s solo
     "q_sql_rollup" -> 0.8, // r14: ROLLUP subtotals via one Expand pass
+    "q_sql_cube" -> 1.0, // r14: CUBE grouping sets via one Expand pass; measured 0.64
+    "q_sql_filter" -> 0.9, // r14: aggregate FILTER clause, one map-side-combined pass; measured 0.47
     "q_sql_window" -> 0.9, // r14: shared-text rank/framed-sum/lag battery
     "q_sql_lateral" -> 1.6, // r14: decorrelated ORDER-LIMIT lateral; carries a redundant global sort vs q_topk_window (documented negative); measured 1.08 s solo
     "q_scd2" -> 1.3, // r14: SCD2 interval build (lag change points + lead intervals); measured 0.82 s solo

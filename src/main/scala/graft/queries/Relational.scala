@@ -987,6 +987,49 @@ object Relational {
     s.sql(SqlRollup)
   }
 
+  /** R14 (third closing): CUBE through the SQL front door — every
+    * grouping-set combination (both dims, each alone, grand total) with
+    * grouping() markers disambiguating real NULL groups from subtotal
+    * rows, one identical text on both engines. Like ROLLUP this is ONE
+    * Expand + hash-aggregate corpus pass (4 replicas per row), never a
+    * pass per grouping set. */
+  private[queries] val SqlCube =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS price_cents,
+      |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
+  val qSqlCube: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(SqlCube)
+  }
+
+  /** R14 (third closing): the aggregate FILTER clause through the SQL
+    * front door — per-group conditional aggregation written the
+    * standard way (count/sum FILTER (WHERE ...)), one identical text on
+    * both engines; the CASE-WHEN formulation every older query here
+    * uses is the workaround this clause replaces. Single corpus pass,
+    * map-side combined. */
+  private[queries] val SqlFilter =
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+      |  CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+      |    FILTER (WHERE l_discount > 0.05) AS BIGINT) AS discounted_cents,
+      |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+      |    AS BIGINT) AS n_return_supps
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin
+
+  val qSqlFilter: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(SqlFilter)
+  }
+
   /** R14: window functions through the SQL front door — rank, a framed
     * running sum (ROWS 2 PRECEDING), and lag over one per-customer
     * ordering, the identical text on both engines (the DataFrame window
@@ -1373,6 +1416,8 @@ object Relational {
     "q_sql_q20" -> qSqlQ20,
     "q_sql_recursive" -> qSqlRecursive,
     "q_sql_rollup" -> qSqlRollup,
+    "q_sql_cube" -> qSqlCube,
+    "q_sql_filter" -> qSqlFilter,
     "q_sql_window" -> qSqlWindow,
     "q_sql_lateral" -> qSqlLateral,
     "q_bloom_filter" -> qBloomFilter,

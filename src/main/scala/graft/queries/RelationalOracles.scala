@@ -540,6 +540,8 @@ object RelationalOracles {
     "q_sql_q20" -> graft.queries.Relational.SqlQ20,
     "q_sql_recursive" -> graft.queries.Relational.SqlRecursive,
     "q_sql_rollup" -> graft.queries.Relational.SqlRollup,
+    "q_sql_cube" -> graft.queries.Relational.SqlCube,
+    "q_sql_filter" -> graft.queries.Relational.SqlFilter,
     "q_sql_window" -> graft.queries.Relational.SqlWindow,
     "q_sql_lateral" -> graft.queries.Relational.SqlLateral,
 
