@@ -28,6 +28,7 @@ object Bench {
     // persist() formulation)
     "d_lsh_pairs" -> 0.9,
     "d_jaccard" -> 1.0,
+    "d_containment" -> 3.0, // r14: asymmetric containment over quote-dressed candidates; measured 2.29
     "d_cdc_chunks" -> 1.2,
     "s_brute_topk" -> 0.6,
     "s_bucket_topk" -> 0.4,

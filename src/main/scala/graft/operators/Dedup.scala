@@ -206,6 +206,52 @@ object Dedup {
             size(array_union(col("sha"), col("shb"))), 4).as("jaccard"))
   }
 
+  /** R14 (third closing): asymmetric shingle CONTAINMENT over the loose
+    * candidate pairs — the quote/partial-duplication detector symmetric
+    * Jaccard structurally misses (Broder 1997's second resemblance
+    * measure): a short doc fully quoted inside a long one scores
+    * jaccard ≈ |B|/|A| (small) but containment C(B→A) = |∩|/|B| ≈ 1.
+    * Both directions are reported; `quoted` = either containment ≥ 0.8
+    * while jaccard < 0.7 (a full quote of a similar-length doc sits
+    * near jaccard 0.5; a true near-dup near 1.0) — the partial-dup
+    * verdict a pipeline acts on
+    * differently from a full near-dup (strip the quote, keep both
+    * docs). Runs only on the banded candidates (same r=1 banding +
+    * occupancy cap as [[jaccardOnCandidates]]) — never all-pairs; note
+    * the documented recall bound: a quote pair surfaces only when some
+    * salt's corpus-wide minimum shingle lands inside the quoted span
+    * (≈ 1 − 2⁻⁴ here), the standard banded-containment trade.
+    *
+    * The synthetic corpus has no cross-doc quotes, so — the
+    * planted-spam precedent — both engines dress it identically first:
+    * every 17th doc appends its successor's full text (one equi
+    * self-join on doc_id+1 and a narrow projection; fixture, not
+    * semantics). */
+  def containmentOnCandidates(docs: DataFrame): DataFrame = {
+    val donors = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("q_text"))
+    val dressed = docs.join(donors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(17)) === 0 && col("q_text").isNotNull,
+            concat(lit(" "), col("q_text"))).otherwise(lit(""))).as("text"))
+    val sh = Spread(dressed)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(TextOps.shinglesOfTokens(col("toks"), 3)).as("shset"))
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val ca = TextOps.trunc(inter / size(col("sha")), 4)
+    val cb = TextOps.trunc(inter / size(col("shb")), 4)
+    val jac = TextOps.trunc(inter / size(array_union(col("sha"), col("shb"))), 4)
+    looseCandidatePairs(dressed)
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shset", "sha"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shset", "shb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        ca.as("contain_a"), cb.as("contain_b"), jac.as("jaccard"),
+        ((ca >= 0.8 || cb >= 0.8) && jac < 0.7).as("quoted"))
+  }
+
   /** Connected components over an undirected pair graph by iterative
     * min-label propagation: every vertex converges to the minimum doc_id
     * reachable from it — the cluster id. The canonical LSH-dedup

@@ -106,6 +106,9 @@ object Training {
   val dSubstrDedup: Q = (s, d) => Dedup.substrDedup(docs(s, d))
   val dSemdedup: Q = (s, d) => Dedup.semDedup(emb(s, d))
   val dChunkDups: Q = (s, d) => Dedup.sharedChunks(docs(s, d))
+  /** R14 (third closing): asymmetric containment — the quote detector
+    * symmetric Jaccard misses (quote-dressed corpus, both engines). */
+  val dContainment: Q = (s, d) => Dedup.containmentOnCandidates(docs(s, d))
 
   val sBruteTopk: Q = (s, d) => Similarity.bruteTopK(emb(s, d), 5)
   val sBucketTopk: Q = (s, d) => Similarity.bucketedTopK(emb(s, d), 3)
@@ -826,6 +829,7 @@ object Training {
     "d_substr_dedup" -> dSubstrDedup,
     "d_semdedup" -> dSemdedup,
     "d_chunk_dups" -> dChunkDups,
+    "d_containment" -> dContainment,
     "t_top_terms" -> tTopTerms,
     "t_bm25" -> tBm25,
     "t_sample" -> tSample,

@@ -906,6 +906,40 @@ object TrainingOracles {
          |        / (len(x.ss) + len(y.ss) - len(list_filter(x.ss, e -> list_contains(y.ss, e))) * 1.0) * 10000) / 10000 AS jaccard
          |FROM pairs JOIN shset x ON x.doc_id = doc_a JOIN shset y ON y.doc_id = doc_b""".stripMargin,
 
+    // r14 (third closing): asymmetric shingle containment over the
+    // loose (r=1) banded candidates of the quote-dressed corpus —
+    // Broder's second resemblance measure; `quoted` flags high
+    // containment with low jaccard (the partial-dup verdict)
+    "d_containment" -> {
+      s"""WITH dress AS (SELECT a.doc_id,
+         |    a.text || CASE WHEN a.doc_id % 17 = 0 AND b.text IS NOT NULL
+         |      THEN ' ' || b.text ELSE '' END AS text
+         |  FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |tok AS (SELECT doc_id, $Toks AS toks FROM dress),
+         |shi AS (SELECT doc_id, $Shingles AS sh FROM tok WHERE len(toks) >= 3),
+         |sig AS (SELECT doc_id, ${minhash(0)} AS sig0, ${minhash(1)} AS sig1,
+         |               ${minhash(2)} AS sig2, ${minhash(3)} AS sig3 FROM shi),
+         |bands0 AS (SELECT doc_id, unnest([sig0, sig1, sig2, sig3]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 64),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |shset AS (SELECT doc_id, list_distinct(sh) AS ss FROM shi),
+         |scored AS (SELECT doc_a, doc_b,
+         |    floor(CAST(len(list_filter(x.ss, e -> list_contains(y.ss, e))) AS DOUBLE)
+         |          / len(x.ss) * 10000) / 10000 AS contain_a,
+         |    floor(CAST(len(list_filter(x.ss, e -> list_contains(y.ss, e))) AS DOUBLE)
+         |          / len(y.ss) * 10000) / 10000 AS contain_b,
+         |    floor(CAST(len(list_filter(x.ss, e -> list_contains(y.ss, e))) AS DOUBLE)
+         |          / (len(x.ss) + len(y.ss) - len(list_filter(x.ss, e -> list_contains(y.ss, e))))
+         |          * 10000) / 10000 AS jaccard
+         |  FROM pairs JOIN shset x ON x.doc_id = doc_a JOIN shset y ON y.doc_id = doc_b)
+         |SELECT doc_a, doc_b, contain_a, contain_b, jaccard,
+         |  (contain_a >= 0.8 OR contain_b >= 0.8) AND jaccard < 0.7 AS quoted
+         |FROM scored""".stripMargin
+    },
+
     "d_simhash" ->
       s"""$TokCte
          |SELECT doc_id, $simhashSum AS simhash16 FROM tok""".stripMargin,

@@ -334,7 +334,10 @@ class PlanLintSpec extends AnyFunSuite {
       "t_lm_tiers" -> "tercile cuts run over the distinct quantized-score histogram",
       "t_ccnet_sample" -> "filters on top of t_lm_tiers' bounded-histogram window",
       "t_clf_auc" -> ("the cumulative-negatives window runs over the 64-wide " +
-        "quantized score-bin histogram (score range is weight-bounded), never docs"))
+        "quantized score-bin histogram (score range is weight-bounded), never docs"),
+      "t_clf_train_auc" -> ("same aucOf rank window as t_clf_auc, over the " +
+        "trained-margin bin histogram (bins ≤ distinct margins ≤ test-split " +
+        "docs; the window input is the post-aggregate bin relation)"))
     def planBounded(w: WindowExec): Boolean =
       PlanAudit.nodes(w.child).exists {
         case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |

@@ -753,4 +753,28 @@ class TextDedupSpec extends AnyFunSuite {
       assert(doc.sitemaps === wantMaps, s"site $site sitemaps")
     }
   }
+
+  test("containment: planted full quotes score contain=1.0 one-way with " +
+    "sub-near-dup jaccard; containment bounds jaccard everywhere") {
+    val r = Dedup.containmentOnCandidates(Tables.documents(spark, TestSpark.Sf))
+      .collect()
+    // the dressing quotes doc d+1 inside every doc d ≡ 0 (mod 17); the
+    // banding surfaces a pair whenever some salt's min shingle lands in
+    // the quoted span (≈ 15/16 per pair) — require at least one caught
+    val planted = r.filter(x => x.getAs[Long]("doc_a") % 17 == 0 &&
+      x.getAs[Long]("doc_b") == x.getAs[Long]("doc_a") + 1)
+    assert(planted.nonEmpty, "banding surfaced no planted quote pair")
+    planted.foreach { p =>
+      // every shingle of the quoted doc appears in the quoting doc
+      assert(p.getAs[Double]("contain_b") === 1.0, s"full quote: $p")
+      assert(p.getAs[Double]("jaccard") < 1.0, s"quote is not a full dup: $p")
+    }
+    assert(planted.exists(_.getAs[Boolean]("quoted")),
+      "at least one planted quote must trip the partial-dup verdict")
+    // structural: jaccard can never exceed either containment
+    r.foreach { p =>
+      val top = math.max(p.getAs[Double]("contain_a"), p.getAs[Double]("contain_b"))
+      assert(p.getAs[Double]("jaccard") <= top + 1e-9, s"$p")
+    }
+  }
 }
