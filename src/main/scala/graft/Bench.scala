@@ -102,6 +102,12 @@ object Bench {
     "s_mmr" -> 2.3,
     "t_bpe_merges" -> 1.9,
     "t_bpe_encode" -> 1.9,
+    "t_wordpiece" -> 2.2, // r14 4th closing: greedy longest-match serving; measured solo sf0.1 1.80 s
+    "t_token_budget" -> 2.1, // r14 4th closing: two-stage bounded prefix sums; measured solo sf0.1 1.68 s
+    "q_sql_pivot" -> 0.9, // r14 4th closing: shared-text SQL PIVOT; measured solo sf0.1 0.43 s
+    "s_kmeans" -> 2.2, // r14 4th closing: k-means report over the Lloyd assignment; measured solo sf0.1 1.78 s
+    "t_anneal_mix" -> 1.9, // r14 4th closing: annealed mixture schedule + realized admission; measured solo sf0.1 1.46 s
+    "q_sql_gsets" -> 1.0, // r14 4th closing: shared-text GROUPING SETS; measured solo sf0.1 0.51 s
     "t_lm_score" -> 2.0,
     "t_dsir" -> 2.5,
     "t_chunk" -> 1.0,

@@ -273,6 +273,42 @@ object Similarity {
   def ivfAppend(newVectors: DataFrame, cents: DataFrame): DataFrame =
     assignCells(prepared(newVectors), cents)
 
+  /** R14 (4th closing): the k-means CLUSTERING REPORT — per-cluster
+    * size and EXACT inertia over the Lloyd-refined assignment (the
+    * diagnostic a deployment reads before trusting an IVF layout or a
+    * SemDeDup prune: empty/fat cells and inertia say whether k and the
+    * iteration count were enough).
+    *
+    * Inertia is exact by the computational identity
+    * `Σ‖q − s/m‖² = Σ‖q‖² − ‖s‖²/m` (s = component-wise integer sum,
+    * m = cluster size): every term is an exact BIGINT of the quantized
+    * coordinates, so no order-dependent double sum ever forms — a
+    * per-member double accumulation would hash-diverge across engines
+    * under Spark's partition-order nondeterminism (the sumMoney rule).
+    * Reported as `inertia_milli` (×1000, floor-div by m; numerator
+    * bound: m·Σn2·1000 — BIGINT-safe through ~10⁹ vectors/cluster at
+    * this quantization). ONE corpus pass after assignment: component
+    * sums, sizes, and Σn2 all come off the same posexplode aggregate
+    * (m and Σn2 replicate across the 64 dims; max() collapses them). */
+  def kmeansStats(embeddings: DataFrame, lloydIters: Int = 1,
+      trainSampleMod: Int = 1): DataFrame = {
+    val (cells, _) = ivfIndex(embeddings, lloydIters, trainSampleMod)
+    cells
+      // n2 rides as a double through the cosine paths but holds an exact
+      // integer (‖q‖² of the quantized coords) — pin it back to BIGINT
+      .select(col("cell"), col("n2").cast("long").as("n2"),
+        posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      // the quantized coords are exact integers carried as doubles too
+      .agg(sum(col("x").cast("long")).as("sv"), count(lit(1)).as("m_i"),
+        sum("n2").as("sn2_i"))
+      .groupBy("cell")
+      .agg(max("m_i").as("n_vectors"), max("sn2_i").as("sum_n2"),
+        sum(col("sv") * col("sv")).as("ss"))
+      .select(col("cell"), col("n_vectors"), col("sum_n2"), col("ss"),
+        expr("(n_vectors * sum_n2 - ss) * 1000 div n_vectors").as("inertia_milli"))
+  }
+
   /** Top-k probe over a built (possibly persisted-and-reloaded) index:
     * queries meet candidates only inside their `nprobe` nearest cells. */
   def ivfProbe(cells: DataFrame, cents: DataFrame, queries: DataFrame,

@@ -1030,6 +1030,56 @@ object Relational {
     s.sql(SqlFilter)
   }
 
+  /** R14 (4th closing): PIVOT through the SQL front door — the
+    * SQL-standard relation-pivot clause with MULTIPLE aggregates and
+    * aliased IN values, one identical text on both engines (the
+    * DataFrame-API q_pivot has per-engine texts; this is the shared-text
+    * parity statement, and it pins the `<valueAlias>_<aggAlias>` output
+    * naming both engines derive). Exact cents; the outer CAST normalizes
+    * DuckDB's HUGEINT sum. One Expand-free hash-aggregate corpus pass —
+    * pivot is groupBy(l_returnflag) with conditional aggregates, never a
+    * pass per pivot value. */
+  private[queries] val SqlPivot =
+    """SELECT l_returnflag,
+      |  CAST(o_cents AS BIGINT) AS o_cents,
+      |  CAST(f_cents AS BIGINT) AS f_cents,
+      |  CAST(o_nr AS BIGINT) AS o_nr,
+      |  CAST(f_nr AS BIGINT) AS f_nr
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS price_cents
+      |  FROM lineitem)
+      |PIVOT (sum(price_cents) AS cents, count(*) AS nr
+      |       FOR l_linestatus IN ('O' AS o, 'F' AS f))""".stripMargin
+
+  val qSqlPivot: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(SqlPivot)
+  }
+
+  /** R14 (4th closing): explicit GROUPING SETS through the SQL front
+    * door — the general form ROLLUP/CUBE are sugar for, stated with an
+    * ASYMMETRIC set list neither can express: ((a,b),(b),()) skips the
+    * (a) level a ROLLUP would produce and the standalone (a) slice a
+    * CUBE would add. grouping() markers tell the set-NULLs apart from
+    * real NULLs; one Expand + hash-aggregate corpus pass (3 row
+    * replicas), the q_sql_rollup/q_sql_cube discipline. Identical text
+    * on both engines. */
+  private[queries] val SqlGsets =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderpriority), ())""".stripMargin
+
+  val qSqlGsets: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(SqlGsets)
+  }
+
   /** R14: window functions through the SQL front door — rank, a framed
     * running sum (ROWS 2 PRECEDING), and lag over one per-customer
     * ordering, the identical text on both engines (the DataFrame window
@@ -1418,6 +1468,8 @@ object Relational {
     "q_sql_rollup" -> qSqlRollup,
     "q_sql_cube" -> qSqlCube,
     "q_sql_filter" -> qSqlFilter,
+    "q_sql_pivot" -> qSqlPivot,
+    "q_sql_gsets" -> qSqlGsets,
     "q_sql_window" -> qSqlWindow,
     "q_sql_lateral" -> qSqlLateral,
     "q_bloom_filter" -> qBloomFilter,

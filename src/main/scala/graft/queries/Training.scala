@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Html, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UrlOps, Warc}
+import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Html, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UrlOps, Warc, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -133,6 +133,11 @@ object Training {
     * query's cost: training drops from 2 full-corpus aggregation passes
     * to 2 ~14% passes, serving still assigns and probes everything. */
   val sIvfTopk: Q = (s, d) => Similarity.ivfTopK(emb(s, d), 3, trainSampleMod = 7)
+
+  /** R14 (4th closing): per-cluster k-means report — sizes + exact
+    * integer inertia over the same Lloyd assignment s_ivf_topk serves
+    * from ([[Similarity.kmeansStats]]). */
+  val sKmeans: Q = (s, d) => Similarity.kmeansStats(emb(s, d), 1, 7)
   /** R11: recall@3 of the IVF serve vs exact ground truth, per query. */
   val sRecall: Q = (s, d) => Similarity.annRecall(emb(s, d), 3)
   val sIvfAppend: Q = (s, d) => Similarity.ivfAppendTopK(emb(s, d), 3, trainSampleMod = 7)
@@ -266,6 +271,34 @@ object Training {
 
   /** Tokenizer serving: per-doc subword counts under the learned merges. */
   val tBpeEncode: Q = (s, d) => Bpe.encode(docs(s, d), 3)
+
+  /** R14 (4th closing): WordPiece greedy longest-prefix-match serving —
+    * the BERT tokenizer's inference rule, the other canonical serving
+    * algorithm next to BPE merge replay. Position-classed vocabulary
+    * (start vs `##`-continuation), letter-only pieces under an exact
+    * corpus-relative frequency floor, all-or-nothing `[UNK]` per word.
+    * The corpus is dressed deterministically so the UNK branch is
+    * structural at every SF: every 37th doc gains the digit word `1996`
+    * (no match at position 0) and every 41st the mixed word `x86` (the
+    * walk may match `x`, then stalls at the digit — the real mid-word
+    * failure). */
+  /** R14 (4th closing): greedy token-budget selection — keep the
+    * best-quality docs (exact stop-hit-permille key, hash-salted
+    * tie-break) until 40% of corpus tokens are spent
+    * ([[Sampling.tokenBudget]]'s two-stage bounded prefix sums). */
+  val tTokenBudget: Q = (s, d) => Sampling.tokenBudget(docs(s, d), 2, 5, "tb1")
+
+  /** R14 (4th closing): quality-annealed two-phase mixture schedule —
+    * per-source shares interpolate from the natural to the
+    * quality-weighted mix across 4 epochs, with realized hash-rule
+    * admission per epoch ([[Sampling.annealMix]]). */
+  val tAnnealMix: Q = (s, d) => Sampling.annealMix(docs(s, d), 4, "anneal1")
+
+  val tWordpiece: Q = (s, d) =>
+    WordPiece.encode(docs(s, d).select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(37)) === 0, lit(" 1996")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(41)) === 0, lit(" x86")).otherwise(lit("")))
+      .as("text")))
 
   /** CCNet-style bigram-LM surprisal scoring (exact-integer log2 proxy). */
   val tLmScore: Q = (s, d) => NgramLm.surprisal(docs(s, d))
@@ -841,6 +874,9 @@ object Training {
     "t_epoch_shuffle" -> tEpochShuffle,
     "t_bpe_merges" -> tBpeMerges,
     "t_bpe_encode" -> tBpeEncode,
+    "t_wordpiece" -> tWordpiece,
+    "t_token_budget" -> tTokenBudget,
+    "t_anneal_mix" -> tAnnealMix,
     "t_lm_score" -> tLmScore,
     "t_dsir" -> tDsir,
     "t_chunk" -> tChunk,
@@ -886,6 +922,7 @@ object Training {
     "s_near_dups" -> sNearDups,
     "s_sim_pairs" -> sSimPairs,
     "s_ivf_topk" -> sIvfTopk,
+    "s_kmeans" -> sKmeans,
     "s_recall" -> sRecall,
     "s_filter_topk" -> sFilterTopk,
     "s_hard_negatives" -> sHardNegatives,

@@ -1271,6 +1271,20 @@ object TrainingOracles {
     // engines, so even the fractional post-Lloyd centroids are bit-equal.
     "s_ivf_topk" -> ivfTopKSql("vec_id % 7 = 0"),
 
+    // k-means report mirror: same Lloyd cells CTE; exact inertia via
+    // Σ‖q‖² − ‖s‖²/m (all BIGINT — no order-dependent double sum).
+    // m and Σn2 replicate across dims in g; max() collapses them.
+    "s_kmeans" ->
+      s"""${ivfCellsCte("vec_id % 7 = 0")},
+         |g AS (SELECT cell, d.i AS i, CAST(sum(qv[d.i]) AS BIGINT) AS sv,
+         |             CAST(count(*) AS BIGINT) AS m_i, CAST(sum(n2) AS BIGINT) AS sn2_i
+         |      FROM cells, (SELECT unnest(range(1, 65)) AS i) d GROUP BY 1, 2)
+         |SELECT cell, max(m_i) AS n_vectors, max(sn2_i) AS sum_n2,
+         |       CAST(sum(sv * sv) AS BIGINT) AS ss,
+         |       ((max(m_i) * max(sn2_i) - CAST(sum(sv * sv) AS BIGINT)) * 1000) // max(m_i)
+         |         AS inertia_milli
+         |FROM g GROUP BY 1""".stripMargin,
+
     // r11 ANN evaluation: recall@3 of the IVF serve against the exact
     // brute ground truth. Both arms are the EXISTING oracle chains
     // nested as CTE subqueries (local WITH scopes), joined on
@@ -1594,6 +1608,105 @@ object TrainingOracles {
          |       CAST(sum(len(w3.syms)) AS BIGINT) AS n_subwords
          |FROM (SELECT doc_id, unnest(toks) AS word FROM tok) t
          |JOIN w3 ON t.word = w3.word GROUP BY 1""".stripMargin,
+
+    // WordPiece greedy longest-prefix-match mirror (WordPiece.encode):
+    // same dressed corpus, same (cont, piece) letter-only vocabulary
+    // under the exact max(3, ntok//2000) floor, and the same greedy walk
+    // — here as a recursive CTE over the per-(word, start) LONGEST match
+    // (Spark's sorted-list fold picks the same piece at every position).
+    // A word whose walk stalls before its end (digit words, words past
+    // the 32-char cap) is [UNK]: exactly 1 piece.
+    "t_wordpiece" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, $Toks AS toks FROM (
+         |    SELECT doc_id,
+         |           text || CASE WHEN doc_id % 37 = 0 THEN ' 1996' ELSE '' END
+         |                || CASE WHEN doc_id % 41 = 0 THEN ' x86' ELSE '' END AS text
+         |    FROM documents)),
+         |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+         |       FROM (SELECT unnest(toks) AS word FROM tok) GROUP BY 1),
+         |cand AS (SELECT word, n, c.s AS s, c.l AS l, c.piece AS piece, c.s > 0 AS cont
+         |         FROM (SELECT word, n, unnest(flatten(list_transform(range(0, len(word)),
+         |                  s -> list_transform(range(1, least(4, len(word) - s) + 1),
+         |                       l -> {'s': s, 'l': l, 'piece': substr(word, s + 1, l)})))) AS c
+         |               FROM wc WHERE len(word) <= 32)),
+         |flo AS (SELECT greatest(3, CAST(sum(n) AS BIGINT) // 2000) AS min_cnt FROM wc),
+         |voc AS (SELECT cont, piece FROM (
+         |          SELECT cont, piece, CAST(sum(n) AS BIGINT) AS cnt FROM cand
+         |          WHERE regexp_matches(piece, '^[a-z]+$$') GROUP BY 1, 2), flo
+         |        WHERE cnt >= min_cnt),
+         |best AS (SELECT c.word, c.s, max(c.l) AS l
+         |         FROM cand c JOIN voc v ON v.cont = c.cont AND v.piece = c.piece
+         |         GROUP BY 1, 2),
+         |walk AS (SELECT word, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS c FROM wc
+         |         UNION ALL
+         |         SELECT w.word, w.p + b.l, w.c + 1
+         |         FROM walk w JOIN best b ON b.word = w.word AND b.s = w.p),
+         |fin AS (SELECT word, max(p) AS p, max(c) AS c FROM walk GROUP BY 1),
+         |seg AS (SELECT wc.word,
+         |               CASE WHEN f.p = len(wc.word) THEN f.c ELSE CAST(1 AS BIGINT) END AS w_pieces,
+         |               f.p <> len(wc.word) AS w_unk
+         |        FROM wc JOIN fin f ON f.word = wc.word)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(s.w_pieces) AS BIGINT) AS n_pieces,
+         |       CAST(sum(CASE WHEN s.w_unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         |FROM (SELECT doc_id, unnest(toks) AS word FROM tok) d
+         |JOIN seg s ON s.word = d.word
+         |GROUP BY 1""".stripMargin,
+
+    // token-budget selection mirror: the engine's two-stage bounded
+    // prefix sums are SEMANTICALLY one global cumulative sum in the
+    // total order (q DESC, salt bucket, doc_id) — the oracle states that
+    // single window; cum itself is compared, not just the verdict
+    "t_token_budget" ->
+      s"""$TokCte,
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |                (CAST(len(list_filter(toks, t -> t IN ${stopIn("en")})) AS BIGINT) * 1000)
+         |                  // CAST(len(toks) AS BIGINT) AS q,
+         |                substr(md5('tb1:' || doc_id), 1, 1) AS sb
+         |         FROM tok WHERE len(toks) >= 1),
+         |bud AS (SELECT (CAST(sum(n_tokens) AS BIGINT) * 2) // 5 AS budget FROM base),
+         |sel AS (SELECT doc_id, n_tokens, q,
+         |               sum(n_tokens) OVER (ORDER BY q DESC, sb ASC, doc_id ASC
+         |                                   ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM base)
+         |SELECT s.doc_id, s.n_tokens, s.q, CAST(s.cum AS BIGINT) AS cum,
+         |       s.cum <= b.budget AS kept
+         |FROM sel s, bud b""".stripMargin,
+
+    // annealed-mixture mirror: same permille interpolation (shares
+    // bounded in permille BY DESIGN so no cross-multiplied product can
+    // overflow), same per-epoch salted hash admission as t_lang_balance
+    "t_anneal_mix" ->
+      s"""WITH tok AS (SELECT doc_id, source, $Toks AS toks FROM documents),
+         |base AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |                (CAST(len(list_filter(toks, t -> t IN ${stopIn("en")})) AS BIGINT) * 1000)
+         |                  // CAST(len(toks) AS BIGINT) AS q
+         |         FROM tok WHERE len(toks) >= 1),
+         |src AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t_s,
+         |               CAST(sum(q * n_tokens) AS BIGINT) AS qt_s
+         |        FROM base GROUP BY 1),
+         |tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS tt,
+         |               CAST(sum(qt_s) AS BIGINT) AS qtt FROM src),
+         |sh AS (SELECT source, t_s, tt, t_s * 1000 // tt AS nat_pm,
+         |              qt_s * 1000 // qtt AS qual_pm
+         |       FROM src, tot),
+         |ep AS (SELECT unnest(range(0, 4)) AS epoch),
+         |rate AS (SELECT epoch, source, nat_pm, qual_pm,
+         |                (nat_pm * (3 - epoch) + qual_pm * epoch) // 3 AS mix_pm,
+         |                least(1000, ((nat_pm * (3 - epoch) + qual_pm * epoch) // 3)
+         |                            * (tt // 2) // t_s) AS rate_pm
+         |         FROM sh, ep)
+         |SELECT r.epoch, b.source,
+         |  CAST(max(r.nat_pm) AS BIGINT) AS nat_permille,
+         |  CAST(max(r.qual_pm) AS BIGINT) AS qual_permille,
+         |  CAST(max(r.mix_pm) AS BIGINT) AS mix_permille,
+         |  CAST(max(r.rate_pm) AS BIGINT) AS rate_permille,
+         |  CAST(sum(CASE WHEN ('0x' || substr(md5('anneal1:' || r.epoch || ':' || b.doc_id), 1, 8))::BIGINT
+         |                     * 1000 < r.rate_pm * 4294967296 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN ('0x' || substr(md5('anneal1:' || r.epoch || ':' || b.doc_id), 1, 8))::BIGINT
+         |                     * 1000 < r.rate_pm * 4294967296 THEN b.n_tokens ELSE 0 END) AS BIGINT) AS tok_kept
+         |FROM base b JOIN rate r ON r.source = b.source
+         |GROUP BY 1, 2""".stripMargin,
 
     // bigram-LM surprisal mirror: context counts derived from the bigram
     // table, exact-integer floor-log2 via len(bin(n))-1 in both engines

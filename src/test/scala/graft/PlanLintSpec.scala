@@ -56,11 +56,23 @@ class PlanLintSpec extends AnyFunSuite {
       // SemDeDup assigns cells via the same 10-row centroid broadcast as
       // s_ivf_topk before its equi self-join on the cell key
       "d_semdedup",
+      // r14 k-means report: the same centroid-row broadcast assignment
+      // as s_ivf_topk, then pure exact-integer aggregation
+      "s_kmeans",
       // MMR re-ranks bruteTopK's output — the broadcast-query NLJ is
       // the candidate generator, not the rerank (which is all equi)
       "s_mmr",
       // each BPE step broadcasts its 1-row top pair into the next fold
       "t_bpe_merges", "t_bpe_encode",
+      // r14 WordPiece: the 1-row vocabulary frequency floor rides as a
+      // broadcast into the (cont, piece) count filter — the t_mix shape
+      "t_wordpiece",
+      // r14 token budget: the 1-row budget aggregate rides as a
+      // broadcast into the keep verdict — the t_lang_balance shape
+      "t_token_budget",
+      // r14 anneal: the 1-row totals and the 4-row epoch spine ride as
+      // broadcasts into the epochs×sources schedule
+      "t_anneal_mix",
       // refine reuses s_pq_topk's coarse stage (1-row codebook broadcast)
       "s_refine",
       // tercile cuts ride a 1-row broadcast bounds table (and the r11
@@ -337,7 +349,10 @@ class PlanLintSpec extends AnyFunSuite {
         "quantized score-bin histogram (score range is weight-bounded), never docs"),
       "t_clf_train_auc" -> ("same aucOf rank window as t_clf_auc, over the " +
         "trained-margin bin histogram (bins ≤ distinct margins ≤ test-split " +
-        "docs; the window input is the post-aggregate bin relation)"))
+        "docs; the window input is the post-aggregate bin relation)"),
+      "t_token_budget" -> ("the running prefix runs over the (q, salt " +
+        "bucket) aggregate relation — ≤ 1001 permille levels × 16 buckets " +
+        "rows; the per-doc window is partitioned on (q, sb)"))
     def planBounded(w: WindowExec): Boolean =
       PlanAudit.nodes(w.child).exists {
         case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |

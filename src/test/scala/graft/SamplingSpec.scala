@@ -184,4 +184,71 @@ class SamplingSpec extends AnyFunSuite {
     assert(leak.getAs[Long]("n_pairs") > 0L)
     assert(leak.getAs[Long]("naive_leaks") >= 0L)
   }
+
+  test("token budget: two-stage prefix sums equal a sequential greedy replay; " +
+    "boundary doc is the last kept; budget is exact") {
+    val out = Sampling.tokenBudget(docs, 2, 5, "tb1").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("q"),
+          r.getAs[Long]("cum"), r.getAs[Boolean]("kept")))).toMap
+    // sequential first-principles replay on the driver
+    val en = graft.operators.TextOps.Stop("en").toSet
+    def md5hex1(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString.take(1)
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+          .split(" +").filter(_.nonEmpty)
+        if (toks.isEmpty) None
+        else Some((id, toks.length.toLong,
+          toks.count(en) * 1000L / toks.length,
+          md5hex1(s"tb1:$id")))
+      }
+    val total = rows.map(_._2).sum
+    val budget = total * 2 / 5
+    var cum = 0L
+    val expect = rows.sortBy { case (id, _, q, sb) => (-q, sb, id) }.map {
+      case (id, n, q, _) => cum += n; (id, (n, q, cum, cum <= budget))
+    }.toMap
+    assert(out === expect)
+    // the greedy boundary is real: some doc is kept and its successor
+    // in selection order is not (the budget binds strictly inside)
+    val kept = out.values.count(_._4)
+    assert(kept > 0 && kept < out.size, s"budget must bind: kept $kept of ${out.size}")
+    val keptTok = out.values.filter(_._4).map(_._1).sum
+    val minUnkeptCum = out.values.filter(!_._4).map(_._3).min
+    assert(keptTok <= budget, "kept tokens never exceed the budget")
+    assert(minUnkeptCum > budget,
+      "the first dropped doc in selection order is exactly the one that would overflow")
+  }
+
+  test("anneal mix: endpoints are the natural and quality mixes; the schedule " +
+    "moves monotonically; admission tracks the rate") {
+    val out = Sampling.annealMix(docs, 4, "anneal1").collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("nat_permille"), r.getAs[Long]("qual_permille"),
+          r.getAs[Long]("mix_permille"), r.getAs[Long]("rate_permille"),
+          r.getAs[Long]("n_kept")))).toMap
+    val sources = out.keys.map(_._2).toSet
+    assert(out.size === 4 * sources.size)
+    for (src <- sources) {
+      val byEp = (0L to 3L).map(e => out((e, src)))
+      val (nat, qual) = (byEp.head._1, byEp.head._2)
+      // linear interpolation endpoints land exactly on the two mixes
+      assert(byEp.head._3 === nat, s"$src epoch 0 must be the natural mix")
+      assert(byEp.last._3 === qual, s"$src epoch 3 must be the quality mix")
+      // monotone in between, in the direction of the quality mix
+      val mixes = byEp.map(_._3)
+      if (qual >= nat) assert(mixes === mixes.sorted, s"$src anneal not monotone")
+      else assert(mixes === mixes.sorted.reverse, s"$src anneal not monotone")
+    }
+    // admission realizes the schedule within binomial noise (per group)
+    val counts = docs.where(length(col("text")) > 0).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    for (((_, src), (_, _, _, rate, kept)) <- out; n = counts(src)) {
+      val want = n * rate / 1000
+      assert(math.abs(kept - want) <= math.max(10L, want / 3),
+        s"$src rate $rate: kept $kept vs ~$want of $n")
+    }
+  }
 }

@@ -603,4 +603,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r0.forall { r =>
       val m = r.getAs[Long]("recall_milli"); m >= 0L && m <= 1000L })
   }
+
+  test("k-means report: sizes conserve the corpus; inertia exact-nonnegative; " +
+    "a full-corpus Lloyd step never increases total inertia") {
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val s1 = Similarity.kmeansStats(emb, 1, 7).collect()
+    assert(s1.map(_.getAs[Long]("n_vectors")).sum === emb.count())
+    s1.foreach { r =>
+      // Cauchy-Schwarz: m·Σ‖q‖² ≥ ‖Σq‖², so the exact numerator is ≥ 0
+      assert(r.getAs[Long]("n_vectors") * r.getAs[Long]("sum_n2")
+        >= r.getAs[Long]("ss"))
+      assert(r.getAs[Long]("inertia_milli") >= 0L)
+    }
+    // Lloyd monotonicity needs train == measure corpus (sampleMod 1);
+    // milli floor-rounding allows ±1 per cluster
+    def total(iters: Int) = Similarity.kmeansStats(emb, iters, 1)
+      .collect().map(_.getAs[Long]("inertia_milli")).sum
+    val (i0, i1) = (total(0), total(1))
+    assert(i1 <= i0 + s1.length,
+      s"a full-corpus Lloyd step must not increase inertia: $i0 -> $i1")
+  }
 }

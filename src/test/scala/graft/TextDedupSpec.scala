@@ -510,6 +510,41 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("WordPiece: hand-computed vocab floor, greedy longest match, UNK branches") {
+    // words: abab×3, ab×2, aab, zq, a7b, ba, a*33. ntok=10 → floor 3.
+    // start vocab (count ≥ 3): a(7), ab(5), aba(3), abab(3).
+    // cont vocab: ##b(10), ##a(5), ##ba(3), ##bab(3), ##ab(4).
+    // abab → [abab] (longest-at-0 wins). ab → [ab].
+    // aab → [a, ##ab] (no start "aa"/"aab": greedy falls back to "a",
+    //   then the CONTINUATION class serves "##ab").
+    // zq → UNK (z below floor at start).
+    // a7b → UNK ("a" matches, then stalls at the digit — letters-only
+    //   vocab policy — and the whole word is one [UNK], mid-walk).
+    // ba → UNK: "ba" is vocab ONLY as ##ba; position classes are real,
+    //   so it cannot match at start and "b"(1) is below floor.
+    // a*33 → UNK without segmentation (max_input_chars_per_word guard).
+    val out = graft.operators.WordPiece.encode(docsOf(
+      (1L, "abab abab abab ab ab aab"),
+      (2L, "zq a7b ba " + "a" * 33)))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 6L, 7L, 0L), (2L, 4L, 4L, 4L)))
+  }
+
+  test("WordPiece vs BPE serving: membership-greedy, not merge-order replay") {
+    // Same corpus as the BPE tests ("aaab"×2, "ab"): ntok=3 → floor 3.
+    // start vocab: only "a" (2×aaab + 1×ab = 3; "aa"/"aaa"/"aaab" = 2 ✗,
+    // start-"ab" = 1 ✗). cont vocab: ##a (aaab s1+s2 = 4), ##b (aaab s3
+    // + ab s1 = 3); ##aa/##aab/##ab all 2 ✗.
+    // aaab → [a, ##a, ##a, ##b]: 4 pieces where 3-step BPE reached
+    //   [aaab] = 1 — greedy membership under the floor is a genuinely
+    //   different serving rule from merge replay on the same corpus.
+    // ab → [a, ##b] = 2 pieces (BPE: 1).
+    val out = graft.operators.WordPiece.encode(
+      docsOf((1L, "aaab aaab"), (2L, "ab")))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 2L, 8L, 0L), (2L, 1L, 2L, 0L)))
+  }
+
   test("chunk windows: stride starts, clamped tails, content fingerprints") {
     import graft.operators.SeqPack
     def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
