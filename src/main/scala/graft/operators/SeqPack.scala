@@ -70,4 +70,51 @@ object SeqPack {
       .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
         size(col("ct")).cast("long").as("n_chunk_toks"),
         md5(concat_ws(" ", col("ct"))).as("fp"))
+
+  /** R14 (4th closing): fill-in-the-middle transformation (Bavarian et
+    * al. 2022, arXiv:2207.14255 — the FIM data prep every code model
+    * runs): for a deterministic ~50% of docs, two uniform token cuts
+    * split the doc into prefix/middle/suffix and the training text is
+    * re-serialized in PSM order `<PRE> prefix <SUF> suffix <MID>
+    * middle`, teaching the model to infill; the rest stay autoregressive.
+    * All decisions are pure functions of doc_id (the sampling-salt
+    * discipline): apply iff the first md5 hex nibble < '8', cuts are two
+    * independent 32-bit hash draws mod (n+1) with lo/hi = min/max — so
+    * the transform is reproducible across runs, engines, and cluster
+    * layouts, and the oracle replays it bit-for-bit. Output carries the
+    * exact split accounting plus the md5 fingerprint of the re-serialized
+    * token stream (sentinel-delimited for PSM; the raw stream for AR
+    * docs). One narrow scan, zero shuffles, zero UDFs — slices and
+    * hashes are all codegen'd expressions. */
+  def fimTransform(docs: DataFrame, salt: String = "fim1"): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    def h(tag: String) =
+      conv(substring(md5(concat(lit(s"$salt$tag:"), col("doc_id"))), 1, 8), 16, 10)
+        .cast("long")
+    Spread(docs)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n_tokens"),
+        (substring(md5(concat(lit(s"$salt:"), col("doc_id"))), 1, 1) < "8").as("applied"),
+        least(pmod(h("c1"), size(col("toks")) + 1),
+          pmod(h("c2"), size(col("toks")) + 1)).cast("long").as("cut_lo"),
+        greatest(pmod(h("c1"), size(col("toks")) + 1),
+          pmod(h("c2"), size(col("toks")) + 1)).cast("long").as("cut_hi"))
+      .select(col("doc_id"), col("n_tokens"), col("applied"),
+        when(col("applied"), col("cut_lo")).as("cut_lo"),
+        when(col("applied"), col("cut_hi")).as("cut_hi"),
+        when(col("applied"), col("cut_lo")).as("n_prefix"),
+        when(col("applied"), col("cut_hi") - col("cut_lo")).as("n_middle"),
+        when(col("applied"), col("n_tokens") - col("cut_hi")).as("n_suffix"),
+        when(col("applied"), md5(concat_ws(" ",
+          concat(array(lit("<PRE>")),
+            slice(col("toks"), lit(1), col("cut_lo").cast("int")),
+            array(lit("<SUF>")),
+            slice(col("toks"), (col("cut_hi") + 1).cast("int"),
+              (col("n_tokens") - col("cut_hi")).cast("int")),
+            array(lit("<MID>")),
+            slice(col("toks"), (col("cut_lo") + 1).cast("int"),
+              (col("cut_hi") - col("cut_lo")).cast("int"))))))
+          .otherwise(md5(concat_ws(" ", col("toks")))).as("fp"))
+  }
 }

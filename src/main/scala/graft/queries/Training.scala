@@ -288,6 +288,12 @@ object Training {
     * ([[Sampling.tokenBudget]]'s two-stage bounded prefix sums). */
   val tTokenBudget: Q = (s, d) => Sampling.tokenBudget(docs(s, d), 2, 5, "tb1")
 
+  /** R14 (4th closing): fill-in-the-middle data prep — deterministic 50%
+    * of docs re-serialized in PSM sentinel order with two uniform hash
+    * cuts ([[SeqPack.fimTransform]]); exact split accounting + the
+    * re-serialized stream's md5. */
+  val tFim: Q = (s, d) => SeqPack.fimTransform(docs(s, d))
+
   /** R14 (4th closing): quality-annealed two-phase mixture schedule —
     * per-source shares interpolate from the natural to the
     * quality-weighted mix across 4 epochs, with realized hash-rule
@@ -877,6 +883,7 @@ object Training {
     "t_wordpiece" -> tWordpiece,
     "t_token_budget" -> tTokenBudget,
     "t_anneal_mix" -> tAnnealMix,
+    "t_fim" -> tFim,
     "t_lm_score" -> tLmScore,
     "t_dsir" -> tDsir,
     "t_chunk" -> tChunk,

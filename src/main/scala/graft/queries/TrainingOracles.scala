@@ -1673,6 +1673,33 @@ object TrainingOracles {
          |       s.cum <= b.budget AS kept
          |FROM sel s, bud b""".stripMargin,
 
+    // FIM mirror: identical hash gates/cuts, identical PSM sentinel
+    // re-serialization via DuckDB list slices (1-based inclusive ends —
+    // toks[1:lo] / toks[hi+1:n] / toks[lo+1:hi] land exactly on Spark's
+    // slice(start, length) windows)
+    "t_fim" ->
+      s"""$TokCte,
+         |base AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         |                substr(md5('fim1:' || doc_id), 1, 1) < '8' AS applied,
+         |                ('0x' || substr(md5('fim1c1:' || doc_id), 1, 8))::BIGINT
+         |                  % (len(toks) + 1) AS h1,
+         |                ('0x' || substr(md5('fim1c2:' || doc_id), 1, 8))::BIGINT
+         |                  % (len(toks) + 1) AS h2
+         |         FROM tok WHERE len(toks) >= 1),
+         |c AS (SELECT doc_id, toks, n, applied,
+         |             least(h1, h2) AS lo, greatest(h1, h2) AS hi FROM base)
+         |SELECT doc_id, n AS n_tokens, applied,
+         |  CASE WHEN applied THEN lo END AS cut_lo,
+         |  CASE WHEN applied THEN hi END AS cut_hi,
+         |  CASE WHEN applied THEN lo END AS n_prefix,
+         |  CASE WHEN applied THEN hi - lo END AS n_middle,
+         |  CASE WHEN applied THEN n - hi END AS n_suffix,
+         |  CASE WHEN applied THEN md5(array_to_string(
+         |         ['<PRE>'] || toks[1:lo] || ['<SUF>'] || toks[hi+1:n]
+         |           || ['<MID>'] || toks[lo+1:hi], ' '))
+         |       ELSE md5(array_to_string(toks, ' ')) END AS fp
+         |FROM c""".stripMargin,
+
     // annealed-mixture mirror: same permille interpolation (shares
     // bounded in permille BY DESIGN so no cross-multiplied product can
     // overflow), same per-epoch salted hash admission as t_lang_balance

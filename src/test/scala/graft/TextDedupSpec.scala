@@ -545,6 +545,44 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 8L, 0L), (2L, 1L, 2L, 0L)))
   }
 
+  test("FIM transform: hash gates and cuts replay from first principles; " +
+    "PSM re-serialization is exact; both branches exercised") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = (0 until 10).map(i => s"w$i")
+    val ids = (1L to 20L)
+    val out = graft.operators.SeqPack.fimTransform(
+      docsOf(ids.map(id => (id, toks.mkString(" "))): _*), "fimspec")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.size === 20)
+    var (nApplied, nAr) = (0, 0)
+    for (id <- ids) {
+      val applied = md5hex(s"fimspec:$id").take(1) < "8"
+      val n = toks.length
+      val h1 = java.lang.Long.parseLong(md5hex(s"fimspecc1:$id").take(8), 16) % (n + 1)
+      val h2 = java.lang.Long.parseLong(md5hex(s"fimspecc2:$id").take(8), 16) % (n + 1)
+      val (lo, hi) = (math.min(h1, h2), math.max(h1, h2))
+      val r = out(id)
+      assert(r.getAs[Boolean]("applied") === applied, s"doc $id gate")
+      if (applied) {
+        nApplied += 1
+        assert(r.getAs[Long]("cut_lo") === lo && r.getAs[Long]("cut_hi") === hi, s"doc $id cuts")
+        assert(r.getAs[Long]("n_prefix") === lo)
+        assert(r.getAs[Long]("n_middle") === hi - lo)
+        assert(r.getAs[Long]("n_suffix") === n - hi)
+        val psm = (Seq("<PRE>") ++ toks.slice(0, lo.toInt) ++ Seq("<SUF>") ++
+          toks.slice(hi.toInt, n) ++ Seq("<MID>") ++ toks.slice(lo.toInt, hi.toInt))
+          .mkString(" ")
+        assert(r.getAs[String]("fp") === md5hex(psm), s"doc $id PSM stream")
+      } else {
+        nAr += 1
+        assert(r.isNullAt(r.fieldIndex("cut_lo")), s"doc $id AR cuts must be null")
+        assert(r.getAs[String]("fp") === md5hex(toks.mkString(" ")), s"doc $id AR stream")
+      }
+    }
+    assert(nApplied > 0 && nAr > 0, "both FIM and AR branches must be exercised")
+  }
+
   test("chunk windows: stride starts, clamped tails, content fingerprints") {
     import graft.operators.SeqPack
     def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
