@@ -265,6 +265,7 @@ object Bench {
     "stream_compact" -> 1.0, // r14: full band-store rewrite, buckets-wide zero-shuffle; measured 0.27 s solo
     "stream_audiodup" -> 3.0, // r14: audio near-dup serve on the generic CodeDupIndex
     "stream_clf" -> 10.0, // r14: continuous perceptron training (durable gradient log, prequential verdicts); measured 8.8/9.3 s
+    "stream_budget" -> 6.0, // r14 4th closing: continuous token-budget admission (durable ledger fold + per-batch prefix rule); measured solo 4.8 s
     "stream_dedup" -> 2.9,
     "stream_window" -> 3.3,
     "stream_lake" -> 10.0,
@@ -713,6 +714,37 @@ object Bench {
           .start()
         q.awaitTermination()
         require(spark.read.parquet(dir("clf-verdicts")).count() > 0)
+      }
+    }
+
+    if (wanted("stream_budget")) {
+      // r14 4th closing: CONTINUOUS token-budget admission — each
+      // micro-batch runs the prefix rule on top of the durable ledger's
+      // admitted-token fold (40% of corpus tokens, computed in setup).
+      // The law spec pins stream ≡ sequential per-batch admission.
+      import graft.streaming.BudgetStream
+      var bgCfg: BudgetStream.BudgetConfig = null
+      out += leg("stream_budget") {
+        val docs = Tables.documents(spark, sfDir)
+        val total = docs.select(org.apache.spark.sql.functions.sum(
+          graft.operators.TextOps.nTokens(col("text")).cast("long")))
+          .collect().head.getLong(0)
+        bgCfg = BudgetStream.BudgetConfig(dir("bg-idx"), total * 2 / 5)
+        BudgetStream.init(spark, bgCfg)
+        docs.write.mode("overwrite").parquet(dir("bg-src"))
+      } {
+        val q = fileStream(dir("bg-src"))
+          .writeStream
+          .option("checkpointLocation", dir("ckpt-bg"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            BudgetStream.serveBatch(spark, batch, id, bgCfg)
+              .write.mode("append").parquet(dir("bg-verdicts"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(spark.read.parquet(dir("bg-verdicts")).count() > 0)
       }
     }
 

@@ -1727,4 +1727,94 @@ class StreamingSpec extends AnyFunSuite {
       verdicts(N - 1).map(vKey).sortBy(_._1).toSeq,
       "replay exclusion must survive compaction")
   }
+
+  test("budget stream: N ordered micro-batches ARE the sequential per-batch " +
+    "prefix admission; the budget is never exceeded; replay, crash, " +
+    "and compaction exact") {
+    import graft.streaming.BudgetStream
+    import graft.streaming.BudgetStream.BudgetConfig
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // driver-side first principles: (doc_id, n_tokens, bucket)
+    val rows = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().flatMap { case (id, text) =>
+        val n = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+          .split(" +").count(_.nonEmpty).toLong
+        if (n < 1) None else Some((id, n, md5hex(s"budget1:$id").take(1)))
+      }
+    val total = rows.map(_._2).sum
+    val budget = total * 2 / 5
+    val N = 4
+    val cfg = BudgetConfig(tmp("budget-stream"), budget)
+    BudgetStream.init(spark, cfg)
+    def batchOf(b: Int) = docs.filter(pmod(col("doc_id"), lit(N.toLong)) === b)
+    def vKey(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum"), r.getAs[Boolean]("kept"))
+    val verdicts = (0 until N).map { b =>
+      BudgetStream.serveBatch(spark, batchOf(b), b.toLong, cfg).collect()
+    }
+    // LAW: streamed verdicts ARE the sequential per-batch prefix
+    // admission over admitted-so-far — each batch runs the prefix rule
+    // in (bucket, doc_id) order on top of the tokens PRIOR batches
+    // actually admitted (rejected tokens never charge the budget, so a
+    // later batch may admit small docs into remaining slack)
+    var admitted = 0L
+    val expect = (0 until N).flatMap { b =>
+      var c = admitted
+      val batchRows = rows.filter(_._1 % N == b)
+        .sortBy { case (id, _, sb) => (sb, id) }
+        .map { case (id, n, _) => c += n; (id, n, c, c <= budget) }
+      admitted += batchRows.filter(_._4).map(_._2).sum
+      batchRows
+    }
+    assert(verdicts.flatten.map(vKey).sortBy(_._1).toSeq ===
+      expect.sortBy(_._1), "stream must equal the sequential admission")
+    // the gate binds: the first batch admits everything, the budget is
+    // never exceeded, and late batches measurably refuse
+    assert(verdicts.head.forall(_.getAs[Boolean]("kept")))
+    assert(admitted <= budget, "admitted tokens must never exceed the budget")
+    assert(verdicts.last.count(r => !r.getAs[Boolean]("kept")) >
+      verdicts.last.length / 2, "the last batch must be mostly refused")
+    assert(verdicts.exists(v => v.exists(_.getAs[Boolean]("kept"))
+      && v.exists(r => !r.getAs[Boolean]("kept"))), "some batch straddles the budget")
+    // replay: identical verdicts, ledger does not grow
+    def files() = new java.io.File(cfg.ledgerDir).list().count(_.endsWith(".parquet"))
+    val before = files()
+    val replayed = BudgetStream.serveBatch(spark, batchOf(N - 1), (N - 1).toLong, cfg)
+      .collect()
+    assert(replayed.map(vKey).sortBy(_._1).toSeq ===
+      verdicts(N - 1).map(vKey).sortBy(_._1).toSeq, "replay must be verdict-identical")
+    assert(files() === before, "replay must not append")
+    // forged crash on the last batch: marker deleted, intent restored —
+    // recovery rolls back the orphan append and re-commits identically
+    val commits = java.nio.file.Paths.get(cfg.commitsDir)
+    val marker = commits.resolve((N - 1).toString)
+    val appended = java.nio.file.Files.readAllLines(marker)
+    assert(!appended.isEmpty)
+    val all = new java.io.File(cfg.ledgerDir).list()
+      .filter(_.endsWith(".parquet")).toSet
+    java.nio.file.Files.write(commits.resolve(s"${N - 1}.intent"),
+      (all -- appended.toArray.map(_.toString)).toSeq.sorted
+        .mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.delete(marker)
+    val recovered = BudgetStream.serveBatch(spark, batchOf(N - 1), (N - 1).toLong, cfg)
+      .collect()
+    assert(recovered.map(vKey).sortBy(_._1).toSeq ===
+      verdicts(N - 1).map(vKey).sortBy(_._1).toSeq,
+      "post-crash re-run must produce identical verdicts")
+    val spentRow = BudgetStream.spent(spark, cfg).collect().head.getAs[Long]("tok")
+    assert(spentRow === expect.filter(_._4).map(_._2).sum,
+      "post-crash ledger fold must not double-count")
+    // compaction: fewer files, fold + replay intact
+    BudgetStream.compact(spark, cfg, width = 1)
+    assert(files() <= 1)
+    assert(BudgetStream.spent(spark, cfg).collect().head.getAs[Long]("tok") === spentRow)
+    val postCompact = BudgetStream.serveBatch(spark, batchOf(N - 1), (N - 1).toLong, cfg)
+      .collect()
+    assert(postCompact.map(vKey).sortBy(_._1).toSeq ===
+      verdicts(N - 1).map(vKey).sortBy(_._1).toSeq,
+      "strictly-before replay exclusion must survive compaction")
+  }
 }
