@@ -109,6 +109,7 @@ object Bench {
     "t_anneal_mix" -> 1.9, // r14 4th closing: annealed mixture schedule + realized admission; measured solo sf0.1 1.46 s
     "q_sql_gsets" -> 1.0, // r14 4th closing: shared-text GROUPING SETS; measured solo sf0.1 0.51 s
     "t_fim" -> 1.3, // r14 4th closing: fill-in-middle PSM re-serialization, zero-shuffle scan; measured solo sf0.1 0.98 s
+    "t_length_batch" -> 2.5, // r14 4th closing: pad-minimizing batcher, two bounded-rank arms off one pinned base; measured solo sf0.1 2.0 s (11.9 unpinned)
     "t_lm_score" -> 2.0,
     "t_dsir" -> 2.5,
     "t_chunk" -> 1.0,

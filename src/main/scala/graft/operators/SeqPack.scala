@@ -71,6 +71,55 @@ object SeqPack {
         size(col("ct")).cast("long").as("n_chunk_toks"),
         md5(concat_ws(" ", col("ct"))).as("fp"))
 
+  /** R14 (4th closing): LENGTH-BUCKETED BATCHING — the pad-minimizing
+    * batcher every padded-training (SFT/reranker) pipeline runs:
+    * sort docs by token length, cut the sorted order into fixed-size
+    * batches, and each batch pads only to ITS OWN max length instead of
+    * the global one. Returns per-batch padding accounting for BOTH arms
+    * — `length`-ordered and `random` (hash-ordered) batching — so the
+    * saving is measured in the result, not asserted in prose.
+    *
+    * Ranks never run through one task: each arm's total order is
+    * (bounded key, doc_id) — token length (≤ distinct lengths) for the
+    * length arm, a 2-hex-char hash prefix (256 values) for the random
+    * arm — so the [[graft.operators.Sampling.tokenBudget]] two-stage
+    * discipline applies: per-key counts, a prefix over the bounded key
+    * relation (the only unpartitioned window), and a per-doc
+    * row_number partitioned by the key. `rank = prefix + within`,
+    * `batch = (rank-1) div b`, padding = `n·max(len) − Σlen` per batch
+    * — all exact BIGINTs. The oracle states each arm as the single
+    * global row_number window. */
+  def lengthBatches(docs: DataFrame, b: Int = 64,
+      salt: String = "lenb1"): DataFrame = {
+    // pin the narrow (doc_id, len, h) relation ONCE: four plan arms read
+    // it (per-key counts + the rank join, × two batching arms), and
+    // unpinned each re-tokenizes the full corpus — the s_rproj_topk
+    // CollapseProject lesson (measured here: 11.9 s → ~1 s at sf0.1)
+    val base = Spread(docs)
+      .select(col("doc_id"),
+        TextOps.nTokens(col("text")).cast("long").as("len"))
+      .where(col("len") >= 1)
+      .withColumn("h", substring(md5(concat(lit(s"$salt:"), col("doc_id"))), 1, 2))
+      .localCheckpoint()
+    def arm(name: String, key: String): DataFrame = {
+      val grp = base.groupBy(key).agg(count(lit(1)).as("c"))
+      val wPrefix = Window.orderBy(col(key).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pref = grp.withColumn("pfx", sum("c").over(wPrefix) - col("c"))
+        .select(key, "pfx")
+      val wIn = Window.partitionBy(key).orderBy(col("doc_id").asc)
+      base.join(pref, Seq(key))
+        .withColumn("rk", col("pfx") + row_number().over(wIn))
+        .groupBy(expr(s"(rk - 1) div $b").as("batch_idx"))
+        .agg(count(lit(1)).as("n_docs"), max("len").as("max_len"),
+          sum("len").as("sum_len"))
+        .select(lit(name).as("arm"), col("batch_idx"), col("n_docs"),
+          col("max_len"), col("sum_len"),
+          (col("n_docs") * col("max_len") - col("sum_len")).as("padding"))
+    }
+    arm("length", "len").unionByName(arm("random", "h"))
+  }
+
   /** R14 (4th closing): fill-in-the-middle transformation (Bavarian et
     * al. 2022, arXiv:2207.14255 — the FIM data prep every code model
     * runs): for a deterministic ~50% of docs, two uniform token cuts

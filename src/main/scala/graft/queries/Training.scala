@@ -288,6 +288,11 @@ object Training {
     * ([[Sampling.tokenBudget]]'s two-stage bounded prefix sums). */
   val tTokenBudget: Q = (s, d) => Sampling.tokenBudget(docs(s, d), 2, 5, "tb1")
 
+  /** R14 (4th closing): length-bucketed batching with the padding saving
+    * MEASURED — per-batch pad accounting for length-sorted vs
+    * hash-random batch assignment ([[SeqPack.lengthBatches]]). */
+  val tLengthBatch: Q = (s, d) => SeqPack.lengthBatches(docs(s, d), 64)
+
   /** R14 (4th closing): fill-in-the-middle data prep — deterministic 50%
     * of docs re-serialized in PSM sentinel order with two uniform hash
     * cuts ([[SeqPack.fimTransform]]); exact split accounting + the
@@ -884,6 +889,7 @@ object Training {
     "t_token_budget" -> tTokenBudget,
     "t_anneal_mix" -> tAnnealMix,
     "t_fim" -> tFim,
+    "t_length_batch" -> tLengthBatch,
     "t_lm_score" -> tLmScore,
     "t_dsir" -> tDsir,
     "t_chunk" -> tChunk,

@@ -1673,6 +1673,29 @@ object TrainingOracles {
          |       s.cum <= b.budget AS kept
          |FROM sel s, bud b""".stripMargin,
 
+    // length-batching mirror: each arm stated as ONE global row_number
+    // window (the semantic form of the engine's two-stage bounded rank)
+    "t_length_batch" ->
+      s"""$TokCte,
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS len,
+         |                substr(md5('lenb1:' || doc_id), 1, 2) AS h
+         |         FROM tok WHERE len(toks) >= 1),
+         |l AS (SELECT len, row_number() OVER (ORDER BY len, doc_id) AS rk FROM base),
+         |r AS (SELECT len, row_number() OVER (ORDER BY h, doc_id) AS rk FROM base),
+         |la AS (SELECT 'length' AS arm, (rk - 1) // 64 AS batch_idx,
+         |              CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(max(len) AS BIGINT) AS max_len,
+         |              CAST(sum(len) AS BIGINT) AS sum_len
+         |       FROM l GROUP BY 2),
+         |ra AS (SELECT 'random' AS arm, (rk - 1) // 64 AS batch_idx,
+         |              CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(max(len) AS BIGINT) AS max_len,
+         |              CAST(sum(len) AS BIGINT) AS sum_len
+         |       FROM r GROUP BY 2)
+         |SELECT arm, batch_idx, n_docs, max_len, sum_len,
+         |       n_docs * max_len - sum_len AS padding
+         |FROM (SELECT * FROM la UNION ALL SELECT * FROM ra)""".stripMargin,
+
     // FIM mirror: identical hash gates/cuts, identical PSM sentinel
     // re-serialization via DuckDB list slices (1-based inclusive ends —
     // toks[1:lo] / toks[hi+1:n] / toks[lo+1:hi] land exactly on Spark's

@@ -352,7 +352,10 @@ class PlanLintSpec extends AnyFunSuite {
         "docs; the window input is the post-aggregate bin relation)"),
       "t_token_budget" -> ("the running prefix runs over the (q, salt " +
         "bucket) aggregate relation — ≤ 1001 permille levels × 16 buckets " +
-        "rows; the per-doc window is partitioned on (q, sb)"))
+        "rows; the per-doc window is partitioned on (q, sb)"),
+      "t_length_batch" -> ("each arm's prefix runs over its per-key " +
+        "aggregate — distinct token lengths / 256 hash prefixes; the " +
+        "per-doc rank windows partition on the key"))
     def planBounded(w: WindowExec): Boolean =
       PlanAudit.nodes(w.child).exists {
         case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |

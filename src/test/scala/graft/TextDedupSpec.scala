@@ -545,6 +545,67 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 8L, 0L), (2L, 1L, 2L, 0L)))
   }
 
+  test("property: WordPiece encode equals a from-scratch sequential reference " +
+    "on arbitrary corpora (induction floor, position classes, greedy, UNK)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // independent reference: induction + greedy, plain sequential Scala
+    def refEncode(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+      def toks(t: String) = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty).toSeq
+      val words = docs.flatMap { case (_, t) => toks(t) }
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val floor = math.max(3L, words.size.toLong / 2000)
+      val cnt = scala.collection.mutable.Map.empty[(Boolean, String), Long]
+      for ((w, n) <- wc if w.length <= 32; s <- 0 until w.length;
+           l <- 1 to math.min(4, w.length - s)) {
+        val p = w.substring(s, s + l)
+        if (p.forall(c => c >= 'a' && c <= 'z'))
+          cnt((s > 0, p)) = cnt.getOrElse((s > 0, p), 0L) + n
+      }
+      val vocab = cnt.filter(_._2 >= floor).keySet
+      def seg(w: String): (Long, Boolean) =
+        if (w.length > 32) (1L, true)
+        else {
+          var p = 0; var c = 0L
+          while (p < w.length) {
+            val l = (math.min(4, w.length - p) to 1 by -1).find(l =>
+              vocab((p > 0, w.substring(p, p + l)))).getOrElse(0)
+            if (l == 0) return (1L, true)
+            p += l; c += 1
+          }
+          (c, false)
+        }
+      docs.flatMap { case (id, t) =>
+        val ts = toks(t)
+        if (ts.isEmpty) None
+        else {
+          val segs = ts.map(seg)
+          Some(id -> ((ts.size.toLong, segs.map(_._1).sum, segs.count(_._2).toLong)))
+        }
+      }.toMap
+    }
+    val genWord: Gen[String] = Gen.frequency(
+      9 -> (for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'z', '7'))
+      } yield cs.mkString),
+      1 -> Gen.const("a" * 33)) // the max_input_chars_per_word guard
+    val genCorpus: Gen[Seq[(Long, String)]] = for {
+      nDocs <- Gen.choose(2, 8)
+      texts <- Gen.listOfN(nDocs, Gen.choose(3, 10)
+        .flatMap(k => Gen.listOfN(k, genWord).map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      val got = graft.operators.WordPiece.encode(docsOf(corpus: _*))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      got == refEncode(corpus)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("FIM transform: hash gates and cuts replay from first principles; " +
     "PSM re-serialization is exact; both branches exercised") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
@@ -581,6 +642,41 @@ class TextDedupSpec extends AnyFunSuite {
       }
     }
     assert(nApplied > 0 && nAr > 0, "both FIM and AR branches must be exercised")
+  }
+
+  test("length batching: two-stage rank equals the sequential sort-and-cut; " +
+    "length batches measurably out-pad random batches") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val out = graft.operators.SeqPack.lengthBatches(docs, 64).collect()
+      .map(r => (r.getAs[String]("arm"), r.getAs[Long]("batch_idx")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("max_len"),
+          r.getAs[Long]("sum_len"), r.getAs[Long]("padding")))).toMap
+    // driver replay of the length arm: sort by (len, doc_id), cut into
+    // 64-doc batches, pad each to its own max
+    val lens = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .flatMap { case (id, t) =>
+        val n = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+          .split(" +").count(_.nonEmpty).toLong
+        if (n < 1) None else Some((id, n))
+      }
+    val expect = lens.sortBy { case (id, n) => (n, id) }.grouped(64).zipWithIndex
+      .map { case (g, i) =>
+        val ns = g.map(_._2)
+        (i.toLong, (g.size.toLong, ns.max, ns.sum, g.size * ns.max - ns.sum))
+      }.toMap
+    val gotLen = out.collect { case (("length", b), v) => b -> v }
+    assert(gotLen === expect, "length arm must equal the sequential sort-and-cut")
+    // every batch is full except at most one tail per arm
+    for (arm <- Seq("length", "random")) {
+      val sizes = out.collect { case ((`arm`, _), (n, _, _, _)) => n }.toSeq
+      assert(sizes.count(_ != 64L) <= 1, s"$arm arm: more than one tail batch")
+    }
+    // the measured claim: length-sorted batching wastes strictly less
+    // padding than hash-random batching on this corpus
+    val padLen = out.collect { case (("length", _), (_, _, _, p)) => p }.sum
+    val padRnd = out.collect { case (("random", _), (_, _, _, p)) => p }.sum
+    assert(padLen < padRnd,
+      s"length batching must out-pad random: $padLen vs $padRnd")
   }
 
   test("chunk windows: stride starts, clamped tails, content fingerprints") {
