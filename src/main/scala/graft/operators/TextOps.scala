@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for the training-data pipeline: language
@@ -148,6 +148,35 @@ object TextOps {
     * whitespace/punctuation-insensitive identity used for exact dedup. */
   def fingerprint(text: Column): Column =
     md5(array_join(tokens(text), " "))
+
+  /** R14 (4th closing): the per-source CORPUS HEALTH REPORT — the
+    * first dashboard a corpus build publishes and the first thing a
+    * data audit reads: volume (docs, tokens), lexical richness
+    * (distinct words, hapax legomena, type-token ratio), and shape
+    * (mean doc length). Exact integers throughout — ratios in permille
+    * by floor-div, richness from one (source, word) aggregate — so the
+    * report is bit-stable across engines and cluster layouts. Two
+    * corpus passes (doc-level stats + the word aggregate), both
+    * map-side combined; the word relation is corpus-sublinear. */
+  def corpusStats(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 1)
+    val docStats = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("n_tokens"))
+    val wordStats = base
+      .select(col("source"), explode(col("toks")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+    docStats.join(wordStats, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_types"), col("n_hapax"),
+        expr("n_types * 1000 div n_tokens").as("ttr_permille"),
+        expr("n_tokens div n_docs").as("mean_doc_len"))
+  }
 
   /** Word k-shingles of the normalized text (k consecutive tokens joined
     * by single spaces). Callers must ensure nTokens >= k. */

@@ -1080,6 +1080,29 @@ object Relational {
     s.sql(SqlGsets)
   }
 
+  /** R14 (4th closing): bag-semantics set operators through the SQL
+    * front door — INTERSECT ALL and EXCEPT ALL in one shared text (the
+    * DataFrame q_set_ops covers the distinct forms; the ALL forms pin
+    * MULTIPLICITY semantics: min-of-counts for intersect,
+    * count-difference for except). The final per-key count aggregate
+    * keeps the compared result compact while still hashing the exact
+    * multiplicities. */
+  private[queries] val SqlSetops =
+    """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |fin AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |both_arms AS (SELECT * FROM urgent INTERSECT ALL SELECT * FROM fin),
+      |only_urgent AS (SELECT * FROM urgent EXCEPT ALL SELECT * FROM fin)
+      |SELECT 'intersect_all' AS op, o_custkey, CAST(count(*) AS BIGINT) AS n
+      |FROM both_arms GROUP BY 2
+      |UNION ALL
+      |SELECT 'except_all' AS op, o_custkey, CAST(count(*) AS BIGINT) AS n
+      |FROM only_urgent GROUP BY 2""".stripMargin
+
+  val qSqlSetops: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(SqlSetops)
+  }
+
   /** R14: window functions through the SQL front door — rank, a framed
     * running sum (ROWS 2 PRECEDING), and lag over one per-customer
     * ordering, the identical text on both engines (the DataFrame window
@@ -1470,6 +1493,7 @@ object Relational {
     "q_sql_filter" -> qSqlFilter,
     "q_sql_pivot" -> qSqlPivot,
     "q_sql_gsets" -> qSqlGsets,
+    "q_sql_setops" -> qSqlSetops,
     "q_sql_window" -> qSqlWindow,
     "q_sql_lateral" -> qSqlLateral,
     "q_bloom_filter" -> qBloomFilter,

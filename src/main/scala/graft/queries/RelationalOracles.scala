@@ -544,6 +544,7 @@ object RelationalOracles {
     "q_sql_filter" -> graft.queries.Relational.SqlFilter,
     "q_sql_pivot" -> graft.queries.Relational.SqlPivot,
     "q_sql_gsets" -> graft.queries.Relational.SqlGsets,
+    "q_sql_setops" -> graft.queries.Relational.SqlSetops,
     "q_sql_window" -> graft.queries.Relational.SqlWindow,
     "q_sql_lateral" -> graft.queries.Relational.SqlLateral,
 

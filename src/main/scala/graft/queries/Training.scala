@@ -288,6 +288,11 @@ object Training {
     * ([[Sampling.tokenBudget]]'s two-stage bounded prefix sums). */
   val tTokenBudget: Q = (s, d) => Sampling.tokenBudget(docs(s, d), 2, 5, "tb1")
 
+  /** R14 (4th closing): the per-source corpus health report — volume,
+    * lexical richness (types/hapax/TTR), doc shape; exact integers
+    * ([[TextOps.corpusStats]]). */
+  val tCorpusStats: Q = (s, d) => TextOps.corpusStats(docs(s, d))
+
   /** R14 (4th closing): length-bucketed batching with the padding saving
     * MEASURED — per-batch pad accounting for length-sorted vs
     * hash-random batch assignment ([[SeqPack.lengthBatches]]). */
@@ -890,6 +895,7 @@ object Training {
     "t_anneal_mix" -> tAnnealMix,
     "t_fim" -> tFim,
     "t_length_batch" -> tLengthBatch,
+    "t_corpus_stats" -> tCorpusStats,
     "t_lm_score" -> tLmScore,
     "t_dsir" -> tDsir,
     "t_chunk" -> tChunk,

@@ -1673,6 +1673,24 @@ object TrainingOracles {
          |       s.cum <= b.budget AS kept
          |FROM sel s, bud b""".stripMargin,
 
+    // corpus health report mirror: same two aggregates, exact permille
+    "t_corpus_stats" ->
+      s"""WITH tok AS (SELECT doc_id, source, $Toks AS toks FROM documents),
+         |base AS (SELECT doc_id, source, toks FROM tok WHERE len(toks) >= 1),
+         |ds AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |       FROM base GROUP BY 1),
+         |ws AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         |              CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |       FROM (SELECT source, word, count(*) AS n
+         |             FROM (SELECT source, unnest(toks) AS word FROM base)
+         |             GROUP BY 1, 2)
+         |       GROUP BY 1)
+         |SELECT d.source, d.n_docs, d.n_tokens, w.n_types, w.n_hapax,
+         |       w.n_types * 1000 // d.n_tokens AS ttr_permille,
+         |       d.n_tokens // d.n_docs AS mean_doc_len
+         |FROM ds d JOIN ws w ON w.source = d.source""".stripMargin,
+
     // length-batching mirror: each arm stated as ONE global row_number
     // window (the semantic form of the engine's two-stage bounded rank)
     "t_length_batch" ->
