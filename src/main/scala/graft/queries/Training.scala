@@ -74,6 +74,11 @@ object Training {
   }
 
   val dExact: Q = (s, d) => Dedup.exactGroups(docs(s, d))
+
+  /** R14 (4th closing): per-source dedup savings — docs and TOKENS
+    * exact dedup removes, savings share in exact permille
+    * ([[Dedup.dedupSavings]]). */
+  val dSavings: Q = (s, d) => Dedup.dedupSavings(docs(s, d))
   /** R11: CCNet/FineWeb line-level boilerplate dedup over multi-line
     * dressed docs (nav header / cookie banner / footer recur across
     * docs; content lines mostly unique). */
@@ -896,6 +901,7 @@ object Training {
     "t_fim" -> tFim,
     "t_length_batch" -> tLengthBatch,
     "t_corpus_stats" -> tCorpusStats,
+    "d_savings" -> dSavings,
     "t_lm_score" -> tLmScore,
     "t_dsir" -> tDsir,
     "t_chunk" -> tChunk,

@@ -1673,6 +1673,22 @@ object TrainingOracles {
          |       s.cum <= b.budget AS kept
          |FROM sel s, bud b""".stripMargin,
 
+    // dedup savings mirror: min-doc_id canonical election, exact permille
+    "d_savings" ->
+      s"""WITH tok AS (SELECT doc_id, source, $Toks AS toks FROM documents),
+         |base AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |                md5(array_to_string(toks, ' ')) AS fp
+         |         FROM tok WHERE len(toks) >= 1),
+         |canon AS (SELECT fp, min(doc_id) AS canon_id FROM base GROUP BY 1)
+         |SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN b.doc_id <> c.canon_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |       CAST(sum(CASE WHEN b.doc_id <> c.canon_id THEN b.n_tokens ELSE 0 END) AS BIGINT) AS dup_tokens,
+         |       CAST(sum(CASE WHEN b.doc_id <> c.canon_id THEN b.n_tokens ELSE 0 END) AS BIGINT) * 1000
+         |         // CAST(sum(b.n_tokens) AS BIGINT) AS savings_permille
+         |FROM base b JOIN canon c ON c.fp = b.fp
+         |GROUP BY 1""".stripMargin,
+
     // corpus health report mirror: same two aggregates, exact permille
     "t_corpus_stats" ->
       s"""WITH tok AS (SELECT doc_id, source, $Toks AS toks FROM documents),
