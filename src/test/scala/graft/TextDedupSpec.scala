@@ -545,6 +545,36 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 8L, 0L), (2L, 1L, 2L, 0L)))
   }
 
+  test("corpus stats + dedup savings: reports conserve corpus totals and " +
+    "cross-check each other") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val stats = graft.operators.TextOps.corpusStats(docs).collect()
+    val savings = graft.operators.Dedup.dedupSavings(docs).collect()
+    // both reports see the same per-source universe (docs with >= 1 token)
+    val sDocs = stats.map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val vDocs = savings.map(r => r.getAs[String]("source") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(sDocs === vDocs, "volume columns must agree across the two reports")
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("n_types"))
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("ttr_permille") <= 1000L)
+      assert(r.getAs[Long]("mean_doc_len") >= 1L)
+    }
+    savings.foreach { r =>
+      assert(r.getAs[Long]("n_dup_docs") < r.getAs[Long]("n_docs"),
+        "at least one canonical per source present in this corpus")
+      assert(r.getAs[Long]("dup_tokens") <= r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("savings_permille") <= 1000L)
+    }
+    // corpus-wide: dup docs found by the report equal the exactGroups count
+    val dupFromGroups = graft.operators.Dedup.exactGroups(docs)
+      .agg(sum(col("n_docs") - 1)).collect().head.getLong(0)
+    assert(savings.map(_.getAs[Long]("n_dup_docs")).sum === dupFromGroups,
+      "savings dup count must equal the exactGroups election")
+  }
+
   test("property: WordPiece encode equals a from-scratch sequential reference " +
     "on arbitrary corpora (induction floor, position classes, greedy, UNK)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
