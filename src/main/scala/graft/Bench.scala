@@ -113,6 +113,7 @@ object Bench {
     "t_corpus_stats" -> 1.6, // r14 4th closing: per-source corpus health report (volume/richness/shape); measured solo sf0.1 1.19 s
     "q_sql_setops" -> 1.2, // r14 4th closing: shared-text INTERSECT ALL / EXCEPT ALL multiplicity pins; measured solo sf0.1 0.88 s
     "d_savings" -> 2.4, // r14 4th closing: per-source dedup savings report off one pinned fingerprint base; measured solo sf0.1 1.91 s
+    "t_vocab_growth" -> 2.0, // r14 4th closing: Heaps-law vocabulary growth curve over growth-dressed corpus; measured solo sf0.1 1.60 s
     "t_lm_score" -> 2.0,
     "t_dsir" -> 2.5,
     "t_chunk" -> 1.0,

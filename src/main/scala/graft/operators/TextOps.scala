@@ -149,6 +149,30 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(array_join(tokens(text), " "))
 
+  /** R14 (4th closing): the VOCABULARY GROWTH CURVE (the Heaps-law
+    * diagnostic next to [[corpusStats]]): how many NEW distinct words
+    * each doc_id-order slice of the corpus contributes, plus the
+    * running total. A healthy crawl keeps discovering vocabulary; a
+    * curve that flattens early is the signature of heavy duplication
+    * or a collapsed source mix. Exact: a word's first occurrence is
+    * `min(doc_id)`, its slice is an integer bucket of the doc_id range
+    * (the 1-row max rides as a broadcast), and the running total is a
+    * window over the ≤`buckets`-row aggregate (documented-bounded). */
+  def vocabGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+    val mx = base.agg(max("doc_id").as("mx"))
+    val perBucket = base.groupBy("word").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .select(expr(s"first_doc * $buckets div (mx + 1)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.select(col("bucket"), col("new_types"),
+      sum("new_types").over(w).as("cum_types"))
+  }
+
   /** R14 (4th closing): the per-source CORPUS HEALTH REPORT — the
     * first dashboard a corpus build publishes and the first thing a
     * data audit reads: volume (docs, tokens), lexical richness

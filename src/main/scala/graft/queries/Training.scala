@@ -298,6 +298,18 @@ object Training {
     * ([[TextOps.corpusStats]]). */
   val tCorpusStats: Q = (s, d) => TextOps.corpusStats(docs(s, d))
 
+  /** R14 (4th closing): vocabulary growth curve — new and cumulative
+    * distinct words per doc_id-order corpus slice, the Heaps-law
+    * duplication diagnostic ([[TextOps.vocabGrowth]]). The synthetic
+    * corpus shares one 31-word vocabulary (the whole curve would
+    * collapse into bucket 0), so the corpus is dressed with
+    * deterministic growth: every run of 7 consecutive doc_ids
+    * contributes one fresh word — the shape a real crawl's vocabulary
+    * discovery has, and the oracle applies the identical dressing. */
+  val tVocabGrowth: Q = (s, d) =>
+    TextOps.vocabGrowth(docs(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" w"), expr("doc_id div 7")).as("text")), 10)
+
   /** R14 (4th closing): length-bucketed batching with the padding saving
     * MEASURED — per-batch pad accounting for length-sorted vs
     * hash-random batch assignment ([[SeqPack.lengthBatches]]). */
@@ -902,6 +914,7 @@ object Training {
     "t_length_batch" -> tLengthBatch,
     "t_corpus_stats" -> tCorpusStats,
     "d_savings" -> dSavings,
+    "t_vocab_growth" -> tVocabGrowth,
     "t_lm_score" -> tLmScore,
     "t_dsir" -> tDsir,
     "t_chunk" -> tChunk,

@@ -1673,6 +1673,23 @@ object TrainingOracles {
          |       s.cum <= b.budget AS kept
          |FROM sel s, bud b""".stripMargin,
 
+    // vocabulary growth mirror: first occurrence = min(doc_id), integer
+    // range buckets, one running-total window over the ≤10-row aggregate
+    "t_vocab_growth" ->
+      s"""WITH tok AS (SELECT doc_id, $Toks AS toks FROM (
+         |    SELECT doc_id, text || ' w' || (doc_id // 7) AS text
+         |    FROM documents)),
+         |w AS (SELECT word, min(doc_id) AS first_doc
+         |      FROM (SELECT doc_id, unnest(toks) AS word FROM tok) GROUP BY 1),
+         |mx AS (SELECT max(doc_id) AS mx FROM tok WHERE len(toks) >= 1),
+         |pb AS (SELECT first_doc * 10 // (mx + 1) AS bucket,
+         |              CAST(count(*) AS BIGINT) AS new_types
+         |       FROM w, mx GROUP BY 1)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, new_types,
+         |       CAST(sum(new_types) OVER (ORDER BY bucket
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         |FROM pb""".stripMargin,
+
     // dedup savings mirror: min-doc_id canonical election, exact permille
     "d_savings" ->
       s"""WITH tok AS (SELECT doc_id, source, $Toks AS toks FROM documents),

@@ -73,6 +73,9 @@ class PlanLintSpec extends AnyFunSuite {
       // r14 anneal: the 1-row totals and the 4-row epoch spine ride as
       // broadcasts into the epochs×sources schedule
       "t_anneal_mix",
+      // r14 vocab growth: the 1-row max-doc_id aggregate rides as a
+      // broadcast into the first-occurrence bucketing
+      "t_vocab_growth",
       // refine reuses s_pq_topk's coarse stage (1-row codebook broadcast)
       "s_refine",
       // tercile cuts ride a 1-row broadcast bounds table (and the r11
@@ -355,7 +358,9 @@ class PlanLintSpec extends AnyFunSuite {
         "rows; the per-doc window is partitioned on (q, sb)"),
       "t_length_batch" -> ("each arm's prefix runs over its per-key " +
         "aggregate — distinct token lengths / 256 hash prefixes; the " +
-        "per-doc rank windows partition on the key"))
+        "per-doc rank windows partition on the key"),
+      "t_vocab_growth" -> ("the running total runs over the per-bucket " +
+        "first-occurrence aggregate — ≤ 10 rows by construction"))
     def planBounded(w: WindowExec): Boolean =
       PlanAudit.nodes(w.child).exists {
         case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
