@@ -103,6 +103,8 @@ object Bench {
     "t_bpe_merges" -> 1.9,
     "t_bpe_encode" -> 1.9,
     "t_wordpiece" -> 2.2, // r14 4th closing: greedy longest-match serving; measured solo sf0.1 1.80 s
+    "t_unigram_lm" -> 3.5, // r15: unigram-LM hard-EM train + Viterbi serve (two DP passes over distinct words)
+    "t_unigram_vocab" -> 3.0, // r15: the trained unigram vocabulary (seed + EM recount + prune)
     "t_token_budget" -> 2.1, // r14 4th closing: two-stage bounded prefix sums; measured solo sf0.1 1.68 s
     "q_sql_pivot" -> 0.9, // r14 4th closing: shared-text SQL PIVOT; measured solo sf0.1 0.43 s
     "s_kmeans" -> 2.2, // r14 4th closing: k-means report over the Lloyd assignment; measured solo sf0.1 1.78 s
@@ -269,6 +271,7 @@ object Bench {
     "stream_substr" -> 7.5, // r13: streaming exact-substring dedup serve (SubstrIndex); measured 5.4/5.5 s
     "stream_compact" -> 1.0, // r14: full band-store rewrite, buckets-wide zero-shuffle; measured 0.27 s solo
     "stream_audiodup" -> 3.0, // r14: audio near-dup serve on the generic CodeDupIndex
+    "stream_videodup" -> 4.0, // r15: shot-level video dedup serve (shared-frame-sig band store)
     "stream_clf" -> 10.0, // r14: continuous perceptron training (durable gradient log, prequential verdicts); measured 8.8/9.3 s
     "stream_budget" -> 6.0, // r14 4th closing: continuous token-budget admission (durable ledger fold + per-batch prefix rule); measured solo 4.8 s
     "stream_dedup" -> 2.9,
@@ -802,6 +805,36 @@ object Bench {
           .start()
         q.awaitTermination()
         require(spark.read.parquet(dir("ad-verdicts")).count() > 0)
+      }
+    }
+
+    if (wanted("stream_videodup")) {
+      // r15: the fifth modality's ingest dedup — shot-level shared-
+      // frame-signature containment on the durable band store; the
+      // indexed corpus holds 2/3 of the videos, the arriving third
+      // carries the trimmed re-publication twins to re-find
+      import graft.streaming.VideoDupIndex
+      import graft.streaming.VideoDupIndex.VideoDupConfig
+      val vdCfg = VideoDupConfig(dir("vd-idx"))
+      out += leg("stream_videodup") {
+        val docs = Tables.documents(spark, sfDir)
+        VideoDupIndex.init(spark, docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), vdCfg)
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select("doc_id")
+          .write.mode("overwrite").parquet(dir("vd-src"))
+      } {
+        val q = fileStream(dir("vd-src"))
+          .writeStream
+          .option("checkpointLocation", dir("ckpt-vd"))
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            VideoDupIndex.serveBatch(spark, batch, id, vdCfg)
+              .write.mode("append").parquet(dir("vd-verdicts"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+        require(spark.read.parquet(dir("vd-verdicts")).count() > 0)
       }
     }
 

@@ -236,10 +236,14 @@ object Sampling {
       sum("n_tokens").as("t_s"),
       sum(expr("q * n_tokens")).as("qt_s"))
     val tot = src.agg(sum("t_s").as("tt"), sum("qt_s").as("qtt"))
+    // r15 (advisor): a degenerate corpus where every doc scores q = 0
+    // has qtt = 0 — Spark's div would yield NULL where the oracle's `//`
+    // raises; both engines now agree that a zero-quality corpus gets a
+    // uniform qual_pm = 0 (the anneal degenerates to the natural mix).
     val shares = src.crossJoin(broadcast(tot))
       .select(col("source"), col("t_s"), col("tt"),
         expr("t_s * 1000 div tt").as("nat_pm"),
-        expr("qt_s * 1000 div qtt").as("qual_pm"))
+        expr("CASE WHEN qtt = 0 THEN 0 ELSE qt_s * 1000 div qtt END").as("qual_pm"))
     val spine = docs.sparkSession.range(0, epochs).toDF("epoch")
     val rate = shares.crossJoin(broadcast(spine))
       .withColumn("mix_pm", expr(

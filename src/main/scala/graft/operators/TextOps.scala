@@ -183,7 +183,11 @@ object TextOps {
     * corpus passes (doc-level stats + the word aggregate), both
     * map-side combined; the word relation is corpus-sublinear. */
   def corpusStats(docs: DataFrame): DataFrame = {
-    val base = docs
+    // r15 (advisor): Spread widens a narrow source's partitions before
+    // the two full-corpus tokenize passes — the same discipline every
+    // sibling corpus-pass operator (dedupSavings, annealMix, tokenBudget)
+    // applies, and these two passes benefit most.
+    val base = Spread(docs)
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 1)
     val docStats = base.groupBy("source").agg(

@@ -72,8 +72,11 @@ object WordPiece {
   /** The induced vocabulary: (cont, piece) for letter-only pieces whose
     * weighted count reaches the corpus-relative floor. */
   private[graft] def vocab(w: DataFrame): DataFrame = {
+    // r15 (advisor): exact-integer idiv, not floor(double-div) — past
+    // ~4e15 total tokens the rounded double quotient can cross an
+    // integer boundary and diverge from the oracle's exact `//`.
     val floor = w.agg(greatest(lit(3L),
-      org.apache.spark.sql.functions.floor(sum("n") / lit(2000)).cast("long")).as("min_cnt"))
+      TextOps.idiv(sum("n"), lit(2000L))).as("min_cnt"))
     candidates(w)
       .where(col("piece").rlike("^[a-z]+$"))
       .groupBy("cont", "piece").agg(sum("n").as("cnt"))

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Html, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UrlOps, Warc, WordPiece}
+import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Html, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UnigramLm, UrlOps, Warc, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -332,6 +332,24 @@ object Training {
       when(pmod(col("doc_id"), lit(37)) === 0, lit(" 1996")).otherwise(lit("")),
       when(pmod(col("doc_id"), lit(41)) === 0, lit(" x86")).otherwise(lit("")))
       .as("text")))
+
+  /** R15: shared dressing for the unigram-LM queries — a digit-bearing
+    * word exercises single-character coverage pieces, a 40-char word
+    * exercises the over-long fixed-cost arm (fixture, not semantics). */
+  private def dressUni(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), concat(col("text"),
+      when(pmod(col("doc_id"), lit(37)) === 0, lit(" x86")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(53)) === 0, lit(" " + "ab" * 20)).otherwise(lit("")))
+      .as("text"))
+
+  /** R15: unigram-LM (SentencePiece) serve — Viterbi-best segmentation
+    * under the hard-EM-trained integer piece costs
+    * ([[UnigramLm.encode]]). */
+  val tUnigramLm: Q = (s, d) => UnigramLm.encode(dressUni(docs(s, d)))
+
+  /** R15: the learned unigram vocabulary after EM + prune
+    * ([[UnigramLm.vocab]]). */
+  val tUnigramVocab: Q = (s, d) => UnigramLm.vocab(dressUni(docs(s, d)))
 
   /** CCNet-style bigram-LM surprisal scoring (exact-integer log2 proxy). */
   val tLmScore: Q = (s, d) => NgramLm.surprisal(docs(s, d))
@@ -908,6 +926,8 @@ object Training {
     "t_bpe_merges" -> tBpeMerges,
     "t_bpe_encode" -> tBpeEncode,
     "t_wordpiece" -> tWordpiece,
+    "t_unigram_lm" -> tUnigramLm,
+    "t_unigram_vocab" -> tUnigramVocab,
     "t_token_budget" -> tTokenBudget,
     "t_anneal_mix" -> tAnnealMix,
     "t_fim" -> tFim,

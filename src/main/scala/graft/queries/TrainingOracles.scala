@@ -671,7 +671,107 @@ object TrainingOracles {
        |    AND len(list_filter(string_split_regex(regexp_replace(lower(aug), '[^a-z0-9 ]', ' ', 'g'), ' +'), t -> t <> '')) >= 5)""".stripMargin
   }
 
+  /** R15: one Viterbi pass of the unigram-LM chain — the recursion
+    * mirrors UnigramLm.viterbi's aggregate fold step for step: one
+    * recursive step per word position, the running best-cost list
+    * carried in `b`, the argmin piece length per position in `ch`
+    * (ties to the SHORTEST length in both engines). Out-of-range
+    * lookups are masked identically: a piece start < 0 never joins, so
+    * its arm coalesces to the shared INF sentinel. */
+  private def uniWalk(n: Int, pc: String): String =
+    s"""walk$n(word, j, b, ch) AS (
+       |  SELECT word, 0, [CAST(0 AS BIGINT)], CAST([] AS INT[])
+       |  FROM wc WHERE len(word) <= 32
+       |  UNION ALL
+       |  SELECT word, j + 1, list_append(b, best),
+       |         list_append(ch, CASE WHEN t1 = best THEN 1 WHEN t2 = best THEN 2
+       |                              WHEN t3 = best THEN 3 ELSE 4 END)
+       |  FROM (SELECT *, least(t1, t2, t3, t4) AS best FROM (
+       |    SELECT w.word, w.j, w.b, w.ch,
+       |           coalesce(w.b[w.j + 1] + p1.cost, 4611686018427387) AS t1,
+       |           coalesce(w.b[w.j] + p2.cost, 4611686018427387) AS t2,
+       |           coalesce(w.b[w.j - 1] + p3.cost, 4611686018427387) AS t3,
+       |           coalesce(w.b[w.j - 2] + p4.cost, 4611686018427387) AS t4
+       |    FROM walk$n w
+       |    LEFT JOIN $pc p1 ON p1.word = w.word AND p1.l = 1 AND p1.s = w.j
+       |    LEFT JOIN $pc p2 ON p2.word = w.word AND p2.l = 2 AND p2.s = w.j - 1
+       |    LEFT JOIN $pc p3 ON p3.word = w.word AND p3.l = 3 AND p3.s = w.j - 2
+       |    LEFT JOIN $pc p4 ON p4.word = w.word AND p4.l = 4 AND p4.s = w.j - 3
+       |    WHERE w.j < len(w.word)) s0) s1),
+       |fin$n AS (SELECT word, b, ch FROM walk$n WHERE j = len(word))""".stripMargin
+
+  /** R15: the shared unigram-LM (SentencePiece) training chain — seed
+    * vocabulary with integer bit-costs, one hard-EM round (Viterbi walk
+    * + backtrack + occurrence-weighted piece recount), then the prune
+    * (single chars always survive with counts floored at 1; multi-char
+    * pieces re-clear the corpus floor). Mirrors UnigramLm.trainedModel. */
+  private val UniChain =
+    s"""WITH RECURSIVE tok AS (SELECT doc_id, $Toks AS toks FROM (
+       |    SELECT doc_id, text ||
+       |      CASE WHEN doc_id % 37 = 0 THEN ' x86' ELSE '' END ||
+       |      CASE WHEN doc_id % 53 = 0 THEN ' ' || repeat('ab', 20) ELSE '' END AS text
+       |    FROM documents)),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+       |       FROM (SELECT unnest(toks) AS word FROM tok) GROUP BY 1),
+       |cand AS (SELECT word, n, c.s AS s, c.l AS l, c.piece AS piece
+       |         FROM (SELECT word, n, unnest(flatten(list_transform(range(0, len(word)),
+       |                  s -> list_transform(range(1, least(4, len(word) - s) + 1),
+       |                       l -> {'s': s, 'l': l, 'piece': substr(word, s + 1, l)})))) AS c
+       |               FROM wc WHERE len(word) <= 32)),
+       |flo AS (SELECT greatest(3, CAST(sum(n) AS BIGINT) // 2000) AS min_cnt FROM wc),
+       |seed AS (SELECT piece, cnt FROM (
+       |           SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM cand
+       |           WHERE len(piece) = 1 OR regexp_matches(piece, '^[a-z]+$$') GROUP BY 1), flo
+       |         WHERE len(piece) = 1 OR cnt >= min_cnt),
+       |c0 AS (SELECT piece, CAST(len(bin(tot)) - len(bin(cnt)) AS BIGINT) * 64 + 1 AS cost
+       |       FROM seed, (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM seed)),
+       |pc0 AS (SELECT c.word, c.s, c.l, m.cost FROM cand c JOIN c0 m USING (piece)),
+       |${uniWalk(0, "pc0")},
+       |back0(word, p, ps, pl) AS (
+       |  SELECT word, len(word), CAST(NULL AS INT), CAST(NULL AS INT)
+       |  FROM wc WHERE len(word) <= 32
+       |  UNION ALL
+       |  SELECT b.word, b.p - f.ch[b.p], b.p - f.ch[b.p], f.ch[b.p]
+       |  FROM back0 b JOIN fin0 f USING (word) WHERE b.p > 0),
+       |ecnt AS (SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |           SELECT b.word, substr(b.word, b.ps + 1, b.pl) AS piece
+       |           FROM back0 b WHERE b.ps IS NOT NULL) p JOIN wc USING (word) GROUP BY 1),
+       |pr AS (SELECT s.piece, greatest(coalesce(e.cnt, 0), 1) AS cnt
+       |       FROM (SELECT piece FROM seed WHERE len(piece) = 1) s
+       |       LEFT JOIN ecnt e USING (piece)
+       |       UNION ALL
+       |       SELECT e.piece, e.cnt FROM ecnt e, flo
+       |       WHERE len(e.piece) > 1 AND e.cnt >= min_cnt),
+       |c1 AS (SELECT piece, CAST(len(bin(tot)) - len(bin(cnt)) AS BIGINT) * 64 + 1 AS cost
+       |       FROM pr, (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM pr))""".stripMargin
+
   val all: Map[String, String] = Map(
+    // unigram-LM vocabulary after hard-EM + prune (pieces, Viterbi
+    // counts, integer bit-costs) — mirrors UnigramLm.vocab
+    "t_unigram_vocab" ->
+      s"""$UniChain
+         |SELECT p.piece, p.cnt, CAST(c.cost AS BIGINT) AS cost
+         |FROM pr p JOIN c1 c USING (piece)""".stripMargin,
+
+    // unigram-LM doc serve: Viterbi pieces + total bit-cost under the
+    // trained model; the DP value packs both (bits*64 + n_pieces), so
+    // no second backtrack is needed — mirrors UnigramLm.encode
+    "t_unigram_lm" ->
+      s"""$UniChain,
+         |pc1 AS (SELECT c.word, c.s, c.l, m.cost FROM cand c JOIN c1 m USING (piece)),
+         |${uniWalk(1, "pc1")},
+         |seg AS (SELECT wc.word,
+         |          CASE WHEN len(wc.word) <= 32 THEN f.b[len(wc.word) + 1] % 64
+         |               ELSE CAST(len(wc.word) AS BIGINT) END AS w_pieces,
+         |          CASE WHEN len(wc.word) <= 32 THEN f.b[len(wc.word) + 1] // 64
+         |               ELSE 40 * len(wc.word) END AS w_bits
+         |        FROM wc LEFT JOIN fin1 f USING (word))
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(s.w_pieces) AS BIGINT) AS n_pieces,
+         |       CAST(sum(s.w_bits) AS BIGINT) AS cost_bits
+         |FROM (SELECT doc_id, unnest(toks) AS word FROM tok) d JOIN seg s USING (word)
+         |GROUP BY 1""".stripMargin,
+
     "t_text_stats" ->
       s"""$TokCte
          |SELECT doc_id,
@@ -1789,7 +1889,7 @@ object TrainingOracles {
          |tot AS (SELECT CAST(sum(t_s) AS BIGINT) AS tt,
          |               CAST(sum(qt_s) AS BIGINT) AS qtt FROM src),
          |sh AS (SELECT source, t_s, tt, t_s * 1000 // tt AS nat_pm,
-         |              qt_s * 1000 // qtt AS qual_pm
+         |              CASE WHEN qtt = 0 THEN 0 ELSE qt_s * 1000 // qtt END AS qual_pm
          |       FROM src, tot),
          |ep AS (SELECT unnest(range(0, 4)) AS epoch),
          |rate AS (SELECT epoch, source, nat_pm, qual_pm,

@@ -123,14 +123,19 @@ object BudgetStream {
 
   /** Rewrite the append-accreted ledger files into `width` files — rows
     * and batch_ids preserved, the staged-swap protocol. Safe between
-    * batches. */
+    * batches. R15 (advisor): rolls back any pending crashed commit
+    * FIRST ([[CommitProtocol.recoverPending]]) — folding an orphaned
+    * half-append into the rewrite would later make that batch's replay
+    * recovery delete the compacted ledger itself — and reads the input
+    * through the committed-file listing, not the raw directory. */
   def compact(spark: SparkSession, cfg: BudgetConfig, width: Int = 1): Unit = {
     val dir = cfg.ledgerDir
     val staging = dir.stripSuffix("/") + ".compacting"
     val old = dir.stripSuffix("/") + ".old"
     recoverSwap(cfg)
+    CommitProtocol.recoverPending(dir, cfg.commitsDir)
     DurableFs.deleteTree(staging); DurableFs.deleteTree(old)
-    spark.read.schema(LedgerSchema).parquet(dir)
+    ledger(spark, cfg)
       .repartition(width)
       .write.mode("overwrite").parquet(staging)
     DurableFs.move(dir, old)

@@ -116,6 +116,9 @@ object ClfStream {
     val staging = dir.stripSuffix("/") + ".compacting"
     val old = dir.stripSuffix("/") + ".old"
     recoverSwap(cfg)
+    // r15: roll back any crashed half-append BEFORE the rewrite reads
+    // the directory (see CommitProtocol.recoverPending).
+    CommitProtocol.recoverPending(dir, cfg.commitsDir)
     DurableFs.deleteTree(staging); DurableFs.deleteTree(old)
     spark.read.schema(GradSchema).parquet(dir)
       .repartition(width)

@@ -107,8 +107,13 @@ object CodeDupIndex {
     verdicts
   }
 
-  def compact(spark: SparkSession, cfg: CodeDupConfig): Unit =
+  def compact(spark: SparkSession, cfg: CodeDupConfig): Unit = {
+    // r15: roll back any crashed half-append before the rewrite reads
+    // the band table (CommitProtocol.recoverPending) — shared by the
+    // image/audio/video bindings that delegate here.
+    CommitProtocol.recoverPending(cfg.bandsDir, cfg.commitsDir)
     BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets)
+  }
 
   def maybeCompact(spark: SparkSession, cfg: CodeDupConfig,
                    maxFiles: Int): Boolean =

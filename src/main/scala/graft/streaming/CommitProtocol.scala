@@ -93,6 +93,34 @@ object CommitProtocol {
   def resetMarkers(commitsDir: String): Unit =
     DurableFs.deleteTree(commitsDir)
 
+  /** R15 (advisor): roll back every PENDING intent under `commitsDir`
+    * before a compaction reads `dataDir`. A batch that crashed
+    * mid-commit leaves an intent marker and possibly orphaned appended
+    * files; if a compaction folded those orphans into the rewritten
+    * store, the batch's eventual replay would diff the live listing
+    * against its stale pre-append snapshot and delete the COMPACTED
+    * files themselves — total store loss. Recovery here is the same
+    * rollback [[CommitProtocol.beginOrRecover]] runs, applied to every
+    * pending batch: delete the orphans (live listing minus the
+    * intent's snapshot) and drop the intent, restoring the exact
+    * pre-append state so the batch re-serves as new. Intents whose
+    * commit marker exists are stale leftovers (crash between
+    * commit-marker write and intent delete) and are simply dropped.
+    * Callers run this "between micro-batches" (every store compact's
+    * documented contract), so a pending intent here is necessarily a
+    * crash leftover, never an in-flight commit. */
+  def recoverPending(dataDir: String, commitsDir: String): Unit =
+    for (n <- DurableFs.listFiles(commitsDir).filter(_.endsWith(".intent"))) {
+      val intentPath = s"$commitsDir/$n"
+      if (!DurableFs.exists(s"$commitsDir/${n.stripSuffix(".intent")}")) {
+        val snapshot = DurableFs.readUtf8(intentPath)
+          .split("\n", -1).filter(_.nonEmpty).toSet
+        (listParquet(dataDir) -- snapshot)
+          .foreach(o => DurableFs.deleteIfExists(s"$dataDir/$o"))
+      }
+      DurableFs.deleteIfExists(intentPath)
+    }
+
   /** Flat listing of the committed parquet files in a directory
     * (Spark's in-flight `_temporary`/dot files excluded). */
   def listParquet(dir: String): Set[String] =

@@ -126,6 +126,10 @@ object IncrementalIndex {
     * between micro-batches. */
   def compact(spark: SparkSession, cfg: IndexConfig, width: Int = 8): Unit = {
     recoverSwap(cfg)
+    // r15: roll back any crashed half-append BEFORE the rewrite reads
+    // the directory — folding an orphan in would make that batch's
+    // later replay recovery delete the compacted files themselves.
+    CommitProtocol.recoverPending(cfg.fingerprintsDir, cfg.commitsDir)
     val dir = cfg.fingerprintsDir
     val staging = dir.stripSuffix("/") + ".compacting"
     val old = dir.stripSuffix("/") + ".old"

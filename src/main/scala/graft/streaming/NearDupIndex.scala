@@ -159,8 +159,10 @@ object NearDupIndex {
   /** Rewrite the accreted append files into one file per bucket — rows,
     * bucket spec, replay semantics and commit markers all preserved
     * ([[BandStore.compact]]). Run between micro-batches. */
-  def compact(spark: SparkSession, cfg: NearDupConfig): Unit =
+  def compact(spark: SparkSession, cfg: NearDupConfig): Unit = {
+    CommitProtocol.recoverPending(cfg.bandsDir, cfg.commitsDir)
     BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets)
+  }
 
   /** Policy form: compact only past `maxFiles` accreted files
     * ([[BandStore.maybeCompact]]). */

@@ -134,8 +134,10 @@ object SubstrIndex {
   /** Rewrite the accreted append files into one file per bucket —
     * rows, bucket spec, replay semantics and commit markers preserved
     * ([[BandStore.compact]]). Run between micro-batches. */
-  def compact(spark: SparkSession, cfg: SubstrConfig): Unit =
+  def compact(spark: SparkSession, cfg: SubstrConfig): Unit = {
+    CommitProtocol.recoverPending(cfg.fpsDir, cfg.commitsDir)
     BandStore.compact(spark, cfg.tableName, cfg.fpsDir, cfg.buckets)
+  }
 
   /** Policy form: compact only past `maxFiles` accreted files
     * ([[BandStore.maybeCompact]]). */

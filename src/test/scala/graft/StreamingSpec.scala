@@ -999,6 +999,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(files() > before, "novel audio must append")
   }
 
+  test("video dup index: one-batch serve ≡ batch videoDups; twins rejected cross-batch; crashed half-append never folds into compaction") {
+    // r15: the fifth modality's streaming ingest dedup — shot-level
+    // shared-frame-signature containment over the durable band store
+    import graft.streaming.{BandStore, CommitProtocol, DurableFs, VideoDupIndex}
+    import graft.streaming.VideoDupIndex.VideoDupConfig
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 100)
+    val cfg = VideoDupConfig(tmp("videodup"))
+    VideoDupIndex.init(spark, docs.limit(0), cfg)
+    val sigs = VideoDupIndex.videoSigs(docs).localCheckpoint()
+    def collectV(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    // LAW: serving the whole slice as ONE batch over an empty index
+    // reproduces the batch operator's verdicts — every videoDups pair
+    // (a < b) makes b a dup; best = most shared sigs, ties lowest id
+    val v0 = collectV(VideoDupIndex.serveSigs(spark, sigs, 0L, cfg))
+    val pairs = Multimodal.videoDups(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.nonEmpty, "fixture must contain shot-level dup pairs")
+    val expected = pairs.groupBy(_._2).map { case (d, ps) =>
+      val (negShared, bestId) = ps.map(p => (-p._3, p._1)).min
+      d -> ((ps.length.toLong, bestId, -negShared))
+    }
+    v0.foreach { case (d, isNew, nm, bm, bs) =>
+      expected.get(d) match {
+        case Some((n, b, s)) =>
+          assert(!isNew && nm === n && bm === b && bs === s,
+            s"verdict of $d: got ($isNew,$nm,$bm,$bs), want (false,$n,$b,$s)")
+        case None => assert(isNew, s"$d must be novel")
+      }
+    }
+    // cross-batch: the trimmed twins re-served alone probe the INDEX
+    // (they were rejected in batch 0, so only their bases are stored)
+    val twins = sigs.filter(col("doc_id") >= 1000000L).localCheckpoint()
+    assert(twins.count() > 0)
+    val v1 = collectV(VideoDupIndex.serveSigs(spark, twins, 1L, cfg))
+    v1.foreach { case (d, isNew, _, _, _) =>
+      assert(!isNew, s"twin $d must be rejected against the index") }
+    // novel sigs append once; replay recomputes identical verdicts and
+    // appends nothing
+    def files() = new java.io.File(cfg.bandsDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = files()
+    val fresh = sigs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat(lit("x"), col("band_val")).as("band_val"))
+      .localCheckpoint()
+    val v2 = collectV(VideoDupIndex.serveSigs(spark, fresh, 2L, cfg))
+    assert(v2.nonEmpty && v2.forall(_._2), "prefixed fresh sigs must be novel")
+    val afterFresh = files()
+    assert(afterFresh > before, "novel videos must append")
+    val v2r = collectV(VideoDupIndex.serveSigs(spark, fresh, 2L, cfg))
+    assert(v2r === v2, "replay must be bit-identical")
+    assert(files() === afterFresh, "replay must not append")
+    // forged crash: intent marker + orphan parquet appended, NO commit
+    // marker — compaction must roll the orphan back (r15 advisor:
+    // CommitProtocol.recoverPending), never fold it into the rewrite
+    val orphanBatch = 99L
+    DurableFs.writeAtomic(s"${cfg.commitsDir}/$orphanBatch.intent",
+      CommitProtocol.listParquet(cfg.bandsDir).toSeq.sorted.mkString("\n"))
+    BandStore.append(
+      twins.select(concat(lit("o"), col("band_val")).as("band_val"),
+        (col("doc_id") + 7000000L).as("doc_id"),
+        lit(orphanBatch).as("batch_id")),
+      cfg.tableName, cfg.bandsDir, cfg.buckets)
+    assert(files() > afterFresh, "the forged orphan append must land first")
+    VideoDupIndex.compact(spark, cfg)
+    assert(spark.table(cfg.tableName)
+      .filter(col("batch_id") === orphanBatch).count() === 0L,
+      "crashed half-append must be rolled back, not compacted in")
+    assert(!DurableFs.exists(s"${cfg.commitsDir}/$orphanBatch.intent"),
+      "recovery must consume the intent marker")
+    // and the earlier batch still replays identically post-compaction
+    val v1c = collectV(VideoDupIndex.serveSigs(spark, twins, 1L, cfg))
+    assert(v1c === v1, "verdicts must survive compaction + intent rollback")
+  }
+
   test("exact-index compaction: batch_id replay exclusion survives the rewrite; mid-swap crash recovers") {
     // r14b: IncrementalIndex moved replay exclusion from file names to
     // per-row batch_ids, making the fingerprint index compactable like

@@ -636,6 +636,93 @@ class TextDedupSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: unigram-LM train+serve equals a from-scratch sequential reference " +
+    "(seed floor, integer costs, Viterbi, hard-EM recount, prune, coverage)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // independent reference: plain sequential Scala, array-DP Viterbi
+    def refUni(docs: Seq[(Long, String)])
+      : (Map[String, (Long, Long)], Map[Long, (Long, Long, Long)]) = {
+      def toks(t: String) = t.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+        .split(" +").filter(_.nonEmpty).toSeq
+      def fl2(n: Long) = (63 - java.lang.Long.numberOfLeadingZeros(n)).toLong
+      val Inf = 4611686018427387L
+      val words = docs.flatMap { case (_, t) => toks(t) }
+      val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val floor = math.max(3L, words.size.toLong / 2000)
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, n) <- wc if w.length <= 32; s <- 0 until w.length;
+           l <- 1 to math.min(4, w.length - s)) {
+        val p = w.substring(s, s + l)
+        if (p.length == 1 || p.forall(c => c >= 'a' && c <= 'z'))
+          cnt(p) = cnt.getOrElse(p, 0L) + n
+      }
+      val seed = cnt.filter { case (p, c) => p.length == 1 || c >= floor }.toMap
+      def costsOf(model: Map[String, Long]): Map[String, Long] = {
+        val tot = model.values.sum
+        model.map { case (p, c) => p -> ((fl2(tot) - fl2(c)) * 64L + 1L) }
+      }
+      // DP with the engine's tie rule: smallest winning piece length
+      def viterbi(w: String, cost: Map[String, Long]): (Long, Seq[String]) = {
+        val n = w.length
+        val best = Array.fill(n + 1)(Inf); best(0) = 0L
+        val chosen = Array.fill(n + 1)(0)
+        for (j <- 1 to n; l <- 1 to math.min(4, j))
+          cost.get(w.substring(j - l, j)).foreach { c =>
+            val t = best(j - l) + c
+            if (t < best(j)) { best(j) = t; chosen(j) = l }
+          }
+        var p = n; val used = scala.collection.mutable.Buffer.empty[String]
+        while (p > 0) { val l = chosen(p); used += w.substring(p - l, p); p -= l }
+        (best(n), used.toSeq)
+      }
+      val c0 = costsOf(seed)
+      val ecnt = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, n) <- wc if w.length <= 32)
+        viterbi(w, c0)._2.foreach(p => ecnt(p) = ecnt.getOrElse(p, 0L) + n)
+      val model1 = (seed.keysIterator.filter(_.length == 1)
+        .map(p => p -> math.max(ecnt.getOrElse(p, 0L), 1L)) ++
+        ecnt.iterator.filter { case (p, c) => p.length > 1 && c >= floor }).toMap
+      val c1 = costsOf(model1)
+      val vocab = model1.map { case (p, c) => p -> ((c, c1(p))) }
+      val serve = docs.flatMap { case (id, t) =>
+        val ts = toks(t)
+        if (ts.isEmpty) None
+        else {
+          var np = 0L; var nb = 0L
+          for (w <- ts)
+            if (w.length > 32) { np += w.length; nb += 40L * w.length }
+            else { val comb = viterbi(w, c1)._1; np += comb % 64; nb += comb / 64 }
+          Some(id -> ((ts.size.toLong, np, nb)))
+        }
+      }.toMap
+      (vocab, serve)
+    }
+    val genWord: Gen[String] = Gen.frequency(
+      9 -> (for {
+        len <- Gen.choose(1, 9)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'z', '7'))
+      } yield cs.mkString),
+      1 -> Gen.const("a" * 33)) // the over-long fixed-cost arm
+    val genCorpus: Gen[Seq[(Long, String)]] = for {
+      nDocs <- Gen.choose(2, 8)
+      texts <- Gen.listOfN(nDocs, Gen.choose(3, 10)
+        .flatMap(k => Gen.listOfN(k, genWord).map(_.mkString(" "))))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val prop = Prop.forAll(genCorpus) { corpus =>
+      val (refVocab, refServe) = refUni(corpus)
+      val gotVocab = graft.operators.UnigramLm.vocab(docsOf(corpus: _*))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val gotServe = graft.operators.UnigramLm.encode(docsOf(corpus: _*))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      gotVocab == refVocab && gotServe == refServe
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("FIM transform: hash gates and cuts replay from first principles; " +
     "PSM re-serialization is exact; both branches exercised") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
