@@ -94,6 +94,7 @@ object Bench {
     "t_c4_rules" -> 0.4,
     "t_gopher_keep" -> 1.2,
     "d_pagerank" -> 2.2,
+    "d_triangles" -> 1.3, // r15: crossed the 1 s rule (1.10/1.20 s in the r13/r14 ledgers)
     "d_span_dedup" -> 0.4,
     "t_quality_clf" -> 0.5,
     "t_pipeline3" -> 8.3,
@@ -103,8 +104,8 @@ object Bench {
     "t_bpe_merges" -> 1.9,
     "t_bpe_encode" -> 1.9,
     "t_wordpiece" -> 2.2, // r14 4th closing: greedy longest-match serving; measured solo sf0.1 1.80 s
-    "t_unigram_lm" -> 3.5, // r15: unigram-LM hard-EM train + Viterbi serve (two DP passes over distinct words)
-    "t_unigram_vocab" -> 3.0, // r15: the trained unigram vocabulary (seed + EM recount + prune)
+    "t_unigram_lm" -> 3.2, // r15: unigram-LM hard-EM train + Viterbi serve; measured solo sf0.1 2.69 s
+    "t_unigram_vocab" -> 2.2, // r15: the trained unigram vocabulary (seed + EM recount + prune); measured solo sf0.1 1.65 s
     "t_token_budget" -> 2.1, // r14 4th closing: two-stage bounded prefix sums; measured solo sf0.1 1.68 s
     "q_sql_pivot" -> 0.9, // r14 4th closing: shared-text SQL PIVOT; measured solo sf0.1 0.43 s
     "s_kmeans" -> 2.2, // r14 4th closing: k-means report over the Lloyd assignment; measured solo sf0.1 1.78 s
@@ -127,6 +128,7 @@ object Bench {
     "t_bm25" -> 2.6,
     "s_refine" -> 2.2,
     "d_semdedup" -> 1.6,
+    "d_sem_decontam" -> 2.6, // r15: cell-bounded benchmark-leakage cosine pass; measured solo sf0.1 2.28 s
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,
     "t_mix_sqrt" -> 1.3, // r14: sqrt-temperature quotas, same shape as t_mix
@@ -998,19 +1000,43 @@ object Bench {
         val retime = if (best2 > 1.5 * baselineSec(k)) Some(soloTime(k, best2)) else None
         (k, first, solo, retime)
     }
+    // R15 (judge r14 #7): the sub-second companion legs carry no
+    // individual floor (contention noise swamps a 0.2 s leg), but their
+    // SUM is a stable corpus-level signal — c_redirect/c_response
+    // drifted 1.7-2.7x inside this blind spot in r14 with nothing to
+    // fire. Guard the aggregate under the same 2x rule, with one
+    // solo-sum retime before failing (the per-leg best-of discipline
+    // applied to the sum). Baseline: 42 such legs summed 10.4 s on the
+    // r14 contended ledger, ~7-8 s on a clean run. Only a FULL run
+    // binds — a filtered iteration run sums a meaningless subset.
+    val unguardedAggBaseline = 8.0
+    val unguardedLegs = results.collect {
+      case (k, Some(v)) if !baselineSec.contains(k) => (k, v)
+    }
+    val aggFirst = unguardedLegs.map(_._2).sum
+    val aggSolo: Option[Double] =
+      if (atGuardScale && only.isEmpty && aggFirst > 2 * unguardedAggBaseline)
+        Some(unguardedLegs.map { case (k, v) => soloTime(k, v) }.sum)
+      else None
+    val aggRegression: Option[String] =
+      if (atGuardScale && only.isEmpty &&
+          (Seq(aggFirst) ++ aggSolo).min > 2 * unguardedAggBaseline)
+        Some(f"unguarded_agg ${(Seq(aggFirst) ++ aggSolo).min}%.2fs > 2x $unguardedAggBaseline%.2fs (${unguardedLegs.size} legs)")
+      else None
     val regressions = ledger.collect {
       case (k, first, solo, retime)
           if (Seq(first, solo) ++ retime).min > 2 * baselineSec(k) =>
         f"$k%s ${(Seq(first, solo) ++ retime).min}%.2fs > 2x ${baselineSec(k)}%.2fs"
-    }
+    } ++ aggRegression
     val ledgerJson = ledger.map { case (k, f, s, r) =>
       "\"" + k + "\":{\"first\":" + f + ",\"solo\":" + s +
         ",\"retime\":" + r.fold("null")(_.toString) + "}"
     }.mkString("{", ",", "}")
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val aggJson = s"""{"first":$aggFirst,"solo":${aggSolo.fold("null")(_.toString)},"n":${unguardedLegs.size},"floor":$unguardedAggBaseline}"""
     val total = results.flatMap(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"regressions":$regJson,"retimes":$ledgerJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"regressions":$regJson,"retimes":$ledgerJson,"unguarded_agg":$aggJson,"sf":"$sfDir"}"""
     println(line)
     // R11: the driver archives only a stdout TAIL (BENCH_r{N}.json keeps
     // the last ~2000 chars), which truncates the per-query families on a

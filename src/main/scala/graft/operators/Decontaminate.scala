@@ -103,4 +103,47 @@ object Decontaminate {
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         (col("n_shared") * 100 < col("n_shingles") * maxPct).as("keep"))
   }
+
+  /** R15: SEMANTIC decontamination — the embedding-space complement to
+    * the n-gram overlap checks above: an n-gram check misses a
+    * paraphrased benchmark item; a cosine check against the benchmark
+    * embeddings catches it (the standard second decontamination pass
+    * modern corpus builds run next to exact n-gram matching). The
+    * benchmark slice is every `benchMod`-th vector; a corpus vector is
+    * CONTAMINATED when some benchmark cell-mate sits at cosine ≥
+    * `threshold`. Candidates form ONLY within a shared IVF cell — the
+    * [[Dedup.semDedup]] device, with the same documented recall bound
+    * (a paraphrase pair split across a cell boundary is missed; at
+    * scale, multiprobe widens recall without changing the join shape).
+    *
+    * Scale stance: cell count grows with the corpus, per-cell work
+    * stays bounded, one shuffle on the cell key; the benchmark side is
+    * corpus-fraction-sized and could broadcast outright at real
+    * benchmark sizes (thousands of rows). Cosines ride the quantized
+    * integer dot with trunc(6) — bit-stable across engines. */
+  def semDecontam(embeddings: DataFrame, threshold: Double = 0.3,
+                  benchMod: Int = 41): DataFrame = {
+    val (cells, _) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
+    val bench = cells.filter(pmod(col("vec_id"), lit(benchMod.toLong)) === 0)
+      .select(col("cell"), col("vec_id").as("b_id"),
+        col("q").as("bq"), col("n2").as("bn2"))
+    val corp = cells.filter(pmod(col("vec_id"), lit(benchMod.toLong)) =!= 0)
+      .select(col("cell"), col("vec_id"), col("q"), col("n2"))
+    val cand = corp.hint("shuffle_hash").join(bench, "cell")
+      .withColumn("cos", Similarity.cosine(col("q"), col("bq"), col("n2"), col("bn2")))
+      .filter(col("cos") >= threshold)
+    val hits = cand
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"),
+        min(struct((-col("cos")).as("nc"), col("b_id").as("b"))).as("best"))
+      .select(col("vec_id"), col("n_hits"),
+        col("best.b").as("best_bench"), (-col("best.nc")).as("best_cos"))
+    corp.select("vec_id", "cell")
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("n_hits").isNotNull.as("contaminated"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("best_bench"), lit(-1L)).as("best_bench"),
+        coalesce(col("best_cos"), lit(-1.0d)).as("best_cos"))
+  }
 }

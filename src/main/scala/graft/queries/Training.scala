@@ -110,6 +110,11 @@ object Training {
   /** R13: exact-substring dedup (Lee et al. 2022 ExactSubstr). */
   val dSubstrDedup: Q = (s, d) => Dedup.substrDedup(docs(s, d))
   val dSemdedup: Q = (s, d) => Dedup.semDedup(emb(s, d))
+
+  /** R15: semantic decontamination — embedding-space benchmark leakage
+    * detection, cell-bounded cosine vs the benchmark slice
+    * ([[Decontaminate.semDecontam]]). */
+  val dSemDecontam: Q = (s, d) => Decontaminate.semDecontam(emb(s, d))
   val dChunkDups: Q = (s, d) => Dedup.sharedChunks(docs(s, d))
   /** R14 (third closing): asymmetric containment — the quote detector
     * symmetric Jaccard misses (quote-dressed corpus, both engines). */
@@ -912,6 +917,7 @@ object Training {
     "d_span_dedup" -> dSpanDedup,
     "d_substr_dedup" -> dSubstrDedup,
     "d_semdedup" -> dSemdedup,
+    "d_sem_decontam" -> dSemDecontam,
     "d_chunk_dups" -> dChunkDups,
     "d_containment" -> dContainment,
     "t_top_terms" -> tTopTerms,

@@ -1208,6 +1208,26 @@ object TrainingOracles {
          |SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep
          |FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin,
 
+    // semantic decontamination mirror: same IVF cells, benchmark slice
+    // vec_id % 41 = 0, within-cell cosine hits, best = max cos then
+    // lowest benchmark id
+    "d_sem_decontam" ->
+      s"""${ivfCellsCte("vec_id % 7 = 0")},
+         |bench AS (SELECT cell, vec_id AS b_id, qv, n2 FROM cells WHERE vec_id % 41 = 0),
+         |corp AS (SELECT cell, vec_id, qv, n2 FROM cells WHERE vec_id % 41 <> 0),
+         |cand AS (SELECT a.vec_id, b.b_id, $CosAB AS cos
+         |         FROM corp a JOIN bench b ON a.cell = b.cell
+         |         WHERE $CosAB >= 0.3),
+         |agg AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits FROM cand GROUP BY 1),
+         |best AS (SELECT vec_id, b_id, cos FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY cos DESC, b_id ASC) AS rn FROM cand) t WHERE rn = 1)
+         |SELECT c.vec_id, c.cell, (a.vec_id IS NOT NULL) AS contaminated,
+         |       coalesce(a.n_hits, 0) AS n_hits,
+         |       coalesce(be.b_id, -1) AS best_bench,
+         |       coalesce(be.cos, -1.0) AS best_cos
+         |FROM corp c LEFT JOIN agg a USING (vec_id) LEFT JOIN best be USING (vec_id)""".stripMargin,
+
     "d_cdc_chunks" ->
       s"""$ChunkCte
          |SELECT doc_id, chunk_id, chunk_fp, n_tokens FROM chunks""".stripMargin,

@@ -636,6 +636,68 @@ class TextDedupSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: ESD span-merge reassembly equals the per-token exists kernel " +
+    "on arbitrary (w, drop_starts), including overlap chains and full-doc drops") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import graft.operators.{Dedup, TextOps}
+    // the r14 pre-optimization kernel, stated directly: token i is kept
+    // iff NO dropped window covers it — O(L × starts), the reference
+    def perToken(toks: org.apache.spark.sql.Column,
+                 ds: org.apache.spark.sql.Column, w: Int) =
+      filter(transform(toks, (t, i) =>
+        when(!exists(ds, s => s <= i && i < s + w), t)), x => x.isNotNull)
+    def refKept(toks: Seq[String], starts: Seq[Int], w: Int): Seq[String] =
+      toks.zipWithIndex.collect {
+        case (t, i) if !starts.exists(s => s <= i && i < s + w) => t }
+    def run(toks: Seq[String], starts: Seq[Int], w: Int): (Seq[String], Seq[String]) = {
+      val df = Seq((toks, starts)).toDF("toks", "drop_starts")
+      val r = df.select(
+        Dedup.keptAfterDrops(col("toks"), col("drop_starts"), w).as("a"),
+        perToken(col("toks"), col("drop_starts"), w).as("b"))
+        .as[(Seq[String], Seq[String])].collect().head
+      r
+    }
+    // pinned edges first: empty starts, full-doc drop, maximal overlap
+    // chain (every start), adjacent non-overlapping windows, last start
+    for ((toks, starts, w) <- Seq(
+      (Seq("a", "b", "c", "d"), Seq.empty[Int], 2),
+      (Seq("a", "b", "c", "d"), Seq(0, 1, 2), 2), // full-doc drop
+      (Seq("a", "b", "c", "d"), (0 to 2).toSeq, 2), // overlap chain
+      (Seq("a", "b", "c", "d", "e", "f"), Seq(0, 2, 4), 2), // adjacent, == w apart
+      (Seq("a", "b", "c", "d"), Seq(2), 2), // last possible start
+      (Seq("a"), Seq(0), 1))) { // single-token doc fully dropped
+      val (a, b) = run(toks, starts, w)
+      val want = refKept(toks, starts, w)
+      assert(a === want && b === want, s"edge ($toks, $starts, w=$w): $a vs $want")
+    }
+    val gen = for {
+      w <- Gen.choose(1, 5)
+      n <- Gen.choose(w, 40)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd"))
+      starts <- Gen.someOf(0 to (n - w))
+    } yield (w, toks, starts.sorted.toList)
+    val prop = Prop.forAll(gen) { case (w, toks, starts) =>
+      val (a, b) = run(toks, starts, w)
+      val want = refKept(toks, starts, w)
+      a == want && b == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+    // fixture corpus: both kernels byte-identical on real documents
+    val docs = Tables.documents(spark, TestSpark.Sf).limit(200)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 8)
+      .withColumn("drop_starts",
+        filter(transform(sequence(lit(0), size(col("toks")) - 8),
+          p => when(pmod(p, lit(7)) === 0, p)), x => x.isNotNull).cast("array<int>"))
+    val diverged = docs.select(
+      md5(array_join(Dedup.keptAfterDrops(col("toks"), col("drop_starts"), 8), " ")).as("a"),
+      md5(array_join(perToken(col("toks"), col("drop_starts"), 8), " ")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(diverged.isEmpty, "kernels must be byte-identical on the fixture corpus")
+  }
+
   test("property: unigram-LM train+serve equals a from-scratch sequential reference " +
     "(seed floor, integer costs, Viterbi, hard-EM recount, prune, coverage)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
