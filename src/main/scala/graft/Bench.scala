@@ -129,6 +129,7 @@ object Bench {
     "s_refine" -> 2.2,
     "d_semdedup" -> 1.6,
     "d_sem_decontam" -> 2.6, // r15: cell-bounded benchmark-leakage cosine pass; measured solo sf0.1 2.28 s
+    "d_sem_recall" -> 2.4, // r15: decontam recall vs exact brute truth; measured solo sf0.1 1.80 s
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,
     "t_mix_sqrt" -> 1.3, // r14: sqrt-temperature quotas, same shape as t_mix

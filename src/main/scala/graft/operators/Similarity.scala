@@ -180,7 +180,7 @@ object Similarity {
     * exchange was the plan's only corpus-sized shuffle, and it carried
     * k× the corpus. Identical arithmetic and (score, cell) tie-break —
     * struct sort orders field-wise — so the oracle mirror is unchanged. */
-  private def nearestCells(corpus: DataFrame, cents: DataFrame, n: Int): DataFrame = {
+  private[operators] def nearestCells(corpus: DataFrame, cents: DataFrame, n: Int): DataFrame = {
     val centArr = cents.agg(
       collect_list(struct(col("c_label"), col("cv"), col("cn2"))).as("cents"))
     corpus

@@ -116,8 +116,15 @@ object WordPiece {
     * [[Bpe.encode]] contract). */
   def encode(docs: DataFrame): DataFrame = {
     val d = Spread(docs)
+    // r15: pin the distinct-word relation — unpinned, its four
+    // consumers (the vocab floor, vocab candidates, the match list,
+    // and the per-word walk spine) each re-ran the corpus tokenize +
+    // word aggregate from the parquet scan (5 scans in PLANS_r14; the
+    // d_containment recompute class). Pinned, the corpus tokenizes
+    // once per leg (the serving explode is the only other pass) — the
+    // same discipline Bpe.learn and UnigramLm already apply.
     d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
-      .join(segments(words(d)), Seq("word"))
+      .join(segments(words(d).localCheckpoint()), Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum("w_pieces").as("n_pieces"),

@@ -115,6 +115,10 @@ object Training {
     * detection, cell-bounded cosine vs the benchmark slice
     * ([[Decontaminate.semDecontam]]). */
   val dSemDecontam: Q = (s, d) => Decontaminate.semDecontam(emb(s, d))
+
+  /** R15: measured recall of the cell-bounded decontamination pass vs
+    * exact brute-force ground truth ([[Decontaminate.semDecontamRecall]]). */
+  val dSemRecall: Q = (s, d) => Decontaminate.semDecontamRecall(emb(s, d))
   val dChunkDups: Q = (s, d) => Dedup.sharedChunks(docs(s, d))
   /** R14 (third closing): asymmetric containment — the quote detector
     * symmetric Jaccard misses (quote-dressed corpus, both engines). */
@@ -918,6 +922,7 @@ object Training {
     "d_substr_dedup" -> dSubstrDedup,
     "d_semdedup" -> dSemdedup,
     "d_sem_decontam" -> dSemDecontam,
+    "d_sem_recall" -> dSemRecall,
     "d_chunk_dups" -> dChunkDups,
     "d_containment" -> dContainment,
     "t_top_terms" -> tTopTerms,

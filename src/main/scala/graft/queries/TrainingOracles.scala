@@ -1213,7 +1213,10 @@ object TrainingOracles {
     // lowest benchmark id
     "d_sem_decontam" ->
       s"""${ivfCellsCte("vec_id % 7 = 0")},
-         |bench AS (SELECT cell, vec_id AS b_id, qv, n2 FROM cells WHERE vec_id % 41 = 0),
+         |bench AS (SELECT c_label AS cell, vec_id AS b_id, qv, n2 FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY score ASC, c_label ASC) AS rn
+         |            FROM scored1 WHERE vec_id % 41 = 0) t WHERE rn <= 2),
          |corp AS (SELECT cell, vec_id, qv, n2 FROM cells WHERE vec_id % 41 <> 0),
          |cand AS (SELECT a.vec_id, b.b_id, $CosAB AS cos
          |         FROM corp a JOIN bench b ON a.cell = b.cell
@@ -1227,6 +1230,31 @@ object TrainingOracles {
          |       coalesce(be.b_id, -1) AS best_bench,
          |       coalesce(be.cos, -1.0) AS best_cos
          |FROM corp c LEFT JOIN agg a USING (vec_id) LEFT JOIN best be USING (vec_id)""".stripMargin,
+
+    // recall of the cell-bounded decontamination vs exact brute truth:
+    // same cells/bench/corp/cand chain; exact = unbounded bench cross
+    "d_sem_recall" ->
+      s"""${ivfCellsCte("vec_id % 7 = 0")},
+         |bench AS (SELECT c_label AS cell, vec_id AS b_id, qv, n2 FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY vec_id
+         |              ORDER BY score ASC, c_label ASC) AS rn
+         |            FROM scored1 WHERE vec_id % 41 = 0) t WHERE rn <= 2),
+         |corp AS (SELECT cell, vec_id, qv, n2 FROM cells WHERE vec_id % 41 <> 0),
+         |cand AS (SELECT a.vec_id FROM corp a JOIN bench b ON a.cell = b.cell
+         |         WHERE $CosAB >= 0.3 GROUP BY 1),
+         |ex AS (SELECT a.vec_id FROM corp a, bench b
+         |       WHERE $CosAB >= 0.3 GROUP BY 1),
+         |f AS (SELECT c.vec_id, (e.vec_id IS NOT NULL) AS hit,
+         |             (ap.vec_id IS NOT NULL) AS caught
+         |      FROM corp c LEFT JOIN ex e ON c.vec_id = e.vec_id
+         |                  LEFT JOIN cand ap ON c.vec_id = ap.vec_id)
+         |SELECT CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN hit AND caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+         |       CAST(CASE WHEN sum(CASE WHEN hit THEN 1 ELSE 0 END) = 0 THEN 1000
+         |            ELSE sum(CASE WHEN hit AND caught THEN 1 ELSE 0 END) * 1000
+         |                 // sum(CASE WHEN hit THEN 1 ELSE 0 END) END AS BIGINT)
+         |         AS recall_permille
+         |FROM f""".stripMargin,
 
     "d_cdc_chunks" ->
       s"""$ChunkCte

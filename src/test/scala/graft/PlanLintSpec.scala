@@ -38,8 +38,9 @@ class PlanLintSpec extends AnyFunSuite {
       "t_unigram_lm", "t_unigram_vocab",
       // r15 semantic decontam: the ivfIndex centroid ROW broadcast (the
       // s_ivf_topk assignment shape); the contamination join itself is
-      // equi on the cell key
-      "d_sem_decontam",
+      // equi on the cell key. The recall leg adds the exact brute arm's
+      // ONE-ROW collected-benchmark broadcast (the s_recall shape)
+      "d_sem_decontam", "d_sem_recall",
       // r14 hard negatives: label INEQUALITY can't hash-join — the
       // documented queries-broadcast brute shape (see scaladoc: the
       // scale path composes the ANN candidate stage first)
