@@ -205,16 +205,40 @@ object UnigramLm {
     * contract). */
   def encode(docs: DataFrame): DataFrame = {
     val w = words(docs).localCheckpoint()
-    val verdicts = viterbi(w, costs(trainedModel(w)))
+    encodeWith(Spread(docs), w, costs(trainedModel(w)))
+  }
+
+  /** Serving against an ALREADY-TRAINED cost model (the
+    * [[Bpe.encodeWith]] contract — how a stream serves a frozen
+    * tokenizer): `model` is a (piece, cost) relation, `w` the distinct
+    * words of THIS batch. Out-of-vocabulary CHARACTERS (chars the
+    * training corpus never saw have no coverage piece, so the DP walks
+    * into the Inf sentinel) take the same fixed per-character arm as
+    * over-long words — the stream accepts any input instead of
+    * dropping it; on the train corpus itself every char is covered and
+    * this arm is dead. */
+  def encodeWith(docs: DataFrame, w: DataFrame, model: DataFrame): DataFrame = {
+    val verdicts = viterbi(w, model)
       .select(col("word"),
-        pmod(col("combined"), lit(64L)).as("w_pieces"),
-        TextOps.idiv(col("combined"), lit(64L)).as("w_bits"))
+        when(col("combined") < Inf, pmod(col("combined"), lit(64L)))
+          .otherwise(length(col("word")).cast("long")).as("w_pieces"),
+        when(col("combined") < Inf, TextOps.idiv(col("combined"), lit(64L)))
+          .otherwise(length(col("word")) * LongWordCharBits).as("w_bits"))
+      .unionByName(
+        // words that produced NO vocabulary match at all (every char
+        // OOV) fall out of viterbi's inner pc join — same fixed arm
+        w.where(length(col("word")) <= MaxWordChars)
+          .join(candidates(w).join(model, "piece")
+            .select("word").distinct(), Seq("word"), "left_anti")
+          .select(col("word"),
+            length(col("word")).cast("long").as("w_pieces"),
+            (length(col("word")) * LongWordCharBits).as("w_bits")))
       .unionByName(
         w.where(length(col("word")) > MaxWordChars)
           .select(col("word"),
             length(col("word")).cast("long").as("w_pieces"),
             (length(col("word")) * LongWordCharBits).as("w_bits")))
-    Spread(docs)
+    docs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
       .join(verdicts, Seq("word"))
       .groupBy("doc_id")

@@ -785,6 +785,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("unigram encodeWith: frozen model serves unseen batches; OOV chars and " +
+    "all-OOV words take the fixed per-char arm; same-corpus == encode") {
+    import graft.operators.{Spread, UnigramLm}
+    val train = docsOf((1L, "aaab abab aaab abab aaab"))
+    val model = UnigramLm.costs(UnigramLm.trainedModel(UnigramLm.words(train)))
+      .localCheckpoint()
+    val batch = docsOf((10L, "a7b"), (11L, "zzz"), (12L, "ab"), (13L, "a" * 40))
+    val out = UnigramLm.encodeWith(batch, UnigramLm.words(batch), model)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) === ((1L, 3L, 120L)), "OOV digit mid-word takes the per-char arm")
+    assert(out(11L) === ((1L, 3L, 120L)), "all-OOV word takes the per-char arm")
+    assert(out(13L) === ((1L, 40L, 1600L)), "over-long word takes the per-char arm")
+    val (n12, p12, b12) = out(12L)
+    assert(n12 === 1L && p12 >= 1L && p12 <= 2L && b12 < 4000L,
+      s"covered word must segment normally, got ($n12,$p12,$b12)")
+    // the Bpe.encodeWith contract: on the train corpus itself the frozen
+    // serve reproduces train-and-serve exactly
+    val enc = UnigramLm.encode(train)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val encW = UnigramLm.encodeWith(Spread(train), UnigramLm.words(train), model)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(enc === encW)
+  }
+
   test("FIM transform: hash gates and cuts replay from first principles; " +
     "PSM re-serialization is exact; both branches exercised") {
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
