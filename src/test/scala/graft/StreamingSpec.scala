@@ -1806,6 +1806,29 @@ class StreamingSpec extends AnyFunSuite {
       "replay exclusion must survive compaction")
   }
 
+  test("frozen tokenizer serves a stream: per-micro-batch unigram encodeWith " +
+    "over the trained model equals the batch serve, any batching") {
+    // r15: the tokenizer-serving LAW — encodeWith is stateless given the
+    // frozen model, so micro-batch union ≡ one batch, bit-for-bit. The
+    // model trains ONCE (what a real pipeline does: train offline,
+    // broadcast the cost table to the ingest stream).
+    import graft.operators.UnigramLm
+    val docs = Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") < 120)
+      .select("doc_id", "text")
+    val model = UnigramLm
+      .costs(UnigramLm.trainedModel(UnigramLm.words(docs))).localCheckpoint()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val whole = UnigramLm.encodeWith(docs, UnigramLm.words(docs), model)
+      .collect().map(key).sortBy(_._1).toSeq
+    val streamed = (0 until 3).flatMap { b =>
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+      UnigramLm.encodeWith(batch, UnigramLm.words(batch), model)
+        .collect().map(key)
+    }.sortBy(_._1)
+    assert(streamed === whole, "micro-batched frozen serve must equal the batch serve")
+  }
+
   test("budget stream: N ordered micro-batches ARE the sequential per-batch " +
     "prefix admission; the budget is never exceeded; replay, crash, " +
     "and compaction exact") {
