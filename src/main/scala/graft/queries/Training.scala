@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Html, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UnigramLm, UrlOps, Warc, WordPiece}
+import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Html, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, Spread, TextOps, UnigramLm, UrlOps, Warc, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -350,6 +350,11 @@ object Training {
       when(pmod(col("doc_id"), lit(37)) === 0, lit(" x86")).otherwise(lit("")),
       when(pmod(col("doc_id"), lit(53)) === 0, lit(" " + "ab" * 20)).otherwise(lit("")))
       .as("text"))
+
+  /** R15: UniMax source/language sampling ([[Sampling.unimax]] — the
+    * ascending-size capped budget allocation; the DuckDB oracle
+    * replays the identical recurrence as a recursive CTE). */
+  val tUnimax: Q = (s, d) => Sampling.unimax(docs(s, d))
 
   /** R15: unigram-LM (SentencePiece) serve — Viterbi-best segmentation
     * under the hard-EM-trained integer piece costs
@@ -937,6 +942,7 @@ object Training {
     "t_bpe_merges" -> tBpeMerges,
     "t_bpe_encode" -> tBpeEncode,
     "t_wordpiece" -> tWordpiece,
+    "t_unimax" -> tUnimax,
     "t_unigram_lm" -> tUnigramLm,
     "t_unigram_vocab" -> tUnigramVocab,
     "t_token_budget" -> tTokenBudget,

@@ -1922,6 +1922,27 @@ object TrainingOracles {
          |       ELSE md5(array_to_string(toks, ' ')) END AS fp
          |FROM c""".stripMargin,
 
+    // UniMax allocation mirror: identical ascending-size recursive
+    // recurrence, identical exact-integer budget/cap constants
+    "t_unimax" ->
+      s"""WITH RECURSIVE tok AS (SELECT source, $Toks AS toks FROM documents),
+         |usrc AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n
+         |         FROM tok WHERE len(toks) >= 1 GROUP BY 1),
+         |ord AS (SELECT source, n,
+         |               CAST(row_number() OVER (ORDER BY n ASC, source ASC) AS INT) AS i,
+         |               CAST(count(*) OVER () AS BIGINT) AS k FROM usrc),
+         |alloc(i, r, a, source, n) AS (
+         |  SELECT CAST(0 AS INT), t * 11 // 10, CAST(NULL AS BIGINT),
+         |         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+         |  FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM usrc) t0
+         |  UNION ALL
+         |  SELECT o.i, al.r - least(o.n * 9 // 8, al.r // (o.k - al.i)),
+         |         least(o.n * 9 // 8, al.r // (o.k - al.i)), o.source, o.n
+         |  FROM alloc al JOIN ord o ON o.i = al.i + 1)
+         |SELECT source, n AS n_tokens, a AS alloc,
+         |       CAST(a * 1000 // n AS BIGINT) AS rate_permille
+         |FROM alloc WHERE source IS NOT NULL""".stripMargin,
+
     // annealed-mixture mirror: same permille interpolation (shares
     // bounded in permille BY DESIGN so no cross-multiplied product can
     // overflow), same per-epoch salted hash admission as t_lang_balance
