@@ -255,6 +255,7 @@ object Bench {
     // 6.28/5.98/2.29/3.21/0.31
     "t_clf_train" -> 7.5, // mini-batch perceptron: 12 synchronous update steps over the pinned feature relation
     "t_clf_eval" -> 7.0, // train on 'train' split + held-out confusion matrix on 'test'
+    "t_rho_select" -> 6.5, // r15: RHO-loss selection = the eval chain's margins + the LM-score chain; measured solo sf0.1 5.24 s
     "t_clf_train_auc" -> 7.5, // trained-model held-out Mann-Whitney AUC (same 12-step train); measured 5.77
     "t_clf_calibration" -> 8.0, // reliability diagram over the trained margins; measured 7.20
     "d_cluster_split" -> 3.0, // duplicateClusters + cluster-keyed split projection

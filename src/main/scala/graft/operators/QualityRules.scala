@@ -405,4 +405,42 @@ object QualityRules {
           TextOps.trunc((lit(2L) * col("tp")).cast("double") /
             (lit(2L) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
   }
+
+  /** R15: RHO-loss-style LEARNABILITY selection (Mindermann et al.
+    * 2022, arXiv:2206.07137 — "prioritize points that are learnable,
+    * worth learning, and not yet learned"): rank candidates by
+    * (training loss under the CURRENT model) − (loss under an
+    * independent REFERENCE model), composed from the two models the
+    * engine already trains in-engine. Current-model loss is the hinge
+    * on the trained perceptron's held-out margin
+    * ([[perceptronTestMargins]]: `max(0, 4096 − y·margin)` — the
+    * calibration bin width as the slack, so barely-classified docs
+    * still carry graded loss); reference loss is the bigram-LM mean
+    * surprisal ([[NgramLm.surprisal]], milli-bits). The two live on
+    * different scales, so each normalizes to permille of its corpus
+    * max (1-row broadcast aggregates, exact idiv on non-negative
+    * operands) and `rho_milli = trainloss_pm − refloss_pm`; `selected`
+    * = rho_milli > 0 — the normalized losses crossed: the current
+    * model is still losing on text the reference models well.
+    *
+    * Scale/shape: one corpus pass per leg (both already
+    * corpus-sublinear after their own aggregations), one doc_id equi
+    * join, two 1-row broadcasts. All exact integers. */
+  def rhoSelect(docs: DataFrame, trainUpto: Int, valUpto: Int, salt: String,
+      epochs: Int = 3, miniBatches: Int = 4): DataFrame = {
+    val m = perceptronTestMargins(docs, trainUpto, valUpto, salt, epochs, miniBatches)
+    val s = NgramLm.surprisal(docs).select(col("doc_id"), col("bits_x1000"))
+    val ym = when(col("pos"), col("margin")).otherwise(-col("margin"))
+    val scored = m.join(s, "doc_id")
+      .select(col("doc_id"), col("pos"), col("margin"), col("bits_x1000"),
+        greatest(lit(0L), lit(4096L) - ym).as("tloss"))
+    val mx = scored.agg(
+      greatest(max("tloss"), lit(1L)).as("mt"),
+      greatest(max("bits_x1000"), lit(1L)).as("mr"))
+    val rho = TextOps.idiv(col("tloss") * 1000L, col("mt")) -
+      TextOps.idiv(col("bits_x1000") * 1000L, col("mr"))
+    scored.crossJoin(broadcast(mx))
+      .select(col("doc_id"), col("pos"), col("margin"), col("bits_x1000"),
+        rho.as("rho_milli"), (rho > 0L).as("selected"))
+  }
 }

@@ -421,6 +421,13 @@ object Training {
   val tClfEval: Q = (s, d) =>
     QualityRules.perceptronEval(docs(s, d), SplitTrain, SplitVal, SplitSalt,
       PerceptronEpochs, PerceptronBatches)
+  /** R15: RHO-loss-style learnability selection — trained-classifier
+    * hinge loss vs bigram-LM reference surprisal, normalized and
+    * differenced ([[QualityRules.rhoSelect]]). */
+  val tRhoSelect: Q = (s, d) =>
+    QualityRules.rhoSelect(docs(s, d), SplitTrain, SplitVal, SplitSalt,
+      PerceptronEpochs, PerceptronBatches)
+
   /** R14: exact Mann-Whitney AUC of the TRAINED model's held-out
     * margins (t_clf_auc is the fixed-weight before picture). */
   val tClfTrainAuc: Q = (s, d) =>
@@ -981,6 +988,7 @@ object Training {
     "t_clf_train" -> tClfTrain,
     "t_clf_eval" -> tClfEval,
     "t_clf_train_auc" -> tClfTrainAuc,
+    "t_rho_select" -> tRhoSelect,
     "t_clf_calibration" -> tClfCalibration,
     "t_reservoir" -> tReservoir,
     "d_cluster_split" -> dClusterSplit,

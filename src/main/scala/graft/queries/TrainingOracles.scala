@@ -2688,6 +2688,28 @@ object TrainingOracles {
          |SELECT bucket, w FROM $PerceptronLastW""".stripMargin
     },
 
+    // RHO-loss selection mirror: the eval chain's held-out margins
+    // composed with the (independent, name-disjoint) LM-score chain —
+    // LmScoreCte's leading WITH is stripped so both hang off one WITH;
+    // hinge slack 4096 (the calibration bin width), permille
+    // normalization by corpus max, losses-crossed selection
+    "t_rho_select" -> {
+      s"""$PerceptronEvalCtes,
+         |${LmScoreCte.stripPrefix("WITH ")},
+         |rj AS (SELECT se.doc_id, se.y, se.margin, l.bits_x1000,
+         |         greatest(0, 4096 - (CASE WHEN se.y = 1 THEN se.margin
+         |                                  ELSE -se.margin END)) AS tloss
+         |       FROM se JOIN lmscore l USING (doc_id)),
+         |rmx AS (SELECT greatest(max(tloss), 1) AS mt,
+         |               greatest(max(bits_x1000), 1) AS mr FROM rj)
+         |SELECT t.doc_id, (t.y = 1) AS pos, t.margin, t.bits_x1000,
+         |       CAST(t.tloss * 1000 // rmx.mt
+         |            - t.bits_x1000 * 1000 // rmx.mr AS BIGINT) AS rho_milli,
+         |       (t.tloss * 1000 // rmx.mt - t.bits_x1000 * 1000 // rmx.mr) > 0
+         |         AS selected
+         |FROM rj t, rmx""".stripMargin
+    },
+
     // r14 (second closing): held-out evaluation of the trained model —
     // fit on 'train', scored on 'test' (disjoint salted-hash splits),
     // unseen buckets weight 0 via LEFT JOIN, keep = margin > 0, exact

@@ -41,6 +41,10 @@ class PlanLintSpec extends AnyFunSuite {
       // equi on the cell key. The recall leg adds the exact brute arm's
       // ONE-ROW collected-benchmark broadcast (the s_recall shape)
       "d_sem_decontam", "d_sem_recall",
+      // r15 RHO selection: the ONE-ROW max-normalizer aggregate rides
+      // as a broadcast scalar (t_lang_balance shape); the margin and
+      // surprisal legs join equi on doc_id
+      "t_rho_select",
       // r14 hard negatives: label INEQUALITY can't hash-join — the
       // documented queries-broadcast brute shape (see scaladoc: the
       // scale path composes the ANN candidate stage first)
