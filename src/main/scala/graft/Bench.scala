@@ -134,6 +134,7 @@ object Bench {
     "t_mix" -> 1.3,
     "t_mix_sqrt" -> 1.3, // r14: sqrt-temperature quotas, same shape as t_mix
     "t_unimax" -> 1.6, // r15: UniMax budget allocation (driver fold over the metadata-scale source aggregate); measured solo sf0.1 0.89 s
+    "t_unimax_admit" -> 2.2, // r15: realized multi-epoch + fractional-hash admission under the UniMax rates; measured solo sf0.1 1.61 s
     "t_langid2" -> 0.9,
     "d_simhash_nn" -> 7.5,
     // r9 (both crossed the 1 s rule): d_docsim's target is the PINNED

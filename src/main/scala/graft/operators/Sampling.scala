@@ -309,6 +309,40 @@ object Sampling {
     alloc.toSeq.toDF("source", "n_tokens", "alloc", "rate_permille")
   }
 
+  /** R15: the REALIZED admission under [[unimax]]'s rates — what the
+    * data loader actually does with an allocation that can exceed one
+    * epoch (rate_permille > 1000): every doc repeats `rate div 1000`
+    * full times, plus one fractional salted-hash draw at `rate mod
+    * 1000` permille (the [[annealMix]] admission rule — independent
+    * per doc, exactly reproducible). Per-source report: docs, corpus
+    * tokens, target rate, admitted tokens, and the realized permille —
+    * the check that the loader hits the allocator's target. One corpus
+    * pass; the allocation table rides as a broadcast. */
+  def unimaxAdmit(docs: DataFrame, salt: String = "unimax1",
+                  budgetNum: Int = 11, budgetDen: Int = 10,
+                  capNum: Int = 9, capDen: Int = 8): DataFrame = {
+    val alloc = unimax(docs, budgetNum, budgetDen, capNum, capDen)
+      .select(col("source"), col("rate_permille"))
+    val base = Spread(docs)
+      .select(col("source"), col("doc_id"),
+        TextOps.nTokens(col("text")).cast("long").as("nt"))
+      .where(col("nt") >= 1)
+    val full = expr("rate_permille div 1000")
+    val fracPm = pmod(col("rate_permille"), lit(1000L))
+    val h = conv(substring(md5(concat(lit(salt), lit(":"), col("doc_id"))), 1, 8),
+      16, 10).cast("long")
+    base.join(broadcast(alloc), Seq("source"))
+      .withColumn("picks", full + when(h * 1000L < fracPm * (1L << 32), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nt").as("n_tokens"),
+        max("rate_permille").as("rate_permille"),
+        sum(col("nt") * col("picks")).as("tok_admitted"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("rate_permille"), col("tok_admitted"),
+        expr("tok_admitted * 1000 div n_tokens").as("realized_permille"))
+  }
+
   def tokenBudget(docs: DataFrame, budgetNum: Int, budgetDen: Int,
       salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -356,6 +356,10 @@ object Training {
     * replays the identical recurrence as a recursive CTE). */
   val tUnimax: Q = (s, d) => Sampling.unimax(docs(s, d))
 
+  /** R15: the realized multi-epoch + fractional-hash admission under
+    * the UniMax rates ([[Sampling.unimaxAdmit]]). */
+  val tUnimaxAdmit: Q = (s, d) => Sampling.unimaxAdmit(docs(s, d))
+
   /** R15: unigram-LM (SentencePiece) serve — Viterbi-best segmentation
     * under the hard-EM-trained integer piece costs
     * ([[UnigramLm.encode]]). */
@@ -950,6 +954,7 @@ object Training {
     "t_bpe_encode" -> tBpeEncode,
     "t_wordpiece" -> tWordpiece,
     "t_unimax" -> tUnimax,
+    "t_unimax_admit" -> tUnimaxAdmit,
     "t_unigram_lm" -> tUnigramLm,
     "t_unigram_vocab" -> tUnigramVocab,
     "t_token_budget" -> tTokenBudget,

@@ -1943,6 +1943,42 @@ object TrainingOracles {
          |       CAST(a * 1000 // n AS BIGINT) AS rate_permille
          |FROM alloc WHERE source IS NOT NULL""".stripMargin,
 
+    // realized UniMax admission mirror: the allocation recurrence +
+    // full-epoch repeats (rate // 1000) + the annealMix fractional
+    // salted-hash draw at rate % 1000 permille
+    "t_unimax_admit" ->
+      s"""WITH RECURSIVE tok AS (SELECT doc_id, source, $Toks AS toks FROM documents),
+         |usrc AS (SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n
+         |         FROM tok WHERE len(toks) >= 1 GROUP BY 1),
+         |ord AS (SELECT source, n,
+         |               CAST(row_number() OVER (ORDER BY n ASC, source ASC) AS INT) AS i,
+         |               CAST(count(*) OVER () AS BIGINT) AS k FROM usrc),
+         |alloc(i, r, a, source, n) AS (
+         |  SELECT CAST(0 AS INT), t * 11 // 10, CAST(NULL AS BIGINT),
+         |         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+         |  FROM (SELECT CAST(sum(n) AS BIGINT) AS t FROM usrc) t0
+         |  UNION ALL
+         |  SELECT o.i, al.r - least(o.n * 9 // 8, al.r // (o.k - al.i)),
+         |         least(o.n * 9 // 8, al.r // (o.k - al.i)), o.source, o.n
+         |  FROM alloc al JOIN ord o ON o.i = al.i + 1),
+         |rate AS (SELECT source, a * 1000 // n AS rate_permille
+         |         FROM alloc WHERE source IS NOT NULL),
+         |base AS (SELECT t.source, t.doc_id, CAST(len(t.toks) AS BIGINT) AS nt,
+         |                r.rate_permille
+         |         FROM tok t JOIN rate r USING (source) WHERE len(t.toks) >= 1),
+         |picked AS (SELECT source, nt, rate_permille,
+         |             rate_permille // 1000
+         |             + CASE WHEN ('0x' || substr(md5('unimax1:' || doc_id), 1, 8))::BIGINT
+         |                         * 1000 < (rate_permille % 1000) * 4294967296
+         |                    THEN 1 ELSE 0 END AS picks
+         |           FROM base)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |       CAST(max(rate_permille) AS BIGINT) AS rate_permille,
+         |       CAST(sum(nt * picks) AS BIGINT) AS tok_admitted,
+         |       CAST(sum(nt * picks) * 1000 // sum(nt) AS BIGINT) AS realized_permille
+         |FROM picked GROUP BY 1""".stripMargin,
+
     // annealed-mixture mirror: same permille interpolation (shares
     // bounded in permille BY DESIGN so no cross-multiplied product can
     // overflow), same per-epoch salted hash admission as t_lang_balance
