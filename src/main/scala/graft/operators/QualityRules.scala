@@ -431,6 +431,13 @@ object QualityRules {
     val m = perceptronTestMargins(docs, trainUpto, valUpto, salt, epochs, miniBatches)
     val s = NgramLm.surprisal(docs).select(col("doc_id"), col("bits_x1000"))
     val ym = when(col("pos"), col("margin")).otherwise(-col("margin"))
+    // NOT pinned, measured: the max-normalizer aggregate and the final
+    // projection both consume this relation, but its subtree ends in
+    // shuffles AQE deduplicates at runtime (ReusedExchange — the t_bm25
+    // precedent; invisible in static explain). A localCheckpoint here
+    // was tried and measured SLOWER (solo sf0.1 7.46 s pinned vs
+    // 5.24 s relying on runtime reuse): the pin splits the plan into
+    // an extra materialization job without removing any work.
     val scored = m.join(s, "doc_id")
       .select(col("doc_id"), col("pos"), col("margin"), col("bits_x1000"),
         greatest(lit(0L), lit(4096L) - ym).as("tloss"))

@@ -288,12 +288,21 @@ object Sampling {
     * the corpus. All arithmetic exact integer (Long floor-div on
     * non-negative operands ≡ the oracle's `//`). */
   def unimax(docs: DataFrame, budgetNum: Int = 11, budgetDen: Int = 10,
-             capNum: Int = 9, capDen: Int = 8): DataFrame = {
-    val spark = docs.sparkSession
-    val srcRows = Spread(docs)
-      .select(col("source"), TextOps.nTokens(col("text")).cast("long").as("nt"))
-      .where(col("nt") >= 1)
-      .groupBy("source").agg(sum("nt").as("n"))
+             capNum: Int = 9, capDen: Int = 8): DataFrame =
+    unimaxFromAgg(
+      Spread(docs)
+        .select(col("source"), TextOps.nTokens(col("text")).cast("long").as("nt"))
+        .where(col("nt") >= 1)
+        .groupBy("source").agg(sum("nt").as("n")),
+      budgetNum, budgetDen, capNum, capDen)
+
+  /** The allocation fold over an already-built (source, n) aggregate —
+    * factored so [[unimaxAdmit]] can feed it from the SAME pinned
+    * corpus pass its admission reads (one tokenize, not two). */
+  private[graft] def unimaxFromAgg(srcAgg: DataFrame, budgetNum: Int,
+      budgetDen: Int, capNum: Int, capDen: Int): DataFrame = {
+    val spark = srcAgg.sparkSession
+    val srcRows = srcAgg
       .collect() // metadata-scale: one row per SOURCE, never per doc
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (s, n) => (n, s) }
@@ -321,12 +330,18 @@ object Sampling {
   def unimaxAdmit(docs: DataFrame, salt: String = "unimax1",
                   budgetNum: Int = 11, budgetDen: Int = 10,
                   capNum: Int = 9, capDen: Int = 8): DataFrame = {
-    val alloc = unimax(docs, budgetNum, budgetDen, capNum, capDen)
-      .select(col("source"), col("rate_permille"))
+    // ONE pinned tokenize pass feeds both the allocator's per-source
+    // aggregate and the per-doc admission (r15 review: the allocator
+    // previously re-tokenized the corpus for its own aggregate)
     val base = Spread(docs)
       .select(col("source"), col("doc_id"),
         TextOps.nTokens(col("text")).cast("long").as("nt"))
       .where(col("nt") >= 1)
+      .localCheckpoint()
+    val alloc = unimaxFromAgg(
+      base.groupBy("source").agg(sum("nt").as("n")),
+      budgetNum, budgetDen, capNum, capDen)
+      .select(col("source"), col("rate_permille"))
     val full = expr("rate_permille div 1000")
     val fracPm = pmod(col("rate_permille"), lit(1000L))
     val h = conv(substring(md5(concat(lit(salt), lit(":"), col("doc_id"))), 1, 8),

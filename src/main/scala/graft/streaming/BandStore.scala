@@ -68,10 +68,16 @@ private[graft] object BandStore {
     * serving, a crash between the two renames leaves a complete
     * `.old` copy that the next call restores first. */
   def compact(spark: SparkSession, name: String, dir: String,
-              buckets: Int): Unit = {
+              commitsDir: String, buckets: Int): Unit = {
     val staging = dir.stripSuffix("/") + ".compacting"
     val old = dir.stripSuffix("/") + ".old"
     recoverSwap(dir)
+    // r15 (review): roll back any crashed half-append BEFORE the
+    // rewrite reads the directory — folding an orphan in would make
+    // that batch's later replay recovery delete the compacted files
+    // themselves (CommitProtocol.recoverPending). Living HERE, both
+    // compact() and the maybeCompact policy hook are guarded.
+    CommitProtocol.recoverPending(dir, commitsDir)
     DurableFs.deleteTree(staging); DurableFs.deleteTree(old)
     // write the compacted copy to the staging dir while the live table
     // files still back `name` — the read happens during this write, so
@@ -132,9 +138,9 @@ private[graft] object BandStore {
     * whether a compaction ran, so callers can log/meter it. Cheap when
     * idle: one directory listing. */
   def maybeCompact(spark: SparkSession, name: String, dir: String,
-                   buckets: Int, maxFiles: Int): Boolean = {
+                   commitsDir: String, buckets: Int, maxFiles: Int): Boolean = {
     val n = CommitProtocol.listParquet(dir).size
-    if (n > maxFiles) { compact(spark, name, dir, buckets); true }
+    if (n > maxFiles) { compact(spark, name, dir, commitsDir, buckets); true }
     else false
   }
 

@@ -107,17 +107,12 @@ object CodeDupIndex {
     verdicts
   }
 
-  def compact(spark: SparkSession, cfg: CodeDupConfig): Unit = {
-    // r15: roll back any crashed half-append before the rewrite reads
-    // the band table (CommitProtocol.recoverPending) — shared by the
-    // image/audio/video bindings that delegate here.
-    CommitProtocol.recoverPending(cfg.bandsDir, cfg.commitsDir)
-    BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets)
-  }
+  def compact(spark: SparkSession, cfg: CodeDupConfig): Unit =
+    BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.commitsDir, cfg.buckets)
 
   def maybeCompact(spark: SparkSession, cfg: CodeDupConfig,
                    maxFiles: Int): Boolean =
-    BandStore.maybeCompact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets, maxFiles)
+    BandStore.maybeCompact(spark, cfg.tableName, cfg.bandsDir, cfg.commitsDir, cfg.buckets, maxFiles)
 
   /** The probe join over the CURRENT index — the assertion surface for
     * the zero-index-exchange claim. */

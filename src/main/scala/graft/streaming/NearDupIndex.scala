@@ -159,16 +159,14 @@ object NearDupIndex {
   /** Rewrite the accreted append files into one file per bucket — rows,
     * bucket spec, replay semantics and commit markers all preserved
     * ([[BandStore.compact]]). Run between micro-batches. */
-  def compact(spark: SparkSession, cfg: NearDupConfig): Unit = {
-    CommitProtocol.recoverPending(cfg.bandsDir, cfg.commitsDir)
-    BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets)
-  }
+  def compact(spark: SparkSession, cfg: NearDupConfig): Unit =
+    BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.commitsDir, cfg.buckets)
 
   /** Policy form: compact only past `maxFiles` accreted files
     * ([[BandStore.maybeCompact]]). */
   def maybeCompact(spark: SparkSession, cfg: NearDupConfig,
                    maxFiles: Int): Boolean =
-    BandStore.maybeCompact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets, maxFiles)
+    BandStore.maybeCompact(spark, cfg.tableName, cfg.bandsDir, cfg.commitsDir, cfg.buckets, maxFiles)
 
   /** The probe join over the CURRENT index, exactly as [[serveBatch]]
     * builds it — the assertion surface for the zero-index-exchange

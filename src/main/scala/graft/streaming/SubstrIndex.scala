@@ -134,14 +134,12 @@ object SubstrIndex {
   /** Rewrite the accreted append files into one file per bucket —
     * rows, bucket spec, replay semantics and commit markers preserved
     * ([[BandStore.compact]]). Run between micro-batches. */
-  def compact(spark: SparkSession, cfg: SubstrConfig): Unit = {
-    CommitProtocol.recoverPending(cfg.fpsDir, cfg.commitsDir)
-    BandStore.compact(spark, cfg.tableName, cfg.fpsDir, cfg.buckets)
-  }
+  def compact(spark: SparkSession, cfg: SubstrConfig): Unit =
+    BandStore.compact(spark, cfg.tableName, cfg.fpsDir, cfg.commitsDir, cfg.buckets)
 
   /** Policy form: compact only past `maxFiles` accreted files
     * ([[BandStore.maybeCompact]]). */
   def maybeCompact(spark: SparkSession, cfg: SubstrConfig,
                    maxFiles: Int): Boolean =
-    BandStore.maybeCompact(spark, cfg.tableName, cfg.fpsDir, cfg.buckets, maxFiles)
+    BandStore.maybeCompact(spark, cfg.tableName, cfg.fpsDir, cfg.commitsDir, cfg.buckets, maxFiles)
 }

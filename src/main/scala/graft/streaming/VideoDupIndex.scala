@@ -55,11 +55,26 @@ object VideoDupIndex {
   private def ensureTable(spark: SparkSession, cfg: VideoDupConfig): Unit =
     BandStore.ensure(spark, cfg.tableName, cfg.tableCols, cfg.bandsDir, cfg.buckets)
 
+  /** The occupancy cap every ingest path applies before rows reach the
+    * store or a join: signatures shared by more than `maxOccupancy`
+    * videos in the relation at hand are dropped — the
+    * [[Multimodal.videoDups]] recall trade. */
+  private def capped(sigs: DataFrame, maxOccupancy: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sigs
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy("band_val")))
+      .filter(col("_bsz") <= maxOccupancy)
+      .drop("_bsz")
+  }
+
   /** Freeze an initial index from a doc snapshot (batch_id −1 =
-    * pre-stream); markers reset too. */
+    * pre-stream); markers reset too. The snapshot passes the same
+    * occupancy cap as every serve-side append, so no stored key starts
+    * degenerate. */
   def init(spark: SparkSession, indexDocs: DataFrame, cfg: VideoDupConfig): Unit =
     BandStore.reset(spark, cfg.tableName, cfg.bandsDir, cfg.commitsDir,
-      videoSigs(indexDocs).withColumn("batch_id", lit(-1L)), cfg.buckets)
+      capped(videoSigs(indexDocs), cfg.maxOccupancy)
+        .withColumn("batch_id", lit(-1L)), cfg.buckets)
 
   /** Serve one micro-batch of docs: one verdict row per arriving video —
     * `(doc_id, is_new, n_matches, best_match, best_shared)` where
@@ -73,23 +88,28 @@ object VideoDupIndex {
 
   /** Serve PRE-COMPUTED (doc_id, band_val) signature rows (re-encodes,
     * external captures). */
-  def serveSigs(spark: SparkSession, sigs: DataFrame, batchId: Long,
+  def serveSigs(spark: SparkSession, sigs0: DataFrame, batchId: Long,
                 cfg: VideoDupConfig): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     ensureTable(spark, cfg)
     val proto = CommitProtocol(cfg.bandsDir, cfg.commitsDir, batchId)
     val replay = proto.beginOrRecover()
     if (proto.rolledBack) spark.catalog.refreshTable(cfg.tableName)
 
-    // hot-signature occupancy cap on the PROBE side, mirroring the
-    // batch operator's per-sig cap: a degenerate signature shared by
-    // thousands of videos (all-black frames) would otherwise quadratic
-    // the candidate join; capped pairs simply don't count toward the
+    // r15 (review): the arriving sigs are pinned FIRST — both the band
+    // relation and the verdict spine read them, and via serveBatch the
+    // sigs subtree is the per-file AVI decode, which would otherwise
+    // run twice per micro-batch.
+    val sigs = sigs0.localCheckpoint()
+    // hot-signature occupancy cap on the BATCH side (init applies the
+    // same cap to the snapshot, and only capped rows ever append, so
+    // no stored key STARTS degenerate — though a key can still accrete
+    // past the cap across many batches of ≤cap novel carriers; the
+    // residual degenerate-key growth is bounded in practice because
+    // matched videos are rejected and append nothing): a signature
+    // shared by thousands of videos would otherwise quadratic the
+    // candidate join; capped pairs simply don't count toward the
     // shared tally — the same recall trade videoDups documents.
-    val bands = sigs
-      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy("band_val")))
-      .filter(col("_bsz") <= cfg.maxOccupancy)
-      .drop("_bsz")
+    val bands = capped(sigs, cfg.maxOccupancy)
       .localCheckpoint() // 3 consumers below
     val idx = spark.table(cfg.tableName)
       .filter(col("batch_id") =!= lit(batchId))
@@ -131,14 +151,12 @@ object VideoDupIndex {
     verdicts
   }
 
-  def compact(spark: SparkSession, cfg: VideoDupConfig): Unit = {
-    CommitProtocol.recoverPending(cfg.bandsDir, cfg.commitsDir)
-    BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets)
-  }
+  def compact(spark: SparkSession, cfg: VideoDupConfig): Unit =
+    BandStore.compact(spark, cfg.tableName, cfg.bandsDir, cfg.commitsDir, cfg.buckets)
 
   def maybeCompact(spark: SparkSession, cfg: VideoDupConfig,
                    maxFiles: Int): Boolean =
-    BandStore.maybeCompact(spark, cfg.tableName, cfg.bandsDir, cfg.buckets, maxFiles)
+    BandStore.maybeCompact(spark, cfg.tableName, cfg.bandsDir, cfg.commitsDir, cfg.buckets, maxFiles)
 
   /** The probe join over the CURRENT index — the assertion surface for
     * the zero-index-exchange claim. */
