@@ -1013,10 +1013,17 @@ object Bench {
     // applied to the sum). Baseline: 42 such legs summed 10.4 s on the
     // r14 contended ledger, ~7-8 s on a clean run. Only a FULL run
     // binds — a filtered iteration run sums a meaningless subset.
-    val unguardedAggBaseline = 8.0
+    // r16 (advisor): the floor derives from the leg COUNT (calibrated
+    // 8.0 s / 42 legs on the r15 ledger ≈ 0.19 s/leg) so baselining a
+    // leg or adding a floor-less one rescales the guard instead of
+    // silently drifting it toward spurious failure or dead coverage;
+    // the member list is published in the JSON so a set change is
+    // visible in the round-over-round diff.
+    val unguardedPerLegSec = 8.0 / 42
     val unguardedLegs = results.collect {
       case (k, Some(v)) if !baselineSec.contains(k) => (k, v)
     }
+    val unguardedAggBaseline = unguardedPerLegSec * unguardedLegs.size
     val aggFirst = unguardedLegs.map(_._2).sum
     val aggSolo: Option[Double] =
       if (atGuardScale && only.isEmpty && aggFirst > 2 * unguardedAggBaseline)
@@ -1037,7 +1044,8 @@ object Bench {
         ",\"retime\":" + r.fold("null")(_.toString) + "}"
     }.mkString("{", ",", "}")
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val aggJson = s"""{"first":$aggFirst,"solo":${aggSolo.fold("null")(_.toString)},"n":${unguardedLegs.size},"floor":$unguardedAggBaseline}"""
+    val aggLegsJson = unguardedLegs.map(_._1).sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val aggJson = s"""{"first":$aggFirst,"solo":${aggSolo.fold("null")(_.toString)},"n":${unguardedLegs.size},"floor":$unguardedAggBaseline,"legs":$aggLegsJson}"""
     val total = results.flatMap(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"regressions":$regJson,"retimes":$ledgerJson,"unguarded_agg":$aggJson,"sf":"$sfDir"}"""

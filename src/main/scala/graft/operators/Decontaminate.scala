@@ -123,7 +123,12 @@ object Decontaminate {
     * integer dot with trunc(6) — bit-stable across engines. */
   def semDecontam(embeddings: DataFrame, threshold: Double = 0.3,
                   benchMod: Int = 41, nprobe: Int = 2): DataFrame = {
-    val (cells, cents) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
+    val (cells0, cents) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
+    // r16 (advisor): pin — flagOn consumes the cell assignment three
+    // times (bench slice, corp candidates, final corp left join) and
+    // each consumer would re-run the assignCells broadcast pass, the
+    // recompute class semDecontamRecall already pins.
+    val cells = cells0.localCheckpoint()
     flagOn(cells, cents, threshold, benchMod, nprobe)
   }
 

@@ -77,7 +77,12 @@ private[graft] object BandStore {
     // that batch's later replay recovery delete the compacted files
     // themselves (CommitProtocol.recoverPending). Living HERE, both
     // compact() and the maybeCompact policy hook are guarded.
-    CommitProtocol.recoverPending(dir, commitsDir)
+    // r16 (advisor): if the rollback deleted orphans, drop the table's
+    // cached file index BEFORE the compaction scan — a warm index from
+    // the prior probe join would still list the deleted files (serveSigs
+    // already refreshes on its rollback path; compact must too).
+    if (CommitProtocol.recoverPending(dir, commitsDir))
+      spark.catalog.refreshTable(name)
     DurableFs.deleteTree(staging); DurableFs.deleteTree(old)
     // write the compacted copy to the staging dir while the live table
     // files still back `name` — the read happens during this write, so

@@ -109,17 +109,26 @@ object CommitProtocol {
     * Callers run this "between micro-batches" (every store compact's
     * documented contract), so a pending intent here is necessarily a
     * crash leftover, never an in-flight commit. */
-  def recoverPending(dataDir: String, commitsDir: String): Unit =
+  def recoverPending(dataDir: String, commitsDir: String): Boolean = {
+    // r16 (advisor): report whether any orphan was actually deleted so
+    // catalog-registered callers (BandStore.compact) can refresh their
+    // cached file index before the next scan — a warm InMemoryFileIndex
+    // from a pre-rollback probe would otherwise list the just-deleted
+    // files and the compaction read would FileNotFoundException.
+    var deleted = false
     for (n <- DurableFs.listFiles(commitsDir).filter(_.endsWith(".intent"))) {
       val intentPath = s"$commitsDir/$n"
       if (!DurableFs.exists(s"$commitsDir/${n.stripSuffix(".intent")}")) {
         val snapshot = DurableFs.readUtf8(intentPath)
           .split("\n", -1).filter(_.nonEmpty).toSet
-        (listParquet(dataDir) -- snapshot)
-          .foreach(o => DurableFs.deleteIfExists(s"$dataDir/$o"))
+        (listParquet(dataDir) -- snapshot).foreach { o =>
+          DurableFs.deleteIfExists(s"$dataDir/$o"); deleted = true
+        }
       }
       DurableFs.deleteIfExists(intentPath)
     }
+    deleted
+  }
 
   /** Flat listing of the committed parquet files in a directory
     * (Spark's in-flight `_temporary`/dot files excluded). */

@@ -44,7 +44,7 @@ private[graft] object DurableFs {
     c
   }
 
-  def fs(p: String): FileSystem = fsOverride match {
+  def fs(p: String): FileSystem = fsOverride.value match {
     case Some(f) => f
     case None => new HPath(p).getFileSystem(conf)
   }
@@ -64,14 +64,20 @@ private[graft] object DurableFs {
     * backend that did list it); rename moves the sidecar with its
     * file, so [[writeAtomic]]'s temp-then-rename stays torn-proof.
     * Production code never sets this. */
-  @volatile private[graft] var fsOverride: Option[FileSystem] = None
+  // r16 (advisor): thread-scoped, not process-global — while a contract
+  // spec runs under the override, a CONCURRENT thread's DurableFs call
+  // (a background streaming query, a parallel suite) must keep the
+  // production raw-local resolution. DynamicVariable is Scala's
+  // InheritableThreadLocal wrapper, so only the body's thread (and
+  // threads IT spawns) see the checksummed instance.
+  private[graft] val fsOverride =
+    new scala.util.DynamicVariable[Option[FileSystem]](None)
   private[graft] def withChecksummedLocal[T](body: => T): T = {
     // newInstance bypasses the global FileSystem cache, so the pinned
     // raw instance other code holds is untouched
     val lfs = FileSystem.newInstance(java.net.URI.create("file:///"),
       new org.apache.hadoop.conf.Configuration())
-    fsOverride = Some(lfs)
-    try body finally { fsOverride = None; lfs.close() }
+    try fsOverride.withValue(Some(lfs))(body) finally lfs.close()
   }
 
   def exists(p: String): Boolean = fs(p).exists(new HPath(p))

@@ -101,18 +101,23 @@ object VideoDupIndex {
     // run twice per micro-batch.
     val sigs = sigs0.localCheckpoint()
     // hot-signature occupancy cap on the BATCH side (init applies the
-    // same cap to the snapshot, and only capped rows ever append, so
-    // no stored key STARTS degenerate — though a key can still accrete
-    // past the cap across many batches of ≤cap novel carriers; the
-    // residual degenerate-key growth is bounded in practice because
-    // matched videos are rejected and append nothing): a signature
-    // shared by thousands of videos would otherwise quadratic the
-    // candidate join; capped pairs simply don't count toward the
+    // same cap to the snapshot, so no stored key STARTS degenerate): a
+    // signature shared by thousands of videos would otherwise quadratic
+    // the candidate join; capped pairs simply don't count toward the
     // shared tally — the same recall trade videoDups documents.
     val bands = capped(sigs, cfg.maxOccupancy)
       .localCheckpoint() // 3 consumers below
-    val idx = spark.table(cfg.tableName)
-      .filter(col("batch_id") =!= lit(batchId))
+    // r16 (advisor): re-apply the cap on the INDEX side too — a key can
+    // accrete past maxOccupancy across many batches (each adds ≤cap
+    // novel carriers while shared counts stay below minShared), so the
+    // per-batch cap alone doesn't bound the candidate join over the
+    // stream's lifetime the way Multimodal.videoDups bounds the whole
+    // relation. The window's ClusteredDistribution(band_val) is already
+    // satisfied by the store's bucket spec, so the probe join still
+    // plans zero index-side exchange (StreamingSpec pins this).
+    val idx = capped(
+      spark.table(cfg.tableName).filter(col("batch_id") =!= lit(batchId)),
+      cfg.maxOccupancy)
       .select(col("band_val"), col("doc_id").as("old_id"))
     val idxCand = bands.join(idx, Seq("band_val"))
       .select(col("doc_id"), col("old_id"))

@@ -137,4 +137,36 @@ class DurableFsContractSpec extends AnyFunSuite {
       assert(spent() > s0, "the re-served batch must charge the budget once")
     }
   }
+
+  test("fsOverride is thread-scoped: a concurrent thread keeps production " +
+    "raw-local resolution while a contract body runs checksummed (r16 advisor)") {
+    import org.apache.hadoop.fs.{ChecksumFileSystem, RawLocalFileSystem}
+    import java.util.concurrent.CountDownLatch
+    @volatile var otherThreadFs: Class[_] = null
+    @volatile var insideFs: Class[_] = null
+    // the concurrent thread EXISTS BEFORE the override scope opens (a
+    // background streaming query / parallel suite) — spawning it inside
+    // the scope would inherit the DynamicVariable's value and prove
+    // nothing
+    val enter = new CountDownLatch(1)
+    val done = new CountDownLatch(1)
+    val t = new java.lang.Thread(() => {
+      enter.await()
+      otherThreadFs = DurableFs.fs("file:///tmp/x").getClass
+      done.countDown()
+    })
+    t.start()
+    DurableFs.withChecksummedLocal {
+      insideFs = DurableFs.fs("file:///tmp/x").getClass
+      enter.countDown()
+      done.await()
+    }
+    t.join(10000)
+    assert(classOf[ChecksumFileSystem].isAssignableFrom(insideFs),
+      s"body thread must see the checksummed override, saw $insideFs")
+    assert(otherThreadFs === classOf[RawLocalFileSystem],
+      s"concurrent thread must keep raw-local, saw $otherThreadFs")
+    // and after the scope, the calling thread is back to raw
+    assert(DurableFs.fs("file:///tmp/x").getClass === classOf[RawLocalFileSystem])
+  }
 }

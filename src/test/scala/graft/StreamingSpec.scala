@@ -1077,6 +1077,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(v1c === v1, "verdicts must survive compaction + intent rollback")
   }
 
+  test("video dup index: the occupancy cap holds on the INDEX side across batches (r16 advisor)") {
+    // A hot frame signature can accrete past maxOccupancy across many
+    // batches (each adds ≤cap novel carriers while shared counts stay
+    // below minShared). The cap must then suppress that signature on
+    // the index side of the probe join — matching Multimodal.videoDups,
+    // which caps the WHOLE relation — or the candidate join grows
+    // unboundedly over the stream's lifetime.
+    import graft.streaming.VideoDupIndex
+    import graft.streaming.VideoDupIndex.VideoDupConfig
+    val cfg = VideoDupConfig(tmp("videodup-cap"), minShared = 2, maxOccupancy = 2)
+    VideoDupIndex.init(spark, Tables.documents(spark, TestSpark.Sf).limit(0), cfg)
+    def sigsOf(rows: (Long, String)*) = rows.toDF("doc_id", "band_val")
+    // two batches of 2 carriers each: per-batch occupancy of HOT is 2
+    // (≤ cap), each carrier shares only HOT with the index (1 < 2) so
+    // all append — HOT now has 4 stored carriers, past the cap
+    val v0 = VideoDupIndex.serveSigs(spark,
+      sigsOf((1L, "HOT"), (1L, "u1"), (2L, "HOT"), (2L, "u2")), 0L, cfg).collect()
+    assert(v0.forall(_.getBoolean(1)), "batch-0 carriers must all be novel")
+    val v1 = VideoDupIndex.serveSigs(spark,
+      sigsOf((3L, "HOT"), (3L, "u3"), (4L, "HOT"), (4L, "u4")), 1L, cfg).collect()
+    assert(v1.forall(_.getBoolean(1)), "batch-1 carriers share only HOT (1 < minShared)")
+    // probe: shares HOT + u3 with video 3. If HOT were still served
+    // from the index it would count toward the tally (2 ≥ minShared →
+    // rejected); with the index-side cap the over-occupied HOT drops
+    // and only u3 is shared → novel, the batch operator's semantics.
+    val v2 = VideoDupIndex.serveSigs(spark,
+      sigsOf((5L, "HOT"), (5L, "u3")), 2L, cfg).collect()
+    assert(v2.length === 1)
+    assert(v2.head.getBoolean(1),
+      s"over-occupied HOT must not count on the index side: ${v2.head}")
+    assert(v2.head.getLong(2) === 0L, "no matches once HOT is capped away")
+  }
+
   test("exact-index compaction: batch_id replay exclusion survives the rewrite; mid-swap crash recovers") {
     // r14b: IncrementalIndex moved replay exclusion from file names to
     // per-row batch_ids, making the fingerprint index compactable like

@@ -216,4 +216,57 @@ class ThriftMonitorSpec extends AnyFunSuite {
     assert(rootResponse(enabled = true, 302) === ((302, "")))
     assert(rootResponse(enabled = false, 302) === ((404, "404 not found")))
   }
+
+  test("R9 StatsdEmitter pushes the line protocol over a real UDP socket with dogstatsd tags") {
+    import graft.operators.StatsdSettings
+    import graft.streaming.StatsdEmitter
+    import java.net.{DatagramPacket, DatagramSocket, InetAddress}
+    // A real UDP capture: the reference's NonBlockingStatsDClient is a
+    // datagram push to hostname:port (Collector.scala:138-160); assert
+    // bytes actually leave the process and arrive tagged.
+    val server = new DatagramSocket(0, InetAddress.getByName("127.0.0.1"))
+    server.setSoTimeout(5000)
+    try {
+      val settings = StatsdSettings(
+        enabled = true, hostname = "127.0.0.1", port = server.getLocalPort,
+        periodMs = 60000L, prefix = "snowplow.collector",
+        tags = Map("app" -> "graft", "env" -> "te|st")) // hostile tag value
+      val lines = Seq("snowplow.collector.good:7|c", "snowplow.collector.bad:1|c")
+      val emitter = new StatsdEmitter(settings, Seq(() => lines))
+      try emitter.flush() finally emitter.close() // close() flushes again; both arrive
+      val buf = new Array[Byte](65536)
+      val pkt = new DatagramPacket(buf, buf.length)
+      server.receive(pkt)
+      val got = new String(pkt.getData, 0, pkt.getLength, java.nio.charset.StandardCharsets.UTF_8)
+      val gotLines = got.split('\n').toSeq
+      // both lines packed into one datagram, each with the sorted,
+      // sanitized constant-tag suffix
+      assert(gotLines === Seq(
+        "snowplow.collector.good:7|c|#app:graft,env:te_st",
+        "snowplow.collector.bad:1|c|#app:graft,env:te_st"))
+    } finally server.close()
+  }
+
+  test("R9 StatsdEmitter packs datagrams under the MTU budget and gates on enabled") {
+    import graft.streaming.{PipelineMonitor, StatsdEmitter}
+    import graft.operators.StatsdSettings
+    // packing: 3 lines of ~600B -> two datagrams (2+1) under 1432B
+    val l = "m" * 590 + ":1|c"
+    val packed = StatsdEmitter.pack(Seq(l, l, l), 1432)
+    assert(packed.size === 2)
+    assert(packed.head === l + "\n" + l)
+    assert(packed(1) === l)
+    // a single oversize line still ships alone rather than being dropped
+    val big = "x" * 2000 + ":1|c"
+    assert(StatsdEmitter.pack(Seq(big), 1432) === Seq(big))
+    assert(StatsdEmitter.pack(Seq.empty, 1432) === Seq.empty)
+    // enabled=false -> no emitter (the reference's `case _ => None` arm)
+    val mon = new PipelineMonitor
+    assert(StatsdEmitter.fromSettings(StatsdSettings(enabled = false), mon, None).isEmpty)
+    val live = StatsdEmitter.fromSettings(
+      StatsdSettings(enabled = true, hostname = "127.0.0.1", port = 8125, periodMs = 60000L),
+      mon, None)
+    assert(live.isDefined)
+    live.foreach(_.close())
+  }
 }
