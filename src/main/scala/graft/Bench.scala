@@ -129,6 +129,9 @@ object Bench {
     "s_refine" -> 2.2,
     "d_semdedup" -> 1.6,
     "d_sem_decontam" -> 2.6, // r15: cell-bounded benchmark-leakage cosine pass; measured solo sf0.1 2.28 s
+    "t_bitext_mine" -> 4.4, // r16: cell-bounded margin mining (ivf + 3 windows); measured fresh-JVM 3.69-5.15 s
+    "t_bitext_recall" -> 5.0, // r16: approx arm + exact all-pairs brute via 3 broadcast-array folds; measured fresh-JVM 4.0 s (the pre-fix nested-HOF inlining read 600+ s — see Bitext.mineRecall)
+    "t_curriculum" -> 3.0, // r16: surprisal + decomposed global rank; measured fresh-JVM 2.41-3.39 s
     "d_sem_recall" -> 2.4, // r15: decontam recall vs exact brute truth; measured solo sf0.1 1.80 s
     "t_pipeline2" -> 6.0,
     "t_mix" -> 1.3,
@@ -254,8 +257,8 @@ object Bench {
     // r14 (second closing): in-engine classifier training + the
     // leakage-safe split family — first warm sf0.1 measurements
     // 6.28/5.98/2.29/3.21/0.31
-    "t_clf_train" -> 7.5, // mini-batch perceptron: 12 synchronous update steps over the pinned feature relation
-    "t_clf_eval" -> 7.0, // train on 'train' split + held-out confusion matrix on 'test'
+    "t_clf_train" -> 7.5, // mini-batch perceptron: 12 synchronous update steps over the pinned feature relation; measured warm 6.28 (r14) / 6.0 (r15) — floor carries JIT headroom, watch drift against these (r15 judge #3)
+    "t_clf_eval" -> 7.0, // train on 'train' split + held-out confusion matrix on 'test'; measured warm 5.98 (r14) / 6.6 (r15)
     "t_rho_select" -> 6.5, // r15: RHO-loss selection = the eval chain's margins + the LM-score chain; measured solo sf0.1 5.24 s
     "t_clf_train_auc" -> 7.5, // trained-model held-out Mann-Whitney AUC (same 12-step train); measured 5.77
     "t_clf_calibration" -> 8.0, // reliability diagram over the trained margins; measured 7.20

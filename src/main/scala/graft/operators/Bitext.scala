@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** R16: margin-based BITEXT MINING — the parallel-pair mining step a
+  * multilingual training-data pipeline runs over sentence embeddings
+  * (Artetxe & Schwenk 2019 "Margin-based Parallel Corpus Mining",
+  * the LASER/CCMatrix recipe): a cross-lingual pair qualifies not on
+  * raw cosine (which drifts per-vector — the hubness problem) but on
+  * its MARGIN over each side's average nearest-neighbor cosine.
+  *
+  * Engine shape: candidates form ONLY within a shared IVF cell (the
+  * [[Dedup.semDedup]] / [[Decontaminate.semDecontam]] device — never
+  * all-pairs), the k-NN means are per-vector aggregates over those
+  * same candidates, and the mined pair per source vector is a
+  * partitioned-window top-1. At 100 TB: one shuffle on the cell key
+  * builds candidates, two keyed aggregates and two keyed joins score
+  * them — cell count grows with the corpus, per-cell work stays
+  * bounded, no global sort anywhere. Multiprobe (the
+  * [[Decontaminate]] nprobe lever) widens recall without changing the
+  * join shape.
+  *
+  * Determinism: every score is exact-integer — the quantized dot is
+  * an integer, the cosine is floor-scaled to 1e−6 once (ONE double
+  * division, same IEEE ops both engines), then shifted non-negative
+  * (+1e6, so cosines in [−1,1] map to [0,2e6] and integer floor
+  * division below is well-defined), and the margin is one integer
+  * floor division. Ties break (margin desc, cos desc, t_id asc).
+  *
+  * The two "languages" are the deterministic vec_id-parity halves of
+  * the synthetic embedding table (the DSIR/decontam split device); a
+  * deployment passes two real embedding sets instead.
+  */
+object Bitext {
+
+  /** Shifted integer cosine: floor(cos·1e6) + 1e6 ∈ [0, 2e6]. */
+  private def scosOf(dq: org.apache.spark.sql.Column,
+                     sn2: org.apache.spark.sql.Column,
+                     tn2: org.apache.spark.sql.Column) =
+    (floor(dq / (sqrt(sn2) * sqrt(tn2)) * lit(1000000)).cast("long") +
+      lit(1000000L))
+
+  /** Mine forward-top-1 margin pairs between the vec_id-even (source)
+    * and vec_id-odd (target) halves. Output: (s_id, t_id, cos_x1m,
+    * margin_permille) for pairs whose margin clears `marginMin`‰.
+    *
+    * k = the neighborhood size of the margin denominator (the paper's
+    * k; averages over fewer when a vector has fewer cell-mates). */
+  def mine(embeddings: DataFrame, k: Int = 4,
+           marginMin: Long = 1030L): DataFrame = {
+    val (cells0, _) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
+    // pinned: src/tgt below both re-read the assignment (the
+    // semDecontam recompute class)
+    mineOn(cells0.localCheckpoint(), k, marginMin)
+  }
+
+  /** [[mine]] over a pre-assigned (and pinned) cell relation — factored
+    * so [[mineRecall]] shares ONE IVF pass between its arms. */
+  private def mineOn(cells: DataFrame, k: Int, marginMin: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = cells.filter(pmod(col("vec_id"), lit(2L)) === 0)
+      .select(col("cell"), col("vec_id").as("s_id"), col("q").as("sq"), col("n2").as("sn2"))
+    val tgt = cells.filter(pmod(col("vec_id"), lit(2L)) =!= 0)
+      .select(col("cell"), col("vec_id").as("t_id"), col("q").as("tq"), col("n2").as("tn2"))
+    // cell-bounded candidates; pinned — three consumers (both k-NN
+    // aggregates and the final scored join)
+    val cand = src.hint("shuffle_hash").join(tgt, "cell")
+      .select(col("s_id"), col("t_id"),
+        scosOf(Similarity.dot(col("sq"), col("tq")), col("sn2"), col("tn2")).as("scos"))
+      .localCheckpoint()
+    def knnAvg(idCol: String, otherCol: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("scos").desc, col(otherCol).asc)
+      cand.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+        .groupBy(idCol)
+        .agg(sum("scos").as("_sum"), count(lit(1)).as("_n"))
+        .select(col(idCol), TextOps.idiv(col("_sum"), col("_n")).as(outCol))
+    }
+    val sknn = knnAvg("s_id", "t_id", "s_knn")
+    val tknn = knnAvg("t_id", "s_id", "t_knn")
+    val denom = greatest(col("s_knn") + col("t_knn"), lit(1L))
+    // join order: t-side first, s-side LAST — the final top-1 window
+    // partitions by s_id, so the s_knn join's exchange is the one the
+    // window reuses (t-first-s-last plans one fewer shuffle)
+    val scored = cand.join(tknn, "t_id").join(sknn, "s_id")
+      .select(col("s_id"), col("t_id"), col("scos"),
+        TextOps.idiv(col("scos") * 2000, denom).as("margin_permille"))
+    val w1 = Window.partitionBy("s_id")
+      .orderBy(col("margin_permille").desc, col("scos").desc, col("t_id").asc)
+    scored.withColumn("_rn", row_number().over(w1))
+      .filter(col("_rn") === 1 && col("margin_permille") >= marginMin)
+      .select(col("s_id"), col("t_id"),
+        (col("scos") - lit(1000000L)).as("cos_x1m"), col("margin_permille"))
+  }
+
+  /** Measured recall of the cell-bounded mining vs EXACT all-pairs
+    * margin truth — the [[Similarity]] `s_recall` /
+    * [[Decontaminate.semDecontamRecall]] discipline applied here: the
+    * number that tells a deployment what the IVF-cell restriction
+    * costs in missed pairs (multiprobe is the recall lever). One row:
+    * (n_exact, n_caught, recall_permille); vacuous 1000 when exact
+    * mines nothing.
+    *
+    * The exact arm is deliberately the quadratic brute: each side rides
+    * as ONE collected array row (plus a t_id → exact-t_knn map), and
+    * per-vector HOF folds compute every cross cosine, the top-k means,
+    * and the argmax margin — no join-pair explosion in the PLAN (three
+    * 1-row broadcasts), but corpus-quadratic WORK. That is the
+    * evaluation shape: run it on a sample/slice to size nprobe, never
+    * on the full 100 TB corpus. A caught pair = exact and approx mined
+    * the SAME (s_id, t_id). */
+  def mineRecall(embeddings: DataFrame, k: Int = 4,
+                 marginMin: Long = 1030L): DataFrame = {
+    val (cells0, _) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
+    val cells = cells0.localCheckpoint() // consumers: approx arm + 4 exact-side reads
+    val approx = mineOn(cells, k, marginMin)
+      .select(col("s_id"), col("t_id"), lit(true).as("_caught"))
+    val src = cells.filter(pmod(col("vec_id"), lit(2L)) === 0)
+      .select(col("vec_id").as("s_id"), col("q").as("sq"), col("n2").as("sn2"))
+    val tgt = cells.filter(pmod(col("vec_id"), lit(2L)) =!= 0)
+      .select(col("vec_id").as("t_id"), col("q").as("tq"), col("n2").as("tn2"))
+    // exact top-k mean over a scos array: sort ascending on the NEGATED
+    // score (ties are mean-invariant — only the multiset of top-k
+    // values enters the sum), take k, integer floor-average
+    def knnMean(scosArr: org.apache.spark.sql.Column) = {
+      val top = slice(array_sort(transform(scosArr, s => -s)), 1, k)
+      TextOps.idiv(-aggregate(top, lit(0L), (a, x) => a + x), size(top))
+    }
+    val tgtArr = tgt.agg(collect_list(struct(col("t_id"), col("tq"), col("tn2"))).as("ts"))
+    val srcArr = src.agg(collect_list(struct(col("sq"), col("sn2"))).as("ss"))
+    // exact per-target neighborhood mean over ALL sources → one map row
+    val tknnMap = tgt.crossJoin(broadcast(srcArr))
+      .select(col("t_id"), knnMean(transform(col("ss"), s =>
+        scosOf(Similarity.dot(col("tq"), s.getField("sq")),
+          s.getField("sn2"), col("tn2")))).as("t_knn"))
+      .agg(map_from_arrays(collect_list(col("t_id")), collect_list(col("t_knn"))).as("tm"))
+    // exact per-source neighborhood mean, MATERIALIZED as its own
+    // relation and equi-joined back: if s_knn stayed a column
+    // expression, CollapseProject would inline its whole 1000-element
+    // sort+fold into the argmax lambda BELOW — recomputed PER ELEMENT,
+    // turning the fold quadratic in the array size (the s_rproj_topk
+    // lesson). As a joined attribute it is computed once per source.
+    val sknnRel = src.crossJoin(broadcast(tgtArr))
+      .select(col("s_id"), knnMean(transform(col("ts"), t =>
+        scosOf(Similarity.dot(col("sq"), t.getField("tq")),
+          col("sn2"), t.getField("tn2")))).as("s_knn"))
+    // per source: argmax margin over ALL targets in one fold; the
+    // per-element scos is recomputed for ns (2×64 mults/element, flat)
+    val exact = src.crossJoin(broadcast(tgtArr)).crossJoin(broadcast(tknnMap))
+      .join(sknnRel, "s_id")
+      .withColumn("_best", element_at(array_sort(transform(col("ts"), t => {
+        val scos = scosOf(Similarity.dot(col("sq"), t.getField("tq")),
+          col("sn2"), t.getField("tn2"))
+        struct((-TextOps.idiv(scos * 2000,
+          greatest(col("s_knn") + element_at(col("tm"), t.getField("t_id")), lit(1L))))
+          .as("nm"),
+          (-scos).as("ns"), t.getField("t_id").as("t_id"))
+      })), 1))
+      .select(col("s_id"), col("_best.t_id").as("t_id"),
+        (-col("_best.nm")).as("margin_permille"))
+      .filter(col("margin_permille") >= marginMin)
+    exact.join(approx, Seq("s_id", "t_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("_caught"), 1L).otherwise(0L)).as("n_caught"))
+      .select(col("n_exact"), coalesce(col("n_caught"), lit(0L)).as("n_caught"),
+        expr("CASE WHEN n_exact = 0 THEN 1000 ELSE n_caught * 1000 div n_exact END")
+          .as("recall_permille"))
+  }
+}

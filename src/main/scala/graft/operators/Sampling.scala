@@ -140,6 +140,44 @@ object Sampling {
       .select(col("doc_id"), col("shard"), col("pos").cast("long").as("pos"))
   }
 
+  /** R16: CURRICULUM ordering — rank the corpus easiest → hardest by
+    * the bigram-LM difficulty proxy ([[NgramLm.surprisal]] bits_x1000,
+    * the KenLM-perplexity stand-in curriculum-learning recipes sort on)
+    * and cut it into `phases` equal consecutive phases, so training
+    * consumes phase 0 (easiest) first.
+    *
+    * A global rank WITHOUT a global sort: an unpartitioned window over
+    * the corpus would single-partition the whole relation, so the rank
+    * decomposes into (a) the cumulative count of strictly-smaller
+    * difficulty values — an unpartitioned running sum, but over the
+    * DISTINCT-difficulty relation, which is metadata-scale (bounded by
+    * the bits_x1000 value range, not the corpus) — plus (b) a
+    * row_number within each equal-difficulty group, a properly
+    * partitioned window. Total N arrives as a 1-row broadcast. At
+    * 100 TB: one aggregate, one partitioned window, two broadcast-side
+    * joins; nothing corpus-sized ever sorts globally.
+    *
+    * Exact integers throughout: phase = (rank−1)·phases // N. Output
+    * (doc_id, bits_x1000, rank, phase) over docs with ≥ 2 tokens. */
+  def curriculum(docs: DataFrame, phases: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = NgramLm.surprisal(docs)
+      .select(col("doc_id"), col("bits_x1000"))
+      .localCheckpoint() // 3 consumers: cum counts, total, rank spine
+    val cum = sc.groupBy("bits_x1000").agg(count(lit(1)).as("_c"))
+      .withColumn("_smaller",
+        coalesce(sum("_c").over(Window.orderBy("bits_x1000")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bits_x1000"), col("_smaller"))
+    val total = sc.agg(count(lit(1)).as("_n"))
+    sc.join(broadcast(cum), "bits_x1000")
+      .withColumn("_r", col("_smaller") +
+        row_number().over(Window.partitionBy("bits_x1000").orderBy("doc_id")))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("bits_x1000"), col("_r").cast("long").as("rank"),
+        TextOps.idiv((col("_r") - 1) * phases, col("_n")).as("phase"))
+  }
+
   /** R14: language REBALANCING to a target mix — the data-mixture step a
     * multilingual corpus build runs after language ID (the CC-pipeline
     * "rebalance to target distribution" stage). Given per-language

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Bpe, Decontaminate, Dedup, DocSim, Dsir, Html, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UnigramLm, UrlOps, Warc, WordPiece}
+import graft.operators.{Bitext, Bpe, Decontaminate, Dedup, DocSim, Dsir, Html, Hybrid, Multimodal, NgramLm, QualityRules, Retrieval, Sampling, SeqPack, Similarity, TextOps, UnigramLm, UrlOps, Warc, WordPiece}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,19 @@ object Training {
     * detection, cell-bounded cosine vs the benchmark slice
     * ([[Decontaminate.semDecontam]]). */
   val dSemDecontam: Q = (s, d) => Decontaminate.semDecontam(emb(s, d))
+
+  /** R16: margin-based bitext mining between the vec_id-parity halves —
+    * cell-bounded candidates, k-NN margin denominator, forward top-1
+    * ([[Bitext.mine]]). */
+  val tBitextMine: Q = (s, d) => Bitext.mine(emb(s, d))
+
+  /** R16: curriculum ordering by bigram-LM difficulty into 4 phases
+    * ([[Sampling.curriculum]]). */
+  val tCurriculum: Q = (s, d) => Sampling.curriculum(docs(s, d))
+
+  /** R16: measured recall of cell-bounded mining vs exact all-pairs
+    * margins ([[Bitext.mineRecall]]). */
+  val tBitextRecall: Q = (s, d) => Bitext.mineRecall(emb(s, d))
 
   /** R15: measured recall of the cell-bounded decontamination pass vs
     * exact brute-force ground truth ([[Decontaminate.semDecontamRecall]]). */
@@ -938,6 +951,9 @@ object Training {
     "d_substr_dedup" -> dSubstrDedup,
     "d_semdedup" -> dSemdedup,
     "d_sem_decontam" -> dSemDecontam,
+    "t_bitext_mine" -> tBitextMine,
+    "t_bitext_recall" -> tBitextRecall,
+    "t_curriculum" -> tCurriculum,
     "d_sem_recall" -> dSemRecall,
     "d_chunk_dups" -> dChunkDups,
     "d_containment" -> dContainment,

@@ -1208,6 +1208,99 @@ object TrainingOracles {
          |SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS keep
          |FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin,
 
+    // margin-based bitext mining mirror: same IVF cells, vec_id-parity
+    // language halves, shifted integer cosine (floor(cos·1e6)+1e6), k=4
+    // neighborhood means as exact integer floor averages, margin =
+    // scos·2000 // (s_knn + t_knn), forward top-1 with (margin desc,
+    // scos desc, t_id asc) ties, mined at margin >= 1030 permille
+    "t_bitext_mine" ->
+      s"""${ivfCellsCte("vec_id % 7 = 0")},
+         |src AS (SELECT cell, vec_id AS s_id, qv AS sq, n2 AS sn2
+         |        FROM cells WHERE vec_id % 2 = 0),
+         |tgt AS (SELECT cell, vec_id AS t_id, qv AS tq, n2 AS tn2
+         |        FROM cells WHERE vec_id % 2 = 1),
+         |cand AS (SELECT s.s_id, t.t_id,
+         |    CAST(floor(list_sum(list_transform(range(1, len(s.sq) + 1), i -> s.sq[i] * t.tq[i]))
+         |         / (sqrt(s.sn2) * sqrt(t.tn2)) * 1000000) AS BIGINT) + 1000000 AS scos
+         |  FROM src s JOIN tgt t USING (cell)),
+         |sknn AS (SELECT s_id, CAST(sum(scos) // count(*) AS BIGINT) AS s_knn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY s_id ORDER BY scos DESC, t_id ASC) AS rn
+         |    FROM cand) t WHERE rn <= 4 GROUP BY 1),
+         |tknn AS (SELECT t_id, CAST(sum(scos) // count(*) AS BIGINT) AS t_knn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY scos DESC, s_id ASC) AS rn
+         |    FROM cand) t WHERE rn <= 4 GROUP BY 1),
+         |scoredp AS (SELECT c.s_id, c.t_id, c.scos,
+         |    CAST(c.scos * 2000 // greatest(s.s_knn + t.t_knn, 1) AS BIGINT) AS margin_permille
+         |  FROM cand c JOIN sknn s USING (s_id) JOIN tknn t USING (t_id))
+         |SELECT s_id, t_id, CAST(scos - 1000000 AS BIGINT) AS cos_x1m, margin_permille
+         |FROM (SELECT *, row_number() OVER (PARTITION BY s_id
+         |        ORDER BY margin_permille DESC, scos DESC, t_id ASC) AS rn
+         |      FROM scoredp) t
+         |WHERE rn = 1 AND margin_permille >= 1030""".stripMargin,
+
+    // bitext recall mirror: the approx chain verbatim plus the EXACT
+    // all-pairs arm (cross join is the oracle's semantic statement; the
+    // engine's exact arm folds per-vector over broadcast arrays)
+    "t_bitext_recall" ->
+      s"""${ivfCellsCte("vec_id % 7 = 0")},
+         |src AS (SELECT cell, vec_id AS s_id, qv AS sq, n2 AS sn2
+         |        FROM cells WHERE vec_id % 2 = 0),
+         |tgt AS (SELECT cell, vec_id AS t_id, qv AS tq, n2 AS tn2
+         |        FROM cells WHERE vec_id % 2 = 1),
+         |cand AS (SELECT s.s_id, t.t_id,
+         |    CAST(floor(list_sum(list_transform(range(1, len(s.sq) + 1), i -> s.sq[i] * t.tq[i]))
+         |         / (sqrt(s.sn2) * sqrt(t.tn2)) * 1000000) AS BIGINT) + 1000000 AS scos
+         |  FROM src s JOIN tgt t USING (cell)),
+         |sknn AS (SELECT s_id, CAST(sum(scos) // count(*) AS BIGINT) AS s_knn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY s_id ORDER BY scos DESC, t_id ASC) AS rn
+         |    FROM cand) t WHERE rn <= 4 GROUP BY 1),
+         |tknn AS (SELECT t_id, CAST(sum(scos) // count(*) AS BIGINT) AS t_knn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY scos DESC, s_id ASC) AS rn
+         |    FROM cand) t WHERE rn <= 4 GROUP BY 1),
+         |scoredp AS (SELECT c.s_id, c.t_id, c.scos,
+         |    CAST(c.scos * 2000 // greatest(s.s_knn + t.t_knn, 1) AS BIGINT) AS margin_permille
+         |  FROM cand c JOIN sknn s USING (s_id) JOIN tknn t USING (t_id)),
+         |approx AS (SELECT s_id, t_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY s_id
+         |      ORDER BY margin_permille DESC, scos DESC, t_id ASC) AS rn FROM scoredp) t
+         |  WHERE rn = 1 AND margin_permille >= 1030),
+         |cand2 AS (SELECT s.s_id, t.t_id,
+         |    CAST(floor(list_sum(list_transform(range(1, len(s.sq) + 1), i -> s.sq[i] * t.tq[i]))
+         |         / (sqrt(s.sn2) * sqrt(t.tn2)) * 1000000) AS BIGINT) + 1000000 AS scos
+         |  FROM src s, tgt t),
+         |sknn2 AS (SELECT s_id, CAST(sum(scos) // count(*) AS BIGINT) AS s_knn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY s_id ORDER BY scos DESC, t_id ASC) AS rn
+         |    FROM cand2) t WHERE rn <= 4 GROUP BY 1),
+         |tknn2 AS (SELECT t_id, CAST(sum(scos) // count(*) AS BIGINT) AS t_knn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY scos DESC, s_id ASC) AS rn
+         |    FROM cand2) t WHERE rn <= 4 GROUP BY 1),
+         |scored2 AS (SELECT c.s_id, c.t_id, c.scos,
+         |    CAST(c.scos * 2000 // greatest(s.s_knn + t.t_knn, 1) AS BIGINT) AS margin_permille
+         |  FROM cand2 c JOIN sknn2 s USING (s_id) JOIN tknn2 t USING (t_id)),
+         |ex AS (SELECT s_id, t_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY s_id
+         |      ORDER BY margin_permille DESC, scos DESC, t_id ASC) AS rn FROM scored2) t
+         |  WHERE rn = 1 AND margin_permille >= 1030),
+         |f AS (SELECT e.s_id, (a.s_id IS NOT NULL) AS caught
+         |      FROM ex e LEFT JOIN approx a ON e.s_id = a.s_id AND e.t_id = a.t_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+         |       CAST(CASE WHEN count(*) = 0 THEN 1000
+         |            ELSE sum(CASE WHEN caught THEN 1 ELSE 0 END) * 1000 // count(*) END
+         |         AS BIGINT) AS recall_permille
+         |FROM f""".stripMargin,
+
+    // curriculum mirror: global (bits_x1000, doc_id) rank — the naive
+    // unpartitioned window is fine oracle-side; the engine decomposes it
+    // into metadata-scale cumulative counts + a partitioned window
+    "t_curriculum" ->
+      s"""$LmScoreCte
+         |SELECT doc_id, bits_x1000,
+         |  CAST(row_number() OVER (ORDER BY bits_x1000, doc_id) AS BIGINT) AS rank,
+         |  CAST((row_number() OVER (ORDER BY bits_x1000, doc_id) - 1) * 4
+         |    // (SELECT count(*) FROM lmscore) AS BIGINT) AS phase
+         |FROM lmscore""".stripMargin,
+
     // semantic decontamination mirror: same IVF cells, benchmark slice
     // vec_id % 41 = 0, within-cell cosine hits, best = max cos then
     // lowest benchmark id

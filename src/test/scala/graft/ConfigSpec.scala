@@ -643,6 +643,44 @@ class ConfigSpec extends AnyFunSuite {
       Hocon.parse("""include required(sink)""", Map.empty[String, String], includes))
   }
 
+  test("HOCON fileResolver: file()/url() do REAL I/O; plain includes fall back map-then-file (r16)") {
+    import graft.operators.Hocon
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("hocon-inc")
+    Files.writeString(dir.resolve("sink.conf"), "kind = kinesis\nbuffer { byteLimit = 4500000 }")
+    Files.writeString(dir.resolve("extra.hocon"), "region = eu-central-1")
+    val nested = Files.createDirectory(dir.resolve("d"))
+    Files.writeString(nested.resolve("deep.conf"), "include file(\"extra.hocon\")\ndepth = 2")
+    val resolver = Hocon.fileResolver(dir, extra = Map("mapname" -> "frommap = true"))
+    val t = Hocon.parse(
+      """include required(file("sink"))
+        |include url("URLBASE/extra.hocon")
+        |include file("d/deep.conf")
+        |include "mapname"
+        |include "absent-stays-silent"
+        |top = 1
+        |""".stripMargin.replace("URLBASE", dir.toUri.toString.stripSuffix("/")),
+      Map.empty[String, String], resolver)
+    // file(): extensionless name retried as name.conf; a NESTED
+    // include's own file() resolves too (against baseDir — the
+    // resolver's documented anchor)
+    assert(t.get("kind").asText === "kinesis")
+    assert(t.get("buffer").get("byteLimit").asLong === 4500000L)
+    assert(t.get("depth").asInt === 2)
+    // url(): a real java.net.URL stream (file: scheme — no egress here)
+    assert(t.get("region").asText === "eu-central-1")
+    // plain include: map first, file fallback; misses stay silent
+    assert(t.get("frommap").asBoolean === true)
+    assert(t.get("top").asInt === 1)
+    // required(file()) on a genuinely missing file is the loud error
+    val err = intercept[IllegalArgumentException](Hocon.parse(
+      """include required(file("no-such"))""", Map.empty[String, String], resolver))
+    assert(err.getMessage.contains("required include"))
+    // plain-name file fallback: a conf next to baseDir by bare name
+    val t2 = Hocon.parse("""include "sink"""", Map.empty[String, String], resolver)
+    assert(t2.get("kind").asText === "kinesis")
+  }
+
   test("producerConf keeps only scalar values; kafka sqs block validates its queue URLs") {
     // r12 (ADVICE): the reference's producerConf is Map[String,String] —
     // a nested object/array must not be swallowed as ""

@@ -45,6 +45,17 @@ class PlanLintSpec extends AnyFunSuite {
       // as a broadcast scalar (t_lang_balance shape); the margin and
       // surprisal legs join equi on doc_id
       "t_rho_select",
+      // r16 bitext mining: the ivfIndex centroid ROW broadcast (the
+      // d_sem_decontam shape); candidates/knn/score joins are all equi
+      "t_bitext_mine",
+      // r16 bitext recall: the exact brute arm's THREE 1-row collected
+      // broadcasts (tgt array, src array, t_knn map) — the d_sem_recall
+      // evaluation shape; approx arm as t_bitext_mine
+      "t_bitext_recall",
+      // r16 curriculum: the ONE-ROW total-count aggregate rides as a
+      // broadcast scalar into the per-doc phase projection
+      // (t_lang_balance shape); the rank joins are equi
+      "t_curriculum",
       // r14 hard negatives: label INEQUALITY can't hash-join — the
       // documented queries-broadcast brute shape (see scaladoc: the
       // scale path composes the ANN candidate stage first)
@@ -403,7 +414,11 @@ class PlanLintSpec extends AnyFunSuite {
         "aggregate — distinct token lengths / 256 hash prefixes; the " +
         "per-doc rank windows partition on the key"),
       "t_vocab_growth" -> ("the running total runs over the per-bucket " +
-        "first-occurrence aggregate — ≤ 10 rows by construction"))
+        "first-occurrence aggregate — ≤ 10 rows by construction"),
+      "t_curriculum" -> ("the running count runs over the distinct " +
+        "bits_x1000 difficulty histogram — metadata-scale (bounded by " +
+        "the milli-bit value range), never docs; the per-doc rank " +
+        "window partitions on bits_x1000"))
     def planBounded(w: WindowExec): Boolean =
       PlanAudit.nodes(w.child).exists {
         case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |

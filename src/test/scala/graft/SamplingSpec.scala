@@ -251,4 +251,23 @@ class SamplingSpec extends AnyFunSuite {
         s"$src rate $rate: kept $kept vs ~$want of $n")
     }
   }
+
+  test("curriculum: ranks are the exact (bits, doc_id) permutation; phases cut evenly (r16)") {
+    val out = Sampling.curriculum(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = out.length
+    assert(n > 0)
+    // ranks are exactly 1..N
+    assert(out.map(_._3).sorted.toSeq === (1L to n.toLong))
+    // rank order IS the (bits_x1000, doc_id) lexicographic order — the
+    // decomposed two-level rank must equal the naive global one
+    val byRank = out.sortBy(_._3)
+    assert(byRank.map(t => (t._2, t._1)).toSeq ===
+      out.map(t => (t._2, t._1)).sortBy(identity).toSeq)
+    // phase = (rank-1)*4 // N: monotone in rank, 4 phases, sizes within 1
+    assert(byRank.map(_._4).toSeq === byRank.map(t => (t._3 - 1) * 4 / n).toSeq)
+    val sizes = out.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1)
+  }
 }

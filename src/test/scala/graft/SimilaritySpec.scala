@@ -623,4 +623,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(i1 <= i0 + s1.length,
       s"a full-corpus Lloyd step must not increase inertia: $i0 -> $i1")
   }
+
+  test("bitext mining: forward top-1 per source, parity halves, margins clear the floor (r16)") {
+    import graft.operators.Bitext
+    val emb = Tables.embeddings(spark, TestSpark.Sf)
+    val out = Bitext.mine(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty, "the synthetic corpus must mine some pairs")
+    // one mined pair per source vector (forward top-1)
+    assert(out.map(_._1).distinct.length === out.length)
+    // language halves: sources even, targets odd
+    assert(out.forall { case (s, t, _, _) => s % 2 == 0 && t % 2 == 1 })
+    // every pair clears the margin floor; cosine stays in [-1, 1]·1e6
+    assert(out.forall(_._4 >= 1030L))
+    assert(out.forall(p => p._3 >= -1000000L && p._3 <= 1000000L))
+    // margin is scale-free: a mined pair's margin exceeds 1000‰ only
+    // when its cosine beats the two-sided neighborhood mean — spot-check
+    // the invariant margin > 1000 ⇒ cos above at least one side's mean
+    // is implied by construction; here just pin determinism
+    val out2 = Bitext.mine(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out2.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
 }
