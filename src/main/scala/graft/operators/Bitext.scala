@@ -48,18 +48,32 @@ object Bitext {
     * k = the neighborhood size of the margin denominator (the paper's
     * k; averages over fewer when a vector has fewer cell-mates). */
   def mine(embeddings: DataFrame, k: Int = 4,
-           marginMin: Long = 1030L): DataFrame = {
-    val (cells0, _) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
+           marginMin: Long = 1030L, nprobe: Int = 2): DataFrame = {
+    val (cells0, cents) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
     // pinned: src/tgt below both re-read the assignment (the
     // semDecontam recompute class)
-    mineOn(cells0.localCheckpoint(), k, marginMin)
+    mineOn(cells0.localCheckpoint(), cents, k, marginMin, nprobe)
   }
 
   /** [[mine]] over a pre-assigned (and pinned) cell relation — factored
-    * so [[mineRecall]] shares ONE IVF pass between its arms. */
-  private def mineOn(cells: DataFrame, k: Int, marginMin: Long): DataFrame = {
+    * so [[mineRecall]] shares ONE IVF pass between its arms.
+    *
+    * MULTIPROBE (the [[Decontaminate]] lever, shipped here after the
+    * measured [[mineRecall]] report): the SOURCE side probes its
+    * `nprobe` nearest cells, not just its own — a parallel pair
+    * straddling one cell boundary is recovered by the second probe.
+    * Measured on the synth embeddings at sf0.01 vs exact all-pairs
+    * truth: nprobe=1 recalls 336‰ of exact-mined pairs, nprobe=2
+    * recalls 511‰ — same join shape, nprobe× the source-side rows.
+    * A (s,t) candidate still forms at most once: t lives in exactly
+    * one cell. */
+  private def mineOn(cells: DataFrame, cents: DataFrame, k: Int,
+                     marginMin: Long, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val src = cells.filter(pmod(col("vec_id"), lit(2L)) === 0)
+    val src = Similarity.nearestCells(
+      cells.filter(pmod(col("vec_id"), lit(2L)) === 0)
+        .select(col("vec_id"), col("q"), col("n2")),
+      cents, nprobe)
       .select(col("cell"), col("vec_id").as("s_id"), col("q").as("sq"), col("n2").as("sn2"))
     val tgt = cells.filter(pmod(col("vec_id"), lit(2L)) =!= 0)
       .select(col("cell"), col("vec_id").as("t_id"), col("q").as("tq"), col("n2").as("tn2"))
@@ -110,10 +124,10 @@ object Bitext {
     * on the full 100 TB corpus. A caught pair = exact and approx mined
     * the SAME (s_id, t_id). */
   def mineRecall(embeddings: DataFrame, k: Int = 4,
-                 marginMin: Long = 1030L): DataFrame = {
-    val (cells0, _) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
+                 marginMin: Long = 1030L, nprobe: Int = 2): DataFrame = {
+    val (cells0, cents) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
     val cells = cells0.localCheckpoint() // consumers: approx arm + 4 exact-side reads
-    val approx = mineOn(cells, k, marginMin)
+    val approx = mineOn(cells, cents, k, marginMin, nprobe)
       .select(col("s_id"), col("t_id"), lit(true).as("_caught"))
     val src = cells.filter(pmod(col("vec_id"), lit(2L)) === 0)
       .select(col("vec_id").as("s_id"), col("q").as("sq"), col("n2").as("sn2"))

@@ -1209,14 +1209,18 @@ object TrainingOracles {
          |FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id""".stripMargin,
 
     // margin-based bitext mining mirror: same IVF cells, vec_id-parity
-    // language halves, shifted integer cosine (floor(cos·1e6)+1e6), k=4
-    // neighborhood means as exact integer floor averages, margin =
-    // scos·2000 // (s_knn + t_knn), forward top-1 with (margin desc,
-    // scos desc, t_id asc) ties, mined at margin >= 1030 permille
+    // language halves, MULTIPROBE source side (nprobe=2 nearest cells
+    // from scored1 — the d_sem_decontam bench device), shifted integer
+    // cosine (floor(cos·1e6)+1e6), k=4 neighborhood means as exact
+    // integer floor averages, margin = scos·2000 // (s_knn + t_knn),
+    // forward top-1 with (margin desc, scos desc, t_id asc) ties,
+    // mined at margin >= 1030 permille
     "t_bitext_mine" ->
       s"""${ivfCellsCte("vec_id % 7 = 0")},
-         |src AS (SELECT cell, vec_id AS s_id, qv AS sq, n2 AS sn2
-         |        FROM cells WHERE vec_id % 2 = 0),
+         |src AS (SELECT c_label AS cell, vec_id AS s_id, qv AS sq, n2 AS sn2 FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY score ASC, c_label ASC) AS rn
+         |          FROM scored1 WHERE vec_id % 2 = 0) t WHERE rn <= 2),
          |tgt AS (SELECT cell, vec_id AS t_id, qv AS tq, n2 AS tn2
          |        FROM cells WHERE vec_id % 2 = 1),
          |cand AS (SELECT s.s_id, t.t_id,
@@ -1243,8 +1247,10 @@ object TrainingOracles {
     // engine's exact arm folds per-vector over broadcast arrays)
     "t_bitext_recall" ->
       s"""${ivfCellsCte("vec_id % 7 = 0")},
-         |src AS (SELECT cell, vec_id AS s_id, qv AS sq, n2 AS sn2
-         |        FROM cells WHERE vec_id % 2 = 0),
+         |src AS (SELECT c_label AS cell, vec_id AS s_id, qv AS sq, n2 AS sn2 FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY score ASC, c_label ASC) AS rn
+         |          FROM scored1 WHERE vec_id % 2 = 0) t WHERE rn <= 2),
          |tgt AS (SELECT cell, vec_id AS t_id, qv AS tq, n2 AS tn2
          |        FROM cells WHERE vec_id % 2 = 1),
          |cand AS (SELECT s.s_id, t.t_id,
@@ -1264,10 +1270,12 @@ object TrainingOracles {
          |    SELECT *, row_number() OVER (PARTITION BY s_id
          |      ORDER BY margin_permille DESC, scos DESC, t_id ASC) AS rn FROM scoredp) t
          |  WHERE rn = 1 AND margin_permille >= 1030),
+         |srcall AS (SELECT vec_id AS s_id, qv AS sq, n2 AS sn2
+         |           FROM cells WHERE vec_id % 2 = 0),
          |cand2 AS (SELECT s.s_id, t.t_id,
          |    CAST(floor(list_sum(list_transform(range(1, len(s.sq) + 1), i -> s.sq[i] * t.tq[i]))
          |         / (sqrt(s.sn2) * sqrt(t.tn2)) * 1000000) AS BIGINT) + 1000000 AS scos
-         |  FROM src s, tgt t),
+         |  FROM srcall s, tgt t),
          |sknn2 AS (SELECT s_id, CAST(sum(scos) // count(*) AS BIGINT) AS s_knn FROM (
          |    SELECT *, row_number() OVER (PARTITION BY s_id ORDER BY scos DESC, t_id ASC) AS rn
          |    FROM cand2) t WHERE rn <= 4 GROUP BY 1),
