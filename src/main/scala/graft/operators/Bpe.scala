@@ -101,4 +101,22 @@ object Bpe {
       .withColumn("w_sub", coalesce(col("w_sub"), length(col("word")).cast("long")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("w_sub").as("n_subwords"))
+
+  /** R16: tokenizer FERTILITY by language — subwords per word under the
+    * trained merges, grouped by the language-ID prediction: the metric
+    * multilingual tokenizer/vocab design reads to see which languages a
+    * shared vocabulary over-fragments (UniMax/NLLB-style vocabulary
+    * sizing). Exact integers (fertility ×1000, floor). Docs with ≥ 1
+    * token participate; per-language work is one equi-join + one agg on
+    * top of [[encode]]'s corpus-sublinear chain. */
+  def fertilityByLang(docs: DataFrame): DataFrame = {
+    val d = Spread(docs) // ONE rebalance feeds both arms (no stacked Spread)
+    encodeWith(d, vocab(docs, 3))
+      .join(d.select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang")), "doc_id")
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_words"), sum("n_subwords").as("n_subwords"))
+      .select(col("pred_lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+        TextOps.idiv(col("n_subwords") * 1000, col("n_words")).as("fertility_x1000"))
+  }
 }

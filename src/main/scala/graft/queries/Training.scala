@@ -129,6 +129,10 @@ object Training {
     * margins ([[Bitext.mineRecall]]). */
   val tBitextRecall: Q = (s, d) => Bitext.mineRecall(emb(s, d))
 
+  /** R16: tokenizer fertility by predicted language
+    * ([[Bpe.fertilityByLang]]). */
+  val tTokFertility: Q = (s, d) => Bpe.fertilityByLang(docs(s, d))
+
   /** R15: measured recall of the cell-bounded decontamination pass vs
     * exact brute-force ground truth ([[Decontaminate.semDecontamRecall]]). */
   val dSemRecall: Q = (s, d) => Decontaminate.semDecontamRecall(emb(s, d))
@@ -954,6 +958,7 @@ object Training {
     "t_bitext_mine" -> tBitextMine,
     "t_bitext_recall" -> tBitextRecall,
     "t_curriculum" -> tCurriculum,
+    "t_tok_fertility" -> tTokFertility,
     "d_sem_recall" -> dSemRecall,
     "d_chunk_dups" -> dChunkDups,
     "d_containment" -> dContainment,

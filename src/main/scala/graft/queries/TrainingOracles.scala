@@ -1298,6 +1298,29 @@ object TrainingOracles {
          |         AS BIGINT) AS recall_permille
          |FROM f""".stripMargin,
 
+    // tokenizer fertility mirror: t_bpe_encode's per-doc subword counts
+    // joined to the t_langid prediction, rolled up per language with
+    // the exact ×1000 floor ratio
+    "t_tok_fertility" ->
+      s"""$BpeChain,
+         |w3 AS (SELECT word, n, ${bpeFold("syms", "t3.px", "t3.py")} AS syms FROM w2, t3),
+         |enc AS (SELECT t.doc_id, count(*) AS n_words, sum(len(w3.syms)) AS n_subwords
+         |        FROM (SELECT doc_id, unnest(toks) AS word FROM tok) t
+         |        JOIN w3 ON t.word = w3.word GROUP BY 1),
+         |pl AS (SELECT doc_id,
+         |    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |         WHEN ${hits("en")} >= ${hits("de")} AND ${hits("en")} >= ${hits("fr")} AND ${hits("en")} >= ${hits("es")} THEN 'en'
+         |         WHEN ${hits("de")} >= ${hits("fr")} AND ${hits("de")} >= ${hits("es")} THEN 'de'
+         |         WHEN ${hits("fr")} >= ${hits("es")} THEN 'fr'
+         |         ELSE 'es' END AS pred_lang
+         |  FROM tok)
+         |SELECT pl.pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(enc.n_subwords) AS BIGINT) AS n_subwords,
+         |  CAST(sum(enc.n_subwords) * 1000 // sum(enc.n_words) AS BIGINT)
+         |    AS fertility_x1000
+         |FROM enc JOIN pl USING (doc_id) GROUP BY 1""".stripMargin,
+
     // curriculum mirror: global (bits_x1000, doc_id) rank — the naive
     // unpartitioned window is fine oracle-side; the engine decomposes it
     // into metadata-scale cumulative counts + a partitioned window

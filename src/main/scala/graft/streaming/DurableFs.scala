@@ -41,6 +41,14 @@ private[graft] object DurableFs {
     // raw local: POSIX renames, no checksum sidecar files — the layout
     // the java.nio implementation produced and the specs pin
     c.set("fs.file.impl", classOf[org.apache.hadoop.fs.RawLocalFileSystem].getName)
+    // r16: the pin must bypass the process-wide FileSystem cache — it
+    // keys on (scheme, authority) ONLY, so whichever component creates
+    // `file:` first wins for everyone (a Hive-touched JVM seeds it with
+    // the checksummed LocalFileSystem and this conf's impl is silently
+    // ignored). Disabling the cache for the file scheme makes the raw
+    // pin unconditional; construction of a local FS is cheap and every
+    // DurableFs call is driver-side commit plumbing, not a hot path.
+    c.setBoolean("fs.file.impl.disable.cache", true)
     c
   }
 

@@ -142,6 +142,12 @@ class DurableFsContractSpec extends AnyFunSuite {
     "raw-local resolution while a contract body runs checksummed (r16 advisor)") {
     import org.apache.hadoop.fs.{ChecksumFileSystem, RawLocalFileSystem}
     import java.util.concurrent.CountDownLatch
+    // DurableFs.conf disables the file-scheme FileSystem cache (r16), so
+    // the raw pin holds even in a full-suite JVM where Hive seeded the
+    // process-wide cache with the checksummed LocalFileSystem first —
+    // production resolution is RawLocalFileSystem unconditionally
+    val productionFs: Class[_] = classOf[RawLocalFileSystem]
+    assert(DurableFs.fs("file:///tmp/x").getClass === productionFs)
     @volatile var otherThreadFs: Class[_] = null
     @volatile var insideFs: Class[_] = null
     // the concurrent thread EXISTS BEFORE the override scope opens (a
@@ -164,9 +170,9 @@ class DurableFsContractSpec extends AnyFunSuite {
     t.join(10000)
     assert(classOf[ChecksumFileSystem].isAssignableFrom(insideFs),
       s"body thread must see the checksummed override, saw $insideFs")
-    assert(otherThreadFs === classOf[RawLocalFileSystem],
-      s"concurrent thread must keep raw-local, saw $otherThreadFs")
-    // and after the scope, the calling thread is back to raw
-    assert(DurableFs.fs("file:///tmp/x").getClass === classOf[RawLocalFileSystem])
+    assert(otherThreadFs === productionFs,
+      s"concurrent thread must keep production resolution $productionFs, saw $otherThreadFs")
+    // and after the scope, the calling thread is back to production
+    assert(DurableFs.fs("file:///tmp/x").getClass === productionFs)
   }
 }

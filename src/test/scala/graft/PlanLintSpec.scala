@@ -87,7 +87,8 @@ class PlanLintSpec extends AnyFunSuite {
       // the candidate generator, not the rerank (which is all equi)
       "s_mmr",
       // each BPE step broadcasts its 1-row top pair into the next fold
-      "t_bpe_merges", "t_bpe_encode",
+      // (r16: t_tok_fertility inherits the chain via Bpe.vocab)
+      "t_bpe_merges", "t_bpe_encode", "t_tok_fertility",
       // r14 WordPiece: the 1-row vocabulary frequency floor rides as a
       // broadcast into the (cont, piece) count filter — the t_mix shape
       "t_wordpiece",

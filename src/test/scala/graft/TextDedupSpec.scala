@@ -510,6 +510,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("BPE fertility by language: exact per-language subword/word ratio (r16)") {
+    // same toy corpus shape as the encode test: after merges (a,a),
+    // (a,b), (aa,ab): "aaab" → 1 subword, "ab" → 1. Two docs, both
+    // langid-ing to a single group → n_docs 2, n_words 3, n_subwords 3,
+    // fertility exactly 1000 (the tokenizer fully merges every word)
+    val full = graft.operators.Bpe.fertilityByLang(
+      docsOf((1L, "aaab aaab"), (2L, "ab")))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(full.length === 1)
+    assert(full.head._2 === 2L && full.head._3 === 3L && full.head._4 === 3L)
+    assert(full.head._5 === 1000L, s"fully merged corpus has fertility 1000: ${full.head}")
+    // a corpus where merges DON'T cover: "xy zq" words each split to
+    // chars under 3 toy merges trained on the aaab side → fertility > 1000
+    val mixed = graft.operators.Bpe.fertilityByLang(
+      docsOf((1L, "aaab aaab"), (2L, "ab"), (3L, "xyxy zqzq")))
+      .as[(String, Long, Long, Long, Long)].collect()
+    val m = mixed.map(r => r._1 -> r).toMap
+    assert(mixed.map(_._3).sum === 5L, "5 words total")
+    assert(mixed.map(_._4).sum > 5L, "uncovered words fragment to chars")
+    // invariant: fertility_x1000 >= 1000 for every language (a word is
+    // at least one subword)
+    mixed.foreach(r => assert(r._5 >= 1000L, s"$r"))
+    assert(m.nonEmpty)
+  }
+
   test("WordPiece: hand-computed vocab floor, greedy longest match, UNK branches") {
     // words: abab×3, ab×2, aab, zq, a7b, ba, a*33. ntok=10 → floor 3.
     // start vocab (count ≥ 3): a(7), ab(5), aba(3), abab(3).
