@@ -132,6 +132,7 @@ object Bench {
     "t_bitext_mine" -> 4.4, // r16: cell-bounded margin mining (ivf + 3 windows); measured fresh-JVM 3.69-5.15 s
     "t_bitext_recall" -> 5.0, // r16: approx arm + exact all-pairs brute via 3 broadcast-array folds; measured fresh-JVM 4.0 s (the pre-fix nested-HOF inlining read 600+ s — see Bitext.mineRecall)
     "t_tok_fertility" -> 3.5, // r16: BPE encode chain + langid join, per-language rollup; measured warm 2.92 s (fresh-JVM 7.96 — under-JIT)
+    "d_lsh_recall" -> 4.5, // r16: exact inverted-index Jaccard truth (co-occurrence-bounded) + banded candidates + 4-threshold curve; measured fresh-JVM 3.73 s
     "t_curriculum" -> 3.0, // r16: surprisal + decomposed global rank; measured fresh-JVM 2.41-3.39 s
     "d_sem_recall" -> 2.4, // r15: decontam recall vs exact brute truth; measured solo sf0.1 1.80 s
     "t_pipeline2" -> 6.0,

@@ -92,6 +92,10 @@ object Training {
     minDocs = 3, keepFirst = true)
   val dMinhash: Q = (s, d) => Dedup.minhashSignatures(docs(s, d))
   val dLshPairs: Q = (s, d) => Dedup.lshCandidatePairs(docs(s, d))
+
+  /** R16: banded-LSH recall curve vs exact inverted-index Jaccard truth
+    * ([[Dedup.lshRecall]]). */
+  val dLshRecall: Q = (s, d) => Dedup.lshRecall(docs(s, d))
   val dJaccard: Q = (s, d) => Dedup.jaccardOnCandidates(docs(s, d))
   val dSimhash: Q = (s, d) => Dedup.simhashes(docs(s, d))
   val dSimhashNn: Q = (s, d) => Dedup.simhashNeighbors(docs(s, d))
@@ -938,6 +942,7 @@ object Training {
     "d_line_keepfirst" -> dLineKeepFirst,
     "d_minhash" -> dMinhash,
     "d_lsh_pairs" -> dLshPairs,
+    "d_lsh_recall" -> dLshRecall,
     "d_jaccard" -> dJaccard,
     "d_simhash" -> dSimhash,
     "d_simhash_nn" -> dSimhashNn,

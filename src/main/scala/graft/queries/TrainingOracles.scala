@@ -918,6 +918,37 @@ object TrainingOracles {
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id""".stripMargin,
 
+    // banded-LSH recall curve vs exact inverted-index Jaccard truth:
+    // pairs sharing >= 1 shingle get exact |∩| from the keyed self-join
+    // (disjoint pairs have Jaccard 0), thresholds compare in exact
+    // integers, candidates are the d_lsh_pairs banding verbatim
+    "d_lsh_recall" ->
+      s"""$SigCte,
+         |shrow AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM shi),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shrow GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+         |          FROM shrow a JOIN shrow b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |jx AS (SELECT doc_a, doc_b, ni * 1000 // (x.sz + y.sz - ni) AS jx
+         |       FROM inter JOIN sz x ON x.doc_id = doc_a
+         |                  JOIN sz y ON y.doc_id = doc_b),
+         |bands0 AS (SELECT doc_id, unnest([md5(sig0 || sig1), md5(sig2 || sig3)]) AS band FROM sig),
+         |bands AS (SELECT doc_id, band FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY band) AS bsz FROM bands0) t WHERE bsz <= 64),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |scored AS (SELECT j.jx, (c.doc_a IS NOT NULL) AS caught
+         |           FROM jx j LEFT JOIN cand c USING (doc_a, doc_b)),
+         |th AS (SELECT unnest([50, 100, 200, 500]) AS threshold_milli)
+         |SELECT CAST(th.threshold_milli AS BIGINT) AS threshold_milli,
+         |  CAST(count(*) FILTER (WHERE jx >= th.threshold_milli) AS BIGINT) AS n_true,
+         |  CAST(count(*) FILTER (WHERE jx >= th.threshold_milli AND caught) AS BIGINT) AS n_caught,
+         |  CAST(CASE WHEN count(*) FILTER (WHERE jx >= th.threshold_milli) = 0 THEN 1000
+         |       ELSE count(*) FILTER (WHERE jx >= th.threshold_milli AND caught) * 1000
+         |            // count(*) FILTER (WHERE jx >= th.threshold_milli) END AS BIGINT)
+         |    AS recall_permille
+         |FROM scored, th GROUP BY 1""".stripMargin,
+
     // PageRank over the candidate graph, 3 unrolled iterations of the
     // SAME exact-int64 micro-rank recurrence the engine runs (floor
     // divisions, damping 85/100); sums cast back from HUGEINT so every

@@ -52,6 +52,10 @@ class PlanLintSpec extends AnyFunSuite {
       // broadcasts (tgt array, src array, t_knn map) — the d_sem_recall
       // evaluation shape; approx arm as t_bitext_mine
       "t_bitext_recall",
+      // r16 LSH recall curve: the 4-row threshold dimension rides as a
+      // broadcast into the per-pair conditional aggregation (the
+      // t_lang_balance shape); truth/candidate joins are all equi
+      "d_lsh_recall",
       // r16 curriculum: the ONE-ROW total-count aggregate rides as a
       // broadcast scalar into the per-doc phase projection
       // (t_lang_balance shape); the rank joins are equi

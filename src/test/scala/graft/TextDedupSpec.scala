@@ -510,6 +510,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("LSH recall curve: monotone in threshold, exact truth superset of banded catches (r16)") {
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val rows = graft.operators.Dedup.lshRecall(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(50L, 100L, 200L, 500L))
+    rows.foreach { case (th, nt, nc, rp) =>
+      assert(nc <= nt, s"caught cannot exceed truth at $th")
+      assert(rp >= 0 && rp <= 1000, s"recall is a permille at $th")
+      assert(nt == 0 || rp === nc * 1000 / nt, s"exact ratio at $th")
+    }
+    // raising the threshold can only shrink the truth set
+    assert(rows.map(_._2).toSeq === rows.map(_._2).sortBy(-_).toSeq,
+      "n_true monotone non-increasing in threshold")
+    // the synthetic corpus plants strong near-dups: high-threshold truth
+    // is non-empty and fully caught by the r=2 banding
+    assert(rows.last._2 > 0, "some >= 0.5-Jaccard pairs must exist")
+    assert(rows.last._4 === 1000L, "r=2 banding catches all strong dups")
+  }
+
   test("BPE fertility by language: exact per-language subword/word ratio (r16)") {
     // same toy corpus shape as the encode test: after merges (a,a),
     // (a,b), (aa,ab): "aaab" → 1 subword, "ab" → 1. Two docs, both
