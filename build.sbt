@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to this process's stdout/stderr
+// instead of through sbt's logger: the logger prefixes every line with
+// "[info] ", which breaks any line-oriented JSON consumer of the bench
+// output (a parser looking for a line starting with '{' never finds one).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

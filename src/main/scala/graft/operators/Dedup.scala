@@ -229,6 +229,10 @@ object Dedup {
     * sample to size (r, b, cap), like the other recall reports. */
   def lshRecall(docs: DataFrame,
                 thresholds: Seq[Int] = Seq(50, 100, 200, 500)): DataFrame = {
+    // the truth set is bounded by shingle co-occurrence: disjoint pairs
+    // have Jaccard 0 and never enter the join, so a threshold <= 0 would
+    // silently undercount n_true — it is not expressible here
+    require(thresholds.forall(_ >= 1), s"thresholds must be >= 1 (milli-Jaccard): $thresholds")
     val sh = Spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)

@@ -109,8 +109,12 @@ object Hocon {
         val abs = if (p.isAbsolute) p else baseDir.resolve(p)
         if (java.nio.file.Files.isRegularFile(abs)) Some(abs) else None
       }
+      // the extensionless retry keys on the BASENAME's extension only
+      // (Typesafe includeFile semantics): `conf.d/app` has a dot in a
+      // directory segment but no extension, so it still retries .conf
+      val basename = name.substring(name.lastIndexOf('/') + 1)
       tryPath(name).orElse(
-        if (name.contains('.')) None else tryPath(name + ".conf"))
+        if (basename.contains('.')) None else tryPath(name + ".conf"))
         .map(p => new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8))
     }

@@ -292,6 +292,55 @@ object TextOps {
   def cardCount(text: Column): Column =
     size(filter(regexp_extract_all(text, lit(CardRe), lit(0)), luhnValid _))
 
+  /** R17: E.164 phone candidates — '+' then 8-15 digits, first digit
+    * 1-9 (ITU-T E.164: max 15 digits incl. country code, no leading
+    * zero). Same meaning under Java regex and RE2; the boundary gate is
+    * the format itself — a 16+-digit run or a leading zero can never
+    * match (every backtrack position inside a longer digit run fails
+    * the trailing `\b`), so an over-long "number" survives as data. */
+  val PhoneRe = "\\+[1-9]\\d{7,14}\\b"
+
+  def redactPhones(text: Column): Column =
+    regexp_replace(text, PhoneRe, "<PHONE>")
+
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
+  /** R17: IBAN candidates — ISO 13616 shape: 2 country letters, 2 check
+    * digits, 11-30 alphanumeric BBAN chars. Candidates are GATED on the
+    * mod-97 checksum below (the Luhn discipline: shape alone
+    * over-redacts order ids). */
+  val IbanRe = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
+  /** ISO 7064 mod-97 of an IBAN candidate: move the first 4 chars to
+    * the end, then fold characters left-to-right keeping the running
+    * remainder — digits append one decimal digit (acc·10 + d), letters
+    * two (acc·100 + 10 + ord), so the giant decimal number never
+    * materializes. Exact integer arithmetic; identical fold in the
+    * DuckDB oracle. */
+  private[graft] def mod97Chars(r: Column): Column =
+    aggregate(sequence(lit(1), length(r)), lit(0L), (acc, i) => {
+      val ch = r.substr(i, lit(1))
+      when(ch >= "0" && ch <= "9", (acc * 10 + (ascii(ch) - 48)) % 97)
+        .otherwise((acc * 100 + (ascii(ch) - 55)) % 97)
+    })
+
+  private[graft] def ibanMod97(cand: Column): Column =
+    mod97Chars(concat(substring(cand, 5, 64), substring(cand, 1, 4)))
+
+  def ibanValid(cand: Column): Column = ibanMod97(cand) === 1L
+
+  /** IBAN redaction: candidates that pass mod-97 are replaced with
+    * `<IBAN>`; failing candidates stay. Same extract+filter+fold shape
+    * as [[redactCards]]. */
+  def redactIbans(text: Column): Column = {
+    val valid = filter(regexp_extract_all(text, lit(IbanRe), lit(0)), ibanValid _)
+    aggregate(valid, text, (acc, c) => replace(acc, c, lit("<IBAN>")))
+  }
+
+  def ibanCount(text: Column): Column =
+    size(filter(regexp_extract_all(text, lit(IbanRe), lit(0)), ibanValid _))
+
   /** 16-bit simhash over tokens: bit i is set when the majority of token
     * md5s have their i-th hex digit's top bit set (+1/-1 vote sum >= 0). */
   def simhash16(text: Column): Column = {

@@ -287,6 +287,44 @@ object Training {
       TextOps.cardCount(aug).cast("int").as("n_cards"))
   }
 
+  /** R17 (judge r16 #7): E.164 phone redaction. Each doc is dressed
+    * with one VALID E.164 number (+1415 then 7 doc-derived digits — 12
+    * digits, must redact) and an over-long twin (same digits + "99999" —
+    * 16 digits, exceeds E.164's 15-digit cap, must SURVIVE: the format
+    * bound is the false-positive gate here, the role Luhn plays for
+    * cards). Same literal dressing in the oracle. */
+  val tRedactPhone: Q = (s, d) => {
+    val valid = concat(lit("+1415"),
+      lpad(pmod(col("doc_id"), lit(10000000)).cast("string"), 7, "0"))
+    val invalid = concat(valid, lit("99999"))
+    val aug = concat(col("text"), lit(" call "), valid, lit(" ref "), invalid)
+    docs(s, d).select(
+      col("doc_id"),
+      TextOps.redactPhones(aug).as("redacted"),
+      TextOps.phoneCount(aug).cast("int").as("n_phones"))
+  }
+
+  /** R17 (judge r16 #7): IBAN redaction under the ISO 7064 mod-97 gate.
+    * Each doc is dressed with one mod-97-VALID German-format IBAN
+    * (DE + derived check digits + 18-digit BBAN, must redact) and an
+    * invalid twin — same BBAN, check digits shifted +50 (mod 100), which
+    * can never be ≡ the true check mod 97 — that must SURVIVE. The check
+    * digits are derived in-plan by the same exact-int mod-97 fold the
+    * validator uses, mirrored verbatim in the oracle (the
+    * [[tRedactCards]] discipline). */
+  val tRedactIban: Q = (s, d) => {
+    val bban = repeat(lpad(pmod(col("doc_id"), lit(1000000)).cast("string"), 6, "0"), 3)
+    val c = lit(98L) - TextOps.mod97Chars(concat(bban, lit("DE00")))
+    val valid = concat(lit("DE"), lpad(c.cast("string"), 2, "0"), bban)
+    val invalid = concat(lit("DE"),
+      lpad(pmod(c + 50L, lit(100L)).cast("string"), 2, "0"), bban)
+    val aug = concat(col("text"), lit(" iban "), valid, lit(" ref "), invalid)
+    docs(s, d).select(
+      col("doc_id"),
+      TextOps.redactIbans(aug).as("redacted"),
+      TextOps.ibanCount(aug).cast("int").as("n_ibans"))
+  }
+
   /** Benchmark decontamination: train-split docs sharing any 3-shingle
     * with the val/test splits (same split constants as t_sample). */
   val tDecontam: Q = (s, d) =>
@@ -973,6 +1011,8 @@ object Training {
     "t_pack" -> tPack,
     "t_redact" -> tRedact,
     "t_redact_cards" -> tRedactCards,
+    "t_redact_phone" -> tRedactPhone,
+    "t_redact_iban" -> tRedactIban,
     "t_decontam" -> tDecontam,
     "t_decontam2" -> tDecontam2,
     "t_epoch_shuffle" -> tEpochShuffle,

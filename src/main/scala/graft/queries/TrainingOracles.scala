@@ -1763,6 +1763,62 @@ object TrainingOracles {
          |FROM documents""".stripMargin
     },
 
+    // r17: E.164 phone redaction — the over-long 16-digit twin can
+    // never match the 15-digit-capped pattern and must survive
+    "t_redact_phone" -> {
+      import graft.operators.TextOps.PhoneRe
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    '+1415' || lpad((doc_id % 10000000)::VARCHAR, 7, '0') AS v
+         |  FROM documents),
+         |aug AS (
+         |  SELECT doc_id, text || ' call ' || v || ' ref ' || v || '99999' AS t
+         |  FROM base)
+         |SELECT doc_id,
+         |  regexp_replace(t, '$PhoneRe', '<PHONE>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS INT) AS n_phones
+         |FROM aug""".stripMargin
+    },
+
+    // r17: mod-97-gated IBAN redaction — check digits derive in-SQL by
+    // the same exact-integer char fold the validator uses; the
+    // +50-shifted twin (never congruent mod 97) must SURVIVE
+    "t_redact_iban" -> {
+      import graft.operators.TextOps.IbanRe
+      // running mod-97 char fold over string expression `s` (seed '0')
+      def m97(sx: String) =
+        s"""list_reduce(
+           |  list_prepend('0', list_transform(range(1, len($sx) + 1),
+           |    i -> substring($sx, i::INT, 1))),
+           |  (a, b) -> CASE WHEN b BETWEEN '0' AND '9'
+           |    THEN ((a::BIGINT * 10 + (ascii(b) - 48)) % 97)::VARCHAR
+           |    ELSE ((a::BIGINT * 100 + (ascii(b) - 55)) % 97)::VARCHAR END)::BIGINT""".stripMargin
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    repeat(lpad((doc_id % 1000000)::VARCHAR, 6, '0'), 3) AS bban
+         |  FROM documents),
+         |chk AS (
+         |  SELECT doc_id, text, bban,
+         |    98 - ${m97("(bban || 'DE00')")} AS c
+         |  FROM base),
+         |nums AS (
+         |  SELECT doc_id, text,
+         |    'DE' || lpad(c::VARCHAR, 2, '0') || bban AS v,
+         |    'DE' || lpad(((c + 50) % 100)::VARCHAR, 2, '0') || bban AS iv
+         |  FROM chk),
+         |aug AS (
+         |  SELECT doc_id, text || ' iban ' || v || ' ref ' || iv AS t FROM nums),
+         |red AS (
+         |  SELECT doc_id, t,
+         |    list_filter(regexp_extract_all(t, '$IbanRe'),
+         |      x -> ${m97("(substring(x, 5) || substring(x, 1, 4))")} = 1) AS valid
+         |  FROM aug)
+         |SELECT doc_id,
+         |  list_reduce(list_prepend(t, valid), (a, b) -> replace(a, b, '<IBAN>')) AS redacted,
+         |  CAST(len(valid) AS INT) AS n_ibans
+         |FROM red""".stripMargin
+    },
+
     // r13: Luhn-gated card redaction — the check digit derives in-SQL
     // by the same exact-integer fold the validator uses; the +5-shifted
     // invalid twin must SURVIVE redaction (the checksum gate is what

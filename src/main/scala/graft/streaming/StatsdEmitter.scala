@@ -44,12 +44,18 @@ final class StatsdEmitter(
   }
   private val ownsExec = scheduler.isEmpty
   @volatile private var started = false
+  @volatile private var task: Option[java.util.concurrent.ScheduledFuture[_]] = None
 
   /** One flush: render every source, pack lines into MTU-sized
     * datagrams, send. Public so tests (and shutdown) can force a final
-    * flush deterministically. */
+    * flush deterministically. Each source renders under its own NonFatal
+    * guard: an exception escaping a scheduleAtFixedRate task silently
+    * cancels the schedule, so one bad snapshot must never end metric
+    * emission for the process lifetime. */
   def flush(): Unit = {
-    val lines = lineSources.flatMap(src => src()).map(_ + tagSuffix)
+    val lines = lineSources.flatMap { src =>
+      try src() catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }.map(_ + tagSuffix)
     StatsdEmitter.pack(lines, StatsdEmitter.MaxPacketBytes).foreach { payload =>
       val bytes = payload.getBytes(StandardCharsets.UTF_8)
       try socket.send(new DatagramPacket(bytes, bytes.length, target))
@@ -60,14 +66,18 @@ final class StatsdEmitter(
   def start(): this.type = {
     if (!started) {
       started = true
-      exec.scheduleAtFixedRate(
-        () => flush(), settings.periodMs, settings.periodMs, TimeUnit.MILLISECONDS)
+      task = Some(exec.scheduleAtFixedRate(
+        () => flush(), settings.periodMs, settings.periodMs, TimeUnit.MILLISECONDS))
     }
     this
   }
 
   override def close(): Unit = {
     try flush() finally {
+      // cancel explicitly: with a caller-supplied scheduler (ownsExec
+      // false) shutdownNow never runs, and an uncancelled task would keep
+      // flushing against the closed socket for the scheduler's lifetime
+      task.foreach(_.cancel(false))
       if (ownsExec) exec.shutdownNow()
       socket.close()
     }
