@@ -130,7 +130,12 @@ object Bench {
     "d_semdedup" -> 1.6,
     "d_sem_decontam" -> 2.6, // r15: cell-bounded benchmark-leakage cosine pass; measured solo sf0.1 2.28 s
     "t_bitext_mine" -> 4.4, // r16: cell-bounded margin mining (ivf + 3 windows); measured fresh-JVM 3.69-5.15 s
-    "t_bitext_recall" -> 5.0, // r16: approx arm + exact all-pairs brute via 3 broadcast-array folds; measured fresh-JVM 4.0 s (the pre-fix nested-HOF inlining read 600+ s — see Bitext.mineRecall)
+    // r17 re-baseline: the recall report is now a 3-point nprobe SWEEP
+    // (judge r16 #8) — two extra cell-bounded approx arms on top of the
+    // r16 single-point shape; measured fresh-JVM 6.5-8.0 s (r16
+    // single-point: 4.0; the pre-fix nested-HOF inlining read 600+ s —
+    // see Bitext.mineRecall)
+    "t_bitext_recall" -> 6.5,
     "t_tok_fertility" -> 3.5, // r16: BPE encode chain + langid join, per-language rollup; measured warm 2.92 s (fresh-JVM 7.96 — under-JIT)
     "d_lsh_recall" -> 4.5, // r16: exact inverted-index Jaccard truth (co-occurrence-bounded) + banded candidates + 4-threshold curve; measured fresh-JVM 3.73 s
     "t_curriculum" -> 3.0, // r16: surprisal + decomposed global rank; measured fresh-JVM 2.41-3.39 s
@@ -271,6 +276,8 @@ object Bench {
     "m_audio_fp" -> 0.5, // r14: energy-delta fingerprint decode pass
     "m_audio_nn" -> 1.4, // r14: banded hamming retrieval over audio codes; measured 0.85 s solo
     "m_video_sig" -> 0.6, // r14: per-frame signature decode pass
+    "m_video_audio" -> 0.6, // r17: 01wb PCM track rollup; measured fresh 0.56 / warm 0.41
+    "m_av_pairs" -> 2.5, // r17: pixel-arm x audio-arm confirmed pairs; measured fresh 4.07 (single-warmup) / warm 1.59
     "m_video_dups" -> 1.5, // r14: shot-level shared-signature dedup join; measured 0.95 s solo
     "q_sql_q11" -> 1.4,
     "q_sql_q16" -> 1.4,

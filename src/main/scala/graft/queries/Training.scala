@@ -904,6 +904,14 @@ object Training {
   val mVideoSig: Q = (s, d) => Multimodal.videoFrameSigs(docs(s, d)).toDF()
   /** R14: shot-level video dedup — >=3 shared frame signatures. */
   val mVideoDups: Q = (s, d) => Multimodal.videoDups(docs(s, d))
+
+  /** R17: the AVI container's AUDIO track — per-video exact stats over
+    * the interleaved `01wb` PCM chunks (twins included). */
+  val mVideoAudio: Q = (s, d) => Multimodal.videoAudioStats(docs(s, d))
+
+  /** R17: cross-modal duplicate confirmation — pairs asserted by both
+    * the frame-signature arm and the audio-chunk arm of one container. */
+  val mAvPairs: Q = (s, d) => Multimodal.avConfirmedPairs(docs(s, d))
   val mPhashNn: Q = (s, d) => Multimodal.phashNeighbors(docs(s, d))
   /** R12: exact time-domain audio features (ZCR + autocorrelation). */
   val mAudioAcf: Q = (s, d) => Multimodal.audioFeatures(docs(s, d)).toDF()
@@ -1112,6 +1120,8 @@ object Training {
     "m_audio_nn" -> mAudioNn,
     "m_video_sig" -> mVideoSig,
     "m_video_dups" -> mVideoDups,
+    "m_video_audio" -> mVideoAudio,
+    "m_av_pairs" -> mAvPairs,
     "m_phash_nn" -> mPhashNn,
     "m_audio_acf" -> mAudioAcf,
     "m_pair_dups" -> mPairDups,

@@ -214,6 +214,28 @@ object TrainingOracles {
     * shifted by 1, one fewer frame), each frame's exact channel sums
     * over the analytically re-derived pixel grid. Mirrors
     * Multimodal.videoFrameSigs. */
+  /** R17 audio half of the AVI container: the interleaved `01wb` PCM
+    * chunks re-derived analytically (trim twins share every surviving
+    * chunk because samples key on the ABSOLUTE frame time) and reduced
+    * to per-chunk exact integer stats — mirrors
+    * Multimodal.decodeAviAudio over Multimodal.synthAviVideo. */
+  private val AudioChunkCteInner =
+    """ag AS (SELECT doc_id, 4 + doc_id % 5 AS frames, 40 + doc_id % 24 AS spc
+      |       FROM documents),
+      |avids AS (
+      |  SELECT doc_id AS out_id, doc_id AS d, 0 AS toff, frames AS nf, spc FROM ag
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id, 1, frames - 1, spc FROM ag WHERE doc_id % 9 = 4),
+      |asmp AS (
+      |  SELECT v.out_id, CAST(c.c AS INT) AS chunk_idx,
+      |    ((v.d*2654435761 + ((c.c + v.toff) * v.spc + k.k)*2246822519) % 4001) - 2000 AS v
+      |  FROM avids v, UNNEST(range(0, v.nf)) AS c(c), UNNEST(range(0, v.spc)) AS k(k)),
+      |achk AS (
+      |  SELECT out_id, chunk_idx, CAST(count(*) AS INT) AS n_samples,
+      |    CAST(sum(v) AS BIGINT) AS sum_s, CAST(sum(abs(v)) AS BIGINT) AS sum_l1,
+      |    CAST(sum(v*v) AS BIGINT) AS energy, CAST(max(abs(v)) AS INT) AS peak
+      |  FROM asmp GROUP BY 1, 2)""".stripMargin
+
   private val VideoSigCte =
     """WITH g AS (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (3*doc_id) % 8 AS h,
       |             4 + doc_id % 5 AS frames FROM documents),
@@ -1276,58 +1298,70 @@ object TrainingOracles {
     // bitext recall mirror: the approx chain verbatim plus the EXACT
     // all-pairs arm (cross join is the oracle's semantic statement; the
     // engine's exact arm folds per-vector over broadcast arrays)
-    "t_bitext_recall" ->
+    "t_bitext_recall" -> {
+      // r17 sweep: the approx chain is stamped once per nprobe (the
+      // CTE-suffix device); the exact all-pairs arm is computed once
+      def app(p: Int) =
+        s"""src$p AS (SELECT c_label AS cell, vec_id AS s_id, qv AS sq, n2 AS sn2 FROM (
+           |          SELECT *, row_number() OVER (PARTITION BY vec_id
+           |            ORDER BY score ASC, c_label ASC) AS rn
+           |          FROM scored1 WHERE vec_id % 2 = 0) t WHERE rn <= $p),
+           |cand$p AS (SELECT s.s_id, t.t_id,
+           |    CAST(floor(list_sum(list_transform(range(1, len(s.sq) + 1), i -> s.sq[i] * t.tq[i]))
+           |         / (sqrt(s.sn2) * sqrt(t.tn2)) * 1000000) AS BIGINT) + 1000000 AS scos
+           |  FROM src$p s JOIN tgt t USING (cell)),
+           |sknn$p AS (SELECT s_id, CAST(sum(scos) // count(*) AS BIGINT) AS s_knn FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY s_id ORDER BY scos DESC, t_id ASC) AS rn
+           |    FROM cand$p) t WHERE rn <= 4 GROUP BY 1),
+           |tknn$p AS (SELECT t_id, CAST(sum(scos) // count(*) AS BIGINT) AS t_knn FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY scos DESC, s_id ASC) AS rn
+           |    FROM cand$p) t WHERE rn <= 4 GROUP BY 1),
+           |scoredp$p AS (SELECT c.s_id, c.t_id, c.scos,
+           |    CAST(c.scos * 2000 // greatest(s.s_knn + t.t_knn, 1) AS BIGINT) AS margin_permille
+           |  FROM cand$p c JOIN sknn$p s USING (s_id) JOIN tknn$p t USING (t_id)),
+           |approx$p AS (SELECT s_id, t_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY s_id
+           |      ORDER BY margin_permille DESC, scos DESC, t_id ASC) AS rn FROM scoredp$p) t
+           |  WHERE rn = 1 AND margin_permille >= 1030)""".stripMargin
       s"""${ivfCellsCte("vec_id % 7 = 0")},
-         |src AS (SELECT c_label AS cell, vec_id AS s_id, qv AS sq, n2 AS sn2 FROM (
-         |          SELECT *, row_number() OVER (PARTITION BY vec_id
-         |            ORDER BY score ASC, c_label ASC) AS rn
-         |          FROM scored1 WHERE vec_id % 2 = 0) t WHERE rn <= 2),
          |tgt AS (SELECT cell, vec_id AS t_id, qv AS tq, n2 AS tn2
          |        FROM cells WHERE vec_id % 2 = 1),
-         |cand AS (SELECT s.s_id, t.t_id,
-         |    CAST(floor(list_sum(list_transform(range(1, len(s.sq) + 1), i -> s.sq[i] * t.tq[i]))
-         |         / (sqrt(s.sn2) * sqrt(t.tn2)) * 1000000) AS BIGINT) + 1000000 AS scos
-         |  FROM src s JOIN tgt t USING (cell)),
-         |sknn AS (SELECT s_id, CAST(sum(scos) // count(*) AS BIGINT) AS s_knn FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY s_id ORDER BY scos DESC, t_id ASC) AS rn
-         |    FROM cand) t WHERE rn <= 4 GROUP BY 1),
-         |tknn AS (SELECT t_id, CAST(sum(scos) // count(*) AS BIGINT) AS t_knn FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY scos DESC, s_id ASC) AS rn
-         |    FROM cand) t WHERE rn <= 4 GROUP BY 1),
-         |scoredp AS (SELECT c.s_id, c.t_id, c.scos,
-         |    CAST(c.scos * 2000 // greatest(s.s_knn + t.t_knn, 1) AS BIGINT) AS margin_permille
-         |  FROM cand c JOIN sknn s USING (s_id) JOIN tknn t USING (t_id)),
-         |approx AS (SELECT s_id, t_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY s_id
-         |      ORDER BY margin_permille DESC, scos DESC, t_id ASC) AS rn FROM scoredp) t
-         |  WHERE rn = 1 AND margin_permille >= 1030),
+         |${app(1)},
+         |${app(2)},
+         |${app(4)},
+         |apx AS (SELECT 1 AS nprobe, s_id, t_id FROM approx1
+         |        UNION ALL SELECT 2, s_id, t_id FROM approx2
+         |        UNION ALL SELECT 4, s_id, t_id FROM approx4),
          |srcall AS (SELECT vec_id AS s_id, qv AS sq, n2 AS sn2
          |           FROM cells WHERE vec_id % 2 = 0),
-         |cand2 AS (SELECT s.s_id, t.t_id,
+         |candx AS (SELECT s.s_id, t.t_id,
          |    CAST(floor(list_sum(list_transform(range(1, len(s.sq) + 1), i -> s.sq[i] * t.tq[i]))
          |         / (sqrt(s.sn2) * sqrt(t.tn2)) * 1000000) AS BIGINT) + 1000000 AS scos
          |  FROM srcall s, tgt t),
-         |sknn2 AS (SELECT s_id, CAST(sum(scos) // count(*) AS BIGINT) AS s_knn FROM (
+         |sknnx AS (SELECT s_id, CAST(sum(scos) // count(*) AS BIGINT) AS s_knn FROM (
          |    SELECT *, row_number() OVER (PARTITION BY s_id ORDER BY scos DESC, t_id ASC) AS rn
-         |    FROM cand2) t WHERE rn <= 4 GROUP BY 1),
-         |tknn2 AS (SELECT t_id, CAST(sum(scos) // count(*) AS BIGINT) AS t_knn FROM (
+         |    FROM candx) t WHERE rn <= 4 GROUP BY 1),
+         |tknnx AS (SELECT t_id, CAST(sum(scos) // count(*) AS BIGINT) AS t_knn FROM (
          |    SELECT *, row_number() OVER (PARTITION BY t_id ORDER BY scos DESC, s_id ASC) AS rn
-         |    FROM cand2) t WHERE rn <= 4 GROUP BY 1),
-         |scored2 AS (SELECT c.s_id, c.t_id, c.scos,
+         |    FROM candx) t WHERE rn <= 4 GROUP BY 1),
+         |scoredx AS (SELECT c.s_id, c.t_id, c.scos,
          |    CAST(c.scos * 2000 // greatest(s.s_knn + t.t_knn, 1) AS BIGINT) AS margin_permille
-         |  FROM cand2 c JOIN sknn2 s USING (s_id) JOIN tknn2 t USING (t_id)),
+         |  FROM candx c JOIN sknnx s USING (s_id) JOIN tknnx t USING (t_id)),
          |ex AS (SELECT s_id, t_id FROM (
          |    SELECT *, row_number() OVER (PARTITION BY s_id
-         |      ORDER BY margin_permille DESC, scos DESC, t_id ASC) AS rn FROM scored2) t
+         |      ORDER BY margin_permille DESC, scos DESC, t_id ASC) AS rn FROM scoredx) t
          |  WHERE rn = 1 AND margin_permille >= 1030),
-         |f AS (SELECT e.s_id, (a.s_id IS NOT NULL) AS caught
-         |      FROM ex e LEFT JOIN approx a ON e.s_id = a.s_id AND e.t_id = a.t_id)
-         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |f AS (SELECT p.nprobe, e.s_id, (a.s_id IS NOT NULL) AS caught
+         |      FROM ex e CROSS JOIN (VALUES (1), (2), (4)) p(nprobe)
+         |      LEFT JOIN apx a ON a.nprobe = p.nprobe
+         |        AND e.s_id = a.s_id AND e.t_id = a.t_id)
+         |SELECT nprobe, CAST(count(*) AS BIGINT) AS n_exact,
          |       CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
          |       CAST(CASE WHEN count(*) = 0 THEN 1000
          |            ELSE sum(CASE WHEN caught THEN 1 ELSE 0 END) * 1000 // count(*) END
          |         AS BIGINT) AS recall_permille
-         |FROM f""".stripMargin,
+         |FROM f GROUP BY 1""".stripMargin
+    },
 
     // tokenizer fertility mirror: t_bpe_encode's per-doc subword counts
     // joined to the t_langid prediction, rolled up per language with
@@ -1390,26 +1424,29 @@ object TrainingOracles {
     // same cells/bench/corp/cand chain; exact = unbounded bench cross
     "d_sem_recall" ->
       s"""${ivfCellsCte("vec_id % 7 = 0")},
-         |bench AS (SELECT c_label AS cell, vec_id AS b_id, qv, n2 FROM (
+         |bench AS (SELECT c_label AS cell, vec_id AS b_id, qv, n2, rn FROM (
          |            SELECT *, row_number() OVER (PARTITION BY vec_id
          |              ORDER BY score ASC, c_label ASC) AS rn
-         |            FROM scored1 WHERE vec_id % 41 = 0) t WHERE rn <= 2),
+         |            FROM scored1 WHERE vec_id % 41 = 0) t WHERE rn <= 4),
          |corp AS (SELECT cell, vec_id, qv, n2 FROM cells WHERE vec_id % 41 <> 0),
-         |cand AS (SELECT a.vec_id FROM corp a JOIN bench b ON a.cell = b.cell
+         |cand AS (SELECT a.vec_id, CAST(min(b.rn) AS BIGINT) AS min_rn
+         |         FROM corp a JOIN bench b ON a.cell = b.cell
          |         WHERE $CosAB >= 0.3 GROUP BY 1),
          |ex AS (SELECT a.vec_id FROM corp a, bench b
-         |       WHERE $CosAB >= 0.3 GROUP BY 1),
-         |f AS (SELECT c.vec_id, (e.vec_id IS NOT NULL) AS hit,
-         |             (ap.vec_id IS NOT NULL) AS caught
-         |      FROM corp c LEFT JOIN ex e ON c.vec_id = e.vec_id
-         |                  LEFT JOIN cand ap ON c.vec_id = ap.vec_id)
-         |SELECT CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |       WHERE $CosAB >= 0.3 AND b.rn = 1 GROUP BY 1),
+         |f AS (SELECT p.nprobe, c.vec_id, (e.vec_id IS NOT NULL) AS hit,
+         |             (ap.min_rn IS NOT NULL AND ap.min_rn <= p.nprobe) AS caught
+         |      FROM corp c CROSS JOIN (VALUES (1), (2), (4)) p(nprobe)
+         |      LEFT JOIN ex e ON c.vec_id = e.vec_id
+         |      LEFT JOIN cand ap ON c.vec_id = ap.vec_id)
+         |SELECT nprobe,
+         |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
          |       CAST(sum(CASE WHEN hit AND caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
          |       CAST(CASE WHEN sum(CASE WHEN hit THEN 1 ELSE 0 END) = 0 THEN 1000
          |            ELSE sum(CASE WHEN hit AND caught THEN 1 ELSE 0 END) * 1000
          |                 // sum(CASE WHEN hit THEN 1 ELSE 0 END) END AS BIGINT)
          |         AS recall_permille
-         |FROM f""".stripMargin,
+         |FROM f GROUP BY 1""".stripMargin,
 
     "d_cdc_chunks" ->
       s"""$ChunkCte
@@ -3515,6 +3552,44 @@ object TrainingOracles {
          |  CAST(count(*) AS BIGINT) AS n_shared
          |FROM capped a JOIN capped b ON a.fsig = b.fsig AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
+    // r17: per-video audio-track rollup over the interleaved 01wb chunks
+    "m_video_audio" ->
+      s"""WITH $AudioChunkCteInner
+         |SELECT out_id AS doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_samples) AS BIGINT) AS n_samples,
+         |  CAST(sum(sum_s) AS BIGINT) AS sum_s,
+         |  CAST(sum(sum_l1) AS BIGINT) AS sum_l1,
+         |  CAST(sum(energy) AS BIGINT) AS energy,
+         |  CAST(max(peak) AS INT) AS peak
+         |FROM achk GROUP BY 1""".stripMargin,
+
+    // r17: cross-modal confirmation — the pixel-arm pairs (m_video_dups
+    // shape) inner-joined with the audio-chunk-signature pairs from the
+    // same container
+    "m_av_pairs" ->
+      s"""$VideoSigCte,
+         |$AudioChunkCteInner,
+         |dsig AS (SELECT DISTINCT doc_id, fsig FROM vsig),
+         |capped AS (SELECT doc_id, fsig FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY fsig) AS bsz FROM dsig) t
+         |  WHERE bsz <= 256),
+         |vd AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared_frames
+         |  FROM capped a JOIN capped b ON a.fsig = b.fsig AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3),
+         |adsig AS (SELECT DISTINCT out_id AS doc_id,
+         |    n_samples || ':' || sum_s || ':' || sum_l1 || ':' || energy || ':' || peak AS asig
+         |  FROM achk),
+         |acapped AS (SELECT doc_id, asig FROM (
+         |  SELECT *, count(*) OVER (PARTITION BY asig) AS bsz FROM adsig) t
+         |  WHERE bsz <= 256),
+         |ad AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared_audio
+         |  FROM acapped a JOIN acapped b ON a.asig = b.asig AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT vd.doc_a, vd.doc_b, vd.n_shared_frames, ad.n_shared_audio
+         |FROM vd JOIN ad ON vd.doc_a = ad.doc_a AND vd.doc_b = ad.doc_b""".stripMargin,
 
     // r14 audio fingerprints: the synth PCM re-derived analytically
     // (m_audio_acf precedent, hash-mixed constants), 65 window energies
