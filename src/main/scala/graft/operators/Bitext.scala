@@ -68,21 +68,39 @@ object Bitext {
     * A (s,t) candidate still forms at most once: t lives in exactly
     * one cell. */
   private def mineOn(cells: DataFrame, cents: DataFrame, k: Int,
-                     marginMin: Long, nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                     marginMin: Long, nprobe: Int): DataFrame =
+    // cell-bounded candidates; pinned — three consumers (both k-NN
+    // aggregates and the final scored join)
+    armFrom(candidatesUpTo(cells, cents, nprobe).drop("rn").localCheckpoint(),
+      k, marginMin)
+
+  /** The cell-bounded candidate relation at probe width `nprobe`, with
+    * each candidate's source-side probe RANK kept (r17): nearestCells
+    * ranks cells by a deterministic total order, so the top-p set is a
+    * PREFIX of the top-q set for p ≤ q — `filter(rn <= p)` of the widest
+    * relation IS the nprobe=p relation. [[mineRecall]] exploits that to
+    * compute the candidate join + quantized cosines ONCE for its whole
+    * sweep instead of once per arm. */
+  private def candidatesUpTo(cells: DataFrame, cents: DataFrame,
+                             nprobe: Int): DataFrame = {
     val src = Similarity.nearestCells(
       cells.filter(pmod(col("vec_id"), lit(2L)) === 0)
         .select(col("vec_id"), col("q"), col("n2")),
       cents, nprobe)
-      .select(col("cell"), col("vec_id").as("s_id"), col("q").as("sq"), col("n2").as("sn2"))
+      .select(col("cell"), col("rn"),
+        col("vec_id").as("s_id"), col("q").as("sq"), col("n2").as("sn2"))
     val tgt = cells.filter(pmod(col("vec_id"), lit(2L)) =!= 0)
       .select(col("cell"), col("vec_id").as("t_id"), col("q").as("tq"), col("n2").as("tn2"))
-    // cell-bounded candidates; pinned — three consumers (both k-NN
-    // aggregates and the final scored join)
-    val cand = src.hint("shuffle_hash").join(tgt, "cell")
-      .select(col("s_id"), col("t_id"),
+    src.hint("shuffle_hash").join(tgt, "cell")
+      .select(col("s_id"), col("t_id"), col("rn"),
         scosOf(Similarity.dot(col("sq"), col("tq")), col("sn2"), col("tn2")).as("scos"))
-      .localCheckpoint()
+  }
+
+  /** Score one arm over an already-pinned candidate relation
+    * `(s_id, t_id, scos)` — the k-NN margin denominators and the
+    * per-source top-1 window of the mining recipe. */
+  private def armFrom(cand: DataFrame, k: Int, marginMin: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def knnAvg(idCol: String, otherCol: String, outCol: String): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("scos").desc, col(otherCol).asc)
       cand.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
@@ -136,8 +154,16 @@ object Bitext {
     import spark.implicits._
     val (cells0, cents) = Similarity.ivfIndex(embeddings, lloydIters = 1, trainSampleMod = 7)
     val cells = cells0.localCheckpoint() // consumers: approx arms + 4 exact-side reads
+    // r17: ONE candidate join + scos pass at the widest probe setting
+    // serves every arm — nearestCells' top-p cells are a prefix of its
+    // top-q cells (deterministic (score, cell) total order), so
+    // filter(rn <= p) of the pinned widest relation IS the nprobe=p
+    // candidate set; each arm re-runs only its own k-NN means and top-1
+    // window over that slice (previously: a full candidate join + pin
+    // per arm — 3 corpus-side shuffles and 3 pins for the sweep)
+    val candMax = candidatesUpTo(cells, cents, probes.max).localCheckpoint()
     val approx = probes.map(p =>
-      mineOn(cells, cents, k, marginMin, p)
+      armFrom(candMax.filter(col("rn") <= p).drop("rn"), k, marginMin)
         .select(lit(p).as("nprobe"), col("s_id"), col("t_id"), lit(true).as("_caught")))
       .reduce(_ unionByName _)
     val src = cells.filter(pmod(col("vec_id"), lit(2L)) === 0)

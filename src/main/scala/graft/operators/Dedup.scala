@@ -197,6 +197,35 @@ object Dedup {
       .distinct()
   }
 
+  /** R17 (optimization): [[pairsWithinBuckets]] CARRYING a per-doc
+    * payload column through the band self-join — returns
+    * (doc_a, doc_b, pa, pb). The hamming retrievals previously took the
+    * pair relation and joined the code relation back twice to attach
+    * each side's code; since the code subtree sits below the band
+    * exchange on a DIFFERENT key, exchange reuse never fires and the
+    * plan re-derived the codes three times (simhash64: three corpus
+    * tokenize+md5 passes) and shuffled the candidate pairs twice more.
+    * A code is a few bytes, so riding it through the one band exchange
+    * is strictly cheaper at any scale (guide §2.3 "project before the
+    * exchange" / §2.4 "remove shuffles outright"). The distinct() keys
+    * widen by the carried values, but those are functions of
+    * (doc_a, doc_b), so the pair set is unchanged. */
+  private[operators] def pairsWithinBucketsCarrying(buckets: DataFrame,
+      key: String, payload: String, maxBucket: Int = MaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capped = buckets
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(key)))
+      .filter(col("_bsz") <= maxBucket)
+      .drop("_bsz")
+    val b = capped.hint("shuffle_hash")
+    b.as("a")
+      .join(b.as("b"),
+        col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col(s"a.$payload").as("pa"), col(s"b.$payload").as("pb"))
+      .distinct()
+  }
+
   /** LSH candidate pairs: each doc emits one key per band (band = 2
     * concatenated minhashes, r=2 b=2); docs sharing any band key become a
     * candidate pair. Shuffles on the band key only. */
@@ -722,18 +751,19 @@ object Dedup {
     * candidate set stays near-linear; 16 bits is the oracle-checkable
     * miniature of that shape. */
   def simhashNeighbors(docs: DataFrame, maxDist: Int = 2): DataFrame = {
-    val sim = simhashes(docs)
-    val banded = sim.select(col("doc_id"),
+    // r17: the code rides the band rows ([[pairsWithinBucketsCarrying]])
+    // — one corpus scan and one band exchange, where the join-back shape
+    // computed the simhash subtree three times and exchanged the
+    // candidate pairs twice more to re-attach it
+    val banded = simhashes(docs).select(col("doc_id"), col("simhash16"),
       explode(array(
         concat(lit("b0:"), col("simhash16").bitwiseAND(lit(63L)).cast("string")),
         concat(lit("b1:"), shiftright(col("simhash16"), 6).bitwiseAND(lit(31L)).cast("string")),
         concat(lit("b2:"), shiftright(col("simhash16"), 11).bitwiseAND(lit(31L)).cast("string"))))
         .as("band"))
-    pairsWithinBuckets(banded, "band", maxBucket = 256)
-      .join(sim.select(col("doc_id").as("doc_a"), col("simhash16").as("ca")), "doc_a")
-      .join(sim.select(col("doc_id").as("doc_b"), col("simhash16").as("cb")), "doc_b")
+    pairsWithinBucketsCarrying(banded, "band", "simhash16", maxBucket = 256)
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ca").bitwiseXOR(col("cb"))).as("hamming"))
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 
@@ -785,8 +815,10 @@ object Dedup {
     * Arithmetic shift + mask reads identical chunk bits in both engines
     * for negative codes (bit 63 set). */
   def simhashNeighbors64(docs: DataFrame, maxDist: Int = 2): DataFrame = {
-    val sim = simhashes64(docs)
-    val banded = sim.select(col("doc_id"),
+    // r17: same carry-the-code rewrite as [[simhashNeighbors]] — here
+    // the re-derived subtree was the 64-sum vote aggregate (a corpus
+    // tokenize + explode + md5 per pass), computed three times before
+    val banded = simhashes64(docs).select(col("doc_id"), col("code"),
       explode(array(
         concat(lit("c0:"), col("code").bitwiseAND(lit((1L << 22) - 1)).cast("string")),
         concat(lit("c1:"),
@@ -794,11 +826,9 @@ object Dedup {
         concat(lit("c2:"),
           shiftright(col("code"), 43).bitwiseAND(lit((1L << 21) - 1)).cast("string"))))
         .as("band"))
-    pairsWithinBuckets(banded, "band")
-      .join(sim.select(col("doc_id").as("doc_a"), col("code").as("ca")), "doc_a")
-      .join(sim.select(col("doc_id").as("doc_b"), col("code").as("cb")), "doc_b")
+    pairsWithinBucketsCarrying(banded, "band", "code")
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ca").bitwiseXOR(col("cb"))).as("hamming"))
+        bit_count(col("pa").bitwiseXOR(col("pb"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

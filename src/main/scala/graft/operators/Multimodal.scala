@@ -1987,12 +1987,29 @@ object Multimodal {
     * occupancy cap, hamming verified only on candidates. */
   private def bandedHammingNeighbors(codes: DataFrame, codeCol: String,
                                      maxDist: Int): DataFrame = {
-    val banded = codes.select(col("doc_id"), explode(hexBands(codeCol)).as("band"))
-    Dedup.pairsWithinBuckets(banded, "band", maxBucket = 256)
-      .join(codes.select(col("doc_id").as("doc_a"), col(codeCol).as("ha")), "doc_a")
-      .join(codes.select(col("doc_id").as("doc_b"), col(codeCol).as("hb")), "doc_b")
+    // r17: the code rides the band rows
+    // ([[Dedup.pairsWithinBucketsCarrying]]) — the join-back shape
+    // re-derived `codes` three times, and here that subtree is a full
+    // image/audio DECODE kernel per pass, not just a hash. The carried
+    // payload is the hex code PRE-PARSED into its four 16-bit chunk
+    // longs (one struct per doc): Catalyst pushes the hamming<=maxDist
+    // predicate into the band join's condition, where it runs once per
+    // PROBED pair — carrying the raw hex string made that per-probe
+    // verify 8 string conv()/substring() parses (measured 4x slower
+    // than the join-back shape, m_dhash_nn 1.6 s -> 5.9 s); on
+    // pre-parsed longs it is 4 xor+bit_count ops, the
+    // [[graft.operators.Dedup.simhashNeighbors]] cost model, and the
+    // pushdown then PRUNES non-neighbors before the pair distinct.
+    def chunk(c: Int) =
+      conv(substring(col(codeCol), 4 * c + 1, 4), 16, 10).cast("long").as(s"c$c")
+    val banded = codes.select(col("doc_id"),
+      struct((0 until 4).map(chunk): _*).as("hchunks"),
+      explode(hexBands(codeCol)).as("band"))
+    Dedup.pairsWithinBucketsCarrying(banded, "band", "hchunks", maxBucket = 256)
       .select(col("doc_a"), col("doc_b"),
-        hammingHex(col("ha"), col("hb")).as("hamming"))
+        (0 until 4).map(c => bit_count(
+          col("pa").getField(s"c$c").bitwiseXOR(col("pb").getField(s"c$c"))))
+          .reduce(_ + _).cast("int").as("hamming"))
       .filter(col("hamming") <= maxDist)
   }
 

@@ -296,41 +296,65 @@ object QualityRules {
     * train error oscillates 151/306 at every B=1 epoch, while B=4
     * reaches 5/457 after 3 epochs and a perfect 20/20 holdout).
     *
-    * Scale shape: the MODEL is a ≤[[ClfDim]]-row relation, never wider;
-    * every step joins it back BROADCAST (the corpus-sized side never
-    * re-shuffles for the model) and runs two keyed aggregates — per-doc
-    * margins on doc_id, the gradient on bucket — over ONE mini-batch's
-    * slice of the feature relation. The feature relation feeds 2
-    * consumers per step, so it is PINNED (`localCheckpoint`, the
-    * d_docsim/NgramLm precedent — spec-pinned at ≤ 1 corpus scan): the
-    * corpus is tokenized and exploded ONCE no matter how many steps the
-    * loop unrolls; a real deployment materializes the text-free
-    * (doc_id, y, bucket, cnt) relation as a table and trains against
-    * that. No driver round-trips — the model stays a DataFrame end to
-    * end. */
+    * Scale shape: the MODEL is a ≤[[ClfDim]]-row relation — metadata-
+    * scale — so the loop runs it as a PARAMETER SERVER (r17, guide
+    * §1.2/§5): the driver holds the weight array and each synchronous
+    * step is ONE aggregate job over that mini-batch's slice of the
+    * feature relation — weights enter the margin sum as an O(1)
+    * `element_at` array literal (no per-step broadcast build), the
+    * misclassified docs' features flow straight into the bucket-keyed
+    * gradient (the only rows that cross the second exchange), and the
+    * ≤ClfDim-row gradient is the step's only driver round-trip — the
+    * same bytes a parameter-server push moves. The r14-r16 shape
+    * instead kept w as a DataFrame: 2 broadcast builds + a
+    * localCheckpoint of the model PER STEP (~3 jobs/step, 36 for the
+    * 12-step loop; measured sf0.1 solo 4.4 s vs 2.6 s for this form,
+    * identical weights). The feature relation feeds every step, so it
+    * is PINNED (`localCheckpoint`, the d_docsim/NgramLm precedent —
+    * spec-pinned at ≤ 1 corpus scan): the corpus is tokenized and
+    * exploded ONCE no matter how many steps the loop unrolls; a real
+    * deployment materializes the text-free (doc_id, y, bucket, cnt)
+    * relation as a table and trains against that. */
   def perceptronTrain(feats: DataFrame, epochs: Int = 3,
       miniBatches: Int = 4, pin: Boolean = true): DataFrame = {
     val f = if (pin) feats.localCheckpoint() else feats
-    // w0 = 0 over every bucket the training corpus touches, so later
-    // steps never meet a bucket the model lacks (updates stay left joins)
-    var w = f.select(col("bucket")).distinct().withColumn("w", lit(0L))
+    val spark = f.sparkSession
+    // w0 = 0 over every bucket the training corpus touches (one
+    // metadata-scale collect — ≤ ClfDim distinct values by construction)
+    val buckets = f.select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(buckets.isEmpty || (buckets.head >= 0 && buckets.last < (1L << 22)),
+      "perceptronTrain expects non-negative, bounded feature buckets " +
+        "(the ClfDim hash space)")
+    val dim = if (buckets.isEmpty) 1 else buckets.last.toInt + 1
+    val w = new Array[Long](dim)
     for (_ <- 1 to epochs; b <- 0 until miniBatches) {
+      // 1-indexed element_at over the step's frozen weights; every fb
+      // bucket is in [0, dim) because fb ⊆ f and dim covers f's max
+      val wLit = typedlit(w.toIndexedSeq)
       val fb = f.filter(pmod(col("doc_id"), lit(miniBatches.toLong)) === b)
-      val margins = fb.join(broadcast(w), "bucket")
-        .groupBy("doc_id", "y").agg(sum(col("cnt") * col("w")).as("margin"))
-      val mis = margins.filter(col("y") * col("margin") <= 0).select("doc_id")
-      val grad = fb.join(mis, "doc_id")
-        .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("g"))
-      // pin the model after every synchronous step (what a parameter
-      // server does): w appears twice per step (margin join + update),
-      // so an unpinned loop DOUBLES the logical plan per step — 12 steps
-      // would carry 2^12 copies of the feature subtree into the
-      // optimizer. The pinned relation is ≤ ClfDim rows — trivial.
-      w = w.join(broadcast(grad), Seq("bucket"), "left")
-        .select(col("bucket"), (col("w") + coalesce(col("g"), lit(0L))).as("w"))
-        .localCheckpoint()
+      val grad = fb
+        .groupBy("doc_id", "y")
+        .agg(
+          sum(col("cnt") * element_at(wLit, col("bucket").cast("int") + 1))
+            .as("margin"),
+          collect_list(struct(col("bucket"), col("cnt"))).as("fs"))
+        .filter(col("y") * col("margin") <= 0)
+        .select(col("y"), explode(col("fs")).as("f"))
+        .groupBy(col("f.bucket").as("bucket"))
+        .agg(sum(col("y") * col("f.cnt")).as("g"))
+        .collect()
+      grad.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
     }
-    w
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = buckets.toSeq.map(b =>
+      org.apache.spark.sql.Row(b, w(b.toInt)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
   }
 
   /** Held-out evaluation of the TRAINED model: fit on the `train` split,
@@ -348,10 +372,21 @@ object QualityRules {
   def perceptronTestMargins(docs: DataFrame, trainUpto: Int, valUpto: Int,
       salt: String, epochs: Int = 3, miniBatches: Int = 4): DataFrame = {
     val labeled = plantedSpamDocs(docs)
-    val split = Sampling.splitLabel(trainUpto, valUpto, salt)
+    // r17: ONE corpus tokenize+explode serves BOTH splits — the split
+    // label is a pure function of doc_id, so it attaches to the
+    // aggregated feature relation (filter-before ≡ filter-after on a
+    // doc_id-keyed groupBy) and the pinned relation slices both ways;
+    // the previous shape ran perceptronFeatures twice (two full corpus
+    // tokenizations per eval-family leg). perceptronTrain gets
+    // pin = false: its 13 scans re-read this pin's blocks, not text.
+    val feats = perceptronFeatures(labeled)
+      .withColumn("_split",
+        Sampling.splitLabelOf(col("doc_id"), trainUpto, valUpto, salt))
+      .localCheckpoint()
     val w = perceptronTrain(
-      perceptronFeatures(labeled.filter(split === "train")), epochs, miniBatches)
-    perceptronFeatures(labeled.filter(split === "test"))
+      feats.filter(col("_split") === "train").drop("_split"),
+      epochs, miniBatches, pin = false)
+    feats.filter(col("_split") === "test").drop("_split")
       .join(broadcast(w), Seq("bucket"), "left")
       .groupBy("doc_id", "y")
       .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("margin"))

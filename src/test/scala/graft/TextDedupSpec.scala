@@ -1195,4 +1195,5 @@ class TextDedupSpec extends AnyFunSuite {
       assert(p.getAs[Double]("jaccard") <= top + 1e-9, s"$p")
     }
   }
+
 }
