@@ -951,6 +951,18 @@ object Bench {
   private def sweepBlocks(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     spark.catalog.clearCache()
+    // r17 measurement hygiene: after ~250 legs the JVM accretes GC debt
+    // (codegen classes, broadcast/RDD referents whose ContextCleaner
+    // hooks only fire when a GC enqueues their weak refs) and it lands
+    // on whichever leg runs NEXT — the r17 baseline run read late
+    // stream firsts 2-20x their solo values (stream_substr 76.5 s
+    // in-suite vs 5.1 s isolated, stream_incremental 70 s vs 4.9 s)
+    // while the same code measured clean alone. One explicit collection
+    // between legs — OUTSIDE every timed window — keeps late legs
+    // measuring their plans instead of the suite's garbage; gated on
+    // heap pressure so it is free while the heap is healthy.
+    val rt = Runtime.getRuntime
+    if (rt.totalMemory - rt.freeMemory > rt.maxMemory / 2) System.gc()
   }
 
   def main(args: Array[String]): Unit = {

@@ -439,12 +439,20 @@ object Dedup {
     * minhash domain (≥ 3 tokens), labeled with its component's min doc_id;
     * singletons are their own cluster. */
   def duplicateClusters(docs: DataFrame): DataFrame =
+    duplicateClustersOver(docs, lshCandidatePairs(docs))
+
+  /** R17: [[duplicateClusters]] over an ALREADY-BUILT candidate pair
+    * relation — the hook for consumers that need both the pairs and the
+    * clusters (d_split_leakage previously ran the full banding pipeline
+    * twice: once for its own pair relation, once inside
+    * duplicateClusters). */
+  def duplicateClustersOver(docs: DataFrame, pairs: DataFrame): DataFrame =
     connectedComponents(
       // no Spread on the vertex arm: the stitch join hash-partitions it
       // on doc_id anyway, so a rebalance exchange here just stacks two
       // exchanges (r3 plan audit, nodes 4-5)
       minhashSignatures(docs, spread = false).select(col("doc_id")),
-      lshCandidatePairs(docs))
+      pairs)
 
   /** The dedup pipeline's actual deliverable: the KEPT document set —
     * one canonical doc (the cluster-min id) per near-dup cluster,

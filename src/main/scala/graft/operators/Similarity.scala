@@ -459,8 +459,14 @@ object Similarity {
       .select(dtab("q_id").as("q_id"), col("rank"), col("c_id"), col("adist"))
   }
 
-  def pqTopK(embeddings: DataFrame, k: Int): DataFrame = {
-    val corpus = prepared(embeddings, spread = true)
+  def pqTopK(embeddings: DataFrame, k: Int): DataFrame =
+    // r17: pinned — three consumers below (codebook, encode, distance
+    // table) each re-ran the scan+quantize pass unpinned
+    pqTopKFrom(prepared(embeddings, spread = true).localCheckpoint(), k)
+
+  /** [[pqTopK]] over an already-prepared (and pinned) corpus — shared
+    * with the refine path so the corpus is quantized once per query. */
+  private def pqTopKFrom(corpus: DataFrame, k: Int): DataFrame = {
     val centArr = pqCodebook(corpus)
     val coded = pqEncode(corpus, centArr)
     val dtab = pqDistTable(corpus.filter(col("vec_id") % 97 === 0), centArr)
@@ -492,6 +498,15 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, k: Int = 3, lloydIters: Int = 1,
       nprobe: Int = 2, trainSampleMod: Int = 1): DataFrame = {
     val (corpus, cents) = trained(embeddings, lloydIters, trainSampleMod)
+    ivfPqTopKFrom(corpus, cents, k, nprobe)
+  }
+
+  /** [[ivfPqTopK]] over an already-trained (pinned corpus, centroids)
+    * pair — shared with the refine path (r17: the refine previously
+    * re-prepared the embedding table itself on top of the trained
+    * corpus this call already pinned). */
+  private def ivfPqTopKFrom(corpus: DataFrame, cents: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
     val cells = assignCells(corpus, cents)
     val queries = corpus.filter(col("vec_id") % 97 === 0)
     // IVF arm: each query's nprobe cells → candidate (q_id, c_id) pairs
@@ -520,14 +535,19 @@ object Similarity {
     * stage retrieves at all is GUARANTEED into the refined top-k (every
     * candidate with a higher exact cosine is itself a true top-≤k
     * member), so refine ≥ raw PQ at equal k by construction. */
-  def pqRefineTopK(embeddings: DataFrame, kCoarse: Int = 10, k: Int = 3): DataFrame =
-    refineExact(pqTopK(embeddings, kCoarse).select("q_id", "c_id"), embeddings, k)
+  def pqRefineTopK(embeddings: DataFrame, kCoarse: Int = 10, k: Int = 3): DataFrame = {
+    // r17: ONE pinned prepared corpus serves the coarse PQ stage AND
+    // both refine vector reads (the previous shape re-prepared the
+    // embedding table twice more inside the refine join)
+    val corpus = prepared(embeddings, spread = true).localCheckpoint()
+    refineExact(pqTopKFrom(corpus, kCoarse).select("q_id", "c_id"), corpus, k)
+  }
 
   /** Exact-cosine re-rank of an arbitrary (q_id, c_id) candidate
-    * relation: only those pairs read their full-precision vectors back.
-    * Shared by the flat-PQ and IVF-PQ refine paths. */
-  private def refineExact(cand: DataFrame, embeddings: DataFrame, k: Int): DataFrame = {
-    val v = prepared(embeddings)
+    * relation over an already-prepared corpus: only those pairs read
+    * their full-precision vectors back. Shared by the flat-PQ and
+    * IVF-PQ refine paths. */
+  private def refineExact(cand: DataFrame, v: DataFrame, k: Int): DataFrame = {
     val qv = v.select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
     val cv = v.select(col("vec_id").as("c_id"), col("q").as("cq"), col("n2").as("cn2"))
     val w = Window.partitionBy(col("q_id"))
@@ -545,11 +565,14 @@ object Similarity {
     * work stays queries × kCoarse; everything upstream reads only probed
     * cells' codes (see [[ivfPqTopK]]). */
   def ivfPqRefineTopK(embeddings: DataFrame, kCoarse: Int = 10, k: Int = 3,
-      lloydIters: Int = 1, nprobe: Int = 2, trainSampleMod: Int = 1): DataFrame =
+      lloydIters: Int = 1, nprobe: Int = 2, trainSampleMod: Int = 1): DataFrame = {
+    // r17: the refine reuses the trained pair's pinned corpus for its
+    // full-precision vector reads instead of re-preparing the table
+    val (corpus, cents) = trained(embeddings, lloydIters, trainSampleMod)
     refineExact(
-      ivfPqTopK(embeddings, kCoarse, lloydIters, nprobe, trainSampleMod)
-        .select("q_id", "c_id"),
-      embeddings, k)
+      ivfPqTopKFrom(corpus, cents, kCoarse, nprobe).select("q_id", "c_id"),
+      corpus, k)
+  }
 
   /** Scalar quantization (SQ8) top-k — the third production compression
     * layout next to PQ and IVF-PQ (Lucene / pgvector's int8 path): each

@@ -526,12 +526,19 @@ object Training {
     * the measured claim that motivates d_cluster_split. */
   val dSplitLeakage: Q = (s, d) => {
     val dd = docs(s, d)
-    val clusters = Dedup.duplicateClusters(dd)
+    // r17: ONE banding pipeline serves both the audited pair relation
+    // and the cluster build (previously lshCandidatePairs ran twice —
+    // once here, once inside duplicateClusters), and the cluster
+    // relation is pinned because BOTH flag joins below consume it (the
+    // unpinned plan re-ran the component stitch join — a corpus
+    // tokenize pass — per side)
+    val pairs = Dedup.lshCandidatePairs(dd).localCheckpoint()
+    val clusters = Dedup.duplicateClustersOver(dd, pairs).localCheckpoint()
     def naive(c: org.apache.spark.sql.Column) =
       Sampling.splitLabelOf(c, SplitTrain, SplitVal, SplitSalt)
     def byCluster(c: org.apache.spark.sql.Column) =
       Sampling.splitLabelOf(c, SplitTrain, SplitVal, ClusterSplitSalt)
-    Dedup.lshCandidatePairs(dd).select(col("doc_a"), col("doc_b"))
+    pairs.select(col("doc_a"), col("doc_b"))
       .join(clusters.select(col("doc_id").as("doc_a"), col("cluster").as("cl_a")), "doc_a")
       .join(clusters.select(col("doc_id").as("doc_b"), col("cluster").as("cl_b")), "doc_b")
       .agg(
