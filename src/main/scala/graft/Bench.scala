@@ -73,7 +73,7 @@ object Bench {
     "q_range_join" -> 1.4,
     "q_interval_join" -> 0.9,
     "m_audio" -> 0.4,
-    "s_pq_topk" -> 2.1,
+    "s_pq_topk" -> 2.1, // r17 opt: prepared corpus pinned across codebook/encode/dtab; measured warm 2.07
     "q_stats" -> 0.7,
     "q_zscore" -> 0.6, // re-baselined r5: exact-integer outputs (see BASELINE.md)
     "q_json_fns" -> 0.4,
@@ -135,7 +135,7 @@ object Bench {
     // r16 single-point shape; measured fresh-JVM 6.5-8.0 s (r16
     // single-point: 4.0; the pre-fix nested-HOF inlining read 600+ s —
     // see Bitext.mineRecall)
-    "t_bitext_recall" -> 6.5,
+    "t_bitext_recall" -> 6.5, // r17 opt: one shared widest-probe candidate pass for the sweep; measured warm 4.50
     "t_tok_fertility" -> 3.5, // r16: BPE encode chain + langid join, per-language rollup; measured warm 2.92 s (fresh-JVM 7.96 — under-JIT)
     "d_lsh_recall" -> 4.5, // r16: exact inverted-index Jaccard truth (co-occurrence-bounded) + banded candidates + 4-threshold curve; measured fresh-JVM 3.73 s
     "t_curriculum" -> 3.0, // r16: surprisal + decomposed global rank; measured fresh-JVM 2.41-3.39 s
@@ -163,7 +163,7 @@ object Bench {
     "t_unimax" -> 1.6, // r15: UniMax budget allocation (driver fold over the metadata-scale source aggregate); measured solo sf0.1 0.89 s
     "t_unimax_admit" -> 2.2, // r15: realized multi-epoch + fractional-hash admission under the UniMax rates; measured solo sf0.1 1.61 s
     "t_langid2" -> 0.9,
-    "d_simhash_nn" -> 7.5,
+    "d_simhash_nn" -> 7.5, // r17 opt: code carried through the band join (1 corpus pass, was 3); measured warm 3.06
     // r9 (both crossed the 1 s rule): d_docsim's target is the PINNED
     // postings formulation (the unpinned r8 plan re-derived the corpus
     // explode 16x and measured 12.4 s; see DocSim scaladoc)
@@ -176,7 +176,7 @@ object Bench {
     "d_simhash_nn64" -> 2.1,
     // r9: IVF-PQ composition (coarse quantizer + candidate-only ADC) —
     // train both halves + encode + probe in one query
-    "s_ivfpq_topk" -> 3.3,
+    "s_ivfpq_topk" -> 3.3, // r17 opt: trained corpus pin threaded through; measured warm 2.93
     "s_ivfpq_refine" -> 3.6, // r9: + exact re-rank of the kCoarse survivors
     "s_sq_topk" -> 2.2, // r9: int8 scalar quantization, brute over codes
     "m_pixels" -> 0.4,
@@ -236,7 +236,7 @@ object Bench {
     "s_filter_topk" -> 1.1, // r11: same-label pre-filter hash join + window; measured 0.70 s solo
     "m_resize" -> 0.4,
     "m_dhash" -> 0.4,
-    "m_dhash_nn" -> 1.6,
+    "m_dhash_nn" -> 1.6, // r17 opt: chunk-longs carried through the band join; measured warm 0.99
     // r9: the TPC-H long-tail additions (one shared SQL text per query,
     // both front doors) — first warm sf0.1 measurements
     "q_sql_q4" -> 1.0,
@@ -285,13 +285,13 @@ object Bench {
     // r14 (second closing): in-engine classifier training + the
     // leakage-safe split family — first warm sf0.1 measurements
     // 6.28/5.98/2.29/3.21/0.31
-    "t_clf_train" -> 7.5, // mini-batch perceptron: 12 synchronous update steps over the pinned feature relation; measured warm 6.28 (r14) / 6.0 (r15) — floor carries JIT headroom, watch drift against these (r15 judge #3)
-    "t_clf_eval" -> 7.0, // train on 'train' split + held-out confusion matrix on 'test'; measured warm 5.98 (r14) / 6.6 (r15)
-    "t_rho_select" -> 6.5, // r15: RHO-loss selection = the eval chain's margins + the LM-score chain; measured solo sf0.1 5.24 s
-    "t_clf_train_auc" -> 7.5, // trained-model held-out Mann-Whitney AUC (same 12-step train); measured 5.77
-    "t_clf_calibration" -> 8.0, // reliability diagram over the trained margins; measured 7.20
+    "t_clf_train" -> 7.5, // mini-batch perceptron: 12 synchronous update steps over the pinned feature relation; measured warm 6.28 (r14) / 6.0 (r15) / 4.02 after the r17 parameter-server rewrite — floor carries JIT headroom, watch drift against these (r15 judge #3)
+    "t_clf_eval" -> 7.0, // train on 'train' split + held-out confusion matrix on 'test'; measured warm 5.98 (r14) / 6.6 (r15) / 4.04 (r17 opt)
+    "t_rho_select" -> 6.5, // r15: RHO-loss selection = the eval chain's margins + the LM-score chain; measured solo sf0.1 5.24 s / 5.79 (r17)
+    "t_clf_train_auc" -> 7.5, // trained-model held-out Mann-Whitney AUC (same 12-step train); measured 5.77 / 4.10 (r17 opt)
+    "t_clf_calibration" -> 8.0, // reliability diagram over the trained margins; measured 7.20 / 4.19 (r17 opt)
     "d_cluster_split" -> 3.0, // duplicateClusters + cluster-keyed split projection
-    "d_split_leakage" -> 4.0, // clusters + LSH pairs + dual split-rule leak audit
+    "d_split_leakage" -> 4.0, // clusters + LSH pairs + dual split-rule leak audit; r17 opt: one banding pipeline + pinned clusters, measured warm 2.15
     "t_reservoir" -> 0.7, // exact-k per-group sample, two-stage bounded ranking
     "s_rproj_topk" -> 2.2, // sparse JL projection + exact L2 top-k over the pinned reduced index; best measured 1.4 (contention-era range 1.4-5.0)
     "s_rproj_recall" -> 3.0, // projected vs full-dim L2 recall@5; best measured 0.96
