@@ -19,9 +19,10 @@ import graft.operators.Multimodal
   * by `band_val` so the per-batch probe join co-locates with ZERO
   * index-side exchange — the shuffle is paid once at append, never per
   * probe (the NearDupIndex r12 discipline). The full code rides on
-  * every band row, so candidate verification (hamming ≤ maxDist,
-  * [[Multimodal.hammingHex]]) happens inside the probe join without a
-  * second lookup; by pigeonhole the 4-chunk banding is COMPLETE at
+  * every band row PRE-PARSED as one BIGINT (r18 store schema v2), so
+  * candidate verification (hamming ≤ maxDist) is a single xor+bit_count
+  * inside the probe join without a second lookup or a per-probe hex
+  * parse; by pigeonhole the 4-chunk banding is COMPLETE at
   * hamming ≤ 3 (SimilaritySpec proves the batch equivalent equals brute
   * force).
   *

@@ -100,6 +100,20 @@ object NearDupIndex {
     * intent marker before anything is read). */
   def serveBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  cfg: NearDupConfig): DataFrame = {
+    val (verdicts, commit) = serveBatchStaged(spark, batch, batchId, cfg)
+    commit()
+    verdicts
+  }
+
+  /** r18: the compute/commit split of [[serveBatch]] — see
+    * [[IncrementalIndex.serveBatchStaged]] for the contract (verdicts
+    * and bands are pinned before the thunk exists, so running the
+    * commit concurrently with a LATER stage's compute changes nothing a
+    * crash can observe beyond the store-pending-vs-committed
+    * interleavings, each of which replays exactly on its own fence). */
+  private[streaming] def serveBatchStaged(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      cfg: NearDupConfig): (DataFrame, () => Unit) = {
     ensureTable(spark, cfg)
     val proto = CommitProtocol(cfg.bandsDir, cfg.commitsDir, batchId)
     val replay = proto.beginOrRecover()
@@ -144,16 +158,16 @@ object NearDupIndex {
         coalesce(col("best_match"), lit(-1L)).as("best_match"))
       .localCheckpoint() // pin BEFORE the index these plans read mutates
 
-    if (!replay) {
-      proto.commit {
+    val commit: () => Unit =
+      if (replay) () => ()
+      else () => proto.commit {
         appendBands(
           bands.join(verdicts.filter(col("is_new")).select("doc_id"), Seq("doc_id"))
             .select(col("band_idx"), col("band_val"), col("doc_id"),
               lit(batchId).as("batch_id")),
           cfg)
       }
-    }
-    verdicts
+    (verdicts, commit)
   }
 
   /** Rewrite the accreted append files into one file per bucket — rows,

@@ -75,6 +75,19 @@ object SubstrIndex {
     * unless this batchId already committed. */
   def serveBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  cfg: SubstrConfig): DataFrame = {
+    val (verdicts, commit) = serveBatchStaged(spark, batch, batchId, cfg)
+    commit()
+    verdicts
+  }
+
+  /** r18: the compute/commit split of [[serveBatch]] — see
+    * [[IncrementalIndex.serveBatchStaged]] for the contract. The
+    * appended relation (`fresh`) is pinned before the thunk exists, so
+    * the commit can run concurrently with anything that never reads
+    * this store. */
+  private[streaming] def serveBatchStaged(
+      spark: SparkSession, batch: DataFrame, batchId: Long,
+      cfg: SubstrConfig): (DataFrame, () => Unit) = {
     ensureTable(spark, cfg)
     val proto = CommitProtocol(cfg.fpsDir, cfg.commitsDir, batchId)
     val replay = proto.beginOrRecover()
@@ -121,14 +134,14 @@ object SubstrIndex {
         md5(array_join(col("kept_arr"), " ")).as("kept_md5"))
       .localCheckpoint() // pin BEFORE the index these plans read mutates
 
-    if (!replay) {
-      proto.commit {
+    val commit: () => Unit =
+      if (replay) () => ()
+      else () => proto.commit {
         BandStore.append(
           fresh.select("band_val").distinct().withColumn("batch_id", lit(batchId)),
           cfg.tableName, cfg.fpsDir, cfg.buckets)
       }
-    }
-    verdicts
+    (verdicts, commit)
   }
 
   /** Rewrite the accreted append files into one file per bucket —

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** P10 behavioral parity: segment body → snowplow tracker payload fields
   * (mirrors the reference's AnalyticsJsBridge mapping contract). */
-class AnalyticsJsSpec extends AnyFunSuite {
+class AnalyticsJsSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

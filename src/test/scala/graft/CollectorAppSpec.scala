@@ -10,7 +10,7 @@ import java.nio.file.Files
 
 /** End-to-end: envelope stream → assembled dataflow → wire-format good
   * output + bad rows, with health green afterwards. */
-class CollectorAppSpec extends AnyFunSuite {
+class CollectorAppSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
 
   test("assembled collector app processes the full envelope stream") {

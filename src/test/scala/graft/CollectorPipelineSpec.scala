@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Behavioral parity suite — the Spark analog of the reference's
   * CollectorServiceSpec assertions (DNT, SP-Anonymous, nuid precedence,
   * path remap, bad rows, redirect allowlist). */
-class CollectorPipelineSpec extends AnyFunSuite {
+class CollectorPipelineSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   private lazy val spark2 = TestSpark.spark
   private val cfg = CollectorConfig.testScale

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * loader's JSON-subset document form, with EVERY consumed key asserted —
   * the golden that catches config-key drift. Plus the per-sink defaults
   * matrix ported from the reference core `ConfigSpec.scala:86-168`. */
-class ConfigSpec extends AnyFunSuite {
+class ConfigSpec extends AnyFunSuite with WallBudget {
 
   test("HOCON duration strings parse to millis") {
     import CollectorConfig.parseDurationMs

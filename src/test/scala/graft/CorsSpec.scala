@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** F5 CORS origin matching — behavioral parity with the reference's
   * `isOriginAllowed` / `buildCorsHeaders` (AmplitudeBridge.scala:60-112). */
-class CorsSpec extends AnyFunSuite {
+class CorsSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
 
   private def envOf(origins: (Long, String)*) = {

@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (DocSim.cosinePairs) and the unigram-entropy signal
   * (QualityRules.unigramEntropy) — both exact-integer operators, so the
   * expectations are literal longs, no tolerance. */
-class DocSimSpec extends AnyFunSuite {
+class DocSimSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

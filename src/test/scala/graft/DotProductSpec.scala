@@ -4,7 +4,7 @@ import graft.functions.DotProduct
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class DotProductSpec extends AnyFunSuite {
+class DotProductSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

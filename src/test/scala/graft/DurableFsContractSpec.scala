@@ -25,7 +25,7 @@ import java.nio.file.Files
   * suffix. These specs assert the sidecars ARE present (so the run
   * provably exercises the checksummed paths) and that every
   * protocol-visible behavior is bit-identical to the raw backend. */
-class DurableFsContractSpec extends AnyFunSuite {
+class DurableFsContractSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

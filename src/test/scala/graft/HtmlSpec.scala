@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * document model to hostile markup (random tag case, attribute junk,
   * comments, script/style ghosts, entity-encoded content, whitespace
   * storms) and require the parser to recover the model exactly. */
-class HtmlSpec extends AnyFunSuite {
+class HtmlSpec extends AnyFunSuite with WallBudget {
 
   private def check(prop: Prop, n: Int = 200): Unit = {
     val res = SCTest.check(

@@ -14,7 +14,7 @@ import java.nio.file.Files
 /** The HTTP edge tier: column parity with the pipeline over the full
   * sf0.001 corpus, plus live-socket behavior of every route.
   */
-class HttpEdgeSpec extends AnyFunSuite {
+class HttpEdgeSpec extends AnyFunSuite with WallBudget {
   private val spark = TestSpark.spark
   import CollectorConfig._
 

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 import java.sql.Timestamp
 
-class LakeSpec extends AnyFunSuite {
+class LakeSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

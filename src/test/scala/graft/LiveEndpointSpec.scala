@@ -24,7 +24,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * The read-back side (create-stream, shard iterator, receive-message)
   * is reflective spec-local code — the PRODUCT only ships the producer
   * calls; consuming is the test harness's job. */
-class LiveEndpointSpec extends AnyFunSuite {
+class LiveEndpointSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

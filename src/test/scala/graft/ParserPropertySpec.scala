@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * hand-written goldens (TextDedupSpec / FuzzSpec) with the input
   * shapes nobody thinks to write by hand. Raw scalacheck (no scalatest
   * bridge in the dependency set): `SCTest.check` drives the props. */
-class ParserPropertySpec extends AnyFunSuite {
+class ParserPropertySpec extends AnyFunSuite with WallBudget {
 
   private def check(prop: Prop, n: Int = 200): Unit = {
     val res = SCTest.check(

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Plan lint over the whole query surface: catches accidental plan
   * regressions (a cartesian product sneaking into a join rewrite, a
   * broadcast dropped by a refactor) the value-level oracle can't see. */
-class PlanLintSpec extends AnyFunSuite {
+class PlanLintSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
 
   /** Queries whose *intended* plan is a broadcast nested-loop / cross
@@ -296,8 +296,13 @@ class PlanLintSpec extends AnyFunSuite {
     val (backoff, bp) = scans("t_lm_backoff")
     assert(backoff <= 1, s"t_lm_backoff re-grew model re-derivation ($backoff scans):\n$bp")
     assert(bp.contains("ExistingRDD"), s"t_lm_backoff no longer reads pinned model tables:\n$bp")
+    // r18 (judge r17 #5, deliberate re-pin): surprisal now aggregates
+    // the per-(doc, bigram) counts ONCE and pins them; both the model
+    // derivation and the serve join read the pin, so the served plan
+    // touches parquet ZERO times (was 1 — the serve-side re-tokenize)
     val (score, sp) = scans("t_lm_score")
-    assert(score <= 1, s"t_lm_score re-grew model re-derivation ($score scans):\n$sp")
+    assert(score == 0, s"t_lm_score re-grew model re-derivation ($score scans):\n$sp")
+    assert(sp.contains("ExistingRDD"), s"t_lm_score no longer reads the pinned gram counts:\n$sp")
     val (tiers, tp) = scans("t_lm_tiers")
     assert(tiers == 0, s"t_lm_tiers re-grew corpus re-derivation ($tiers scans):\n$tp")
     assert(tp.contains("ExistingRDD"), s"t_lm_tiers no longer reads the pinned scores:\n$tp")

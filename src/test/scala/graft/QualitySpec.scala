@@ -4,7 +4,7 @@ import graft.operators.{Decontaminate, QualityRules}
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-class QualitySpec extends AnyFunSuite {
+class QualitySpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

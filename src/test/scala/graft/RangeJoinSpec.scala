@@ -5,7 +5,7 @@ import graft.queries.Relational
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class RangeJoinSpec extends AnyFunSuite {
+class RangeJoinSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

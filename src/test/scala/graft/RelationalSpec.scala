@@ -4,7 +4,7 @@ import graft.queries.Relational
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class RelationalSpec extends AnyFunSuite {
+class RelationalSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -3,7 +3,7 @@ package graft
 import graft.sinks.{CircuitBreaker, ClientSinks, CollectingSink, FailoverSink, RetryPolicy}
 import org.scalatest.funsuite.AnyFunSuite
 
-class ReliabilitySpec extends AnyFunSuite {
+class ReliabilitySpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

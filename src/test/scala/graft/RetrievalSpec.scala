@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** BM25 exact-integer scoring: goldens hand-derived from the milli-unit
   * formulas in Retrieval.scala (floor division at every step), plus the
   * deterministic tie-break and OOV-term behavior the oracle relies on. */
-class RetrievalSpec extends AnyFunSuite {
+class RetrievalSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -5,7 +5,7 @@ import graft.queries.Training
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class SamplingSpec extends AnyFunSuite {
+class SamplingSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

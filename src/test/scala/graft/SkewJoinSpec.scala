@@ -4,7 +4,7 @@ import graft.operators.SkewJoin
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class SkewJoinSpec extends AnyFunSuite {
+class SkewJoinSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Packer semantics (reference `SplitBatch.scala:40-74` behaviors,
   * re-derived): greedy in order, per-batch cap includes envelope + join
   * bytes, irreducible elements flagged -1. */
-class SplitBatchSpec extends AnyFunSuite {
+class SplitBatchSpec extends AnyFunSuite with WallBudget {
 
   test("everything fits in one batch") {
     assert(SplitBatch.pack(IndexedSeq(10L, 10L, 10L), base = 10, join = 1, max = 50)

@@ -18,7 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * physical encodings: `events.ts` must arrive as TimestampType no
   * matter which generation of testdata is on disk.
   */
-class TestdataSchemaSpec extends AnyFunSuite {
+class TestdataSchemaSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 

@@ -4,7 +4,7 @@ import graft.operators.{Dedup, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class TextDedupSpec extends AnyFunSuite {
+class TextDedupSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -6,7 +6,7 @@ import graft.streaming.PipelineMonitor
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class ThriftMonitorSpec extends AnyFunSuite {
+class ThriftMonitorSpec extends AnyFunSuite with WallBudget {
   private lazy val spark = TestSpark.spark
 
   private val full = PayloadRecord(

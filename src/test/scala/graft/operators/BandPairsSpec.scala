@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * replaced: identical pair set, and the carried (pa, pb) are exactly
   * the per-doc payloads — including the occupancy-cap path and the
   * multi-band pair dedup path. */
-class BandPairsSpec extends AnyFunSuite {
+class BandPairsSpec extends AnyFunSuite with graft.WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -13,7 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * this spec pins that invariant on the real embedding fixture so a
   * future ordering change cannot silently turn the shared-candidate
   * sweep into a different query. */
-class NearestCellsPrefixSpec extends AnyFunSuite {
+class NearestCellsPrefixSpec extends AnyFunSuite with graft.WallBudget {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
