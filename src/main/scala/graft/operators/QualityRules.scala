@@ -60,11 +60,38 @@ object QualityRules {
     * bit-identical cross-engine. Domain = docs with ≥ 3 tokens (the
     * repetition-signal domain). */
   def gopherKeep(docs: DataFrame): DataFrame = {
-    val rep = repetitionStats(docs)
-    val base = docs.select(col("doc_id"),
-      TextOps.avgWordLen(col("text")).as("avg_word_len"),
-      TextOps.stopHits(col("text"), TextOps.Stop("en")).as("stop_hits"))
-    rep.join(base, "doc_id")
+    // r18 (guide §2.4): the word-shape columns (avg word length, stop
+    // hits — per-row arithmetic over the same text) RIDE the repetition
+    // pass instead of a second full corpus scan joined back on doc_id;
+    // the verdict relation is identical row-for-row (the join was inner
+    // on the repetition domain, so computing the shape columns only on
+    // filtered rows changes nothing). repetitionStats itself stays
+    // untouched — it is its own declared query (t_rep_stats).
+    val tok = Spread(docs)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+        TextOps.avgWordLen(col("text")).as("avg_word_len"),
+        TextOps.stopHits(col("text"), TextOps.Stop("en")).as("stop_hits"))
+      .filter(size(col("toks")) >= 3)
+    def dupFrac(sh: org.apache.spark.sql.Column) =
+      TextOps.trunc(
+        (size(sh) - size(array_distinct(sh))).cast("double") / size(sh), 4)
+    val narrow = tok
+      .withColumn("s2", TextOps.shinglesOfTokens(col("toks"), 2))
+      .withColumn("s3", TextOps.shinglesOfTokens(col("toks"), 3))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        dupFrac(col("s2")).as("dup_2gram_frac"),
+        dupFrac(col("s3")).as("dup_3gram_frac"),
+        col("avg_word_len"), col("stop_hits"))
+    val top = tok
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id").agg(max("tf").as("max_tf"))
+    narrow.join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        col("dup_2gram_frac"), col("dup_3gram_frac"),
+        TextOps.trunc(col("max_tf").cast("double") / col("n_tokens"), 4)
+          .as("top_token_frac"),
+        col("avg_word_len"), col("stop_hits"))
       .select(
         col("doc_id"),
         col("n_tokens").between(30, 100000).as("g_words"),
