@@ -178,22 +178,34 @@ object Dedup {
     * the shuffle). The occupancy cap rides the same hash partitioning —
     * the count window and the join shuffle on the same key, one exchange. */
   private[operators] def pairsWithinBuckets(buckets: DataFrame, key: String,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket): DataFrame =
+    cappedBucketPairs(buckets, key, maxBucket, payload = None)
+
+  /** The ONE capped-self-join core both pair primitives share (r18,
+    * advisor: the carrying variant previously duplicated the
+    * cap-window + shuffle_hash self-join + distinct verbatim, so the two
+    * could silently diverge). shuffle_hash pins a shuffled join: both
+    * join sides are the SAME plan subtree shuffled on the same key, so
+    * AQE's exchange reuse computes the bucket relation once. A broadcast
+    * plan (AQE's default pick at test scale) would instead materialize
+    * each side independently — and at real scale the bucket relation is
+    * never broadcast-able anyway. The occupancy cap rides the same hash
+    * partitioning — the count window and the join shuffle on the same
+    * key, one exchange. */
+  private def cappedBucketPairs(buckets: DataFrame, key: String,
+      maxBucket: Int, payload: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val capped = buckets
       .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(key)))
       .filter(col("_bsz") <= maxBucket)
       .drop("_bsz")
-    // shuffle_hash pins a shuffled join: both sides are the SAME subtree
-    // shuffled on the same key, so AQE's exchange reuse computes the
-    // bucket relation once. A broadcast plan (AQE's default pick at test
-    // scale) would instead materialize each side independently — and at
-    // real scale the bucket relation is never broadcast-able anyway.
     val b = capped.hint("shuffle_hash")
+    val cols = Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")) ++
+      payload.toSeq.flatMap(p => Seq(col(s"a.$p").as("pa"), col(s"b.$p").as("pb")))
     b.as("a")
       .join(b.as("b"),
         col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(cols: _*)
       .distinct()
   }
 
@@ -209,22 +221,17 @@ object Dedup {
     * is strictly cheaper at any scale (guide §2.3 "project before the
     * exchange" / §2.4 "remove shuffles outright"). The distinct() keys
     * widen by the carried values, but those are functions of
-    * (doc_a, doc_b), so the pair set is unchanged. */
+    * (doc_a, doc_b), so the pair set is unchanged.
+    *
+    * @param payload name of the carried per-doc column. CONTRACT: the
+    *   payload must be functionally dependent on `doc_id` — one payload
+    *   value per doc in `buckets` (every current caller carries one
+    *   code/struct per doc). A caller passing duplicate doc_ids with
+    *   DIFFERING payloads would widen the distinct into an inflated pair
+    *   set. */
   private[operators] def pairsWithinBucketsCarrying(buckets: DataFrame,
-      key: String, payload: String, maxBucket: Int = MaxBucket): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val capped = buckets
-      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(key)))
-      .filter(col("_bsz") <= maxBucket)
-      .drop("_bsz")
-    val b = capped.hint("shuffle_hash")
-    b.as("a")
-      .join(b.as("b"),
-        col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col(s"a.$payload").as("pa"), col(s"b.$payload").as("pb"))
-      .distinct()
-  }
+      key: String, payload: String, maxBucket: Int = MaxBucket): DataFrame =
+    cappedBucketPairs(buckets, key, maxBucket, Some(payload))
 
   /** LSH candidate pairs: each doc emits one key per band (band = 2
     * concatenated minhashes, r=2 b=2); docs sharing any band key become a

@@ -350,9 +350,15 @@ object QualityRules {
     // metadata-scale collect — ≤ ClfDim distinct values by construction)
     val buckets = f.select(col("bucket")).distinct()
       .collect().map(_.getLong(0)).sorted
-    require(buckets.isEmpty || (buckets.head >= 0 && buckets.last < (1L << 22)),
-      "perceptronTrain expects non-negative, bounded feature buckets " +
-        "(the ClfDim hash space)")
+    // r18 (advisor): bound by the ACTUAL hash space — featureBucket pmods
+    // into [0, ClfDim), and the dense weight array plus the per-step
+    // typedlit are sized by the max bucket value, so a sparse caller near
+    // a loose 2^22 bound would embed a 4M-element array literal in every
+    // step plan (the old relational shape was sparse; this one must not
+    // silently degrade there)
+    require(buckets.isEmpty || (buckets.head >= 0 && buckets.last < ClfDim),
+      "perceptronTrain expects non-negative feature buckets in " +
+        s"[0, $ClfDim) (the ClfDim hash space)")
     val dim = if (buckets.isEmpty) 1 else buckets.last.toInt + 1
     val w = new Array[Long](dim)
     for (_ <- 1 to epochs; b <- 0 until miniBatches) {

@@ -30,5 +30,14 @@ class NearestCellsPrefixSpec extends AnyFunSuite with graft.WallBudget {
     assert(top2.nonEmpty)
     assert(top4.filter(_._3 <= 2) === top2,
       "filter(rn <= 2) of the widest probe relation must BE the nprobe=2 relation")
+    // r18 (advisor): pin the invariant across the ACTUAL production
+    // sweep (t_bitext_recall / d_sem_recall probe nprobe ∈ {1, 2, 4}),
+    // every p <= q pair — cheap on the same ranked relations
+    val probes = Seq(1, 2, 4)
+    val byProbe = probes.map(p => p -> (if (p == 2) top2 else if (p == 4) top4 else ranked(p))).toMap
+    for (p <- probes; q <- probes if p < q) {
+      assert(byProbe(q).filter(_._3 <= p) === byProbe(p),
+        s"filter(rn <= $p) of the nprobe=$q relation must BE the nprobe=$p relation")
+    }
   }
 }
