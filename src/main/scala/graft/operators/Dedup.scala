@@ -931,7 +931,18 @@ object Dedup {
     * on two scan arms is the same trade [[graft.operators.Similarity]]
     * makes for IVF: re-derive narrow values rather than shuffle wide
     * rows. */
-  def spanDedup(docs: DataFrame, k: Int = 5): DataFrame = {
+  def spanDedup(docs: DataFrame, k: Int = 5): DataFrame =
+    spanDedupCarryingNTokens(docs, k).drop("n_tokens")
+
+  /** [[spanDedup]] plus an `n_tokens` column — `size(tokens(text))` of
+    * the ORIGINAL text, i.e. exactly [[TextOps.nTokens]] — riding the
+    * reassembly projection, which tokenizes every doc anyway (r18b,
+    * guide §2.4: the manifest pipeline's token-accounting gate read the
+    * corpus a second time just for this one per-row value). The plain
+    * [[spanDedup]] delegates here and drops the column (the ADVICE r17
+    * carrying-variant discipline: one body, no silent divergence), so
+    * the declared d_span_dedup relation is untouched. */
+  def spanDedupCarryingNTokens(docs: DataFrame, k: Int = 5): DataFrame = {
     // narrow arm: (fp, doc_id, pos) — 16-byte hash stands in for the text
     val ids = Spread(docs)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -954,6 +965,7 @@ object Dedup {
       .withColumn("kept", coalesce(col("kept"), array().cast("array<int>")))
       .select(
         col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
         size(spanArray(col("toks"), k)).cast("long").as("n_spans"),
         size(col("kept")).cast("long").as("n_kept"),
         array_join(

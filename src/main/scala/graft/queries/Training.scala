@@ -795,7 +795,29 @@ object Training {
     val dset = docs(s, d)
     val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
       SampleSalt, SplitTrain, SplitVal, SplitSalt)
-    assembleManifest(sampled, pinVerdicts(gateVerdicts(dset).map(_._2): _*))
+    // r18b (guide §2.4): the ntok and clean gates are BOTH per-doc token
+    // accounting over the same corpus pass — spanDedup's reassembly
+    // tokenizes every doc anyway, so one fused pin
+    // (doc_id, n_tokens, n_tokens_clean) serves both gate relations and
+    // the served manifest reads the corpus text once less (7 → 6 gate
+    // scans, 7 → 6 concurrent pins). Values are unchanged by
+    // construction: the carrying variant's n_tokens IS nTokens(text)
+    // (same tokenizer, same domain — the reassembly's left join covers
+    // every doc), and n_tokens_clean is the same nTokens(clean_text).
+    // The five flag gates still come from gateVerdicts — the ONE
+    // definition the lake form shares — taken by name so a gate added
+    // there cannot silently drop out of the pinned query (GateNames'
+    // require holds the list shape).
+    val gv = gateVerdicts(dset).toMap
+    val fused0 = Dedup.spanDedupCarryingNTokens(dset)
+      .select(col("doc_id"), col("n_tokens"),
+        TextOps.nTokens(col("clean_text")).as("n_tokens_clean"))
+    val Seq(keep, contaminated, gopher, c4, clf, fused) = pinVerdicts(
+      gv("dedup_keep"), gv("contam"), gv("gopher_keep"), gv("c4_keep"),
+      gv("clf_keep"), fused0)
+    assembleManifest(sampled, Seq(keep, contaminated, gopher, c4, clf,
+      fused.select(col("doc_id"), col("n_tokens")),
+      fused.select(col("doc_id"), col("n_tokens_clean"))))
   }
 
   /** R12: the PRODUCTION form of the pinned manifest — each gate verdict

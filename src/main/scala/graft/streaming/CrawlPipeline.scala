@@ -142,14 +142,23 @@ object CrawlPipeline {
       .select(col("doc_id"), col("allowed"))
     // gate verdicts pinned (batch-sized) so the WARC walk runs once for
     // both the dedup feed and the output join
-    val gated = withKeys.join(consent, Seq("doc_id"))
+    val gated0 = withKeys.join(consent, Seq("doc_id"))
       .withColumn("n_tokens", TextOps.nTokens(col("main_text")))
       .withColumn("consented", col("allowed") && !col("noindex"))
       .withColumn("kept", col("consented") && col("n_tokens") >= cfg.minTokens)
       .select("doc_id", "host", "n_tokens", "consented", "kept", "main_text")
-      .localCheckpoint()
+    val gated = JobLabel(spark, s"crawl b$batchId: gated pin") { gated0.localCheckpoint() }
     val keeps = gated.filter(col("kept"))
       .select(col("doc_id"), col("main_text").as("text"))
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // r18b NEGATIVE experiment, reverted (see OPTIMIZATION_r18.md):
+    // running the substr window+store probe CONCURRENTLY over `keeps`
+    // (a superset of the admitted docs) while IngestDedup computed
+    // measured SLOWER than this sequential chain — the per-batch wall is
+    // driver-scheduling bound, and the admitted restriction the overlap
+    // forced (a doc_id semi-join under every probe consumer) added more
+    // stages than the overlap saved.
     // r18 (judge r17 #2): the three stores' commits OVERLAP downstream
     // compute (see IngestDedup.serveBatchStaged — pinned verdicts, per-
     // store fences, the reordered half-crash replay is spec-pinned);
@@ -167,11 +176,7 @@ object CrawlPipeline {
       dedup.filter(col("is_new")).select("doc_id"), Seq("doc_id"), "left_semi")
     val (spansV, commitSubstr) =
       SubstrIndex.serveBatchStaged(spark, admitted, batchId, cfg.substr)
-    val fSubstr = {
-      import scala.concurrent.Future
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Future(commitSubstr())
-    }
+    val fSubstr = Future(commitSubstr())
     val spans = spansV
       .select(col("doc_id"), col("n_removed").as("n_span_removed"),
         col("kept_md5").as("corpus_md5"))

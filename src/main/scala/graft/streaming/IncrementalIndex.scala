@@ -218,11 +218,12 @@ object IncrementalIndex {
       .select(col("doc_id"), col("fingerprint"),
         (col("first_in_shard") && col("_in_idx").isNull).as("is_new"))
     // pin BEFORE mutating the index these plans read
-    val verdicts = definitelyNew.unionByName(verified).localCheckpoint()
+    val verdicts = JobLabel(spark, s"exact b$batchId: verdicts pin") {
+      definitelyNew.unionByName(verified).localCheckpoint() }
 
     val commit: () => Unit =
       if (replay) () => ()
-      else () => proto.commit {
+      else () => proto.commit { JobLabel(spark, s"exact b$batchId: commit") {
         val newFps = verdicts.filter(col("is_new")).select("fingerprint")
         newFps.withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(cfg.fingerprintsDir)
@@ -237,7 +238,7 @@ object IncrementalIndex {
           merged.writeTo(out)
           writeFile(cfg.bloomPath, out.toByteArray)
         }
-      }
+      } }
     (verdicts, commit)
   }
 }

@@ -84,6 +84,14 @@ object IngestDedup {
       cfg: IngestConfig): (DataFrame, () => Unit) = {
     import scala.concurrent.Future
     import scala.concurrent.ExecutionContext.Implicits.global
+    // r18b NEGATIVE experiment, reverted (see OPTIMIZATION_r18.md):
+    // deriving the near bands CONCURRENTLY over the whole batch (a
+    // superset of the survivors) while the exact stage computed measured
+    // SLOWER than this sequential chain — the per-batch wall is bound by
+    // the driver's single-threaded scheduling/planning loop, so the
+    // overlap only interleaved job scheduling, and the survivor
+    // restriction it forced (a doc_id semi-join under every band
+    // consumer) added more stages than the overlap saved.
     val (exactV, commitExact) =
       IncrementalIndex.serveBatchStaged(spark, batch, batchId, cfg.exact)
     // exact's append+sketch overlaps the near stage's banding/probe

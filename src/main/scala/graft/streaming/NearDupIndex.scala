@@ -107,10 +107,18 @@ object NearDupIndex {
 
   /** r18: the compute/commit split of [[serveBatch]] — see
     * [[IncrementalIndex.serveBatchStaged]] for the contract (verdicts
-    * and bands are pinned before the thunk exists, so running the
-    * commit concurrently with a LATER stage's compute changes nothing a
-    * crash can observe beyond the store-pending-vs-committed
-    * interleavings, each of which replays exactly on its own fence). */
+    * and the signature relation are pinned before the thunk exists, so
+    * running the commit concurrently with a LATER stage's compute
+    * changes nothing a crash can observe beyond the
+    * store-pending-vs-committed interleavings, each of which replays
+    * exactly on its own fence).
+    *
+    * r18b (guide §2.3/§2.4): the pinned relation is the per-doc
+    * SIGNATURE row (doc_id, sig0..sig3 — ONE row per doc) rather than
+    * the exploded 4-rows-per-doc band relation: every consumer below
+    * re-explodes it in-plan (a row-local Generate over the pin), and the
+    * verdict domain is the pin's doc_id column DIRECTLY — the former
+    * `bands.select("doc_id").distinct()` exchange is gone. */
   private[streaming] def serveBatchStaged(
       spark: SparkSession, batch: DataFrame, batchId: Long,
       cfg: NearDupConfig): (DataFrame, () => Unit) = {
@@ -129,18 +137,26 @@ object NearDupIndex {
       .filter(col("batch_id") =!= lit(batchId))
       .select(col("band_val"), col("doc_id"))
 
-    val bands = bandsOf(batch).localCheckpoint() // consumed by 3 arms below
+    val sigs = JobLabel(spark, s"near b$batchId: sigs pin") {
+      Dedup.minhashSignatures(batch).localCheckpoint() }
+    // the band explode is re-derived per consumer from the pin (column-
+    // renamed per side so the in-batch self-join needs no alias
+    // disambiguation over identical plans)
+    def bandsAs(doc: String, bi: String, bv: String): DataFrame =
+      sigs.select(col("doc_id").as(doc), posexplode(array(
+        col("sig0"), col("sig1"), col("sig2"), col("sig3"))).as(Seq(bi, bv)))
+    val bands = bandsAs("doc_id", "band_idx", "band_val")
     // single-column probe key == the bucket key (band_val is salt-
     // prefixed per band index, so equality implies same band)
     val idxPairs = bands.join(
       idx.withColumnRenamed("doc_id", "old_id"), Seq("band_val"))
       .select(col("doc_id"), col("old_id"))
-    val inBatchPairs = bands.as("a").join(
-      bands.as("b"),
-      col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") > col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("old_id"))
+    val inBatchPairs = bands.join(
+      bandsAs("b_doc", "b_idx", "b_val"),
+      col("band_idx") === col("b_idx") &&
+        col("band_val") === col("b_val") &&
+        col("doc_id") > col("b_doc"))
+      .select(col("doc_id"), col("b_doc").as("old_id"))
     val hits = idxPairs.unionByName(inBatchPairs)
       .groupBy("doc_id", "old_id").agg(count(lit(1)).as("nb"))
       .filter(col("nb") >= cfg.minMatches)
@@ -149,24 +165,27 @@ object NearDupIndex {
         count(lit(1)).as("n_matches"),
         max(struct(col("nb").as("nb"), (-col("old_id")).as("neg_old"))).as("best"))
       .select(col("doc_id"), col("n_matches"), (-col("best.neg_old")).as("best_match"))
-    val verdicts = bands.select("doc_id").distinct()
+    // verdict domain = the pin's one-row-per-doc doc_id column (docs
+    // with a signature) — no distinct over the exploded bands
+    val verdicts0 = sigs.select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("n_matches").isNull.as("is_new"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("best_match"), lit(-1L)).as("best_match"))
-      .localCheckpoint() // pin BEFORE the index these plans read mutates
+    val verdicts = JobLabel(spark, s"near b$batchId: verdicts pin") {
+      verdicts0.localCheckpoint() } // pin BEFORE the index these plans read mutates
 
     val commit: () => Unit =
       if (replay) () => ()
-      else () => proto.commit {
+      else () => proto.commit { JobLabel(spark, s"near b$batchId: commit") {
         appendBands(
           bands.join(verdicts.filter(col("is_new")).select("doc_id"), Seq("doc_id"))
             .select(col("band_idx"), col("band_val"), col("doc_id"),
               lit(batchId).as("batch_id")),
           cfg)
-      }
+      } }
     (verdicts, commit)
   }
 
