@@ -3,9 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.types.{BinaryType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.util.sketch.BloomFilter
 
 import graft.operators.TextOps
@@ -19,8 +19,10 @@ import graft.operators.TextOps
   *   - `fingerprints/` — the deduplicated index relation (parquet, one
   *     row per fingerprint ever accepted), appended per micro-batch;
   *   - `bloom.bin` — ONE serialized `org.apache.spark.util.sketch`
-  *     Bloom filter over every index fingerprint, probed as a plan
-  *     literal by the codegen'd `BloomFilterMightContain`.
+  *     Bloom filter over every index fingerprint, broadcast per batch
+  *     and probed by `mightContainLong` over `xxhash64` (guide §3.2;
+  *     r18b — a plan-literal sketch made every optimizer/AQE pass hash
+  *     the MBs by value).
   *
   * Per micro-batch ([[serveBatch]]): probe the batch against the
   * persisted sketch — the miss leg proves novelty with ZERO index
@@ -202,11 +204,20 @@ object IncrementalIndex {
         .select("fingerprint")
 
     val bloomBytes = DurableFs.readBytes(cfg.bloomPath)
-    def maybeSeen: Column = coalesce(
-      GraftBridge.column(new BloomFilterMightContain(
-        Literal(bloomBytes, BinaryType),
-        GraftBridge.expression(xxhash64(col("fingerprint"))))),
-      lit(false))
+    // r18b (guide §3.2 manual-Bloom recipe, §5 "very large query plans"):
+    // the sketch rides a BROADCAST probed by a long→boolean function, not
+    // a plan Literal. The 4.8 MB literal (capacity 4M at 1% fpp) sat in
+    // the per-batch plan THREE times (both filter polarities + the union
+    // arm); Literal hashes/compares by VALUE, so every optimizer pass,
+    // AQE re-optimization and plan-cache lookup paid O(MB) per node —
+    // measured ~1.1 s of driver gap per micro-batch before the exact
+    // stage's first job (ProbeCrawlJobs). The probe itself is the same
+    // util.sketch double-hash over the same xxhash64 item, so verdicts
+    // are bit-identical; mightContainLong on a broadcast filter is the
+    // exact shape guide §3.2 prescribes.
+    val bfB = spark.sparkContext.broadcast(BloomFilter.readFrom(bloomBytes))
+    val mightSeen = udf((h: Long) => bfB.value.mightContainLong(h))
+    def maybeSeen: Column = mightSeen(xxhash64(col("fingerprint")))
 
     val fp = batch.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fingerprint"))
       .withColumn("first_in_shard",
