@@ -67,7 +67,7 @@ object Bitext {
     * recalls 511‰ — same join shape, nprobe× the source-side rows.
     * A (s,t) candidate still forms at most once: t lives in exactly
     * one cell. */
-  private def mineOn(cells: DataFrame, cents: DataFrame, k: Int,
+  private[graft] def mineOn(cells: DataFrame, cents: DataFrame, k: Int,
                      marginMin: Long, nprobe: Int): DataFrame =
     // cell-bounded candidates; pinned — three consumers (both k-NN
     // aggregates and the final scored join)
@@ -81,7 +81,7 @@ object Bitext {
     * relation IS the nprobe=p relation. [[mineRecall]] exploits that to
     * compute the candidate join + quantized cosines ONCE for its whole
     * sweep instead of once per arm. */
-  private def candidatesUpTo(cells: DataFrame, cents: DataFrame,
+  private[graft] def candidatesUpTo(cells: DataFrame, cents: DataFrame,
                              nprobe: Int): DataFrame = {
     val src = Similarity.nearestCells(
       cells.filter(pmod(col("vec_id"), lit(2L)) === 0)
@@ -99,7 +99,7 @@ object Bitext {
   /** Score one arm over an already-pinned candidate relation
     * `(s_id, t_id, scos)` — the k-NN margin denominators and the
     * per-source top-1 window of the mining recipe. */
-  private def armFrom(cand: DataFrame, k: Int, marginMin: Long): DataFrame = {
+  private[graft] def armFrom(cand: DataFrame, k: Int, marginMin: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def knnAvg(idCol: String, otherCol: String, outCol: String): DataFrame = {
       val w = Window.partitionBy(idCol).orderBy(col("scos").desc, col(otherCol).asc)
@@ -172,38 +172,58 @@ object Bitext {
       .select(col("vec_id").as("t_id"), col("q").as("tq"), col("n2").as("tn2"))
     // exact top-k mean over a scos array: sort ascending on the NEGATED
     // score (ties are mean-invariant — only the multiset of top-k
-    // values enters the sum), take k, integer floor-average
-    def knnMean(scosArr: org.apache.spark.sql.Column) = {
-      val top = slice(array_sort(transform(scosArr, s => -s)), 1, k)
+    // values enters the sum), take k, integer floor-average.
+    // r18b: SPLIT into the top-k array (computed once per row under its
+    // own alias in a separate projection) and the fold over that
+    // attribute — as one column expression, idiv's a-pmod-a/b shape
+    // expanded the whole quadratic sort+transform ~4× per row, and
+    // subexpression elimination does not cover lambda-bearing
+    // expressions. The alias is referenced ≥2× (aggregate + size), so
+    // CollapseProject keeps the projection boundary instead of
+    // re-inlining it (SPARK-36718 semantics).
+    def topArr(scosArr: org.apache.spark.sql.Column) =
+      slice(array_sort(transform(scosArr, s => -s)), 1, k)
+    def meanOfTop(top: org.apache.spark.sql.Column) =
       TextOps.idiv(-aggregate(top, lit(0L), (a, x) => a + x), size(top))
-    }
-    val tgtArr = tgt.agg(collect_list(struct(col("t_id"), col("tq"), col("tn2"))).as("ts"))
     val srcArr = src.agg(collect_list(struct(col("sq"), col("sn2"))).as("ss"))
-    // exact per-target neighborhood mean over ALL sources → one map row
-    val tknnMap = tgt.crossJoin(broadcast(srcArr))
-      .select(col("t_id"), knnMean(transform(col("ss"), s =>
-        scosOf(Similarity.dot(col("tq"), s.getField("sq")),
-          s.getField("sn2"), col("tn2")))).as("t_knn"))
-      .agg(map_from_arrays(collect_list(col("t_id")), collect_list(col("t_knn"))).as("tm"))
+    // exact per-target neighborhood mean over ALL sources, carried
+    // INSIDE the broadcast target array's structs (r18b, guide §1/§4:
+    // the previous shape collected t_knn into a 1-row MAP and probed it
+    // per argmax element — Spark's GetMapValue is a LINEAR key scan, so
+    // the argmax pass was O(S·T·|map|) = cubic in the side size; a
+    // struct field read is O(1) and the values are identical)
+    val tgtArr = tgt.crossJoin(broadcast(srcArr))
+      .select(col("t_id"), col("tq"), col("tn2"),
+        topArr(transform(col("ss"), s =>
+          scosOf(Similarity.dot(col("tq"), s.getField("sq")),
+            s.getField("sn2"), col("tn2")))).as("_top"))
+      .select(col("t_id"), col("tq"), col("tn2"), meanOfTop(col("_top")).as("t_knn"))
+      .agg(collect_list(struct(col("t_id"), col("tq"), col("tn2"), col("t_knn"))).as("ts"))
     // exact per-source neighborhood mean, MATERIALIZED as its own
     // relation and equi-joined back: if s_knn stayed a column
     // expression, CollapseProject would inline its whole 1000-element
     // sort+fold into the argmax lambda BELOW — recomputed PER ELEMENT,
     // turning the fold quadratic in the array size (the s_rproj_topk
     // lesson). As a joined attribute it is computed once per source.
+    // (r18b negative experiment, reverted: pinning the per-source
+    // (t_id, t_knn, scos) array to share the dot pass between s_knn and
+    // the argmax measured FLAT — after the map-scan fix above, the
+    // matrix passes are no longer the bottleneck and the pin's
+    // materialization pays back what the saved pass gains.)
     val sknnRel = src.crossJoin(broadcast(tgtArr))
-      .select(col("s_id"), knnMean(transform(col("ts"), t =>
+      .select(col("s_id"), topArr(transform(col("ts"), t =>
         scosOf(Similarity.dot(col("sq"), t.getField("tq")),
-          col("sn2"), t.getField("tn2")))).as("s_knn"))
+          col("sn2"), t.getField("tn2")))).as("_top"))
+      .select(col("s_id"), meanOfTop(col("_top")).as("s_knn"))
     // per source: argmax margin over ALL targets in one fold; the
     // per-element scos is recomputed for ns (2×64 mults/element, flat)
-    val exact = src.crossJoin(broadcast(tgtArr)).crossJoin(broadcast(tknnMap))
+    val exact = src.crossJoin(broadcast(tgtArr))
       .join(sknnRel, "s_id")
       .withColumn("_best", element_at(array_sort(transform(col("ts"), t => {
         val scos = scosOf(Similarity.dot(col("sq"), t.getField("tq")),
           col("sn2"), t.getField("tn2"))
         struct((-TextOps.idiv(scos * 2000,
-          greatest(col("s_knn") + element_at(col("tm"), t.getField("t_id")), lit(1L))))
+          greatest(col("s_knn") + t.getField("t_knn"), lit(1L))))
           .as("nm"),
           (-scos).as("ns"), t.getField("t_id").as("t_id"))
       })), 1))
