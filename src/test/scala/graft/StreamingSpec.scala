@@ -1389,6 +1389,44 @@ class StreamingSpec extends AnyFunSuite with WallBudget {
       java.nio.file.Paths.get(cfg.bloomPath)).toSeq === bloomBefore)
   }
 
+  test("bloom probe: broadcast mightContainLong ≡ the native expression on the same sketch") {
+    // r18b pins the B1 equivalence claim: IncrementalIndex's serve probe
+    // moved from a plan-Literal BloomFilterMightContain to a broadcast
+    // util.sketch filter probed by mightContainLong over the SAME
+    // xxhash64 item. Both run the same double-hash over the same bits,
+    // so for ANY sketch bytes the two probes must agree on every input
+    // — seen, unseen-but-colliding, and unseen alike.
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.util.sketch.BloomFilter
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val fps = (1L to 2000L).map(i => s"fp-$i").toDF("fingerprint")
+    val idx = fps.filter(pmod(xxhash64(col("fingerprint")), lit(2L)) === 0L)
+    val numBits = BloomFilter.optimalNumOfBits(1000L, 0.03)
+    val agg = new BloomFilterAggregate(
+      GraftBridge.expression(xxhash64(col("fingerprint"))),
+      Literal(1000L), Literal(numBits)).toAggregateExpression()
+    val bytes = idx.select(GraftBridge.column(agg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val native = fps.select(col("fingerprint"),
+      GraftBridge.column(new BloomFilterMightContain(
+        Literal(bytes, BinaryType),
+        GraftBridge.expression(xxhash64(col("fingerprint"))))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val bfB = spark.sparkContext.broadcast(BloomFilter.readFrom(bytes))
+    val viaUdf = udf((h: Long) => bfB.value.mightContainLong(h))
+    val broadcastProbe = fps.select(col("fingerprint"),
+      viaUdf(xxhash64(col("fingerprint"))).as("m"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(broadcastProbe === native)
+    // and the probe is non-vacuous: both polarities occur
+    assert(broadcastProbe.values.exists(identity))
+    assert(broadcastProbe.values.exists(!_))
+  }
+
   test("incremental dedup index: crash between append and commit marker rolls back exactly") {
     import graft.streaming.IncrementalIndex
     import graft.streaming.IncrementalIndex.IndexConfig
