@@ -342,13 +342,33 @@ object TextOps {
     size(filter(regexp_extract_all(text, lit(IbanRe), lit(0)), ibanValid _))
 
   /** 16-bit simhash over tokens: bit i is set when the majority of token
-    * md5s have their i-th hex digit's top bit set (+1/-1 vote sum >= 0). */
+    * md5s have their i-th hex digit's top bit set (+1/-1 vote sum >= 0).
+    *
+    * r18b (the t_bitext_recall lesson, guide §4): the old form was 16
+    * independent folds, EACH re-tokenizing the text and re-hashing every
+    * token (lambda-bearing expressions sit outside codegen subexpression
+    * elimination, so the 16 copies all evaluated) — ~16 tokenizations
+    * and 16 md5s per token per row. This form evaluates every subtree
+    * exactly once per row by construction (each expensive expression
+    * occurs once in the tree): one md5-transform over one tokenization,
+    * one fold carrying all 16 vote counters, one zip-to-bits sum.
+    * Value-identical, including the degenerate rows: an empty token list
+    * folds to 16 zero votes → all bits set (0xFFFF), and NULL text maps
+    * to 0 via the final coalesce — exactly the old expression's
+    * null-condition fallthrough. */
   def simhash16(text: Column): Column = {
     val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    (0 until 16).map { i =>
-      val votes = aggregate(tokens(text), lit(0), (acc, t) =>
-        acc + when(substring(md5(t), i + 1, 1).isin(hi: _*), 1).otherwise(-1))
-      when(votes >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val zeros = array((0 until 16).map(_ => lit(0)): _*)
+    val digitPos = array((1 to 16).map(lit): _*)
+    val votes = aggregate(
+      transform(tokens(text), t => md5(t)),
+      zeros,
+      (acc, h) => zip_with(acc, digitPos, (a, i) =>
+        a + when(h.substr(i, lit(1)).isin(hi: _*), 1).otherwise(-1)))
+    val bitVals = array((0 until 16).map(i => lit(1L << i)): _*)
+    coalesce(
+      aggregate(zip_with(votes, bitVals, (v, b) => when(v >= 0, b).otherwise(lit(0L))),
+        lit(0L), (a, x) => a + x),
+      lit(0L))
   }
 }
