@@ -616,12 +616,22 @@ object Training {
     * so running them sequentially leaves the cluster idle between jobs
     * — concurrent submission lets the scheduler interleave their stages
     * (same results; each pin materializes per-partition regardless of
-    * ordering). */
-  private def pinVerdicts(dfs: DataFrame*): Seq[DataFrame] = {
+    * ordering).
+    *
+    * r18c (guide §2.6): takes THUNKS, not DataFrames — gate CONSTRUCTION
+    * moves inside the futures too. This matters for exactly one gate:
+    * [[graft.operators.Dedup.dedupKeep]]'s connected-components loop runs
+    * its iteration jobs EAGERLY when the DataFrame is built, so passing
+    * it by value serialized the whole pair-derivation + CC fixpoint on
+    * the caller's thread BEFORE any other gate's pin started — the
+    * measured core-count-invariant serial prefix of t_pipeline* (VERDICT
+    * r17 item 2). Construction order inside a future changes no values:
+    * each gate is a pure function of `dset`. */
+  private def pinVerdicts(dfs: (() => DataFrame)*): Seq[DataFrame] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(
-      Future.sequence(dfs.map(df => Future(pinVerdict(df)))),
+      Future.sequence(dfs.map(mk => Future(pinVerdict(mk())))),
       scala.concurrent.duration.Duration.Inf)
   }
 
@@ -630,10 +640,10 @@ object Training {
     val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
       SampleSalt, SplitTrain, SplitVal, SplitSalt)
     val Seq(keep, contaminated, ntok) = pinVerdicts(
-      Dedup.dedupKeep(dset).select("doc_id"),
-      Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
+      () => Dedup.dedupKeep(dset).select("doc_id"),
+      () => Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
         .filter(col("contaminated")).select("doc_id"),
-      dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")))
+      () => dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")))
     sampled
       .join(keep, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -712,12 +722,12 @@ object Training {
     val sampled = Sampling.sampleWithSplits(dset, SampleRates, SampleDefault,
       SampleSalt, SplitTrain, SplitVal, SplitSalt)
     val Seq(keep, contaminated, gopher, c4, ntok) = pinVerdicts(
-      Dedup.dedupKeep(dset).select("doc_id"),
-      Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
+      () => Dedup.dedupKeep(dset).select("doc_id"),
+      () => Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
         .filter(col("contaminated")).select("doc_id"),
-      QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id"),
-      QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"),
-      dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")))
+      () => QualityRules.gopherKeep(dset).filter(col("keep")).select("doc_id"),
+      () => QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"),
+      () => dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")))
     sampled
       .join(keep, Seq("doc_id"), "left_semi")
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -746,9 +756,13 @@ object Training {
   /** The v3 manifest's per-gate verdict relations, named — ONE
     * definition shared by the pinned query ([[tPipeline3]]) and the
     * materialized lake form ([[materializeVerdicts]]). Each is
-    * doc_id-keyed and text-free. */
-  private def gateVerdicts(dset: DataFrame): Seq[(String, DataFrame)] = {
-    def flag(set: DataFrame, name: String) = set.withColumn(name, lit(true))
+    * doc_id-keyed and text-free. r18c: THUNKS, so the one gate whose
+    * construction runs Spark jobs eagerly (dedup_keep's CC loop) builds
+    * inside its consumer's concurrent future, not on the caller's
+    * thread — see [[pinVerdicts]]. */
+  private def gateVerdicts(dset: DataFrame): Seq[(String, () => DataFrame)] = {
+    def flag(set: => DataFrame, name: String): () => DataFrame =
+      () => set.withColumn(name, lit(true))
     val gates = Seq(
       "dedup_keep" -> flag(Dedup.dedupKeep(dset).select("doc_id"), "dedup_keep"),
       "contam" -> flag(Decontaminate.contamination(dset, SplitTrain, SplitVal, SplitSalt)
@@ -759,9 +773,9 @@ object Training {
         QualityRules.c4Rules(dset).filter(col("keep")).select("doc_id"), "c4_keep"),
       "clf_keep" -> flag(
         QualityRules.hashedClassifier(dset).filter(col("keep")).select("doc_id"), "clf_keep"),
-      "ntok" -> dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens")),
-      "clean" -> Dedup.spanDedup(dset)
-        .select(col("doc_id"), TextOps.nTokens(col("clean_text")).as("n_tokens_clean")))
+      "ntok" -> (() => dset.select(col("doc_id"), TextOps.nTokens(col("text")).as("n_tokens"))),
+      "clean" -> (() => Dedup.spanDedup(dset)
+        .select(col("doc_id"), TextOps.nTokens(col("clean_text")).as("n_tokens_clean"))))
     require(gates.map(_._1) == GateNames,
       "gateVerdicts and GateNames drifted — update both together")
     gates
@@ -809,7 +823,7 @@ object Training {
     // there cannot silently drop out of the pinned query (GateNames'
     // require holds the list shape).
     val gv = gateVerdicts(dset).toMap
-    val fused0 = Dedup.spanDedupCarryingNTokens(dset)
+    val fused0 = () => Dedup.spanDedupCarryingNTokens(dset)
       .select(col("doc_id"), col("n_tokens"),
         TextOps.nTokens(col("clean_text")).as("n_tokens_clean"))
     val Seq(keep, contaminated, gopher, c4, clf, fused) = pinVerdicts(
@@ -832,8 +846,8 @@ object Training {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     Await.result(
-      Future.sequence(gateVerdicts(dset).map { case (name, df) =>
-        Future(df.write.mode("overwrite").parquet(s"$dir/$name"))
+      Future.sequence(gateVerdicts(dset).map { case (name, mk) =>
+        Future(mk().write.mode("overwrite").parquet(s"$dir/$name"))
       }),
       scala.concurrent.duration.Duration.Inf)
   }

@@ -180,9 +180,13 @@ object CrawlPipeline {
     val spans = spansV
       .select(col("doc_id"), col("n_removed").as("n_span_removed"),
         col("kept_md5").as("corpus_md5"))
-    awaitDedup()
-    scala.concurrent.Await.result(fSubstr, scala.concurrent.duration.Duration.Inf)
-    gated.drop("main_text").join(dedup, Seq("doc_id"), "left")
+    // r18c (guide §2.6): the output manifest reads ONLY pinned relations
+    // (gated/exact/near pins) plus the store-free substr reassembly over
+    // the pinned probe — no plan below ever touches a mutating store —
+    // so its materialization overlaps the commits' tail instead of
+    // running serially after both awaits; the caller's sink write then
+    // scans a batch-sized pin instead of re-planning the 3-way join.
+    val out0 = gated.drop("main_text").join(dedup, Seq("doc_id"), "left")
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("host"), col("n_tokens"),
         col("consented"), col("kept"),
@@ -191,5 +195,10 @@ object CrawlPipeline {
         (col("kept") && coalesce(col("is_new"), lit(false))).as("corpus_new"),
         coalesce(col("n_span_removed"), lit(-1L)).as("n_span_removed"),
         coalesce(col("corpus_md5"), lit("")).as("corpus_md5"))
+    val fOut = Future(JobLabel(spark, s"crawl b$batchId: output pin") {
+      out0.localCheckpoint() })
+    awaitDedup()
+    scala.concurrent.Await.result(fSubstr, scala.concurrent.duration.Duration.Inf)
+    scala.concurrent.Await.result(fOut, scala.concurrent.duration.Duration.Inf)
   }
 }

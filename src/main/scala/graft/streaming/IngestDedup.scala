@@ -52,12 +52,21 @@ object IngestDedup {
   }
 
   /** Serve one micro-batch of `(doc_id, text, ...)` docs through both
-    * stages. Call from `foreachBatch` with the stream's batchId. */
+    * stages. Call from `foreachBatch` with the stream's batchId.
+    * r18c (guide §2.6): the composed verdict join reads only the two
+    * stages' PINNED verdict relations (never a store), so it is
+    * materialized concurrently with the commits' tail — the caller's
+    * sink write then scans a batch-sized pin instead of re-planning the
+    * exact⟕near join after the awaits. */
   def serveBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  cfg: IngestConfig): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
     val (verdicts, await) = serveBatchStaged(spark, batch, batchId, cfg)
+    val fPin = Future(JobLabel(spark, s"ingest b$batchId: verdicts pin") {
+      verdicts.localCheckpoint() })
     await()
-    verdicts
+    Await.result(fPin, scala.concurrent.duration.Duration.Inf)
   }
 
   /** r18 (judge r17 #2): the OVERLAPPED composition — each stage's

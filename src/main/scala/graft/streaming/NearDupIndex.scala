@@ -157,14 +157,7 @@ object NearDupIndex {
         col("band_val") === col("b_val") &&
         col("doc_id") > col("b_doc"))
       .select(col("doc_id"), col("b_doc").as("old_id"))
-    val hits = idxPairs.unionByName(inBatchPairs)
-      .groupBy("doc_id", "old_id").agg(count(lit(1)).as("nb"))
-      .filter(col("nb") >= cfg.minMatches)
-      // strongest match: most agreeing bands, lowest prior id on ties
-      .groupBy("doc_id").agg(
-        count(lit(1)).as("n_matches"),
-        max(struct(col("nb").as("nb"), (-col("old_id")).as("neg_old"))).as("best"))
-      .select(col("doc_id"), col("n_matches"), (-col("best.neg_old")).as("best_match"))
+    val hits = hitsFromPairs(idxPairs.unionByName(inBatchPairs), cfg.minMatches)
     // verdict domain = the pin's one-row-per-doc doc_id column (docs
     // with a signature) — no distinct over the exploded bands
     val verdicts0 = sigs.select("doc_id")
@@ -187,6 +180,56 @@ object NearDupIndex {
           cfg)
       } }
     (verdicts, commit)
+  }
+
+  /** The per-doc match election over a (doc_id, old_id) pair multiset —
+    * one row per band agreement. Returns `(doc_id, n_matches,
+    * best_match)` for docs with at least one old_id occurring
+    * ≥ `minMatches` times: n_matches counts such old_ids, best_match is
+    * the one with the most agreeing bands (lowest old_id on ties).
+    *
+    * r18c (guide §2.4): ONE doc_id exchange instead of two — the former
+    * groupBy(doc_id, old_id) → groupBy(doc_id) pair planned two AQE
+    * shuffle stages per micro-batch; the per-(doc, old) band counts are
+    * now derived row-locally from the SORTED old_id list by a
+    * run-length fold (lists are ≤ 4 bands × matched docs, and band-
+    * bucket occupancy is bounded because the exact index runs first).
+    * Semantics identical: a run of length nb is one (doc_id, old_id,
+    * nb) row of the old shape; qualifying runs (nb >= minMatches)
+    * count into n_matches; best = most bands, lowest old_id on ties —
+    * olds ascend, so "strictly more bands than the best so far" IS the
+    * old max(struct(nb, -old_id)) election. Equivalence is pinned by
+    * StreamingSpec's randomized fold-vs-two-level-aggregation test. */
+  private[graft] def hitsFromPairs(pairs: DataFrame, minMatches: Int): DataFrame = {
+    import org.apache.spark.sql.Column
+    val minM = lit(minMatches.toLong)
+    // close the open run in `st`, emitting (n_matches', best_nb', best_old')
+    def runClosed(st: Column, emit: (Column, Column, Column) => Column): Column = {
+      val qual = st.getField("run") >= minM && st.getField("run") > lit(0L)
+      val better = qual && st.getField("run") > st.getField("bnb")
+      emit(st.getField("n") + when(qual, lit(1L)).otherwise(lit(0L)),
+        when(better, st.getField("run")).otherwise(st.getField("bnb")),
+        when(better, st.getField("prev")).otherwise(st.getField("bold")))
+    }
+    pairs
+      .groupBy("doc_id").agg(sort_array(collect_list(col("old_id"))).as("olds"))
+      .select(col("doc_id"), aggregate(
+        col("olds"),
+        struct(lit(-1L).as("prev"), lit(0L).as("run"), lit(0L).as("n"),
+          lit(0L).as("bnb"), lit(-1L).as("bold")),
+        (st, x) => when(st.getField("run") > lit(0L) && x === st.getField("prev"),
+            struct(st.getField("prev").as("prev"),
+              (st.getField("run") + lit(1L)).as("run"),
+              st.getField("n").as("n"), st.getField("bnb").as("bnb"),
+              st.getField("bold").as("bold")))
+          .otherwise(runClosed(st, (n2, bnb2, bold2) =>
+            struct(x.as("prev"), lit(1L).as("run"), n2.as("n"),
+              bnb2.as("bnb"), bold2.as("bold")))),
+        st => runClosed(st, (n2, _, bold2) =>
+          struct(n2.as("n_matches"), bold2.as("best_match")))).as("h"))
+      .filter(col("h.n_matches") > lit(0L))
+      .select(col("doc_id"), col("h.n_matches").as("n_matches"),
+        col("h.best_match").as("best_match"))
   }
 
   /** Rewrite the accreted append files into one file per bucket — rows,

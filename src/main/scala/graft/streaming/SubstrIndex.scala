@@ -72,12 +72,20 @@ object SubstrIndex {
   /** Serve one micro-batch of `(doc_id, text, ...)` docs: returns the
     * batch operator's relation — (doc_id, n_tokens, n_removed,
     * kept_md5) — and commits the batch's NEW window fingerprints
-    * unless this batchId already committed. */
+    * unless this batchId already committed.
+    * r18c (guide §2.6): the verdict reassembly reads only the pinned
+    * probe + the batch text (never this store — the single-probe fusion
+    * made that structural), so it is materialized concurrently with the
+    * commit instead of serially by the caller's sink write afterward. */
   def serveBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                  cfg: SubstrConfig): DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
     val (verdicts, commit) = serveBatchStaged(spark, batch, batchId, cfg)
+    val fPin = Future(JobLabel(spark, s"substr b$batchId: verdicts pin") {
+      verdicts.localCheckpoint() })
     commit()
-    verdicts
+    Await.result(fPin, scala.concurrent.duration.Duration.Inf)
   }
 
   /** r18: the compute/commit split of [[serveBatch]] — see

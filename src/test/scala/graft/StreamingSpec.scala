@@ -730,6 +730,32 @@ class StreamingSpec extends AnyFunSuite with WallBudget {
     assert(bandFiles === before, "replay must not append bands")
   }
 
+  test("near-dup hits fold ≡ two-level aggregation on randomized pair multisets") {
+    // r18c: hitsFromPairs replaced the groupBy(doc_id, old_id) →
+    // groupBy(doc_id) pair with one exchange + a sorted run-length fold;
+    // this pins the fold against the former expression on seeded-random
+    // pair multisets that exercise every election rule (multiple olds,
+    // tie band counts, sub-threshold runs, docs with no qualifying old).
+    import graft.streaming.NearDupIndex
+    val rnd = new scala.util.Random(421731L)
+    val pairs = (1 to 4000).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(25).toLong)
+    }.toDF("doc_id", "old_id")
+    for (minMatches <- Seq(1, 3, 5)) {
+      val fold = NearDupIndex.hitsFromPairs(pairs, minMatches)
+      val reference = pairs
+        .groupBy("doc_id", "old_id").agg(count(lit(1)).as("nb"))
+        .filter(col("nb") >= minMatches)
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_matches"),
+          max(struct(col("nb").as("nb"), (-col("old_id")).as("neg_old"))).as("best"))
+        .select(col("doc_id"), col("n_matches"), (-col("best.neg_old")).as("best_match"))
+      val f = fold.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      val g = reference.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+      assert(f.toSeq === g.toSeq, s"fold diverged from reference at minMatches=$minMatches")
+    }
+  }
+
   test("image-dup index: verdicts equal brute hamming, arrival-order election, replay exact, bucketed probe") {
     import graft.streaming.ImageDupIndex
     import graft.streaming.ImageDupIndex.ImageDupConfig
